@@ -1,13 +1,310 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cdc.{Cdc, Materialize, Monitoring, Quality}
+import graft.analytics.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every query is `(spark, sfDir) => DataFrame` with a deterministic sort
+  * and column names that match its `oracleSql` entry exactly. Sums run on
+  * DECIMAL inputs (exact, order-independent) so Spark and DuckDB agree.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── CDC core ─────────────────────────────────────────────────────
+    "cdc_op_normalize" -> ((s, d) =>
+      Cdc.changelog(s, d)
+        .groupBy(col("op"), Cdc.normalizeOp(col("op")).as("event_class"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("op")),
+    "cdc_unwrap" -> ((s, d) =>
+      Cdc.unwrap(Cdc.parseEnvelope(Cdc.toWire(s, d)))
+        .orderBy("user_id", "__source_ts_ms", "__op", "value")),
+    "cdc_parse_envelope" -> ((s, d) =>
+      Cdc.parseEnvelope(Cdc.toWire(s, d))
+        .select(
+          col("offset"), col("server_name"), col("schema_name"), col("table_name"),
+          Cdc.normalizeOp(col("op")).as("event_class"), col("ts_ms"),
+          coalesce(col("after.user_id"), col("before.user_id")).as("payload_user_id"),
+          coalesce(col("after.value"), col("before.value")).as("payload_value"))
+        .orderBy("offset")),
+    "cdc_materialize_latest" -> ((s, d) =>
+      Materialize.latestSnapshot(Cdc.changelog(s, d)).orderBy("user_id")),
+    "cdc_scd2_history" -> ((s, d) =>
+      Materialize.scd2(Cdc.changelog(s, d)).orderBy("user_id", "valid_from", "seq")),
+    "cdc_append_audit" -> ((s, d) =>
+      Materialize.appendAudit(Cdc.changelog(s, d)).orderBy("run_seq")),
+    "cdc_dedup_replay" -> ((s, d) => Materialize.dedupReplay(Cdc.changelog(s, d))),
+    "cdc_snapshot_chunked" -> ((s, d) => Materialize.snapshotChunked(s, d)),
+    "cdc_event_counts" -> ((s, d) => Monitoring.eventCounts(Cdc.changelog(s, d))),
+    "cdc_events_per_minute" -> ((s, d) => Monitoring.eventsPerMinute(Cdc.changelog(s, d))),
+    "cdc_throughput" -> ((s, d) => Monitoring.throughput(Cdc.changelog(s, d))),
+    "cdc_lag_trend" -> ((s, d) => Monitoring.lagTrend(Cdc.changelog(s, d))),
+    "cdc_alert_eval" -> ((s, d) => Monitoring.alertEval(s, Cdc.changelog(s, d))),
+    "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
+    "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
+    "cdc_rowcount_validate" -> ((s, d) => Quality.rowcountValidate(s, d)),
+    "cdc_integrity_stats" -> ((s, d) => Quality.integrityStats(s, d)),
+    "cdc_schema_drift" -> ((s, d) => Quality.schemaDrift(s, d)),
+    // ── Relational analytics ─────────────────────────────────────────
+    "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
+    "q5_multijoin" -> ((s, d) => Relational.q5MultiJoin(s, d)),
+    "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "q_semi_anti" -> ((s, d) => Relational.semiAnti(s, d)),
+    "q_agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
+    "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
+    "q_json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+  )
+
+  /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
+  def oracleSql: Map[String, String] = {
+    val cl = Cdc.changelogSql
+    Map(
+      "cdc_op_normalize" ->
+        s"""$cl
+           |SELECT op,
+           |       CASE op WHEN 'c' THEN 'insert' WHEN 'r' THEN 'insert' WHEN 'u' THEN 'update'
+           |               WHEN 'd' THEN 'delete' WHEN 't' THEN 'truncate' ELSE 'unknown' END AS event_class,
+           |       count(*) AS n
+           |FROM changelog GROUP BY op, event_class ORDER BY op""".stripMargin,
+      "cdc_unwrap" ->
+        """SELECT user_id, event_type, value,
+          |       CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS __op,
+          |       epoch_ms(ts) AS __source_ts_ms,
+          |       event_type = 'error' AS __deleted
+          |FROM events ORDER BY user_id, __source_ts_ms, __op, value""".stripMargin,
+      "cdc_parse_envelope" ->
+        """SELECT event_id AS "offset", 'graft' AS server_name, 'public' AS schema_name,
+          |       event_type AS table_name,
+          |       CASE event_type WHEN 'signup' THEN 'insert' WHEN 'error' THEN 'delete' ELSE 'update' END AS event_class,
+          |       epoch_ms(ts) AS ts_ms, user_id AS payload_user_id, value AS payload_value
+          |FROM events ORDER BY "offset"""".stripMargin,
+      "cdc_materialize_latest" ->
+        s"""$cl, ranked AS (
+           |  SELECT pk, op, value, ts,
+           |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,
+           |         count(*) OVER (PARTITION BY pk) AS n_changes
+           |  FROM changelog)
+           |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value, ts AS updated_at, n_changes
+           |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+      "cdc_scd2_history" ->
+        s"""$cl, v AS (
+           |  SELECT pk, op, value, ts, seq,
+           |         lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq) AS valid_to
+           |  FROM changelog)
+           |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS value, ts AS valid_from,
+           |       valid_to, valid_to IS NULL AS is_current, seq
+           |FROM v WHERE op <> 'd' ORDER BY user_id, valid_from, seq""".stripMargin,
+      "cdc_append_audit" ->
+        s"""$cl
+           |SELECT seq AS run_seq, 'CDC' AS run_type,
+           |       CASE op WHEN 'c' THEN 'insert' WHEN 'd' THEN 'delete' ELSE 'update' END AS event_type,
+           |       'completed' AS status, ts AS started_at,
+           |       CAST(1 AS BIGINT) AS rows_processed, 'events' AS table_name
+           |FROM changelog ORDER BY run_seq""".stripMargin,
+      "cdc_dedup_replay" ->
+        s"""$cl, delivered AS (
+           |  SELECT * FROM changelog
+           |  UNION ALL SELECT * FROM changelog WHERE seq % 10 = 0),
+           |uniq AS (
+           |  SELECT seq, count(*) AS deliveries,
+           |         min(CASE op WHEN 'c' THEN 'insert' WHEN 'd' THEN 'delete' ELSE 'update' END) AS event_class
+           |  FROM delivered GROUP BY seq)
+           |SELECT event_class, count(*) AS unique_events,
+           |       CAST(sum(deliveries) AS BIGINT) AS total_deliveries
+           |FROM uniq GROUP BY event_class ORDER BY event_class""".stripMargin,
+      "cdc_snapshot_chunked" ->
+        """SELECT o_orderkey % 8 AS chunk_id, count(*) AS n_rows,
+          |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS chunk_total
+          |FROM orders GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
+      "cdc_event_counts" ->
+        s"""$cl
+           |SELECT CASE op WHEN 'c' THEN 'insert' WHEN 'd' THEN 'delete' ELSE 'update' END AS event_class,
+           |       count(*) AS n_events, count(DISTINCT pk) AS n_keys,
+           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_value
+           |FROM changelog GROUP BY event_class ORDER BY event_class""".stripMargin,
+      "cdc_events_per_minute" ->
+        s"""$cl
+           |SELECT date_trunc('minute', ts) AS bucket, count(*) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+           |FROM changelog GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "cdc_throughput" ->
+        s"""$cl
+           |SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+           |       CAST(count(*) AS DOUBLE) / 3600.0 AS events_per_sec
+           |FROM changelog GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "cdc_lag_trend" ->
+        s"""$cl, hwm AS (SELECT max(ts) AS hwm FROM changelog)
+           |SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+           |       CAST(sum(epoch_ms(hwm) - epoch_ms(ts)) AS BIGINT) AS total_lag_ms,
+           |       max(epoch_ms(hwm) - epoch_ms(ts)) AS max_lag_ms,
+           |       CAST(CAST(sum(epoch_ms(hwm) - epoch_ms(ts)) AS BIGINT) AS DOUBLE) / count(*) AS avg_lag_ms
+           |FROM changelog CROSS JOIN hwm GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "cdc_alert_eval" ->
+        """WITH m AS (
+          |  SELECT date_trunc('hour', ts) AS bucket,
+          |         CAST(count(*) AS DOUBLE) AS event_count,
+          |         CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) AS delete_count
+          |  FROM events GROUP BY bucket),
+          |s AS (
+          |  SELECT bucket, 'event_count' AS metric, event_count AS metric_value FROM m
+          |  UNION ALL SELECT bucket, 'delete_count', delete_count FROM m
+          |  UNION ALL SELECT bucket, 'error_count', delete_count FROM m),
+          |r(rule_id, metric, threshold, condition, severity) AS (VALUES
+          |  ('r_error_burst', 'error_count', 10.0, 'gt', 'critical'),
+          |  ('r_low_volume', 'event_count', 100.0, 'lt', 'warning'),
+          |  ('r_delete_storm', 'delete_count', 25.0, 'gt', 'warning'))
+          |SELECT rule_id, bucket, s.metric, metric_value, threshold, severity
+          |FROM s JOIN r ON s.metric = r.metric
+          |WHERE (condition = 'gt' AND metric_value > threshold)
+          |   OR (condition = 'lt' AND metric_value < threshold)
+          |ORDER BY rule_id, bucket""".stripMargin,
+      "cdc_delete_ratio" ->
+        s"""$cl
+           |SELECT pk % 10 AS cohort, count(*) AS n_events,
+           |       count(CASE WHEN op = 'd' THEN 1 END) AS n_deletes,
+           |       count(CASE WHEN op = 'c' THEN 1 END) AS n_inserts,
+           |       CAST(count(CASE WHEN op = 'd' THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS delete_ratio
+           |FROM changelog GROUP BY cohort ORDER BY cohort""".stripMargin,
+      "cdc_topic_route" ->
+        """SELECT 'graft' AS server_name, 'public' AS schema_name, event_type AS table_name,
+          |       count(*) AS n_messages
+          |FROM events GROUP BY table_name ORDER BY server_name, schema_name, table_name""".stripMargin,
+      "cdc_rowcount_validate" ->
+        s"""$cl, last_op AS (
+           |  SELECT pk, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn, op
+           |  FROM changelog),
+           |counts AS (
+           |  SELECT 'events_keys' AS table_name,
+           |         (SELECT count(DISTINCT pk) FROM changelog) AS source_rows,
+           |         (SELECT count(*) FROM last_op WHERE rn = 1 AND op <> 'd') AS target_rows
+           |  UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+           |  UNION ALL SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
+           |  UNION ALL SELECT 'lineitem', count(*), count(DISTINCT l_orderkey) FROM lineitem)
+           |SELECT table_name, source_rows, target_rows,
+           |       source_rows - target_rows AS diff, source_rows = target_rows AS "match"
+           |FROM counts ORDER BY table_name""".stripMargin,
+      "cdc_integrity_stats" ->
+        """WITH s AS (
+          |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+          |         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+          |         count(DISTINCT o_orderkey) AS n_distinct,
+          |         CAST(sum(CAST(o_orderkey AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value FROM orders
+          |  UNION ALL
+          |  SELECT 'o_custkey', count(*), count(CASE WHEN o_custkey IS NULL THEN 1 END),
+          |         count(DISTINCT o_custkey), CAST(sum(CAST(o_custkey AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders
+          |  UNION ALL
+          |  SELECT 'o_orderstatus', count(*), count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+          |         count(DISTINCT o_orderstatus), CAST(NULL AS DECIMAL(28,2)) FROM orders
+          |  UNION ALL
+          |  SELECT 'o_totalprice', count(*), count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+          |         count(DISTINCT o_totalprice), CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders
+          |  UNION ALL
+          |  SELECT 'o_orderpriority', count(*), count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+          |         count(DISTINCT o_orderpriority), CAST(NULL AS DECIMAL(28,2)) FROM orders)
+          |SELECT * FROM s ORDER BY column_name""".stripMargin,
+      "cdc_schema_drift" ->
+        """WITH src AS (
+          |  SELECT column_name,
+          |         CASE WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+          |              WHEN column_type = 'BIGINT' THEN 'bigint'
+          |              WHEN column_type = 'INTEGER' THEN 'int'
+          |              WHEN column_type = 'DOUBLE' THEN 'double'
+          |              WHEN column_type = 'VARCHAR' THEN 'string' END AS t
+          |  FROM (DESCRIBE SELECT * FROM orders)),
+          |tgt AS (
+          |  SELECT column_name,
+          |         CASE WHEN column_type LIKE 'TIMESTAMP%' THEN 'timestamp'
+          |              WHEN column_type = 'BIGINT' THEN 'bigint'
+          |              WHEN column_type = 'INTEGER' THEN 'int'
+          |              WHEN column_type = 'DOUBLE' THEN 'double'
+          |              WHEN column_type = 'VARCHAR' THEN 'string' END AS t
+          |  FROM (DESCRIBE SELECT o_orderkey, o_custkey, o_orderstatus,
+          |               CAST(o_totalprice AS VARCHAR) AS o_totalprice, o_orderdate,
+          |               o_orderdate AS o_sync_ts FROM orders))
+          |SELECT coalesce(src.column_name, tgt.column_name) AS column_name,
+          |       src.t AS source_type, tgt.t AS target_type,
+          |       CASE WHEN src.t IS NOT NULL AND tgt.t IS NOT NULL AND src.t = tgt.t THEN 'ok'
+          |            WHEN src.t IS NOT NULL AND tgt.t IS NOT NULL THEN 'type_changed'
+          |            WHEN tgt.t IS NULL THEN 'removed_in_target'
+          |            ELSE 'added_in_target' END AS status
+          |FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name
+          |ORDER BY column_name""".stripMargin,
+      // ── Relational analytics ───────────────────────────────────────
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_qty,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_base_price,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(32,6)) AS sum_charge,
+          |       count(*) AS count_order,
+          |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_qty,
+          |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_price
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+      "q3_topk" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS revenue
+          |FROM customer, orders, lineitem
+          |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+      "q5_multijoin" ->
+        """SELECT n_name,
+          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS revenue
+          |FROM customer, orders, lineitem, supplier, nation, region
+          |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+          |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+          |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+      "q_window_rank" ->
+        """SELECT c_mktsegment, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+          |FROM (
+          |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+          |         rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |  FROM orders JOIN customer ON o_custkey = c_custkey)
+          |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk, o_orderkey""".stripMargin,
+      "q_semi_anti" ->
+        """WITH f AS (
+          |  SELECT c_mktsegment,
+          |         EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+          |  FROM customer)
+          |SELECT c_mktsegment,
+          |       count(CASE WHEN has_o THEN 1 END) AS n_with_orders,
+          |       count(CASE WHEN NOT has_o THEN 1 END) AS n_without_orders
+          |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q_agg_stats" ->
+        """SELECT o_orderstatus, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
+          |       min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price,
+          |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_price
+          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+      "q_rollup" ->
+        """SELECT r_name, n_name, count(*) AS n_customers,
+          |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_acctbal
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+      "q_json_extract" ->
+        """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
+          |       count(*) AS n_events,
+          |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+          |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+    )
+  }
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Parquet table loaders for the driver-generated test data.
+  *
+  * Table set mirrors the star schema the reference replicates (TPC-H-ish
+  * operational tables) plus `events` (the change-stream surrogate),
+  * `documents` and `embeddings` (LLM-pipeline tables).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Columns written as parquet TIMESTAMP(NANOS) (Spark can't read them
+    * natively). Read as long nanos, truncate to micros — identical to what
+    * DuckDB's ns→µs truncation yields, so oracle results line up. */
+  private val nanosCols = Map("events" -> Seq("ts"))
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+      if (d.schema(c).dataType == LongType)
+        // integer `div`, not `/`: nanos exceed double's 2^53 exact range
+        d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+      else d
+    }
+  }
+
+  /** Local session with the defaults every entry point shares. */
+  def localSession(appName: String, cpus: Int = 4): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+}

@@ -1,0 +1,136 @@
+package graft.analytics
+
+import graft.{dec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The relational query surface under the pipelines: the analytics a user
+  * of the reference runs against replicated tables. Declarative DataFrame
+  * plans — Catalyst handles pushdown/pruning/join selection; small dims are
+  * broadcast explicitly.
+  */
+object Relational {
+
+  private def lineitemWithDec(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("qty_d", dec(col("l_quantity")))
+      .withColumn("price_d", dec(col("l_extendedprice")))
+      .withColumn("disc_d", dec(col("l_discount")))
+      .withColumn("tax_d", dec(col("l_tax")))
+
+  /** TPC-H Q1-style pricing summary: group-agg with exact decimal sums. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame =
+    lineitemWithDec(spark, dir)
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_d")).cast(DecimalType(28, 2)).as("sum_qty"),
+        sum(col("price_d")).cast(DecimalType(28, 2)).as("sum_base_price"),
+        sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).as("sum_disc_price"),
+        sum(col("price_d") * (lit(1) - col("disc_d")) * (lit(1) + col("tax_d"))).cast(DecimalType(32, 6)).as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3-style: customer⋈orders⋈lineitem, revenue per order, top-10. */
+  def q3TopK(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val orders = Tables.load(spark, dir, "orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val lineitem = lineitemWithDec(spark, dir).where(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-table star join; dims broadcast. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = Tables.load(spark, dir, "nation")
+    val customer = Tables.load(spark, dir, "customer")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val orders = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val lineitem = lineitemWithDec(spark, dir)
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window rank: top-3 orders by total price within each market segment. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .withColumn("rnk", rank().over(w))
+      .where(col("rnk") <= 3)
+      .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), dec(col("o_totalprice"), 18, 2).as("o_totalprice"))
+      .orderBy("c_mktsegment", "rnk", "o_orderkey")
+  }
+
+  /** Semi + anti join: per segment, customers with vs without orders. */
+  def semiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val withOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withOrders.join(withoutOrders, Seq("c_mktsegment"), "full_outer")
+      .na.fill(0, Seq("n_with_orders", "n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Multi-aggregate stats per order status. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("total_price"))
+      .withColumn("avg_price", col("total_price").cast("double") / col("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Hierarchical rollup: region → nation subtotals over customers. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast(DecimalType(28, 2)).as("total_acctbal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
+  }
+
+  /** JSON field extraction from the events props payload. */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+      .orderBy("k_bucket")
+}

@@ -1,0 +1,95 @@
+package graft.cdc
+
+import graft.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog → table-state operators: the Spark-native equivalent of the
+  * reference's JDBC-sink apply semantics (upsert on PK, delete removes —
+  * reference: backend/ingestion/sink_config.py insert.mode=upsert +
+  * delete.enabled) and its full-load snapshot copy
+  * (reference: backend/ingestion/transfer.py:193-1150).
+  *
+  * Scale notes: [[latestSnapshot]] is a hash aggregation (max_by), NOT a
+  * row_number window — partial aggregation runs map-side and AQE can split
+  * skewed keys, so one shuffle by PK is all it costs at 100 TB.
+  */
+object Materialize {
+
+  /** Current-state snapshot: last change per PK wins; a final delete drops
+    * the row. Equivalent SQL: row_number() OVER (PARTITION BY pk ORDER BY
+    * ts DESC, seq DESC) = 1 AND op <> 'd'. */
+  def latestSnapshot(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("pk").as("user_id"))
+      .agg(
+        max_by(struct(col("op"), col("value"), col("ts")), struct(col("ts"), col("seq"))).as("last"),
+        count(lit(1)).as("n_changes"))
+      .where(col("last.op") =!= "d")
+      .select(
+        col("user_id"),
+        dec(col("last.value"), 18, 2).as("last_value"),
+        col("last.ts").as("updated_at"),
+        col("n_changes"))
+
+  /** SCD-2 history: each non-delete change opens a version; the next change
+    * (of any op, including the delete) closes it. */
+  def scd2(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy("ts", "seq")
+    changelog
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .where(col("op") =!= "d")
+      .select(
+        col("pk").as("user_id"),
+        dec(col("value"), 18, 2).as("value"),
+        col("ts").as("valid_from"),
+        col("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        col("seq"))
+  }
+
+  /** Append-only audit records, one per change event
+    * (reference: cdc_event_logger.py:544+ _commit_batch → pipeline_runs). */
+  def appendAudit(changelog: DataFrame): DataFrame =
+    changelog.select(
+      col("seq").as("run_seq"),
+      lit("CDC").as("run_type"),
+      Cdc.normalizeOp(col("op")).as("event_type"),
+      lit("completed").as("status"),
+      col("ts").as("started_at"),
+      lit(1L).as("rows_processed"),
+      lit("events").as("table_name"))
+
+  /** Exactly-once replay dedup: redelivered messages (same offset) must
+    * apply once. The 10% redelivery is simulated deterministically. */
+  def dedupReplay(changelog: DataFrame): DataFrame = {
+    val redelivered = changelog.where(col("seq") % 10 === 0)
+    changelog.unionAll(redelivered)
+      .groupBy(col("seq"))
+      .agg(
+        count(lit(1)).as("deliveries"),
+        min(col("pk")).as("pk"),
+        min(Cdc.normalizeOp(col("op"))).as("event_class"))
+      .groupBy(col("event_class"))
+      .agg(
+        count(lit(1)).as("unique_events"),
+        sum(col("deliveries")).as("total_deliveries"))
+      .orderBy("event_class")
+  }
+
+  /** Full-load snapshot with deterministic chunking: per-chunk stats mirror
+    * transfer.py's chunked copy accounting. Chunk id is a pure key function
+    * (no global sort), so chunks are computable map-side at any scale. */
+  def snapshotChunked(spark: SparkSession, dir: String, nChunks: Int = 8): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+    orders
+      .groupBy((col("o_orderkey") % nChunks).as("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        sum(dec(col("o_totalprice"))).cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("chunk_total"))
+      .orderBy("chunk_id")
+  }
+}

