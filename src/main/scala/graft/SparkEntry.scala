@@ -4,6 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, Materialize, Monitoring, Quality}
 import graft.analytics.Relational
+import graft.text.TextFunctions
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Binary
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -62,6 +66,25 @@ object SparkEntry {
     "q_agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    // ── Text analysis ────────────────────────────────────────────────
+    "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
+    "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
+    "text_langid" -> ((s, d) => TextFunctions.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
+    "text_ngrams" -> ((s, d) => TextFunctions.ngrams(s, d)),
+    // ── Dedup ────────────────────────────────────────────────────────
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Ann.embeddingDup(s, d)),
+    // ── Similarity search ────────────────────────────────────────────
+    "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(s, d)),
+    // ── Multimodal ───────────────────────────────────────────────────
+    "mm_binary_meta" -> ((s, d) => Binary.binaryMeta(s, d)),
+    "mm_frame_sample" -> ((s, d) => Binary.frameSample(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -305,6 +328,87 @@ object SparkEntry {
           |       count(*) AS n_events,
           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
           |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+      // ── Text analysis ──────────────────────────────────────────────
+      "text_tokens" ->
+        """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,
+          |       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+          |       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+           |         CAST(length(text) AS DOUBLE) AS nchars,
+           |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct,
+           |         CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS ndigit
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, nchars, npunct, ndigit,
+           |         CAST(len(words) AS DOUBLE) AS nwords,
+           |         CAST(len(list_filter(words, w -> w IN (${TextFunctions.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop
+           |  FROM f)
+           |SELECT doc_id, CAST(nchars AS BIGINT) AS n_chars_actual, CAST(nwords AS BIGINT) AS n_words,
+           |       npunct / nchars AS punct_ratio,
+           |       ndigit / nchars AS digit_ratio,
+           |       nstop / nwords AS stopword_ratio,
+           |       (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+           |         CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END AS quality_score
+           |FROM g ORDER BY doc_id""".stripMargin,
+      "text_langid" ->
+        """WITH f AS (
+          |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+          |h AS (
+          |  SELECT doc_id, lang,
+          |         CAST(len(list_filter(words, w -> w IN ('the','and','of','to','is','in','a'))) AS BIGINT) AS en_hits,
+          |         CAST(len(list_filter(words, w -> w IN ('el','la','de','y','es','en','un'))) AS BIGINT) AS es_hits,
+          |         CAST(len(list_filter(words, w -> w IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de_hits,
+          |         CAST(len(list_filter(words, w -> w IN ('le','la','de','et','est','un','une'))) AS BIGINT) AS fr_hits
+          |  FROM f)
+          |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+          |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+          |            WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+          |            WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang,
+          |       lang AS labeled_lang,
+          |       (CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+          |             WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+          |             WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END) = lang AS agrees
+          |FROM h ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        """WITH n AS (
+          |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+          |SELECT doc_id, md5(t) AS full_md5,
+          |       list_min(list_transform(generate_series(1, greatest(length(t) - 15, 1)),
+          |                               i -> md5(substr(t, i, 16)))) AS min_window_md5
+          |FROM n ORDER BY doc_id""".stripMargin,
+      "text_ngrams" ->
+        """WITH n AS (
+          |  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+          |w AS (SELECT string_split(t, ' ') AS words FROM n),
+          |b AS (
+          |  SELECT unnest(CASE WHEN len(words) >= 2
+          |    THEN list_transform(generate_series(1, len(words) - 1), i -> words[i] || ' ' || words[i+1])
+          |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+          |  FROM w)
+          |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      // ── Dedup ──────────────────────────────────────────────────────
+      "dedup_exact" ->
+        s"""${Dedup.corpusSql},
+           |sigs AS (
+           |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig FROM corpus)
+           |SELECT sig, count(*) AS n_copies, min(doc_id) AS canonical_id, max(doc_id) AS max_id
+           |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+      "dedup_minhash_lsh" -> Dedup.minhashLshSql,
+      "dedup_simhash" -> Dedup.simhashSql,
+      "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
+      "dedup_embedding_cosine" -> Ann.embeddingDupSql,
+      // ── Similarity search ──────────────────────────────────────────
+      "ann_bruteforce_topk" -> Ann.bruteForceSql,
+      "ann_lsh_topk" -> Ann.lshTopKSql,
+      "ann_ivf_topk" -> Ann.ivfTopKSql,
+      // ── Multimodal ─────────────────────────────────────────────────
+      "mm_binary_meta" -> Binary.binaryMetaSql,
+      "mm_frame_sample" -> Binary.frameSampleSql,
     )
   }
 }

@@ -79,7 +79,7 @@ object Relational {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .withColumn("rnk", rank().over(w))
       .where(col("rnk") <= 3)
-      .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), dec(col("o_totalprice"), 18, 2).as("o_totalprice"))
+      .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"), col("o_orderkey"), dec(col("o_totalprice"), 18, 2).as("o_totalprice"))
       .orderBy("c_mktsegment", "rnk", "o_orderkey")
   }
 

@@ -1,0 +1,265 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextFunctions.normText
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for the training-data pipeline surface.
+  *
+  * The test corpus has no natural duplicates, so each operator works on a
+  * deterministic `corpus`: documents ∪ exact copies (doc_id%7==0, +1M id)
+  * ∪ truncated near-copies (doc_id%11==0, +2M id). Both Spark and the
+  * DuckDB oracle derive the corpus identically.
+  *
+  * Scale design: every operator generates candidates through bucketing
+  * (hash group, LSH band, sign-bucket) — never a global cross join. At
+  * 100 TB the only shuffles are by bucket key, and bucket sizes are bounded
+  * by construction.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: minhash arithmetic stays < 2^62 (no overflow
+    * divergence between engines). */
+  private val P = 2147483647L
+  /** Fixed (a,b) params for the k=16 minhash permutations. */
+  private val hashParams: Seq[(Long, Long)] =
+    Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
+      .zipWithIndex.map { case (a, i) => (a * 1000003L % P, (i * 2654435761L + 1L) % P) }
+
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val exact = docs.where(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val near = docs.where(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        col("text").substr(lit(1), greatest(length(col("text")) - 10, lit(20))).as("text"))
+    docs.unionAll(exact).unionAll(near)
+  }
+
+  val corpusSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL SELECT doc_id + 2000000, substr(text, 1, greatest(length(text) - 10, 20))
+      |    FROM documents WHERE doc_id % 11 = 0
+      |)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on md5 of normalized text. One shuffle by
+    * 128-bit digest; the canonical survivor is min(doc_id). */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("sig"))
+      .groupBy("sig")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"), max("doc_id").as("max_id"))
+      .where(col("n_copies") > 1)
+      .orderBy("sig")
+
+  /** Distinct 5-char shingles (stride 3) of the normalized text. */
+  private def shingleCol(norm: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(norm) - 4, lit(1)), lit(3)),
+      i => norm.substr(i, lit(5))))
+
+  /** Base shingle hash: first 60 bits of md5, reduced mod P — identical to
+    * DuckDB's CAST('0x'||substr(md5(s),1,15) AS BIGINT) % P. */
+  private def baseHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
+
+  /** MinHash + LSH: 16-permutation signature, 4 bands × 4 rows, candidate
+    * pairs from band-bucket self-join, exact Jaccard verify on candidates
+    * only. Output: near-dup pairs with Jaccard ≥ 0.6. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpus(spark, dir)
+      .select(col("doc_id"), shingleCol(normText(col("text"))).as("shingles"))
+      .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
+
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
+    }
+    val sigs = base.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+
+    val banded = (0 until 4).map { b =>
+      val key = md5(concat_ws(",", (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string")): _*))
+      sigs.select(col("doc_id"), col("shingles"), lit(b).as("band_id"), key.as("band_key"))
+    }.reduce(_ unionAll _)
+
+    val left = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val right = banded.select(col("band_id"), col("band_key"),
+      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val cands = left.join(right, Seq("band_id", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    cands
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
+      .where(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Oracle SQL for [[minhashLsh]] (generated so the 16 permutations stay
+    * in lockstep with hashParams). */
+  def minhashLshSql: String = {
+    val sigExprs = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS sig$i"
+    }.mkString(",\n         ")
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, shingles, $b AS band_id, md5($cat) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$corpusSql,
+       |norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(generate_series(1, greatest(length(t) - 4, 1), 3),
+       |                                      i -> substr(t, i, 5))) AS shingles
+       |  FROM norm),
+       |hashed AS (
+       |  SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % $P) AS hs
+       |  FROM sh),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |         $sigExprs
+       |  FROM hashed),
+       |banded AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union
+       |  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+       |SELECT id_a, id_b, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |FROM verified WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 32-bit SimHash over word tokens + banded Hamming pairing: pairs that
+    * share a byte-band with Hamming distance ≤ 6. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = corpus(spark, dir)
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val fpExpr = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+    val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 8).bitwiseAND(255).as(s"band$b"))
+    val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
+      .select(col("doc_id") +: col("simhash") +: bandCols: _*)
+
+    val banded = (0 until 4).map { b =>
+      fps.select(col("doc_id"), col("simhash"), lit(b).as("band_id"), col(s"band$b").as("band_val"))
+    }.reduce(_ unionAll _)
+
+    val l = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_a"), col("simhash").as("fp_a"))
+    val r = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_b"), col("simhash").as("fp_b"))
+    l.join(r, Seq("band_id", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .where(col("hamming") <= 6)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  def simhashSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n         ")
+    val fp = (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band_id, (simhash >> ${b * 8}) & 255 AS band_val FROM fps"
+    }.mkString("\n  UNION ALL ")
+    s"""$corpusSql,
+       |toks AS (
+       |  SELECT doc_id,
+       |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+       |        FROM corpus)),
+       |sums AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM toks GROUP BY doc_id),
+       |fps AS (
+       |  SELECT doc_id, $fp AS simhash FROM sums),
+       |banded AS (
+       |  $bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fp_a, b.simhash AS fp_b
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+       |FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Word-3-gram Jaccard near-dup with min-hash blocking: candidates share
+    * the minimum 3-gram digest; verified pairs at Jaccard ≥ 0.4. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(normText(col("text")), " ")
+    val grams = array_distinct(
+      when(size(words) >= 3,
+        transform(sequence(lit(1), size(words) - 2),
+          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
+        .otherwise(array(normText(col("text")))))
+    val base = corpus(spark, dir)
+      .select(col("doc_id"), grams.as("grams"))
+      .withColumn("block_key", array_min(transform(col("grams"), g => md5(g))))
+
+    val l = base.select(col("block_key"), col("doc_id").as("id_a"), col("grams").as("g_a"))
+    val r = base.select(col("block_key"), col("doc_id").as("id_b"), col("grams").as("g_b"))
+    l.join(r, Seq("block_key"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("n_common", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("n_union", size(col("g_a")).cast("long") + size(col("g_b")).cast("long") - col("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
+      .where(col("jaccard") >= 0.4)
+      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  def ngramJaccardSql: String =
+    s"""$corpusSql,
+       |norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |wordsets AS (
+       |  SELECT doc_id, string_split(t, ' ') AS w, t FROM norm),
+       |grams AS (
+       |  SELECT doc_id,
+       |         list_distinct(CASE WHEN len(w) >= 3
+       |           THEN list_transform(generate_series(1, len(w) - 2),
+       |                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |           ELSE [t] END) AS g
+       |  FROM wordsets),
+       |blocked AS (
+       |  SELECT doc_id, g, list_min(list_transform(g, x -> md5(x))) AS block_key FROM grams),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.g, b.g)) AS n_common,
+       |         len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)) AS n_union
+       |  FROM blocked a JOIN blocked b ON a.block_key = b.block_key
+       |  WHERE a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, n_common, n_union,
+       |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |FROM pairs WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+}

@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `binary` columns with typed metadata. The actual codec step is STUBBED
+  * (this container has no image/audio libraries) with a deterministic fake
+  * decode — but the Spark-side plumbing (binary columns, schema, batched
+  * per-partition decode via mapPartitions, frame-sampling fan-out) is real
+  * and tested.
+  *
+  * The binary payloads are derived from `documents.text` (utf-8 bytes) so
+  * both engines construct identical blobs.
+  */
+object Binary {
+
+  /** Binary payload + typed metadata extraction: size, magic prefix, and a
+    * stubbed decode producing deterministic fake dimensions. */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(hex(col("payload")), 1, 8).as("magic_hex"),
+        // STUB decode: real impl would parse the container header here.
+        (col("doc_id") % 1920 + 1).cast("int").as("fake_width"),
+        (length(col("payload")) % 1080 + 1).cast("int").as("fake_height"),
+        (length(col("payload")) % 3 === 0).as("fake_has_audio"))
+      .orderBy("doc_id")
+
+  val binaryMetaSql: String =
+    """SELECT doc_id,
+      |       octet_length(encode(text)) AS n_bytes,
+      |       substr(hex(encode(text)), 1, 8) AS magic_hex,
+      |       CAST(doc_id % 1920 + 1 AS INTEGER) AS fake_width,
+      |       CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS fake_height,
+      |       octet_length(encode(text)) % 3 = 0 AS fake_has_audio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_offset", LongType, nullable = false),
+    StructField("frame_sig", StringType, nullable = false)))
+
+  /** Frame-sampling plumbing: each binary payload fans out to
+    * ceil(n_bytes/1000) frames, decoded per-partition in batches via
+    * mapPartitions — the batch shape a real codec UDF would use. The
+    * "decode" is a deterministic stub (md5 of doc_id:frame_idx). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val withPayload = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("payload"), length(col("payload")).cast("long").as("n_bytes"))
+
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSchema)
+    val frames = withPayload.mapPartitions { rows =>
+      // Batched per-partition decode: one digest instance per partition,
+      // the shape a real codec (decode buffer, model handle) would reuse.
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val nBytes = r.getLong(2)
+        val nFrames = ((nBytes + 999L) / 1000L).toInt
+        (0 until nFrames).iterator.map { i =>
+          digest.reset()
+          val sig = digest.digest(s"$docId:$i".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString
+          Row(docId, i, i * 4096L % math.max(nBytes, 1L), sig)
+        }
+      }
+    }(enc)
+    frames.orderBy("doc_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    """SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+      |       CAST(i AS BIGINT) * 4096 % greatest(octet_length(encode(text)), 1) AS frame_offset,
+      |       md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS frame_sig
+      |FROM (SELECT doc_id, text,
+      |             unnest(generate_series(0, CAST((octet_length(encode(text)) + 999) // 1000 AS INTEGER) - 1)) AS i
+      |      FROM documents)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+}

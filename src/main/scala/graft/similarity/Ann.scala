@@ -1,0 +1,186 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64 dims).
+  *
+  * Float math portability: a dot product is computed as a LEFT FOLD over
+  * the array in index order — Spark `aggregate` and DuckDB `list_reduce`
+  * both fold sequentially, and float→double conversion is exact, so both
+  * engines produce bit-identical IEEE doubles. Cross-row float sums (IVF
+  * centroids) instead quantize each addend to floor(x·2^40) and sum exact
+  * BIGINTs — order-independent on both engines.
+  *
+  * Scale design: brute force is the correctness baseline (one scan, no
+  * shuffle before the top-k); LSH bounds candidates to one sign-bucket;
+  * IVF probes the top-2 of |labels| partitions. All cosine scoring is
+  * per-row whole-stage-codegen expressions — no explode, no shuffle.
+  */
+object Ann {
+
+  /** 2^40 quantization scale for cross-row float sums. */
+  private val Q = 1099511627776.0
+
+  /** Index-ordered fold: Σ a[i]·b[i] as exact-ordered double ops. */
+  private def dotFold(a: Column, b: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), size(a)),
+        i => element_at(a, i).cast("double") * element_at(b, i).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def dotFoldSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private def cosine(a: Column, b: Column): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
+
+  /** Exact cosine top-k against the vec_id=0 query vector. */
+  def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val bruteForceSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |FROM embeddings CROSS JOIN q
+       |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
+
+  /** 8-bit sign-hyperplane bucket code over dims 1,9,…,57 (1-based). */
+  private def signCode(emb: Column): Column =
+    (0 until 8).map { k =>
+      when(element_at(emb, 1 + 8 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def signCodeSql(e: String): String =
+    (0 until 8).map { k =>
+      s"CASE WHEN $e[${1 + 8 * k}] >= 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Sign-LSH candidate top-k: only the query's bucket is scored —
+    * expected candidate count is |data| / 256 (the 100 TB path). */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    emb.join(broadcast(q), col("bucket") === col("qbucket"))
+      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def lshTopKSql: String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded WHERE vec_id = 0)
+       |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |FROM coded JOIN q ON bucket = qbucket
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-style: partitions = the `label` column. Centroids are computed
+    * with quantized-exact sums, the query probes the top-2 partitions by
+    * centroid score, and only those partitions are exact-scored. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("x").cast("double") * Q).cast("long")).as("snum"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("snum").cast("double") / Q / col("n")).as("c"))
+
+    val qLong = q.select(posexplode(col("qe")).as(Seq("pos", "y")))
+    val probes = centroids
+      .join(broadcast(qLong), "pos")
+      .groupBy("label")
+      .agg(
+        sum(floor(col("y").cast("double") * col("c") * Q).cast("long")).as("sn"),
+        sum(floor(col("c") * col("c") * Q).cast("long")).as("ncn"))
+      .select(col("label"),
+        ((col("sn").cast("double") / Q) / sqrt(col("ncn").cast("double") / Q)).as("score"))
+      .orderBy(col("score").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("probe_label"))
+
+    emb.join(broadcast(probes), col("label") === col("probe_label"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfTopKSql: String =
+    s"""WITH longf AS (
+       |  SELECT vec_id, label, unnest(embedding) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qlong AS (SELECT pos, x AS y FROM longf WHERE vec_id = 0),
+       |centroids AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |           / 1099511627776.0 / count(*) AS c
+       |  FROM longf GROUP BY label, pos),
+       |probes AS (
+       |  SELECT label FROM (
+       |    SELECT ct.label,
+       |           (CAST(sum(CAST(floor(CAST(ql.y AS DOUBLE) * ct.c * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+       |             / sqrt(CAST(sum(CAST(floor(ct.c * ct.c * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS score
+       |    FROM centroids ct JOIN qlong ql ON ct.pos = ql.pos GROUP BY ct.label)
+       |  ORDER BY score DESC, label LIMIT 2)
+       |SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine
+       |FROM embeddings JOIN probes USING (label) CROSS JOIN q
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Embedding-cosine near-dup pairs: 16-bit sign-bucket candidates, exact
+    * cosine ≥ 0.999. Exact copies (vec_id%11==0, +100k id) are injected so
+    * the operator has work to find. */
+  def embeddingDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val copies = emb.where(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val code16 = (0 until 16).map { k =>
+      when(element_at(col("embedding"), 1 + 4 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val all = emb.unionAll(copies).withColumn("bucket", code16)
+
+    val l = all.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = all.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("e_a"), col("e_b")).as("cosine"))
+      .where(col("cosine") >= 0.999)
+      .orderBy("id_a", "id_b")
+  }
+
+  def embeddingDupSql: String = {
+    val code = (0 until 16).map { k =>
+      s"CASE WHEN embedding[${1 + 4 * k}] >= 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 11 = 0),
+       |coded AS (SELECT vec_id, embedding, $code AS bucket FROM allv),
+       |cands AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, ${cosineSql("ea", "eb")} AS cosine
+       |FROM cands
+       |WHERE ${cosineSql("ea", "eb")} >= 0.999
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1,0 +1,111 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline surface, over the
+  * `documents` table. All column expressions are codegen-friendly built-ins
+  * (no UDFs) and mirror the DuckDB oracle expression-for-expression.
+  */
+object TextFunctions {
+
+  /** Normalized text: lowercase, collapse whitespace, trim. */
+  def normText(c: Column): Column = trim(regexp_replace(lower(c), "\\s+", " "))
+
+  private val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).cast("long").as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, punctuation/digit/stopword ratios, and a
+    * deterministic combined score. Ratios are double divisions of exact
+    * longs (identical operands on both engines). */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nDigit = size(regexp_extract_all(col("text"), lit("[0-9]"), lit(0))).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      size(words).cast("long").as("n_words"),
+      (nPunct / nChars).as("punct_ratio"),
+      (nDigit / nChars).as("digit_ratio"),
+      (nStop / nWords).as("stopword_ratio"),
+      ((nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5)
+        + when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "a"),
+    "es" -> Seq("el", "la", "de", "y", "es", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une"))
+
+  /** n-gram/stopword-heuristic language ID: lexicon-hit argmax with a fixed
+    * preference order (en > es > de > fr) for ties. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val hits = langLexicons.map { case (lang, lex) =>
+      lang -> size(filter(words, w => w.isInCollection(lex)))
+    }
+    val Seq(en, es, de, fr) = hits.map(_._2)
+    val pred = when(en >= es && en >= de && en >= fr, "en")
+      .when(es >= de && es >= fr, "es")
+      .when(de >= fr, "de")
+      .otherwise("fr")
+    docs.select(
+      col("doc_id"),
+      en.cast("long").as("en_hits"), es.cast("long").as("es_hits"),
+      de.cast("long").as("de_hits"), fr.cast("long").as("fr_hits"),
+      pred.as("pred_lang"),
+      col("lang").as("labeled_lang"),
+      (pred === col("lang")).as("agrees"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: full-text md5 + a rolling min-hash over
+    * 16-char windows (stride 1) of the normalized text. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val norm = normText(col("text"))
+    val nWin = greatest(length(norm) - 15, lit(1))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("full_md5"),
+      array_min(transform(sequence(lit(1), nWin),
+        i => md5(norm.substr(i, lit(16))))).as("min_window_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Top word bigrams across the corpus. */
+  def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = split(normText(col("text")), " ")
+    val bigrams = when(size(words) >= 2,
+      transform(sequence(lit(1), size(words) - 1),
+        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+      .otherwise(array())
+    docs.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(topK)
+  }
+}

@@ -55,6 +55,10 @@ def main():
             print(f"FAIL {name}: columns differ\n  oracle: {ecols}\n  spark : {acols}")
             n_fail += 1
             continue
+        dt_bad = [(c, str(exp[c].dtype), str(act[c].dtype)) for c in ecols
+                  if str(exp[c].dtype) != str(act[c].dtype)]
+        if dt_bad:
+            print(f"WARN {name}: dtype mismatch {dt_bad}")
         if len(exp) != len(act):
             print(f"FAIL {name}: rows differ oracle={len(exp)} spark={len(act)}")
             n_fail += 1
