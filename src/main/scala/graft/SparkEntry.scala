@@ -208,11 +208,11 @@ object SparkEntry {
            |  FROM changelog),
            |counts AS (
            |  SELECT 'events_keys' AS table_name,
-           |         (SELECT count(DISTINCT pk) FROM changelog) AS source_rows,
+           |         (SELECT count(*) FROM last_op WHERE rn = 1 AND op <> 'd') AS source_rows,
            |         (SELECT count(*) FROM last_op WHERE rn = 1 AND op <> 'd') AS target_rows
            |  UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
            |  UNION ALL SELECT 'customer', count(*), count(DISTINCT c_custkey) FROM customer
-           |  UNION ALL SELECT 'lineitem', count(*), count(DISTINCT l_orderkey) FROM lineitem)
+           |  UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part)
            |SELECT table_name, source_rows, target_rows,
            |       source_rows - target_rows AS diff, source_rows = target_rows AS "match"
            |FROM counts ORDER BY table_name""".stripMargin,

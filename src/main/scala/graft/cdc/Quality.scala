@@ -20,19 +20,31 @@ object Quality {
     * equality is a real end-to-end invariant, not a tautology. */
   def rowcountValidate(spark: SparkSession, dir: String): DataFrame = {
     val changelog = Cdc.changelog(spark, dir)
-    // Target state: keys whose last change is not a delete.
-    val target = Materialize.latestSnapshot(changelog)
-    val sourceKeys = changelog.agg(countDistinct(col("pk")).as("n")).select(lit("events_keys").as("table_name"), col("n").as("source_rows"))
-    val targetKeys = target.agg(count(lit(1)).as("n")).select(lit("events_keys").as("table_name"), col("n").as("target_rows"))
+    // Source-side expectation: keys whose LAST change is not a delete —
+    // computed independently of the materializer it validates.
+    val expectedLive = changelog
+      .groupBy(col("pk"))
+      .agg(max_by(col("op"), struct(col("ts"), col("seq"))).as("last_op"))
+      .where(col("last_op") =!= "d")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("events_keys").as("table_name"), col("n").as("source_rows"))
+    val targetKeys = Materialize.latestSnapshot(changelog)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("events_keys").as("table_name"), col("n").as("target_rows"))
 
-    val pairs = Seq("orders" -> "o_orderkey", "customer" -> "c_custkey", "lineitem" -> "l_orderkey")
-    val tableCounts = pairs.map { case (t, k) =>
+    // Replicated-table invariant: row count equals distinct primary keys.
+    val pks: Seq[(String, Seq[String])] = Seq(
+      "orders" -> Seq("o_orderkey"),
+      "customer" -> Seq("c_custkey"),
+      "part" -> Seq("p_partkey"))
+    val tableCounts = pks.map { case (t, keys) =>
       val df = Tables.load(spark, dir, t)
-      df.agg(count(lit(1)).as("source_rows"), countDistinct(col(k)).as("target_rows"))
-        .select(lit(t).as("table_name"), col("source_rows"), col("target_rows"))
+      val distinctPk = df.select(keys.map(col): _*).distinct().count()
+      df.agg(count(lit(1)).as("source_rows"))
+        .select(lit(t).as("table_name"), col("source_rows"), lit(distinctPk).as("target_rows"))
     }.reduce(_ unionAll _)
 
-    sourceKeys.join(targetKeys, "table_name")
+    expectedLive.join(targetKeys, "table_name")
       .select(col("table_name"), col("source_rows"), col("target_rows"))
       .unionAll(tableCounts)
       .withColumn("diff", col("source_rows") - col("target_rows"))

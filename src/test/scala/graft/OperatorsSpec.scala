@@ -1,0 +1,118 @@
+package graft
+
+import graft.analytics.Relational
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextFunctions
+import graft.multimodal.Binary
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  test("q1 pricing summary covers all lineitems under the cutoff") {
+    val q1 = Relational.q1Agg(spark, dir).collect()
+    assert(q1.nonEmpty)
+    val n = q1.map(_.getAs[Long]("count_order")).sum
+    val expected = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz")).count()
+    assert(n === expected)
+  }
+
+  test("rollup grand total equals customer count") {
+    val roll = Relational.rollupAgg(spark, dir).collect()
+    val grand = roll.find(r => r.isNullAt(0) && r.isNullAt(1)).get
+    assert(grand.getAs[Long]("n_customers") === 150)
+  }
+
+  test("semi+anti partition the customers") {
+    val sa = Relational.semiAnti(spark, dir).collect()
+    val total = sa.map(r => r.getAs[Long]("n_with_orders") + r.getAs[Long]("n_without_orders")).sum
+    assert(total === 150)
+  }
+
+  test("exact dedup finds exactly the injected copies") {
+    val groups = Dedup.exact(spark, dir).collect()
+    val injected = Tables.load(spark, dir, "documents").where(col("doc_id") % 7 === 0).count()
+    assert(groups.length === injected)
+    assert(groups.forall(_.getAs[Long]("n_copies") === 2L))
+    assert(groups.forall(r => r.getAs[Long]("max_id") === r.getAs[Long]("canonical_id") + 1000000L))
+  }
+
+  test("minhash-lsh recovers every exact-copy pair at jaccard 1.0") {
+    val pairs = Dedup.minhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    val exactPairs = pairs.filter { case (a, b, _) => a < 1000000L && b == a + 1000000L }
+    val injected = Tables.load(spark, dir, "documents").where(col("doc_id") % 7 === 0).count()
+    assert(exactPairs.length === injected)
+    assert(exactPairs.forall(_._3 === 1.0))
+  }
+
+  test("simhash pairs exact copies at hamming 0") {
+    val pairs = Dedup.simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val exactPairs = pairs.filter { case (a, b, _) => a < 1000000L && b == a + 1000000L }
+    assert(exactPairs.nonEmpty)
+    assert(exactPairs.forall(_._3 === 0L))
+  }
+
+  test("embedding near-dup finds the injected vector copies at cosine ~1") {
+    val pairs = Ann.embeddingDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val injected = Tables.load(spark, dir, "embeddings").where(col("vec_id") % 11 === 0).count()
+    val copies = pairs.filter { case (a, b, _) => b == a + 100000L }
+    assert(copies.length === injected)
+    assert(copies.forall(_._3 >= 0.999999))
+  }
+
+  test("brute-force ANN ranks the query vector itself first") {
+    val top = Ann.bruteForceTopK(spark, dir).collect()
+    assert(top.head.getLong(0) === 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-12)
+    val cosines = top.map(_.getDouble(1))
+    assert(cosines.sameElements(cosines.sortBy(-_)))
+  }
+
+  test("LSH ANN returns the query's bucket including itself") {
+    val top = Ann.lshTopK(spark, dir).collect()
+    assert(top.head.getLong(0) === 0L)
+  }
+
+  test("IVF ANN scores only the probed partitions, properly ranked") {
+    val top = Ann.ivfTopK(spark, dir).collect()
+    assert(top.nonEmpty)
+    assert(top.map(_.getInt(1)).distinct.length <= 2) // at most 2 probed labels
+    val cosines = top.map(_.getDouble(2))
+    assert(cosines.sameElements(cosines.sortBy(-(_: Double))))
+  }
+
+  test("text metrics are internally consistent") {
+    val t = TextFunctions.tokens(spark, dir).collect()
+    assert(t.forall(r => r.getAs[Long]("ws_tokens") > 0))
+    assert(t.forall(r => r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens")))
+    val q = TextFunctions.quality(spark, dir).collect()
+    assert(q.forall(r => r.getAs[Double]("stopword_ratio") >= 0 && r.getAs[Double]("stopword_ratio") <= 1))
+    val l = TextFunctions.langId(spark, dir).collect()
+    assert(l.forall(r => Set("en", "es", "de", "fr").contains(r.getAs[String]("pred_lang"))))
+  }
+
+  test("frame sampling fans out ceil(bytes/1000) frames per doc") {
+    val frames = Binary.frameSample(spark, dir)
+      .groupBy("doc_id").count()
+    val docs = Binary.binaryMeta(spark, dir).select("doc_id", "n_bytes")
+    val joined = frames.join(docs, "doc_id")
+      .where(col("count") =!= expr("(n_bytes + 999) div 1000"))
+    assert(joined.count() === 0)
+  }
+
+  test("every query has a matching oracle or is explicitly rows-only") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // every declared operator currently carries a full oracle
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.{CdcStream, ChangeEvent, WindowedMetrics}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("stream_cdc_apply: stateful upsert materializes latest state, deletes clear") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = CdcStream.applyChanges(input.toDS())
+      .writeStream.format("memory").queryName("state_out").outputMode("update").start()
+
+    input.addData(
+      ChangeEvent("c", 1L, ts(1), 1L, 10.0),
+      ChangeEvent("c", 2L, ts(1), 2L, 20.0))
+    query.processAllAvailable()
+    input.addData(
+      ChangeEvent("u", 1L, ts(2), 3L, 11.0),
+      ChangeEvent("d", 2L, ts(2), 4L, 0.0),
+      ChangeEvent("u", 1L, ts(1), 0L, 99.0)) // stale replay: must be ignored
+    query.processAllAvailable()
+
+    val last = spark.table("state_out")
+      .groupBy("pk").agg(max_by(struct(col("value"), col("nChanges")), col("seq")).as("s"))
+      .select(col("pk"), col("s.value"), col("s.nChanges"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    query.stop()
+
+    assert(last(1L) === ((11.0, 2L)))   // upsert applied, stale replay ignored
+    // pk=2 was emitted in batch 1 then deleted in batch 2 (no new emission)
+    assert(last(2L) === ((20.0, 1L)))
+  }
+
+  test("stream windowed counts aggregate per minute with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val events = input.toDS().toDF()
+    val query = WindowedMetrics.eventsPerWindow(events)
+      .writeStream.format("memory").queryName("win_out").outputMode("update").start()
+
+    input.addData(
+      ChangeEvent("c", 1L, ts(1), 1L, 1.0),
+      ChangeEvent("u", 1L, ts(1), 2L, 1.0),
+      ChangeEvent("d", 2L, ts(2), 3L, 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    query.stop()
+
+    assert(rows.contains((ts(1), "c", 1L)))
+    assert(rows.contains((ts(1), "u", 1L)))
+    assert(rows.contains((ts(2), "d", 1L)))
+  }
+
+  test("stream alert fires only above threshold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = WindowedMetrics.alertStream(input.toDS().toDF(), threshold = 2)
+      .writeStream.format("memory").queryName("alert_out").outputMode("update").start()
+
+    input.addData((1 to 5).map(i => ChangeEvent("d", i.toLong, ts(1), i.toLong, 0.0)): _*)
+    input.addData(ChangeEvent("d", 9L, ts(7), 99L, 0.0)) // below threshold in its window
+    query.processAllAvailable()
+    val rows = spark.table("alert_out").collect()
+    query.stop()
+
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("n_errors") === 5L)
+    assert(rows.head.getAs[String]("severity") === "critical")
+  }
+
+  test("stream dedup drops redelivered seqs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = CdcStream.dedupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+
+    input.addData(
+      ChangeEvent("c", 1L, ts(1), 1L, 1.0),
+      ChangeEvent("c", 1L, ts(1), 1L, 1.0), // exact redelivery
+      ChangeEvent("u", 1L, ts(2), 2L, 2.0))
+    query.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    query.stop()
+    assert(n === 2)
+  }
+}
