@@ -71,18 +71,27 @@ object Dedup {
     * only. Output: near-dup pairs with Jaccard ≥ 0.6. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = corpus(spark, dir)
-      .select(col("doc_id"), shingleCol(normText(col("text"))).as("shingles"))
+      .withColumn("t", normText(col("text")))   // materialized: lambda below indexes it per shingle
+      .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
       .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
 
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
       array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
     }
-    val sigs = base.select(col("doc_id") +: col("shingles") +: sigCols: _*)
+    // Materialize signatures before the self-join (at 100 TB: checkpoint /
+    // persisted table); otherwise both join sides recompute the pipeline.
+    val sigs = base.select(col("doc_id") +: col("shingles") +: sigCols: _*).cache()
 
-    val banded = (0 until 4).map { b =>
-      val key = md5(concat_ws(",", (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string")): _*))
-      sigs.select(col("doc_id"), col("shingles"), lit(b).as("band_id"), key.as("band_key"))
-    }.reduce(_ unionAll _)
+    // One explode over a 4-element band array — NOT a 4-way union, which
+    // would re-evaluate the whole signature subtree once per band.
+    val bandStructs = array((0 until 4).map { b =>
+      val key = coalesce(
+        md5(concat_ws(",", (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string")): _*)), lit(""))
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }: _*)
+    val banded = sigs
+      .select(col("doc_id"), col("shingles"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("shingles"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
 
     val left = banded.select(col("band_id"), col("band_key"),
       col("doc_id").as("id_a"), col("shingles").as("sh_a"))
@@ -163,10 +172,13 @@ object Dedup {
     val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fpExpr.as("simhash"))
       .select(col("doc_id") +: col("simhash") +: bandCols: _*)
+      .cache()   // materialized before the band self-join
 
-    val banded = (0 until 4).map { b =>
-      fps.select(col("doc_id"), col("simhash"), lit(b).as("band_id"), col(s"band$b").as("band_val"))
-    }.reduce(_ unionAll _)
+    val banded = fps
+      .select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band_id"), col(s"band$b").as("band_val"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
 
     val l = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_a"), col("simhash").as("fp_a"))
     val r = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_b"), col("simhash").as("fp_b"))
@@ -215,15 +227,21 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup with min-hash blocking: candidates share
     * the minimum 3-gram digest; verified pairs at Jaccard ≥ 0.4. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(normText(col("text")), " ")
+    val w = col("w")
     val grams = array_distinct(
-      when(size(words) >= 3,
-        transform(sequence(lit(1), size(words) - 2),
-          i => concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2))))
-        .otherwise(array(normText(col("text")))))
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array(col("t"))))
     val base = corpus(spark, dir)
+      .withColumn("t", normText(col("text")))   // materialized before lambda indexing
+      .withColumn("w", split(col("t"), " "))
       .select(col("doc_id"), grams.as("grams"))
-      .withColumn("block_key", array_min(transform(col("grams"), g => md5(g))))
+      .cache()   // materialized before the block self-join
+      // coalesce makes the join key non-nullable: otherwise Catalyst pushes
+      // an IsNotNull(block_key) filter to the scan that re-inlines the whole
+      // gram pipeline (split re-evaluated per lambda element - O(n^2)/row).
+      .withColumn("block_key", coalesce(array_min(transform(col("grams"), g => md5(g))), lit("")))
 
     val l = base.select(col("block_key"), col("doc_id").as("id_a"), col("grams").as("g_a"))
     val r = base.select(col("block_key"), col("doc_id").as("id_b"), col("grams").as("g_b"))

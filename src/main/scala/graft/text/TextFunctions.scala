@@ -84,23 +84,26 @@ object TextFunctions {
     * 16-char windows (stride 1) of the normalized text. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val norm = normText(col("text"))
-    val nWin = greatest(length(norm) - 15, lit(1))
-    docs.select(
-      col("doc_id"),
-      md5(norm).as("full_md5"),
-      array_min(transform(sequence(lit(1), nWin),
-        i => md5(norm.substr(i, lit(16))))).as("min_window_md5"))
+    // Materialize the normalized text: inside a transform lambda an
+    // unmaterialized expression would be re-evaluated per element (O(n²)
+    // regex work per document).
+    docs.withColumn("t", normText(col("text")))
+      .select(
+        col("doc_id"),
+        md5(col("t")).as("full_md5"),
+        array_min(transform(sequence(lit(1), greatest(length(col("t")) - 15, lit(1))),
+          i => md5(col("t").substr(i, lit(16))))).as("min_window_md5"))
       .orderBy("doc_id")
   }
 
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val words = split(normText(col("text")), " ")
-    val bigrams = when(size(words) >= 2,
-      transform(sequence(lit(1), size(words) - 1),
-        i => concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+      .withColumn("w", split(normText(col("text")), " "))
+    val w = col("w")
+    val bigrams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
       .otherwise(array())
     docs.select(explode(bigrams).as("bigram"))
       .groupBy("bigram")
