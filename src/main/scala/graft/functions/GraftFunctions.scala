@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Either configure `spark.sql.extensions=graft.functions.GraftExtensions`
+  * or call [[GraftFunctions.register]] on a live session; after that the
+  * functions are available in SQL and via `expr(...)`.
+  */
+object GraftFunctions {
+
+  private[functions] val cosineInfo = new ExpressionInfo(
+    classOf[CosineSimilarity].getName, null, "graft_cosine")
+
+  private[functions] val cosineBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_cosine requires exactly 2 arguments")
+    CosineSimilarity(children.head, children(1))
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+}

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,8 +34,16 @@ object Ann {
   private def dotFoldSql(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  private def cosine(a: Column, b: Column): Column =
+  /** Portable reference form (kept for spec-level equivalence checks). */
+  private[graft] def cosineFold(a: Column, b: Column): Column =
     dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
+  /** Hot-path form: the native codegen'd expression — bit-identical to
+    * [[cosineFold]] (same index-ordered accumulation). */
+  private def cosine(spark: SparkSession, a: String, b: String): Column = {
+    GraftFunctions.register(spark)
+    expr(s"graft_cosine($a, $b)")
+  }
 
   private def cosineSql(a: String, b: String): String =
     s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
@@ -44,7 +53,7 @@ object Ann {
     val emb = Tables.load(spark, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
     emb.crossJoin(broadcast(q))
-      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -74,7 +83,7 @@ object Ann {
     val q = emb.where(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     emb.join(broadcast(q), col("bucket") === col("qbucket"))
-      .select(col("vec_id"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -118,7 +127,7 @@ object Ann {
 
     emb.join(broadcast(probes), col("label") === col("probe_label"))
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), cosine(col("embedding"), col("qe")).as("cosine"))
+      .select(col("vec_id"), col("label"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
@@ -162,7 +171,7 @@ object Ann {
     val r = all.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("e_a"), col("e_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"), cosine(spark, "e_a", "e_b").as("cosine"))
       .where(col("cosine") >= 0.999)
       .orderBy("id_a", "id_b")
   }

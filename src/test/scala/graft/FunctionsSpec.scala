@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  test("native graft_cosine is bit-identical to the portable fold") {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val both = emb.crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        expr("graft_cosine(embedding, qe)").as("native"),
+        Ann.cosineFold(col("embedding"), col("qe")).as("folded"))
+    val mismatches = both.where(col("native") =!= col("folded")).count()
+    assert(mismatches === 0)
+  }
+
+  test("graft_cosine works from plain SQL after registration") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("emb_v")
+    val self = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_v LIMIT 5").collect()
+    assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("graft_cosine rejects wrong argument types") {
+    GraftFunctions.register(spark)
+    Tables.load(spark, dir, "embeddings").createOrReplaceTempView("emb_v")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(vec_id, embedding) FROM emb_v").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_cosine") ||
+      e.getMessage.toLowerCase.contains("data type"))
+  }
+}
