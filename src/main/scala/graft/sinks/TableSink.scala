@@ -1,0 +1,49 @@
+package graft.sinks
+
+import graft.cdc.Materialize
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-backed table sink with the reference's JDBC-sink apply semantics
+  * (reference: backend/ingestion/sink_config.py — insert.mode=upsert,
+  * delete.enabled, pk.mode=record_key), expressed as parquet state.
+  *
+  * Scale notes: the snapshot is written hash-distributed by PK so a later
+  * upsert merge co-partitions without a sort; the merge itself is one
+  * shuffle by PK. Against a warehouse this maps to `df.write.jdbc` or a
+  * MERGE INTO on a lakehouse table — the changelog algebra is identical.
+  */
+object TableSink {
+
+  /** Full-load snapshot write (transfer.py equivalent): hash-distributed
+    * by key for later co-partitioned merges. */
+  def writeSnapshot(df: DataFrame, keyCol: String, path: String, nBuckets: Int = 32): Unit =
+    df.repartition(nBuckets, col(keyCol))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Apply a changelog increment to the stored state: latest change per
+    * key wins across {stored state ∪ increment}; deletes drop keys.
+    * Writes the new state and returns it. */
+  def upsert(spark: SparkSession, path: String, changes: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val existing = spark.read.parquet(path)
+      // stored state re-enters the merge as synthetic "creates" older than
+      // any increment row at the same (ts, seq)
+      .select(col("user_id").as("pk"), lit("c").as("op"),
+        col("last_value").cast("double").as("value"),
+        col("updated_at").as("ts"), lit(Long.MinValue).as("seq"))
+    val merged = Materialize.latestSnapshot(
+      existing.unionByName(changes.select("pk", "op", "value", "ts", "seq")))
+    val tmp = path + ".tmp"
+    merged.repartition(nBuckets, col("user_id")).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap (a lakehouse table format would do this transactionally)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    spark.read.parquet(path)
+  }
+
+  /** Append-only audit sink (pipeline_runs equivalent). */
+  def appendAudit(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+}
