@@ -54,6 +54,9 @@ object SparkEntry {
     "cdc_alert_eval" -> ((s, d) => Monitoring.alertEval(s, Cdc.changelog(s, d))),
     "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
+    "cdc_snapshot_handoff" -> ((s, d) =>
+      Materialize.snapshotHandoff(Cdc.changelog(s, d), cutoverSeq = 500L).orderBy("user_id")),
+    "cdc_schema_evolve" -> ((s, d) => Quality.schemaEvolve(s, d)),
     "cdc_rowcount_validate" -> ((s, d) => Quality.rowcountValidate(s, d)),
     "cdc_integrity_stats" -> ((s, d) => Quality.integrityStats(s, d)),
     "cdc_schema_drift" -> ((s, d) => Quality.schemaDrift(s, d)),
@@ -66,6 +69,10 @@ object SparkEntry {
     "q_agg_stats" -> ((s, d) => Relational.aggStats(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupAgg(s, d)),
     "q_json_extract" -> ((s, d) => Relational.jsonExtract(s, d)),
+    "q_pivot" -> ((s, d) => Relational.pivotSegments(s, d)),
+    "q_exists" -> ((s, d) => Relational.existsLateShip(s, d)),
+    "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
+    "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     // ── Text analysis ────────────────────────────────────────────────
     "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
@@ -202,6 +209,21 @@ object SparkEntry {
         """SELECT 'graft' AS server_name, 'public' AS schema_name, event_type AS table_name,
           |       count(*) AS n_messages
           |FROM events GROUP BY table_name ORDER BY server_name, schema_name, table_name""".stripMargin,
+      "cdc_snapshot_handoff" ->
+        s"""$cl, ranked AS (
+           |  SELECT pk, op, value, ts,
+           |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+           |  FROM changelog)
+           |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value, ts AS updated_at
+           |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+      "cdc_schema_evolve" ->
+        """WITH unioned AS (
+          |  SELECT o_orderkey, o_totalprice, NULL AS o_channel FROM orders WHERE o_orderkey % 2 = 0
+          |  UNION ALL
+          |  SELECT o_orderkey, o_totalprice, 'chan_' || CAST(o_orderkey % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 2 = 1)
+          |SELECT coalesce(o_channel, '(pre-evolution)') AS o_channel, count(*) AS n_orders,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price
+          |FROM unioned GROUP BY 1 ORDER BY o_channel""".stripMargin,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (
            |  SELECT pk, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn, op
@@ -328,6 +350,41 @@ object SparkEntry {
           |       count(*) AS n_events,
           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
           |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+      "q_pivot" ->
+        """SELECT r_name,
+          |       CAST(count(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 END) AS BIGINT) AS "AUTOMOBILE",
+          |       CAST(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS BIGINT) AS "BUILDING",
+          |       CAST(count(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 END) AS BIGINT) AS "FURNITURE",
+          |       CAST(count(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 END) AS BIGINT) AS "HOUSEHOLD",
+          |       CAST(count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS BIGINT) AS "MACHINERY"
+          |FROM customer
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name ORDER BY r_name""".stripMargin,
+      "q_exists" ->
+        """SELECT o_orderpriority, count(*) AS n_orders
+          |FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      "q_scalar_subquery" ->
+        """WITH pa AS (
+          |  SELECT l_partkey AS p_key,
+          |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_qty
+          |  FROM lineitem GROUP BY l_partkey)
+          |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price,
+          |       count(*) AS n_items
+          |FROM lineitem JOIN pa ON l_partkey = p_key
+          |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+      "q_setops" ->
+        """WITH a96 AS (SELECT DISTINCT o_custkey FROM orders
+          |             WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'),
+          |a97 AS (SELECT DISTINCT o_custkey FROM orders
+          |        WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+          |SELECT 'both_years' AS cohort, (SELECT count(*) FROM (SELECT * FROM a96 INTERSECT SELECT * FROM a97)) AS n_customers
+          |UNION ALL SELECT 'only_1996', (SELECT count(*) FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a97))
+          |UNION ALL SELECT 'only_1997', (SELECT count(*) FROM (SELECT * FROM a97 EXCEPT SELECT * FROM a96))
+          |ORDER BY cohort""".stripMargin,
       // ── Text analysis ──────────────────────────────────────────────
       "text_tokens" ->
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_actual,

@@ -124,6 +124,65 @@ object Relational {
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
+  /** Pivot: customers per (region, market segment), segments as columns. */
+  def pivotSegments(spark: SparkSession, dir: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .pivot("c_mktsegment", segs)
+      .agg(count(lit(1)))
+      .na.fill(0, segs)
+      .orderBy("r_name")
+  }
+
+  /** EXISTS-style (TPC-H Q4): orders with a lineitem shipped after the
+    * order date, counted per priority. */
+  def existsLateShip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val lineitem = Tables.load(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Correlated scalar subquery (TPC-H Q17 shape): revenue of lineitems
+    * whose quantity is below half their part's average quantity. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitemWithDec(spark, dir)
+    val partAvg = li.groupBy(col("l_partkey").as("p_key"))
+      .agg((sum(col("qty_d")).cast(DecimalType(28, 2)).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(partAvg, col("l_partkey") === col("p_key"))
+      .where(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(
+        sum(col("price_d")).cast(DecimalType(28, 2)).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Set operations: customers active in 1996 ∩/∖ 1997. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def activeIn(y: Int) = orders
+      .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey")).distinct()
+    val both = activeIn(1996).intersect(activeIn(1997)).count()
+    val only96 = activeIn(1996).except(activeIn(1997)).count()
+    val only97 = activeIn(1997).except(activeIn(1996)).count()
+    import spark.implicits._
+    Seq(("both_years", both), ("only_1996", only96), ("only_1997", only97))
+      .toDF("cohort", "n_customers")
+      .orderBy("cohort")
+  }
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -78,6 +78,22 @@ object Materialize {
       .orderBy("event_class")
   }
 
+  /** Snapshot→CDC handoff (the reference's full-load-then-stream start:
+    * cdc_manager.start_pipeline with enable_full_load): materialize the
+    * changelog prefix as the snapshot, re-enter it as synthetic creates
+    * (seq = -∞), apply the changelog tail on top. Result is provably equal
+    * to one-shot materialization of the full changelog. */
+  def snapshotHandoff(changelog: DataFrame, cutoverSeq: Long): DataFrame = {
+    val snapshot = latestSnapshot(changelog.where(col("seq") < cutoverSeq))
+      .select(col("user_id").as("pk"), lit("c").as("op"),
+        col("last_value").cast("double").as("value"),
+        col("updated_at").as("ts"), lit(Long.MinValue).as("seq"))
+    val tail = changelog.where(col("seq") >= cutoverSeq)
+      .select("pk", "op", "value", "ts", "seq")
+    latestSnapshot(snapshot.unionByName(tail))
+      .select(col("user_id"), col("last_value"), col("updated_at"))
+  }
+
   /** Full-load snapshot with deterministic chunking: per-chunk stats mirror
     * transfer.py's chunked copy accounting. Chunk id is a pure key function
     * (no global sort), so chunks are computable map-side at any scale. */

@@ -74,6 +74,24 @@ object Quality {
       .orderBy("column_name")
   }
 
+  /** Schema-evolution apply (the sink's auto.evolve: new upstream column
+    * appears mid-stream; old rows take NULL). Old-schema and new-schema
+    * batches union by name; output verifies the evolved shape. */
+  def schemaEvolve(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val oldBatch = orders.where(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val newBatch = orders.where(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        concat(lit("chan_"), (col("o_orderkey") % 3).cast("string")).as("o_channel"))
+    oldBatch.unionByName(newBatch, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_channel"), lit("(pre-evolution)")).as("o_channel"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(graft.dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("total_price"))
+      .orderBy("o_channel")
+  }
+
   /** Schema-drift report: canonical-type compare of the live source schema
     * vs the deployed target schema (simulated as the source minus
     * o_orderpriority with o_totalprice re-typed to string — the classic
