@@ -174,12 +174,17 @@ object Relational {
       .where(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp_ntz") &&
              col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp_ntz"))
       .select(col("o_custkey")).distinct()
-    val both = activeIn(1996).intersect(activeIn(1997)).count()
-    val only96 = activeIn(1996).except(activeIn(1997)).count()
-    val only97 = activeIn(1997).except(activeIn(1996)).count()
-    import spark.implicits._
-    Seq(("both_years", both), ("only_1996", only96), ("only_1997", only97))
-      .toDF("cohort", "n_customers")
+    // One lazy plan: full-outer flag join classifies each customer, then a
+    // single aggregation — equivalent to INTERSECT/EXCEPT counts.
+    val flags = activeIn(1996).withColumn("in96", lit(true))
+      .join(activeIn(1997).withColumn("in97", lit(true)), Seq("o_custkey"), "full_outer")
+    flags
+      .select(
+        when(col("in96").isNotNull && col("in97").isNotNull, "both_years")
+          .when(col("in96").isNotNull, "only_1996")
+          .otherwise("only_1997").as("cohort"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_customers"))
       .orderBy("cohort")
   }
 

@@ -38,11 +38,11 @@ object Quality {
       "customer" -> Seq("c_custkey"),
       "part" -> Seq("p_partkey"))
     val tableCounts = pks.map { case (t, keys) =>
-      val df = Tables.load(spark, dir, t)
-      val distinctPk = df.select(keys.map(col): _*).distinct().count()
-      df.agg(count(lit(1)).as("source_rows"))
-        .select(lit(t).as("table_name"), col("source_rows"), lit(distinctPk).as("target_rows"))
-    }.reduce(_ unionAll _)
+      Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("source_rows"),
+          countDistinct(keys.head, keys.tail: _*).as("target_rows"))
+        .select(lit(t).as("table_name"), col("source_rows"), col("target_rows"))
+    }.reduce(_ unionAll _)   // one lazy plan, not one driver action per table
 
     expectedLive.join(targetKeys, "table_name")
       .select(col("table_name"), col("source_rows"), col("target_rows"))
