@@ -80,7 +80,10 @@ object Dedup {
     }
     // Materialize signatures before the self-join (at 100 TB: checkpoint /
     // persisted table); otherwise both join sides recompute the pipeline.
-    val sigs = base.select(col("doc_id") +: col("shingles") +: sigCols: _*).cache()
+    // Only (doc_id, sig0..15) is cached - columnar-caching the shingle
+    // arrays costs more in serialization than recomputing them.
+    val sigs = base.select(col("doc_id") +: sigCols: _*).cache()
+    val shingleTable = base.select(col("doc_id"), col("shingles"))
 
     // One explode over a 4-element band array — NOT a 4-way union, which
     // would re-evaluate the whole signature subtree once per band.
@@ -89,18 +92,23 @@ object Dedup {
         md5(concat_ws(",", (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string")): _*)), lit(""))
       struct(lit(b).as("band_id"), key.as("band_key"))
     }: _*)
+    // Candidate pairs travel as bare (id_a, id_b) — the shingle arrays are
+    // re-joined from the cached signature table only after pair dedup, so
+    // the band join + distinct never shuffles the heavy arrays.
     val banded = sigs
-      .select(col("doc_id"), col("shingles"), explode(bandStructs).as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
 
-    val left = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val right = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    val cands = left.join(right, Seq("band_id", "band_key"))
+    val left = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+    val right = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+    val candIds = left.join(right, Seq("band_id", "band_key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+
+    val shA = shingleTable.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = shingleTable.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val cands = candIds.join(broadcast(shA), "id_a").join(broadcast(shB), "id_b")
 
     cands
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
