@@ -54,6 +54,9 @@ object SparkEntry {
     "cdc_alert_eval" -> ((s, d) => Monitoring.alertEval(s, Cdc.changelog(s, d))),
     "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
+    "cdc_health_score" -> ((s, d) => Monitoring.healthScore(Cdc.changelog(s, d))),
+    "cdc_lag_percentiles" -> ((s, d) => Monitoring.lagPercentiles(Cdc.changelog(s, d))),
+    "cdc_mask_policy" -> ((s, d) => graft.governance.Masking.maskedCustomers(s, d)),
     "cdc_snapshot_handoff" -> ((s, d) =>
       Materialize.snapshotHandoff(Cdc.changelog(s, d), cutoverSeq = 500L).orderBy("user_id")),
     "cdc_schema_evolve" -> ((s, d) => Quality.schemaEvolve(s, d)),
@@ -73,6 +76,7 @@ object SparkEntry {
     "q_exists" -> ((s, d) => Relational.existsLateShip(s, d)),
     "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     // ── Text analysis ────────────────────────────────────────────────
     "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
@@ -224,6 +228,46 @@ object SparkEntry {
           |SELECT coalesce(o_channel, '(pre-evolution)') AS o_channel, count(*) AS n_orders,
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price
           |FROM unioned GROUP BY 1 ORDER BY o_channel""".stripMargin,
+      "cdc_health_score" ->
+        s"""$cl
+           |SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,
+           |       count(CASE WHEN op = 'd' THEN 1 END) AS n_errors,
+           |       CASE WHEN count(CASE WHEN op = 'd' THEN 1 END) > 10 THEN 'critical'
+           |            WHEN count(CASE WHEN op = 'd' THEN 1 END) > 5 THEN 'degraded'
+           |            WHEN count(*) < 50 THEN 'idle' ELSE 'healthy' END AS status
+           |FROM changelog GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "cdc_lag_percentiles" ->
+        s"""$cl, hwm AS (SELECT max(ts) AS hwm FROM changelog),
+           |lags AS (
+           |  SELECT pk % 10 AS cohort, epoch_ms(hwm) - epoch_ms(ts) AS lag_ms
+           |  FROM changelog CROSS JOIN hwm),
+           |o AS (
+           |  SELECT cohort, lag_ms,
+           |         row_number() OVER (PARTITION BY cohort ORDER BY lag_ms) AS rn,
+           |         count(*) OVER (PARTITION BY cohort) AS n
+           |  FROM lags)
+           |SELECT cohort,
+           |       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN lag_ms END) AS p50_ms,
+           |       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN lag_ms END) AS p90_ms,
+           |       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN lag_ms END) AS p99_ms,
+           |       max(lag_ms) AS max_ms
+           |FROM o GROUP BY cohort ORDER BY cohort""".stripMargin,
+      "cdc_mask_policy" -> graft.governance.Masking.maskedCustomersSql,
+      "q_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id,
+          |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+          |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          |s AS (
+          |  SELECT user_id, ts,
+          |         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          |  FROM g)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |       min(ts) AS t_start, max(ts) AS t_end
+          |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (
            |  SELECT pk, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn, op

@@ -188,6 +188,25 @@ object Relational {
       .orderBy("cohort")
   }
 
+  /** Gap-based sessionization: a >30-minute silence starts a new session
+    * (stream-analytics staple; windows partition by user, never global). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("t_start"),
+        max(col("ts")).as("t_end"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

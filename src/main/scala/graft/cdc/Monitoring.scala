@@ -106,6 +106,45 @@ object Monitoring {
       .withColumn("delete_ratio", col("n_deletes").cast("double") / col("n_events").cast("double"))
       .orderBy("cohort")
 
+  /** Composite per-window health status (cdc_health_monitor.py): severity
+    * laddder from error volume and event volume. */
+  def healthScore(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("op") === "d", 1)).as("n_errors"))
+      .withColumn("status",
+        when(col("n_errors") > 10, "critical")
+          .when(col("n_errors") > 5, "degraded")
+          .when(col("n_events") < 50, "idle")
+          .otherwise("healthy"))
+      .orderBy("bucket")
+
+  /** Exact lag percentiles per key cohort (lag_monitor reporting). The
+    * rank window is PARTITIONED by cohort — the exact-percentile shape
+    * that still scales (a global exact percentile would single-partition;
+    * at 100 TB swap in approx_percentile for the global view). */
+  def lagPercentiles(changelog: DataFrame): DataFrame = {
+    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+    val lags = changelog
+      .crossJoin(broadcast(hwm))
+      .select((col("pk") % 10).as("cohort"),
+        (unix_millis(col("hwm")) - unix_millis(col("ts"))).as("lag_ms"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cohort").orderBy("lag_ms")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("cohort")
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("lag_ms")))
+    lags
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy("cohort")
+      .agg(
+        pick(0.5).as("p50_ms"), pick(0.9).as("p90_ms"), pick(0.99).as("p99_ms"),
+        max(col("lag_ms")).as("max_ms"))
+      .orderBy("cohort")
+  }
+
   /** Topic-name routing: parse server.schema.table out of topic strings and
     * count messages per route (cdc_event_logger.py:478-489 fallback). */
   def topicRoute(wire: DataFrame): DataFrame = {
