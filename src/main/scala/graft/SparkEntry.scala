@@ -77,6 +77,8 @@ object SparkEntry {
     "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
+    "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
     // ── Text analysis ────────────────────────────────────────────────
     "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
@@ -268,6 +270,8 @@ object SparkEntry {
           |SELECT user_id, session_id, count(*) AS n_events,
           |       min(ts) AS t_start, max(ts) AS t_end
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+      "q_asof_join" -> graft.operators.TemporalJoins.asofJoinSql,
+      "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (
            |  SELECT pk, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn, op

@@ -27,6 +27,14 @@ object Dedup {
     Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L, 67L)
       .zipWithIndex.map { case (a, i) => (a * 1000003L % P, (i * 2654435761L + 1L) % P) }
 
+  /** Normalized corpus, cached once per (session, dir) — shared by the
+    * whole dedup family so a multi-query run normalizes text once. */
+  private val normCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def normCorpus(spark: SparkSession, dir: String): DataFrame =
+    normCache.getOrElseUpdate((spark, dir),
+      corpus(spark, dir).withColumn("t", normText(col("text"))).cache())
+
   def corpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
     val exact = docs.where(col("doc_id") % 7 === 0)
@@ -48,8 +56,8 @@ object Dedup {
   /** Exact dedup: hash-groupBy on md5 of normalized text. One shuffle by
     * 128-bit digest; the canonical survivor is min(doc_id). */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
-      .select(col("doc_id"), md5(normText(col("text"))).as("sig"))
+    normCorpus(spark, dir)
+      .select(col("doc_id"), md5(col("t")).as("sig"))
       .groupBy("sig")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"), max("doc_id").as("max_id"))
       .where(col("n_copies") > 1)
@@ -70,8 +78,7 @@ object Dedup {
     * pairs from band-bucket self-join, exact Jaccard verify on candidates
     * only. Output: near-dup pairs with Jaccard ≥ 0.6. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val base = corpus(spark, dir)
-      .withColumn("t", normText(col("text")))   // materialized: lambda below indexes it per shingle
+    val base = normCorpus(spark, dir)
       .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
       .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
 
@@ -165,8 +172,8 @@ object Dedup {
   /** 32-bit SimHash over word tokens + banded Hamming pairing: pairs that
     * share a byte-band with Hamming distance ≤ 6. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = corpus(spark, dir)
-      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("tok"))
+    val toks = normCorpus(spark, dir)
+      .select(col("doc_id"), explode(split(col("t"), " ")).as("tok"))
       .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
 
     val bitSums = (0 until 32).map { j =>
@@ -241,8 +248,7 @@ object Dedup {
         transform(sequence(lit(1), size(w) - 2),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
         .otherwise(array(col("t"))))
-    val base = corpus(spark, dir)
-      .withColumn("t", normText(col("text")))   // materialized before lambda indexing
+    val base = normCorpus(spark, dir)
       .withColumn("w", split(col("t"), " "))
       .select(col("doc_id"), grams.as("grams"))
       .cache()   // materialized before the block self-join

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as built-ins, composed from
+  * existing ops so Catalyst still owns the physical plan.
+  *
+  * As-of join uses the union+window pattern: tag both sides, sort within
+  * key by (time, side), and carry the last build-side row forward. One
+  * hash shuffle by key, no range-condition join (which Spark would
+  * execute as BroadcastNestedLoop), no per-event probe. This is the shape
+  * that survives 100 TB — the probe side never amplifies.
+  *
+  * Events land in 2024 while orders live in 1995–2001, so event times are
+  * shifted back 28 years to make the as-of relationship meaningful; both
+  * engines do identical calendar arithmetic.
+  */
+object TemporalJoins {
+
+  /** For each event: the customer's most recent order at-or-before the
+    * (shifted) event time. Orders are first deduped to one row per
+    * (custkey, orderdate) so the as-of winner is unambiguous. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ordersDedup = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("time"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("key"),
+        (col("ts") - expr("INTERVAL 28 YEARS")).as("time"))
+
+    val tagged = ordersDedup
+      .select(col("key"), col("time"), lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"), col("time").as("o_time"))
+      .unionByName(events
+        .select(col("key"), col("time"), lit(1).as("is_event"),
+          col("event_id"), lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp_ntz").as("o_time")))
+
+    // order rows sort before events at the same instant → >= semantics
+    val w = Window.partitionBy("key").orderBy("time", "is_event")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_order",
+        last(when(col("is_event") === 0, struct(col("o_orderkey"), col("o_time"))),
+          ignoreNulls = true).over(w))
+      .where(col("is_event") === 1)
+      .select(
+        col("event_id"),
+        col("key").as("user_id"),
+        col("last_order.o_orderkey").as("last_orderkey"),
+        col("last_order.o_time").as("last_orderdate"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """WITH od AS (
+      |  SELECT o_custkey AS key, o_orderdate AS otime, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |ev AS (
+      |  SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS etime FROM events)
+      |SELECT ev.event_id, ev.user_id,
+      |       od.o_orderkey AS last_orderkey, od.otime AS last_orderdate
+      |FROM ev ASOF LEFT JOIN od
+      |  ON ev.user_id = od.key AND ev.etime >= od.otime
+      |ORDER BY event_id""".stripMargin
+
+  /** Range join, bucketed: for each delete/error event, count the same
+    * user's other events in the preceding hour. Instead of an inequality
+    * join (nested-loop in Spark), both sides join on (user, hour-bucket)
+    * over the 2 covering buckets — candidate sets stay bounded. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.load(spark, dir, "events")
+    val probes = events.where(col("event_type") === "error")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val base = events
+      .select(col("event_id").as("b_id"), col("user_id").as("b_user"), col("ts").as("b_ts"))
+
+    // each probe looks at its own hour bucket and the previous one
+    val probeBuckets = probes.select(col("p_id"), col("p_user"), col("p_ts"),
+      explode(array(
+        floor(unix_millis(col("p_ts")) / 3600000L),
+        floor(unix_millis(col("p_ts")) / 3600000L) - 1)).as("bucket"))
+    val baseBuckets = base.withColumn("bucket", floor(unix_millis(col("b_ts")) / 3600000L))
+
+    probeBuckets
+      .join(baseBuckets, Seq("bucket"))
+      .where(col("b_user") === col("p_user") &&
+        col("b_id") =!= col("p_id") &&
+        col("b_ts") <= col("p_ts") &&
+        unix_millis(col("p_ts")) - unix_millis(col("b_ts")) <= 3600000L)
+      .groupBy(col("p_id").as("event_id"))
+      .agg(count(lit(1)).as("n_recent"))
+      .orderBy("event_id")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT p.event_id, count(*) AS n_recent
+      |FROM events p JOIN events b
+      |  ON p.event_type = 'error'
+      | AND b.user_id = p.user_id
+      | AND b.event_id <> p.event_id
+      | AND b.ts <= p.ts
+      | AND epoch_ms(p.ts) - epoch_ms(b.ts) <= 3600000
+      |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin
+}
