@@ -1,0 +1,78 @@
+package graft
+
+import graft.cdc.{Cdc, Materialize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress smoke: multiply the test tables in-memory (distinct key
+  * spaces per replica) and time the core operators, to verify the shapes
+  * that are supposed to survive scale actually do. Run:
+  *   sbt "runMain graft.ScaleSmoke [sfDir] [factor]"
+  */
+object ScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 50
+    val spark = Tables.localSession("scale-smoke", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: String, rows: Long)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"== $name: $n%d result rows from $rows%d input in $s%.1f s (${rows / s / 1e6}%.2f M rows/s)")
+    }
+
+    // events ×factor with disjoint key/seq spaces per replica
+    val ev = Tables.load(spark, dir, "events")
+    val reps = spark.range(factor).select(col("id").as("rep"))
+    val bigChangelog = ev.crossJoin(reps).select(
+      Cdc.opFromEventType(col("event_type")).as("op"),
+      (col("user_id") + col("rep") * 1000000L).as("pk"),
+      col("ts"),
+      (col("event_id") + col("rep") * 10000000L).as("seq"),
+      col("value"), col("props"))
+    val nEv = ev.count() * factor
+
+    t("materialize_latest", nEv)(Materialize.latestSnapshot(bigChangelog).count())
+    t("materialize_salted", nEv)(Materialize.latestSnapshotSalted(bigChangelog).count())
+    // checksum forces the window (a bare count would let Catalyst prune it)
+    t("scd2", nEv)(Materialize.scd2(bigChangelog)
+      .agg(count(unix_millis(col("valid_to"))).as("n")).collect()(0).getLong(0))
+    t("hot-key skew materialize", nEv) {
+      // all replicas map onto the SAME keys: ~120 keys × factor×1000 changes
+      val skewed = ev.crossJoin(reps).select(
+        Cdc.opFromEventType(col("event_type")).as("op"),
+        col("user_id").as("pk"), col("ts"),
+        (col("event_id") + col("rep") * 10000000L).as("seq"),
+        col("value"), col("props"))
+      Materialize.latestSnapshotSalted(skewed).count()
+    }
+
+    val docFactor = math.max(factor / 2, 2)
+    val docs = Tables.load(spark, dir, "documents")
+    val bigDocs = docs.crossJoin(spark.range(docFactor).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+    bigDocs.createOrReplaceTempView("big_docs")
+    val nDocs = docs.count() * docFactor
+    t("exact dedup", nDocs) {
+      bigDocs.select(col("doc_id"), md5(lower(col("text"))).as("sig"))
+        .groupBy("sig").agg(count(lit(1)).as("n")).where(col("n") > 1).count()
+    }
+
+    val emb = Tables.load(spark, dir, "embeddings")
+    val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val nEmb = emb.count() * factor
+    graft.functions.GraftFunctions.register(spark)
+    t("brute-force cosine scan", nEmb) {
+      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+      bigEmb.crossJoin(broadcast(q))
+        .select(col("vec_id"), expr("graft_cosine(embedding, qe)").as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(20).count()
+    }
+    spark.stop()
+  }
+}

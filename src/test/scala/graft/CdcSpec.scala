@@ -39,6 +39,17 @@ class CdcSpec extends AnyFunSuite {
     assert(actual === expected)
   }
 
+  test("salted snapshot equals the plain materializer exactly") {
+    val cl = Cdc.changelog(spark, dir).cache()
+    val plain = Materialize.latestSnapshot(cl).collect()
+      .map(r => (r.getLong(0), r.getDecimal(1), r.getTimestamp(2), r.getLong(3))).toSet
+    for (salt <- Seq(2, 16, 64)) {
+      val salted = Materialize.latestSnapshotSalted(cl, salt).collect()
+        .map(r => (r.getLong(0), r.getDecimal(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(salted === plain, s"salt=$salt")
+    }
+  }
+
   test("scd2 has exactly one open version per live key and ordered validity") {
     val cl = Cdc.changelog(spark, dir)
     val hist = Materialize.scd2(cl).cache()
