@@ -1,0 +1,82 @@
+package graft
+
+import graft.cdc.Materialize
+import graft.sinks.TableSink
+import graft.sources.WireSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The product surface: one call builds and starts a replication pipeline
+  * — the Spark-native form of the reference's CDCManager
+  * (reference: backend/ingestion/cdc_manager.py create_pipeline /
+  * start_pipeline, pipeline_service.py lifecycle).
+  *
+  * A pipeline is: wire source (Kafka-swappable) → envelope parse/unwrap →
+  * changelog → per-micro-batch upsert into the state table, with optional
+  * full-load snapshot first (enable_full_load). Monitoring reads the
+  * query's progress, mirroring metrics_collector.
+  */
+object Pipeline {
+
+  final case class Config(
+      wirePath: String,
+      statePath: String,
+      checkpointPath: String,
+      fullLoadFrom: Option[DataFrame] = None)
+
+  /** Convert parsed envelopes into the canonical changelog shape. */
+  private def toChangelog(envelopes: DataFrame): DataFrame =
+    envelopes.select(
+      col("op"),
+      coalesce(col("after.user_id"), col("before.user_id")).as("pk"),
+      timestamp_millis(col("ts_ms")).as("ts"),
+      col("offset").as("seq"),
+      coalesce(col("after.value"), col("before.value")).as("value"))
+
+  /** Create + start: optional full load, then continuous apply. Each
+    * micro-batch merges into the state table with upsert semantics —
+    * idempotent, so at-least-once delivery is exactly-once in the table. */
+  def start(spark: SparkSession, cfg: Config): StreamingQuery = {
+    // full load (transfer.py equivalent): seed the state table
+    val seed = cfg.fullLoadFrom match {
+      case Some(snapshot) => snapshot
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("last_value", org.apache.spark.sql.types.DecimalType(18, 2)),
+            org.apache.spark.sql.types.StructField("updated_at", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("n_changes", org.apache.spark.sql.types.LongType))))
+    }
+    TableSink.writeSnapshot(seed, "user_id", cfg.statePath)
+
+    WireSource.readStream(spark, cfg.wirePath)
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TableSink.upsert(spark, cfg.statePath, toChangelog(batch))
+        ()
+      }
+      .start()
+  }
+
+  /** Pipeline status from the live query (metrics_collector surface). */
+  def status(q: StreamingQuery): Map[String, Any] = {
+    val p = Option(q.lastProgress)
+    Map(
+      "id" -> q.id.toString,
+      "isActive" -> q.isActive,
+      "batchId" -> p.map(_.batchId).getOrElse(-1L),
+      "numInputRows" -> p.map(_.numInputRows).getOrElse(0L),
+      "inputRowsPerSecond" -> p.map(_.inputRowsPerSecond).getOrElse(0.0))
+  }
+
+  /** Batch (non-continuous) form of the same pipeline, for backfills. */
+  def runBatch(spark: SparkSession, wirePath: String, statePath: String): DataFrame = {
+    val changes = toChangelog(WireSource.readBatch(spark, wirePath))
+    TableSink.writeSnapshot(Materialize.latestSnapshot(changes), "user_id", statePath)
+    spark.read.parquet(statePath)
+  }
+}

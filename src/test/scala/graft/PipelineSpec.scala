@@ -1,0 +1,45 @@
+package graft
+
+import graft.cdc.{Cdc, Materialize}
+import graft.sources.WireSource
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  test("streaming pipeline ends in the batch-materialized state") {
+    val base = Files.createTempDirectory("pipeline").toString
+    WireSource.publish(spark, dir, s"$base/wire")
+
+    val q = Pipeline.start(spark, Pipeline.Config(
+      wirePath = s"$base/wire",
+      statePath = s"$base/state",
+      checkpointPath = s"$base/ckpt"))
+    q.processAllAvailable()
+    val st = Pipeline.status(q)
+    q.stop()
+
+    assert(st("isActive") === true)
+    assert(st("batchId").asInstanceOf[Long] >= 0L)
+
+    val state = spark.read.parquet(s"$base/state")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    // streaming ts is ms-truncated; values must still agree because seq
+    // breaks ordering ties identically
+    assert(state.keySet === expected.keySet)
+    expected.foreach { case (k, v) => assert(state(k) === v, s"key $k") }
+  }
+
+  test("batch backfill produces the same state table") {
+    val base = Files.createTempDirectory("pipelineb").toString
+    WireSource.publish(spark, dir, s"$base/wire")
+    val state = Pipeline.runBatch(spark, s"$base/wire", s"$base/state")
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(state === expected)
+  }
+}
