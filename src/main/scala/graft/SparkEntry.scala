@@ -41,6 +41,9 @@ object SparkEntry {
         .orderBy("offset")),
     "cdc_materialize_latest" -> ((s, d) =>
       Materialize.latestSnapshot(Cdc.changelog(s, d)).orderBy("user_id")),
+    "cdc_fanout_apply" -> ((s, d) =>
+      Materialize.fanoutApply(Cdc.parseEnvelope(Cdc.toWire(s, d)))
+        .orderBy("table_name", "user_id")),
     "cdc_scd2_history" -> ((s, d) =>
       Materialize.scd2(Cdc.changelog(s, d)).orderBy("user_id", "valid_from", "seq")),
     "cdc_append_audit" -> ((s, d) =>
@@ -131,6 +134,19 @@ object SparkEntry {
            |  FROM changelog)
            |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value, ts AS updated_at, n_changes
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+      "cdc_fanout_apply" ->
+        """WITH ranked AS (
+          |  SELECT event_type AS table_name, user_id AS pk, value,
+          |         epoch_ms(epoch_ms(ts)) AS ts_trunc, event_id AS seq,
+          |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+          |         row_number() OVER (PARTITION BY event_type, user_id
+          |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
+          |         count(*) OVER (PARTITION BY event_type, user_id) AS n_changes
+          |  FROM events)
+          |SELECT table_name, pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value,
+          |       ts_trunc AS updated_at, n_changes
+          |FROM ranked WHERE rn = 1 AND op <> 'd'
+          |ORDER BY table_name, user_id""".stripMargin,
       "cdc_scd2_history" ->
         s"""$cl, v AS (
            |  SELECT pk, op, value, ts, seq,

@@ -36,6 +36,46 @@ object Materialize {
         col("last.ts").as("updated_at"),
         col("n_changes"))
 
+  /** Generic form of [[latestSnapshot]] for arbitrary tables: composite
+    * keys, arbitrary ordering columns, arbitrary payload. `orderCols`
+    * lead the struct so lexicographic max picks the latest change. */
+  def latestSnapshotKeyed(
+      changelog: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val lastStruct = struct((orderCols.map(col) :+ col(opCol)) ++ payloadCols.map(col): _*)
+    changelog
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(lastStruct).as("last"), count(lit(1)).as("n_changes"))
+      .where(col(s"last.$opCol") =!= "d")
+      .select(keyCols.map(col) ++ payloadCols.map(c => col(s"last.$c").as(c)) ++
+        orderCols.map(c => col(s"last.$c").as(c)) :+ col("n_changes"): _*)
+  }
+
+  /** Multi-table fan-out apply: one change stream carrying several tables
+    * (the reference's table.include.list pipelines) materialized in one
+    * pass — the grouping key simply extends with the routing column, so
+    * it is still a single hash aggregation. */
+  def fanoutApply(envelopes: DataFrame): DataFrame = {
+    val changelog = envelopes.select(
+      col("table_name"),
+      coalesce(col("after.user_id"), col("before.user_id")).as("pk"),
+      col("op"),
+      timestamp_millis(col("ts_ms")).as("ts"),
+      col("offset").as("seq"),
+      coalesce(col("after.value"), col("before.value")).as("value"))
+    latestSnapshotKeyed(changelog,
+      keyCols = Seq("table_name", "pk"),
+      orderCols = Seq("ts", "seq"),
+      opCol = "op",
+      payloadCols = Seq("value"))
+      .select(col("table_name"), col("pk").as("user_id"),
+        dec(col("value"), 18, 2).as("last_value"),
+        col("ts").as("updated_at"), col("n_changes"))
+  }
+
   /** Skew-safe variant of [[latestSnapshot]]: two-phase struct max with a
     * deterministic salt, for changelogs where a handful of keys absorb a
     * disproportionate share of changes (hot rows — common in CDC). Phase 1
