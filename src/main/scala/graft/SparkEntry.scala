@@ -58,6 +58,10 @@ object SparkEntry {
     "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
     "cdc_health_score" -> ((s, d) => Monitoring.healthScore(Cdc.changelog(s, d))),
+    "cdc_incremental_agg" -> ((s, d) =>
+      Monitoring.incrementalAgg(Cdc.changelog(s, d), cutoverSeq = 5000L)),
+    "cdc_compact" -> ((s, d) =>
+      Materialize.compact(Cdc.changelog(s, d)).orderBy("user_id", "rn")),
     "cdc_lag_percentiles" -> ((s, d) => Monitoring.lagPercentiles(Cdc.changelog(s, d))),
     "cdc_mask_policy" -> ((s, d) => graft.governance.Masking.maskedCustomers(s, d)),
     "cdc_snapshot_handoff" -> ((s, d) =>
@@ -246,6 +250,18 @@ object SparkEntry {
           |SELECT coalesce(o_channel, '(pre-evolution)') AS o_channel, count(*) AS n_orders,
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price
           |FROM unioned GROUP BY 1 ORDER BY o_channel""".stripMargin,
+      "cdc_incremental_agg" ->
+        s"""$cl
+           |SELECT date_trunc('minute', ts) AS bucket, count(*) AS n_events,
+           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+           |FROM changelog GROUP BY bucket ORDER BY bucket""".stripMargin,
+      "cdc_compact" ->
+        s"""$cl, ranked AS (
+           |  SELECT pk, op, value, ts, seq,
+           |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+           |  FROM changelog)
+           |SELECT pk AS user_id, op, CAST(value AS DECIMAL(18,2)) AS value, ts, seq, CAST(rn AS BIGINT) AS rn
+           |FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
       "cdc_health_score" ->
         s"""$cl
            |SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,

@@ -144,6 +144,18 @@ object Materialize {
       .orderBy("event_class")
   }
 
+  /** Log compaction (Kafka-style): retain only the newest `keep` changes
+    * per key — the changelog stays replayable to the same final state
+    * while storage stays bounded. */
+  def compact(changelog: DataFrame, keep: Int = 3): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy(col("ts").desc, col("seq").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= keep)
+      .select(col("pk").as("user_id"), col("op"), dec(col("value"), 18, 2).as("value"),
+        col("ts"), col("seq"), col("rn").cast("long").as("rn"))
+  }
+
   /** Snapshot→CDC handoff (the reference's full-load-then-stream start:
     * cdc_manager.start_pipeline with enable_full_load): materialize the
     * changelog prefix as the snapshot, re-enter it as synthetic creates
