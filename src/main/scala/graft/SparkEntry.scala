@@ -101,6 +101,8 @@ object SparkEntry {
     // ── Similarity search ────────────────────────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(s, d)),
+    "ann_multiprobe_topk" -> ((s, d) => Ann.multiprobeTopK(s, d)),
+    "dedup_cluster" -> ((s, d) => Dedup.cluster(s, d)),
     "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(s, d)),
     // ── Multimodal ───────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) => Binary.binaryMeta(s, d)),
@@ -542,6 +544,8 @@ object SparkEntry {
       // ── Similarity search ──────────────────────────────────────────
       "ann_bruteforce_topk" -> Ann.bruteForceSql,
       "ann_lsh_topk" -> Ann.lshTopKSql,
+      "ann_multiprobe_topk" -> Ann.multiprobeTopKSql,
+      "dedup_cluster" -> Dedup.clusterSql,
       "ann_ivf_topk" -> Ann.ivfTopKSql,
       // ── Multimodal ─────────────────────────────────────────────────
       "mm_binary_meta" -> Binary.binaryMetaSql,

@@ -126,9 +126,9 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Oracle SQL for [[minhashLsh]] (generated so the 16 permutations stay
-    * in lockstep with hashParams). */
-  def minhashLshSql: String = {
+  /** Shared CTE chain ending in `verified(id_a, id_b, n_common, n_union)`
+    * — generated so the 16 permutations stay in lockstep with hashParams. */
+  private def minhashPairsCte: String = {
     val sigExprs = hashParams.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS sig$i"
     }.mkString(",\n         ")
@@ -162,11 +162,74 @@ object Dedup {
        |  SELECT c.id_a, c.id_b,
        |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
        |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union
-       |  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)
+       |  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
+  }
+
+  def minhashLshSql: String =
+    s"""$minhashPairsCte
        |SELECT id_a, id_b, n_common, n_union,
        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
        |FROM verified WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Near-dup clustering: connected components over the verified minhash
+    * pairs via min-label propagation (3 rounds — enough for the ≤3-hop
+    * clusters LSH produces; the general case iterates to fixpoint). The
+    * canonical survivor per cluster is its minimum doc id — the "keep one
+    * copy" step of a dedup pipeline. */
+  def cluster(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("id_a"), col("id_b")).cache()
+    val edges = pairs
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val ids = normCorpus(spark, dir).select(col("doc_id"))
+    var labels = ids.withColumn("label", col("doc_id"))
+    for (_ <- 1 to rounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      labels = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
+    val sizes = labels.groupBy(col("label").as("canonical_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("canonical_id"))
+      .join(sizes, "canonical_id")
+      .where(col("cluster_size") > 1)
+      .select("doc_id", "canonical_id", "cluster_size")
+      .orderBy("canonical_id", "doc_id")
+  }
+
+  def clusterSql: String = {
+    // 3 unrolled label-propagation rounds, mirroring the Spark loop
+    val steps = (1 to 3).map { k =>
+      val prev = s"l${k - 1}"
+      s"""l$k AS (
+         |  SELECT p.doc_id,
+         |         least(p.label, coalesce(m.nbr_label, p.label)) AS label
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT e.id_a AS doc_id, min(q.label) AS nbr_label
+         |    FROM edges e JOIN $prev q ON e.id_b = q.doc_id
+         |    GROUP BY e.id_a) m ON p.doc_id = m.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$minhashPairsCte,
+       |pairs AS (
+       |  SELECT id_a, id_b FROM verified
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+       |edges AS (
+       |  SELECT id_a, id_b FROM pairs
+       |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM corpus),
+       |$steps,
+       |sizes AS (
+       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM l3 GROUP BY label)
+       |SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
+       |FROM l3 JOIN sizes s ON l3.label = s.canonical_id
+       |WHERE s.cluster_size > 1
+       |ORDER BY canonical_id, doc_id""".stripMargin
   }
 
   /** 32-bit SimHash over word tokens + banded Hamming pairing: pairs that

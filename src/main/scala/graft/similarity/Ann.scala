@@ -96,6 +96,37 @@ object Ann {
        |FROM coded JOIN q ON bucket = qbucket
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Multi-probe sign-LSH: probe the query's bucket plus all Hamming-1
+    * neighbor buckets (9 of 256) — recovers most of the recall LSH loses
+    * at ~9/256 of the brute-force cost. */
+  def multiprobeTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val qRow = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    val probeCodes = explode(array(
+      col("qbucket") +: (0 until 8).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*)).as("probe")
+    val probes = qRow.select(col("qe"), probeCodes)
+    emb.join(broadcast(probes), col("bucket") === col("probe"))
+      .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def multiprobeTopKSql: String = {
+    val flips = (0 until 8).map(j => s"SELECT qe, xor(qbucket, ${1L << j}) AS probe FROM q")
+      .mkString("\n  UNION ALL ")
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT qe, qbucket AS probe FROM q
+       |  UNION ALL $flips)
+       |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |FROM coded JOIN probes ON bucket = probe
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
+
   /** IVF-style: partitions = the `label` column. Centroids are computed
     * with quantized-exact sums, the query probes the top-2 partitions by
     * centroid score, and only those partitions are exact-scored. */
