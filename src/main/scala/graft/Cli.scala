@@ -1,0 +1,57 @@
+package graft
+
+import graft.cdc.Discovery
+
+/** Operational CLI — the reference's cli.py counterpart.
+  *
+  * Usage (via sbt or spark-submit):
+  *   graft.Cli tables <sfDir>              list tables + schemas
+  *   graft.Cli describe <sfDir> <table>    per-column describe
+  *   graft.Cli run <sfDir> <query> [n]     run a named operator, show n rows
+  *   graft.Cli queries                     list operator names
+  *   graft.Cli pipeline <wire> <state> <ckpt> [sfDir]
+  *                                         publish wire from sfDir (if given)
+  *                                         then run the streaming pipeline
+  */
+object Cli {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { usage(); sys.exit(2) }
+    lazy val spark = Tables.localSession("graft-cli",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    args(0) match {
+      case "tables" =>
+        spark.sparkContext.setLogLevel("WARN")
+        Discovery.listTables(spark, args(1)).show(100, truncate = false)
+      case "describe" =>
+        spark.sparkContext.setLogLevel("WARN")
+        Discovery.describeTable(spark, args(1), args(2)).show(100, truncate = false)
+      case "queries" =>
+        SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      case "run" =>
+        spark.sparkContext.setLogLevel("WARN")
+        val n = if (args.length > 3) args(3).toInt else 20
+        SparkEntry.queries.get(args(2)) match {
+          case Some(fn) => fn(spark, args(1)).show(n, truncate = false)
+          case None =>
+            System.err.println(s"unknown query '${args(2)}'; see `graft.Cli queries`")
+            sys.exit(2)
+        }
+      case "pipeline" =>
+        spark.sparkContext.setLogLevel("WARN")
+        if (args.length > 4) graft.sources.WireSource.publish(spark, args(4), args(1))
+        val q = Pipeline.start(spark, Pipeline.Config(args(1), args(2), args(3)))
+        q.processAllAvailable()
+        println(Pipeline.status(q))
+        q.stop()
+        println(s"state rows: ${spark.read.parquet(args(2)).count()}")
+      case other =>
+        System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
+    }
+    if (args(0) != "queries") spark.stop()
+  }
+
+  private def usage(): Unit =
+    System.err.println(
+      "usage: graft.Cli tables <sfDir> | describe <sfDir> <table> | queries | " +
+        "run <sfDir> <query> [n] | pipeline <wire> <state> <ckpt> [sfDir]")
+}
