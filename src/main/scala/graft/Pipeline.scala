@@ -50,7 +50,11 @@ object Pipeline {
             org.apache.spark.sql.types.StructField("updated_at", org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField("n_changes", org.apache.spark.sql.types.LongType))))
     }
-    TableSink.writeSnapshot(seed, "user_id", cfg.statePath)
+    // Seed only on first start: a restart from checkpoint must keep the
+    // existing state (the stream will deliver only unprocessed files).
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(cfg.statePath)))
+      TableSink.writeSnapshot(seed, "user_id", cfg.statePath)
 
     WireSource.readStream(spark, cfg.wirePath)
       .writeStream
