@@ -61,4 +61,42 @@ object CdcStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("seq")
+
+  /** Continuous SCD-2: every change CLOSES the key's open version (emitting
+    * it with valid_to set) and — unless it is a delete — opens a new one.
+    * State holds only the open version per key; closed versions stream out
+    * append-only, exactly what a history-table sink wants. */
+  def scd2Stream(events: Dataset[ChangeEvent]): Dataset[Scd2Version] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.pk)
+      .flatMapGroupsWithState[Scd2State, Scd2Version](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (pk: Long, changes: Iterator[ChangeEvent], state: GroupState[Scd2State]) =>
+          var open = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+          changes.toSeq.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
+            val newer = open == null ||
+              Ordering[(Long, Long)].gt((c.ts.getTime, c.seq), (open.ts, open.seq))
+            if (newer) {
+              if (open != null)
+                closed += Scd2Version(pk, open.value, new java.sql.Timestamp(open.ts),
+                  Some(c.ts), isCurrent = false)
+              if (c.op == "d") { open = null; state.remove() }
+              else {
+                open = Scd2State(pk, c.value, c.ts.getTime, c.seq)
+                state.update(open)
+              }
+            }
+          }
+          closed.iterator
+      }
+  }
 }
+
+/** Open-version state for streaming SCD-2 (ts as epoch millis). */
+case class Scd2State(pk: Long, value: Double, ts: Long, seq: Long)
+
+/** One closed (or open) SCD-2 version emitted downstream. */
+case class Scd2Version(pk: Long, value: Double, validFrom: java.sql.Timestamp,
+                       validTo: Option[java.sql.Timestamp], isCurrent: Boolean)

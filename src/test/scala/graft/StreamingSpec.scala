@@ -79,6 +79,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.head.getAs[String]("severity") === "critical")
   }
 
+  test("stream scd2 emits closed versions matching the batch history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = graft.streaming.CdcStream.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out").outputMode("append").start()
+
+    input.addData(ChangeEvent("c", 1L, ts(1), 1L, 10.0))
+    query.processAllAvailable()
+    input.addData(ChangeEvent("u", 1L, ts(2), 2L, 11.0))
+    query.processAllAvailable()
+    input.addData(ChangeEvent("d", 1L, ts(3), 3L, 0.0))
+    query.processAllAvailable()
+
+    val versions = spark.table("scd2_out").collect()
+      .map(r => (r.getDouble(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .sortBy(_._2.getTime)
+    query.stop()
+
+    // two closed versions: v=10 closed by the update, v=11 closed by delete
+    assert(versions.length === 2)
+    assert(versions(0)._1 === 10.0 && versions(0)._3 === ts(2))
+    assert(versions(1)._1 === 11.0 && versions(1)._3 === ts(3))
+  }
+
   test("stream dedup drops redelivered seqs within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
