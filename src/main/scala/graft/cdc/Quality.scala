@@ -118,7 +118,7 @@ object Quality {
         (src.get(name), tgt.get(name)) match {
           case (Some(s), Some(t)) => if (s == t) "ok" else "type_changed"
           case (Some(_), None) => "removed_in_target"
-          case (None, Some(_)) => "added_in_target"
+          case _ => "added_in_target"
         })
     }.toDF("column_name", "source_type", "target_type", "status")
       .orderBy("column_name")

@@ -193,6 +193,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
     }
+    labels = labels.cache()   // referenced twice below (sizes + final select)
     val sizes = labels.groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("canonical_id"))
