@@ -92,6 +92,8 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextFunctions.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
     "text_ngrams" -> ((s, d) => TextFunctions.ngrams(s, d)),
+    "text_source_stats" -> ((s, d) => TextFunctions.sourceStats(s, d)),
+    "pipe_corpus_filter" -> ((s, d) => TextFunctions.corpusFilter(s, d)),
     // ── Dedup ────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -530,6 +532,35 @@ object SparkEntry {
           |  FROM w)
           |SELECT bigram, count(*) AS n FROM b GROUP BY bigram
           |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+      "text_source_stats" ->
+        """WITH f AS (
+          |  SELECT source, lang,
+          |         CAST(length(text) AS BIGINT) AS n,
+          |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w
+          |  FROM documents)
+          |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+          |       CAST(sum(n) AS BIGINT) AS total_chars, CAST(sum(w) AS BIGINT) AS total_words,
+          |       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
+          |FROM f GROUP BY source ORDER BY source""".stripMargin,
+      "pipe_corpus_filter" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, source,
+           |         CAST(length(text) AS DOUBLE) AS n_chars_d,
+           |         CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+           |                w -> w IN (${TextFunctions.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+           |           / CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) AS stop_ratio,
+           |         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig
+           |  FROM documents),
+           |canonical AS (SELECT sig, min(doc_id) AS keep_id FROM scored GROUP BY sig)
+           |SELECT source,
+           |       CASE WHEN n_chars_d < 50.0 THEN 'too_short'
+           |            WHEN n_chars_d > 100000.0 THEN 'too_long'
+           |            WHEN stop_ratio < 0.01 THEN 'low_signal'
+           |            WHEN doc_id <> keep_id THEN 'duplicate'
+           |            ELSE 'keep' END AS decision,
+           |       count(*) AS n_docs
+           |FROM scored JOIN canonical USING (sig)
+           |GROUP BY source, decision ORDER BY source, decision""".stripMargin,
       // ── Dedup ──────────────────────────────────────────────────────
       "dedup_exact" ->
         s"""${Dedup.corpusSql},

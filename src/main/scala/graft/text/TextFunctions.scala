@@ -96,6 +96,50 @@ object TextFunctions {
       .orderBy("doc_id")
   }
 
+  /** Per-source corpus statistics — the slice a pipeline uses to decide
+    * which sources to keep or down-weight. */
+  def sourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("n"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n")).as("total_chars"),
+        sum(col("w")).as("total_words"))
+      .withColumn("avg_chars", col("total_chars").cast("double") / col("n_docs"))
+      .orderBy("source")
+
+  /** End-to-end corpus filter: the composed keep/drop decision a training
+    * pipeline applies — length bounds, quality floor, stopword-signal
+    * floor, and exact-dup removal (keep the lowest doc_id per digest).
+    * Output: per-source survivor counts plus drop-reason tallies. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+    val scored = docs.select(
+      col("doc_id"), col("source"),
+      nChars.as("n_chars_d"),
+      (nStop / nWords).as("stop_ratio"),
+      md5(normText(col("text"))).as("sig"))
+    val canonical = scored.groupBy("sig").agg(min(col("doc_id")).as("keep_id"))
+    scored.join(canonical, "sig")
+      .select(col("source"),
+        when(col("n_chars_d") < 50.0, "too_short")
+          .when(col("n_chars_d") > 100000.0, "too_long")
+          .when(col("stop_ratio") < 0.01, "low_signal")
+          .when(col("doc_id") =!= col("keep_id"), "duplicate")
+          .otherwise("keep").as("decision"))
+      .groupBy("source", "decision")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "decision")
+  }
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
