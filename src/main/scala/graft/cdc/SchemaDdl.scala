@@ -1,0 +1,89 @@
+package graft.cdc
+
+import org.apache.spark.sql.types._
+
+/** Cross-dialect DDL generation — the Spark-native form of the reference's
+  * target-table creation (reference: backend/ingestion/schema_service.py
+  * create_target_table / _create_sqlserver_table / _create_postgresql_table
+  * / _create_oracle_table / _create_snowflake_table and
+  * transfer.py:163-192 _get_type_mapping).
+  *
+  * Input is a Catalyst schema (the engine's single source of truth);
+  * output is the CREATE TABLE statement for the target warehouse dialect.
+  */
+object SchemaDdl {
+
+  sealed trait Dialect { def name: String }
+  case object Postgres extends Dialect { val name = "postgresql" }
+  case object SqlServer extends Dialect { val name = "sqlserver" }
+  case object Oracle extends Dialect { val name = "oracle" }
+  case object Snowflake extends Dialect { val name = "snowflake" }
+
+  /** Spark type → target dialect column type. */
+  def columnType(dt: DataType, dialect: Dialect): String = (dt, dialect) match {
+    case (LongType, Postgres) => "BIGINT"
+    case (LongType, SqlServer) => "BIGINT"
+    case (LongType, Oracle) => "NUMBER(19)"
+    case (LongType, Snowflake) => "NUMBER(19,0)"
+    case (IntegerType, Postgres) => "INTEGER"
+    case (IntegerType, SqlServer) => "INT"
+    case (IntegerType, Oracle) => "NUMBER(10)"
+    case (IntegerType, Snowflake) => "NUMBER(10,0)"
+    case (DoubleType, Postgres) => "DOUBLE PRECISION"
+    case (DoubleType, SqlServer) => "FLOAT"
+    case (DoubleType, Oracle) => "BINARY_DOUBLE"
+    case (DoubleType, Snowflake) => "DOUBLE"
+    case (FloatType, Postgres) => "REAL"
+    case (FloatType, SqlServer) => "REAL"
+    case (FloatType, Oracle) => "BINARY_FLOAT"
+    case (FloatType, Snowflake) => "FLOAT"
+    case (BooleanType, Postgres) => "BOOLEAN"
+    case (BooleanType, SqlServer) => "BIT"
+    case (BooleanType, Oracle) => "NUMBER(1)"
+    case (BooleanType, Snowflake) => "BOOLEAN"
+    case (d: DecimalType, Postgres) => s"NUMERIC(${d.precision},${d.scale})"
+    case (d: DecimalType, SqlServer) => s"DECIMAL(${d.precision},${d.scale})"
+    case (d: DecimalType, Oracle) => s"NUMBER(${d.precision},${d.scale})"
+    case (d: DecimalType, Snowflake) => s"NUMBER(${d.precision},${d.scale})"
+    case (StringType, Postgres) => "TEXT"
+    case (StringType, SqlServer) => "NVARCHAR(MAX)"
+    case (StringType, Oracle) => "CLOB"
+    case (StringType, Snowflake) => "VARCHAR"
+    case (BinaryType, Postgres) => "BYTEA"
+    case (BinaryType, SqlServer) => "VARBINARY(MAX)"
+    case (BinaryType, Oracle) => "BLOB"
+    case (BinaryType, Snowflake) => "BINARY"
+    case (TimestampType | TimestampNTZType, Postgres) => "TIMESTAMP"
+    case (TimestampType | TimestampNTZType, SqlServer) => "DATETIME2"
+    case (TimestampType | TimestampNTZType, Oracle) => "TIMESTAMP"
+    case (TimestampType | TimestampNTZType, Snowflake) => "TIMESTAMP_NTZ"
+    case (DateType, Postgres) => "DATE"
+    case (DateType, SqlServer) => "DATE"
+    case (DateType, Oracle) => "DATE"
+    case (DateType, Snowflake) => "DATE"
+    case (other, d) =>
+      throw new IllegalArgumentException(s"no ${d.name} mapping for ${other.simpleString}")
+  }
+
+  private def quote(ident: String, dialect: Dialect): String = dialect match {
+    case SqlServer => s"[$ident]"
+    case _ => "\"" + ident + "\""
+  }
+
+  /** CREATE TABLE DDL for a Catalyst schema, with optional primary key —
+    * what the sink's auto.create would issue on the target. */
+  def createTableDdl(
+      table: String,
+      schema: StructType,
+      dialect: Dialect,
+      primaryKey: Seq[String] = Nil): String = {
+    val cols = schema.fields.map { f =>
+      val nullable = if (f.nullable) "" else " NOT NULL"
+      s"  ${quote(f.name, dialect)} ${columnType(f.dataType, dialect)}$nullable"
+    }
+    val pk =
+      if (primaryKey.isEmpty) Nil
+      else Seq(s"  PRIMARY KEY (${primaryKey.map(quote(_, dialect)).mkString(", ")})")
+    s"CREATE TABLE ${quote(table, dialect)} (\n${(cols ++ pk).mkString(",\n")}\n)"
+  }
+}

@@ -43,6 +43,14 @@ object TableSink {
     spark.read.parquet(path)
   }
 
+  /** Time-partitioned lake write (the reference's S3 sink with time-based
+    * partitioning): rows land under dt=YYYY-MM-DD directories so readers
+    * prune by date. */
+  def writeTimePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write.partitionBy("dt").mode(SaveMode.Overwrite).parquet(path)
+
   /** Append-only audit sink (pipeline_runs equivalent). */
   def appendAudit(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
