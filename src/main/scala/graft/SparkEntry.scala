@@ -93,6 +93,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
     "text_ngrams" -> ((s, d) => TextFunctions.ngrams(s, d)),
     "text_source_stats" -> ((s, d) => TextFunctions.sourceStats(s, d)),
+    "pipe_train_split" -> ((s, d) => TextFunctions.trainSplit(s, d)),
+    "text_quality_bins" -> ((s, d) => TextFunctions.qualityBins(s, d)),
     "pipe_corpus_filter" -> ((s, d) => TextFunctions.corpusFilter(s, d)),
     // ── Dedup ────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
@@ -542,6 +544,31 @@ object SparkEntry {
           |       CAST(sum(n) AS BIGINT) AS total_chars, CAST(sum(w) AS BIGINT) AS total_words,
           |       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
           |FROM f GROUP BY source ORDER BY source""".stripMargin,
+      "pipe_train_split" -> TextFunctions.trainSplitSql,
+      "text_quality_bins" ->
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+           |         CAST(length(text) AS DOUBLE) AS nchars,
+           |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, nchars, npunct,
+           |         CAST(len(words) AS DOUBLE) AS nwords,
+           |         CAST(len(list_filter(words, w -> w IN (${TextFunctions.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop
+           |  FROM f),
+           |s AS (
+           |  SELECT doc_id,
+           |         (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+           |           CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END AS quality_score
+           |  FROM g),
+           |d AS (
+           |  SELECT doc_id, quality_score,
+           |         CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS decile
+           |  FROM s)
+           |SELECT decile, count(*) AS n_docs,
+           |       min(quality_score) AS min_score, max(quality_score) AS max_score
+           |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
       "pipe_corpus_filter" ->
         s"""WITH scored AS (
            |  SELECT doc_id, source,

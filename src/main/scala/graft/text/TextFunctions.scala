@@ -140,6 +140,46 @@ object TextFunctions {
       .orderBy("source", "decision")
   }
 
+  /** Deterministic train/val/test split: assignment is a pure function of
+    * the content digest (stable under re-runs, shuffles, and resharding —
+    * exactly what a reproducible training pipeline needs). 90/5/5 by
+    * digest bucket. */
+  def trainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
+  val trainSplitSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, source,
+      |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT source,
+      |       CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs
+      |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin
+
+  /** Quality-score decile binning (ntile) — the histogram a pipeline uses
+    * to pick filter thresholds. The exact global ntile needs one total
+    * order; at lake scale swap in approx quantile cut points computed
+    * distributed, then bin by range. */
+  def qualityBins(spark: SparkSession, dir: String): DataFrame = {
+    val q = quality(spark, dir).select(col("doc_id"), col("quality_score"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score"), col("doc_id"))
+    q.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("quality_score")).as("min_score"),
+        max(col("quality_score")).as("max_score"))
+      .orderBy("decile")
+  }
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
