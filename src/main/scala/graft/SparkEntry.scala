@@ -58,6 +58,7 @@ object SparkEntry {
     "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
     "cdc_health_score" -> ((s, d) => Monitoring.healthScore(Cdc.changelog(s, d))),
+    "cdc_alert_suppress" -> ((s, d) => Monitoring.alertSuppress(Cdc.changelog(s, d))),
     "cdc_incremental_agg" -> ((s, d) =>
       Monitoring.incrementalAgg(Cdc.changelog(s, d), cutoverSeq = 5000L)),
     "cdc_compact" -> ((s, d) =>
@@ -256,6 +257,19 @@ object SparkEntry {
           |SELECT coalesce(o_channel, '(pre-evolution)') AS o_channel, count(*) AS n_orders,
           |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price
           |FROM unioned GROUP BY 1 ORDER BY o_channel""".stripMargin,
+      "cdc_alert_suppress" ->
+        s"""$cl, m AS (
+           |  SELECT date_trunc('hour', ts) AS bucket,
+           |         count(CASE WHEN op = 'd' THEN 1 END) AS n_errors
+           |  FROM changelog GROUP BY bucket),
+           |a AS (SELECT 'r_error_burst' AS rule_id, bucket, n_errors FROM m WHERE n_errors > 2),
+           |f AS (
+           |  SELECT rule_id, bucket, n_errors,
+           |         lag(epoch_ms(bucket)) OVER (PARTITION BY rule_id ORDER BY bucket) AS prev_ms
+           |  FROM a)
+           |SELECT rule_id, bucket, n_errors,
+           |       (prev_ms IS NOT NULL AND epoch_ms(bucket) - prev_ms <= ${6 * 3600000L}) AS suppressed
+           |FROM f ORDER BY bucket""".stripMargin,
       "cdc_incremental_agg" ->
         s"""$cl
            |SELECT date_trunc('minute', ts) AS bucket, count(*) AS n_events,

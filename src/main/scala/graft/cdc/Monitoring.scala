@@ -95,6 +95,26 @@ object Monitoring {
       .orderBy("rule_id", "bucket")
   }
 
+  /** Alert debounce (the notification hygiene the reference's alert engine
+    * needs): a candidate alert is suppressed if another candidate for the
+    * same rule fired within the cooldown window. Window partitions by
+    * rule — no global state. */
+  def alertSuppress(changelog: DataFrame, threshold: Long = 2, cooldownHours: Long = 6): DataFrame = {
+    val candidates = changelog
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(when(col("op") === "d", 1)).as("n_errors"))
+      .where(col("n_errors") > threshold)
+      .withColumn("rule_id", lit("r_error_burst"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("rule_id").orderBy("bucket")
+    candidates
+      .withColumn("prev_ms", lag(unix_millis(col("bucket")), 1).over(w))
+      .select(
+        col("rule_id"), col("bucket"), col("n_errors"),
+        (col("prev_ms").isNotNull &&
+          unix_millis(col("bucket")) - col("prev_ms") <= cooldownHours * 3600000L).as("suppressed"))
+      .orderBy("bucket")
+  }
+
   /** Op-mix health per key cohort: delete ratio flags destructive churn. */
   def deleteRatio(changelog: DataFrame): DataFrame =
     changelog
