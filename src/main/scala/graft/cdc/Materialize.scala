@@ -157,18 +157,22 @@ object Materialize {
   }
 
   /** Snapshot→CDC handoff (the reference's full-load-then-stream start:
-    * cdc_manager.start_pipeline with enable_full_load): materialize the
-    * changelog prefix as the snapshot, re-enter it as synthetic creates
-    * (seq = -∞), apply the changelog tail on top. Result is provably equal
-    * to one-shot materialization of the full changelog. */
+    * cdc_manager.start_pipeline with enable_full_load): compact the
+    * changelog prefix to one row per key — KEEPING tombstones and the
+    * original (ts, seq) — then apply the tail on top. Because per-key max
+    * is associative, this equals one-shot materialization for ANY cutover,
+    * even when tail events arrive with timestamps older than a pre-cutover
+    * delete. (A tombstone-free snapshot would resurrect such keys — a bug
+    * this operator's property test caught.) */
   def snapshotHandoff(changelog: DataFrame, cutoverSeq: Long): DataFrame = {
-    val snapshot = latestSnapshot(changelog.where(col("seq") < cutoverSeq))
-      .select(col("user_id").as("pk"), lit("c").as("op"),
-        col("last_value").cast("double").as("value"),
-        col("updated_at").as("ts"), lit(Long.MinValue).as("seq"))
+    val compactedPrefix = changelog.where(col("seq") < cutoverSeq)
+      .groupBy(col("pk"))
+      .agg(max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"))
+      .select(col("pk"), col("last.op").as("op"), col("last.value").as("value"),
+        col("last.ts").as("ts"), col("last.seq").as("seq"))
     val tail = changelog.where(col("seq") >= cutoverSeq)
       .select("pk", "op", "value", "ts", "seq")
-    latestSnapshot(snapshot.unionByName(tail))
+    latestSnapshot(compactedPrefix.unionByName(tail))
       .select(col("user_id"), col("last_value"), col("updated_at"))
   }
 

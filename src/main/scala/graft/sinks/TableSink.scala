@@ -23,7 +23,14 @@ object TableSink {
 
   /** Apply a changelog increment to the stored state: latest change per
     * key wins across {stored state ∪ increment}; deletes drop keys.
-    * Writes the new state and returns it. */
+    * Writes the new state and returns it.
+    *
+    * Precondition: increments are at-or-after the applied watermark (true
+    * when seq is the apply order and the checkpoint advances monotonically)
+    * — the clean state table keeps no tombstones, so an increment older
+    * than an applied delete would resurrect the key. For unordered replays
+    * use [[graft.cdc.Materialize.snapshotHandoff]]'s compacted-changelog
+    * form, which retains tombstones. */
   def upsert(spark: SparkSession, path: String, changes: DataFrame, nBuckets: Int = 32): DataFrame = {
     val existing = spark.read.parquet(path)
       // stored state re-enters the merge as synthetic "creates" older than
