@@ -7,8 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One change event in the canonical changelog (see graft.cdc.Cdc). */
 case class ChangeEvent(op: String, pk: Long, ts: java.sql.Timestamp, seq: Long, value: Double)
 
-/** Current materialized state for one key. */
-case class KeyState(pk: Long, value: Double, ts: java.sql.Timestamp, seq: Long, nChanges: Long)
+/** Current materialized state for one key. `deleted = true` is a retained
+  * tombstone: it keeps ordering information so an out-of-order event older
+  * than the delete cannot resurrect the key, and it is emitted downstream
+  * as an explicit retraction. */
+case class KeyState(pk: Long, value: Double, ts: java.sql.Timestamp, seq: Long,
+                    nChanges: Long, deleted: Boolean)
 
 /** Structured-Streaming form of the CDC apply path: what the reference's
   * Kafka-Connect sink does continuously (consume → upsert/delete by PK),
@@ -23,10 +27,15 @@ case class KeyState(pk: Long, value: Double, ts: java.sql.Timestamp, seq: Long, 
 object CdcStream {
 
   /** Continuous changelog upsert: emits the post-apply state of every key
-    * touched in each micro-batch. A delete (op = "d") clears the key's
-    * state and emits nothing. Late/replayed events (ts, seq) ≤ current
-    * state are ignored — apply is idempotent, which is what makes
-    * at-least-once delivery from the bus exactly-once in the table. */
+    * touched in each micro-batch — live rows as upserts, deletes as
+    * explicit tombstone records (`deleted = true`, the retract-stream
+    * shape a downstream sink needs to delete rows). Tombstones stay in
+    * state so a late out-of-order event older than the delete cannot
+    * resurrect the key; bound their retention with a state TTL
+    * (GroupStateTimeout) sized to the source's max disorder. Late or
+    * replayed events (ts, seq) ≤ current state are ignored — apply is
+    * idempotent, which makes at-least-once delivery from the bus
+    * exactly-once in the table. */
   def applyChanges(events: Dataset[ChangeEvent]): Dataset[KeyState] = {
     import events.sparkSession.implicits._
     events
@@ -35,23 +44,19 @@ object CdcStream {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (pk: Long, changes: Iterator[ChangeEvent], state: GroupState[KeyState]) =>
           var cur = state.getOption.orNull
-          var emitted: Option[KeyState] = None
-          var deleted = false
+          var changed = false
           changes.toSeq.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
             val newer = cur == null ||
               Ordering[(Long, Long)].gt((c.ts.getTime, c.seq), (cur.ts.getTime, cur.seq))
             if (newer) {
-              if (c.op == "d") { cur = null; deleted = true }
-              else {
-                val n = if (cur == null) 1L else cur.nChanges + 1L
-                cur = KeyState(pk, c.value, c.ts, c.seq, n)
-                deleted = false
-              }
+              val n = if (cur == null) 1L else cur.nChanges + 1L
+              cur = KeyState(pk, if (c.op == "d") 0.0 else c.value, c.ts, c.seq, n,
+                deleted = c.op == "d")
+              changed = true
             }
           }
-          if (cur == null) { if (deleted) state.remove() }
-          else { state.update(cur); emitted = Some(cur) }
-          emitted.iterator
+          if (changed) { state.update(cur); Iterator.single(cur) }
+          else Iterator.empty
       }
   }
 

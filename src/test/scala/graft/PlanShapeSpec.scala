@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the scale-critical operators must keep
+  * their intended physical shapes (no nested-loop joins, partitioned
+  * windows, broadcast dims). A future edit that degrades the plan fails
+  * here, not at 100 TB.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("temporal joins never fall back to nested-loop") {
+    for (q <- Seq("q_asof_join", "q_range_join", "q_exists")) {
+      assert(!planOf(q).contains("NestedLoop"), s"$q plan degraded to NestedLoopJoin")
+    }
+  }
+
+  test("dedup and ANN candidate generation never cross-joins the fact side") {
+    for (q <- Seq("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_embedding_cosine", "ann_lsh_topk")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plan contains a CartesianProduct")
+    }
+  }
+
+  test("q1 keeps pushdown, pruning, and partial aggregation") {
+    val p = planOf("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "scan reads columns q1 does not need")
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("q5 broadcasts every dimension") {
+    val p = planOf("q5_multijoin")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 5)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1)
+  }
+
+  test("top-k uses TakeOrderedAndProject, not a global sort") {
+    assert(planOf("q3_topk").contains("TakeOrderedAndProject"))
+  }
+}

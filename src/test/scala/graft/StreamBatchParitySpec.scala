@@ -15,6 +15,45 @@ import java.nio.file.Files
 class StreamBatchParitySpec extends AnyFunSuite {
   import TestSpark.{spark, dir}
 
+  test("streamed apply matches batch materialization on random changelogs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val evs = (0 until 200).map { i =>
+        ChangeEvent(
+          op = Seq("c", "u", "d")(rnd.nextInt(3)),
+          pk = rnd.nextInt(15).toLong,
+          ts = new java.sql.Timestamp(1700000000000L + rnd.nextInt(1000) * 1000L),
+          seq = i.toLong,
+          value = rnd.nextInt(10000) / 100.0)
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChangeEvent]
+      val q = CdcStream.applyChanges(input.toDS())
+        .writeStream.format("memory").queryName(s"rand_state_$trial").outputMode("update").start()
+      evs.grouped(50).foreach { batch => input.addData(batch); q.processAllAvailable() }
+      q.stop()
+
+      // final streamed state per key = last emission (tombstones delete)
+      val streamed = spark.table(s"rand_state_$trial")
+        .groupBy("pk").agg(org.apache.spark.sql.functions.max_by(
+          org.apache.spark.sql.functions.struct(
+            org.apache.spark.sql.functions.col("value"),
+            org.apache.spark.sql.functions.col("deleted")),
+          org.apache.spark.sql.functions.col("seq")).as("s"))
+        .collect().flatMap { r =>
+          val st = r.getStruct(1)
+          if (st.getBoolean(1)) None else Some(r.getLong(0) -> st.getDouble(0))
+        }.toMap
+      // naive batch reference
+      val expected = evs.groupBy(_.pk).flatMap { case (pk, es) =>
+        val last = es.maxBy(e => (e.ts.getTime, e.seq))
+        if (last.op == "d") None else Some(pk -> last.value)
+      }
+      assert(streamed === expected, s"trial $trial")
+    }
+  }
+
   test("streamed wire apply ends in the batch-materialized state") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("parity").toString
@@ -34,11 +73,15 @@ class StreamBatchParitySpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    // last emission per key = final streamed state
+    // last emission per key (tombstones delete) = final streamed state
     val streamed = spark.table("parity_state")
       .groupBy("pk")
-      .agg(max_by(col("value"), col("seq")).as("value"))
-      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+      .agg(max_by(struct(col("value"), col("deleted")), col("seq")).as("s"))
+      .collect().flatMap { r =>
+        val st = r.getStruct(1)
+        if (st.getBoolean(1)) None
+        else Some(r.getLong(0) -> BigDecimal(st.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }.toMap
 
     val batch = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap

@@ -29,14 +29,14 @@ class StreamingSpec extends AnyFunSuite {
     query.processAllAvailable()
 
     val last = spark.table("state_out")
-      .groupBy("pk").agg(max_by(struct(col("value"), col("nChanges")), col("seq")).as("s"))
-      .select(col("pk"), col("s.value"), col("s.nChanges"))
-      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      .groupBy("pk").agg(max_by(struct(col("value"), col("nChanges"), col("deleted")), col("seq")).as("s"))
+      .select(col("pk"), col("s.value"), col("s.nChanges"), col("s.deleted"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getBoolean(3)))).toMap
     query.stop()
 
-    assert(last(1L) === ((11.0, 2L)))   // upsert applied, stale replay ignored
-    // pk=2 was emitted in batch 1 then deleted in batch 2 (no new emission)
-    assert(last(2L) === ((20.0, 1L)))
+    assert(last(1L) === ((11.0, 2L, false)))   // upsert applied, stale replay ignored
+    // pk=2: deleted in batch 2 -> explicit tombstone retraction emitted
+    assert(last(2L)._3 === true)
   }
 
   test("stream windowed counts aggregate per minute with watermark") {
