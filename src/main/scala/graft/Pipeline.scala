@@ -66,6 +66,30 @@ object Pipeline {
       .start()
   }
 
+  /** Multi-table pipeline (table.include.list): one wire stream fans out
+    * to a state table per routed table name. Each micro-batch splits by
+    * the topic-derived table and upserts each slice into its own state
+    * path — the per-table apply is identical to the single-table path. */
+  def startFanout(spark: SparkSession, cfg: Config): StreamingQuery =
+    WireSource.readStream(spark, cfg.wirePath)
+      .writeStream
+      .option("checkpointLocation", cfg.checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val tables = batch.select("table_name").distinct().collect().map(_.getString(0))
+        tables.foreach { t =>
+          val slice = toChangelog(batch.where(col("table_name") === t))
+          val path = s"${cfg.statePath}/$t"
+          val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+            TableSink.writeSnapshot(Materialize.latestSnapshot(slice), "user_id", path)
+          else
+            TableSink.upsert(spark, path, slice)
+          ()
+        }
+        ()
+      }
+      .start()
+
   /** Pipeline status from the live query (metrics_collector surface). */
   def status(q: StreamingQuery): Map[String, Any] = {
     val p = Option(q.lastProgress)

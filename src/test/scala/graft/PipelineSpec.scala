@@ -33,6 +33,28 @@ class PipelineSpec extends AnyFunSuite {
     expected.foreach { case (k, v) => assert(state(k) === v, s"key $k") }
   }
 
+  test("fanout pipeline materializes one state table per routed table") {
+    val base = Files.createTempDirectory("fanout").toString
+    WireSource.publish(spark, dir, s"$base/wire")
+    val q = Pipeline.startFanout(spark, Pipeline.Config(
+      wirePath = s"$base/wire", statePath = s"$base/state", checkpointPath = s"$base/ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    val expected = graft.cdc.Materialize.fanoutApply(
+      graft.cdc.Cdc.parseEnvelope(graft.cdc.Cdc.toWire(spark, dir)))
+    val tables = new java.io.File(s"$base/state").listFiles().filter(_.isDirectory).map(_.getName)
+    // every live routed table materialized ('error' is all-deletes -> empty or absent)
+    val expByTable = expected.collect().groupBy(_.getString(0))
+    expByTable.foreach { case (t, rows) =>
+      assert(tables.contains(t), s"missing state for table $t")
+      val got = spark.read.parquet(s"$base/state/$t")
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      val exp = rows.map(r => r.getLong(1) -> r.getDecimal(2)).toMap
+      assert(got === exp, s"table $t")
+    }
+  }
+
   test("batch backfill produces the same state table") {
     val base = Files.createTempDirectory("pipelineb").toString
     WireSource.publish(spark, dir, s"$base/wire")
