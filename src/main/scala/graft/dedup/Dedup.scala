@@ -74,10 +74,24 @@ object Dedup {
   private def baseHash(s: Column): Column =
     pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(P))
 
+  /** Verified candidate pairs (id_a, id_b, n_common, n_union, jaccard),
+    * memoized per (session, dir) — [[minhashLsh]] and [[cluster]] share
+    * one build of the signature + band + verify pipeline. */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((spark, dir), buildVerifiedPairs(spark, dir).cache())
+
   /** MinHash + LSH: 16-permutation signature, 4 bands × 4 rows, candidate
     * pairs from band-bucket self-join, exact Jaccard verify on candidates
     * only. Output: near-dup pairs with Jaccard ≥ 0.6. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    verifiedPairs(spark, dir)
+      .where(col("jaccard") >= 0.6)
+      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  private def buildVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = normCorpus(spark, dir)
       .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
       .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
@@ -121,9 +135,7 @@ object Dedup {
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_union", size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_common"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
-      .where(col("jaccard") >= 0.6)
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
-      .orderBy("id_a", "id_b")
   }
 
   /** Shared CTE chain ending in `verified(id_a, id_b, n_common, n_union)`
@@ -178,7 +190,8 @@ object Dedup {
     * canonical survivor per cluster is its minimum doc id — the "keep one
     * copy" step of a dedup pipeline. */
   def cluster(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("id_a"), col("id_b")).cache()
+    val pairs = verifiedPairs(spark, dir)
+      .where(col("jaccard") >= 0.6).select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val ids = normCorpus(spark, dir).select(col("doc_id"))
