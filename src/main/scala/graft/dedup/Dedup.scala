@@ -76,7 +76,9 @@ object Dedup {
 
   /** Verified candidate pairs (id_a, id_b, n_common, n_union, jaccard),
     * memoized per (session, dir) — [[minhashLsh]] and [[cluster]] share
-    * one build of the signature + band + verify pipeline. */
+    * one build of the signature + band + verify pipeline. The memo assumes
+    * the files under `dir` are immutable for the session's lifetime (true
+    * for the test corpora); a mutable source would need invalidation. */
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
