@@ -63,6 +63,9 @@ object SparkEntry {
       Monitoring.incrementalAgg(Cdc.changelog(s, d), cutoverSeq = 5000L)),
     "cdc_compact" -> ((s, d) =>
       Materialize.compact(Cdc.changelog(s, d)).orderBy("user_id", "rn")),
+    "cdc_tombstone_gc" -> ((s, d) =>
+      Materialize.tombstoneGc(Cdc.changelog(s, d)).orderBy("user_id")),
+    "cdc_disorder_stats" -> ((s, d) => Monitoring.disorderStats(Cdc.changelog(s, d))),
     "cdc_lag_percentiles" -> ((s, d) => Monitoring.lagPercentiles(Cdc.changelog(s, d))),
     "cdc_mask_policy" -> ((s, d) => graft.governance.Masking.maskedCustomers(s, d)),
     "cdc_snapshot_handoff" -> ((s, d) =>
@@ -282,6 +285,32 @@ object SparkEntry {
            |  FROM changelog)
            |SELECT pk AS user_id, op, CAST(value AS DECIMAL(18,2)) AS value, ts, seq, CAST(rn AS BIGINT) AS rn
            |FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+      "cdc_tombstone_gc" ->
+        s"""$cl, hwm AS (SELECT max(ts) AS hwm FROM changelog),
+           |ranked AS (
+           |  SELECT pk, op, value, ts, seq,
+           |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+           |  FROM changelog)
+           |SELECT pk AS user_id, op, CAST(value AS DECIMAL(18,2)) AS value, ts, seq
+           |FROM ranked CROSS JOIN hwm
+           |WHERE rn = 1 AND (op <> 'd' OR epoch_ms(hwm) - epoch_ms(ts) <= ${7L * 24 * 3600 * 1000})
+           |ORDER BY user_id""".stripMargin,
+      "cdc_disorder_stats" ->
+        s"""$cl, d AS (
+           |  SELECT pk % 10 AS cohort, seq, epoch_ms(ts) AS ms,
+           |         max(epoch_ms(ts)) OVER (PARTITION BY pk % 10 ORDER BY seq
+           |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_ms
+           |  FROM changelog),
+           |r AS (
+           |  SELECT cohort,
+           |         CASE WHEN prev_max_ms IS NULL THEN 0
+           |              ELSE greatest(prev_max_ms - ms, 0) END AS regress_ms
+           |  FROM d)
+           |SELECT cohort, count(*) AS n_events,
+           |       count(CASE WHEN regress_ms > 0 THEN 1 END) AS n_late,
+           |       max(regress_ms) AS max_regress_ms,
+           |       CAST(count(CASE WHEN regress_ms > 0 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS late_ratio
+           |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin,
       "cdc_health_score" ->
         s"""$cl
            |SELECT date_trunc('hour', ts) AS bucket, count(*) AS n_events,

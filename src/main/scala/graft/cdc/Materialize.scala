@@ -156,6 +156,27 @@ object Materialize {
         col("ts"), col("seq"), col("rn").cast("long").as("rn"))
   }
 
+  /** Tombstone garbage collection: compact to one row per key, then drop
+    * tombstones older than the retention horizon (hwm − retention). Keys
+    * deleted recently keep their tombstone (late out-of-order events must
+    * still lose to it); old tombstones are safe to forget once no event
+    * older than them can still arrive. */
+  def tombstoneGc(changelog: DataFrame, retentionMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+    changelog
+      .groupBy(col("pk"))
+      .agg(max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"))
+      .crossJoin(broadcast(hwm))
+      .where(col("last.op") =!= "d" ||
+        unix_millis(col("hwm")) - unix_millis(col("last.ts")) <= retentionMs)
+      .select(
+        col("pk").as("user_id"),
+        col("last.op").as("op"),
+        dec(col("last.value"), 18, 2).as("value"),
+        col("last.ts").as("ts"),
+        col("last.seq").as("seq"))
+  }
+
   /** Snapshot→CDC handoff (the reference's full-load-then-stream start:
     * cdc_manager.start_pipeline with enable_full_load): compact the
     * changelog prefix to one row per key — KEEPING tombstones and the

@@ -95,6 +95,29 @@ object Monitoring {
       .orderBy("rule_id", "bucket")
   }
 
+  /** Event-time disorder statistics: per key cohort, how often events
+    * arrive (in seq order) with an event time behind the running maximum,
+    * and by how much — the numbers that size a streaming watermark. */
+  def disorderStats(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("pk"), lit(10)))
+      .orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    changelog
+      .withColumn("cohort", pmod(col("pk"), lit(10)))
+      .withColumn("prev_max_ms", max(unix_millis(col("ts"))).over(w))
+      .withColumn("regress_ms",
+        when(col("prev_max_ms").isNull, lit(0L))
+          .otherwise(greatest(col("prev_max_ms") - unix_millis(col("ts")), lit(0L))))
+      .groupBy("cohort")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("regress_ms") > 0, 1)).as("n_late"),
+        max(col("regress_ms")).as("max_regress_ms"))
+      .withColumn("late_ratio", col("n_late").cast("double") / col("n_events").cast("double"))
+      .orderBy("cohort")
+  }
+
   /** Alert debounce (the notification hygiene the reference's alert engine
     * needs): a candidate alert is suppressed if another candidate for the
     * same rule fired within the cooldown window. Window partitions by
