@@ -46,7 +46,7 @@ object Pipeline {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("last_value", org.apache.spark.sql.types.DecimalType(18, 2)),
+            org.apache.spark.sql.types.StructField("last_value", org.apache.spark.sql.types.DoubleType),
             org.apache.spark.sql.types.StructField("updated_at", org.apache.spark.sql.types.TimestampType),
             org.apache.spark.sql.types.StructField("n_changes", org.apache.spark.sql.types.LongType))))
     }

@@ -146,7 +146,7 @@ object SparkEntry {
            |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,
            |         count(*) OVER (PARTITION BY pk) AS n_changes
            |  FROM changelog)
-           |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value, ts AS updated_at, n_changes
+           |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at, n_changes
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
       "cdc_fanout_apply" ->
         """WITH ranked AS (
@@ -157,7 +157,7 @@ object SparkEntry {
           |                            ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn,
           |         count(*) OVER (PARTITION BY event_type, user_id) AS n_changes
           |  FROM events)
-          |SELECT table_name, pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value,
+          |SELECT table_name, pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
           |       ts_trunc AS updated_at, n_changes
           |FROM ranked WHERE rn = 1 AND op <> 'd'
           |ORDER BY table_name, user_id""".stripMargin,
@@ -166,7 +166,7 @@ object SparkEntry {
            |  SELECT pk, op, value, ts, seq,
            |         lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq) AS valid_to
            |  FROM changelog)
-           |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS value, ts AS valid_from,
+           |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, ts AS valid_from,
            |       valid_to, valid_to IS NULL AS is_current, seq
            |FROM v WHERE op <> 'd' ORDER BY user_id, valid_from, seq""".stripMargin,
       "cdc_append_audit" ->
@@ -190,18 +190,18 @@ object SparkEntry {
       "cdc_snapshot_chunked" ->
         """SELECT o_orderkey % 8 AS chunk_id, count(*) AS n_rows,
           |       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS chunk_total
+          |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS chunk_total
           |FROM orders GROUP BY chunk_id ORDER BY chunk_id""".stripMargin,
       "cdc_event_counts" ->
         s"""$cl
            |SELECT CASE op WHEN 'c' THEN 'insert' WHEN 'd' THEN 'delete' ELSE 'update' END AS event_class,
            |       count(*) AS n_events, count(DISTINCT pk) AS n_keys,
-           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_value
+           |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_value
            |FROM changelog GROUP BY event_class ORDER BY event_class""".stripMargin,
       "cdc_events_per_minute" ->
         s"""$cl
            |SELECT date_trunc('minute', ts) AS bucket, count(*) AS n_events,
-           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+           |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
            |FROM changelog GROUP BY bucket ORDER BY bucket""".stripMargin,
       "cdc_throughput" ->
         s"""$cl
@@ -250,7 +250,7 @@ object SparkEntry {
            |  SELECT pk, op, value, ts,
            |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
            |  FROM changelog)
-           |SELECT pk AS user_id, CAST(value AS DECIMAL(18,2)) AS last_value, ts AS updated_at
+           |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
       "cdc_schema_evolve" ->
         """WITH unioned AS (
@@ -258,7 +258,7 @@ object SparkEntry {
           |  UNION ALL
           |  SELECT o_orderkey, o_totalprice, 'chan_' || CAST(o_orderkey % 3 AS VARCHAR) FROM orders WHERE o_orderkey % 2 = 1)
           |SELECT coalesce(o_channel, '(pre-evolution)') AS o_channel, count(*) AS n_orders,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price
+          |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
           |FROM unioned GROUP BY 1 ORDER BY o_channel""".stripMargin,
       "cdc_alert_suppress" ->
         s"""$cl, m AS (
@@ -276,14 +276,14 @@ object SparkEntry {
       "cdc_incremental_agg" ->
         s"""$cl
            |SELECT date_trunc('minute', ts) AS bucket, count(*) AS n_events,
-           |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+           |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
            |FROM changelog GROUP BY bucket ORDER BY bucket""".stripMargin,
       "cdc_compact" ->
         s"""$cl, ranked AS (
            |  SELECT pk, op, value, ts, seq,
            |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
            |  FROM changelog)
-           |SELECT pk AS user_id, op, CAST(value AS DECIMAL(18,2)) AS value, ts, seq, CAST(rn AS BIGINT) AS rn
+           |SELECT pk AS user_id, op, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, ts, seq, CAST(rn AS BIGINT) AS rn
            |FROM ranked WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
       "cdc_tombstone_gc" ->
         s"""$cl, hwm AS (SELECT max(ts) AS hwm FROM changelog),
@@ -291,7 +291,7 @@ object SparkEntry {
            |  SELECT pk, op, value, ts, seq,
            |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
            |  FROM changelog)
-           |SELECT pk AS user_id, op, CAST(value AS DECIMAL(18,2)) AS value, ts, seq
+           |SELECT pk AS user_id, op, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, ts, seq
            |FROM ranked CROSS JOIN hwm
            |WHERE rn = 1 AND (op <> 'd' OR epoch_ms(hwm) - epoch_ms(ts) <= ${7L * 24 * 3600 * 1000})
            |ORDER BY user_id""".stripMargin,
@@ -372,19 +372,19 @@ object SparkEntry {
           |  SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
           |         count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
           |         count(DISTINCT o_orderkey) AS n_distinct,
-          |         CAST(sum(CAST(o_orderkey AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value FROM orders
+          |         CAST(CAST(sum(CAST(o_orderkey AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value FROM orders
           |  UNION ALL
           |  SELECT 'o_custkey', count(*), count(CASE WHEN o_custkey IS NULL THEN 1 END),
-          |         count(DISTINCT o_custkey), CAST(sum(CAST(o_custkey AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders
+          |         count(DISTINCT o_custkey), CAST(CAST(sum(CAST(o_custkey AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) FROM orders
           |  UNION ALL
           |  SELECT 'o_orderstatus', count(*), count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
-          |         count(DISTINCT o_orderstatus), CAST(NULL AS DECIMAL(28,2)) FROM orders
+          |         count(DISTINCT o_orderstatus), CAST(NULL AS DOUBLE) FROM orders
           |  UNION ALL
           |  SELECT 'o_totalprice', count(*), count(CASE WHEN o_totalprice IS NULL THEN 1 END),
-          |         count(DISTINCT o_totalprice), CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) FROM orders
+          |         count(DISTINCT o_totalprice), CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) FROM orders
           |  UNION ALL
           |  SELECT 'o_orderpriority', count(*), count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
-          |         count(DISTINCT o_orderpriority), CAST(NULL AS DECIMAL(28,2)) FROM orders)
+          |         count(DISTINCT o_orderpriority), CAST(NULL AS DOUBLE) FROM orders)
           |SELECT * FROM s ORDER BY column_name""".stripMargin,
       "cdc_schema_drift" ->
         """WITH src AS (
@@ -416,10 +416,10 @@ object SparkEntry {
       // ── Relational analytics ───────────────────────────────────────
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-          |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_qty,
-          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_base_price,
-          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS sum_disc_price,
-          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(32,6)) AS sum_charge,
+          |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty,
+          |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_base_price,
+          |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS sum_disc_price,
+          |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DECIMAL(32,6)) AS DOUBLE) AS sum_charge,
           |       count(*) AS count_order,
           |       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_qty,
           |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_price
@@ -429,7 +429,7 @@ object SparkEntry {
           |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       "q3_topk" ->
         """SELECT l_orderkey, o_orderdate, o_orderpriority,
-          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS revenue
+          |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
           |FROM customer, orders, lineitem
           |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
           |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
@@ -437,7 +437,7 @@ object SparkEntry {
           |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
       "q5_multijoin" ->
         """SELECT n_name,
-          |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS revenue
+          |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS revenue
           |FROM customer, orders, lineitem, supplier, nation, region
           |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
           |  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
@@ -445,7 +445,7 @@ object SparkEntry {
           |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
       "q_window_rank" ->
-        """SELECT c_mktsegment, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        """SELECT c_mktsegment, rnk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
           |FROM (
           |  SELECT c_mktsegment, o_orderkey, o_totalprice,
           |         rank() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -463,12 +463,12 @@ object SparkEntry {
       "q_agg_stats" ->
         """SELECT o_orderstatus, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers,
           |       min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
-          |       CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price,
+          |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price,
           |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_price
           |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "q_rollup" ->
         """SELECT r_name, n_name, count(*) AS n_customers,
-          |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_acctbal
+          |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_acctbal
           |FROM customer
           |JOIN nation ON c_nationkey = n_nationkey
           |JOIN region ON n_regionkey = r_regionkey
@@ -477,7 +477,7 @@ object SparkEntry {
       "q_json_extract" ->
         """SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INTEGER) / 10) AS INTEGER) AS k_bucket,
           |       count(*) AS n_events,
-          |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sum_value
+          |       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_value
           |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
       "q_pivot" ->
         """SELECT r_name,
@@ -501,7 +501,7 @@ object SparkEntry {
           |  SELECT l_partkey AS p_key,
           |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) / count(*) AS avg_qty
           |  FROM lineitem GROUP BY l_partkey)
-          |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS total_price,
+          |SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price,
           |       count(*) AS n_items
           |FROM lineitem JOIN pa ON l_partkey = p_key
           |WHERE l_quantity < avg_qty * 0.5""".stripMargin,

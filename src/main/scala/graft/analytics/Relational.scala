@@ -26,13 +26,18 @@ object Relational {
       .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("qty_d")).cast(DecimalType(28, 2)).as("sum_qty"),
-        sum(col("price_d")).cast(DecimalType(28, 2)).as("sum_base_price"),
-        sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).as("sum_disc_price"),
-        sum(col("price_d") * (lit(1) - col("disc_d")) * (lit(1) + col("tax_d"))).cast(DecimalType(32, 6)).as("sum_charge"),
+        sum(col("qty_d")).cast(DecimalType(28, 2)).as("sum_qty_d"),
+        sum(col("price_d")).cast(DecimalType(28, 2)).as("sum_base_price_d"),
+        sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).cast("double").as("sum_disc_price"),
+        sum(col("price_d") * (lit(1) - col("disc_d")) * (lit(1) + col("tax_d"))).cast(DecimalType(32, 6)).cast("double").as("sum_charge"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty").cast("double") / col("count_order"))
-      .withColumn("avg_price", col("sum_base_price").cast("double") / col("count_order"))
+      .withColumn("avg_qty", col("sum_qty_d").cast("double") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price_d").cast("double") / col("count_order"))
+      // Exact decimal sums internally; DOUBLE in the final projection (both
+      // sides cast the same exact decimal → identical float64 bits).
+      .withColumn("sum_qty", col("sum_qty_d").cast("double"))
+      .withColumn("sum_base_price", col("sum_base_price_d").cast("double"))
+      .drop("sum_qty_d", "sum_base_price_d")
       .orderBy("l_returnflag", "l_linestatus")
 
   /** TPC-H Q3-style: customer⋈orders⋈lineitem, revenue per order, top-10. */
@@ -44,7 +49,7 @@ object Relational {
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).as("revenue"))
+      .agg(sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -66,7 +71,7 @@ object Relational {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).as("revenue"))
+      .agg(sum(col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 4)).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -79,7 +84,7 @@ object Relational {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .withColumn("rnk", rank().over(w))
       .where(col("rnk") <= 3)
-      .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"), col("o_orderkey"), dec(col("o_totalprice"), 18, 2).as("o_totalprice"))
+      .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"), col("o_orderkey"), dec(col("o_totalprice"), 18, 2).cast("double").as("o_totalprice"))
       .orderBy("c_mktsegment", "rnk", "o_orderkey")
   }
 
@@ -105,8 +110,10 @@ object Relational {
         countDistinct(col("o_custkey")).as("n_customers"),
         min(col("o_orderdate")).as("first_order"),
         max(col("o_orderdate")).as("last_order"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("total_price"))
-      .withColumn("avg_price", col("total_price").cast("double") / col("n_orders"))
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("total_price_d"))
+      .withColumn("avg_price", col("total_price_d").cast("double") / col("n_orders"))
+      .withColumn("total_price", col("total_price_d").cast("double"))
+      .drop("total_price_d")
       .orderBy("o_orderstatus")
 
   /** Hierarchical rollup: region → nation subtotals over customers. */
@@ -120,7 +127,7 @@ object Relational {
       .rollup(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        sum(dec(col("c_acctbal"))).cast(DecimalType(28, 2)).as("total_acctbal"))
+        sum(dec(col("c_acctbal"))).cast(DecimalType(28, 2)).cast("double").as("total_acctbal"))
       .orderBy(asc_nulls_first("r_name"), asc_nulls_first("n_name"))
   }
 
@@ -163,7 +170,7 @@ object Relational {
     li.join(partAvg, col("l_partkey") === col("p_key"))
       .where(col("l_quantity") < col("avg_qty") * 0.5)
       .agg(
-        sum(col("price_d")).cast(DecimalType(28, 2)).as("total_price"),
+        sum(col("price_d")).cast(DecimalType(28, 2)).cast("double").as("total_price"),
         count(lit(1)).as("n_items"))
   }
 
@@ -214,6 +221,6 @@ object Relational {
       .groupBy(floor(col("k") / 10).cast("int").as("k_bucket"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+        sum(dec(col("value"))).cast(DecimalType(28, 2)).cast("double").as("sum_value"))
       .orderBy("k_bucket")
 }

@@ -32,7 +32,27 @@ object Materialize {
       .where(col("last.op") =!= "d")
       .select(
         col("user_id"),
-        dec(col("last.value"), 18, 2).as("last_value"),
+        // round-to-cents in exact decimal, DOUBLE in the projection (see
+        // package doc: final outputs are float64 for oracle bit-parity)
+        dec(col("last.value"), 18, 2).cast("double").as("last_value"),
+        col("last.ts").as("updated_at"),
+        col("n_changes"))
+
+  /** [[latestSnapshot]] with a per-row `weight` column summed into
+    * n_changes — lets a compacted state row re-enter an incremental merge
+    * carrying the change count it already absorbed, so incremental and
+    * one-shot materialization agree on n_changes (sum is associative the
+    * same way the struct max is). */
+  def latestSnapshotWeighted(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("pk").as("user_id"))
+      .agg(
+        max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"),
+        sum(col("weight")).as("n_changes"))
+      .where(col("last.op") =!= "d")
+      .select(
+        col("user_id"),
+        dec(col("last.value"), 18, 2).cast("double").as("last_value"),
         col("last.ts").as("updated_at"),
         col("n_changes"))
 
@@ -72,7 +92,7 @@ object Materialize {
       opCol = "op",
       payloadCols = Seq("value"))
       .select(col("table_name"), col("pk").as("user_id"),
-        dec(col("value"), 18, 2).as("last_value"),
+        dec(col("value"), 18, 2).cast("double").as("last_value"),
         col("ts").as("updated_at"), col("n_changes"))
   }
 
@@ -95,7 +115,7 @@ object Materialize {
       .where(col("last.op") =!= "d")
       .select(
         col("user_id"),
-        dec(col("last.value"), 18, 2).as("last_value"),
+        dec(col("last.value"), 18, 2).cast("double").as("last_value"),
         col("last.ts").as("updated_at"),
         col("n_changes"))
 
@@ -108,7 +128,7 @@ object Materialize {
       .where(col("op") =!= "d")
       .select(
         col("pk").as("user_id"),
-        dec(col("value"), 18, 2).as("value"),
+        dec(col("value"), 18, 2).cast("double").as("value"),
         col("ts").as("valid_from"),
         col("valid_to"),
         col("valid_to").isNull.as("is_current"),
@@ -152,7 +172,7 @@ object Materialize {
     changelog
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= keep)
-      .select(col("pk").as("user_id"), col("op"), dec(col("value"), 18, 2).as("value"),
+      .select(col("pk").as("user_id"), col("op"), dec(col("value"), 18, 2).cast("double").as("value"),
         col("ts"), col("seq"), col("rn").cast("long").as("rn"))
   }
 
@@ -172,7 +192,7 @@ object Materialize {
       .select(
         col("pk").as("user_id"),
         col("last.op").as("op"),
-        dec(col("last.value"), 18, 2).as("value"),
+        dec(col("last.value"), 18, 2).cast("double").as("value"),
         col("last.ts").as("ts"),
         col("last.seq").as("seq"))
   }
@@ -208,7 +228,7 @@ object Materialize {
         count(lit(1)).as("n_rows"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
-        sum(dec(col("o_totalprice"))).cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("chunk_total"))
+        sum(dec(col("o_totalprice"))).cast(org.apache.spark.sql.types.DecimalType(28, 2)).cast("double").as("chunk_total"))
       .orderBy("chunk_id")
   }
 }

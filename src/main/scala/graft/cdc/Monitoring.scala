@@ -25,7 +25,7 @@ object Monitoring {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("pk")).as("n_keys"),
-        sum(dec(col("value"))).cast(DecimalType(28, 2)).as("total_value"))
+        sum(dec(col("value"))).cast(DecimalType(28, 2)).cast("double").as("total_value"))
       .orderBy("event_class")
 
   /** Events-per-minute time series (dashboard events-over-time). */
@@ -34,7 +34,7 @@ object Monitoring {
       .groupBy(date_trunc("minute", col("ts")).as("bucket"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast(DecimalType(28, 2)).as("sum_value"))
+        sum(dec(col("value"))).cast(DecimalType(28, 2)).cast("double").as("sum_value"))
       .orderBy("bucket")
 
   /** Per-hour throughput in events/sec (exact-long count / fixed window). */
@@ -165,7 +165,7 @@ object Monitoring {
       .groupBy("bucket")
       .agg(
         sum(col("n_events")).as("n_events"),
-        sum(col("sum_value")).cast(DecimalType(28, 2)).as("sum_value"))
+        sum(col("sum_value")).cast(DecimalType(28, 2)).cast("double").as("sum_value"))
       .orderBy("bucket")
   }
 

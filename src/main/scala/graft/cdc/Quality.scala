@@ -61,8 +61,8 @@ object Quality {
         count(lit(1)).as("n_rows"),
         count(when(col(c).isNull, 1)).as("n_nulls"),
         countDistinct(col(c)).as("n_distinct"),
-        (if (numeric) sum(graft.dec(col(c))).cast(DecimalType(28, 2))
-         else lit(null).cast(DecimalType(28, 2))).as("sum_value"))
+        (if (numeric) sum(graft.dec(col(c))).cast(DecimalType(28, 2)).cast("double")
+         else lit(null).cast("double")).as("sum_value"))
         .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"), col("sum_value"))
     Seq(
       statsFor("o_orderkey", numeric = true),
@@ -88,7 +88,7 @@ object Quality {
       .groupBy(coalesce(col("o_channel"), lit("(pre-evolution)")).as("o_channel"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(graft.dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("total_price"))
+        sum(graft.dec(col("o_totalprice"))).cast(DecimalType(28, 2)).cast("double").as("total_price"))
       .orderBy("o_channel")
   }
 

@@ -131,7 +131,11 @@ object Dedup {
 
     val shA = shingleTable.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = shingleTable.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    val cands = candIds.join(broadcast(shA), "id_a").join(broadcast(shB), "id_b")
+    // Plain shuffled joins on the bare doc_id keys: the shingle table is
+    // the heaviest column in the corpus, so forcing it into a broadcast
+    // would OOM long before 100 TB. AQE still picks broadcast at runtime
+    // whenever the post-scan shingle table is actually small.
+    val cands = candIds.join(shA, "id_a").join(shB, "id_b")
 
     cands
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))

@@ -18,14 +18,14 @@ object Masking {
       .select(
         col("c_custkey"),
         substring(md5(col("c_name")), 1, 12).as("name_token"),
-        (floor(col("c_acctbal") / 100) * 100).cast(DecimalType(18, 2)).as("acctbal_band"),
+        (floor(col("c_acctbal") / 100) * 100).cast(DecimalType(18, 2)).cast("double").as("acctbal_band"),
         col("c_mktsegment"))
       .orderBy("c_custkey")
 
   val maskedCustomersSql: String =
     """SELECT c_custkey,
       |       substr(md5(c_name), 1, 12) AS name_token,
-      |       CAST(floor(c_acctbal / 100) * 100 AS DECIMAL(18,2)) AS acctbal_band,
+      |       CAST(CAST(floor(c_acctbal / 100) * 100 AS DECIMAL(18,2)) AS DOUBLE) AS acctbal_band,
       |       c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 }

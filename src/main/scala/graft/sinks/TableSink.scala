@@ -32,22 +32,43 @@ object TableSink {
     * use [[graft.cdc.Materialize.snapshotHandoff]]'s compacted-changelog
     * form, which retains tombstones. */
   def upsert(spark: SparkSession, path: String, changes: DataFrame, nBuckets: Int = 32): DataFrame = {
-    val existing = spark.read.parquet(path)
-      // stored state re-enters the merge as synthetic "creates" older than
-      // any increment row at the same (ts, seq)
+    val existing = readState(spark, path)
+      // stored state re-enters the merge as a synthetic "create" older than
+      // any increment row at the same (ts, seq); its weight carries the
+      // cumulative per-key change count so n_changes matches a one-shot
+      // batch materialization after any number of micro-batches
       .select(col("user_id").as("pk"), lit("c").as("op"),
         col("last_value").cast("double").as("value"),
-        col("updated_at").as("ts"), lit(Long.MinValue).as("seq"))
-    val merged = Materialize.latestSnapshot(
-      existing.unionByName(changes.select("pk", "op", "value", "ts", "seq")))
-    val tmp = path + ".tmp"
-    merged.repartition(nBuckets, col("user_id")).write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap (a lakehouse table format would do this transactionally)
+        col("updated_at").as("ts"), lit(Long.MinValue).as("seq"),
+        col("n_changes").as("weight"))
+    val merged = Materialize.latestSnapshotWeighted(
+      existing.unionByName(
+        changes.select("pk", "op", "value", "ts", "seq").withColumn("weight", lit(1L))))
+    val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+    merged.repartition(nBuckets, col("user_id"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Crash-safe swap: move the old state aside, then the new one in. A
+    // crash between the renames leaves .bak, which readState falls back
+    // to — never a window with no recoverable state. (A lakehouse table
+    // format would make this a transactional commit.)
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+    fs.delete(bak, true)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
     spark.read.parquet(path)
+  }
+
+  /** Read the state table, falling back to the `.bak` left by a swap that
+    * crashed between its two renames. */
+  private def readState(spark: SparkSession, path: String): DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path))) path
+      else path + ".bak"
+    spark.read.parquet(src)
   }
 
   /** Time-partitioned lake write (the reference's S3 sink with time-based

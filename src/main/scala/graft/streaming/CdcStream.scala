@@ -69,38 +69,67 @@ object CdcStream {
 
   /** Continuous SCD-2: every change CLOSES the key's open version (emitting
     * it with valid_to set) and — unless it is a delete — opens a new one.
-    * State holds only the open version per key; closed versions stream out
-    * append-only, exactly what a history-table sink wants. */
-  def scd2Stream(events: Dataset[ChangeEvent]): Dataset[Scd2Version] = {
+    * State holds the open version per key; closed versions stream out
+    * append-only, exactly what a history-table sink wants.
+    *
+    * A delete does NOT clear state: it leaves a tombstone carrying the
+    * delete's (ts, seq), so a later-arriving stale event (older than the
+    * delete) loses the `newer` check instead of re-opening a version —
+    * the same resurrection bug [[applyChanges]] guards against.
+    *
+    * Tombstone retention is bounded in EVENT time: `tombstoneTtlMs` is
+    * the source's maximum disorder horizon, used both as the watermark
+    * delay and as the tombstone's event-time timeout. Once the watermark
+    * passes delete-ts + TTL, no event older than the delete can still
+    * arrive, so the tombstone times out and is removed — state stays
+    * O(live keys + recently-deleted keys), which is what survives at
+    * 100 TB key cardinality. (Processing-time timeouts are deliberately
+    * NOT used: FlatMapGroupsWithStateExec.shouldRunAnotherBatch is always
+    * true under them, so the micro-batch engine spins batches nonstop.) */
+  def scd2Stream(
+      events: Dataset[ChangeEvent],
+      tombstoneTtlMs: Long = 24L * 3600 * 1000): Dataset[Scd2Version] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", s"$tombstoneTtlMs milliseconds")
       .groupByKey(_.pk)
       .flatMapGroupsWithState[Scd2State, Scd2Version](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (pk: Long, changes: Iterator[ChangeEvent], state: GroupState[Scd2State]) =>
-          var open = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
-          changes.toSeq.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
-            val newer = open == null ||
-              Ordering[(Long, Long)].gt((c.ts.getTime, c.seq), (open.ts, open.seq))
-            if (newer) {
-              if (open != null)
-                closed += Scd2Version(pk, open.value, new java.sql.Timestamp(open.ts),
-                  Some(c.ts), isCurrent = false)
-              if (c.op == "d") { open = null; state.remove() }
-              else {
-                open = Scd2State(pk, c.value, c.ts.getTime, c.seq)
-                state.update(open)
+          if (state.hasTimedOut) {
+            // Only tombstones arm the timeout; a live version that later
+            // superseded one keeps its stale deadline, so double-check.
+            if (state.getOption.exists(_.deleted)) state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Version]
+            changes.toSeq.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
+              val newer = cur == null ||
+                Ordering[(Long, Long)].gt((c.ts.getTime, c.seq), (cur.ts, cur.seq))
+              if (newer) {
+                if (cur != null && !cur.deleted)
+                  closed += Scd2Version(pk, cur.value, new java.sql.Timestamp(cur.ts),
+                    Some(c.ts), isCurrent = false)
+                cur = Scd2State(pk, if (c.op == "d") 0.0 else c.value,
+                  c.ts.getTime, c.seq, deleted = c.op == "d")
+                state.update(cur)
+                if (cur.deleted)
+                  // must stay ahead of the watermark or Spark rejects it
+                  state.setTimeoutTimestamp(
+                    math.max(cur.ts + tombstoneTtlMs,
+                      state.getCurrentWatermarkMs() + tombstoneTtlMs))
               }
             }
+            closed.iterator
           }
-          closed.iterator
       }
   }
 }
 
-/** Open-version state for streaming SCD-2 (ts as epoch millis). */
-case class Scd2State(pk: Long, value: Double, ts: Long, seq: Long)
+/** Open-version (or retained-tombstone) state for streaming SCD-2
+  * (ts as epoch millis). */
+case class Scd2State(pk: Long, value: Double, ts: Long, seq: Long, deleted: Boolean)
 
 /** One closed (or open) SCD-2 version emitted downstream. */
 case class Scd2Version(pk: Long, value: Double, validFrom: java.sql.Timestamp,

@@ -35,17 +35,17 @@ class CdcSpec extends AnyFunSuite {
       val last = evs.maxBy(e => (e._3.getTime, e._4))
       if (last._1 == "d") None else Some(pk -> BigDecimal(last._5).setScale(2, BigDecimal.RoundingMode.HALF_UP))
     }
-    val actual = snap.collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+    val actual = snap.collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
     assert(actual === expected)
   }
 
   test("salted snapshot equals the plain materializer exactly") {
     val cl = Cdc.changelog(spark, dir).cache()
     val plain = Materialize.latestSnapshot(cl).collect()
-      .map(r => (r.getLong(0), r.getDecimal(1), r.getTimestamp(2), r.getLong(3))).toSet
+      .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2), r.getLong(3))).toSet
     for (salt <- Seq(2, 16, 64)) {
       val salted = Materialize.latestSnapshotSalted(cl, salt).collect()
-        .map(r => (r.getLong(0), r.getDecimal(1), r.getTimestamp(2), r.getLong(3))).toSet
+        .map(r => (r.getLong(0), r.getDouble(1), r.getTimestamp(2), r.getLong(3))).toSet
       assert(salted === plain, s"salt=$salt")
     }
   }

@@ -55,11 +55,11 @@ class GovernanceMonitoringSpec extends AnyFunSuite {
     val cl = Cdc.changelog(spark, dir).cache()
     val oneShot = Materialize.latestSnapshot(cl)
       .select("user_id", "last_value").collect()
-      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     for (cut <- Seq(0L, 250L, 999L)) {
       val h = Materialize.snapshotHandoff(cl, cut)
         .select("user_id", "last_value").collect()
-        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(h === oneShot, s"cutover=$cut")
     }
   }

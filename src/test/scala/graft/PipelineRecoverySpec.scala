@@ -33,9 +33,9 @@ class PipelineRecoverySpec extends AnyFunSuite {
     q2.stop()
 
     val state = spark.read.parquet(cfg.statePath)
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(state.keySet === expected.keySet)
     expected.foreach { case (k, v) => assert(state(k) === v, s"key $k") }
   }

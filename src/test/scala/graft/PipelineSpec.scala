@@ -24,9 +24,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(st("batchId").asInstanceOf[Long] >= 0L)
 
     val state = spark.read.parquet(s"$base/state")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // streaming ts is ms-truncated; values must still agree because seq
     // breaks ordering ties identically
     assert(state.keySet === expected.keySet)
@@ -49,8 +49,8 @@ class PipelineSpec extends AnyFunSuite {
     expByTable.foreach { case (t, rows) =>
       assert(tables.contains(t), s"missing state for table $t")
       val got = spark.read.parquet(s"$base/state/$t")
-        .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-      val exp = rows.map(r => r.getLong(1) -> r.getDecimal(2)).toMap
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exp = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
       assert(got === exp, s"table $t")
     }
   }
@@ -59,9 +59,9 @@ class PipelineSpec extends AnyFunSuite {
     val base = Files.createTempDirectory("pipelineb").toString
     WireSource.publish(spark, dir, s"$base/wire")
     val state = Pipeline.runBatch(spark, s"$base/wire", s"$base/state")
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
-      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(state === expected)
   }
 }

@@ -41,8 +41,8 @@ class SourceSinkSpec extends AnyFunSuite {
 
     val oneShot = Materialize.latestSnapshot(changelog)
     val a = after.select("user_id", "last_value").collect()
-      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
-    val b = oneShot.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = oneShot.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a === b)
   }
 

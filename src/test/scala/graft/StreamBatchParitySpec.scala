@@ -84,10 +84,12 @@ class StreamBatchParitySpec extends AnyFunSuite {
       }.toMap
 
     val batch = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
-      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDecimal(1))).toMap
+      .collect().map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
 
-    // keys whose final op was delete were emitted earlier but carry no
-    // final state; batch is the ground truth for surviving keys
+    // two-sided: the streamed live-key set must EQUAL the batch key set —
+    // a resurrected (tombstone-lost) key would only show up as an extra
+    // streamed key, which a one-sided containment check would miss
+    assert(streamed.keySet === batch.keySet)
     batch.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"key $k") }
   }
 }

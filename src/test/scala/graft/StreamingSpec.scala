@@ -104,6 +104,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions(1)._1 === 11.0 && versions(1)._3 === ts(3))
   }
 
+  test("stream scd2 retains tombstones: stale event after a delete cannot re-open a version") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = graft.streaming.CdcStream.scd2Stream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_ooo_out").outputMode("append").start()
+
+    input.addData(ChangeEvent("c", 1L, ts(1), 1L, 10.0))
+    query.processAllAvailable()
+    input.addData(ChangeEvent("d", 1L, ts(3), 3L, 0.0))
+    query.processAllAvailable()
+    // out-of-order event OLDER than the applied delete: with state.remove()
+    // this re-opened a version (resurrection); the tombstone must reject it
+    input.addData(ChangeEvent("u", 1L, ts(2), 2L, 99.0))
+    query.processAllAvailable()
+    // a genuinely newer change after the delete starts a fresh version
+    input.addData(ChangeEvent("c", 1L, ts(4), 4L, 42.0))
+    input.addData(ChangeEvent("u", 1L, ts(5), 5L, 43.0))
+    query.processAllAvailable()
+
+    val versions = spark.table("scd2_ooo_out").collect()
+      .map(r => (r.getDouble(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .sortBy(_._2.getTime)
+    query.stop()
+
+    // v=10 closed by the delete; v=42 closed by the later update. The
+    // stale u@ts(2) must appear nowhere (no 99.0 version).
+    assert(versions.toSeq === Seq(
+      (10.0, ts(1), ts(3)),
+      (42.0, ts(4), ts(5))))
+  }
+
   test("stream dedup drops redelivered seqs within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -5,25 +5,34 @@ Usage: python3 tools/selfcheck.py <sfDir> <outDir> [query ...]
 
 Reads <outDir>/oracle_sql.json (written by graft.Verify), registers the
 sf parquet tables as DuckDB views, runs each oracle SQL, and compares
-against <outDir>/<name>/ parquet: column names (sorted), row count, and
-exact values (rows sorted by all columns).
+against <outDir>/<name>/ parquet.
+
+Replicates the driver's compare exactly (validated against
+CORRECTNESS_r01.json): the Spark side is read with pandas/pyarrow, the
+oracle side with duckdb .fetchdf(), columns sorted by name, rows sorted,
+and each CELL compared via str(). Consequences:
+  - DECIMAL output columns are unsafe: pandas yields decimal.Decimal
+    ("123.40") while fetchdf yields float64 ("123.4"). Final projections
+    must be DOUBLE on both sides (exact decimal math internally is fine).
+  - NULL doubles are fine (both sides str() to "nan"); NULL in an
+    object/str column is fine (both "None"/"NaT" consistently) only if
+    the dtypes agree — keep output dtypes primitive.
 """
 import json
-import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
+def rows(df):
+    cols = sorted(df.columns)
+    r = [tuple(str(v) for v in t) for t in df[cols].itertuples(index=False)]
+    r.sort()
+    return r
 
 
 def main():
@@ -43,8 +52,7 @@ def main():
             continue
         try:
             exp = con.execute(sql).fetchdf()
-            act = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").fetchdf()
+            act = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
@@ -55,20 +63,11 @@ def main():
             print(f"FAIL {name}: columns differ\n  oracle: {ecols}\n  spark : {acols}")
             n_fail += 1
             continue
-        dt_bad = [(c, str(exp[c].dtype), str(act[c].dtype)) for c in ecols
-                  if str(exp[c].dtype) != str(act[c].dtype)]
-        if dt_bad:
-            print(f"WARN {name}: dtype mismatch {dt_bad}")
         if len(exp) != len(act):
             print(f"FAIL {name}: rows differ oracle={len(exp)} spark={len(act)}")
             n_fail += 1
             continue
-        e = exp[ecols].copy()
-        a = act[acols].copy()
-        erows = sorted([tuple(norm(v) for v in r) for r in e.itertuples(index=False)],
-                       key=repr)
-        arows = sorted([tuple(norm(v) for v in r) for r in a.itertuples(index=False)],
-                       key=repr)
+        erows, arows = rows(exp), rows(act)
         bad = [(x, y) for x, y in zip(erows, arows) if x != y]
         if bad:
             print(f"FAIL {name}: {len(bad)}/{len(erows)} rows differ; first:")
