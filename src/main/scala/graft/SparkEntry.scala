@@ -66,6 +66,11 @@ object SparkEntry {
     "cdc_tombstone_gc" -> ((s, d) =>
       Materialize.tombstoneGc(Cdc.changelog(s, d)).orderBy("user_id")),
     "cdc_disorder_stats" -> ((s, d) => Monitoring.disorderStats(Cdc.changelog(s, d))),
+    "cdc_heartbeat_gap" -> ((s, d) => Monitoring.heartbeatGaps(Cdc.changelog(s, d))),
+    "cdc_partition_skew" -> ((s, d) => Monitoring.partitionSkew(Cdc.changelog(s, d))),
+    "cdc_outbox_route" -> ((s, d) => Monitoring.outboxRoute(Cdc.toWire(s, d))),
+    "cdc_dlq_route" -> ((s, d) => Cdc.dlqRoute(Cdc.toWire(s, d))),
+    "cdc_snapshot_progress" -> ((s, d) => Materialize.snapshotProgress(s, d)),
     "cdc_lag_percentiles" -> ((s, d) => Monitoring.lagPercentiles(Cdc.changelog(s, d))),
     "cdc_mask_policy" -> ((s, d) => graft.governance.Masking.maskedCustomers(s, d)),
     "cdc_snapshot_handoff" -> ((s, d) =>
@@ -90,6 +95,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
+    "q_moving_avg" -> ((s, d) => Relational.movingAvg(s, d)),
     // ── Text analysis ────────────────────────────────────────────────
     "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
@@ -100,18 +107,22 @@ object SparkEntry {
     "pipe_train_split" -> ((s, d) => TextFunctions.trainSplit(s, d)),
     "text_quality_bins" -> ((s, d) => TextFunctions.qualityBins(s, d)),
     "pipe_corpus_filter" -> ((s, d) => TextFunctions.corpusFilter(s, d)),
+    "text_doc_freq" -> ((s, d) => TextFunctions.termDocFreq(s, d)),
     // ── Dedup ────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Ann.embeddingDup(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
     // ── Similarity search ────────────────────────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_multiprobe_topk" -> ((s, d) => Ann.multiprobeTopK(s, d)),
     "dedup_cluster" -> ((s, d) => Dedup.cluster(s, d)),
     "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(s, d)),
+    "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d)),
+    "mm_semantic_join" -> ((s, d) => Ann.semanticJoin(s, d)),
     // ── Multimodal ───────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) => Binary.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Binary.frameSample(s, d)),
@@ -336,6 +347,11 @@ object SparkEntry {
            |       max(lag_ms) AS max_ms
            |FROM o GROUP BY cohort ORDER BY cohort""".stripMargin,
       "cdc_mask_policy" -> graft.governance.Masking.maskedCustomersSql,
+      "cdc_heartbeat_gap" -> Monitoring.heartbeatGapsSql(cl),
+      "cdc_partition_skew" -> Monitoring.partitionSkewSql(cl),
+      "cdc_outbox_route" -> Monitoring.outboxRouteSql,
+      "cdc_dlq_route" -> Cdc.dlqRouteSql,
+      "cdc_snapshot_progress" -> Materialize.snapshotProgressSql(),
       "q_sessionize" ->
         """WITH g AS (
           |  SELECT user_id, ts, event_id,
@@ -353,6 +369,8 @@ object SparkEntry {
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "q_asof_join" -> graft.operators.TemporalJoins.asofJoinSql,
       "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
+      "q_grouping_sets" -> Relational.groupingSetsSql,
+      "q_moving_avg" -> Relational.movingAvgSql,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (
            |  SELECT pk, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn, op
@@ -642,12 +660,16 @@ object SparkEntry {
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
       "dedup_embedding_cosine" -> Ann.embeddingDupSql,
+      "dedup_containment" -> Dedup.containmentSql,
+      "text_doc_freq" -> TextFunctions.termDocFreqSql,
       // ── Similarity search ──────────────────────────────────────────
       "ann_bruteforce_topk" -> Ann.bruteForceSql,
       "ann_lsh_topk" -> Ann.lshTopKSql,
       "ann_multiprobe_topk" -> Ann.multiprobeTopKSql,
       "dedup_cluster" -> Dedup.clusterSql,
       "ann_ivf_topk" -> Ann.ivfTopKSql,
+      "ann_range_search" -> Ann.rangeSearchSql,
+      "mm_semantic_join" -> Ann.semanticJoinSql,
       // ── Multimodal ─────────────────────────────────────────────────
       "mm_binary_meta" -> Binary.binaryMetaSql,
       "mm_frame_sample" -> Binary.frameSampleSql,

@@ -214,6 +214,72 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** GROUPING SETS with explicit grouping indicators: (region, segment)
+    * detail + per-region subtotal + grand total in one pass. Catalyst
+    * expands grouping sets into a single Expand + hash aggregation — one
+    * shuffle regardless of how many sets. gid disambiguates real NULLs
+    * from subtotal NULLs (grouping(r)*2 + grouping(seg), portable). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .createOrReplaceTempView("graft_gs_src")
+    spark.sql(
+      """SELECT r_name, c_mktsegment,
+        |       CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+        |       count(*) AS n_customers,
+        |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_acctbal
+        |FROM graft_gs_src
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+        |ORDER BY gid, r_name, c_mktsegment""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT r_name, c_mktsegment,
+      |       CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+      |       count(*) AS n_customers,
+      |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_acctbal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
+      |ORDER BY gid, r_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin
+
+  /** 7-day moving average of daily order revenue: pre-aggregate to one
+    * row per day (one shuffle), THEN run the frame window. The window's
+    * single partition holds only calendar-day rows — bounded by date
+    * range, not data volume, so the shape survives any SF. Frame sums
+    * stay in exact decimal; the division is the only float op. */
+  def movingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("dt"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7",
+        sum(col("dt")).over(w).cast(DecimalType(28, 2)).cast("double") /
+          count(lit(1)).over(w).cast("double"))
+      .select(col("day"), col("n_orders"), col("dt").cast("double").as("day_total"), col("ma7"))
+      .orderBy("day")
+  }
+
+  val movingAvgSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS dt
+      |  FROM orders GROUP BY day)
+      |SELECT day, n_orders, CAST(dt AS DOUBLE) AS day_total,
+      |       CAST(CAST(sum(dt) OVER w AS DECIMAL(28,2)) AS DOUBLE)
+      |         / CAST(count(*) OVER w AS DOUBLE) AS ma7
+      |FROM daily
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -108,6 +108,37 @@ object Cdc {
         col("envelope.*"))
   }
 
+  /** Dead-letter routing: wire messages whose envelope fails to parse go
+    * to the DLQ instead of poisoning the apply (the reference's consumer
+    * loop catches per-message parse errors and keeps consuming —
+    * cdc_event_logger.py's try/except around json.loads). Corruption is
+    * simulated deterministically (offset % 97 → truncated JSON) so the
+    * oracle can account for routes without byte-identical JSON. */
+  def dlqRoute(wire: DataFrame): DataFrame = {
+    val corrupted = when(col("offset") % 97 === 0,
+      col("value").substr(lit(1), length(col("value")) - 5))
+      .otherwise(col("value"))
+    wire
+      .withColumn("envelope", from_json(corrupted, envelopeSchema))
+      // PERMISSIVE parse of malformed JSON yields a null struct (or a
+      // struct with null op) — either way the message is unroutable
+      .withColumn("route",
+        when(col("envelope").isNull || col("envelope.op").isNull, "dlq")
+          .otherwise("main"))
+      .groupBy("route")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        min(col("offset")).as("first_offset"),
+        max(col("offset")).as("last_offset"))
+      .orderBy("route")
+  }
+
+  val dlqRouteSql: String =
+    """SELECT CASE WHEN event_id % 97 = 0 THEN 'dlq' ELSE 'main' END AS route,
+      |       count(*) AS n_messages,
+      |       min(event_id) AS first_offset, max(event_id) AS last_offset
+      |FROM events GROUP BY route ORDER BY route""".stripMargin
+
   /** ExtractNewRecordState with delete.handling.mode=rewrite: flatten the
     * envelope to the row image (after; before for deletes), adding
     * __op, __source_ts_ms, __deleted (reference: sink_config.py:165-180). */

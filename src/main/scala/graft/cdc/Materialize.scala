@@ -231,4 +231,33 @@ object Materialize {
         sum(dec(col("o_totalprice"))).cast(org.apache.spark.sql.types.DecimalType(28, 2)).cast("double").as("chunk_total"))
       .orderBy("chunk_id")
   }
+
+  /** Snapshot progress report (the reference's transfer-progress UI:
+    * chunks completed / rows copied / percent done, assuming chunks
+    * complete in id order). Cumulative window runs over the ALREADY
+    * aggregated nChunks-row table — bounded by chunk count, never by
+    * data volume. */
+  def snapshotProgress(spark: SparkSession, dir: String, nChunks: Int = 8): DataFrame = {
+    val w = Window.orderBy("chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    graft.Tables.load(spark, dir, "orders")
+      .groupBy((col("o_orderkey") % nChunks).as("chunk_id"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("cum_rows", sum(col("n_rows")).over(w))
+      .withColumn("pct_complete",
+        col("cum_rows").cast("double") / sum(col("n_rows")).over(wAll).cast("double"))
+      .select("chunk_id", "n_rows", "cum_rows", "pct_complete")
+      .orderBy("chunk_id")
+  }
+
+  def snapshotProgressSql(nChunks: Int = 8): String =
+    s"""WITH c AS (
+       |  SELECT o_orderkey % $nChunks AS chunk_id, count(*) AS n_rows
+       |  FROM orders GROUP BY chunk_id)
+       |SELECT chunk_id, n_rows,
+       |       CAST(sum(n_rows) OVER (ORDER BY chunk_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rows,
+       |       CAST(sum(n_rows) OVER (ORDER BY chunk_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |         / CAST(sum(n_rows) OVER () AS DOUBLE) AS pct_complete
+       |FROM c ORDER BY chunk_id""".stripMargin
 }

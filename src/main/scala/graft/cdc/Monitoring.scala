@@ -221,4 +221,92 @@ object Monitoring {
       .agg(count(lit(1)).as("n_messages"))
       .orderBy("server_name", "schema_name", "table_name")
   }
+
+  /** Heartbeat / silence detection: per key cohort, the distribution of
+    * inter-event gaps in event-time order, and how many exceeded the
+    * silence threshold — the liveness signal a connector heartbeat table
+    * feeds. The lag window partitions by cohort (never global), so the
+    * sort is per-cohort and scales with cohort count. */
+  def heartbeatGaps(changelog: DataFrame, silenceMs: Long = 60000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort").orderBy("ts", "seq")
+    changelog
+      .select((col("pk") % 10).as("cohort"), col("ts"), col("seq"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("gap_ms", unix_millis(col("ts")) - col("prev_ms"))
+      .groupBy("cohort")
+      .agg(
+        count(col("gap_ms")).as("n_gaps"),
+        max(col("gap_ms")).as("max_gap_ms"),
+        count(when(col("gap_ms") > silenceMs, 1)).as("n_silences"))
+      .withColumn("silence_ratio",
+        col("n_silences").cast("double") / col("n_gaps").cast("double"))
+      .orderBy("cohort")
+  }
+
+  def heartbeatGapsSql(changelogSql: String, silenceMs: Long = 60000L): String =
+    s"""$changelogSql, g AS (
+       |  SELECT pk % 10 AS cohort,
+       |         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY pk % 10 ORDER BY ts, seq) AS gap_ms
+       |  FROM changelog)
+       |SELECT cohort, count(gap_ms) AS n_gaps, max(gap_ms) AS max_gap_ms,
+       |       count(CASE WHEN gap_ms > $silenceMs THEN 1 END) AS n_silences,
+       |       CAST(count(CASE WHEN gap_ms > $silenceMs THEN 1 END) AS DOUBLE)
+       |         / CAST(count(gap_ms) AS DOUBLE) AS silence_ratio
+       |FROM g GROUP BY cohort ORDER BY cohort""".stripMargin
+
+  /** Partition-skew report: how evenly the key space spreads over a
+    * deterministic bucketing (pk % n) — the check that decides whether a
+    * changelog needs salting before its shuffle-by-key apply. skew_ratio
+    * is bucket share relative to perfect balance (1.0 = even). The
+    * window runs over the ALREADY-AGGREGATED n-row bucket table, so the
+    * single partition is bounded by bucket count, not data size. */
+  def partitionSkew(changelog: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    changelog
+      .groupBy((col("pk") % nBuckets).as("bucket"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("pk")).as("n_keys"))
+      .withColumn("skew_ratio",
+        col("n_events").cast("double") * nBuckets / sum(col("n_events")).over(w).cast("double"))
+      .select("bucket", "n_events", "n_keys", "skew_ratio")
+      .orderBy("bucket")
+  }
+
+  def partitionSkewSql(changelogSql: String, nBuckets: Int = 32): String =
+    s"""$changelogSql, b AS (
+       |  SELECT pk % $nBuckets AS bucket, count(*) AS n_events, count(DISTINCT pk) AS n_keys
+       |  FROM changelog GROUP BY bucket)
+       |SELECT bucket, n_events, n_keys,
+       |       CAST(n_events AS DOUBLE) * $nBuckets / CAST(sum(n_events) OVER () AS DOUBLE) AS skew_ratio
+       |FROM b ORDER BY bucket""".stripMargin
+
+  /** Transactional-outbox routing (the Debezium outbox event router the
+    * reference's connector config surface exposes): events are outbox
+    * rows (aggregate type/id + JSON payload); route each to its
+    * destination topic and report per-destination delivery stats,
+    * including payload-parse health. One hash aggregation by destination. */
+  def outboxRoute(wire: DataFrame): DataFrame = {
+    val parts = split(col("topic"), "\\.")
+    wire
+      .select(
+        concat(lit("outbox."), parts.getItem(2)).as("destination"),
+        col("offset"),
+        get_json_object(col("value"), "$.after.user_id").cast("long").as("aggregate_id"))
+      .groupBy("destination")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        countDistinct(col("aggregate_id")).as("n_aggregates"),
+        min(col("offset")).as("first_offset"),
+        max(col("offset")).as("last_offset"),
+        count(when(col("aggregate_id").isNull, 1)).as("n_unparsed"))
+      .orderBy("destination")
+  }
+
+  val outboxRouteSql: String =
+    """SELECT 'outbox.' || event_type AS destination,
+      |       count(*) AS n_messages,
+      |       count(DISTINCT CASE WHEN event_type <> 'error' THEN user_id END) AS n_aggregates,
+      |       min(event_id) AS first_offset, max(event_id) AS last_offset,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
+      |FROM events GROUP BY destination ORDER BY destination""".stripMargin
 }

@@ -139,9 +139,11 @@ object Dedup {
 
     cands
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("n_union", size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_common"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_common"))
       .withColumn("jaccard", col("n_common").cast("double") / col("n_union").cast("double"))
-      .select("id_a", "id_b", "n_common", "n_union", "jaccard")
+      .select("id_a", "id_b", "n_common", "n_union", "n_a", "n_b", "jaccard")
   }
 
   /** Shared CTE chain ending in `verified(id_a, id_b, n_common, n_union)`
@@ -179,7 +181,8 @@ object Dedup {
        |verified AS (
        |  SELECT c.id_a, c.id_b,
        |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-       |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union
+       |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union,
+       |         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
        |  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
   }
 
@@ -188,6 +191,27 @@ object Dedup {
        |SELECT id_a, id_b, n_common, n_union,
        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
        |FROM verified WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Shingle-containment dedup: |A∩B| / min(|A|,|B|) over the LSH-verified
+    * candidate pairs — catches sub-document duplication (one document
+    * truncating or embedding another) that symmetric Jaccard under-scores:
+    * a 20%-length prefix copy has Jaccard ≈ 0.2 but containment ≈ 1.0.
+    * Shares [[verifiedPairs]], so the marginal cost is one filter. */
+  def containment(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
+    verifiedPairs(spark, dir)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+      .orderBy("id_a", "id_b")
+
+  def containmentSql: String =
+    s"""$minhashPairsCte
+       |SELECT id_a, id_b, n_common, n_a, n_b,
+       |       CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
+       |FROM verified
+       |WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Near-dup clustering: connected components over the verified minhash

@@ -64,6 +64,50 @@ object Ann {
        |FROM embeddings CROSS JOIN q
        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Radius (range) search: every vector whose cosine against the query
+    * vector meets the threshold — the "find all near misses" complement
+    * of top-k. Same single-scan shape as [[bruteForceTopK]]: the query
+    * vector broadcasts, scoring is one codegen'd expression per row, and
+    * the selective filter means only matches reach the output sort. */
+  def rangeSearch(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
+      .where(col("cosine") >= threshold && col("vec_id") =!= 0)
+      .orderBy("vec_id")
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |FROM embeddings CROSS JOIN q
+       |WHERE ${cosineSql("embedding", "qe")} >= 0.25 AND vec_id <> 0
+       |ORDER BY vec_id""".stripMargin
+
+  /** Cross-modal retrieval: cosine top-k against the query vector, joined
+    * back to the documents table for human-readable metadata — the
+    * "semantic search over the corpus" surface. The top-k side is k rows
+    * after TakeOrderedAndProject, so the metadata join broadcasts it. */
+  def semanticJoin(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val top = bruteForceTopK(spark, dir, k)
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+    docs.join(broadcast(top), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"), col("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+  }
+
+  val semanticJoinSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |top AS (
+       |  SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |  FROM embeddings CROSS JOIN q
+       |  ORDER BY cosine DESC, vec_id LIMIT 10)
+       |SELECT doc_id, source, lang, n_chars, cosine
+       |FROM documents JOIN top ON doc_id = vec_id
+       |ORDER BY cosine DESC, doc_id""".stripMargin
+
   /** 8-bit sign-hyperplane bucket code over dims 1,9,…,57 (1-based). */
   private def signCode(emb: Column): Column =
     (0 until 8).map { k =>

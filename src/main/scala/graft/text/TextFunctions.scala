@@ -180,6 +180,37 @@ object TextFunctions {
       .orderBy("decile")
   }
 
+  /** Term document-frequency table: for the corpus's most common terms
+    * (≥3 chars), in how many documents each appears and its share of the
+    * corpus — the statistic behind IDF weighting and stopword discovery.
+    * array_distinct runs per-row (terms dedupe map-side before the
+    * explode), so the shuffle carries (term, doc) pairs only once per
+    * distinct term per doc. */
+  def termDocFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select(explode(array_distinct(split(normText(col("text")), " "))).as("term"))
+      .where(length(col("term")) >= 3)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("df_ratio", col("df").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topK)
+  }
+
+  val termDocFreqSql: String =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |terms AS (
+      |  SELECT unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+      |  FROM documents),
+      |df AS (
+      |  SELECT term, count(*) AS df FROM terms WHERE length(term) >= 3 GROUP BY term)
+      |SELECT term, df, n_docs, CAST(df AS DOUBLE) / CAST(n_docs AS DOUBLE) AS df_ratio
+      |FROM df CROSS JOIN n
+      |ORDER BY df DESC, term LIMIT 20""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

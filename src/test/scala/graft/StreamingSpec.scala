@@ -136,6 +136,57 @@ class StreamingSpec extends AnyFunSuite {
       (42.0, ts(4), ts(5))))
   }
 
+  test("stream session_window splits on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    // session windows emit on APPEND only: a session is final once the
+    // watermark passes its end
+    val query = WindowedMetrics.sessionStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+
+    input.addData(
+      ChangeEvent("c", 1L, ts(1), 1L, 1.0),
+      ChangeEvent("u", 1L, ts(5), 2L, 1.0),   // same session (gap 4 min)
+      ChangeEvent("u", 1L, ts(50), 3L, 1.0),  // new session (gap 45 min)
+      ChangeEvent("c", 2L, ts(2), 4L, 1.0))
+    query.processAllAvailable()
+    // push the watermark (2h) past every session end so they all close
+    input.addData(ChangeEvent("c", 99L,
+      java.sql.Timestamp.valueOf("2024-01-01 06:00:00"), 5L, 1.0))
+    query.processAllAvailable()
+    val sessions = spark.table("sess_out").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3)))
+    query.stop()
+
+    // pk=1: [ts1..ts5+gap] with 2 events, [ts50..] with 1; pk=2: 1 session
+    assert(sessions.count(_._1 == 1L) === 2)
+    assert(sessions.filter(_._1 == 1L).map(_._3).sorted.toSeq === Seq(1L, 2L))
+    assert(sessions.count(_._1 == 2L) === 1)
+  }
+
+  test("stream-stream interval join enriches changes with preceding-hour alerts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val changes = MemoryStream[ChangeEvent]
+    val alerts = MemoryStream[(java.sql.Timestamp, Long)]
+    val alertsDf = alerts.toDS().toDF("rule_ts", "rule_pk_cohort")
+    val query = WindowedMetrics.enrichWithAlerts(changes.toDS().toDF(), alertsDf)
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+
+    alerts.addData((ts(10), 1L))                       // alert for cohort 1 at :10
+    changes.addData(
+      ChangeEvent("u", 1L, ts(30), 1L, 1.0),           // cohort 1, alert 20min earlier -> match
+      ChangeEvent("u", 11L, ts(30), 2L, 1.0),          // cohort 1 (11%10) -> match
+      ChangeEvent("u", 2L, ts(30), 3L, 1.0),           // cohort 2 -> no alert
+      ChangeEvent("u", 1L, ts(5), 4L, 1.0))            // before the alert -> no match
+    query.processAllAvailable()
+    val rows = spark.table("enrich_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+    query.stop()
+
+    assert(rows.toSet === Set((1L, 1L), (11L, 2L)))
+  }
+
   test("stream dedup drops redelivered seqs within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
