@@ -126,6 +126,18 @@ object SparkEntry {
     // ── Multimodal ───────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) => Binary.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Binary.frameSample(s, d)),
+    "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
+    // ── Round-2b batch ───────────────────────────────────────────────
+    "cdc_update_diff" -> ((s, d) => Monitoring.updateDiff(Cdc.changelog(s, d))),
+    "cdc_txn_group" -> ((s, d) => Monitoring.txnGroup(Cdc.changelog(s, d))),
+    "cdc_offset_gaps" -> ((s, d) => Monitoring.offsetGaps(Cdc.toWire(s, d))),
+    "cdc_time_travel" -> ((s, d) =>
+      Materialize.timeTravel(Cdc.changelog(s, d)).orderBy("user_id")),
+    "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
+    "q_percentile_cont" -> ((s, d) => Relational.percentileCont(s, d)),
+    "q_cume_ntile" -> ((s, d) => Relational.cumeNtile(s, d)),
+    "ann_knn_join" -> ((s, d) => Ann.knnJoin(s, d)),
+    "text_pii_scan" -> ((s, d) => TextFunctions.piiScan(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -673,6 +685,16 @@ object SparkEntry {
       // ── Multimodal ─────────────────────────────────────────────────
       "mm_binary_meta" -> Binary.binaryMetaSql,
       "mm_frame_sample" -> Binary.frameSampleSql,
+      "mm_modality_stats" -> Binary.modalityStatsSql,
+      "cdc_update_diff" -> Monitoring.updateDiffSql(cl),
+      "cdc_txn_group" -> Monitoring.txnGroupSql(cl),
+      "cdc_offset_gaps" -> Monitoring.offsetGapsSql,
+      "cdc_time_travel" -> Materialize.timeTravelSql(cl),
+      "q_cube" -> Relational.cubeAggSql,
+      "q_percentile_cont" -> Relational.percentileContSql,
+      "q_cume_ntile" -> Relational.cumeNtileSql,
+      "ann_knn_join" -> Ann.knnJoinSql(),
+      "text_pii_scan" -> TextFunctions.piiScanSql,
     )
   }
 }

@@ -280,6 +280,81 @@ object Relational {
       |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** Full CUBE over order status × priority: all four grouping
+    * combinations in one Expand + hash aggregation pass (no re-scan per
+    * subtotal level). Same single-shuffle shape as GROUPING SETS. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_cube_src")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n_orders,
+        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+        |FROM graft_cube_src
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  val cubeAggSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |       count(*) AS n_orders,
+      |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** Exact interpolated percentiles (percentile_cont semantics) of order
+    * value per priority class. Spark's `percentile` and DuckDB's
+    * `quantile_cont` both interpolate linearly at (n-1)·p over the sorted
+    * doubles, so the results are bit-identical. Exact percentiles need the
+    * full value set per group — the group-by keys partition the shuffle;
+    * for a 100 TB run the approx_percentile sketch is the drop-in
+    * alternative when exactness is negotiable. */
+  def percentileCont(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        max(col("o_totalprice")).as("p100"))
+      .orderBy("o_orderpriority")
+
+  val percentileContSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |       quantile_cont(o_totalprice, 0.25) AS p25,
+      |       quantile_cont(o_totalprice, 0.5) AS p50,
+      |       quantile_cont(o_totalprice, 0.9) AS p90,
+      |       max(o_totalprice) AS p100
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Distribution-rank windows per segment: percent_rank, cume_dist and
+    * quartile (ntile) of every customer's balance within its market
+    * segment. The window ORDER BY carries c_custkey as a tiebreaker so
+    * tied balances rank deterministically on both engines. Both rank
+    * ratios are integer-count divisions in float64 — bit-identical. */
+  def cumeNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    Tables.load(spark, dir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  val cumeNtileSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |       percent_rank() OVER w AS pr,
+      |       cume_dist() OVER w AS cd,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

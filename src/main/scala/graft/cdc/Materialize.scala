@@ -260,4 +260,31 @@ object Materialize {
        |       CAST(sum(n_rows) OVER (ORDER BY chunk_id ROWS UNBOUNDED PRECEDING) AS DOUBLE)
        |         / CAST(sum(n_rows) OVER () AS DOUBLE) AS pct_complete
        |FROM c ORDER BY chunk_id""".stripMargin
+
+  /** Point-in-time reconstruction (time travel): the table state as of a
+    * cutoff — here the stream's high watermark minus one day, so the
+    * cutoff derives from the data and both engines compute it identically.
+    * Changes after the cutoff are filtered BEFORE the per-key aggregation,
+    * so this costs exactly one scan + one hash shuffle, same as
+    * [[latestSnapshot]]; the 1-row high-watermark aggregate broadcasts. */
+  def timeTravel(changelog: DataFrame): DataFrame = {
+    val hw = changelog.agg(max(col("ts")).as("hw"))
+    val asOf = changelog
+      .crossJoin(broadcast(hw))
+      .where(col("ts") <= col("hw") - expr("INTERVAL 1 DAY"))
+      .drop("hw")
+    latestSnapshot(asOf)
+  }
+
+  def timeTravelSql(changelogSql: String): String =
+    s"""$changelogSql, hw AS (SELECT max(ts) - INTERVAL 1 DAY AS cutoff FROM changelog),
+       |asofst AS (SELECT c.* FROM changelog c, hw WHERE c.ts <= hw.cutoff),
+       |ranked AS (
+       |  SELECT pk, op, value, ts,
+       |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,
+       |         count(*) OVER (PARTITION BY pk) AS n_changes
+       |  FROM asofst)
+       |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
+       |       ts AS updated_at, n_changes
+       |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
 }

@@ -309,4 +309,108 @@ object Monitoring {
       |       min(event_id) AS first_offset, max(event_id) AS last_offset,
       |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
       |FROM events GROUP BY destination ORDER BY destination""".stripMargin
+
+  /** Redundant-update detection (no-op filtering): reconstruct each
+    * update's before-image via lag() over the per-key change sequence and
+    * classify value-changed vs no-op updates. A JDBC sink pays a full
+    * round trip for a no-op upsert, so the no-op rate tells a pipeline
+    * what redundant-update suppression would save. Deltas stay in exact
+    * decimal (the shared double→DECIMAL(18,2) rounding both engines
+    * perform identically); one key-partitioned window + one aggregation. */
+  def updateDiff(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("ts", "seq")
+    changelog
+      .select(col("pk"), col("op"), col("ts"), col("seq"),
+        dec(col("value"), 18, 2).as("v"))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+      .where(col("op") === "u" && col("pv").isNotNull)
+      .groupBy((col("pk") % 10).as("pk_bucket"))
+      .agg(
+        count(lit(1)).as("n_updates"),
+        count(when(col("v") === col("pv"), 1)).as("n_noop"),
+        count(when(col("v") =!= col("pv"), 1)).as("n_changed"),
+        sum(abs(col("v") - col("pv"))).cast(DecimalType(28, 2)).cast("double").as("sum_abs_delta"),
+        max(abs(col("v") - col("pv"))).cast("double").as("max_abs_delta"))
+      .orderBy("pk_bucket")
+  }
+
+  def updateDiffSql(changelogSql: String): String =
+    s"""$changelogSql, seqd AS (
+       |  SELECT pk, op, CAST(value AS DECIMAL(18,2)) AS v,
+       |         lag(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY pk ORDER BY ts, seq) AS pv
+       |  FROM changelog)
+       |SELECT pk % 10 AS pk_bucket,
+       |       count(*) AS n_updates,
+       |       count(CASE WHEN v = pv THEN 1 END) AS n_noop,
+       |       count(CASE WHEN v <> pv THEN 1 END) AS n_changed,
+       |       CAST(CAST(sum(abs(v - pv)) AS DECIMAL(28,2)) AS DOUBLE) AS sum_abs_delta,
+       |       CAST(max(abs(v - pv)) AS DOUBLE) AS max_abs_delta
+       |FROM seqd WHERE op = 'u' AND pv IS NOT NULL
+       |GROUP BY pk_bucket ORDER BY pk_bucket""".stripMargin
+
+  /** Transaction grouping (Debezium transaction-metadata semantics): batch
+    * the change sequence into transactions and report per-transaction
+    * shape — event count, distinct keys touched, offset range, wall span,
+    * delete mix. Transaction id is derived deterministically from the
+    * sequence number (seq div 50 — the surrogate for Debezium's
+    * transaction.id since the test stream carries none). One hash
+    * aggregation; partial aggregation runs map-side at any scale. */
+  def txnGroup(changelog: DataFrame, txnSize: Int = 50): DataFrame =
+    changelog
+      .groupBy(expr(s"seq div $txnSize").as("txn_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("pk")).as("n_keys"),
+        min(col("seq")).as("first_seq"),
+        max(col("seq")).as("last_seq"),
+        (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("span_ms"),
+        count(when(col("op") === "d", 1)).as("n_deletes"))
+      .orderBy("txn_id")
+
+  def txnGroupSql(changelogSql: String, txnSize: Int = 50): String =
+    s"""$changelogSql
+       |SELECT seq // $txnSize AS txn_id,
+       |       count(*) AS n_events,
+       |       count(DISTINCT pk) AS n_keys,
+       |       min(seq) AS first_seq, max(seq) AS last_seq,
+       |       max(epoch_ms(ts)) - min(epoch_ms(ts)) AS span_ms,
+       |       count(CASE WHEN op = 'd' THEN 1 END) AS n_deletes
+       |FROM changelog GROUP BY txn_id ORDER BY txn_id""".stripMargin
+
+  /** Offset-continuity audit per topic: message counts, offset range,
+    * missing-offset count (range minus observed) and the largest single
+    * gap — the "did we lose events?" check a consumer runs against its
+    * committed offsets. One window (partitioned by topic, already the
+    * shuffle key) + one aggregation. */
+  def offsetGaps(wire: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic").orderBy("offset")
+    wire
+      .select(col("topic"), col("offset"))
+      .withColumn("prev", lag(col("offset"), 1).over(w))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        min(col("offset")).as("min_offset"),
+        max(col("offset")).as("max_offset"),
+        (max(col("offset")) - min(col("offset")) + 1 - count(lit(1))).as("n_missing"),
+        coalesce(max(col("offset") - col("prev") - 1), lit(0L)).as("max_gap"),
+        count(when(col("offset") - col("prev") > 1, 1)).as("n_gaps"))
+      .orderBy("topic")
+  }
+
+  val offsetGapsSql: String =
+    """WITH wire AS (
+      |  SELECT 'graft.public.' || event_type AS topic, event_id AS "offset" FROM events),
+      |seqd AS (
+      |  SELECT topic, "offset",
+      |         lag("offset") OVER (PARTITION BY topic ORDER BY "offset") AS prev
+      |  FROM wire)
+      |SELECT topic, count(*) AS n_messages,
+      |       min("offset") AS min_offset, max("offset") AS max_offset,
+      |       max("offset") - min("offset") + 1 - count(*) AS n_missing,
+      |       coalesce(max("offset" - prev - 1), 0) AS max_gap,
+      |       count(CASE WHEN "offset" - prev > 1 THEN 1 END) AS n_gaps
+      |FROM seqd GROUP BY topic ORDER BY topic""".stripMargin
 }

@@ -84,4 +84,37 @@ object Binary {
       |             unnest(generate_series(0, CAST((octet_length(encode(text)) + 999) // 1000 AS INTEGER) - 1)) AS i
       |      FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Per-modality payload statistics: blob counts, byte volumes and
+    * magic-prefix diversity for each modality class — the storage-planning
+    * slice (partition sizing, codec routing) a multimodal lake needs.
+    * Modality is the typed-metadata column (derived deterministically here
+    * since blobs are synthetic). One scan + one 3-group aggregation. */
+  def modalityStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("modality"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        substring(hex(encode(col("text"), "UTF-8")), 1, 8).as("magic_hex"))
+      .groupBy("modality")
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        countDistinct(col("magic_hex")).as("n_magics"))
+      .withColumn("avg_bytes", col("total_bytes").cast("double") / col("n_blobs").cast("double"))
+      .orderBy("modality")
+
+  val modalityStatsSql: String =
+    """WITH b AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |         octet_length(encode(text)) AS n_bytes,
+      |         substr(hex(encode(text)), 1, 8) AS magic_hex
+      |  FROM documents)
+      |SELECT modality, count(*) AS n_blobs, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |       max(n_bytes) AS max_bytes, count(DISTINCT magic_hex) AS n_magics,
+      |       CAST(sum(n_bytes) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bytes
+      |FROM b GROUP BY modality ORDER BY modality""".stripMargin
 }

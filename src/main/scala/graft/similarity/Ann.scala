@@ -267,4 +267,43 @@ object Ann {
        |WHERE ${cosineSql("ea", "eb")} >= 0.999
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Batch k-NN join: every query vector (vec_id ≡ 0 mod 100) gets its
+    * top-k neighbors from the corpus, candidates bounded to the query's
+    * sign-LSH bucket. This is the many-queries form of [[lshTopK]] — the
+    * query set is |corpus|/100 bare (id, vec, bucket) rows, so it
+    * broadcasts; candidate scoring is one bucket-equality hash join with
+    * per-row codegen'd cosine; ranking is a window partitioned by query id
+    * (the join key — no extra shuffle). At 100 TB the broadcast bound is
+    * the knob: a larger query set flips to a shuffled bucket join. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val q = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    emb.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine(spark, "embedding", "qe").as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy("q_id", "rank")
+  }
+
+  def knnJoinSql(k: Int = 3): String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM coded WHERE vec_id % 100 = 0),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql("e.embedding", "q.qe")} AS cosine
+       |  FROM coded e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, neighbor_id, cosine,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT q_id, neighbor_id, cosine, rank FROM ranked
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
 }

@@ -226,4 +226,30 @@ object TextFunctions {
       .orderBy(col("n").desc, col("bigram"))
       .limit(topK)
   }
+
+  /** PII pre-screen per source: how many documents carry long digit runs
+    * (phone/account-number shaped), @-marks (email-shaped), and the total
+    * count of digit-run hits — the scan a governance pipeline runs to
+    * decide where masking (see cdc_mask_policy) must apply before
+    * training. Regex stays in the POSIX-classless subset that Java and
+    * RE2-style engines treat identically. One scan, one aggregation. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit("[0-9]{4,}"), lit(0))).cast("long").as("digit_runs"),
+        col("text").contains("@").as("has_at"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("digit_runs") > 0, 1)).as("n_digit_docs"),
+        count(when(col("has_at"), 1)).as("n_at_docs"),
+        sum(col("digit_runs")).as("total_digit_runs"))
+      .orderBy("source")
+
+  val piiScanSql: String =
+    """SELECT source, count(*) AS n_docs,
+      |       count(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0 THEN 1 END) AS n_digit_docs,
+      |       count(CASE WHEN contains(text, '@') THEN 1 END) AS n_at_docs,
+      |       CAST(sum(len(regexp_extract_all(text, '[0-9]{4,}'))) AS BIGINT) AS total_digit_runs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 }

@@ -1,0 +1,149 @@
+package graft
+
+import graft.analytics.Relational
+import graft.cdc.{Cdc, Materialize, Monitoring}
+import graft.multimodal.Binary
+import graft.similarity.Ann
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics checks for the round-2b operator batch. */
+class Round2bSpec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  private def mkChangelog(rows: Seq[(String, Long, Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("op", "pk", "ms", "seq", "value")
+      .withColumn("ts", timestamp_millis(col("ms"))).drop("ms")
+  }
+
+  test("update diff: no-op and changed updates classified, deltas exact") {
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 1L, 10.0),
+      ("u", 1L, t0 + 1000, 2L, 10.0),  // no-op
+      ("u", 1L, t0 + 2000, 3L, 12.5),  // +2.50
+      ("c", 2L, t0, 4L, 5.0),
+      ("u", 2L, t0 + 1000, 5L, 4.0)))  // -1.00
+    val got = Monitoring.updateDiff(cl).collect()
+      .map(r => r.getAs[Long]("pk_bucket") -> r).toMap
+    assert(got(1L).getAs[Long]("n_noop") === 1L)
+    assert(got(1L).getAs[Long]("n_changed") === 1L)
+    assert(got(1L).getAs[Double]("sum_abs_delta") === 2.5)
+    assert(got(2L).getAs[Long]("n_updates") === 1L)
+    assert(got(2L).getAs[Double]("max_abs_delta") === 1.0)
+  }
+
+  test("txn group: seq-derived transactions report span and key counts") {
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 0L, 1.0), ("u", 2L, t0 + 9000, 49L, 1.0),   // txn 0
+      ("u", 1L, t0 + 20000, 50L, 1.0), ("d", 1L, t0 + 21000, 99L, 1.0))) // txn 1
+    val got = Monitoring.txnGroup(cl).collect()
+      .map(r => r.getAs[Long]("txn_id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_events") === 2L)
+    assert(got(0L).getAs[Long]("n_keys") === 2L)
+    assert(got(0L).getAs[Long]("span_ms") === 9000L)
+    assert(got(0L).getAs[Long]("n_deletes") === 0L)
+    assert(got(1L).getAs[Long]("n_keys") === 1L)
+    assert(got(1L).getAs[Long]("n_deletes") === 1L)
+  }
+
+  test("offset gaps: missing offsets and largest gap per topic") {
+    import spark.implicits._
+    val wire = Seq(
+      ("t.a", 1L), ("t.a", 2L), ("t.a", 5L), ("t.a", 9L), // missing 3,4,6,7,8
+      ("t.b", 10L), ("t.b", 11L))
+      .toDF("topic", "offset").withColumn("value", lit("{}"))
+    val got = Monitoring.offsetGaps(wire).collect()
+      .map(r => r.getAs[String]("topic") -> r).toMap
+    assert(got("t.a").getAs[Long]("n_missing") === 5L)
+    assert(got("t.a").getAs[Long]("max_gap") === 3L)
+    assert(got("t.a").getAs[Long]("n_gaps") === 2L)
+    assert(got("t.b").getAs[Long]("n_missing") === 0L)
+    assert(got("t.b").getAs[Long]("max_gap") === 0L)
+  }
+
+  test("time travel: changes inside the last day are excluded from the as-of state") {
+    val day = 86400000L
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 1L, 10.0),
+      ("u", 1L, t0 + day, 2L, 99.0),        // after cutoff (hw = t0+day)
+      ("c", 2L, t0 - 1000, 3L, 7.0),        // just inside the cutoff (hw−1d = t0)
+      ("c", 3L, t0 + day, 4L, 5.0)))        // born after cutoff
+    val got = Materialize.timeTravel(cl).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("last_value")).toMap
+    assert(got === Map(1L -> 10.0, 2L -> 7.0)) // key 3 absent, key 1 pre-update
+  }
+
+  test("cube: four grouping levels, grand total matches table count") {
+    val got = Relational.cubeAgg(spark, dir).collect()
+    val gids = got.map(_.getAs[Long]("gid")).toSet
+    assert(gids === Set(0L, 1L, 2L, 3L))
+    val total = Tables.load(spark, dir, "orders").count()
+    val grand = got.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length === 1 && grand.head.getAs[Long]("n_orders") === total)
+    // detail level sums back to the grand total
+    assert(got.filter(_.getAs[Long]("gid") == 0L).map(_.getAs[Long]("n_orders")).sum === total)
+  }
+
+  test("percentile_cont: ordered quantiles, groups cover the table") {
+    val got = Relational.percentileCont(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p25, p50, p90, p100) = (r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p100"))
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p100)
+    }
+    assert(got.map(_.getAs[Long]("n_orders")).sum ===
+      Tables.load(spark, dir, "orders").count())
+  }
+
+  test("cume/ntile: ranks bounded, top of each segment reaches 1.0") {
+    val got = Relational.cumeNtile(spark, dir).collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("pr") >= 0.0 && r.getAs[Double]("pr") <= 1.0)
+      assert(r.getAs[Double]("cd") > 0.0 && r.getAs[Double]("cd") <= 1.0)
+      assert(r.getAs[Long]("quartile") >= 1L && r.getAs[Long]("quartile") <= 4L)
+    }
+    val bySeg = got.groupBy(_.getAs[String]("c_mktsegment"))
+    bySeg.values.foreach { rs => assert(rs.map(_.getAs[Double]("cd")).max === 1.0) }
+  }
+
+  test("knn join: per-query top-k ranked by cosine, self excluded") {
+    val got = Ann.knnJoin(spark, dir).collect()
+    assert(got.nonEmpty)
+    val byQ = got.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q))
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to rs.length).toSeq)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("pii scan: tallies are internally consistent") {
+    val got = TextFunctions.piiScan(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_digit_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("total_digit_runs") >= r.getAs[Long]("n_digit_docs"))
+    }
+  }
+
+  test("modality stats: three classes partition the corpus, avg consistent") {
+    val got = Binary.modalityStats(spark, dir).collect()
+    assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
+    assert(got.map(_.getAs[Long]("n_blobs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    got.foreach { r =>
+      assert(r.getAs[Double]("avg_bytes") ===
+        r.getAs[Long]("total_bytes").toDouble / r.getAs[Long]("n_blobs").toDouble)
+    }
+  }
+}
