@@ -138,6 +138,9 @@ object SparkEntry {
     "q_cume_ntile" -> ((s, d) => Relational.cumeNtile(s, d)),
     "ann_knn_join" -> ((s, d) => Ann.knnJoin(s, d)),
     "text_pii_scan" -> ((s, d) => TextFunctions.piiScan(s, d)),
+    "pipe_chunk_documents" -> ((s, d) => TextFunctions.chunkDocuments(s, d)),
+    "pipe_sample_stratified" -> ((s, d) => TextFunctions.sampleStratified(s, d)),
+    "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -695,6 +698,9 @@ object SparkEntry {
       "q_cume_ntile" -> Relational.cumeNtileSql,
       "ann_knn_join" -> Ann.knnJoinSql(),
       "text_pii_scan" -> TextFunctions.piiScanSql,
+      "pipe_chunk_documents" -> TextFunctions.chunkDocumentsSql(),
+      "pipe_sample_stratified" -> TextFunctions.sampleStratifiedSql,
+      "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),
     )
   }
 }

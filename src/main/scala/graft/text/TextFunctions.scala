@@ -246,6 +246,104 @@ object TextFunctions {
         sum(col("digit_runs")).as("total_digit_runs"))
       .orderBy("source")
 
+  /** Context-window chunking: split each document into fixed-size word
+    * windows (chunk 100, stride 75 — 25-word overlap), the sequence-prep
+    * step before tokenization/packing. Pure per-row arithmetic + explode:
+    * no shuffle at all until the output sort, so it streams at any scale;
+    * chunk counts are integer math both engines share exactly. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+                     chunk: Int = 100, stride: Int = 75): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+      .withColumn("n_chunks",
+        expr(s"greatest(0L, n_words - $chunk + ${stride - 1}) div $stride") + 1L)
+      .select(col("doc_id"), col("n_words"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_idx"))
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_word"),
+        least(lit(chunk.toLong), col("n_words") - col("chunk_idx") * stride).as("chunk_words"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def chunkDocumentsSql(chunk: Int = 100, stride: Int = 75): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words
+       |  FROM documents),
+       |n AS (SELECT doc_id, n_words,
+       |             greatest(0, n_words - $chunk + ${stride - 1}) // $stride + 1 AS n_chunks
+       |      FROM w)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       |       CAST(i AS BIGINT) * $stride AS start_word,
+       |       least($chunk, n_words - CAST(i AS BIGINT) * $stride) AS chunk_words
+       |FROM (SELECT doc_id, n_words, unnest(generate_series(0, n_chunks - 1)) AS i FROM n)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Deterministic stratified sampling: each source gets a digest-derived
+    * keep-rate (25–74 %), each document a content-digest bucket; keep iff
+    * bucket < rate. Reproducible under resharding (no RNG state), and the
+    * per-source realized rate converges on the target — the mix-control
+    * step a training pipeline uses to rebalance sources. One scan + one
+    * aggregation. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = conv(substring(md5(col("source")), 1, 8), 16, 10).cast("long") % 50 + 25
+    val bucket = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), rate.as("rate_pct"), (bucket < rate).as("keep"))
+      .groupBy("source", "rate_pct")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"))
+      .withColumn("realized_pct",
+        col("n_kept").cast("double") * 100.0 / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
+  val sampleStratifiedSql: String =
+    """WITH b AS (
+      |  SELECT source,
+      |         CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 50 + 25 AS rate_pct,
+      |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT source, rate_pct, count(*) AS n_docs,
+      |       count(CASE WHEN bucket < rate_pct THEN 1 END) AS n_kept,
+      |       CAST(count(CASE WHEN bucket < rate_pct THEN 1 END) AS DOUBLE) * 100.0
+      |         / CAST(count(*) AS DOUBLE) AS realized_pct
+      |FROM b GROUP BY source, rate_pct ORDER BY source""".stripMargin
+
+  /** Token-budget allocation: give every source an equal share of a fixed
+    * corpus token budget and compute the keep-probability that hits it —
+    * the planning table behind down-sampling over-represented sources.
+    * Two aggregations (per-source totals + a broadcast 1-row source
+    * count); ratios are double divisions of exact integers. */
+  def tokenBudget(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    val perSource = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val nSources = perSource.select(count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(nSources))
+      .withColumn("share", expr(s"${budget}L div n_sources"))
+      .withColumn("keep_prob",
+        least(lit(1.0), col("share").cast("double") / col("total_tokens").cast("double")))
+      .withColumn("projected_tokens", least(col("total_tokens"), col("share")))
+      .select("source", "n_docs", "total_tokens", "share", "keep_prob", "projected_tokens")
+      .orderBy("source")
+  }
+
+  def tokenBudgetSql(budget: Long = 1000000L): String =
+    s"""WITH per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY source),
+       |n AS (SELECT count(*) AS n_sources FROM per_source)
+       |SELECT source, n_docs, total_tokens,
+       |       $budget // n_sources AS share,
+       |       least(1.0, CAST($budget // n_sources AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS keep_prob,
+       |       least(total_tokens, $budget // n_sources) AS projected_tokens
+       |FROM per_source, n ORDER BY source""".stripMargin
+
   val piiScanSql: String =
     """SELECT source, count(*) AS n_docs,
       |       count(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0 THEN 1 END) AS n_digit_docs,

@@ -136,6 +136,50 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("chunking: windows tile every document with the configured overlap") {
+    val docs = Tables.load(spark, dir, "documents").count()
+    val chunks = TextFunctions.chunkDocuments(spark, dir).collect()
+    assert(chunks.map(_.getAs[Long]("doc_id")).distinct.length.toLong === docs)
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      assert(sorted.map(_.getAs[Long]("chunk_idx")).toSeq === (0L until rs.length).toSeq)
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_word") === r.getAs[Long]("chunk_idx") * 75)
+        assert(r.getAs[Long]("chunk_words") >= 1 && r.getAs[Long]("chunk_words") <= 100)
+      }
+      // consecutive chunks overlap by 25 words (except a short tail)
+      if (sorted.length > 1)
+        assert(sorted.init.forall(_.getAs[Long]("chunk_words") === 100L))
+    }
+  }
+
+  test("stratified sampling: realized rate tracks the per-source target") {
+    val got = TextFunctions.sampleStratified(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    got.foreach { r =>
+      val rate = r.getAs[Long]("rate_pct")
+      assert(rate >= 25 && rate < 75)
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Double]("realized_pct") ===
+        r.getAs[Long]("n_kept").toDouble * 100.0 / r.getAs[Long]("n_docs").toDouble)
+    }
+  }
+
+  test("token budget: projected tokens never exceed share or supply") {
+    val got = TextFunctions.tokenBudget(spark, dir).collect()
+    assert(got.nonEmpty)
+    val share = got.head.getAs[Long]("share")
+    got.foreach { r =>
+      assert(r.getAs[Long]("share") === share) // equal split
+      assert(r.getAs[Long]("projected_tokens") <=
+        math.min(share, r.getAs[Long]("total_tokens")))
+      val kp = r.getAs[Double]("keep_prob")
+      assert(kp > 0.0 && kp <= 1.0)
+      if (r.getAs[Long]("total_tokens") <= share) assert(kp === 1.0)
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
