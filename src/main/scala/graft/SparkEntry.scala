@@ -141,6 +141,8 @@ object SparkEntry {
     "pipe_chunk_documents" -> ((s, d) => TextFunctions.chunkDocuments(s, d)),
     "pipe_sample_stratified" -> ((s, d) => TextFunctions.sampleStratified(s, d)),
     "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
+    "cdc_watermark_advise" -> ((s, d) => Monitoring.watermarkAdvise(Cdc.changelog(s, d))),
+    "q_string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -701,6 +703,8 @@ object SparkEntry {
       "pipe_chunk_documents" -> TextFunctions.chunkDocumentsSql(),
       "pipe_sample_stratified" -> TextFunctions.sampleStratifiedSql,
       "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),
+      "cdc_watermark_advise" -> Monitoring.watermarkAdviseSql(cl),
+      "q_string_agg" -> Relational.stringAggSql,
     )
   }
 }

@@ -355,6 +355,27 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG surface): nations per region as
+    * a sorted CSV. Sorting inside the aggregate makes the result
+    * order-independent across partitions — the only portable way to
+    * string-aggregate distributed. */
+  def stringAgg(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations_csv"))
+      .orderBy("r_name")
+  }
+
+  val stringAggSql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

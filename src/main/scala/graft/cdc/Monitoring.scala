@@ -310,6 +310,44 @@ object Monitoring {
       |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
       |FROM events GROUP BY destination ORDER BY destination""".stripMargin
 
+  /** Watermark sizing advice: per-key arrival lateness (how far behind
+    * the key's running event-time high watermark each event lands, in
+    * arrival = seq order), exact p50/p95/p99, and the advised watermark —
+    * p99 rounded up to the minute. This turns [[disorderStats]]'s raw
+    * disorder measurement into the number a Structured Streaming job
+    * actually sets. One key-partitioned window + one scalar aggregation. */
+  def watermarkAdvise(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    changelog
+      .select(col("pk"), col("seq"), unix_millis(col("ts")).as("ms"))
+      .withColumn("late_ms",
+        greatest(lit(0L), coalesce(max(col("ms")).over(w) - col("ms"), lit(0L))))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("late_ms") > 0, 1)).as("n_late"),
+        expr("percentile(late_ms, 0.5)").as("p50_ms"),
+        expr("percentile(late_ms, 0.95)").as("p95_ms"),
+        expr("percentile(late_ms, 0.99)").as("p99_ms"),
+        (ceil(expr("percentile(late_ms, 0.99)") / 60000.0) * 60000)
+          .cast("long").as("advised_watermark_ms"))
+  }
+
+  def watermarkAdviseSql(changelogSql: String): String =
+    s"""$changelogSql, lat AS (
+       |  SELECT greatest(0, coalesce(
+       |           max(epoch_ms(ts)) OVER (PARTITION BY pk ORDER BY seq
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - epoch_ms(ts), 0)) AS late_ms
+       |  FROM changelog)
+       |SELECT count(*) AS n_events,
+       |       count(CASE WHEN late_ms > 0 THEN 1 END) AS n_late,
+       |       quantile_cont(late_ms, 0.5) AS p50_ms,
+       |       quantile_cont(late_ms, 0.95) AS p95_ms,
+       |       quantile_cont(late_ms, 0.99) AS p99_ms,
+       |       CAST(ceil(quantile_cont(late_ms, 0.99) / 60000.0) * 60000 AS BIGINT) AS advised_watermark_ms
+       |FROM lat""".stripMargin
+
   /** Redundant-update detection (no-op filtering): reconstruct each
     * update's before-image via lag() over the per-key change sequence and
     * classify value-changed vs no-op updates. A JDBC sink pays a full

@@ -43,4 +43,39 @@ class PlanShapeSpec extends AnyFunSuite {
   test("top-k uses TakeOrderedAndProject, not a global sort") {
     assert(planOf("q3_topk").contains("TakeOrderedAndProject"))
   }
+
+  test("knn join broadcasts the query side and never cross-joins") {
+    val p = planOf("ann_knn_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // ranking window is partitioned by the join key, not global
+    assert(!p.contains("Window operation! Moving all data"))
+  }
+
+  test("update-diff window is key-partitioned and aggregation is partial") {
+    val p = planOf("cdc_update_diff")
+    assert(p.contains("Exchange hashpartitioning"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("time travel stays one hash shuffle over the filtered changelog") {
+    val p = planOf("cdc_time_travel")
+    // high-watermark scalar broadcasts; the state agg is the only wide exchange
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("cube/grouping-sets run one Expand, not one scan per level") {
+    for (q <- Seq("q_cube", "q_grouping_sets")) {
+      assert("Expand".r.findAllIn(planOf(q)).length === 1, s"$q lost its single Expand")
+    }
+    // single-table cube: grouping levels never add scans
+    assert("FileScan".r.findAllIn(planOf("q_cube")).length === 1)
+  }
+
+  test("chunking is shuffle-free until the output sort") {
+    val p = planOf("pipe_chunk_documents")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk explode should not shuffle")
+  }
 }

@@ -180,6 +180,30 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark advice: lateness percentiles reflect injected disorder") {
+    val t0 = 1700000000000L
+    // key 1 arrives in order; key 2 has one event 90s late (seq order = arrival)
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 1L, 1.0), ("u", 1L, t0 + 1000, 2L, 1.0),
+      ("c", 2L, t0 + 100000, 3L, 1.0), ("u", 2L, t0 + 10000, 4L, 1.0))) // 90s behind
+    val r = Monitoring.watermarkAdvise(cl).collect().head
+    assert(r.getAs[Long]("n_events") === 4L)
+    assert(r.getAs[Long]("n_late") === 1L)
+    assert(r.getAs[Double]("p99_ms") <= 90000.0)
+    assert(r.getAs[Long]("advised_watermark_ms") % 60000 === 0L)
+    assert(r.getAs[Long]("advised_watermark_ms") >= r.getAs[Double]("p99_ms").toLong)
+  }
+
+  test("string agg: sorted CSV is partition-order independent") {
+    val got = Relational.stringAgg(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val parts = r.getAs[String]("nations_csv").split(",").toSeq
+      assert(parts.length.toLong === r.getAs[Long]("n_nations"))
+      assert(parts === parts.sorted)
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
