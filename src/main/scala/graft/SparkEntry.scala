@@ -143,6 +143,7 @@ object SparkEntry {
     "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
     "cdc_watermark_advise" -> ((s, d) => Monitoring.watermarkAdvise(Cdc.changelog(s, d))),
     "q_string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
+    "cdc_sample_compare" -> ((s, d) => Quality.sampleCompare(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -705,6 +706,7 @@ object SparkEntry {
       "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),
       "cdc_watermark_advise" -> Monitoring.watermarkAdviseSql(cl),
       "q_string_agg" -> Relational.stringAggSql,
+      "cdc_sample_compare" -> Quality.sampleCompareSql(cl),
     )
   }
 }

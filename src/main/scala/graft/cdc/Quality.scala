@@ -97,6 +97,56 @@ object Quality {
     * o_orderpriority with o_totalprice re-typed to string — the classic
     * drift the reference detects). Output: one row per column with status
     * ok / type_changed / removed_in_target / added_in_target. */
+  /** Sampled row-level data-integrity compare
+    * (validation.validate_data_integrity's sampled mode): a deterministic
+    * digest sample of source keys is joined against the target and each
+    * sampled row's value compared. The "target" here is the materialized
+    * snapshot with a deterministic fault injection (value drift on
+    * pk≡0 mod 97, missing rows on pk≡0 mod 131) so the comparator
+    * provably detects both failure classes. Sampling by content digest —
+    * not rand() — keeps the check reproducible across runs and engines.
+    * Costs one key-partitioned join over the ~10% sample only. */
+  def sampleCompare(spark: SparkSession, dir: String): DataFrame = {
+    val source = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
+      .select(col("user_id"), col("last_value"))
+    val target = source
+      .where(pmod(col("user_id"), lit(131)) =!= 0)
+      .select(col("user_id"),
+        when(pmod(col("user_id"), lit(97)) === 0, col("last_value") + 0.01)
+          .otherwise(col("last_value")).as("target_value"))
+    val sampled = source
+      .where(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 < 3)
+    sampled.join(target, Seq("user_id"), "left")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        count(when(col("target_value").isNull, 1)).as("n_missing_target"),
+        count(when(col("target_value") === col("last_value"), 1)).as("n_match"),
+        count(when(col("target_value").isNotNull &&
+          col("target_value") =!= col("last_value"), 1)).as("n_mismatch"))
+  }
+
+  def sampleCompareSql(changelogSql: String): String =
+    s"""$changelogSql, ranked AS (
+       |  SELECT pk, op, value, ts,
+       |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+       |  FROM changelog),
+       |source AS (
+       |  SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value
+       |  FROM ranked WHERE rn = 1 AND op <> 'd'),
+       |target AS (
+       |  SELECT user_id,
+       |         CASE WHEN user_id % 97 = 0 THEN last_value + 0.01 ELSE last_value END AS target_value
+       |  FROM source WHERE user_id % 131 <> 0),
+       |sampled AS (
+       |  SELECT * FROM source
+       |  WHERE CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 10 < 3)
+       |SELECT count(*) AS n_sampled,
+       |       count(CASE WHEN t.target_value IS NULL THEN 1 END) AS n_missing_target,
+       |       count(CASE WHEN t.target_value = s.last_value THEN 1 END) AS n_match,
+       |       count(CASE WHEN t.target_value IS NOT NULL AND t.target_value <> s.last_value THEN 1 END) AS n_mismatch
+       |FROM sampled s LEFT JOIN target t USING (user_id)""".stripMargin
+
   def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val source = Tables.load(spark, dir, "orders")

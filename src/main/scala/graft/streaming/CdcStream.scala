@@ -60,6 +60,19 @@ object CdcStream {
       }
   }
 
+  /** Stateless per-message parse guard for the streaming ingest: wire
+    * messages whose envelope fails to parse are routed to 'dlq' instead of
+    * poisoning (or killing) the apply query — the streaming form of
+    * [[graft.cdc.Cdc.dlqRoute]], matching the reference consumer's
+    * per-message try/except. Pure projection: no state, no shuffle; the
+    * caller splits by `route` into the main apply and a DLQ sink. */
+  def routeStream(wire: DataFrame): DataFrame =
+    wire
+      .withColumn("envelope", from_json(col("value"), graft.cdc.Cdc.envelopeSchema))
+      .withColumn("route",
+        when(col("envelope").isNull || col("envelope.op").isNull, "dlq")
+          .otherwise("main"))
+
   /** Exactly-once replay dedup within the watermark: redelivered messages
     * (same seq) are dropped before apply. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -203,4 +203,28 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
     assert(n === 2)
   }
+
+  test("stream route sends unparseable envelopes to the DLQ, keeps consuming") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good = """{"before":null,"after":{"user_id":1,"event_type":"click","value":2.0},""" +
+      """"source":{"db":"g","schema":"p","table":"events","ts_ms":1},"op":"u","ts_ms":1}"""
+    val input = MemoryStream[(String, Long, String)]
+    val query = CdcStream.routeStream(
+      input.toDS().toDF("topic", "offset", "value"))
+      .select("offset", "route")
+      .writeStream.format("memory").queryName("route_out").outputMode("append").start()
+
+    input.addData(
+      ("t", 1L, good),
+      ("t", 2L, good.dropRight(5)),  // truncated JSON -> unparseable
+      ("t", 3L, "not json at all"),
+      ("t", 4L, good))
+    query.processAllAvailable()
+    val routes = spark.table("route_out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    query.stop()
+
+    assert(routes === Map(1L -> "main", 2L -> "dlq", 3L -> "dlq", 4L -> "main"))
+  }
 }
