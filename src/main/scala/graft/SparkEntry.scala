@@ -144,6 +144,8 @@ object SparkEntry {
     "cdc_watermark_advise" -> ((s, d) => Monitoring.watermarkAdvise(Cdc.changelog(s, d))),
     "q_string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
     "cdc_sample_compare" -> ((s, d) => Quality.sampleCompare(s, d)),
+    "ann_recall_eval" -> ((s, d) => Ann.recallEval(s, d)),
+    "pipe_interleave" -> ((s, d) => TextFunctions.interleave(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -707,6 +709,8 @@ object SparkEntry {
       "cdc_watermark_advise" -> Monitoring.watermarkAdviseSql(cl),
       "q_string_agg" -> Relational.stringAggSql,
       "cdc_sample_compare" -> Quality.sampleCompareSql(cl),
+      "ann_recall_eval" -> Ann.recallEvalSql(),
+      "pipe_interleave" -> TextFunctions.interleaveSql,
     )
   }
 }

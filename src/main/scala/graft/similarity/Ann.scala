@@ -268,6 +268,50 @@ object Ann {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ANN quality evaluation: recall@k of the sign-LSH candidate search
+    * against the exact brute-force top-k — the measurement that decides
+    * whether an index's bucket width is acceptable before it ships. Both
+    * top-k sets are k rows, so the compare is a tagged union + one tiny
+    * aggregation; the expensive parts are the two searches themselves. */
+  def recallEval(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val brute = bruteForceTopK(spark, dir, k)
+      .select(col("vec_id"), lit(1).as("b"), lit(0).as("l"))
+    val lsh = lshTopK(spark, dir, k)
+      .select(col("vec_id"), lit(0).as("b"), lit(1).as("l"))
+    brute.unionAll(lsh)
+      .groupBy("vec_id")
+      .agg(max(col("b")).as("in_brute"), max(col("l")).as("in_lsh"))
+      .agg(
+        sum(col("in_brute")).as("n_brute"),
+        sum(col("in_lsh")).as("n_lsh"),
+        count(when(col("in_brute") === 1 && col("in_lsh") === 1, 1)).as("n_common"))
+      .withColumn("recall_at_k",
+        col("n_common").cast("double") / col("n_brute").cast("double"))
+  }
+
+  def recallEvalSql(k: Int = 10): String =
+    s"""WITH q AS (SELECT embedding AS qe, ${signCodeSql("embedding")} AS qbucket
+       |           FROM embeddings WHERE vec_id = 0),
+       |brute AS (
+       |  SELECT vec_id FROM embeddings CROSS JOIN q
+       |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k),
+       |lsh AS (
+       |  SELECT e.vec_id
+       |  FROM (SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings) e
+       |  JOIN q ON e.bucket = q.qbucket
+       |  ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC, e.vec_id LIMIT $k),
+       |tagged AS (
+       |  SELECT vec_id, 1 AS b, 0 AS l FROM brute
+       |  UNION ALL SELECT vec_id, 0 AS b, 1 AS l FROM lsh),
+       |flags AS (
+       |  SELECT vec_id, max(b) AS in_brute, max(l) AS in_lsh FROM tagged GROUP BY vec_id)
+       |SELECT CAST(sum(in_brute) AS BIGINT) AS n_brute,
+       |       CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+       |       count(CASE WHEN in_brute = 1 AND in_lsh = 1 THEN 1 END) AS n_common,
+       |       CAST(count(CASE WHEN in_brute = 1 AND in_lsh = 1 THEN 1 END) AS DOUBLE)
+       |         / CAST(sum(in_brute) AS DOUBLE) AS recall_at_k
+       |FROM flags""".stripMargin
+
   /** Batch k-NN join: every query vector (vec_id ≡ 0 mod 100) gets its
     * top-k neighbors from the corpus, candidates bounded to the query's
     * sign-LSH bucket. This is the many-queries form of [[lshTopK]] — the

@@ -344,6 +344,47 @@ object TextFunctions {
        |       least(total_tokens, $budget // n_sources) AS projected_tokens
        |FROM per_source, n ORDER BY source""".stripMargin
 
+  /** Deterministic training-order interleave: documents are shuffled
+    * within each source by content digest (reproducible, no RNG) and the
+    * sources round-robined, so consecutive training examples come from
+    * different sources. Per-source windows partition on the shuffle key;
+    * the only unpartitioned window ranks the ~|sources| distinct names —
+    * bounded by source cardinality, not data volume. */
+  def interleave(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(md5(col("text")), col("doc_id"))
+    val srcIdx = docs.select("source").distinct()
+      .withColumn("source_idx",
+        (dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
+          .cast("long"))
+    val nSources = srcIdx.select(count(lit(1)).as("n_sources"))
+    docs
+      .select(col("doc_id"), col("source"),
+        row_number().over(wSrc).cast("long").as("pos_in_source"))
+      .join(broadcast(srcIdx), "source")
+      .crossJoin(broadcast(nSources))
+      .withColumn("global_pos",
+        (col("pos_in_source") - 1L) * col("n_sources") + col("source_idx"))
+      .select("doc_id", "source", "pos_in_source", "global_pos")
+      .orderBy("global_pos")
+  }
+
+  val interleaveSql: String =
+    """WITH s AS (
+      |  SELECT source,
+      |         CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) - 1 AS source_idx
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |n AS (SELECT count(*) AS n_sources FROM s),
+      |p AS (
+      |  SELECT doc_id, source,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS BIGINT) AS pos_in_source
+      |  FROM documents)
+      |SELECT doc_id, p.source, pos_in_source,
+      |       (pos_in_source - 1) * n_sources + source_idx AS global_pos
+      |FROM p JOIN s USING (source), n
+      |ORDER BY global_pos""".stripMargin
+
   val piiScanSql: String =
     """SELECT source, count(*) AS n_docs,
       |       count(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0 THEN 1 END) AS n_digit_docs,

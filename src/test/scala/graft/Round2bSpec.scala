@@ -204,6 +204,25 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("recall eval: lsh recall is a valid fraction and counts agree") {
+    val r = Ann.recallEval(spark, dir).collect().head
+    assert(r.getAs[Long]("n_brute") === 10L)
+    assert(r.getAs[Long]("n_lsh") >= 1L && r.getAs[Long]("n_lsh") <= 10L)
+    assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_lsh"))
+    assert(r.getAs[Long]("n_common") >= 1L) // query itself is in both top-k sets
+    assert(r.getAs[Double]("recall_at_k") ===
+      r.getAs[Long]("n_common").toDouble / 10.0)
+  }
+
+  test("interleave: consecutive positions rotate through sources") {
+    val got = TextFunctions.interleave(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("global_pos")).distinct.length === got.length)
+    val nSources = got.map(_.getAs[String]("source")).distinct.length
+    // the first n_sources positions are n_sources distinct sources
+    val head = got.sortBy(_.getAs[Long]("global_pos")).take(nSources)
+    assert(head.map(_.getAs[String]("source")).distinct.length === nSources)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
