@@ -62,6 +62,16 @@ object ScaleSmoke {
         .groupBy("sig").agg(count(lit(1)).as("n")).where(col("n") > 1).count()
     }
 
+    t("context chunking fan-out", nDocs) {
+      // pipe_chunk_documents shape: per-row arithmetic + explode, no shuffle
+      bigDocs
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"))
+        .withColumn("n_chunks", expr("greatest(0L, n_words - 100 + 74) div 75") + 1L)
+        .select(col("doc_id"), explode(sequence(lit(0L), col("n_chunks") - 1L)).as("i"))
+        .count()
+    }
+
     val emb = Tables.load(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"), col("label"))
@@ -72,6 +82,24 @@ object ScaleSmoke {
       bigEmb.crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qe)").as("c"))
         .orderBy(col("c").desc, col("vec_id")).limit(20).count()
+    }
+    t("knn bucket join", nEmb) {
+      // ann_knn_join shape: bucket-equality join bounds candidates to
+      // |corpus|/256 per query; ranking windows partition on the join key
+      val code = (0 until 8).map { k =>
+        when(element_at(col("embedding"), 1 + 8 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = bigEmb.withColumn("bucket", code)
+      val q = coded.where(col("vec_id") % 10000 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("c").desc, col("vec_id"))
+      coded.join(broadcast(q), Seq("bucket"))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), expr("graft_cosine(embedding, qe)").as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .count()
     }
     spark.stop()
   }

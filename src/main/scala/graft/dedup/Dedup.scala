@@ -235,11 +235,12 @@ object Dedup {
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        // cache per round: iterative lineage otherwise re-executes every
-        // prior round inside the next one (at 100 TB: checkpoint instead,
-        // which also truncates the growing plan)
-        .cache()
+      // deliberately NOT cached per round: measured 1 s/3-rounds slower
+      // with per-round cache (materialization barriers beat the recompute
+      // of three tiny AQE-broadcast joins). At 100 TB node counts, switch
+      // to checkpoint-per-round — there the recompute dominates instead.
     }
+    labels = labels.cache()   // referenced twice below (sizes + final select)
     val sizes = labels.groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("canonical_id"))
