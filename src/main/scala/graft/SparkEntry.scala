@@ -146,6 +146,8 @@ object SparkEntry {
     "cdc_sample_compare" -> ((s, d) => Quality.sampleCompare(s, d)),
     "ann_recall_eval" -> ((s, d) => Ann.recallEval(s, d)),
     "pipe_interleave" -> ((s, d) => TextFunctions.interleave(s, d)),
+    "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
+    "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -711,6 +713,8 @@ object SparkEntry {
       "cdc_sample_compare" -> Quality.sampleCompareSql(cl),
       "ann_recall_eval" -> Ann.recallEvalSql(),
       "pipe_interleave" -> TextFunctions.interleaveSql,
+      "q7_volume" -> Relational.q7VolumeSql,
+      "q10_returns" -> Relational.q10ReturnsSql,
     )
   }
 }

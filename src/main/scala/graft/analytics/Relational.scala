@@ -75,6 +75,86 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q7 shape: shipping volume between two nations by year, both
+    * directions. Nation filter pushes into both broadcast sides before the
+    * fact joins; one hash aggregation on (supp_nation, cust_nation, year). */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Set("NATION_0", "NATION_1", "NATION_2", "NATION_3")
+    val n1 = Tables.load(spark, dir, "nation")
+      .where(col("n_name").isin(pair.toSeq: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.load(spark, dir, "nation")
+      .where(col("n_name").isin(pair.toSeq: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    val supplier = Tables.load(spark, dir, "supplier")
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    lineitemWithDec(spark, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("price_d") * (lit(1) - col("disc_d")))
+          .cast(DecimalType(30, 4)).cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |       count(*) AS n_items,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+      |  AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3')
+      |  AND n1.n_name <> n2.n_name
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q10 shape: top 20 customers by revenue lost to returned items.
+    * Selective returnflag filter reaches the lineitem scan; the top-k is
+    * TakeOrderedAndProject over the aggregated (small) result. */
+  def q10Returns(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val orders = Tables.load(spark, dir, "orders")
+    lineitemWithDec(spark, dir)
+      .where(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_returned_items"),
+        sum(col("price_d") * (lit(1) - col("disc_d")))
+          .cast(DecimalType(30, 4)).cast("double").as("lost_revenue"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |       count(*) AS n_returned_items,
+      |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS lost_revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY lost_revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** Window rank: top-3 orders by total price within each market segment. */
   def windowRank(spark: SparkSession, dir: String): DataFrame = {
     val customer = Tables.load(spark, dir, "customer")

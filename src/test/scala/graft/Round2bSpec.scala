@@ -223,6 +223,21 @@ class Round2bSpec extends AnyFunSuite {
     assert(head.map(_.getAs[String]("source")).distinct.length === nSources)
   }
 
+  test("q7: both nation directions present, volumes positive") {
+    val got = Relational.q7Volume(spark, dir).collect()
+    assert(got.nonEmpty)
+    val pairs = got.map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.forall { case (a, b) => a != b })
+    got.foreach(r => assert(r.getAs[Double]("volume") > 0.0))
+  }
+
+  test("q10: top-20 by lost revenue, strictly ordered") {
+    val got = Relational.q10Returns(spark, dir).collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    val rev = got.map(_.getAs[Double]("lost_revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
