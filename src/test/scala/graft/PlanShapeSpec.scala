@@ -73,6 +73,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("FileScan".r.findAllIn(planOf("q_cube")).length === 1)
   }
 
+  test("q10 pushes the returnflag filter to the scan and broadcasts dims") {
+    val p = planOf("q10_returns")
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2)
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q7 broadcasts both filtered nation sides") {
+    val p = planOf("q7_volume")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3) // supplier + n1 + n2
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("chunking is shuffle-free until the output sort") {
     val p = planOf("pipe_chunk_documents")
     assert(!p.contains("Exchange hashpartitioning"),
