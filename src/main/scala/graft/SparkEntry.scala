@@ -148,6 +148,8 @@ object SparkEntry {
     "pipe_interleave" -> ((s, d) => TextFunctions.interleave(s, d)),
     "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
+    "mm_frame_dedup" -> ((s, d) => Binary.frameDedup(s, d)),
+    "pipe_contamination" -> ((s, d) => Dedup.contamination(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -715,6 +717,8 @@ object SparkEntry {
       "pipe_interleave" -> TextFunctions.interleaveSql,
       "q7_volume" -> Relational.q7VolumeSql,
       "q10_returns" -> Relational.q10ReturnsSql,
+      "mm_frame_dedup" -> Binary.frameDedupSql,
+      "pipe_contamination" -> Dedup.contaminationSql,
     )
   }
 }

@@ -280,6 +280,41 @@ object Dedup {
        |ORDER BY canonical_id, doc_id""".stripMargin
   }
 
+  /** Benchmark-contamination check: which training documents are exact
+    * (normalized) copies of held-out benchmark documents — the eval-
+    * integrity scan an LLM pipeline runs before training. Benchmark =
+    * every 50th original document; train = everything else including the
+    * injected copies, so contamination provably exists and is found. One
+    * digest join (the benchmark side is small and broadcasts); output is
+    * a single summary row. */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = normCorpus(spark, dir).select(col("doc_id"), md5(col("t")).as("sig"))
+    val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
+    val bench = sigs.where(isBench).select(col("sig"), col("doc_id").as("bench_id"))
+    val train = sigs.where(!isBench).select(col("sig"), col("doc_id").as("train_id"))
+    val hits = train.join(broadcast(bench), "sig")
+    val nBench = bench.agg(count(lit(1)).as("n_benchmark"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val nHits = hits.agg(
+      countDistinct(col("train_id")).as("n_contaminated"),
+      countDistinct(col("bench_id")).as("n_affected_bench"))
+    nBench.crossJoin(nTrain).crossJoin(nHits)
+  }
+
+  def contaminationSql: String =
+    s"""$corpusSql,
+       |norm2 AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |sigs AS (SELECT doc_id, md5(t) AS sig FROM norm2),
+       |bench AS (SELECT sig, doc_id FROM sigs WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |train AS (SELECT sig, doc_id FROM sigs WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)),
+       |hits AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id
+       |         FROM train t JOIN bench b USING (sig))
+       |SELECT (SELECT count(*) FROM bench) AS n_benchmark,
+       |       (SELECT count(*) FROM train) AS n_train,
+       |       (SELECT count(DISTINCT train_id) FROM hits) AS n_contaminated,
+       |       (SELECT count(DISTINCT bench_id) FROM hits) AS n_affected_bench""".stripMargin
+
   /** 32-bit SimHash over word tokens + banded Hamming pairing: pairs that
     * share a byte-band with Hamming distance ≤ 6. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {

@@ -85,6 +85,44 @@ object Binary {
       |      FROM documents)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Cross-document frame dedup: fingerprints from [[frameSample]] that
+    * recur across documents — the frame-level dedup a video pipeline runs
+    * before feature extraction (intro cards, black frames, shared stock
+    * footage dedupe at the frame, not the file). Hash-groupBy on the
+    * frame signature, same one-shuffle shape as exact text dedup. The
+    * deterministic stub signature collides exactly when (doc_id % 100,
+    * frame_idx) collide, giving the operator real work to find. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame = {
+    val frames = frameSample(spark, dir)
+      // stub collision domain: docs congruent mod 100 produce identical
+      // frame signatures (a real pipeline would use a perceptual hash)
+      .withColumn("sig", md5(concat_ws(":",
+        (col("doc_id") % 100).cast("string"), col("frame_idx").cast("string"))))
+    frames
+      .groupBy("sig")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("sig")
+  }
+
+  val frameDedupSql: String =
+    """WITH frames AS (
+      |  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx
+      |  FROM (SELECT doc_id, text,
+      |               unnest(generate_series(0, CAST((octet_length(encode(text)) + 999) // 1000 AS INTEGER) - 1)) AS i
+      |        FROM documents)),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         md5(CAST(doc_id % 100 AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS sig
+      |  FROM frames)
+      |SELECT sig, count(*) AS n_frames, count(DISTINCT doc_id) AS n_docs,
+      |       min(doc_id) AS canonical_doc
+      |FROM sigs GROUP BY sig HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY sig""".stripMargin
+
   /** Per-modality payload statistics: blob counts, byte volumes and
     * magic-prefix diversity for each modality class — the storage-planning
     * slice (partition sizing, codec routing) a multimodal lake needs.

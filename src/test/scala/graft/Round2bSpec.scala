@@ -238,6 +238,25 @@ class Round2bSpec extends AnyFunSuite {
     assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
   }
 
+  test("frame dedup: recurring signatures span multiple documents") {
+    val got = graft.multimodal.Binary.frameDedup(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 2L)
+      assert(r.getAs[Long]("n_frames") >= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("contamination: injected benchmark copies are detected") {
+    val r = graft.dedup.Dedup.contamination(spark, dir).collect().head
+    assert(r.getAs[Long]("n_benchmark") > 0L)
+    assert(r.getAs[Long]("n_train") > r.getAs[Long]("n_benchmark"))
+    // copies of doc_id ≡ 0 (mod 350) are benchmark docs replicated into train
+    assert(r.getAs[Long]("n_contaminated") >= 1L)
+    assert(r.getAs[Long]("n_affected_bench") >= 1L)
+    assert(r.getAs[Long]("n_contaminated") >= r.getAs[Long]("n_affected_bench"))
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
