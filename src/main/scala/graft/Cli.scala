@@ -36,6 +36,28 @@ object Cli {
             System.err.println(s"unknown query '${args(2)}'; see `graft.Cli queries`")
             sys.exit(2)
         }
+      case "connector" =>
+        // connector <source|sink> <pipeline> <dialect> <host> <port> <db> <schema> <tables-csv>
+        import graft.cdc.ConnectorConfig
+        import graft.cdc.ConnectorConfig._
+        val dialect = args(3) match {
+          case "postgresql" => Postgres
+          case "sqlserver"  => SqlServer
+          case "oracle"     => OracleDb
+          case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
+        }
+        val cfgMap = args(1) match {
+          case "source" => ConnectorConfig.sourceConfig(SourceSpec(
+            pipeline = args(2), dialect = dialect, host = args(4), port = args(5).toInt,
+            user = "cdc", database = args(6), schema = args(7),
+            tables = args(8).split(",").toSeq))
+          case "sink" => ConnectorConfig.sinkConfig(SinkSpec(
+            connector = args(2), dialect = dialect, host = args(4), port = args(5).toInt,
+            user = "cdc", database = args(6), schema = args(7),
+            topics = args(8).split(",").toSeq))
+          case k => System.err.println(s"unknown connector kind '$k'"); sys.exit(2)
+        }
+        cfgMap.toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
       case "pipeline" =>
         spark.sparkContext.setLogLevel("WARN")
         if (args.length > 4) graft.sources.WireSource.publish(spark, args(4), args(1))

@@ -23,7 +23,8 @@ object Pipeline {
       wirePath: String,
       statePath: String,
       checkpointPath: String,
-      fullLoadFrom: Option[DataFrame] = None)
+      fullLoadFrom: Option[DataFrame] = None,
+      dlqPath: Option[String] = None)
 
   /** Convert parsed envelopes into the canonical changelog shape. */
   private def toChangelog(envelopes: DataFrame): DataFrame =
@@ -60,7 +61,16 @@ object Pipeline {
       .writeStream
       .option("checkpointLocation", cfg.checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        TableSink.upsert(spark, cfg.statePath, toChangelog(batch))
+        // per-message parse guard (the reference consumer's try/except):
+        // an unroutable envelope goes to the DLQ, never into the apply —
+        // one poisoned message must not corrupt state or kill the query
+        val bad = batch.where(col("op").isNull)
+        cfg.dlqPath.foreach { p =>
+          bad.select("topic", "offset")
+            .write.mode("append").parquet(p)
+        }
+        TableSink.upsert(spark, cfg.statePath,
+          toChangelog(batch.where(col("op").isNotNull)))
         ()
       }
       .start()

@@ -33,6 +33,32 @@ class PipelineSpec extends AnyFunSuite {
     expected.foreach { case (k, v) => assert(state(k) === v, s"key $k") }
   }
 
+  test("pipeline routes poisoned messages to the DLQ, applies the rest") {
+    val base = Files.createTempDirectory("dlq").toString
+    WireSource.publish(spark, dir, s"$base/wire")
+    // inject a poisoned wire file: valid (topic, offset) but garbage envelope
+    Files.writeString(
+      java.nio.file.Path.of(s"$base/wire/poison.json"),
+      """{"topic":"graft.public.events","offset":999999999,"value":"NOT JSON"}""" + "\n")
+
+    val q = Pipeline.start(spark, Pipeline.Config(
+      wirePath = s"$base/wire",
+      statePath = s"$base/state",
+      checkpointPath = s"$base/ckpt",
+      dlqPath = Some(s"$base/dlq")))
+    q.processAllAvailable()
+    q.stop()
+
+    val dlq = spark.read.parquet(s"$base/dlq").collect()
+    assert(dlq.map(_.getAs[Long]("offset")).toSet === Set(999999999L))
+    // the apply still processed everything else
+    val state = spark.read.parquet(s"$base/state")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(state.keySet === expected.keySet)
+  }
+
   test("fanout pipeline materializes one state table per routed table") {
     val base = Files.createTempDirectory("fanout").toString
     WireSource.publish(spark, dir, s"$base/wire")
