@@ -150,6 +150,9 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "mm_frame_dedup" -> ((s, d) => Binary.frameDedup(s, d)),
     "pipe_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    // skew path through the same oracle: provably equal to the plain form
+    "cdc_materialize_salted" -> ((s, d) =>
+      Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -719,6 +722,16 @@ object SparkEntry {
       "q10_returns" -> Relational.q10ReturnsSql,
       "mm_frame_dedup" -> Binary.frameDedupSql,
       "pipe_contamination" -> Dedup.contaminationSql,
+      // same oracle as cdc_materialize_latest: the salted two-phase
+      // aggregation must be bit-identical to the plain one
+      "cdc_materialize_salted" ->
+        s"""$cl, ranked AS (
+           |  SELECT pk, op, value, ts,
+           |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,
+           |         count(*) OVER (PARTITION BY pk) AS n_changes
+           |  FROM changelog)
+           |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at, n_changes
+           |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
     )
   }
 }

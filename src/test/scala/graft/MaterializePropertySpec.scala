@@ -83,6 +83,41 @@ class MaterializePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("time travel == naive latest over the pre-cutoff prefix") {
+    // day-scale timestamps so the (max ts − 1 day) cutoff bites mid-stream
+    val genWide = genChangelog.map(_.map(e => e.copy(ts = e.ts * 4000L)))
+    samples(genWide, 10).foreach { evs =>
+      val cutoff = evs.map(_.ts).max - 86400L
+      val expected = naiveLatest(evs.filter(_.ts <= cutoff))
+      val got = Materialize.timeTravel(toDf(evs)).collect()
+        .map(r => r.getLong(0) -> BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)).toMap
+      assert(got === expected)
+    }
+  }
+
+  test("updateDiff matches a naive lag-based classification") {
+    samples(genChangelog, 10).foreach { evs =>
+      val naive = evs.groupBy(_.pk).toSeq.flatMap { case (pk, es) =>
+        val sorted = es.sortBy(e => (e.ts, e.seq))
+        sorted.zip(sorted.drop(1)).collect {
+          case (prev, cur) if cur.op == "u" =>
+            val d = (BigDecimal(cur.value).setScale(2, BigDecimal.RoundingMode.HALF_UP) -
+              BigDecimal(prev.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)).abs
+            (pk % 10, d)
+        }
+      }
+      val expected = naive.groupBy(_._1).map { case (b, ds) =>
+        b -> ((ds.size.toLong, ds.count(_._2 == 0).toLong, ds.map(_._2).sum))
+      }
+      val got = graft.cdc.Monitoring.updateDiff(toDf(evs)).collect()
+        .map(r => r.getAs[Long]("pk_bucket") ->
+          ((r.getAs[Long]("n_updates"), r.getAs[Long]("n_noop"),
+            BigDecimal(r.getAs[Double]("sum_abs_delta")).setScale(2, BigDecimal.RoundingMode.HALF_UP))))
+        .toMap
+      assert(got === expected)
+    }
+  }
+
   test("scd2 open versions are exactly the live keys") {
     samples(genChangelog, 10).foreach { evs =>
       val open = Materialize.scd2(toDf(evs)).collect()
