@@ -153,6 +153,7 @@ object SparkEntry {
     // skew path through the same oracle: provably equal to the plain form
     "cdc_materialize_salted" -> ((s, d) =>
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
+    "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -732,6 +733,7 @@ object SparkEntry {
            |  FROM changelog)
            |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at, n_changes
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+      "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
     )
   }
 }

@@ -310,6 +310,53 @@ object Monitoring {
       |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
       |FROM events GROUP BY destination ORDER BY destination""".stripMargin
 
+  /** Traffic-burst detection: per-minute event counts scored against the
+    * stream's own mean/σ — buckets with z ≥ 2 are the ingest spikes an
+    * operator wants paged about (consumer-lag precursors). Variance uses
+    * the exact integer sums Σn and Σn² (both engines sum BIGINTs), so
+    * every float op downstream has identical operands → identical z. One
+    * time-bucket aggregation + a broadcast 1-row stats join. */
+  def burstDetect(changelog: DataFrame, z: Double = 2.0): DataFrame = {
+    val perMin = changelog
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = perMin.agg(
+      count(lit(1)).as("n_buckets"),
+      sum(col("n_events")).as("s1"),
+      sum(col("n_events") * col("n_events")).as("s2"))
+    perMin.crossJoin(broadcast(stats))
+      .withColumn("mean", col("s1").cast("double") / col("n_buckets").cast("double"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n_buckets").cast("double") - col("mean") * col("mean"))
+      .withColumn("zscore",
+        (col("n_events").cast("double") - col("mean")) / sqrt(col("variance")))
+      .where(col("zscore") >= z)
+      .select("minute", "n_events", "mean", "zscore")
+      .orderBy("minute")
+  }
+
+  def burstDetectSql(changelogSql: String, z: Double = 2.0): String =
+    s"""$changelogSql, per_min AS (
+       |  SELECT date_trunc('minute', ts) AS minute, count(*) AS n_events
+       |  FROM changelog GROUP BY minute),
+       |stats AS (
+       |  SELECT count(*) AS n_buckets,
+       |         CAST(sum(n_events) AS BIGINT) AS s1,
+       |         CAST(sum(n_events * n_events) AS BIGINT) AS s2
+       |  FROM per_min),
+       |scored AS (
+       |  SELECT minute, n_events,
+       |         CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE) AS mean,
+       |         CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+       |           - (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+       |             * (CAST(s1 AS DOUBLE) / CAST(n_buckets AS DOUBLE)) AS variance
+       |  FROM per_min, stats)
+       |SELECT minute, n_events, mean,
+       |       (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) AS zscore
+       |FROM scored
+       |WHERE (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) >= $z
+       |ORDER BY minute""".stripMargin
+
   /** Watermark sizing advice: per-key arrival lateness (how far behind
     * the key's running event-time high watermark each event lands, in
     * arrival = seq order), exact p50/p95/p99, and the advised watermark —

@@ -257,6 +257,19 @@ class Round2bSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_contaminated") >= r.getAs[Long]("n_affected_bench"))
   }
 
+  test("burst detect: a known spike minute is flagged, quiet ones are not") {
+    val t0 = 1700000000000L
+    // 10 quiet minutes of 2 events + one minute with 40
+    val quiet = (0 until 10).flatMap(m => Seq(
+      ("u", 1L, t0 + m * 60000L, m * 2L, 1.0),
+      ("u", 2L, t0 + m * 60000L + 1000, m * 2L + 1, 1.0)))
+    val burst = (0 until 40).map(i => ("u", 3L, t0 + 600000L + i * 100L, 100L + i, 1.0))
+    val got = Monitoring.burstDetect(mkChangelog(quiet ++ burst)).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("n_events") === 40L)
+    assert(got.head.getAs[Double]("zscore") > 2.0)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
