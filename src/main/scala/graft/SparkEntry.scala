@@ -154,6 +154,8 @@ object SparkEntry {
     "cdc_materialize_salted" -> ((s, d) =>
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
     "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
+    "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
+    "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -734,6 +736,8 @@ object SparkEntry {
            |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at, n_changes
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
       "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
+      "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
+      "pipe_dataset_card" -> TextFunctions.datasetCardSql,
     )
   }
 }

@@ -147,6 +147,38 @@ object Quality {
        |       count(CASE WHEN t.target_value IS NOT NULL AND t.target_value <> s.last_value THEN 1 END) AS n_mismatch
        |FROM sampled s LEFT JOIN target t USING (user_id)""".stripMargin
 
+  /** Right-to-be-forgotten propagation (the governance operation behind
+    * the reference's masking/audit surface): an erasure list — keys whose
+    * LAST op is a delete — is anti-joined out of the materialized state,
+    * and the audit row reports how many state rows and history rows the
+    * erasure touches. The erasure list derives from the data itself so
+    * both engines construct it identically; the anti join is a broadcast
+    * of the (small) erasure list against the state. A delete already
+    * drops the live row, so the interesting number is the HISTORY rows a
+    * full GDPR purge must also rewrite. */
+  def gdprErasure(spark: SparkSession, dir: String): DataFrame = {
+    val changelog = Cdc.changelog(spark, dir)
+    val erasure = changelog
+      .groupBy(col("pk"))
+      .agg(max_by(col("op"), struct(col("ts"), col("seq"))).as("last_op"))
+      .where(col("last_op") === "d")
+      .select(col("pk"))
+    val historyTouched = changelog.join(broadcast(erasure), "pk")
+    val stateRows = Materialize.latestSnapshot(changelog)
+    erasure.agg(count(lit(1)).as("n_erased_keys"))
+      .crossJoin(historyTouched.agg(count(lit(1)).as("n_history_rows_purged")))
+      .crossJoin(stateRows.agg(count(lit(1)).as("n_state_rows_remaining")))
+  }
+
+  def gdprErasureSql(changelogSql: String): String =
+    s"""$changelogSql, ranked AS (
+       |  SELECT pk, op, row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+       |  FROM changelog),
+       |erasure AS (SELECT pk FROM ranked WHERE rn = 1 AND op = 'd')
+       |SELECT (SELECT count(*) FROM erasure) AS n_erased_keys,
+       |       (SELECT count(*) FROM changelog c JOIN erasure e USING (pk)) AS n_history_rows_purged,
+       |       (SELECT count(*) FROM ranked WHERE rn = 1 AND op <> 'd') AS n_state_rows_remaining""".stripMargin
+
   def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val source = Tables.load(spark, dir, "orders")

@@ -385,6 +385,35 @@ object TextFunctions {
       |FROM p JOIN s USING (source), n
       |ORDER BY global_pos""".stripMargin
 
+  /** One-row dataset card: the headline numbers a training-data release
+    * ships with — corpus size, source/language diversity, token volume,
+    * exact-duplicate count, PII-bearing document count. Every statistic
+    * is an exact integer aggregate (no cross-row float sums), so the card
+    * is bit-stable across engines and partitionings. Single scan. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("words"),
+        md5(normText(col("text"))).as("sig"),
+        (size(regexp_extract_all(col("text"), lit("[0-9]{4,}"), lit(0))) > 0).as("has_pii"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("words")).as("total_words"),
+        (count(lit(1)) - countDistinct(col("sig"))).as("n_exact_dup_docs"),
+        count(when(col("has_pii"), 1)).as("n_pii_docs"))
+
+  val datasetCardSql: String =
+    """SELECT count(*) AS n_docs,
+      |       count(DISTINCT source) AS n_sources,
+      |       count(DISTINCT lang) AS n_langs,
+      |       CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_words,
+      |       count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))) AS n_exact_dup_docs,
+      |       count(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0 THEN 1 END) AS n_pii_docs
+      |FROM documents""".stripMargin
+
   val piiScanSql: String =
     """SELECT source, count(*) AS n_docs,
       |       count(CASE WHEN len(regexp_extract_all(text, '[0-9]{4,}')) > 0 THEN 1 END) AS n_digit_docs,

@@ -270,6 +270,22 @@ class Round2bSpec extends AnyFunSuite {
     assert(got.head.getAs[Double]("zscore") > 2.0)
   }
 
+  test("gdpr erasure: deleted keys purge their history, state is disjoint") {
+    val r = graft.cdc.Quality.gdprErasure(spark, dir).collect().head
+    val nKeys = Cdc.changelog(spark, dir).select("pk").distinct().count()
+    assert(r.getAs[Long]("n_erased_keys") + r.getAs[Long]("n_state_rows_remaining") === nKeys)
+    assert(r.getAs[Long]("n_history_rows_purged") >= r.getAs[Long]("n_erased_keys"))
+  }
+
+  test("dataset card: internally consistent headline numbers") {
+    val r = TextFunctions.datasetCard(spark, dir).collect().head
+    assert(r.getAs[Long]("n_docs") === Tables.load(spark, dir, "documents").count())
+    assert(r.getAs[Long]("n_sources") >= 1L && r.getAs[Long]("n_langs") >= 1L)
+    assert(r.getAs[Long]("total_words") > r.getAs[Long]("n_docs"))
+    assert(r.getAs[Long]("n_exact_dup_docs") >= 0L)
+    assert(r.getAs[Long]("n_pii_docs") <= r.getAs[Long]("n_docs"))
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
