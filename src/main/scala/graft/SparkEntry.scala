@@ -156,6 +156,7 @@ object SparkEntry {
     "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
     "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
+    "q_range_frame" -> ((s, d) => Relational.rangeFrame(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -738,6 +739,7 @@ object SparkEntry {
       "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
       "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
       "pipe_dataset_card" -> TextFunctions.datasetCardSql,
+      "q_range_frame" -> Relational.rangeFrameSql,
     )
   }
 }

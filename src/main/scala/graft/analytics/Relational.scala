@@ -456,6 +456,40 @@ object Relational {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name ORDER BY r_name""".stripMargin
 
+  /** Time-interval RANGE frame: revenue in the trailing 7 calendar days
+    * per day — unlike the ROWS frame in [[movingAvg]], the frame bound is
+    * event-time, so gaps in the calendar shrink the window. Runs over the
+    * pre-aggregated daily table (bounded by date range, not data volume). */
+  def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("dt"))
+      .createOrReplaceTempView("graft_rf_daily")
+    spark.sql(
+      """SELECT day, n_orders,
+        |       CAST(dt AS DOUBLE) AS day_total,
+        |       CAST(CAST(sum(dt) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS trailing_7d,
+        |       count(*) OVER w AS n_days_in_frame
+        |FROM graft_rf_daily
+        |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin)
+  }
+
+  val rangeFrameSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS dt
+      |  FROM orders GROUP BY day)
+      |SELECT day, n_orders,
+      |       CAST(dt AS DOUBLE) AS day_total,
+      |       CAST(CAST(sum(dt) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS trailing_7d,
+      |       count(*) OVER w AS n_days_in_frame
+      |FROM daily
+      |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+      |ORDER BY day""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -73,6 +73,19 @@ object CdcStream {
         when(col("envelope").isNull || col("envelope.op").isNull, "dlq")
           .otherwise("main"))
 
+  /** Update-mode running aggregates per key: the continuously-maintained
+    * metrics table (n events, exact running sum, latest ts) a dashboard
+    * reads — Structured Streaming's incarnation of incremental view
+    * maintenance (the batch twin is cdc_incremental_agg). State is the
+    * aggregation buffer itself, partitioned by key. */
+  def runningAggStream(events: Dataset[ChangeEvent]): DataFrame =
+    events.toDF()
+      .groupBy(col("pk"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("running_sum"),
+        max(col("ts")).as("latest_ts"))
+
   /** Exactly-once replay dedup within the watermark: redelivered messages
     * (same seq) are dropped before apply. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

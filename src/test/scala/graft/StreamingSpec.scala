@@ -204,6 +204,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === 2)
   }
 
+  test("stream running agg maintains exact per-key sums across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[ChangeEvent]
+    val query = CdcStream.runningAggStream(input.toDS())
+      .writeStream.format("memory").queryName("ragg_out").outputMode("update").start()
+
+    input.addData(ChangeEvent("c", 1L, ts(1), 1L, 10.5), ChangeEvent("u", 1L, ts(2), 2L, 0.25))
+    query.processAllAvailable()
+    input.addData(ChangeEvent("u", 1L, ts(3), 3L, 1.25), ChangeEvent("c", 2L, ts(3), 4L, 7.0))
+    query.processAllAvailable()
+
+    // update mode re-emits a key's row each batch; latest n_events wins
+    val last = spark.table("ragg_out")
+      .groupBy("pk").agg(max_by(struct(col("n_events"), col("running_sum")), col("n_events")).as("s"))
+      .select(col("pk"), col("s.n_events"), col("s.running_sum").cast("double"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    query.stop()
+
+    assert(last(1L) === ((3L, 12.0)))  // 10.5 + 0.25 + 1.25 exact in decimal
+    assert(last(2L) === ((1L, 7.0)))
+  }
+
   test("stream route sends unparseable envelopes to the DLQ, keeps consuming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
