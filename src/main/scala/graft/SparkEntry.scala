@@ -157,6 +157,21 @@ object SparkEntry {
     "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
     "q_range_frame" -> ((s, d) => Relational.rangeFrame(s, d)),
+    // composite-key upsert through the generic materializer: lineitem as a
+    // (suppkey, partkey)-keyed changelog, returnflag 'R' acting as delete
+    "cdc_materialize_composite" -> ((s, d) => {
+      val li = graft.Tables.load(s, d, "lineitem").select(
+        when(col("l_returnflag") === "R", "d").otherwise("u").as("op"),
+        col("l_suppkey"), col("l_partkey"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        dec(col("l_extendedprice"), 18, 2).cast("double").as("price"))
+      Materialize.latestSnapshotKeyed(li,
+          keyCols = Seq("l_suppkey", "l_partkey"),
+          orderCols = Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          opCol = "op",
+          payloadCols = Seq("price"))
+        .orderBy("l_suppkey", "l_partkey")
+    }),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -740,6 +755,19 @@ object SparkEntry {
       "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
       "pipe_dataset_card" -> TextFunctions.datasetCardSql,
       "q_range_frame" -> Relational.rangeFrameSql,
+      "cdc_materialize_composite" ->
+        """WITH ranked AS (
+          |  SELECT l_suppkey, l_partkey,
+          |         CASE WHEN l_returnflag = 'R' THEN 'd' ELSE 'u' END AS op,
+          |         l_shipdate, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+          |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+          |         row_number() OVER (PARTITION BY l_suppkey, l_partkey
+          |                            ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn,
+          |         count(*) OVER (PARTITION BY l_suppkey, l_partkey) AS n_changes
+          |  FROM lineitem)
+          |SELECT l_suppkey, l_partkey, price, l_shipdate, l_orderkey, l_linenumber, n_changes
+          |FROM ranked WHERE rn = 1 AND op <> 'd'
+          |ORDER BY l_suppkey, l_partkey""".stripMargin,
     )
   }
 }

@@ -86,6 +86,17 @@ object CdcStream {
         sum(col("value").cast("decimal(18,2)")).as("running_sum"),
         max(col("ts")).as("latest_ts"))
 
+  /** Content-digest dedup within the watermark: the streaming "don't
+    * ingest the same document twice" guard (the content twin of
+    * [[dedupStream]]'s offset-replay dedup). State holds one digest per
+    * distinct payload inside the watermark horizon — bounded, unlike a
+    * forever-growing seen-set. */
+  def contentDedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_sig", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_sig")
+
   /** Exactly-once replay dedup within the watermark: redelivered messages
     * (same seq) are dropped before apply. */
   def dedupStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

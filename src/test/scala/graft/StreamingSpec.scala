@@ -227,6 +227,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(2L) === ((1L, 7.0)))
   }
 
+  test("stream content dedup drops same-text documents within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val query = CdcStream.contentDedupStream(
+      input.toDS().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("cdedup_out").outputMode("append").start()
+
+    input.addData(
+      (ts(1), 1L, "hello world"),
+      (ts(2), 2L, "hello world"),   // same content, different doc -> dropped
+      (ts(3), 3L, "something else"))
+    query.processAllAvailable()
+    val kept = spark.table("cdedup_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    query.stop()
+    assert(kept === Set(1L, 3L))
+  }
+
   test("stream route sends unparseable envelopes to the DLQ, keeps consuming") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
