@@ -172,6 +172,8 @@ object SparkEntry {
           payloadCols = Seq("price"))
         .orderBy("l_suppkey", "l_partkey")
     }),
+    "cdc_scd3" -> ((s, d) => Materialize.scd3(Cdc.changelog(s, d)).orderBy("user_id")),
+    "ann_ivf_build" -> ((s, d) => Ann.ivfBuild(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -768,6 +770,8 @@ object SparkEntry {
           |SELECT l_suppkey, l_partkey, price, l_shipdate, l_orderkey, l_linenumber, n_changes
           |FROM ranked WHERE rn = 1 AND op <> 'd'
           |ORDER BY l_suppkey, l_partkey""".stripMargin,
+      "cdc_scd3" -> Materialize.scd3Sql(cl),
+      "ann_ivf_build" -> Ann.ivfBuildSql,
     )
   }
 }

@@ -119,6 +119,44 @@ object Materialize {
         col("last.ts").as("updated_at"),
         col("n_changes"))
 
+  /** SCD type-3 dimension: current value + previous value side by side —
+    * the "limited history" warehouse pattern (one prior version retained
+    * as a column, not a row). Last two changes per key via a rank window;
+    * a key whose latest op is a delete drops out, and a key with only one
+    * change has a NULL previous. Same single key-shuffle as SCD-2. */
+  def scd3(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy("pk").orderBy(col("ts").desc, col("seq").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy(col("pk").as("user_id"))
+      .agg(
+        max(when(col("rn") === 1, col("op"))).as("last_op"),
+        max(when(col("rn") === 1, dec(col("value"), 18, 2))).as("cur_d"),
+        max(when(col("rn") === 2, dec(col("value"), 18, 2))).as("prev_d"),
+        max(when(col("rn") === 1, col("ts"))).as("updated_at"))
+      .where(col("last_op") =!= "d")
+      .select(
+        col("user_id"),
+        col("cur_d").cast("double").as("current_value"),
+        col("prev_d").cast("double").as("previous_value"),
+        col("updated_at"))
+  }
+
+  def scd3Sql(changelogSql: String): String =
+    s"""$changelogSql, ranked AS (
+       |  SELECT pk, op, value, ts,
+       |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+       |  FROM changelog)
+       |SELECT pk AS user_id,
+       |       CAST(max(CASE WHEN rn = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS current_value,
+       |       CAST(max(CASE WHEN rn = 2 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS previous_value,
+       |       max(CASE WHEN rn = 1 THEN ts END) AS updated_at
+       |FROM ranked WHERE rn <= 2
+       |GROUP BY pk
+       |HAVING max(CASE WHEN rn = 1 THEN op END) <> 'd'
+       |ORDER BY user_id""".stripMargin
+
   /** SCD-2 history: each non-delete change opens a version; the next change
     * (of any op, including the delete) closes it. */
   def scd2(changelog: DataFrame): DataFrame = {

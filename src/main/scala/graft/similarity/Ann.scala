@@ -207,6 +207,46 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF index BUILD surface: the centroid table itself — per partition
+    * (label): vector count, dimensionality, centroid norm. This is the
+    * artifact a 100 TB ANN deployment persists and re-probes; means use
+    * the same 2^40 quantization as the probe path, so build and search
+    * agree bit-for-bit. One explode + two aggregations. */
+  def ivfBuild(spark: SparkSession, dir: String): DataFrame = {
+    val long = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val centroids = long
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("x").cast("double") * Q).cast("long")).as("snum"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        (col("snum").cast("double") / Q / col("n")).as("c"))
+    centroids
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        max(col("n")).as("n_vectors"),
+        count(lit(1)).as("n_dims"),
+        sqrt(sum(floor(col("c") * col("c") * Q).cast("long")).cast("double") / Q)
+          .as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  val ivfBuildSql: String =
+    s"""WITH longf AS (
+       |  SELECT label, unnest(embedding) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |centroids AS (
+       |  SELECT label, pos, count(*) AS n,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0 / count(*) AS c
+       |  FROM longf GROUP BY label, pos)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |       max(n) AS n_vectors,
+       |       count(*) AS n_dims,
+       |       sqrt(CAST(sum(CAST(floor(c * c * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS centroid_norm
+       |FROM centroids GROUP BY label ORDER BY label""".stripMargin
+
   def ivfTopKSql: String =
     s"""WITH longf AS (
        |  SELECT vec_id, label, unnest(embedding) AS x,

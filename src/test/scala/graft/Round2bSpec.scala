@@ -286,6 +286,31 @@ class Round2bSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_pii_docs") <= r.getAs[Long]("n_docs"))
   }
 
+  test("scd3: current + previous side by side, delete drops the key") {
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 1L, 10.0), ("u", 1L, t0 + 1000, 2L, 20.0), ("u", 1L, t0 + 2000, 3L, 30.0),
+      ("c", 2L, t0, 4L, 5.0),                       // single change: prev NULL
+      ("c", 3L, t0, 5L, 1.0), ("d", 3L, t0 + 1000, 6L, 0.0))) // deleted
+    val got = Materialize.scd3(cl).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("current_value"), Option(r.get(2))))).toMap
+    assert(got.keySet === Set(1L, 2L))
+    assert(got(1L) === ((30.0, Some(20.0))))
+    assert(got(2L)._2.isEmpty)
+  }
+
+  test("ivf build: centroid table covers every partition with plausible norms") {
+    val got = Ann.ivfBuild(spark, dir).collect()
+    assert(got.nonEmpty)
+    val emb = Tables.load(spark, dir, "embeddings")
+    assert(got.map(_.getAs[Long]("n_vectors")).sum === emb.count())
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_dims") === 64L)
+      assert(r.getAs[Double]("centroid_norm") >= 0.0)
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
