@@ -174,6 +174,7 @@ object SparkEntry {
     }),
     "cdc_scd3" -> ((s, d) => Materialize.scd3(Cdc.changelog(s, d)).orderBy("user_id")),
     "ann_ivf_build" -> ((s, d) => Ann.ivfBuild(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -772,6 +773,7 @@ object SparkEntry {
           |ORDER BY l_suppkey, l_partkey""".stripMargin,
       "cdc_scd3" -> Materialize.scd3Sql(cl),
       "ann_ivf_build" -> Ann.ivfBuildSql,
+      "q_unpivot" -> Relational.unpivotMeasuresSql,
     )
   }
 }

@@ -490,6 +490,34 @@ object Relational {
       |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
       |ORDER BY day""".stripMargin
 
+  /** UNPIVOT (wide → long): lineitem's four measure columns reshaped to
+    * (measure, value) rows and aggregated per measure per return flag —
+    * the inverse of [[pivotSegments]]. `stack` is a generator expression
+    * (no shuffle for the reshape itself); the aggregate stays exact in
+    * decimal. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    lineitemWithDec(spark, dir)
+      .select(col("l_returnflag"),
+        expr("stack(4, 'quantity', qty_d, 'price', price_d, 'discount', disc_d, 'tax', tax_d) AS (measure, v)"))
+      .groupBy("l_returnflag", "measure")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast(DecimalType(28, 2)).cast("double").as("total"))
+      .orderBy("l_returnflag", "measure")
+
+  val unpivotMeasuresSql: String =
+    """WITH longf AS (
+      |  SELECT l_returnflag, measure, CAST(v AS DECIMAL(12,2)) AS v
+      |  FROM (
+      |    SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+      |    UNION ALL SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+      |    UNION ALL SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      |    UNION ALL SELECT l_returnflag, 'tax', l_tax FROM lineitem))
+      |SELECT l_returnflag, measure, count(*) AS n,
+      |       CAST(CAST(sum(v) AS DECIMAL(28,2)) AS DOUBLE) AS total
+      |FROM longf GROUP BY l_returnflag, measure
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
