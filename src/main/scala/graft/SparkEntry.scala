@@ -175,6 +175,8 @@ object SparkEntry {
     "cdc_scd3" -> ((s, d) => Materialize.scd3(Cdc.changelog(s, d)).orderBy("user_id")),
     "ann_ivf_build" -> ((s, d) => Ann.ivfBuild(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
+    "cdc_audit_chain" -> ((s, d) => Monitoring.auditChain(Cdc.changelog(s, d))),
+    "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -774,6 +776,8 @@ object SparkEntry {
       "cdc_scd3" -> Materialize.scd3Sql(cl),
       "ann_ivf_build" -> Ann.ivfBuildSql,
       "q_unpivot" -> Relational.unpivotMeasuresSql,
+      "cdc_audit_chain" -> Monitoring.auditChainSql(cl),
+      "q_gap_fill" -> Relational.gapFillSql,
     )
   }
 }

@@ -518,6 +518,44 @@ object Relational {
       |FROM longf GROUP BY l_returnflag, measure
       |ORDER BY l_returnflag, measure""".stripMargin
 
+  /** Forward fill (gap fill): missing sensor readings — synthesized
+    * deterministically as every 5th event — carried forward from the
+    * key's last known value via last_value IGNORE NULLS over the per-key
+    * event-time order. The canonical time-series repair before windowed
+    * aggregation; the window partitions on the key. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.load(spark, dir, "events")
+      .withColumn("reading",
+        when(col("event_id") % 5 === 0, lit(null).cast("double"))
+          .otherwise(dec(col("value"), 18, 2).cast("double")))
+      .withColumn("filled", last(col("reading"), ignoreNulls = true).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("reading")).as("n_present"),
+        count(col("filled")).as("n_after_fill"),
+        count(when(col("reading").isNull && col("filled").isNotNull, 1)).as("n_filled_in"))
+      .orderBy("user_id")
+  }
+
+  val gapFillSql: String =
+    """WITH r AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN event_id % 5 = 0 THEN NULL
+      |              ELSE CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) END AS reading
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, reading,
+      |         last_value(reading IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS filled
+      |  FROM r)
+      |SELECT user_id, count(*) AS n_events,
+      |       count(reading) AS n_present,
+      |       count(filled) AS n_after_fill,
+      |       count(CASE WHEN reading IS NULL AND filled IS NOT NULL THEN 1 END) AS n_filled_in
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

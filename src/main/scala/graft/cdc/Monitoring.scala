@@ -310,6 +310,43 @@ object Monitoring {
       |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
       |FROM events GROUP BY destination ORDER BY destination""".stripMargin
 
+  /** Tamper-evident audit chain: per key, the fold of md5(prev ∥ change)
+    * over the ordered change sequence — any retroactive edit, drop or
+    * reorder of a change flips the key's final chain hash, so replicas
+    * can be compared by |keys| hashes instead of row-by-row. Payload
+    * strings use exact decimal rendering (double→VARCHAR differs between
+    * engines on exponent forms); both engines fold the sorted list left
+    * to right. Per-key lists are bounded by per-key history. */
+  def auditChain(changelog: DataFrame): DataFrame = {
+    val payload = concat_ws(":",
+      col("op"), dec(col("value"), 18, 2).cast("string"), col("seq").cast("string"))
+    changelog
+      .select(col("pk"), unix_millis(col("ts")).as("t"), col("seq"), payload.as("payload"))
+      .groupBy(col("pk").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_links"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("t"), col("seq"), col("payload")))),
+            x => x.getField("payload")),
+          lit("graft-chain-seed"),
+          (acc, x) => md5(concat(acc, x))).as("chain_hash"))
+      .orderBy("user_id")
+  }
+
+  def auditChainSql(changelogSql: String): String =
+    s"""$changelogSql, items AS (
+       |  SELECT pk, epoch_ms(ts) AS t, seq,
+       |         op || ':' || CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR)
+       |            || ':' || CAST(seq AS VARCHAR) AS payload
+       |  FROM changelog),
+       |arr AS (
+       |  SELECT pk, count(*) AS n_links, list(payload ORDER BY t, seq) AS ps
+       |  FROM items GROUP BY pk)
+       |SELECT pk AS user_id, n_links,
+       |       list_reduce(list_prepend('graft-chain-seed', ps), (acc, x) -> md5(acc || x)) AS chain_hash
+       |FROM arr ORDER BY user_id""".stripMargin
+
   /** Traffic-burst detection: per-minute event counts scored against the
     * stream's own mean/σ — buckets with z ≥ 2 are the ingest spikes an
     * operator wants paged about (consumer-lag precursors). Variance uses

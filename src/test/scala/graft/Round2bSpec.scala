@@ -311,6 +311,34 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("audit chain: any edit or reorder flips the key's chain hash") {
+    val t0 = 1700000000000L
+    val base = Seq(
+      ("c", 1L, t0, 1L, 10.0), ("u", 1L, t0 + 1000, 2L, 20.0), ("u", 1L, t0 + 2000, 3L, 30.0))
+    def chainOf(rows: Seq[(String, Long, Long, Long, Double)]): String =
+      Monitoring.auditChain(mkChangelog(rows)).collect().head.getAs[String]("chain_hash")
+    val h0 = chainOf(base)
+    // tamper: change one value
+    assert(chainOf(base.updated(1, ("u", 1L, t0 + 1000, 2L, 21.0))) !== h0)
+    // tamper: drop a link
+    assert(chainOf(base.take(2)) !== h0)
+    // reorder of arrival does NOT change the chain (it folds event order)
+    assert(chainOf(base.reverse) === h0)
+  }
+
+  test("gap fill: synthesized gaps are filled from the key's prior value") {
+    val got = Relational.gapFill(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_present") <= r.getAs[Long]("n_events"))
+      assert(r.getAs[Long]("n_after_fill") >= r.getAs[Long]("n_present"))
+      assert(r.getAs[Long]("n_after_fill") ===
+        r.getAs[Long]("n_present") + r.getAs[Long]("n_filled_in"))
+    }
+    // at least one gap actually got filled somewhere
+    assert(got.map(_.getAs[Long]("n_filled_in")).sum > 0L)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
