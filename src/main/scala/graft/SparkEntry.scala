@@ -177,6 +177,8 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "cdc_audit_chain" -> ((s, d) => Monitoring.auditChain(Cdc.changelog(s, d))),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
+    "cdc_conflict_resolve" -> ((s, d) => Materialize.conflictResolve(Cdc.changelog(s, d))),
+    "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -778,6 +780,8 @@ object SparkEntry {
       "q_unpivot" -> Relational.unpivotMeasuresSql,
       "cdc_audit_chain" -> Monitoring.auditChainSql(cl),
       "q_gap_fill" -> Relational.gapFillSql,
+      "cdc_conflict_resolve" -> Materialize.conflictResolveSql(cl),
+      "q_histogram" -> Relational.histogramSql(),
     )
   }
 }

@@ -556,6 +556,27 @@ object Relational {
       |       count(CASE WHEN reading IS NULL AND filled IS NOT NULL THEN 1 END) AS n_filled_in
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Fixed-width histogram of order totals: pure integer bucketing (no
+    * width_bucket dependency), min/max carried per bucket. One hash
+    * aggregation; the bucket arithmetic is identical on both engines. */
+  def histogram(spark: SparkSession, dir: String, width: Double = 25000.0, nBuckets: Int = 20): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .withColumn("bucket",
+        least(lit(nBuckets - 1L), floor(col("o_totalprice") / width).cast("long")))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+
+  def histogramSql(width: Double = 25000.0, nBuckets: Int = 20): String =
+    s"""SELECT least(${nBuckets - 1}, CAST(floor(o_totalprice / $width) AS BIGINT)) AS bucket,
+       |       count(*) AS n_orders,
+       |       min(o_totalprice) AS min_price,
+       |       max(o_totalprice) AS max_price
+       |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -157,6 +157,46 @@ object Materialize {
        |HAVING max(CASE WHEN rn = 1 THEN op END) <> 'd'
        |ORDER BY user_id""".stripMargin
 
+  /** Multi-master conflict resolution: two replication sites (derived
+    * here by seq parity) write the same key space; the merge is
+    * last-writer-wins on (ts, seq) with the winning site reported and a
+    * conflict flag for keys both sites touched — the bidirectional-
+    * replication merge a CDC product needs when a table is writable on
+    * both ends. Same one-shuffle aggregation shape as the materializer. */
+  def conflictResolve(changelog: DataFrame): DataFrame = {
+    val site = when(col("seq") % 2 === 0, "A").otherwise("B")
+    changelog
+      .withColumn("site", site)
+      .groupBy(col("pk").as("user_id"))
+      .agg(
+        max(struct(col("ts"), col("seq"), col("op"), col("value"), col("site"))).as("last"),
+        countDistinct(col("site")).as("sites_touched"))
+      .where(col("last.op") =!= "d")
+      .select(
+        col("user_id"),
+        dec(col("last.value"), 18, 2).cast("double").as("resolved_value"),
+        col("last.site").as("winner_site"),
+        col("sites_touched"),
+        (col("sites_touched") > 1).as("had_conflict"))
+      .orderBy("user_id")
+  }
+
+  def conflictResolveSql(changelogSql: String): String =
+    s"""$changelogSql, sited AS (
+       |  SELECT pk, op, value, ts, seq,
+       |         CASE WHEN seq % 2 = 0 THEN 'A' ELSE 'B' END AS site
+       |  FROM changelog),
+       |ranked AS (
+       |  SELECT pk, op, value, site,
+       |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,
+       |         count(DISTINCT site) OVER (PARTITION BY pk) AS sites_touched
+       |  FROM sited)
+       |SELECT pk AS user_id,
+       |       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS resolved_value,
+       |       site AS winner_site, sites_touched,
+       |       sites_touched > 1 AS had_conflict
+       |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin
+
   /** SCD-2 history: each non-delete change opens a version; the next change
     * (of any op, including the delete) closes it. */
   def scd2(changelog: DataFrame): DataFrame = {

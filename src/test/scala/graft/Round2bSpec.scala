@@ -339,6 +339,30 @@ class Round2bSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_filled_in")).sum > 0L)
   }
 
+  test("conflict resolve: last writer wins across sites, conflicts flagged") {
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 2L, 10.0),          // site A (even seq)
+      ("u", 1L, t0 + 1000, 3L, 20.0),   // site B wins (later ts)
+      ("c", 2L, t0, 4L, 5.0)))          // only site A
+    val got = Materialize.conflictResolve(cl).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got(1L).getAs[String]("winner_site") === "B")
+    assert(got(1L).getAs[Boolean]("had_conflict"))
+    assert(got(1L).getAs[Double]("resolved_value") === 20.0)
+    assert(!got(2L).getAs[Boolean]("had_conflict"))
+  }
+
+  test("histogram: buckets cover the table, bounds ordered") {
+    val got = Relational.histogram(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_orders")).sum ===
+      Tables.load(spark, dir, "orders").count())
+    got.foreach { r =>
+      assert(r.getAs[Long]("bucket") >= 0L && r.getAs[Long]("bucket") <= 19L)
+      assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price"))
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
