@@ -179,6 +179,7 @@ object SparkEntry {
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
     "cdc_conflict_resolve" -> ((s, d) => Materialize.conflictResolve(Cdc.changelog(s, d))),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
+    "text_cooccurrence" -> ((s, d) => TextFunctions.cooccurrence(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -782,6 +783,7 @@ object SparkEntry {
       "q_gap_fill" -> Relational.gapFillSql,
       "cdc_conflict_resolve" -> Materialize.conflictResolveSql(cl),
       "q_histogram" -> Relational.histogramSql(),
+      "text_cooccurrence" -> TextFunctions.cooccurrenceSql(),
     )
   }
 }

@@ -211,6 +211,42 @@ object TextFunctions {
       |FROM df CROSS JOIN n
       |ORDER BY df DESC, term LIMIT 20""".stripMargin
 
+  /** Term co-occurrence over the vocabulary head: document counts for
+    * every pair of top-DF terms that appear in the same document — the
+    * raw counts behind PMI / association mining. The vocabulary is capped
+    * at the top-K DF terms FIRST, so the per-document pair fan-out is
+    * bounded by K²/2 regardless of document length (the property that
+    * keeps this runnable at corpus scale). */
+  def cooccurrence(spark: SparkSession, dir: String, vocab: Int = 20, topK: Int = 30): DataFrame = {
+    val top = termDocFreq(spark, dir, vocab).select(col("term"))
+    val docTerms = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(normText(col("text")), " "))).as("term"))
+      .where(length(col("term")) >= 3)
+      .join(broadcast(top), "term")
+    val a = docTerms.select(col("doc_id"), col("term").as("term_a"))
+    val b = docTerms.select(col("doc_id"), col("term").as("term_b"))
+    a.join(b, Seq("doc_id"))
+      .where(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
+  def cooccurrenceSql(vocab: Int = 20, topK: Int = 30): String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))) AS term
+       |  FROM documents),
+       |filt AS (SELECT doc_id, term FROM terms WHERE length(term) >= 3),
+       |top AS (
+       |  SELECT term FROM (SELECT term, count(*) AS df FROM filt GROUP BY term)
+       |  ORDER BY df DESC, term LIMIT $vocab),
+       |dt AS (SELECT doc_id, term FROM filt JOIN top USING (term))
+       |SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+       |FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+       |GROUP BY term_a, term_b
+       |ORDER BY n_docs DESC, term_a, term_b LIMIT $topK""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

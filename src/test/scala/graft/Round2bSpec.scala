@@ -363,6 +363,17 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("cooccurrence: pairs are ordered, bounded by the vocabulary cap") {
+    val got = TextFunctions.cooccurrence(spark, dir).collect()
+    assert(got.nonEmpty && got.length <= 30)
+    got.foreach { r =>
+      assert(r.getAs[String]("term_a") < r.getAs[String]("term_b"))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+    val counts = got.map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
