@@ -180,6 +180,9 @@ object SparkEntry {
     "cdc_conflict_resolve" -> ((s, d) => Materialize.conflictResolve(Cdc.changelog(s, d))),
     "q_histogram" -> ((s, d) => Relational.histogram(s, d)),
     "text_cooccurrence" -> ((s, d) => TextFunctions.cooccurrence(s, d)),
+    "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
+    "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
+    "pipe_shard_plan" -> ((s, d) => TextFunctions.shardPlan(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -784,6 +787,9 @@ object SparkEntry {
       "cdc_conflict_resolve" -> Materialize.conflictResolveSql(cl),
       "q_histogram" -> Relational.histogramSql(),
       "text_cooccurrence" -> TextFunctions.cooccurrenceSql(),
+      "q_cohort_retention" -> Relational.cohortRetentionSql,
+      "q_funnel" -> Relational.funnelSql,
+      "pipe_shard_plan" -> TextFunctions.shardPlanSql(),
     )
   }
 }

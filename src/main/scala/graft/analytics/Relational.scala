@@ -577,6 +577,68 @@ object Relational {
        |       max(o_totalprice) AS max_price
        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** Cohort retention: users grouped by first-seen week, activity counted
+    * per (cohort, weeks-since-cohort) cell — the standard product-
+    * analytics retention triangle. First-seen is a per-user min (one
+    * shuffle); the offset is integer day arithmetic, identical on both
+    * engines. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.join(cohorts, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('week', ts) AS week FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id)
+      |SELECT cohort_week,
+      |       CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT) AS week_offset,
+      |       count(DISTINCT user_id) AS n_active
+      |FROM ev JOIN cohorts USING (user_id)
+      |GROUP BY cohort_week, week_offset
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Ordered funnel: users who progressed signup → click → purchase in
+    * strict event-time order, per step. One per-user aggregation of three
+    * conditional minima, then three boolean counts — no self-joins, so
+    * the funnel costs one shuffle however long the event history is. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    def firstTs(t: String) = min(when(col("event_type") === t, col("ts")))
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        firstTs("signup").as("t_signup"),
+        firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_click") > col("t_signup"), 1)).as("n_signup_click"),
+        count(when(col("t_click") > col("t_signup") &&
+          col("t_purchase") > col("t_click"), 1)).as("n_full_funnel"))
+  }
+
+  val funnelSql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+      |         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+      |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |       count(t_signup) AS n_signup,
+      |       count(CASE WHEN t_click > t_signup THEN 1 END) AS n_signup_click,
+      |       count(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+      |FROM u""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -247,6 +247,44 @@ object TextFunctions {
        |GROUP BY term_a, term_b
        |ORDER BY n_docs DESC, term_a, term_b LIMIT $topK""".stripMargin
 
+  /** Lake-write shard planning: size the output shard count from total
+    * corpus bytes (256 KB target per shard at test scale; 256 MB in
+    * production) and assign documents to shards by content digest —
+    * balanced, reproducible, and independent of input partitioning. The
+    * per-shard stats are what the writer uses to verify balance before
+    * committing the layout. */
+  def shardPlan(spark: SparkSession, dir: String, targetBytes: Long = 262144L): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("digest"))
+    val total = docs.agg(sum(col("n_bytes")).as("total_bytes"))
+      .select(col("total_bytes"),
+        greatest(lit(1L), expr(s"(total_bytes + ${targetBytes - 1}) div $targetBytes")).as("n_shards"))
+    docs.crossJoin(broadcast(total))
+      .withColumn("shard", pmod(col("digest"), col("n_shards")))
+      .groupBy("shard", "n_shards")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("shard_bytes"))
+      .select("shard", "n_shards", "n_docs", "shard_bytes")
+      .orderBy("shard")
+  }
+
+  def shardPlanSql(targetBytes: Long = 262144L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS digest
+       |  FROM documents),
+       |t AS (
+       |  SELECT CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       |         greatest(1, (CAST(sum(n_bytes) AS BIGINT) + ${targetBytes - 1}) // $targetBytes) AS n_shards
+       |  FROM d)
+       |SELECT digest % n_shards AS shard, n_shards,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
+       |FROM d, t GROUP BY shard, n_shards ORDER BY shard""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

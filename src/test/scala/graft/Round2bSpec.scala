@@ -374,6 +374,37 @@ class Round2bSpec extends AnyFunSuite {
     assert(counts.zip(counts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("cohort retention: offsets non-negative, cohort sizes peak at offset 0") {
+    val got = Relational.cohortRetention(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(r.getAs[Long]("week_offset") >= 0L))
+    val byCohort = got.groupBy(_.getAs[java.sql.Timestamp]("cohort_week"))
+    byCohort.values.foreach { rs =>
+      val at0 = rs.find(_.getAs[Long]("week_offset") == 0L).map(_.getAs[Long]("n_active"))
+      assert(at0.nonEmpty) // every cohort is active in its own first week
+      assert(rs.map(_.getAs[Long]("n_active")).max === at0.get)
+    }
+  }
+
+  test("funnel: monotone step counts") {
+    val r = Relational.funnel(spark, dir).collect().head
+    assert(r.getAs[Long]("n_users") >= r.getAs[Long]("n_signup"))
+    assert(r.getAs[Long]("n_signup") >= r.getAs[Long]("n_signup_click"))
+    assert(r.getAs[Long]("n_signup_click") >= r.getAs[Long]("n_full_funnel"))
+    assert(r.getAs[Long]("n_full_funnel") >= 0L)
+  }
+
+  test("shard plan: shards cover the corpus, sizes near the target") {
+    val got = TextFunctions.shardPlan(spark, dir).collect()
+    val nShards = got.head.getAs[Long]("n_shards")
+    assert(got.length.toLong <= nShards)
+    assert(got.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    // digest assignment balances: no shard more than 4x the mean
+    val sizes = got.map(_.getAs[Long]("shard_bytes"))
+    assert(sizes.max <= 4 * (sizes.sum / sizes.length))
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
