@@ -183,6 +183,8 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, d) => Relational.cohortRetention(s, d)),
     "q_funnel" -> ((s, d) => Relational.funnel(s, d)),
     "pipe_shard_plan" -> ((s, d) => TextFunctions.shardPlan(s, d)),
+    "cdc_backfill_ranges" -> ((s, d) => Monitoring.backfillRanges(Cdc.toWire(s, d))),
+    "pipe_quality_drift" -> ((s, d) => TextFunctions.qualityDrift(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -790,6 +792,8 @@ object SparkEntry {
       "q_cohort_retention" -> Relational.cohortRetentionSql,
       "q_funnel" -> Relational.funnelSql,
       "pipe_shard_plan" -> TextFunctions.shardPlanSql(),
+      "cdc_backfill_ranges" -> Monitoring.backfillRangesSql,
+      "pipe_quality_drift" -> TextFunctions.qualityDriftSql,
     )
   }
 }

@@ -310,6 +310,37 @@ object Monitoring {
       |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
       |FROM events GROUP BY destination ORDER BY destination""".stripMargin
 
+  /** Backfill planning: the actionable form of [[offsetGaps]] — one row
+    * per contiguous missing-offset range (topic, from, to, size), ready
+    * to drive a replay consumer. Same single window; only gap rows
+    * survive the filter. */
+  def backfillRanges(wire: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic").orderBy("offset")
+    wire
+      .select(col("topic"), col("offset"))
+      .withColumn("prev", lag(col("offset"), 1).over(w))
+      .where(col("offset") - col("prev") > 1)
+      .select(
+        col("topic"),
+        (col("prev") + 1).as("gap_from"),
+        (col("offset") - 1).as("gap_to"),
+        (col("offset") - col("prev") - 1).as("n_missing"))
+      .orderBy("topic", "gap_from")
+  }
+
+  val backfillRangesSql: String =
+    """WITH wire AS (
+      |  SELECT 'graft.public.' || event_type AS topic, event_id AS "offset" FROM events),
+      |seqd AS (
+      |  SELECT topic, "offset",
+      |         lag("offset") OVER (PARTITION BY topic ORDER BY "offset") AS prev
+      |  FROM wire)
+      |SELECT topic, prev + 1 AS gap_from, "offset" - 1 AS gap_to,
+      |       "offset" - prev - 1 AS n_missing
+      |FROM seqd WHERE "offset" - prev > 1
+      |ORDER BY topic, gap_from""".stripMargin
+
   /** Tamper-evident audit chain: per key, the fold of md5(prev ∥ change)
     * over the ordered change sequence — any retroactive edit, drop or
     * reorder of a change flips the key's final chain hash, so replicas

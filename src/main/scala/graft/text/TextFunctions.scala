@@ -285,6 +285,53 @@ object TextFunctions {
        |       CAST(sum(n_bytes) AS BIGINT) AS shard_bytes
        |FROM d, t GROUP BY shard, n_shards ORDER BY shard""".stripMargin
 
+  /** Corpus drift monitor: two snapshots (doc_id parity as the stand-in
+    * for before/after a pipeline change) compared on their word-count
+    * distributions — per-bucket shares and absolute share drift. The
+    * per-bucket |Δshare| uses identical double operands on both engines;
+    * a global TV distance is deliberately NOT computed (cross-row float
+    * sum would be partition-order dependent). */
+  def qualityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(
+        (col("doc_id") % 2).as("snap"),
+        least(lit(9L), (size(split(trim(col("text")), "\\s+")) / 20).cast("long")).as("bucket"))
+    val perBucket = docs.groupBy("bucket")
+      .agg(
+        count(when(col("snap") === 0, 1)).as("n_t0"),
+        count(when(col("snap") === 1, 1)).as("n_t1"))
+    val totals = docs.agg(
+      count(when(col("snap") === 0, 1)).as("tot0"),
+      count(when(col("snap") === 1, 1)).as("tot1"))
+    perBucket.crossJoin(broadcast(totals))
+      .withColumn("share_t0", col("n_t0").cast("double") / col("tot0").cast("double"))
+      .withColumn("share_t1", col("n_t1").cast("double") / col("tot1").cast("double"))
+      .withColumn("abs_drift", abs(col("share_t0") - col("share_t1")))
+      .select("bucket", "n_t0", "n_t1", "share_t0", "share_t1", "abs_drift")
+      .orderBy("bucket")
+  }
+
+  val qualityDriftSql: String =
+    """WITH b AS (
+      |  SELECT doc_id % 2 AS snap,
+      |         least(9, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) // 20) AS bucket
+      |  FROM documents),
+      |per_bucket AS (
+      |  SELECT bucket,
+      |         count(CASE WHEN snap = 0 THEN 1 END) AS n_t0,
+      |         count(CASE WHEN snap = 1 THEN 1 END) AS n_t1
+      |  FROM b GROUP BY bucket),
+      |t AS (
+      |  SELECT count(CASE WHEN snap = 0 THEN 1 END) AS tot0,
+      |         count(CASE WHEN snap = 1 THEN 1 END) AS tot1
+      |  FROM b)
+      |SELECT bucket, n_t0, n_t1,
+      |       CAST(n_t0 AS DOUBLE) / CAST(tot0 AS DOUBLE) AS share_t0,
+      |       CAST(n_t1 AS DOUBLE) / CAST(tot1 AS DOUBLE) AS share_t1,
+      |       abs(CAST(n_t0 AS DOUBLE) / CAST(tot0 AS DOUBLE)
+      |         - CAST(n_t1 AS DOUBLE) / CAST(tot1 AS DOUBLE)) AS abs_drift
+      |FROM per_bucket, t ORDER BY bucket""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

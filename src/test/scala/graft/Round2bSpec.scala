@@ -405,6 +405,27 @@ class Round2bSpec extends AnyFunSuite {
     assert(sizes.max <= 4 * (sizes.sum / sizes.length))
   }
 
+  test("backfill ranges: each range matches the injected gaps exactly") {
+    import spark.implicits._
+    val wire = Seq(("t", 1L), ("t", 2L), ("t", 5L), ("t", 9L), ("u", 3L), ("u", 4L))
+      .toDF("topic", "offset").withColumn("value", lit("{}"))
+    val got = Monitoring.backfillRanges(wire).collect()
+      .map(r => (r.getAs[String]("topic"), r.getAs[Long]("gap_from"),
+        r.getAs[Long]("gap_to"), r.getAs[Long]("n_missing")))
+    assert(got.toSeq === Seq(("t", 3L, 4L, 2L), ("t", 6L, 8L, 3L)))
+  }
+
+  test("quality drift: shares sum to one per snapshot, drift bounded") {
+    val rows = TextFunctions.qualityDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val s0 = rows.map(_.getAs[Double]("share_t0")).sum
+    val s1 = rows.map(_.getAs[Double]("share_t1")).sum
+    assert(math.abs(s0 - 1.0) < 1e-9 && math.abs(s1 - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("abs_drift") >= 0.0 && r.getAs[Double]("abs_drift") <= 1.0)
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
