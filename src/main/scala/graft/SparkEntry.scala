@@ -185,6 +185,8 @@ object SparkEntry {
     "pipe_shard_plan" -> ((s, d) => TextFunctions.shardPlan(s, d)),
     "cdc_backfill_ranges" -> ((s, d) => Monitoring.backfillRanges(Cdc.toWire(s, d))),
     "pipe_quality_drift" -> ((s, d) => TextFunctions.qualityDrift(s, d)),
+    "pipe_pack_sequences" -> ((s, d) => TextFunctions.packSequences(s, d)),
+    "q_interval_overlap" -> ((s, d) => Relational.intervalOverlap(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -794,6 +796,8 @@ object SparkEntry {
       "pipe_shard_plan" -> TextFunctions.shardPlanSql(),
       "cdc_backfill_ranges" -> Monitoring.backfillRangesSql,
       "pipe_quality_drift" -> TextFunctions.qualityDriftSql,
+      "pipe_pack_sequences" -> TextFunctions.packSequencesSql(),
+      "q_interval_overlap" -> Relational.intervalOverlapSql,
     )
   }
 }

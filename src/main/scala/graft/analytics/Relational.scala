@@ -639,6 +639,45 @@ object Relational {
       |       count(CASE WHEN t_click > t_signup AND t_purchase > t_click THEN 1 END) AS n_full_funnel
       |FROM u""".stripMargin
 
+  /** Interval-overlap sweep: each event is a 5-minute activity interval;
+    * per user, the running +1/−1 sweep yields the maximum number of
+    * simultaneously-open intervals. Ends sort before starts at the same
+    * instant (delta ascending), so touching intervals do not count as
+    * overlapping. The sweep window partitions by user — per-key state,
+    * never a global order. */
+  def intervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.load(spark, dir, "events")
+      .select(col("user_id"), explode(array(
+        struct(col("ts").as("t"), lit(1).as("delta")),
+        struct((col("ts") + expr("INTERVAL 5 MINUTE")).as("t"), lit(-1).as("delta"))))
+        .as("p"))
+      .select(col("user_id"), col("p.t").as("t"), col("p.delta").as("delta"))
+    val w = Window.partitionBy("user_id").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("open", sum(col("delta")).over(w))
+      .groupBy("user_id")
+      .agg(
+        (count(lit(1)) / 2).cast("long").as("n_intervals"),
+        max(col("open")).cast("long").as("max_concurrent"))
+      .orderBy("user_id")
+  }
+
+  val intervalOverlapSql: String =
+    """WITH pts AS (
+      |  SELECT user_id, ts AS t, 1 AS delta FROM events
+      |  UNION ALL
+      |  SELECT user_id, ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events),
+      |sweep AS (
+      |  SELECT user_id, delta,
+      |         sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      |  FROM pts)
+      |SELECT user_id,
+      |       CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+      |       CAST(max(open) AS BIGINT) AS max_concurrent
+      |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

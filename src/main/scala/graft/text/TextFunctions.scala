@@ -332,6 +332,47 @@ object TextFunctions {
       |         - CAST(n_t1 AS DOUBLE) / CAST(tot1 AS DOUBLE)) AS abs_drift
       |FROM per_bucket, t ORDER BY bucket""".stripMargin
 
+  /** Sequence packing: documents packed into fixed token-budget bins
+    * (2048 words here) in deterministic digest order within each source —
+    * the batch-construction step before training. Pack id is the floor of
+    * the exclusive running token sum over the budget, so packs fill
+    * greedily in order; the window partitions by source (the shuffle
+    * key), never globally. Output: per-pack fill statistics. */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("digest", "doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("digest"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .withColumn("prior", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"prior div $budget"))
+      .groupBy("source", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("pack_tokens"))
+      .withColumn("fill_ratio",
+        col("pack_tokens").cast("double") / budget.toDouble)
+      .orderBy("source", "pack_id")
+  }
+
+  def packSequencesSql(budget: Long = 2048L): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, md5(text) AS digest,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |runsum AS (
+       |  SELECT doc_id, source, tokens,
+       |         coalesce(CAST(sum(tokens) OVER (PARTITION BY source ORDER BY digest, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prior
+       |  FROM d)
+       |SELECT source, prior // $budget AS pack_id,
+       |       count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS pack_tokens,
+       |       CAST(sum(tokens) AS DOUBLE) / $budget.0 AS fill_ratio
+       |FROM runsum GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

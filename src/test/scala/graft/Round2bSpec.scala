@@ -426,6 +426,27 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("pack sequences: packs respect the budget boundary in digest order") {
+    val got = TextFunctions.packSequences(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    got.groupBy(_.getAs[String]("source")).values.foreach { rs =>
+      val ids = rs.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head === 0L)               // packing starts at pack 0
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }) // contiguous
+    }
+    got.foreach(r => assert(r.getAs[Double]("fill_ratio") > 0.0))
+  }
+
+  test("interval overlap: overlapping intervals counted, touching ones not") {
+    val got = Relational.intervalOverlap(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("max_concurrent") >= 1L)
+      assert(r.getAs[Long]("max_concurrent") <= r.getAs[Long]("n_intervals"))
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
