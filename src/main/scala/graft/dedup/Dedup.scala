@@ -292,7 +292,9 @@ object Dedup {
     val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
     val bench = sigs.where(isBench).select(col("sig"), col("doc_id").as("bench_id"))
     val train = sigs.where(!isBench).select(col("sig"), col("doc_id").as("train_id"))
-    val hits = train.join(broadcast(bench), "sig")
+    // plain digest join — the benchmark side is |corpus|/50, unbounded at
+    // lake scale; AQE broadcasts it at runtime when it actually fits
+    val hits = train.join(bench, "sig")
     val nBench = bench.agg(count(lit(1)).as("n_benchmark"))
     val nTrain = train.agg(count(lit(1)).as("n_train"))
     val nHits = hits.agg(

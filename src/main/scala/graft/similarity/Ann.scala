@@ -354,12 +354,11 @@ object Ann {
 
   /** Batch k-NN join: every query vector (vec_id ≡ 0 mod 100) gets its
     * top-k neighbors from the corpus, candidates bounded to the query's
-    * sign-LSH bucket. This is the many-queries form of [[lshTopK]] — the
-    * query set is |corpus|/100 bare (id, vec, bucket) rows, so it
-    * broadcasts; candidate scoring is one bucket-equality hash join with
-    * per-row codegen'd cosine; ranking is a window partitioned by query id
-    * (the join key — no extra shuffle). At 100 TB the broadcast bound is
-    * the knob: a larger query set flips to a shuffled bucket join. */
+    * sign-LSH bucket. This is the many-queries form of [[lshTopK]]:
+    * candidate scoring is one bucket-equality join (AQE broadcasts the
+    * bare (id, vec, bucket) query side when it fits, shuffles when it
+    * doesn't) with per-row codegen'd cosine; ranking is a window
+    * partitioned by query id (the join key — no extra shuffle). */
   def knnJoin(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signCode(col("embedding")))
@@ -367,7 +366,9 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("bucket"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    emb.join(broadcast(q), Seq("bucket"))
+    // no forced broadcast: the query set is |corpus|/100 — unbounded at
+    // lake scale. AQE picks broadcast at runtime whenever it actually fits.
+    emb.join(q, Seq("bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine(spark, "embedding", "qe").as("cosine"))
