@@ -92,4 +92,35 @@ class StreamBatchParitySpec extends AnyFunSuite {
     assert(streamed.keySet === batch.keySet)
     batch.foreach { case (k, v) => assert(streamed.get(k).contains(v), s"key $k") }
   }
+
+  test("streamed running aggregates equal one batch aggregation of the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val evs = (0 until 300).map { i =>
+      ChangeEvent("u", rnd.nextInt(12).toLong,
+        new java.sql.Timestamp(1700000000000L + i * 1000L), i.toLong,
+        rnd.nextInt(10000) / 100.0)
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[ChangeEvent]
+    val q = CdcStream.runningAggStream(input.toDS())
+      .writeStream.format("memory").queryName("ragg_parity").outputMode("update").start()
+    evs.grouped(40).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("ragg_parity")
+      .groupBy("pk")
+      .agg(max_by(struct(col("n_events"), col("running_sum")), col("n_events")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getStruct(1).getLong(0), r.getStruct(1).getDecimal(1).toPlainString))).toMap
+
+    val batch = evs.toDF()
+      .groupBy("pk")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2).toPlainString))).toMap
+
+    assert(streamed === batch)
+  }
 }
