@@ -187,6 +187,8 @@ object SparkEntry {
     "pipe_quality_drift" -> ((s, d) => TextFunctions.qualityDrift(s, d)),
     "pipe_pack_sequences" -> ((s, d) => TextFunctions.packSequences(s, d)),
     "q_interval_overlap" -> ((s, d) => Relational.intervalOverlap(s, d)),
+    "q_yoy_growth" -> ((s, d) => Relational.yoyGrowth(s, d)),
+    "cdc_state_size" -> ((s, d) => Monitoring.stateSize(Cdc.changelog(s, d))),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -798,6 +800,8 @@ object SparkEntry {
       "pipe_quality_drift" -> TextFunctions.qualityDriftSql,
       "pipe_pack_sequences" -> TextFunctions.packSequencesSql(),
       "q_interval_overlap" -> Relational.intervalOverlapSql,
+      "q_yoy_growth" -> Relational.yoyGrowthSql,
+      "cdc_state_size" -> Monitoring.stateSizeSql(cl),
     )
   }
 }

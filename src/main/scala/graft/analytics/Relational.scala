@@ -678,6 +678,42 @@ object Relational {
       |       CAST(max(open) AS BIGINT) AS max_concurrent
       |FROM sweep GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Year-over-year growth: revenue per (priority, year) with the prior
+    * year's revenue and the growth ratio pulled in by lag() over the
+    * AGGREGATED rows — a window over |priorities|×|years| rows, never the
+    * fact table. Growth is a double division of two exact decimals. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val yearly = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("rev_d"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_year")
+    yearly
+      .withColumn("prev_d", lag(col("rev_d"), 1).over(w))
+      .select(
+        col("o_orderpriority"), col("o_year"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        col("prev_d").cast("double").as("prev_revenue"),
+        (col("rev_d").cast("double") / col("prev_d").cast("double") - 1.0).as("yoy_growth"))
+      .orderBy("o_orderpriority", "o_year")
+  }
+
+  val yoyGrowthSql: String =
+    """WITH yearly AS (
+      |  SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS rev_d
+      |  FROM orders GROUP BY o_orderpriority, o_year)
+      |SELECT o_orderpriority, o_year, n_orders,
+      |       CAST(rev_d AS DOUBLE) AS revenue,
+      |       CAST(lag(rev_d) OVER w AS DOUBLE) AS prev_revenue,
+      |       CAST(rev_d AS DOUBLE) / CAST(lag(rev_d) OVER w AS DOUBLE) - 1.0 AS yoy_growth
+      |FROM yearly
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_year)
+      |ORDER BY o_orderpriority, o_year""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -310,6 +310,35 @@ object Monitoring {
       |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_unparsed
       |FROM events GROUP BY destination ORDER BY destination""".stripMargin
 
+  /** Streaming state-store sizing: key cardinality, history-depth
+    * distribution and projected state bytes (key + fixed row width) —
+    * the numbers that decide executor memory and whether RocksDB state
+    * is needed before a stateful query ships. Exact integer stats; the
+    * projection is integer arithmetic both engines share. */
+  def stateSize(changelog: DataFrame, rowBytes: Long = 64L): DataFrame = {
+    val perKey = changelog.groupBy(col("pk")).agg(count(lit(1)).as("hist"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("hist")).as("n_events"),
+      max(col("hist")).as("max_history"),
+      expr("percentile(hist, 0.5)").as("p50_history"),
+      expr("percentile(hist, 0.99)").as("p99_history"))
+      .withColumn("projected_state_bytes", col("n_keys") * rowBytes)
+      .withColumn("projected_scd2_bytes", col("n_events") * rowBytes)
+  }
+
+  def stateSizeSql(changelogSql: String, rowBytes: Long = 64L): String =
+    s"""$changelogSql, per_key AS (
+       |  SELECT pk, count(*) AS hist FROM changelog GROUP BY pk)
+       |SELECT count(*) AS n_keys,
+       |       CAST(sum(hist) AS BIGINT) AS n_events,
+       |       max(hist) AS max_history,
+       |       quantile_cont(hist, 0.5) AS p50_history,
+       |       quantile_cont(hist, 0.99) AS p99_history,
+       |       count(*) * $rowBytes AS projected_state_bytes,
+       |       CAST(sum(hist) AS BIGINT) * $rowBytes AS projected_scd2_bytes
+       |FROM per_key""".stripMargin
+
   /** Backfill planning: the actionable form of [[offsetGaps]] — one row
     * per contiguous missing-offset range (topic, from, to, size), ready
     * to drive a replay consumer. Same single window; only gap rows

@@ -447,6 +447,29 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("yoy growth: first year has null prior, ratios match revenues") {
+    val got = Relational.yoyGrowth(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getAs[String]("o_orderpriority")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("o_year"))
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_revenue")))
+      sorted.tail.zip(sorted.init).foreach { case (cur, prev) =>
+        assert(cur.getAs[Double]("prev_revenue") === prev.getAs[Double]("revenue"))
+        assert(math.abs(cur.getAs[Double]("yoy_growth") -
+          (cur.getAs[Double]("revenue") / prev.getAs[Double]("revenue") - 1.0)) < 1e-12)
+      }
+    }
+  }
+
+  test("state size: per-key stats and byte projections are consistent") {
+    val r = Monitoring.stateSize(Cdc.changelog(spark, dir)).collect().head
+    assert(r.getAs[Long]("n_keys") > 0L)
+    assert(r.getAs[Long]("n_events") >= r.getAs[Long]("n_keys"))
+    assert(r.getAs[Double]("p50_history") <= r.getAs[Double]("p99_history"))
+    assert(r.getAs[Double]("p99_history") <= r.getAs[Long]("max_history").toDouble)
+    assert(r.getAs[Long]("projected_state_bytes") === r.getAs[Long]("n_keys") * 64L)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
