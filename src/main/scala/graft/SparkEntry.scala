@@ -189,6 +189,8 @@ object SparkEntry {
     "q_interval_overlap" -> ((s, d) => Relational.intervalOverlap(s, d)),
     "q_yoy_growth" -> ((s, d) => Relational.yoyGrowth(s, d)),
     "cdc_state_size" -> ((s, d) => Monitoring.stateSize(Cdc.changelog(s, d))),
+    "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
+    "cdc_table_checksum" -> ((s, d) => Quality.tableChecksum(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -802,6 +804,8 @@ object SparkEntry {
       "q_interval_overlap" -> Relational.intervalOverlapSql,
       "q_yoy_growth" -> Relational.yoyGrowthSql,
       "cdc_state_size" -> Monitoring.stateSizeSql(cl),
+      "q_market_basket" -> Relational.marketBasketSql(),
+      "cdc_table_checksum" -> Quality.tableChecksumSql,
     )
   }
 }

@@ -714,6 +714,31 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_year)
       |ORDER BY o_orderpriority, o_year""".stripMargin
 
+  /** Market-basket mining: part pairs co-purchased in the same order.
+    * The self-join fans out per order, bounded by basket size squared —
+    * independent of table size, so the shape holds at any order count.
+    * Parts are deduped within the order before pairing. */
+  def marketBasket(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, Seq("l_orderkey"))
+      .where(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topK)
+  }
+
+  def marketBasketSql(topK: Int = 30): String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+       |FROM items a JOIN items b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY part_a, part_b
+       |ORDER BY n_orders DESC, part_a, part_b LIMIT $topK""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -179,6 +179,40 @@ object Quality {
        |       (SELECT count(*) FROM changelog c JOIN erasure e USING (pk)) AS n_history_rows_purged,
        |       (SELECT count(*) FROM ranked WHERE rn = 1 AND op <> 'd') AS n_state_rows_remaining""".stripMargin
 
+  /** Order-independent table checksums: one row per replicated table with
+    * a content checksum (exact integer sum of per-row digests) — the
+    * cheap replica comparison that replaces row-by-row diffing when the
+    * counts already match. Any changed, missing or duplicated row moves
+    * the sum; summation order cannot (exact BIGINT addition is
+    * commutative on both engines). */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val P = 1000000007L
+    def sumOf(name: String, keyExpr: org.apache.spark.sql.Column) =
+      Tables.load(spark, dir, name)
+        .select((conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long") % P).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    sumOf("orders", concat_ws("|", col("o_orderkey"), col("o_orderstatus")))
+      .unionAll(sumOf("customer", concat_ws("|", col("c_custkey"), col("c_mktsegment"))))
+      .unionAll(sumOf("part", concat_ws("|", col("p_partkey"))))
+      .orderBy("table_name")
+  }
+
+  val tableChecksumSql: String =
+    """SELECT * FROM (
+      |  SELECT 'orders' AS table_name, count(*) AS n_rows,
+      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'customer', count(*),
+      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', c_custkey, c_mktsegment)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT)
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'part', count(*),
+      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', p_partkey)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT)
+      |  FROM part)
+      |ORDER BY table_name""".stripMargin
+
   def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val source = Tables.load(spark, dir, "orders")

