@@ -191,6 +191,8 @@ object SparkEntry {
     "cdc_state_size" -> ((s, d) => Monitoring.stateSize(Cdc.changelog(s, d))),
     "q_market_basket" -> ((s, d) => Relational.marketBasket(s, d)),
     "cdc_table_checksum" -> ((s, d) => Quality.tableChecksum(s, d)),
+    "cdc_order_violations" -> ((s, d) => Monitoring.orderViolations(Cdc.changelog(s, d))),
+    "text_char_stats" -> ((s, d) => TextFunctions.charStats(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -806,6 +808,8 @@ object SparkEntry {
       "cdc_state_size" -> Monitoring.stateSizeSql(cl),
       "q_market_basket" -> Relational.marketBasketSql(),
       "cdc_table_checksum" -> Quality.tableChecksumSql,
+      "cdc_order_violations" -> Monitoring.orderViolationsSql(cl),
+      "text_char_stats" -> TextFunctions.charStatsSql,
     )
   }
 }

@@ -339,6 +339,34 @@ object Monitoring {
        |       CAST(sum(hist) AS BIGINT) * $rowBytes AS projected_scd2_bytes
        |FROM per_key""".stripMargin
 
+  /** Ordering-violation report: the actionable twin of
+    * [[disorderStats]] — every event whose event time regressed below
+    * its key's running maximum (in arrival = seq order), with the
+    * regression size. These are the rows a late-data audit inspects and
+    * the watermark must cover. One key-partitioned window + filter. */
+  def orderViolations(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    changelog
+      .select(col("pk"), col("seq"), unix_millis(col("ts")).as("ms"))
+      .withColumn("hw", max(col("ms")).over(w))
+      .where(col("ms") < col("hw"))
+      .select(col("pk").as("user_id"), col("seq"),
+        (col("hw") - col("ms")).as("regression_ms"))
+      .orderBy("user_id", "seq")
+  }
+
+  def orderViolationsSql(changelogSql: String): String =
+    s"""$changelogSql, hw AS (
+       |  SELECT pk, seq, epoch_ms(ts) AS ms,
+       |         max(epoch_ms(ts)) OVER (PARTITION BY pk ORDER BY seq
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+       |  FROM changelog)
+       |SELECT pk AS user_id, seq, hw - ms AS regression_ms
+       |FROM hw WHERE ms < hw
+       |ORDER BY user_id, seq""".stripMargin
+
   /** Backfill planning: the actionable form of [[offsetGaps]] — one row
     * per contiguous missing-offset range (topic, from, to, size), ready
     * to drive a replay consumer. Same single window; only gap rows

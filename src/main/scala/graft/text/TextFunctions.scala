@@ -373,6 +373,40 @@ object TextFunctions {
        |       CAST(sum(tokens) AS DOUBLE) / $budget.0 AS fill_ratio
        |FROM runsum GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** Per-language charset profile: letter / digit / punctuation / space
+    * shares — the multilingual slice of quality scoring (script mix is
+    * the first filter for mislabeled-language documents). Exact integer
+    * class counts; ratios are double divisions of identical operands. */
+  def charStats(spark: SparkSession, dir: String): DataFrame = {
+    def classLen(pat: String) =
+      sum(size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long"))
+    Tables.load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        classLen("[A-Za-z]").as("n_letters"),
+        classLen("[0-9]").as("n_digits"),
+        classLen("[^A-Za-z0-9 ]").as("n_other"))
+      .withColumn("letter_ratio",
+        col("n_letters").cast("double") / col("n_chars").cast("double"))
+      .withColumn("digit_ratio",
+        col("n_digits").cast("double") / col("n_chars").cast("double"))
+      .orderBy("lang")
+  }
+
+  val charStatsSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS BIGINT) AS n_letters,
+      |       CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS BIGINT) AS n_digits,
+      |       CAST(sum(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))) AS BIGINT) AS n_other,
+      |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z]'))) AS DOUBLE)
+      |         / CAST(sum(length(text)) AS DOUBLE) AS letter_ratio,
+      |       CAST(sum(len(regexp_extract_all(text, '[0-9]'))) AS DOUBLE)
+      |         / CAST(sum(length(text)) AS DOUBLE) AS digit_ratio
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

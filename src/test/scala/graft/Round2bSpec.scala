@@ -489,6 +489,31 @@ class Round2bSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("order violations: only regressed events reported, size exact") {
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 1L, 1.0),
+      ("u", 1L, t0 + 5000, 2L, 1.0),
+      ("u", 1L, t0 + 2000, 3L, 1.0),  // arrives after hw t0+5000 -> 3000ms late
+      ("u", 2L, t0, 4L, 1.0)))        // in order
+    val got = Monitoring.orderViolations(cl).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("user_id") === 1L)
+    assert(got.head.getAs[Long]("seq") === 3L)
+    assert(got.head.getAs[Long]("regression_ms") === 3000L)
+  }
+
+  test("char stats: class counts partition within totals, ratios consistent") {
+    val got = TextFunctions.charStats(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val chars = r.getAs[Long]("n_chars")
+      assert(r.getAs[Long]("n_letters") + r.getAs[Long]("n_digits") <= chars)
+      assert(r.getAs[Double]("letter_ratio") ===
+        r.getAs[Long]("n_letters").toDouble / chars.toDouble)
+    }
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
