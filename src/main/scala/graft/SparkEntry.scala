@@ -193,6 +193,8 @@ object SparkEntry {
     "cdc_table_checksum" -> ((s, d) => Quality.tableChecksum(s, d)),
     "cdc_order_violations" -> ((s, d) => Monitoring.orderViolations(Cdc.changelog(s, d))),
     "text_char_stats" -> ((s, d) => TextFunctions.charStats(s, d)),
+    "cdc_trigger_advise" -> ((s, d) => Monitoring.triggerAdvise(Cdc.changelog(s, d))),
+    "q_lapse_cohorts" -> ((s, d) => Relational.lapseCohorts(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -810,6 +812,8 @@ object SparkEntry {
       "cdc_table_checksum" -> Quality.tableChecksumSql,
       "cdc_order_violations" -> Monitoring.orderViolationsSql(cl),
       "text_char_stats" -> TextFunctions.charStatsSql,
+      "cdc_trigger_advise" -> Monitoring.triggerAdviseSql(cl),
+      "q_lapse_cohorts" -> Relational.lapseCohortsSql,
     )
   }
 }

@@ -739,6 +739,22 @@ object Relational {
        |GROUP BY part_a, part_b
        |ORDER BY n_orders DESC, part_a, part_b LIMIT $topK""".stripMargin
 
+  /** Lapse cohorts (the churn mirror of [[cohortRetention]]): users
+    * grouped by the month of their LAST activity — the tail that shows
+    * when users go dormant. One per-user max + one month aggregation. */
+  def lapseCohorts(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_seen"))
+      .groupBy(date_trunc("month", col("last_seen")).as("lapse_month"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("lapse_month")
+
+  val lapseCohortsSql: String =
+    """WITH u AS (SELECT user_id, max(ts) AS last_seen FROM events GROUP BY user_id)
+      |SELECT date_trunc('month', last_seen) AS lapse_month, count(*) AS n_users
+      |FROM u GROUP BY lapse_month ORDER BY lapse_month""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -339,6 +339,36 @@ object Monitoring {
        |       CAST(sum(hist) AS BIGINT) * $rowBytes AS projected_scd2_bytes
        |FROM per_key""".stripMargin
 
+  /** Micro-batch trigger sizing: from the arrival-rate distribution
+    * (events per minute), the trigger interval that keeps a micro-batch
+    * near the target row count even at p95 load — the streaming twin of
+    * capacity planning, alongside [[watermarkAdvise]] (lateness) and
+    * [[stateSize]] (memory). Integer/percentile math shared exactly by
+    * both engines; advised seconds floor at 1. */
+  def triggerAdvise(changelog: DataFrame, targetRows: Long = 10000L): DataFrame =
+    changelog
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_minutes"),
+        expr("percentile(n, 0.5)").as("p50_per_min"),
+        expr("percentile(n, 0.95)").as("p95_per_min"),
+        max(col("n")).as("max_per_min"))
+      .withColumn("advised_trigger_sec",
+        greatest(lit(1L),
+          floor(lit(targetRows.toDouble) / col("p95_per_min") * 60.0).cast("long")))
+
+  def triggerAdviseSql(changelogSql: String, targetRows: Long = 10000L): String =
+    s"""$changelogSql, per_min AS (
+       |  SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+       |  FROM changelog GROUP BY minute)
+       |SELECT count(*) AS n_minutes,
+       |       quantile_cont(n, 0.5) AS p50_per_min,
+       |       quantile_cont(n, 0.95) AS p95_per_min,
+       |       max(n) AS max_per_min,
+       |       greatest(1, CAST(floor($targetRows.0 / quantile_cont(n, 0.95) * 60.0) AS BIGINT)) AS advised_trigger_sec
+       |FROM per_min""".stripMargin
+
   /** Ordering-violation report: the actionable twin of
     * [[disorderStats]] — every event whose event time regressed below
     * its key's running maximum (in arrival = seq order), with the

@@ -514,6 +514,21 @@ class Round2bSpec extends AnyFunSuite {
     }
   }
 
+  test("trigger advise: interval shrinks as target shrinks, floors at 1s") {
+    val cl = Cdc.changelog(spark, dir)
+    val big = Monitoring.triggerAdvise(cl, targetRows = 100000L).collect().head
+    val small = Monitoring.triggerAdvise(cl, targetRows = 10L).collect().head
+    assert(big.getAs[Long]("advised_trigger_sec") >= small.getAs[Long]("advised_trigger_sec"))
+    assert(small.getAs[Long]("advised_trigger_sec") >= 1L)
+    assert(big.getAs[Double]("p50_per_min") <= big.getAs[Double]("p95_per_min"))
+  }
+
+  test("lapse cohorts: user counts sum to the distinct-user total") {
+    val got = Relational.lapseCohorts(spark, dir).collect()
+    val users = Tables.load(spark, dir, "events").select("user_id").distinct().count()
+    assert(got.map(_.getAs[Long]("n_users")).sum === users)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
