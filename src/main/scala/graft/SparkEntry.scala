@@ -195,6 +195,8 @@ object SparkEntry {
     "text_char_stats" -> ((s, d) => TextFunctions.charStats(s, d)),
     "cdc_trigger_advise" -> ((s, d) => Monitoring.triggerAdvise(Cdc.changelog(s, d))),
     "q_lapse_cohorts" -> ((s, d) => Relational.lapseCohorts(s, d)),
+    "cdc_volume_forecast" -> ((s, d) => Monitoring.volumeForecast(Cdc.changelog(s, d))),
+    "q_percent_of_total" -> ((s, d) => Relational.percentOfTotal(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -814,6 +816,8 @@ object SparkEntry {
       "text_char_stats" -> TextFunctions.charStatsSql,
       "cdc_trigger_advise" -> Monitoring.triggerAdviseSql(cl),
       "q_lapse_cohorts" -> Relational.lapseCohortsSql,
+      "cdc_volume_forecast" -> Monitoring.volumeForecastSql(cl),
+      "q_percent_of_total" -> Relational.percentOfTotalSql,
     )
   }
 }

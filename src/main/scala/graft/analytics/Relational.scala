@@ -755,6 +755,37 @@ object Relational {
       |SELECT date_trunc('month', last_seen) AS lapse_month, count(*) AS n_users
       |FROM u GROUP BY lapse_month ORDER BY lapse_month""".stripMargin
 
+  /** Share of total: each priority's revenue as a fraction of the whole —
+    * the classic BI percent-of-total, computed as a window sum over the
+    * AGGREGATED rows (|priorities| rows, not the fact table). Shares are
+    * double divisions of exact decimals. */
+  def percentOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val byPriority = Tables.load(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("rev_d"))
+    val wAll = Window.partitionBy(lit(1))
+    byPriority
+      .withColumn("total_d", sum(col("rev_d")).over(wAll).cast(DecimalType(28, 2)))
+      .select(
+        col("o_orderpriority"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") / col("total_d").cast("double")).as("revenue_share"))
+      .orderBy("o_orderpriority")
+  }
+
+  val percentOfTotalSql: String =
+    """WITH p AS (
+      |  SELECT o_orderpriority, count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS rev_d
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, n_orders,
+      |       CAST(rev_d AS DOUBLE) AS revenue,
+      |       CAST(rev_d AS DOUBLE)
+      |         / CAST(CAST(sum(rev_d) OVER () AS DECIMAL(28,2)) AS DOUBLE) AS revenue_share
+      |FROM p ORDER BY o_orderpriority""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

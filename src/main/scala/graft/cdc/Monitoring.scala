@@ -339,6 +339,62 @@ object Monitoring {
        |       CAST(sum(hist) AS BIGINT) * $rowBytes AS projected_scd2_bytes
        |FROM per_key""".stripMargin
 
+  /** Volume forecast: least-squares trend over daily event counts with
+    * EXACT integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the
+    * float math happens once on identical operands, so the slope is
+    * bit-identical across engines and partitionings. Output: the fit and
+    * the projected daily volume 7 days past the last observed day. The
+    * capacity-planning complement of [[burstDetect]]. */
+  def volumeForecast(changelog: DataFrame): DataFrame = {
+    val daily = changelog
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"),
+        to_date(lit("2020-01-01"))).cast("long"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      max(col("x")).as("last_x"))
+      .withColumn("slope",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        col("sy").cast("double") / col("n_days").cast("double") -
+          col("slope") * (col("sx").cast("double") / col("n_days").cast("double")))
+      .withColumn("forecast_plus_7d",
+        col("intercept") + col("slope") * (col("last_x") + 7).cast("double"))
+      .select("n_days", "slope", "intercept", "forecast_plus_7d")
+  }
+
+  def volumeForecastSql(changelogSql: String): String =
+    s"""$changelogSql, daily AS (
+       |  SELECT date_trunc('day', ts) AS day, count(*) AS y
+       |  FROM changelog GROUP BY day),
+       |xy AS (
+       |  SELECT CAST(date_diff('day', DATE '2020-01-01', day) AS BIGINT) AS x, y FROM daily),
+       |s AS (
+       |  SELECT count(*) AS n_days,
+       |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         max(x) AS last_x
+       |  FROM xy),
+       |fit AS (
+       |  SELECT n_days,
+       |         CAST(n_days * sxy - sx * sy AS DOUBLE)
+       |           / CAST(n_days * sxx - sx * sx AS DOUBLE) AS slope,
+       |         sx, sy, last_x
+       |  FROM s)
+       |SELECT n_days, slope,
+       |       CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+       |         - slope * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)) AS intercept,
+       |       (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)
+       |         - slope * (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE)))
+       |         + slope * CAST(last_x + 7 AS DOUBLE) AS forecast_plus_7d
+       |FROM fit""".stripMargin
+
   /** Micro-batch trigger sizing: from the arrival-rate distribution
     * (events per minute), the trigger interval that keeps a micro-batch
     * near the target row count even at p95 load — the streaming twin of

@@ -529,6 +529,27 @@ class Round2bSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n_users")).sum === users)
   }
 
+  test("volume forecast: exact fit on synthetic linear data") {
+    val t0 = 1700000000000L
+    val day = 86400000L
+    // y = 10 + 2*dayIndex exactly
+    val rows = (0 until 10).flatMap { d =>
+      (0 until 10 + 2 * d).map(i => ("u", i.toLong, t0 + d * day, (d * 100 + i).toLong, 1.0))
+    }
+    val r = Monitoring.volumeForecast(mkChangelog(rows)).collect().head
+    assert(r.getAs[Long]("n_days") === 10L)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    // forecast at last_x + 7 continues the line
+    val lastY = 10 + 2 * 9
+    assert(math.abs(r.getAs[Double]("forecast_plus_7d") - (lastY + 2 * 7)) < 1e-6)
+  }
+
+  test("percent of total: shares sum to one") {
+    val got = Relational.percentOfTotal(spark, dir).collect()
+    assert(got.nonEmpty)
+    assert(math.abs(got.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-9)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
