@@ -197,6 +197,8 @@ object SparkEntry {
     "q_lapse_cohorts" -> ((s, d) => Relational.lapseCohorts(s, d)),
     "cdc_volume_forecast" -> ((s, d) => Monitoring.volumeForecast(Cdc.changelog(s, d))),
     "q_percent_of_total" -> ((s, d) => Relational.percentOfTotal(s, d)),
+    "cdc_key_lifecycle" -> ((s, d) => Monitoring.keyLifecycle(Cdc.changelog(s, d))),
+    "dedup_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -818,6 +820,8 @@ object SparkEntry {
       "q_lapse_cohorts" -> Relational.lapseCohortsSql,
       "cdc_volume_forecast" -> Monitoring.volumeForecastSql(cl),
       "q_percent_of_total" -> Relational.percentOfTotalSql,
+      "cdc_key_lifecycle" -> Monitoring.keyLifecycleSql(cl),
+      "dedup_minhash_accuracy" -> Dedup.minhashAccuracySql,
     )
   }
 }

@@ -339,6 +339,56 @@ object Monitoring {
        |       CAST(sum(hist) AS BIGINT) * $rowBytes AS projected_scd2_bytes
        |FROM per_key""".stripMargin
 
+  /** Key-lifecycle census: every key classified by its op history —
+    * insert-only, updated, deleted, or resurrected (a create arriving
+    * after a delete in event-time order). Lifecycle mix is the shape
+    * metric that predicts state-store churn and compaction value. One
+    * per-key aggregation over ordered existence flags. */
+  def keyLifecycle(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("ts", "seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    changelog
+      .withColumn("resurrect",
+        when(col("op") === "c" &&
+          max(when(col("op") === "d", lit(1)).otherwise(lit(0))).over(w) === 1, 1)
+          .otherwise(0))
+      .groupBy("pk")
+      .agg(
+        count(when(col("op") === "u", 1)).as("n_upd"),
+        count(when(col("op") === "d", 1)).as("n_del"),
+        max(col("resurrect")).as("res"))
+      .select(
+        when(col("res") === 1, "resurrected")
+          .when(col("n_del") > 0, "deleted")
+          .when(col("n_upd") > 0, "updated")
+          .otherwise("insert_only").as("lifecycle"))
+      .groupBy("lifecycle")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("lifecycle")
+  }
+
+  def keyLifecycleSql(changelogSql: String): String =
+    s"""$changelogSql, flags AS (
+       |  SELECT pk, op,
+       |         CASE WHEN op = 'c' AND coalesce(max(CASE WHEN op = 'd' THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY pk ORDER BY ts, seq
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) = 1
+       |           THEN 1 ELSE 0 END AS resurrect
+       |  FROM changelog),
+       |per_key AS (
+       |  SELECT pk,
+       |         count(CASE WHEN op = 'u' THEN 1 END) AS n_upd,
+       |         count(CASE WHEN op = 'd' THEN 1 END) AS n_del,
+       |         max(resurrect) AS res
+       |  FROM flags GROUP BY pk)
+       |SELECT CASE WHEN res = 1 THEN 'resurrected'
+       |            WHEN n_del > 0 THEN 'deleted'
+       |            WHEN n_upd > 0 THEN 'updated'
+       |            ELSE 'insert_only' END AS lifecycle,
+       |       count(*) AS n_keys
+       |FROM per_key GROUP BY lifecycle ORDER BY lifecycle""".stripMargin
+
   /** Volume forecast: least-squares trend over daily event counts with
     * EXACT integer sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the
     * float math happens once on identical operands, so the slope is

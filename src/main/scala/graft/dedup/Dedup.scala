@@ -93,19 +93,30 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
       .orderBy("id_a", "id_b")
 
+  /** Cached (doc_id, sig0..15) signature table — shared by the pair
+    * build and the estimator-accuracy operator. */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate((spark, dir), {
+      val base = normCorpus(spark, dir)
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
+        .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
+      val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
+      }
+      base.select(col("doc_id") +: sigCols: _*).cache()
+    })
+
   private def buildVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = normCorpus(spark, dir)
       .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
-      .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
 
-    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
-    }
     // Materialize signatures before the self-join (at 100 TB: checkpoint /
     // persisted table); otherwise both join sides recompute the pipeline.
     // Only (doc_id, sig0..15) is cached - columnar-caching the shingle
     // arrays costs more in serialization than recomputing them.
-    val sigs = base.select(col("doc_id") +: sigCols: _*).cache()
+    val sigs = signatures(spark, dir)
     val shingleTable = base.select(col("doc_id"), col("shingles"))
 
     // One explode over a 4-element band array — NOT a 4-way union, which
@@ -278,6 +289,50 @@ object Dedup {
        |FROM l3 JOIN sizes s ON l3.label = s.canonical_id
        |WHERE s.cluster_size > 1
        |ORDER BY canonical_id, doc_id""".stripMargin
+  }
+
+  /** MinHash estimator accuracy: for every LSH-verified candidate pair,
+    * the Jaccard ESTIMATE from signature agreement (matching permutations
+    * / 16) next to the exact shingle Jaccard and the absolute error —
+    * the calibration table that justifies trusting the sketch at scales
+    * where exact verification is unaffordable. Reuses the cached
+    * signature table; the estimate is integer-count arithmetic. */
+  def minhashAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val sa = sigs.columns.filter(_.startsWith("sig"))
+      .foldLeft(sigs)((d, c) => d.withColumnRenamed(c, c + "_a"))
+      .withColumnRenamed("doc_id", "id_a")
+    val sb = sigs.columns.filter(_.startsWith("sig"))
+      .foldLeft(sigs)((d, c) => d.withColumnRenamed(c, c + "_b"))
+      .withColumnRenamed("doc_id", "id_b")
+    val matches = (0 until 16)
+      .map(i => when(col(s"sig${i}_a") === col(s"sig${i}_b"), 1).otherwise(0))
+      .reduce(_ + _)
+    verifiedPairs(spark, dir)
+      .select("id_a", "id_b", "jaccard")
+      .join(sa, "id_a").join(sb, "id_b")
+      .select(
+        col("id_a"), col("id_b"),
+        (matches.cast("double") / 16.0).as("est_jaccard"),
+        col("jaccard"),
+        abs(matches.cast("double") / 16.0 - col("jaccard")).as("abs_err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def minhashAccuracySql: String = {
+    val matches = (0 until 16)
+      .map(i => s"CASE WHEN sa.sig$i = sb.sig$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$minhashPairsCte
+       |SELECT v.id_a, v.id_b,
+       |       CAST($matches AS DOUBLE) / 16.0 AS est_jaccard,
+       |       CAST(v.n_common AS DOUBLE) / CAST(v.n_union AS DOUBLE) AS jaccard,
+       |       abs(CAST($matches AS DOUBLE) / 16.0
+       |         - CAST(v.n_common AS DOUBLE) / CAST(v.n_union AS DOUBLE)) AS abs_err
+       |FROM verified v
+       |JOIN sigs sa ON v.id_a = sa.doc_id
+       |JOIN sigs sb ON v.id_b = sb.doc_id
+       |ORDER BY v.id_a, v.id_b""".stripMargin
   }
 
   /** Benchmark-contamination check: which training documents are exact

@@ -550,6 +550,31 @@ class Round2bSpec extends AnyFunSuite {
     assert(math.abs(got.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-9)
   }
 
+  test("key lifecycle: resurrection recognized, classes partition keys") {
+    val t0 = 1700000000000L
+    val cl = mkChangelog(Seq(
+      ("c", 1L, t0, 1L, 1.0),                                    // insert_only
+      ("c", 2L, t0, 2L, 1.0), ("u", 2L, t0 + 1000, 3L, 1.0),     // updated
+      ("c", 3L, t0, 4L, 1.0), ("d", 3L, t0 + 1000, 5L, 1.0),     // deleted
+      ("c", 4L, t0, 6L, 1.0), ("d", 4L, t0 + 1000, 7L, 1.0),
+      ("c", 4L, t0 + 2000, 8L, 1.0)))                            // resurrected
+    val got = Monitoring.keyLifecycle(cl).collect()
+      .map(r => r.getAs[String]("lifecycle") -> r.getAs[Long]("n_keys")).toMap
+    assert(got === Map("insert_only" -> 1L, "updated" -> 1L,
+      "deleted" -> 1L, "resurrected" -> 1L))
+  }
+
+  test("minhash accuracy: exact copies estimate 1.0, errors bounded") {
+    val got = graft.dedup.Dedup.minhashAccuracy(spark, dir).collect()
+    assert(got.nonEmpty)
+    // exact copies (+1M ids) must have identical signatures -> estimate 1.0
+    val copies = got.filter(r => r.getAs[Long]("id_a") < 1000000L &&
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+    assert(copies.nonEmpty)
+    copies.foreach(r => assert(r.getAs[Double]("est_jaccard") === 1.0))
+    got.foreach(r => assert(r.getAs[Double]("abs_err") >= 0.0 && r.getAs[Double]("abs_err") <= 1.0))
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
