@@ -199,6 +199,7 @@ object SparkEntry {
     "q_percent_of_total" -> ((s, d) => Relational.percentOfTotal(s, d)),
     "cdc_key_lifecycle" -> ((s, d) => Monitoring.keyLifecycle(Cdc.changelog(s, d))),
     "dedup_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
+    "q_dow_seasonality" -> ((s, d) => Relational.dowSeasonality(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -822,6 +823,7 @@ object SparkEntry {
       "q_percent_of_total" -> Relational.percentOfTotalSql,
       "cdc_key_lifecycle" -> Monitoring.keyLifecycleSql(cl),
       "dedup_minhash_accuracy" -> Dedup.minhashAccuracySql,
+      "q_dow_seasonality" -> Relational.dowSeasonalitySql,
     )
   }
 }

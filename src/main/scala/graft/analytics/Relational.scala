@@ -786,6 +786,36 @@ object Relational {
       |         / CAST(CAST(sum(rev_d) OVER () AS DECIMAL(28,2)) AS DOUBLE) AS revenue_share
       |FROM p ORDER BY o_orderpriority""".stripMargin
 
+  /** Day-of-week seasonality: order volume and revenue share per ISO
+    * weekday (Spark `weekday`+1 == DuckDB `isodow` — the only portable
+    * day-numbering across the two engines; `dayofweek` differs). */
+  def dowSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val byDow = Tables.load(spark, dir, "orders")
+      .groupBy((expr("weekday(o_orderdate)") + 1).cast("long").as("isodow"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("rev_d"))
+    val wAll = Window.partitionBy(lit(1))
+    byDow
+      .withColumn("total_d", sum(col("rev_d")).over(wAll).cast(DecimalType(28, 2)))
+      .select(
+        col("isodow"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") / col("total_d").cast("double")).as("revenue_share"))
+      .orderBy("isodow")
+  }
+
+  val dowSeasonalitySql: String =
+    """WITH d AS (
+      |  SELECT CAST(isodow(o_orderdate) AS BIGINT) AS isodow, count(*) AS n_orders,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS rev_d
+      |  FROM orders GROUP BY isodow)
+      |SELECT isodow, n_orders,
+      |       CAST(rev_d AS DOUBLE) AS revenue,
+      |       CAST(rev_d AS DOUBLE)
+      |         / CAST(CAST(sum(rev_d) OVER () AS DECIMAL(28,2)) AS DOUBLE) AS revenue_share
+      |FROM d ORDER BY isodow""".stripMargin
+
   /** JSON field extraction from the events props payload. */
   def jsonExtract(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")

@@ -575,6 +575,14 @@ class Round2bSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getAs[Double]("abs_err") >= 0.0 && r.getAs[Double]("abs_err") <= 1.0))
   }
 
+  test("dow seasonality: seven ISO weekdays, shares sum to one") {
+    val got = Relational.dowSeasonality(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("isodow")).toSet === (1L to 7L).toSet)
+    assert(math.abs(got.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-9)
+    assert(got.map(_.getAs[Long]("n_orders")).sum ===
+      Tables.load(spark, dir, "orders").count())
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
