@@ -200,6 +200,8 @@ object SparkEntry {
     "cdc_key_lifecycle" -> ((s, d) => Monitoring.keyLifecycle(Cdc.changelog(s, d))),
     "dedup_minhash_accuracy" -> ((s, d) => Dedup.minhashAccuracy(s, d)),
     "q_dow_seasonality" -> ((s, d) => Relational.dowSeasonality(s, d)),
+    "pipe_dup_rate_by_source" -> ((s, d) => TextFunctions.dupRateBySource(s, d)),
+    "cdc_retention_impact" -> ((s, d) => Monitoring.retentionImpact(Cdc.changelog(s, d))),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -824,6 +826,8 @@ object SparkEntry {
       "cdc_key_lifecycle" -> Monitoring.keyLifecycleSql(cl),
       "dedup_minhash_accuracy" -> Dedup.minhashAccuracySql,
       "q_dow_seasonality" -> Relational.dowSeasonalitySql,
+      "pipe_dup_rate_by_source" -> TextFunctions.dupRateBySourceSql,
+      "cdc_retention_impact" -> Monitoring.retentionImpactSql(cl),
     )
   }
 }

@@ -339,6 +339,35 @@ object Monitoring {
        |       CAST(sum(hist) AS BIGINT) * $rowBytes AS projected_scd2_bytes
        |FROM per_key""".stripMargin
 
+  /** Retention-policy impact: how many events (and what share) each
+    * candidate retention horizon would purge, measured against the
+    * stream's own high watermark — the sizing table for choosing a
+    * tombstone/compaction horizon. One scan, conditional counts. */
+  def retentionImpact(changelog: DataFrame): DataFrame = {
+    val day = 86400000L
+    val hw = changelog.agg(max(unix_millis(col("ts"))).as("hw"))
+    changelog
+      .select(unix_millis(col("ts")).as("ms"))
+      .crossJoin(broadcast(hw))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("ms") < col("hw") - 1 * day, 1)).as("purged_1d"),
+        count(when(col("ms") < col("hw") - 7 * day, 1)).as("purged_7d"),
+        count(when(col("ms") < col("hw") - 30 * day, 1)).as("purged_30d"))
+      .withColumn("share_7d",
+        col("purged_7d").cast("double") / col("n_events").cast("double"))
+  }
+
+  def retentionImpactSql(changelogSql: String): String =
+    s"""$changelogSql, hw AS (SELECT max(epoch_ms(ts)) AS hw FROM changelog)
+       |SELECT count(*) AS n_events,
+       |       count(CASE WHEN epoch_ms(ts) < hw - ${86400000L} THEN 1 END) AS purged_1d,
+       |       count(CASE WHEN epoch_ms(ts) < hw - ${7 * 86400000L} THEN 1 END) AS purged_7d,
+       |       count(CASE WHEN epoch_ms(ts) < hw - ${30 * 86400000L} THEN 1 END) AS purged_30d,
+       |       CAST(count(CASE WHEN epoch_ms(ts) < hw - ${7 * 86400000L} THEN 1 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS share_7d
+       |FROM changelog, hw""".stripMargin
+
   /** Key-lifecycle census: every key classified by its op history —
     * insert-only, updated, deleted, or resurrected (a create arriving
     * after a delete in event-time order). Lifecycle mix is the shape

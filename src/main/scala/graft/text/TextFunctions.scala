@@ -407,6 +407,35 @@ object TextFunctions {
       |         / CAST(sum(length(text)) AS DOUBLE) AS digit_ratio
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Exact-duplicate rate per source: the per-source slice of the dataset
+    * card's dup count — which sources ship redundant content and how much
+    * of their token volume dedup would reclaim. One hash aggregation. */
+  def dupRateBySource(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), md5(normText(col("text"))).as("sig"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("sig")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("sig"))).as("n_dups"),
+        sum(col("tokens")).as("total_tokens"))
+      .withColumn("dup_rate",
+        (col("n_docs") - col("n_distinct")).cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
+  val dupRateBySourceSql: String =
+    """WITH d AS (
+      |  SELECT source, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS sig,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tokens
+      |  FROM documents)
+      |SELECT source, count(*) AS n_docs,
+      |       count(DISTINCT sig) AS n_distinct,
+      |       count(*) - count(DISTINCT sig) AS n_dups,
+      |       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |       CAST(count(*) - count(DISTINCT sig) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   /** Top word bigrams across the corpus. */
   def ngrams(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

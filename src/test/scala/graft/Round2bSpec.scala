@@ -583,6 +583,26 @@ class Round2bSpec extends AnyFunSuite {
       Tables.load(spark, dir, "orders").count())
   }
 
+  test("dup rate by source: distinct never exceeds docs, rate consistent") {
+    val got = TextFunctions.dupRateBySource(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_dups") === r.getAs[Long]("n_docs") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Double]("dup_rate") >= 0.0 && r.getAs[Double]("dup_rate") < 1.0)
+    }
+  }
+
+  test("retention impact: longer horizons purge monotonically less") {
+    val r = Monitoring.retentionImpact(Cdc.changelog(spark, dir)).collect().head
+    assert(r.getAs[Long]("purged_1d") >= r.getAs[Long]("purged_7d"))
+    assert(r.getAs[Long]("purged_7d") >= r.getAs[Long]("purged_30d"))
+    assert(r.getAs[Long]("purged_1d") <= r.getAs[Long]("n_events"))
+    assert(r.getAs[Double]("share_7d") ===
+      r.getAs[Long]("purged_7d").toDouble / r.getAs[Long]("n_events").toDouble)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
