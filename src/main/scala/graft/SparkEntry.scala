@@ -202,6 +202,7 @@ object SparkEntry {
     "q_dow_seasonality" -> ((s, d) => Relational.dowSeasonality(s, d)),
     "pipe_dup_rate_by_source" -> ((s, d) => TextFunctions.dupRateBySource(s, d)),
     "cdc_retention_impact" -> ((s, d) => Monitoring.retentionImpact(Cdc.changelog(s, d))),
+    "mm_frame_stats" -> ((s, d) => Binary.frameStats(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -828,6 +829,7 @@ object SparkEntry {
       "q_dow_seasonality" -> Relational.dowSeasonalitySql,
       "pipe_dup_rate_by_source" -> TextFunctions.dupRateBySourceSql,
       "cdc_retention_impact" -> Monitoring.retentionImpactSql(cl),
+      "mm_frame_stats" -> Binary.frameStatsSql,
     )
   }
 }

@@ -123,6 +123,31 @@ object Binary {
       |FROM sigs GROUP BY sig HAVING count(DISTINCT doc_id) > 1
       |ORDER BY sig""".stripMargin
 
+  /** Frame-count distribution across blobs: total/percentile frames per
+    * payload — the decode-capacity plan (how many frame-decode tasks a
+    * corpus fans out to, and how skewed the per-blob work is). Exact
+    * integer counts + portable interpolated percentiles. */
+  def frameStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(((length(encode(col("text"), "UTF-8")).cast("long") + 999L) / 1000L)
+        .cast("long").as("n_frames"))
+      .agg(
+        count(lit(1)).as("n_blobs"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("n_frames")).as("max_frames"),
+        expr("percentile(n_frames, 0.5)").as("p50_frames"),
+        expr("percentile(n_frames, 0.95)").as("p95_frames"))
+
+  val frameStatsSql: String =
+    """WITH f AS (
+      |  SELECT (octet_length(encode(text)) + 999) // 1000 AS n_frames FROM documents)
+      |SELECT count(*) AS n_blobs,
+      |       CAST(sum(n_frames) AS BIGINT) AS total_frames,
+      |       max(n_frames) AS max_frames,
+      |       quantile_cont(n_frames, 0.5) AS p50_frames,
+      |       quantile_cont(n_frames, 0.95) AS p95_frames
+      |FROM f""".stripMargin
+
   /** Per-modality payload statistics: blob counts, byte volumes and
     * magic-prefix diversity for each modality class — the storage-planning
     * slice (partition sizing, codec routing) a multimodal lake needs.

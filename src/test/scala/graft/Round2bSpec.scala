@@ -603,6 +603,14 @@ class Round2bSpec extends AnyFunSuite {
       r.getAs[Long]("purged_7d").toDouble / r.getAs[Long]("n_events").toDouble)
   }
 
+  test("frame stats: totals agree with the frame-sample fan-out") {
+    val r = graft.multimodal.Binary.frameStats(spark, dir).collect().head
+    val actualFrames = graft.multimodal.Binary.frameSample(spark, dir).count()
+    assert(r.getAs[Long]("total_frames") === actualFrames)
+    assert(r.getAs[Double]("p50_frames") <= r.getAs[Double]("p95_frames"))
+    assert(r.getAs[Double]("p95_frames") <= r.getAs[Long]("max_frames").toDouble)
+  }
+
   test("modality stats: three classes partition the corpus, avg consistent") {
     val got = Binary.modalityStats(spark, dir).collect()
     assert(got.map(_.getAs[String]("modality")).toSet === Set("image", "audio", "video"))
