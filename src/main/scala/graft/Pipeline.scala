@@ -53,21 +53,26 @@ object Pipeline {
     }
     // Seed only on first start: a restart from checkpoint must keep the
     // existing state (the stream will deliver only unprocessed files).
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(cfg.statePath)))
+    // stateExists also sees the .bak a crashed swap leaves — seeding over
+    // that window would replace the only surviving copy with an empty table.
+    if (!TableSink.stateExists(spark, cfg.statePath))
       TableSink.writeSnapshot(seed, "user_id", cfg.statePath)
 
     WireSource.readStream(spark, cfg.wirePath)
       .writeStream
       .option("checkpointLocation", cfg.checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // per-message parse guard (the reference consumer's try/except):
         // an unroutable envelope goes to the DLQ, never into the apply —
         // one poisoned message must not corrupt state or kill the query
         val bad = batch.where(col("op").isNull)
         cfg.dlqPath.foreach { p =>
-          bad.select("topic", "offset")
-            .write.mode("append").parquet(p)
+          // idempotent under micro-batch replay: each batch owns its
+          // batch_id partition, and a retry overwrites only that partition
+          bad.select("topic", "offset").withColumn("batch_id", lit(batchId))
+            .write.partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite").parquet(p)
         }
         TableSink.upsert(spark, cfg.statePath,
           toChangelog(batch.where(col("op").isNotNull)))
@@ -89,8 +94,7 @@ object Pipeline {
         tables.foreach { t =>
           val slice = toChangelog(batch.where(col("table_name") === t))
           val path = s"${cfg.statePath}/$t"
-          val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-          if (!fs.exists(new org.apache.hadoop.fs.Path(path)))
+          if (!TableSink.stateExists(spark, path))
             TableSink.writeSnapshot(Materialize.latestSnapshot(slice), "user_id", path)
           else
             TableSink.upsert(spark, path, slice)

@@ -303,18 +303,21 @@ object Relational {
     val customer = Tables.load(spark, dir, "customer")
     val nation = Tables.load(spark, dir, "nation")
     val region = Tables.load(spark, dir, "region")
+    // Pure DataFrame plan (Dataset.groupingSets, Spark 4): no session-global
+    // temp view, so concurrent callers on one SparkSession can't race on a
+    // shared view name.
     customer
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      .createOrReplaceTempView("graft_gs_src")
-    spark.sql(
-      """SELECT r_name, c_mktsegment,
-        |       CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
-        |       count(*) AS n_customers,
-        |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_acctbal
-        |FROM graft_gs_src
-        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), ())
-        |ORDER BY gid, r_name, c_mktsegment""".stripMargin)
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("c_mktsegment")), Seq(col("r_name")), Seq.empty),
+        col("r_name"), col("c_mktsegment"))
+      .agg(
+        (grouping(col("r_name")).cast("long") * 2 +
+          grouping(col("c_mktsegment")).cast("long")).as("gid"),
+        count(lit(1)).as("n_customers"),
+        sum(dec(col("c_acctbal"))).cast(DecimalType(28, 2)).cast("double").as("total_acctbal"))
+      .orderBy("gid", "r_name", "c_mktsegment")
   }
 
   val groupingSetsSql: String =
@@ -363,17 +366,16 @@ object Relational {
   /** Full CUBE over order status × priority: all four grouping
     * combinations in one Expand + hash aggregation pass (no re-scan per
     * subtotal level). Same single-shuffle shape as GROUPING SETS. */
-  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "orders").createOrReplaceTempView("graft_cube_src")
-    spark.sql(
-      """SELECT o_orderstatus, o_orderpriority,
-        |       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
-        |       count(*) AS n_orders,
-        |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
-        |FROM graft_cube_src
-        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin)
-  }
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    // DataFrame cube, not SQL over a shared temp view (see groupingSets).
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        (grouping(col("o_orderstatus")).cast("long") * 2 +
+          grouping(col("o_orderpriority")).cast("long")).as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).cast("double").as("revenue"))
+      .orderBy("gid", "o_orderstatus", "o_orderpriority")
 
   val cubeAggSql: String =
     """SELECT o_orderstatus, o_orderpriority,
@@ -461,20 +463,23 @@ object Relational {
     * event-time, so gaps in the calendar shrink the window. Runs over the
     * pre-aggregated daily table (bounded by date range, not data volume). */
   def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
-    Tables.load(spark, dir, "orders")
+    // DataFrame window, not SQL over a shared temp view (see groupingSets).
+    // The interval RANGE frame becomes a numeric range over days-since-epoch
+    // — identical semantics at daily granularity.
+    val daily = Tables.load(spark, dir, "orders")
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(
         count(lit(1)).as("n_orders"),
         sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("dt"))
-      .createOrReplaceTempView("graft_rf_daily")
-    spark.sql(
-      """SELECT day, n_orders,
-        |       CAST(dt AS DOUBLE) AS day_total,
-        |       CAST(CAST(sum(dt) OVER w AS DECIMAL(28,2)) AS DOUBLE) AS trailing_7d,
-        |       count(*) OVER w AS n_days_in_frame
-        |FROM graft_rf_daily
-        |WINDOW w AS (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
-        |ORDER BY day""".stripMargin)
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01")).cast("long"))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .select(
+        col("day"), col("n_orders"),
+        col("dt").cast("double").as("day_total"),
+        sum(col("dt")).over(w).cast(DecimalType(28, 2)).cast("double").as("trailing_7d"),
+        count(lit(1)).over(w).as("n_days_in_frame"))
+      .orderBy("day")
   }
 
   val rangeFrameSql: String =

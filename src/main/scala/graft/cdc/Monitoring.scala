@@ -620,7 +620,10 @@ object Monitoring {
         col("s2").cast("double") / col("n_buckets").cast("double") - col("mean") * col("mean"))
       .withColumn("zscore",
         (col("n_events").cast("double") - col("mean")) / sqrt(col("variance")))
-      .where(col("zscore") >= z)
+      // variance > 0 guard: on perfectly uniform traffic the zscore is
+      // 0/0 = NaN and NaN >= z evaluates TRUE on both engines — a steady
+      // stream would flag every minute as a burst
+      .where(col("variance") > 0 && col("zscore") >= z)
       .select("minute", "n_events", "mean", "zscore")
       .orderBy("minute")
   }
@@ -644,7 +647,8 @@ object Monitoring {
        |SELECT minute, n_events, mean,
        |       (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) AS zscore
        |FROM scored
-       |WHERE (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) >= $z
+       |WHERE variance > 0
+       |  AND (CAST(n_events AS DOUBLE) - mean) / sqrt(variance) >= $z
        |ORDER BY minute""".stripMargin
 
   /** Watermark sizing advice: per-key arrival lateness (how far behind

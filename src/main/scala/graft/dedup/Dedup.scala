@@ -82,7 +82,25 @@ object Dedup {
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   def verifiedPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((spark, dir), buildVerifiedPairs(spark, dir).cache())
+    memo(pairsCache, spark, dir)(buildVerifiedPairs(spark, dir))
+
+  /** Bounded memo of cached DataFrames: admitting a new dir evicts (and
+    * unpersists) the session's entries for other dirs, so a long-lived
+    * session sweeping many data dirs (bench across scale factors) holds at
+    * most one dir's worth of executor storage per cache — not all of them
+    * forever. */
+  private def memo(
+      cache: scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame],
+      spark: SparkSession, dir: String)(build: => DataFrame): DataFrame =
+    cache.getOrElse((spark, dir), {
+      cache.keys.filter(k => k._1 eq spark).filter(_._2 != dir)
+        .foreach(k => cache.remove(k).foreach(_.unpersist()))
+      val df = build.cache()
+      cache.putIfAbsent((spark, dir), df) match {
+        case Some(existing) => df.unpersist(); existing
+        case None => df
+      }
+    })
 
   /** MinHash + LSH: 16-permutation signature, 4 bands × 4 rows, candidate
     * pairs from band-bucket self-join, exact Jaccard verify on candidates
@@ -98,15 +116,15 @@ object Dedup {
   private val sigCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate((spark, dir), {
+    memo(sigCache, spark, dir) {
       val base = normCorpus(spark, dir)
         .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
         .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
       val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
         array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
       }
-      base.select(col("doc_id") +: sigCols: _*).cache()
-    })
+      base.select(col("doc_id") +: sigCols: _*)
+    }
 
   private def buildVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val base = normCorpus(spark, dir)

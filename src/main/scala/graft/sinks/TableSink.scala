@@ -61,6 +61,17 @@ object TableSink {
     spark.read.parquet(path)
   }
 
+  /** True when recoverable state exists at `path` — either the live table
+    * or the `.bak` left by a swap that crashed between its two renames.
+    * Seeding decisions MUST use this (not a bare exists(path)): after such
+    * a crash the live path is absent but `.bak` holds the real state, and
+    * seeding over it would orphan then delete the only copy. */
+  def stateExists(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path)) ||
+      fs.exists(new org.apache.hadoop.fs.Path(path + ".bak"))
+  }
+
   /** Read the state table, falling back to the `.bak` left by a swap that
     * crashed between its two renames. */
   private def readState(spark: SparkSession, path: String): DataFrame = {
