@@ -164,14 +164,65 @@ object TextFunctions {
       |       count(*) AS n_docs
       |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin
 
-  /** Quality-score decile binning (ntile) — the histogram a pipeline uses
-    * to pick filter thresholds. The exact global ntile needs one total
-    * order; at lake scale swap in approx quantile cut points computed
-    * distributed, then bin by range. */
-  def qualityBins(spark: SparkSession, dir: String): DataFrame = {
-    val q = quality(spark, dir).select(col("doc_id"), col("quality_score"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("quality_score"), col("doc_id"))
-    q.withColumn("decile", ntile(10).over(w).cast("long"))
+  /** Per-doc quality score only — the ranking key [[qualityBins]] bins on.
+    * Same formula as [[quality]]'s quality_score column. */
+  private[graft] def qualityScore(docs: DataFrame): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+    docs.select(
+      col("doc_id"),
+      ((nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5)
+        + when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))).as("quality_score"))
+  }
+
+  /** Quality-score decile binning (exact ntile semantics) — the histogram
+    * a pipeline uses to pick filter thresholds.
+    *
+    * Scale shape: a naive `ntile(10) OVER (ORDER BY ...)` funnels the whole
+    * corpus through one task. Instead the corpus is range-partitioned on
+    * the sort key, each partition ranks locally (partitioned window), and
+    * the global rank is local rank + the prefix sum of partition counts —
+    * the prefix sum runs over ≤ numShufflePartitions pre-aggregated rows.
+    * Both consumers of the range shuffle share one exchange (reuse), so
+    * partition boundaries are sampled exactly once. Deciles reproduce SQL
+    * ntile bit-for-bit: the first n%10 buckets get one extra row. */
+  def qualityBins(spark: SparkSession, dir: String): DataFrame =
+    qualityBinsOf(qualityScore(Tables.load(spark, dir, "documents")))
+
+  private[graft] def qualityBinsOf(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
+    val ranged = scored
+      .repartitionByRange(parts, col("quality_score"), col("doc_id"))
+      .withColumn("part", spark_partition_id().cast("long"))
+    // per-range-partition counts → prefix-sum offsets + grand total, all
+    // over ≤ `parts` rows (one tiny task, never the corpus)
+    val tiny = org.apache.spark.sql.expressions.Window.orderBy("part")
+    val offsets = ranged.groupBy("part").agg(count(lit(1)).as("cnt"))
+      .select(
+        col("part"),
+        coalesce(sum(col("cnt")).over(
+          tiny.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)).as("off"),
+        sum(col("cnt")).over(tiny.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)).as("n"))
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(col("quality_score"), col("doc_id"))
+    ranged
+      .withColumn("lr", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "part")
+      .withColumn("rank", col("off") + col("lr"))
+      // SQL ntile: base = n div 10 rows per bucket, buckets 1..(n%10) get
+      // one extra; CASE evaluates lazily so `div` never sees base = 0
+      .withColumn("decile",
+        when(col("rank") <= (col("n") % 10) * (expr("n div 10") + 1L),
+          expr("(rank - 1) div (n div 10 + 1)") + 1L)
+          .otherwise(col("n") % 10 + expr("(rank - (n % 10) * (n div 10 + 1) - 1) div (n div 10)") + 1L)
+          .cast("long"))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -186,8 +237,10 @@ object TextFunctions {
     * array_distinct runs per-row (terms dedupe map-side before the
     * explode), so the shuffle carries (term, doc) pairs only once per
     * distinct term per doc. */
-  def termDocFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  def termDocFreq(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    termDocFreqOf(Tables.load(spark, dir, "documents"), topK)
+
+  private[graft] def termDocFreqOf(docs: DataFrame, topK: Int): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     docs
       .select(explode(array_distinct(split(normText(col("text")), " "))).as("term"))

@@ -86,6 +86,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("quality bins: no unpartitioned window over the corpus, exact ntile parity") {
+    val df = SparkEntry.queries("text_quality_bins")(spark, dir)
+    // every Window that reads raw (non-aggregated) rows must be partitioned;
+    // the only unpartitioned window allowed is the prefix sum over the
+    // ≤ numShufflePartitions per-partition count rows (child is an Aggregate)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"unpartitioned window over raw rows:\n${bad.mkString("\n")}")
+    // distributed rank + bucket formula must reproduce SQL ntile exactly
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // the range shuffle must be sampled ONCE and shared by both consumers —
+    // divergent boundary samples would silently corrupt the global ranks
+    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+      "range exchange not reused across the counts and ranking branches")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(org.apache.spark.sql.functions.col("quality_score"),
+        org.apache.spark.sql.functions.col("doc_id"))
+    import org.apache.spark.sql.functions._
+    val expected = graft.text.TextFunctions.qualityScore(Tables.load(spark, dir, "documents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), min("quality_score").as("min_score"),
+        max("quality_score").as("max_score"))
+      .orderBy("decile")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === expected.toSeq)
+  }
+
   test("chunking is shuffle-free until the output sort") {
     val p = planOf("pipe_chunk_documents")
     assert(!p.contains("Exchange hashpartitioning"),
