@@ -24,7 +24,11 @@ object Pipeline {
       statePath: String,
       checkpointPath: String,
       fullLoadFrom: Option[DataFrame] = None,
-      dlqPath: Option[String] = None)
+      dlqPath: Option[String] = None,
+      // fanout routing list — the reference's static `table.include.list`
+      // (debezium_config.py table_include_list). Empty = discover once from
+      // the wire at start (convenience for backfills/tests).
+      fanoutTables: Seq[String] = Nil)
 
   /** Convert parsed envelopes into the canonical changelog shape. */
   private def toChangelog(envelopes: DataFrame): DataFrame =
@@ -84,25 +88,43 @@ object Pipeline {
   /** Multi-table pipeline (table.include.list): one wire stream fans out
     * to a state table per routed table name. Each micro-batch splits by
     * the topic-derived table and upserts each slice into its own state
-    * path — the per-table apply is identical to the single-table path. */
-  def startFanout(spark: SparkSession, cfg: Config): StreamingQuery =
+    * path — the per-table apply is identical to the single-table path.
+    *
+    * The routing list is static provisioning config, so it is resolved
+    * ONCE here (from `cfg.fanoutTables`, or one discovery scan of the wire
+    * when unset) — the micro-batch body does no driver-side
+    * distinct/collect. Tables outside the list are not consumed, exactly
+    * like topics a connector never subscribed to. */
+  def startFanout(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val tables: Seq[String] =
+      if (cfg.fanoutTables.nonEmpty) cfg.fanoutTables
+      else WireSource.readBatch(spark, cfg.wirePath)
+        .select("table_name").distinct().collect().map(_.getString(0)).toSeq
     WireSource.readStream(spark, cfg.wirePath)
       .writeStream
       .option("checkpointLocation", cfg.checkpointPath)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val tables = batch.select("table_name").distinct().collect().map(_.getString(0))
-        tables.foreach { t =>
-          val slice = toChangelog(batch.where(col("table_name") === t))
-          val path = s"${cfg.statePath}/$t"
-          if (!TableSink.stateExists(spark, path))
-            TableSink.writeSnapshot(Materialize.latestSnapshot(slice), "user_id", path)
-          else
-            TableSink.upsert(spark, path, slice)
-          ()
-        }
+        // one materialization of the micro-batch, |tables| cheap slices
+        batch.persist()
+        try {
+          tables.foreach { t =>
+            val slice = toChangelog(batch.where(col("table_name") === t))
+            val path = s"${cfg.statePath}/$t"
+            // limit-1 probe on the persisted batch, not a shuffle: idle
+            // tables must not pay a state rewrite every micro-batch
+            if (!slice.isEmpty) {
+              if (!TableSink.stateExists(spark, path))
+                TableSink.writeSnapshot(Materialize.latestSnapshot(slice), "user_id", path)
+              else
+                TableSink.upsert(spark, path, slice)
+            }
+            ()
+          }
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
+  }
 
   /** Pipeline status from the live query (metrics_collector surface). */
   def status(q: StreamingQuery): Map[String, Any] = {

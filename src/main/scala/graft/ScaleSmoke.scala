@@ -72,6 +72,22 @@ object ScaleSmoke {
         .count()
     }
 
+    t("quality decile binning", nDocs) {
+      // text_quality_bins shape: range-partitioned distributed rank, no
+      // global single-partition window over the corpus
+      val bins = graft.text.TextFunctions.qualityBinsOf(
+        graft.text.TextFunctions.qualityScore(bigDocs)).collect()
+      require(bins.map(_.getAs[Long]("n_docs")).sum == nDocs, "decile counts must cover the corpus")
+      require(bins.length == 10, s"expected 10 deciles, got ${bins.length}")
+      bins.length.toLong
+    }
+
+    t("term doc-frequency", nDocs) {
+      // text_doc_freq shape: per-row distinct terms, one (term) shuffle,
+      // broadcast scalar corpus count, top-k via TakeOrderedAndProject
+      graft.text.TextFunctions.termDocFreqOf(bigDocs, 20).count()
+    }
+
     val emb = Tables.load(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"), col("label"))

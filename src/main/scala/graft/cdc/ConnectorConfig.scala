@@ -24,6 +24,9 @@ object ConnectorConfig {
   case object Postgres extends Dialect { val name = "postgresql" }
   case object SqlServer extends Dialect { val name = "sqlserver" }
   case object OracleDb extends Dialect { val name = "oracle" }
+  /** IBM i (AS400) via the journal-based RPC connector — the reference's
+    * marquee source (debezium_config.py:64-75 routes `as400|ibm_i` here). */
+  case object As400 extends Dialect { val name = "as400" }
 
   /** Sink apply mode: Upsert = current-state table (latest per key,
     * deletes drop); History = SCD2-style append (every change a row). */
@@ -41,7 +44,11 @@ object ConnectorConfig {
       schema: String,
       tables: Seq[String],
       snapshotMode: String = "never",
-      fullLoadDone: Boolean = false)
+      fullLoadDone: Boolean = false,
+      // dialect-specific extras, mirroring the reference connection's
+      // additional_config: AS400 reads `library`, `default_library`,
+      // `journal_library`, `docker_hostname`, `schema.history.bootstrap`
+      additionalConfig: Map[String, String] = Map.empty)
 
   final case class SinkSpec(
       connector: String,
@@ -79,13 +86,41 @@ object ConnectorConfig {
       case Postgres  => "public"
       case SqlServer => "dbo"
       case OracleDb  => ""
+      case As400     => "QSYS"
     }
 
   def connectorClass(dialect: Dialect): String = dialect match {
     case Postgres  => "io.debezium.connector.postgresql.PostgresConnector"
     case SqlServer => "io.debezium.connector.sqlserver.SqlServerConnector"
     case OracleDb  => "io.debezium.connector.oracle.OracleConnector"
+    case As400     => "io.debezium.connector.db2as400.As400RpcConnector"
   }
+
+  /** AS400 library resolution (debezium_config.py:349-361): explicit
+    * schema, else additional_config `library`, else the database name,
+    * else QSYS. Returns (library, fellBackToDefault) — the boolean is the
+    * reference's warning path ("Schema/library not provided"). */
+  def resolveAs400Library(
+      schema: String, database: String,
+      additionalConfig: Map[String, String]): (String, Boolean) =
+    if (schema != null && schema.trim.nonEmpty) (schema, false)
+    else additionalConfig.get("library").filter(_.nonEmpty).map((_, false))
+      .orElse(Option(database).filter(_.nonEmpty).map((_, false)))
+      .getOrElse(("QSYS", true))
+
+  /** AS400 snapshot ladder (debezium_config.py:378-398) — differs from the
+    * generic one: with no full-load offset the connector MUST take an
+    * initial snapshot to establish a journal baseline; with one, it starts
+    * from the offset (`never`). */
+  def resolveAs400SnapshotMode(requested: String, fullLoadDone: Boolean): String =
+    (requested, fullLoadDone) match {
+      case ("never", false)       => "initial"
+      case ("never", true)        => "never"
+      case ("schema_only", true)  => "schema_only"
+      case ("schema_only", false) => "initial"
+      case (_, true)              => "never"
+      case (_, false)             => "initial"
+    }
 
   private val converterProps = Map(
     "key.converter" -> "org.apache.kafka.connect.json.JsonConverter",
@@ -100,6 +135,7 @@ object ConnectorConfig {
     * [[Cdc.parseEnvelope]] parses back. */
   def sourceConfig(spec: SourceSpec): Map[String, String] = {
     require(spec.tables.nonEmpty, s"no tables for pipeline ${spec.pipeline}")
+    if (spec.dialect == As400) return as400SourceConfig(spec)
     val schema = defaultSchema(spec.dialect, spec.schema)
     val includeList = spec.tables.map(t => s"$schema.$t").mkString(",")
     val base = Map(
@@ -127,7 +163,47 @@ object ConnectorConfig {
         base + ("database.encrypt" -> "false")
       case OracleDb =>
         base + ("database.connection.adapter" -> "logminer")
+      case As400 => base // unreachable: routed to as400SourceConfig above
     }
+  }
+
+  /** AS400/IBM i source properties (debezium_config.py:326-459):
+    * journal-based CDC via As400RpcConnector. `database.dbname` is the
+    * connection's default library (QGPL unless overridden), while
+    * `database.schema` is the library the tables live in — resolved by
+    * [[resolveAs400Library]]. The journal library defaults to QSYS. */
+  private def as400SourceConfig(spec: SourceSpec): Map[String, String] = {
+    val (library, _) = resolveAs400Library(spec.schema, spec.database, spec.additionalConfig)
+    val host = spec.additionalConfig.getOrElse("docker_hostname", spec.host)
+    val port = if (spec.port > 0) spec.port else 446
+    val dbname = spec.additionalConfig.get("default_library").filter(_.nonEmpty)
+      .orElse(Option(spec.database).filter(_.nonEmpty))
+      .getOrElse("QGPL")
+    Map(
+      "connector.class" -> connectorClass(As400),
+      "tasks.max" -> "1",
+      "database.hostname" -> host,
+      "database.port" -> port.toString,
+      "database.user" -> spec.user,
+      "database.dbname" -> dbname,
+      "database.schema" -> library,
+      "database.server.name" -> spec.pipeline,
+      "topic.prefix" -> spec.pipeline,
+      "table.include.list" -> spec.tables.map(t => s"$library.$t").mkString(","),
+      "snapshot.mode" -> resolveAs400SnapshotMode(spec.snapshotMode, spec.fullLoadDone),
+      "snapshot.locking.mode" -> "none",
+      "database.history.skip.unparseable.ddl" -> "true",
+      "schema.history.internal" -> "io.debezium.storage.kafka.history.KafkaSchemaHistory",
+      "schema.history.internal.kafka.topic" -> s"${spec.pipeline}.schema.history.internal",
+      "database.journal.library" -> spec.additionalConfig.getOrElse("journal_library", "QSYS"),
+      "transforms" -> "unwrap",
+      "transforms.unwrap.type" -> "io.debezium.transforms.ExtractNewRecordState",
+      "transforms.unwrap.drop.tombstones" -> "true",
+      "transforms.unwrap.delete.handling.mode" -> "rewrite",
+      "transforms.unwrap.add.fields" -> "op,source.ts_ms") ++
+      spec.additionalConfig.get("schema.history.bootstrap")
+        .map("schema.history.internal.kafka.bootstrap.servers" -> _).toMap ++
+      converterProps
   }
 
   def jdbcUrl(dialect: Dialect, host: String, port: Int, database: String): String =
@@ -135,6 +211,7 @@ object ConnectorConfig {
       case Postgres  => s"jdbc:postgresql://$host:$port/$database"
       case SqlServer => s"jdbc:sqlserver://$host:$port;databaseName=$database"
       case OracleDb  => s"jdbc:oracle:thin:@$host:$port/$database"
+      case As400     => s"jdbc:as400://$host/$database"
     }
 
   /** Sink connector properties. [[Upsert]] is the current-state bundle
@@ -175,5 +252,129 @@ object ConnectorConfig {
       "consumer.override.auto.offset.reset" -> "earliest") ++
       converterProps ++ modeProps ++
       tableName.map("table.name.format" -> _).toMap
+  }
+
+  /** S3 lake sink spec (sink_config.py:404-493). `flushSize` defaults to
+    * 10 — the reference's small default for immediate data visibility
+    * (sink_config.py:70-74); raise it for throughput in production.
+    * `timePartitioned` emits the time-based partitioner whose directory
+    * layout matches [[graft.sinks.TableSink.writeTimePartitioned]]
+    * (dt=YYYY-MM-dd), so Spark readers prune by date either way. */
+  final case class S3SinkSpec(
+      connector: String,
+      bucket: String,
+      accessKeyId: String,
+      secretAccessKey: String,
+      topics: Seq[String],
+      prefix: String = "",
+      region: String = "us-east-1",
+      flushSize: Int = 10,
+      endpointUrl: Option[String] = None,
+      timePartitioned: Boolean = false)
+
+  def s3SinkConfig(spec: S3SinkSpec): Map[String, String] = {
+    require(spec.topics.nonEmpty, "S3 sink: no Kafka topics provided")
+    require(spec.bucket.nonEmpty, "S3 sink: bucket name is missing")
+    require(spec.accessKeyId.nonEmpty, "S3 sink: access key id is missing")
+    require(spec.secretAccessKey.nonEmpty, "S3 sink: secret access key is missing")
+    val prefix =
+      if (spec.prefix.isEmpty || spec.prefix.endsWith("/")) spec.prefix
+      else spec.prefix + "/"
+    val partitioner =
+      if (spec.timePartitioned) Map(
+        "partitioner.class" -> "io.confluent.connect.storage.partitioner.TimeBasedPartitioner",
+        "partition.duration.ms" -> "86400000",
+        "path.format" -> "'dt'=YYYY-MM-dd",
+        "locale" -> "en-US",
+        "timezone" -> "UTC",
+        "timestamp.extractor" -> "Record")
+      else Map(
+        "partitioner.class" -> "io.confluent.connect.storage.partitioner.DefaultPartitioner")
+    Map(
+      "connector.class" -> "io.confluent.connect.s3.S3SinkConnector",
+      "tasks.max" -> "1",
+      "topics" -> spec.topics.mkString(","),
+      "s3.region" -> spec.region,
+      "s3.bucket.name" -> spec.bucket,
+      "s3.part.size" -> "5242880",
+      "flush.size" -> (if (spec.flushSize > 0) spec.flushSize else 10).toString,
+      "storage.class" -> "io.confluent.connect.s3.storage.S3Storage",
+      "format.class" -> "io.confluent.connect.s3.format.json.JsonFormat",
+      "schema.compatibility" -> "NONE",
+      "aws.access.key.id" -> spec.accessKeyId,
+      "aws.secret.access.key" -> spec.secretAccessKey) ++
+      partitioner ++
+      (if (prefix.nonEmpty) Map("s3.prefix" -> prefix) else Map.empty) ++
+      spec.endpointUrl.map("s3.endpoint.url" -> _).toMap
+  }
+
+  /** Snowflake sink spec (sink_config.py:496-642). The connector lands the
+    * FULL Debezium envelope in RECORD_CONTENT (VARIANT) — op/before/after
+    * preserved for CDC consumers; a typed landing table instead comes from
+    * [[SchemaDdl]]'s Snowflake dialect. Auth prefers key-pair over
+    * password, exactly one is required. */
+  final case class SnowflakeSinkSpec(
+      connector: String,
+      account: String,
+      user: String,
+      database: String,
+      schema: String,
+      topics: Seq[String],
+      password: Option[String] = None,
+      privateKey: Option[String] = None,
+      privateKeyPassphrase: Option[String] = None,
+      warehouse: Option[String] = None,
+      role: Option[String] = None,
+      batchSize: Int = 0)
+
+  /** Account → canonical URL (sink_config.py:525-535): strip protocol and
+    * domain, lowercase, rebuild `https://{account}.snowflakecomputing.com`. */
+  def snowflakeUrl(account: String): String = {
+    val clean = account
+      .replace("https://", "").replace("http://", "")
+      .replace(".snowflakecomputing.com", "")
+      .reverse.dropWhile(_ == '/').reverse
+      .toLowerCase
+    s"https://$clean.snowflakecomputing.com"
+  }
+
+  def snowflakeSinkConfig(spec: SnowflakeSinkSpec): Map[String, String] = {
+    require(spec.topics.nonEmpty, "Snowflake sink: no Kafka topics provided")
+    require(spec.account.nonEmpty, "Snowflake sink: account is missing")
+    require(spec.user.nonEmpty, "Snowflake sink: username is missing")
+    require(spec.database.nonEmpty, "Snowflake sink: database name is missing")
+    require(spec.schema.nonEmpty, "Snowflake sink: schema name is missing")
+    require(spec.password.exists(_.nonEmpty) || spec.privateKey.exists(_.nonEmpty),
+      "Snowflake sink: either password or private_key must be provided")
+    val auth = spec.privateKey.filter(_.nonEmpty) match {
+      case Some(key) =>
+        Map("snowflake.private.key" -> key) ++
+          spec.privateKeyPassphrase.map("snowflake.private.key.passphrase" -> _).toMap
+      case None =>
+        Map("snowflake.password" -> spec.password.get)
+    }
+    Map(
+      "connector.class" -> "com.snowflake.kafka.connector.SnowflakeSinkConnector",
+      "tasks.max" -> "1",
+      "topics" -> spec.topics.mkString(","),
+      "snowflake.url.name" -> snowflakeUrl(spec.account),
+      "snowflake.user.name" -> spec.user,
+      "snowflake.database.name" -> spec.database,
+      "snowflake.schema.name" -> spec.schema,
+      "buffer.count.records" -> (if (spec.batchSize > 0) spec.batchSize else 10000).toString,
+      "buffer.flush.time" -> "60",
+      "buffer.size.bytes" -> "5000000",
+      "key.converter" -> "org.apache.kafka.connect.storage.StringConverter",
+      "value.converter" -> "org.apache.kafka.connect.json.JsonConverter",
+      "value.converter.schemas.enable" -> "true",
+      "errors.tolerance" -> "all",
+      "errors.log.enable" -> "true",
+      "errors.log.include.messages" -> "true",
+      // topic → lowercase last segment of {server}.{schema}.{table}
+      "snowflake.topic2table.map" -> spec.topics
+        .map(t => s"$t:${t.split("\\.").last.toLowerCase}").mkString(",")) ++
+      auth ++
+      spec.warehouse.map("snowflake.warehouse.name" -> _).toMap ++
+      spec.role.map("snowflake.role.name" -> _).toMap
   }
 }

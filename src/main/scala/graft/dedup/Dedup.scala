@@ -28,12 +28,15 @@ object Dedup {
       .zipWithIndex.map { case (a, i) => (a * 1000003L % P, (i * 2654435761L + 1L) % P) }
 
   /** Normalized corpus, cached once per (session, dir) — shared by the
-    * whole dedup family so a multi-query run normalizes text once. */
+    * whole dedup family so a multi-query run normalizes text once. Bounded
+    * by the same [[memo]] as the signature/pairs caches: admitting a new
+    * dir unpersists the old one, so a session sweeping many data dirs
+    * holds one dir's worth of executor storage, not all of them. */
   private val normCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   def normCorpus(spark: SparkSession, dir: String): DataFrame =
-    normCache.getOrElseUpdate((spark, dir),
-      corpus(spark, dir).withColumn("t", normText(col("text"))).cache())
+    memo(normCache, spark, dir)(
+      corpus(spark, dir).withColumn("t", normText(col("text"))))
 
   def corpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))

@@ -66,6 +66,104 @@ class ConnectorConfigSpec extends AnyFunSuite {
     assert(jdbcUrl(OracleDb, "h", 1521, "d") === "jdbc:oracle:thin:@h:1521/d")
   }
 
+  test("as400 source: library resolution ladder and fallback warning path") {
+    // explicit schema wins
+    assert(resolveAs400Library("SEGLIB", "QGPL", Map.empty) === (("SEGLIB", false)))
+    // additional_config library next
+    assert(resolveAs400Library("", "QGPL", Map("library" -> "APPLIB")) === (("APPLIB", false)))
+    // database-as-library next
+    assert(resolveAs400Library("", "QGPL", Map.empty) === (("QGPL", false)))
+    // nothing provided → QSYS with the warning flag set
+    assert(resolveAs400Library("", "", Map.empty) === (("QSYS", true)))
+  }
+
+  test("as400 snapshot ladder: never needs a baseline unless a full load ran") {
+    assert(resolveAs400SnapshotMode("never", fullLoadDone = false) === "initial")
+    assert(resolveAs400SnapshotMode("never", fullLoadDone = true) === "never")
+    assert(resolveAs400SnapshotMode("schema_only", fullLoadDone = true) === "schema_only")
+    assert(resolveAs400SnapshotMode("schema_only", fullLoadDone = false) === "initial")
+    assert(resolveAs400SnapshotMode("initial", fullLoadDone = true) === "never")
+    assert(resolveAs400SnapshotMode("initial", fullLoadDone = false) === "initial")
+  }
+
+  test("as400 source: RPC connector class, library/journal semantics, URL shape") {
+    val c = sourceConfig(SourceSpec(
+      pipeline = "ibmi-pipe", dialect = As400, host = "ibmi.example", port = 9471,
+      user = "repl", database = "QGPL", schema = "APPLIB",
+      tables = Seq("ORDERS", "ITEMS"),
+      additionalConfig = Map("journal_library" -> "JRNLIB")))
+    assert(c("connector.class") === "io.debezium.connector.db2as400.As400RpcConnector")
+    assert(c("database.dbname") === "QGPL")       // default library
+    assert(c("database.schema") === "APPLIB")     // library the tables live in
+    assert(c("table.include.list") === "APPLIB.ORDERS,APPLIB.ITEMS")
+    assert(c("database.journal.library") === "JRNLIB")
+    assert(c("database.port") === "9471")
+    assert(c("snapshot.mode") === "initial")      // never + no full load → baseline
+    assert(c("database.history.skip.unparseable.ddl") === "true")
+    assert(c("transforms.unwrap.delete.handling.mode") === "rewrite")
+    // defaults: port 446, journal QSYS, dbname QGPL
+    val d = sourceConfig(SourceSpec(
+      pipeline = "p", dialect = As400, host = "h", port = 0,
+      user = "u", database = "", schema = "LIB1", tables = Seq("T")))
+    assert(d("database.port") === "446")
+    assert(d("database.journal.library") === "QSYS")
+    assert(d("database.dbname") === "QGPL")
+  }
+
+  test("s3 sink: bucket/flush defaults, prefix slash, partitioner choices") {
+    val base = S3SinkSpec(
+      connector = "s3sink", bucket = "lake", accessKeyId = "AK", secretAccessKey = "SK",
+      topics = Seq("pipe.public.users", "pipe.public.orders"), prefix = "cdc/raw")
+    val c = s3SinkConfig(base)
+    assert(c("connector.class") === "io.confluent.connect.s3.S3SinkConnector")
+    assert(c("topics") === "pipe.public.users,pipe.public.orders")
+    assert(c("s3.bucket.name") === "lake")
+    assert(c("flush.size") === "10")              // reference default for visibility
+    assert(c("s3.part.size") === "5242880")
+    assert(c("s3.prefix") === "cdc/raw/")         // trailing slash added
+    assert(c("format.class") === "io.confluent.connect.s3.format.json.JsonFormat")
+    assert(c("partitioner.class") === "io.confluent.connect.storage.partitioner.DefaultPartitioner")
+    assert(!c.contains("s3.endpoint.url"))
+    val t = s3SinkConfig(base.copy(timePartitioned = true, endpointUrl = Some("http://minio:9000")))
+    assert(t("partitioner.class") === "io.confluent.connect.storage.partitioner.TimeBasedPartitioner")
+    assert(t("path.format") === "'dt'=YYYY-MM-dd") // matches TableSink.writeTimePartitioned layout
+    assert(t("s3.endpoint.url") === "http://minio:9000")
+    assertThrows[IllegalArgumentException](s3SinkConfig(base.copy(topics = Nil)))
+    assertThrows[IllegalArgumentException](s3SinkConfig(base.copy(bucket = "")))
+    assertThrows[IllegalArgumentException](s3SinkConfig(base.copy(secretAccessKey = "")))
+  }
+
+  test("snowflake sink: url normalization, auth precedence, topic2table map") {
+    assert(snowflakeUrl("xy12345") === "https://xy12345.snowflakecomputing.com")
+    assert(snowflakeUrl("https://XY12345.us-east-1.snowflakecomputing.com/")
+      === "https://xy12345.us-east-1.snowflakecomputing.com")
+    val base = SnowflakeSinkSpec(
+      connector = "sf", account = "xy12345", user = "loader",
+      database = "DW", schema = "CDC",
+      topics = Seq("pipe.public.Users"), password = Some("pw"))
+    val c = snowflakeSinkConfig(base)
+    assert(c("connector.class") === "com.snowflake.kafka.connector.SnowflakeSinkConnector")
+    assert(c("snowflake.url.name") === "https://xy12345.snowflakecomputing.com")
+    assert(c("snowflake.password") === "pw")
+    assert(c("buffer.count.records") === "10000")
+    assert(c("snowflake.topic2table.map") === "pipe.public.Users:users") // lowercased table
+    assert(!c.contains("snowflake.private.key"))
+    // key-pair auth wins over password; optional warehouse/role pass through
+    val kp = snowflakeSinkConfig(base.copy(
+      privateKey = Some("PEM"), privateKeyPassphrase = Some("pp"),
+      warehouse = Some("WH"), role = Some("R"), batchSize = 500))
+    assert(kp("snowflake.private.key") === "PEM")
+    assert(kp("snowflake.private.key.passphrase") === "pp")
+    assert(!kp.contains("snowflake.password"))
+    assert(kp("snowflake.warehouse.name") === "WH")
+    assert(kp("snowflake.role.name") === "R")
+    assert(kp("buffer.count.records") === "500")
+    assertThrows[IllegalArgumentException](
+      snowflakeSinkConfig(base.copy(password = None)))
+    assertThrows[IllegalArgumentException](
+      snowflakeSinkConfig(base.copy(schema = "")))
+  }
+
   test("source topics parse back through the envelope router") {
     // topic format {prefix}.{schema}.{table} is what Cdc.parseEnvelope splits
     val c = sourceConfig(src.copy(pipeline = "pipe"))

@@ -32,6 +32,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(total === 150)
   }
 
+  test("normalized-corpus cache unpersists the old dir when sweeping dirs") {
+    import org.apache.spark.storage.StorageLevel
+    val a = Dedup.normCorpus(spark, dir)
+    assert(a.storageLevel !== StorageLevel.NONE)
+    val b = Dedup.normCorpus(spark, "/root/testdata/sf0.01")
+    assert(a.storageLevel === StorageLevel.NONE,
+      "first dir's cached corpus must be unpersisted when a new dir is admitted")
+    assert(b.storageLevel !== StorageLevel.NONE)
+    // re-admit the shared test dir so later suites start from the usual state
+    Dedup.normCorpus(spark, dir)
+    assert(b.storageLevel === StorageLevel.NONE)
+  }
+
   test("exact dedup finds exactly the injected copies") {
     val groups = Dedup.exact(spark, dir).collect()
     val injected = Tables.load(spark, dir, "documents").where(col("doc_id") % 7 === 0).count()
