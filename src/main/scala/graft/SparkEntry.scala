@@ -110,6 +110,8 @@ object SparkEntry {
     "text_doc_freq" -> ((s, d) => TextFunctions.termDocFreq(s, d)),
     // ── Dedup ────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_chunk_hist" -> ((s, d) => Dedup.chunkDupHist(s, d)),
+    "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -733,6 +735,8 @@ object SparkEntry {
            |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig FROM corpus)
            |SELECT sig, count(*) AS n_copies, min(doc_id) AS canonical_id, max(doc_id) AS max_id
            |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+      "dedup_chunk_hist" -> Dedup.chunkDupHistSql,
+      "text_novelty" -> TextFunctions.noveltySql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -27,6 +27,9 @@ object ConnectorConfig {
   /** IBM i (AS400) via the journal-based RPC connector — the reference's
     * marquee source (debezium_config.py:64-75 routes `as400|ibm_i` here). */
   case object As400 extends Dialect { val name = "as400" }
+  /** Db2 LUW via the standard Db2 connector (debezium_config.py:76-85
+    * routes `db2` here — distinct from AS400's RPC connector). */
+  case object Db2 extends Dialect { val name = "db2" }
 
   /** Sink apply mode: Upsert = current-state table (latest per key,
     * deletes drop); History = SCD2-style append (every change a row). */
@@ -87,6 +90,7 @@ object ConnectorConfig {
       case SqlServer => "dbo"
       case OracleDb  => ""
       case As400     => "QSYS"
+      case Db2       => "DB2INST1"
     }
 
   def connectorClass(dialect: Dialect): String = dialect match {
@@ -94,7 +98,20 @@ object ConnectorConfig {
     case SqlServer => "io.debezium.connector.sqlserver.SqlServerConnector"
     case OracleDb  => "io.debezium.connector.oracle.OracleConnector"
     case As400     => "io.debezium.connector.db2as400.As400RpcConnector"
+    case Db2       => "io.debezium.connector.db2.Db2Connector"
   }
+
+  /** Db2 snapshot ladder (debezium_config.py:486-498) — like AS400's but
+    * schema-only without a full load maps to Db2's `no_data` mode. */
+  def resolveDb2SnapshotMode(requested: String, fullLoadDone: Boolean): String =
+    (requested, fullLoadDone) match {
+      case ("never", false)       => "initial"
+      case ("never", true)        => "never"
+      case ("schema_only", true)  => "schema_only"
+      case ("schema_only", false) => "no_data"
+      case (_, true)              => "never"
+      case (other, false)         => if (other.nonEmpty) other else "initial"
+    }
 
   /** AS400 library resolution (debezium_config.py:349-361): explicit
     * schema, else additional_config `library`, else the database name,
@@ -136,6 +153,7 @@ object ConnectorConfig {
   def sourceConfig(spec: SourceSpec): Map[String, String] = {
     require(spec.tables.nonEmpty, s"no tables for pipeline ${spec.pipeline}")
     if (spec.dialect == As400) return as400SourceConfig(spec)
+    if (spec.dialect == Db2) return db2SourceConfig(spec)
     val schema = defaultSchema(spec.dialect, spec.schema)
     val includeList = spec.tables.map(t => s"$schema.$t").mkString(",")
     val base = Map(
@@ -163,8 +181,37 @@ object ConnectorConfig {
         base + ("database.encrypt" -> "false")
       case OracleDb =>
         base + ("database.connection.adapter" -> "logminer")
-      case As400 => base // unreachable: routed to as400SourceConfig above
+      case As400 | Db2 => base // unreachable: routed above
     }
+  }
+
+  /** Db2 LUW source properties (debezium_config.py:461-531): standard Db2
+    * connector, Kafka schema history, unwrap SMT; port defaults to 50000. */
+  private def db2SourceConfig(spec: SourceSpec): Map[String, String] = {
+    val schema = defaultSchema(Db2, spec.schema)
+    val host = spec.additionalConfig.getOrElse("docker_hostname", spec.host)
+    val port = if (spec.port > 0) spec.port else 50000
+    Map(
+      "connector.class" -> connectorClass(Db2),
+      "tasks.max" -> "1",
+      "database.hostname" -> host,
+      "database.port" -> port.toString,
+      "database.user" -> spec.user,
+      "database.dbname" -> (if (spec.database.nonEmpty) spec.database else schema),
+      "database.server.name" -> spec.pipeline,
+      "topic.prefix" -> spec.pipeline,
+      "table.include.list" -> spec.tables.map(t => s"$schema.$t").mkString(","),
+      "snapshot.mode" -> resolveDb2SnapshotMode(spec.snapshotMode, spec.fullLoadDone),
+      "schema.history.internal" -> "io.debezium.storage.kafka.history.KafkaSchemaHistory",
+      "schema.history.internal.kafka.topic" -> s"${spec.pipeline}.schema.history.internal",
+      "transforms" -> "unwrap",
+      "transforms.unwrap.type" -> "io.debezium.transforms.ExtractNewRecordState",
+      "transforms.unwrap.drop.tombstones" -> "true",
+      "transforms.unwrap.delete.handling.mode" -> "rewrite",
+      "transforms.unwrap.add.fields" -> "op,source.ts_ms") ++
+      spec.additionalConfig.get("schema.history.bootstrap")
+        .map("schema.history.internal.kafka.bootstrap.servers" -> _).toMap ++
+      converterProps
   }
 
   /** AS400/IBM i source properties (debezium_config.py:326-459):
@@ -210,9 +257,24 @@ object ConnectorConfig {
     dialect match {
       case Postgres  => s"jdbc:postgresql://$host:$port/$database"
       case SqlServer => s"jdbc:sqlserver://$host:$port;databaseName=$database"
-      case OracleDb  => s"jdbc:oracle:thin:@$host:$port/$database"
+      // service-name form (sink_config.py:329-333); service defaults to ORCL
+      case OracleDb  => s"jdbc:oracle:thin:@//$host:$port/${if (database.nonEmpty) database else "ORCL"}"
       case As400     => s"jdbc:as400://$host/$database"
+      case Db2       => s"jdbc:db2://$host:$port/$database"
     }
+
+  /** Sink connector naming convention (sink_config.py:374-401):
+    * `sink-{pipeline}-{dbShort}-{schema}`, lowercased. */
+  def sinkConnectorName(pipeline: String, dbType: String, schema: String): String = {
+    val short = dbType.toLowerCase match {
+      case "postgresql"         => "pg"
+      case "sqlserver" | "mssql" => "mssql"
+      case "oracle"             => "oracle"
+      case "s3"                 => "s3"
+      case other                => other.take(4)
+    }
+    s"sink-${pipeline.toLowerCase.replace(" ", "_")}-$short-${schema.toLowerCase}"
+  }
 
   /** Sink connector properties. [[Upsert]] is the current-state bundle
     * (upsert on record key, deletes enabled); [[History]] is the SCD2
@@ -232,9 +294,11 @@ object ConnectorConfig {
         "pk.mode" -> "none",
         "delete.enabled" -> "false")
     }
+    // Oracle targets address tables as UPPERSCHEMA.table (sink_config.py:335-336)
+    val schemaForTable = if (spec.dialect == OracleDb) schema.toUpperCase else schema
     val tableName = spec.topics.headOption
       .map(_.split("\\.").last)
-      .map(t => s"$schema.$t")
+      .map(t => s"$schemaForTable.$t")
     Map(
       "connector.class" -> "io.confluent.connect.jdbc.JdbcSinkConnector",
       "tasks.max" -> "1",

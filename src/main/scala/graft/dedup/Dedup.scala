@@ -66,6 +66,37 @@ object Dedup {
       .where(col("n_copies") > 1)
       .orderBy("sig")
 
+  /** Chunk-level duplication histogram: split each normalized document
+    * into fixed 200-char windows, hash every window, and count how many
+    * chunks occur k times corpus-wide — the statistic behind chunk-level
+    * (passage) dedup of a training corpus, where boilerplate repeats
+    * inside otherwise-unique pages.
+    *
+    * Scale shape: the chunk explode is per-row (no shuffle); the two
+    * groupBys shuffle on the 128-bit digest then on the small multiplicity
+    * key. No joins, no windows — survives any corpus size. */
+  def chunkDupHist(spark: SparkSession, dir: String): DataFrame =
+    normCorpus(spark, dir)
+      .select(explode(transform(
+        sequence(lit(1), greatest(length(col("t")), lit(1)), lit(200)),
+        i => md5(col("t").substr(i, lit(200))))).as("h"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("multiplicity"))
+      .groupBy("multiplicity")
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy("multiplicity")
+
+  val chunkDupHistSql: String =
+    s"""$corpusSql,
+       |norm AS (
+       |  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |chunks AS (
+       |  SELECT unnest([md5(substr(t, i, 200)) for i in range(1, greatest(length(t), 1) + 1, 200)]) AS h
+       |  FROM norm),
+       |m AS (SELECT h, count(*) AS multiplicity FROM chunks GROUP BY h)
+       |SELECT multiplicity, count(*) AS n_chunks
+       |FROM m GROUP BY multiplicity ORDER BY multiplicity""".stripMargin
+
   /** Distinct 5-char shingles (stride 3) of the normalized text. */
   private def shingleCol(norm: Column): Column =
     array_distinct(transform(

@@ -253,6 +253,55 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** Per-source novelty: the share of word-trigram shingles that occur in
+    * exactly one document corpus-wide. High-novelty sources contribute
+    * fresh text; low-novelty ones are template/boilerplate-heavy — the
+    * signal a pipeline uses to down-weight a source before training.
+    *
+    * Scale shape: shingles dedupe per-row (array_distinct) before the
+    * explode; one shuffle on the shingle for document frequency, a
+    * co-partitioned join back on the same key, one shuffle for the
+    * per-source rollup. */
+  def novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = split(normText(col("text")), " ")
+    val shingled = docs
+      .select(col("doc_id"), col("source"), w.as("w"))
+      .withColumn("grams", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
+    // per-doc distinct shingles → count(*) per g IS the document frequency
+    val gdf = shingled.groupBy("g").agg(count(lit(1)).as("gdf"))
+    shingled.join(gdf, "g")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty_ratio",
+        col("n_unique").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("source")
+  }
+
+  val noveltySql: String =
+    """WITH n AS (
+      |  SELECT doc_id, source,
+      |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |g0 AS (
+      |  SELECT doc_id, source,
+      |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |                               for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS g
+      |  FROM n),
+      |d AS (SELECT g, count(*) AS gdf FROM g0 GROUP BY g)
+      |SELECT source,
+      |       count(*) AS n_shingles,
+      |       CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |       CAST(CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS novelty_ratio
+      |FROM g0 JOIN d USING (g)
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val termDocFreqSql: String =
     """WITH n AS (SELECT count(*) AS n_docs FROM documents),
       |terms AS (

@@ -63,7 +63,41 @@ class ConnectorConfigSpec extends AnyFunSuite {
   test("jdbc url per dialect") {
     assert(jdbcUrl(Postgres, "h", 5432, "d") === "jdbc:postgresql://h:5432/d")
     assert(jdbcUrl(SqlServer, "h", 1433, "d") === "jdbc:sqlserver://h:1433;databaseName=d")
-    assert(jdbcUrl(OracleDb, "h", 1521, "d") === "jdbc:oracle:thin:@h:1521/d")
+    // Oracle service-name form; empty service falls back to ORCL
+    assert(jdbcUrl(OracleDb, "h", 1521, "d") === "jdbc:oracle:thin:@//h:1521/d")
+    assert(jdbcUrl(OracleDb, "h", 1521, "") === "jdbc:oracle:thin:@//h:1521/ORCL")
+    assert(jdbcUrl(Db2, "h", 50000, "d") === "jdbc:db2://h:50000/d")
+  }
+
+  test("oracle sink addresses tables as UPPERSCHEMA.table") {
+    val c = sinkConfig(SinkSpec(
+      connector = "osink", dialect = OracleDb, host = "tgt", port = 1521,
+      user = "w", database = "ORCLPDB", schema = "rep",
+      topics = Seq("pipe.public.users")))
+    assert(c("table.name.format") === "REP.users")
+    assert(c("connection.url") === "jdbc:oracle:thin:@//tgt:1521/ORCLPDB")
+  }
+
+  test("db2 source: connector class, no_data schema-only mode, port default") {
+    assert(resolveDb2SnapshotMode("schema_only", fullLoadDone = false) === "no_data")
+    assert(resolveDb2SnapshotMode("schema_only", fullLoadDone = true) === "schema_only")
+    assert(resolveDb2SnapshotMode("never", fullLoadDone = false) === "initial")
+    assert(resolveDb2SnapshotMode("initial", fullLoadDone = true) === "never")
+    val c = sourceConfig(SourceSpec(
+      pipeline = "d2", dialect = Db2, host = "h", port = 0,
+      user = "u", database = "SAMPLE", schema = "", tables = Seq("T1")))
+    assert(c("connector.class") === "io.debezium.connector.db2.Db2Connector")
+    assert(c("database.port") === "50000")
+    assert(c("table.include.list") === "DB2INST1.T1") // schema defaulted
+    assert(c("database.dbname") === "SAMPLE")
+    assert(c("schema.history.internal.kafka.topic") === "d2.schema.history.internal")
+  }
+
+  test("sink connector naming convention") {
+    assert(sinkConnectorName("My Pipe", "postgresql", "Rep") === "sink-my_pipe-pg-rep")
+    assert(sinkConnectorName("p", "mssql", "dbo") === "sink-p-mssql-dbo")
+    assert(sinkConnectorName("p", "snowflake", "cdc") === "sink-p-snow-cdc")
+    assert(sinkConnectorName("p", "s3", "raw") === "sink-p-s3-raw")
   }
 
   test("as400 source: library resolution ladder and fallback warning path") {

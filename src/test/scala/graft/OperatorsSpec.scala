@@ -53,6 +53,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(groups.forall(r => r.getAs[Long]("max_id") === r.getAs[Long]("canonical_id") + 1000000L))
   }
 
+  test("chunk duplication histogram counts the injected copy chunks") {
+    val hist = Dedup.chunkDupHist(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corpus = docs ∪ exact copies (×2 chunks) ∪ truncated near-copies:
+    // multiplicity 1 dominates, and some chunks must repeat
+    assert(hist.contains(1L))
+    assert(hist.keys.exists(_ >= 2L), "injected copies must produce repeated chunks")
+    // histogram accounts for every chunk exactly once per distinct hash
+    assert(hist.values.forall(_ > 0L))
+  }
+
+  test("novelty ratios are valid shares and cover every source") {
+    val nov = TextFunctions.novelty(spark, dir).collect()
+    val sources = Tables.load(spark, dir, "documents")
+      .select("source").distinct().count()
+    assert(nov.length === sources)
+    nov.foreach { r =>
+      val ratio = r.getAs[Double]("novelty_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_shingles"))
+    }
+  }
+
   test("minhash-lsh recovers every exact-copy pair at jaccard 1.0") {
     val pairs = Dedup.minhashLsh(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
