@@ -59,6 +59,7 @@ object SparkEntry {
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
     "cdc_health_score" -> ((s, d) => Monitoring.healthScore(Cdc.changelog(s, d))),
     "cdc_alert_suppress" -> ((s, d) => Monitoring.alertSuppress(Cdc.changelog(s, d))),
+    "cdc_alert_dispatch" -> ((s, d) => Monitoring.alertDispatch(s, Cdc.changelog(s, d))),
     "cdc_incremental_agg" -> ((s, d) =>
       Monitoring.incrementalAgg(Cdc.changelog(s, d), cutoverSeq = 5000L)),
     "cdc_compact" -> ((s, d) =>
@@ -324,6 +325,37 @@ object SparkEntry {
           |WHERE (condition = 'gt' AND metric_value > threshold)
           |   OR (condition = 'lt' AND metric_value < threshold)
           |ORDER BY rule_id, bucket""".stripMargin,
+      "cdc_alert_dispatch" ->
+        """WITH m AS (
+          |  SELECT date_trunc('hour', ts) AS bucket,
+          |         CAST(count(*) AS DOUBLE) AS event_count,
+          |         CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS DOUBLE) AS delete_count
+          |  FROM events GROUP BY bucket),
+          |s AS (
+          |  SELECT bucket, 'event_count' AS metric, event_count AS metric_value FROM m
+          |  UNION ALL SELECT bucket, 'delete_count', delete_count FROM m
+          |  UNION ALL SELECT bucket, 'error_count', delete_count FROM m),
+          |r(rule_id, metric, threshold, condition, severity) AS (VALUES
+          |  ('r_error_burst', 'error_count', 10.0, 'gt', 'critical'),
+          |  ('r_low_volume', 'event_count', 100.0, 'lt', 'warning'),
+          |  ('r_delete_storm', 'delete_count', 25.0, 'gt', 'warning')),
+          |a AS (
+          |  SELECT rule_id, bucket, s.metric, metric_value, threshold, condition, severity
+          |  FROM s JOIN r ON s.metric = r.metric
+          |  WHERE (condition = 'gt' AND metric_value > threshold)
+          |     OR (condition = 'lt' AND metric_value < threshold)),
+          |c(rule_id, channel) AS (VALUES
+          |  ('r_error_burst', 'email'), ('r_error_burst', 'slack'), ('r_error_burst', 'pager'),
+          |  ('r_low_volume', 'webhook'),
+          |  ('r_delete_storm', 'slack'), ('r_delete_storm', 'webhook'))
+          |SELECT a.rule_id, bucket, channel, severity,
+          |       CASE WHEN channel IN ('email', 'webhook', 'slack')
+          |            THEN 'sent' ELSE 'unknown_channel' END AS delivery,
+          |       a.rule_id || ': ' || a.metric || ' (' ||
+          |         CAST(CAST(metric_value AS BIGINT) AS VARCHAR) || ') ' ||
+          |         condition || ' ' || CAST(CAST(threshold AS BIGINT) AS VARCHAR) AS message
+          |FROM a JOIN c ON a.rule_id = c.rule_id
+          |ORDER BY a.rule_id, bucket, channel""".stripMargin,
       "cdc_delete_ratio" ->
         s"""$cl
            |SELECT pk % 10 AS cohort, count(*) AS n_events,

@@ -95,6 +95,37 @@ object Monitoring {
       .orderBy("rule_id", "bucket")
   }
 
+  /** Notification dispatch (alert_engine.py:100-183 _create_alert +
+    * _send_alerts): each triggered alert fans out to one outbox row per
+    * configured channel, carrying the reference's message format
+    * `{rule}: {metric} ({value}) {condition} {threshold}`. Channels
+    * outside the known set (email/webhook/slack) are routed to
+    * `unknown_channel` rather than silently dropped — the reference logs
+    * a warning; an outbox keeps them auditable. The actual send is I/O
+    * a delivery worker drains from this outbox. */
+  def alertDispatch(spark: SparkSession, changelog: DataFrame): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(
+      ("r_error_burst", "gt", Seq("email", "slack", "pager")),
+      ("r_low_volume", "lt", Seq("webhook")),
+      ("r_delete_storm", "gt", Seq("slack", "webhook")))
+      .toDF("rule_id", "condition", "channels")
+    val known = Seq("email", "webhook", "slack")
+    alertEval(spark, changelog)
+      .join(broadcast(dim), "rule_id")
+      .withColumn("channel", explode(col("channels")))
+      .select(
+        col("rule_id"), col("bucket"), col("channel"), col("severity"),
+        when(col("channel").isInCollection(known), "sent")
+          .otherwise("unknown_channel").as("delivery"),
+        concat(
+          col("rule_id"), lit(": "), col("metric"), lit(" ("),
+          col("metric_value").cast("long").cast("string"), lit(") "),
+          col("condition"), lit(" "),
+          col("threshold").cast("long").cast("string")).as("message"))
+      .orderBy("rule_id", "bucket", "channel")
+  }
+
   /** Event-time disorder statistics: per key cohort, how often events
     * arrive (in seq order) with an event time behind the running maximum,
     * and by how much — the numbers that size a streaming watermark. */
