@@ -113,6 +113,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_chunk_hist" -> ((s, d) => Dedup.chunkDupHist(s, d)),
     "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
+    "text_char_diversity" -> ((s, d) => TextFunctions.charDiversity(s, d)),
+    "emb_norm_stats" -> ((s, d) => Ann.normStats(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -769,6 +771,8 @@ object SparkEntry {
            |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
       "dedup_chunk_hist" -> Dedup.chunkDupHistSql,
       "text_novelty" -> TextFunctions.noveltySql,
+      "text_char_diversity" -> TextFunctions.charDiversitySql,
+      "emb_norm_stats" -> Ann.normStatsSql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -48,6 +48,37 @@ object Ann {
   private def cosineSql(a: String, b: String): String =
     s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
 
+  /** Embedding hygiene — the pre-training sanity gate over the vector
+    * table: per label, the vector count, degenerate rows (zero / low
+    * norm), and the norm envelope. Broken embedding exports (all-zero
+    * rows, scale blow-ups from a bad normalization step) surface here
+    * before they poison ANN search or cosine dedup. One scan + one
+    * partial-aggregated shuffle on the small label key; norms use the
+    * same index-ordered fold + sqrt as every cosine in this module, so
+    * both engines agree bit-for-bit. */
+  def normStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    emb
+      .select(col("label"), sqrt(dotFold(col("embedding"), col("embedding"))).as("norm"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        count(when(col("norm") === 0.0, 1)).as("n_zero"),
+        count(when(col("norm") < 0.5, 1)).as("n_low"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"))
+      .orderBy("label")
+  }
+
+  val normStatsSql: String =
+    s"""WITH n AS (
+       |  SELECT label, sqrt(${dotFoldSql("embedding", "embedding")}) AS norm FROM embeddings)
+       |SELECT label, count(*) AS n_vecs,
+       |       count(CASE WHEN norm = 0.0 THEN 1 END) AS n_zero,
+       |       count(CASE WHEN norm < 0.5 THEN 1 END) AS n_low,
+       |       min(norm) AS min_norm, max(norm) AS max_norm
+       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
   /** Exact cosine top-k against the vec_id=0 query vector. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -302,6 +302,57 @@ object TextFunctions {
       |FROM g0 JOIN d USING (g)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-source character diversity: Simpson index 1 − Σ p² over the
+    * source's character distribution, plus distinct-character counts.
+    * Gibberish (flat distribution, index → 1) and template spam
+    * (concentrated, index → 0) sit at the extremes — a filter signal
+    * orthogonal to the stopword/punctuation ratios.
+    *
+    * Deliberately transcendental-free (no Shannon log): squares and
+    * exact-long ratios are bit-portable across engines where libm `ln`
+    * is not. The char explode combines map-side to ≤ |sources|×|alphabet|
+    * rows before the shuffle; the fold runs over the collected per-source
+    * distribution (bounded by alphabet size), index-ordered to match
+    * DuckDB's list_reduce. */
+  def charDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(col("text"), "")).as("ch"))
+      .where(col("ch") =!= "")
+      .groupBy("source", "ch")
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("source")
+      .agg(
+        sum(col("cnt")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sort_array(collect_list(struct(col("ch"), col("cnt")))).as("dist"))
+      .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+        (lit(1.0) - aggregate(
+          transform(col("dist"), s =>
+            (s.getField("cnt").cast("double") / col("n_chars").cast("double")) *
+              (s.getField("cnt").cast("double") / col("n_chars").cast("double"))),
+          lit(0.0), (acc, x) => acc + x)).as("simpson_diversity"))
+      .orderBy("source")
+  }
+
+  val charDiversitySql: String =
+    """WITH c AS (
+      |  SELECT source, unnest([text[i] for i in range(1, length(text) + 1)]) AS ch
+      |  FROM documents),
+      |d AS (SELECT source, ch, count(*) AS cnt FROM c GROUP BY source, ch),
+      |s AS (
+      |  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_chars,
+      |         count(*) AS n_distinct_chars,
+      |         list(cnt ORDER BY ch) AS dist
+      |  FROM d GROUP BY source)
+      |SELECT source, n_chars, n_distinct_chars,
+      |       1.0 - list_reduce(
+      |               list_transform(dist, c ->
+      |                 (CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE)) *
+      |                 (CAST(c AS DOUBLE) / CAST(n_chars AS DOUBLE))),
+      |               (a, b) -> a + b) AS simpson_diversity
+      |FROM s ORDER BY source""".stripMargin
+
   val termDocFreqSql: String =
     """WITH n AS (SELECT count(*) AS n_docs FROM documents),
       |terms AS (
