@@ -120,6 +120,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Ann.embeddingDup(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containment(s, d)),
+    "dedup_semantic" -> ((s, d) => Ann.semanticDedup(s, d)),
+    "pipe_dedup_keep_best" -> ((s, d) => Dedup.keepBest(s, d)),
+    "text_repetition" -> ((s, d) => TextFunctions.repetition(s, d)),
+    "text_tfidf" -> ((s, d) => TextFunctions.tfidf(s, d)),
     // ── Similarity search ────────────────────────────────────────────
     "ann_bruteforce_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(s, d)),
@@ -778,6 +782,10 @@ object SparkEntry {
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
       "dedup_embedding_cosine" -> Ann.embeddingDupSql,
       "dedup_containment" -> Dedup.containmentSql,
+      "dedup_semantic" -> Ann.semanticDedupSql(),
+      "pipe_dedup_keep_best" -> Dedup.keepBestSql,
+      "text_repetition" -> TextFunctions.repetitionSql,
+      "text_tfidf" -> TextFunctions.tfidfSql(),
       "text_doc_freq" -> TextFunctions.termDocFreqSql,
       // ── Similarity search ──────────────────────────────────────────
       "ann_bruteforce_topk" -> Ann.bruteForceSql,

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.Tables
+import graft.text.TextFunctions
 import graft.text.TextFunctions.normText
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -313,8 +314,10 @@ object Dedup {
       .orderBy("canonical_id", "doc_id")
   }
 
-  def clusterSql: String = {
-    // 3 unrolled label-propagation rounds, mirroring the Spark loop
+  /** Shared CTE chain ending in `l3(doc_id, label)` + `sizes(canonical_id,
+    * cluster_size)` — 3 unrolled label-propagation rounds, mirroring the
+    * Spark loop. Reused by [[clusterSql]] and [[keepBestSql]]. */
+  private def clusterCte: String = {
     val steps = (1 to 3).map { k =>
       val prev = s"l${k - 1}"
       s"""l$k AS (
@@ -336,12 +339,77 @@ object Dedup {
        |l0 AS (SELECT doc_id, doc_id AS label FROM corpus),
        |$steps,
        |sizes AS (
-       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM l3 GROUP BY label)
+       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM l3 GROUP BY label)"""
+      .stripMargin
+  }
+
+  def clusterSql: String =
+    s"""$clusterCte
        |SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
        |FROM l3 JOIN sizes s ON l3.label = s.canonical_id
        |WHERE s.cluster_size > 1
        |ORDER BY canonical_id, doc_id""".stripMargin
+
+  /** Cluster-representative selection: among each near-dup cluster's
+    * members, KEEP the highest-quality document (quality-score argmax,
+    * doc_id ascending on ties) instead of the blind min-id survivor —
+    * the "keep best, not first" step of a training-data dedup pipeline.
+    * Membership comes from [[cluster]]; the score is the text module's
+    * quality formula over the same injected-dup corpus.
+    *
+    * Scale shape: cluster output is |dup members| rows; the score join
+    * is per-doc (no fan-out) and the rank window partitions on the
+    * cluster id — everything downstream of the shared LSH build is
+    * proportional to the duplicate population, never the corpus. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = cluster(spark, dir)
+    val scores = TextFunctions.qualityScore(corpus(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("canonical_id").orderBy(col("quality_score").desc, col("doc_id"))
+    members.join(scores, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("canonical_id")
+      .agg(
+        max(col("cluster_size")).as("n_members"),
+        min(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+        min(when(col("rk") === 1, col("quality_score"))).as("kept_score"))
+      .withColumn("n_dropped", col("n_members") - lit(1L))
+      .orderBy("canonical_id")
   }
+
+  def keepBestSql: String =
+    s"""$clusterCte,
+       |members AS (
+       |  SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
+       |  FROM l3 JOIN sizes s ON l3.label = s.canonical_id
+       |  WHERE s.cluster_size > 1),
+       |qf AS (
+       |  SELECT doc_id,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+       |         CAST(length(text) AS DOUBLE) AS nchars,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+       |  FROM corpus),
+       |qg AS (
+       |  SELECT doc_id, nchars, npunct,
+       |         CAST(len(words) AS DOUBLE) AS nwords,
+       |         CAST(len(list_filter(words, w -> w IN (${TextFunctions.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop
+       |  FROM qf),
+       |scores AS (
+       |  SELECT doc_id,
+       |         (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+       |           CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END AS quality_score
+       |  FROM qg),
+       |ranked AS (
+       |  SELECT m.canonical_id, m.doc_id, m.cluster_size, sc.quality_score,
+       |         row_number() OVER (PARTITION BY m.canonical_id
+       |                            ORDER BY sc.quality_score DESC, m.doc_id) AS rk
+       |  FROM members m JOIN scores sc ON m.doc_id = sc.doc_id)
+       |SELECT canonical_id,
+       |       CAST(max(cluster_size) AS BIGINT) AS n_members,
+       |       min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+       |       min(CASE WHEN rk = 1 THEN quality_score END) AS kept_score,
+       |       CAST(max(cluster_size) AS BIGINT) - 1 AS n_dropped
+       |FROM ranked GROUP BY canonical_id ORDER BY canonical_id""".stripMargin
 
   /** MinHash estimator accuracy: for every LSH-verified candidate pair,
     * the Jaccard ESTIMATE from signature agreement (matching permutations

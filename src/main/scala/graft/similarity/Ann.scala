@@ -339,6 +339,71 @@ object Ann {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** SemDeDup-style semantic dedup: candidate pairs come from the IVF
+    * partition (label) refined by the 8-bit sign bucket, and any vector
+    * whose cosine to a lower-id cluster-mate clears the threshold is
+    * dropped in favor of that keeper — the "same meaning, different
+    * bytes" dedup that exact/minhash text dedup can't see.
+    *
+    * The corpus has no natural semantic dups (max within-bucket cosine
+    * ≈ 0.38), so deterministic near-copies are injected: every 7th
+    * vector re-appears (+200k id) with dims i≡1 (mod 3) rescaled ×1.4 —
+    * a direction change small enough that cosine ≥ 0.986 for ANY energy
+    * split across dims (worst case at 5/12 of energy on the scaled
+    * dims), so the 0.95 threshold always fires. The perturbation rounds
+    * double→float identically on both engines.
+    *
+    * Scale shape: pairs exist only within (label, sign-bucket) — |data|
+    * /(labels·256) expected bucket size — and the keeper reduction is
+    * one more shuffle keyed by the dropped id, proportional to the dup
+    * population. */
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val perturbed = emb.where(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
+        transform(sequence(lit(1), size(col("embedding"))),
+          i => when(i % 3 === 1,
+            (element_at(col("embedding"), i).cast("double") * lit(1.4)).cast("float"))
+            .otherwise(element_at(col("embedding"), i))).as("embedding"))
+    val all = emb.unionAll(perturbed).withColumn("bucket", signCode(col("embedding")))
+    val l = all.select(col("label"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val r = all.select(col("label"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    l.join(r, Seq("label", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(spark, "e_a", "e_b").as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy(col("id_b").as("drop_id"))
+      .agg(
+        min(col("id_a")).as("keeper_id"),
+        count(lit(1)).as("n_near"),
+        max(col("cos")).as("max_cosine"))
+      .orderBy("drop_id")
+  }
+
+  def semanticDedupSql(threshold: Double = 0.95): String =
+    s"""WITH pert AS (
+       |  SELECT vec_id + 200000 AS vec_id, label,
+       |         list_transform(generate_series(1, len(embedding)),
+       |           i -> CASE WHEN i % 3 = 1
+       |                THEN CAST(CAST(embedding[i] AS DOUBLE) * CAST(1.4 AS DOUBLE) AS FLOAT)
+       |                ELSE embedding[i] END) AS embedding
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |allv AS (
+       |  SELECT vec_id, label, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, label, embedding FROM pert),
+       |coded AS (
+       |  SELECT vec_id, label, embedding, ${signCodeSql("embedding")} AS bucket FROM allv),
+       |cands AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+       |  FROM coded a JOIN coded b
+       |    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_b AS drop_id, min(id_a) AS keeper_id, count(*) AS n_near,
+       |       max(${cosineSql("ea", "eb")}) AS max_cosine
+       |FROM cands
+       |WHERE ${cosineSql("ea", "eb")} >= $threshold
+       |GROUP BY id_b ORDER BY drop_id""".stripMargin
+
   /** ANN quality evaluation: recall@k of the sign-LSH candidate search
     * against the exact brute-force top-k — the measurement that decides
     * whether an index's bucket width is acceptable before it ships. Both

@@ -353,6 +353,126 @@ object TextFunctions {
       |               (a, b) -> a + b) AS simpson_diversity
       |FROM s ORDER BY source""".stripMargin
 
+  /** Per-document repetition profile (Gopher-style repetition rules):
+    * duplicate-word fraction, top-word share, and repeated-trigram
+    * fraction — the signals that catch keyword-stuffed or looping text
+    * that length/stopword ratios miss.
+    *
+    * Scale shape: trigram stats are pure array expressions (zero
+    * shuffle); word stats explode to (doc_id, word) and aggregate —
+    * both shuffles are keyed by doc_id so partitions stay doc-local and
+    * the reduction is map-side-combined. All ratios are double divisions
+    * of exact longs (bit-identical across engines). */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+      .withColumn("grams", transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+    val gramStats = base.select(col("doc_id"),
+      size(col("grams")).cast("long").as("n_grams"),
+      size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+    val wordStats = base.select(col("doc_id"), explode(col("w")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        sum(col("cnt")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("cnt")).as("top_word_cnt"))
+    wordStats.join(gramStats, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"), col("top_word_cnt"),
+        (col("top_word_cnt").cast("double") / col("n_words").cast("double")).as("top_word_share"),
+        (lit(1.0) - col("n_distinct_words").cast("double") / col("n_words").cast("double")).as("dup_word_frac"),
+        (lit(1.0) - col("n_distinct_grams").cast("double") / col("n_grams").cast("double")).as("dup_gram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |         [array_to_string(w[i:i+2], ' ') for i in range(1, greatest(len(w) - 2, 1) + 1)] AS grams
+      |  FROM n),
+      |gs AS (
+      |  SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |         CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct_grams
+      |  FROM g),
+      |wc AS (
+      |  SELECT doc_id, word, count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(w) AS word FROM n) GROUP BY doc_id, word),
+      |ws AS (
+      |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, count(*) AS n_distinct_words,
+      |         CAST(max(cnt) AS BIGINT) AS top_word_cnt
+      |  FROM wc GROUP BY doc_id)
+      |SELECT ws.doc_id, n_words, n_distinct_words, top_word_cnt,
+      |       CAST(top_word_cnt AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_word_share,
+      |       1.0 - CAST(n_distinct_words AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+      |       1.0 - CAST(n_distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_frac
+      |FROM ws JOIN gs USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Per-source distinctive terms by rational TF-IDF: term frequency
+    * within the source × (n_sources / source-document-frequency), top-3
+    * per source. The idf is deliberately the RATIONAL form (no log):
+    * pure divisions and one multiply of exact longs are bit-portable
+    * across engines where libm `ln` is not, and the per-source ranking
+    * is identical either way (log is monotone).
+    *
+    * Scale shape: one explode → (source, term) partial-aggregated
+    * shuffle; source totals ride a window on the already-aggregated
+    * rows (partitioned by source — never global); df is a second
+    * aggregation of those same rows keyed by term with a co-partitioned
+    * join back; ranking windows on the source key. */
+  def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tf = docs
+      .select(col("source"), explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 3 && !col("term").isInCollection(stopwords))
+      .groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nSources = docs.agg(countDistinct(col("source")).as("n_sources"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("term"))
+    tf.withColumn("source_terms", sum(col("tf")).over(bySource))
+      .join(df, "term")
+      .crossJoin(broadcast(nSources))
+      .withColumn("score",
+        (col("tf").cast("double") / col("source_terms").cast("double")) *
+          (col("n_sources").cast("double") / col("df").cast("double")))
+      .withColumn("rank", row_number().over(rk).cast("long"))
+      .where(col("rank") <= topK)
+      .select("source", "term", "tf", "df", "score", "rank")
+      .orderBy("source", "rank")
+  }
+
+  def tfidfSql(topK: Int = 3): String =
+    s"""WITH t AS (
+       |  SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+       |  FROM documents),
+       |f AS (
+       |  SELECT source, term, count(*) AS tf
+       |  FROM t
+       |  WHERE length(term) >= 3 AND term NOT IN (${stopwords.map("'" + _ + "'").mkString(",")})
+       |  GROUP BY source, term),
+       |tot AS (
+       |  SELECT source, term, tf,
+       |         CAST(sum(tf) OVER (PARTITION BY source) AS BIGINT) AS source_terms
+       |  FROM f),
+       |d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+       |ns AS (SELECT count(DISTINCT source) AS n_sources FROM documents),
+       |ranked AS (
+       |  SELECT tot.source, tot.term, tot.tf, d.df,
+       |         (CAST(tot.tf AS DOUBLE) / CAST(tot.source_terms AS DOUBLE)) *
+       |           (CAST(ns.n_sources AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score
+       |  FROM tot JOIN d USING (term) CROSS JOIN ns),
+       |rk AS (
+       |  SELECT source, term, tf, df, score,
+       |         CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS BIGINT) AS rank
+       |  FROM ranked)
+       |SELECT source, term, tf, df, score, rank FROM rk
+       |WHERE rank <= $topK ORDER BY source, rank""".stripMargin
+
   val termDocFreqSql: String =
     """WITH n AS (SELECT count(*) AS n_docs FROM documents),
       |terms AS (

@@ -142,6 +142,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("semantic dedup drops exactly the injected perturbed copies") {
+    val drops = Ann.semanticDedup(spark, dir).collect()
+    val injected = Tables.load(spark, dir, "embeddings").where(col("vec_id") % 7 === 0).count()
+    assert(drops.length === injected)
+    drops.foreach { r =>
+      val dropId = r.getAs[Long]("drop_id")
+      assert(dropId >= 200000L, "only perturbed copies may be dropped")
+      assert(r.getAs[Long]("keeper_id") === dropId - 200000L,
+        "the keeper must be the copy's own original")
+      assert(r.getAs[Double]("max_cosine") >= 0.95 && r.getAs[Double]("max_cosine") < 1.0)
+    }
+  }
+
+  test("keep-best picks the max-quality member of every dup cluster") {
+    val kept = Dedup.keepBest(spark, dir).collect()
+    assert(kept.nonEmpty)
+    val members = Dedup.cluster(spark, dir)
+    val scores = graft.text.TextFunctions.qualityScore(Dedup.corpus(spark, dir))
+    val best = members.join(scores, "doc_id").collect()
+      .groupBy(_.getAs[Long]("canonical_id"))
+      .map { case (cid, rs) =>
+        cid -> rs.map(r => (-r.getAs[Double]("quality_score"), r.getAs[Long]("doc_id"))).min._2
+      }
+    assert(kept.length === best.size)
+    kept.foreach { r =>
+      assert(r.getAs[Long]("kept_doc") === best(r.getAs[Long]("canonical_id")))
+      assert(r.getAs[Long]("n_dropped") === r.getAs[Long]("n_members") - 1L)
+    }
+  }
+
+  test("repetition fractions are valid shares and consistent per doc") {
+    val rep = TextFunctions.repetition(spark, dir).collect()
+    assert(rep.length === Tables.load(spark, dir, "documents").count())
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_words") <= r.getAs[Long]("n_words"))
+      val share = r.getAs[Double]("top_word_share")
+      assert(share > 0.0 && share <= 1.0)
+      Seq("dup_word_frac", "dup_gram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v < 1.0)
+      }
+    }
+  }
+
+  test("tfidf yields top-3 distinctive non-stopword terms per source") {
+    val rows = TextFunctions.tfidf(spark, dir).collect()
+    val sources = Tables.load(spark, dir, "documents").select("source").distinct().count()
+    assert(rows.length === sources * 3)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-_)), "scores must be rank-ordered")
+    }
+    assert(rows.forall(r => !TextFunctions.stopwords.contains(r.getAs[String]("term"))))
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
