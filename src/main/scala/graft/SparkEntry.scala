@@ -150,6 +150,8 @@ object SparkEntry {
     "pipe_chunk_documents" -> ((s, d) => TextFunctions.chunkDocuments(s, d)),
     "pipe_sample_stratified" -> ((s, d) => TextFunctions.sampleStratified(s, d)),
     "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
+    "pipe_domain_mix" -> ((s, d) => TextFunctions.domainMix(s, d)),
+    "pipe_epochs_plan" -> ((s, d) => TextFunctions.epochsPlan(s, d)),
     "cdc_watermark_advise" -> ((s, d) => Monitoring.watermarkAdvise(Cdc.changelog(s, d))),
     "q_string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
     "cdc_sample_compare" -> ((s, d) => Quality.sampleCompare(s, d)),
@@ -811,6 +813,8 @@ object SparkEntry {
       "pipe_chunk_documents" -> TextFunctions.chunkDocumentsSql(),
       "pipe_sample_stratified" -> TextFunctions.sampleStratifiedSql,
       "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),
+      "pipe_domain_mix" -> TextFunctions.domainMixSql,
+      "pipe_epochs_plan" -> TextFunctions.epochsPlanSql(),
       "cdc_watermark_advise" -> Monitoring.watermarkAdviseSql(cl),
       "q_string_agg" -> Relational.stringAggSql,
       "cdc_sample_compare" -> Quality.sampleCompareSql(cl),

@@ -842,6 +842,126 @@ object TextFunctions {
        |       least(total_tokens, $budget // n_sources) AS projected_tokens
        |FROM per_source, n ORDER BY source""".stripMargin
 
+  /** Domain-mixture reweighting (DoReMi-flavor, determinized): per-source
+    * sampling weights that move the mix from the corpus's natural token
+    * shares toward quality-proportional target shares. The quality signal
+    * is an exact INTEGER (count of docs clearing the quality-score bar) —
+    * a cross-row double sum would be float-accumulation-order dependent
+    * across engines/partitionings, a per-source count is not. Weights and
+    * shares are then double divisions of exact longs.
+    *
+    * Scale shape: one scan, one partial-aggregated shuffle on the small
+    * source key, grand totals broadcast back as a 1-row scalar join. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(lower(trim(col("text"))), "\\s+")
+    val nWords = size(words).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
+    val score = (nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5) +
+      when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))
+    val perSource = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        when(score >= 1.0, 1L).otherwise(0L).as("good"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("good")).as("good_docs"))
+    val totals = perSource.agg(
+      sum(col("total_tokens")).as("corpus_tokens"),
+      sum(col("good_docs")).as("corpus_good"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("current_share",
+        col("total_tokens").cast("double") / col("corpus_tokens").cast("double"))
+      .withColumn("target_share",
+        col("good_docs").cast("double") / col("corpus_good").cast("double"))
+      .withColumn("mix_weight", col("target_share") / col("current_share"))
+      .select("source", "n_docs", "total_tokens", "good_docs",
+        "current_share", "target_share", "mix_weight")
+      .orderBy("source")
+  }
+
+  def domainMixSql: String =
+    s"""WITH f AS (
+       |  SELECT source,
+       |         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+       |         CAST(length(text) AS DOUBLE) AS nchars,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+       |  FROM documents),
+       |g AS (
+       |  SELECT source, n_tokens, nchars, npunct,
+       |         CAST(len(words) AS DOUBLE) AS nwords,
+       |         CAST(len(list_filter(words, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop
+       |  FROM f),
+       |s AS (
+       |  SELECT source, n_tokens,
+       |         CASE WHEN (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+       |                   CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END >= 1.0
+       |              THEN 1 ELSE 0 END AS good
+       |  FROM g),
+       |per_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(sum(good) AS BIGINT) AS good_docs
+       |  FROM s GROUP BY source),
+       |totals AS (
+       |  SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens,
+       |         CAST(sum(good_docs) AS BIGINT) AS corpus_good
+       |  FROM per_source)
+       |SELECT source, n_docs, total_tokens, good_docs,
+       |       CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS current_share,
+       |       CAST(good_docs AS DOUBLE) / CAST(corpus_good AS DOUBLE) AS target_share,
+       |       (CAST(good_docs AS DOUBLE) / CAST(corpus_good AS DOUBLE))
+       |         / (CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)) AS mix_weight
+       |FROM per_source CROSS JOIN totals ORDER BY source""".stripMargin
+
+  /** Epoch planning under a fixed token budget (the data-constrained
+    * regime): each source gets an equal integer share of the budget; a
+    * source smaller than its share is REPEATED — the plan reports full
+    * epochs, the fractional final pass, and how many allocated tokens are
+    * repeats rather than fresh text. Pure integer arithmetic end-to-end
+    * (div/ceil/max of exact longs), so the plan is bit-identical on any
+    * engine and any partitioning. One scan + one small-key shuffle. */
+  def epochsPlan(spark: SparkSession, dir: String, budget: Long = 5000000L): DataFrame = {
+    val perSource = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+    val nSources = perSource.select(count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(nSources))
+      .withColumn("alloc_tokens", expr(s"${budget}L div n_sources"))
+      .withColumn("epochs",
+        expr("(alloc_tokens + total_tokens - 1L) div total_tokens"))
+      .withColumn("repeated_tokens",
+        greatest(lit(0L), col("alloc_tokens") - col("total_tokens")))
+      .withColumn("final_pass_frac",
+        (col("alloc_tokens") - (col("epochs") - 1L) * col("total_tokens")).cast("double")
+          / col("total_tokens").cast("double"))
+      .select("source", "total_tokens", "alloc_tokens", "epochs",
+        "repeated_tokens", "final_pass_frac")
+      .orderBy("source")
+  }
+
+  def epochsPlanSql(budget: Long = 5000000L): String =
+    s"""WITH per_source AS (
+       |  SELECT source,
+       |         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens
+       |  FROM documents GROUP BY source),
+       |n AS (SELECT count(*) AS n_sources FROM per_source),
+       |p AS (
+       |  SELECT source, total_tokens, $budget // n_sources AS alloc_tokens
+       |  FROM per_source, n)
+       |SELECT source, total_tokens, alloc_tokens,
+       |       (alloc_tokens + total_tokens - 1) // total_tokens AS epochs,
+       |       greatest(0, alloc_tokens - total_tokens) AS repeated_tokens,
+       |       CAST(alloc_tokens - ((alloc_tokens + total_tokens - 1) // total_tokens - 1) * total_tokens AS DOUBLE)
+       |         / CAST(total_tokens AS DOUBLE) AS final_pass_frac
+       |FROM p ORDER BY source""".stripMargin
+
   /** Deterministic training-order interleave: documents are shuffled
     * within each source by content digest (reproducible, no RNG) and the
     * sources round-robined, so consecutive training examples come from

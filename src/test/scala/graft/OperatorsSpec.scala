@@ -198,6 +198,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(r => !TextFunctions.stopwords.contains(r.getAs[String]("term"))))
   }
 
+  test("domain mix shares sum to 1 and weights are consistent ratios") {
+    val mix = TextFunctions.domainMix(spark, dir).collect()
+    assert(mix.nonEmpty)
+    assert(math.abs(mix.map(_.getAs[Double]("current_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(mix.map(_.getAs[Double]("target_share")).sum - 1.0) < 1e-9)
+    mix.foreach { r =>
+      val expected = r.getAs[Double]("target_share") / r.getAs[Double]("current_share")
+      assert(math.abs(r.getAs[Double]("mix_weight") - expected) < 1e-12)
+    }
+  }
+
+  test("epochs plan repeats exactly the budget shortfall per source") {
+    val plan = TextFunctions.epochsPlan(spark, dir).collect()
+    assert(plan.nonEmpty)
+    plan.foreach { r =>
+      val total = r.getAs[Long]("total_tokens")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      val epochs = r.getAs[Long]("epochs")
+      assert(epochs >= 1L)
+      assert(epochs === (alloc + total - 1L) / total)
+      assert(r.getAs[Long]("repeated_tokens") === math.max(0L, alloc - total))
+      val frac = r.getAs[Double]("final_pass_frac")
+      assert(frac > 0.0 && frac <= 1.0)
+      if (epochs === 1L) assert(r.getAs[Long]("repeated_tokens") === 0L)
+    }
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
