@@ -88,6 +88,24 @@ object ScaleSmoke {
       graft.text.TextFunctions.termDocFreqOf(bigDocs, 20).count()
     }
 
+    t("repetition profile", nDocs) {
+      // text_repetition shape: trigram stats array-side (no shuffle),
+      // word stats shuffle only on doc-local (doc_id, word) keys
+      import graft.text.TextFunctions.normText
+      val base = bigDocs
+        .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+        .withColumn("grams", transform(
+          sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("w"), i, lit(3)))))
+      val gramStats = base.select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_distinct(col("grams"))).cast("long").as("n_distinct_grams"))
+      val wordStats = base.select(col("doc_id"), explode(col("w")).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(sum(col("cnt")).as("n_words"), max(col("cnt")).as("top"))
+      wordStats.join(gramStats, "doc_id").count()
+    }
+
     val emb = Tables.load(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"), col("label"))
@@ -98,6 +116,21 @@ object ScaleSmoke {
       bigEmb.crossJoin(broadcast(q))
         .select(col("vec_id"), expr("graft_cosine(embedding, qe)").as("c"))
         .orderBy(col("c").desc, col("vec_id")).limit(20).count()
+    }
+    t("semantic dedup buckets", nEmb) {
+      // dedup_semantic shape: pairs only within (label, sign-bucket) —
+      // replicas keep the original label but distinct vec_ids, so bucket
+      // populations grow ×factor and the pair fan-out stays bucket-bounded
+      val code = (0 until 8).map { k =>
+        when(element_at(col("embedding"), 1 + 8 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = bigEmb.withColumn("bucket", code)
+      val l = coded.select(col("label"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      val r = coded.select(col("label"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
+      l.join(r, Seq("label", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(expr("graft_cosine(e_a, e_b)").as("c"))
+        .where(col("c") >= 0.95).count()
     }
     t("knn bucket join", nEmb) {
       // ann_knn_join shape: bucket-equality join bounds candidates to

@@ -17,4 +17,52 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  /** Queries allowed to plan an UNPARTITIONED window, each because the
+    * window input is already bounded (pre-aggregated or cardinality-capped)
+    * — never the raw corpus/stream. This is the EXACT current set (run
+    * with GRAFT_AUDIT_ALL=1 to re-derive it after plan changes):
+    * - q_moving_avg / q_range_frame: range frames over per-day aggregated
+    *   rows (|days| in the window's date span);
+    * - q_percent_of_total / q_dow_seasonality: share-of-total over rows
+    *   already grouped to |priorities| / 7 weekdays;
+    * - cdc_alert_suppress: lag() over hourly error buckets that cleared
+    *   the alert threshold (|hours|, pre-aggregated);
+    * - cdc_partition_skew: total over |nBuckets|=32 rows;
+    * - cdc_snapshot_progress: progress rank over |chunks| rows;
+    * - pipe_interleave: source rank over |sources| rows;
+    * - text_quality_bins: prefix-sum offsets over ≤ shuffle-partition
+    *   count rows (the distributed-ntile design, PlanShapeSpec pins it). */
+  private val boundedGlobalWindowAllowlist: Set[String] =
+    if (sys.env.contains("GRAFT_AUDIT_ALL")) Set.empty
+    else Set(
+      "q_moving_avg", "q_range_frame", "q_percent_of_total", "q_dow_seasonality",
+      "cdc_alert_suppress", "cdc_partition_skew", "cdc_snapshot_progress",
+      "pipe_interleave", "text_quality_bins")
+
+  test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def globalWindows(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case w: WindowExec if w.partitionSpec.isEmpty => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children ++ other.subqueries
+      }
+      self + kids.map(globalWindows).sum
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (boundedGlobalWindowAllowlist(name)) None
+      else {
+        val n = globalWindows(fn(spark, dir).queryExecution.executedPlan)
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded single-partition windows in: ${offenders.mkString(", ")} — " +
+        "either partition the window or justify boundedness in the allowlist")
+  }
 }
