@@ -152,6 +152,8 @@ object SparkEntry {
     "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
     "pipe_domain_mix" -> ((s, d) => TextFunctions.domainMix(s, d)),
     "pipe_epochs_plan" -> ((s, d) => TextFunctions.epochsPlan(s, d)),
+    "pipe_curriculum" -> ((s, d) => TextFunctions.curriculum(s, d)),
+    "ann_probe_sweep" -> ((s, d) => Ann.probeSweep(s, d)),
     "cdc_watermark_advise" -> ((s, d) => Monitoring.watermarkAdvise(Cdc.changelog(s, d))),
     "q_string_agg" -> ((s, d) => Relational.stringAgg(s, d)),
     "cdc_sample_compare" -> ((s, d) => Quality.sampleCompare(s, d)),
@@ -815,6 +817,8 @@ object SparkEntry {
       "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),
       "pipe_domain_mix" -> TextFunctions.domainMixSql,
       "pipe_epochs_plan" -> TextFunctions.epochsPlanSql(),
+      "pipe_curriculum" -> TextFunctions.curriculumSql,
+      "ann_probe_sweep" -> Ann.probeSweepSql(),
       "cdc_watermark_advise" -> Monitoring.watermarkAdviseSql(cl),
       "q_string_agg" -> Relational.stringAggSql,
       "cdc_sample_compare" -> Quality.sampleCompareSql(cl),

@@ -448,6 +448,70 @@ object Ann {
        |         / CAST(sum(in_brute) AS DOUBLE) AS recall_at_k
        |FROM flags""".stripMargin
 
+  /** Probe-count tuning sweep: recall@k of multi-probe sign-LSH at 1, 3,
+    * 5, and 9 probes (query bucket + the first p−1 Hamming-1 flips)
+    * against the exact brute-force top-k — the curve an operator reads
+    * to pick the cheapest probe count that clears a recall target.
+    *
+    * Scale shape: each probe level is its own bounded bucket join +
+    * TakeOrderedAndProject (never a corpus-wide rank window); the levels
+    * union k-row results, so the recall join handles ≤ 4k+k rows. */
+  def probeSweep(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val levels = Seq(1, 3, 5, 9)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val q = emb.where(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
+    val brute = bruteForceTopK(spark, dir, k).select(col("vec_id"), lit(1).as("in_brute"))
+    val tagged = levels.map { p =>
+      val probeCols = col("qbucket") +:
+        (0 until (p - 1)).map(j => col("qbucket").bitwiseXOR(lit(1L << j)))
+      val probes = q.select(col("qe"), explode(array(probeCols: _*)).as("probe"))
+      emb.join(broadcast(probes), col("bucket") === col("probe"))
+        .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+        .select(lit(p).cast("long").as("n_probes"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    tagged.join(broadcast(brute), Seq("vec_id"), "left")
+      .groupBy("n_probes")
+      .agg(
+        count(lit(1)).as("n_returned"),
+        sum(coalesce(col("in_brute"), lit(0))).cast("long").as("n_common"))
+      .withColumn("recall_at_k", col("n_common").cast("double") / lit(k.toDouble))
+      .select("n_probes", "n_returned", "n_common", "recall_at_k")
+      .orderBy("n_probes")
+  }
+
+  def probeSweepSql(k: Int = 10): String = {
+    val levels = Seq(1, 3, 5, 9)
+    val levelCtes = levels.map { p =>
+      val flips = (0 until (p - 1)).map(j => s"SELECT qe, xor(qbucket, ${1L << j}) AS probe FROM q")
+      val probes = (s"SELECT qe, qbucket AS probe FROM q" +: flips).mkString("\n    UNION ALL ")
+      s"""lsh$p AS (
+         |  SELECT $p AS n_probes, vec_id
+         |  FROM coded JOIN ($probes) pr ON coded.bucket = pr.probe
+         |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = levels.map(p => s"SELECT n_probes, vec_id FROM lsh$p").mkString("\n  UNION ALL ")
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded WHERE vec_id = 0),
+       |brute AS (
+       |  SELECT vec_id, 1 AS in_brute FROM coded CROSS JOIN q
+       |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k),
+       |$levelCtes,
+       |tagged AS (
+       |  $unions)
+       |SELECT CAST(t.n_probes AS BIGINT) AS n_probes,
+       |       count(*) AS n_returned,
+       |       CAST(sum(coalesce(b.in_brute, 0)) AS BIGINT) AS n_common,
+       |       CAST(CAST(sum(coalesce(b.in_brute, 0)) AS BIGINT) AS DOUBLE) / CAST($k AS DOUBLE) AS recall_at_k
+       |FROM tagged t LEFT JOIN brute b USING (vec_id)
+       |GROUP BY t.n_probes ORDER BY n_probes""".stripMargin
+  }
+
   /** Batch k-NN join: every query vector (vec_id ≡ 0 mod 100) gets its
     * top-k neighbors from the corpus, candidates bounded to the query's
     * sign-LSH bucket. This is the many-queries form of [[lshTopK]]:

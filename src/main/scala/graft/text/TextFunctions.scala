@@ -192,7 +192,12 @@ object TextFunctions {
   def qualityBins(spark: SparkSession, dir: String): DataFrame =
     qualityBinsOf(qualityScore(Tables.load(spark, dir, "documents")))
 
-  private[graft] def qualityBinsOf(scored: DataFrame): DataFrame = {
+  /** Per-doc decile assignment (doc_id, quality_score, decile) — the
+    * distributed exact-ntile core shared by [[qualityBins]] and
+    * [[curriculum]]: range-partition on the sort key, rank locally, add
+    * the prefix-sum of partition counts (a window over ≤ |partitions|
+    * pre-aggregated rows, never the corpus). */
+  private[graft] def qualityDecilesOf(scored: DataFrame): DataFrame = {
     val spark = scored.sparkSession
     val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val ranged = scored
@@ -223,13 +228,16 @@ object TextFunctions {
           expr("(rank - 1) div (n div 10 + 1)") + 1L)
           .otherwise(col("n") % 10 + expr("(rank - (n % 10) * (n div 10 + 1) - 1) div (n div 10)") + 1L)
           .cast("long"))
+  }
+
+  private[graft] def qualityBinsOf(scored: DataFrame): DataFrame =
+    qualityDecilesOf(scored)
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_docs"),
         min(col("quality_score")).as("min_score"),
         max(col("quality_score")).as("max_score"))
       .orderBy("decile")
-  }
 
   /** Term document-frequency table: for the corpus's most common terms
     * (≥3 chars), in how many documents each appears and its share of the
@@ -961,6 +969,69 @@ object TextFunctions {
        |       CAST(alloc_tokens - ((alloc_tokens + total_tokens - 1) // total_tokens - 1) * total_tokens AS DOUBLE)
        |         / CAST(total_tokens AS DOUBLE) AS final_pass_frac
        |FROM p ORDER BY source""".stripMargin
+
+  /** Curriculum schedule: training phases ordered best-quality-first,
+    * one row per quality decile with its doc/token volume and the
+    * cumulative token share a trainer has consumed by the end of the
+    * phase. Reuses the distributed exact-ntile core ([[qualityDecilesOf]]
+    * — no single-partition pass over the corpus); the schedule windows
+    * run over the 10 aggregated decile rows only. */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val tokens = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val perDecile = qualityDecilesOf(qualityScore(docs))
+      .select(col("doc_id"), col("decile"))
+      .join(tokens, "doc_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("decile_tokens"))
+    val W = org.apache.spark.sql.expressions.Window
+    val order = W.orderBy(col("decile").desc)
+    val wCum = order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wAll = order.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    perDecile
+      .withColumn("phase", row_number().over(order).cast("long"))
+      .withColumn("cum_tokens", sum(col("decile_tokens")).over(wCum))
+      .withColumn("cum_share",
+        col("cum_tokens").cast("double") /
+          sum(col("decile_tokens")).over(wAll).cast("double"))
+      .select("phase", "decile", "n_docs", "decile_tokens", "cum_tokens", "cum_share")
+      .orderBy("phase")
+  }
+
+  def curriculumSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+       |         CAST(length(text) AS DOUBLE) AS nchars,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, nchars, npunct,
+       |         CAST(len(words) AS DOUBLE) AS nwords,
+       |         CAST(len(list_filter(words, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop
+       |  FROM f),
+       |s AS (
+       |  SELECT doc_id,
+       |         (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+       |           CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END AS quality_score
+       |  FROM g),
+       |d AS (
+       |  SELECT doc_id,
+       |         CAST(ntile(10) OVER (ORDER BY quality_score, doc_id) AS BIGINT) AS decile
+       |  FROM s),
+       |tok AS (
+       |  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pd AS (
+       |  SELECT decile, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS decile_tokens
+       |  FROM d JOIN tok USING (doc_id) GROUP BY decile)
+       |SELECT CAST(row_number() OVER (ORDER BY decile DESC) AS BIGINT) AS phase,
+       |       decile, n_docs, decile_tokens,
+       |       CAST(sum(decile_tokens) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |       CAST(CAST(sum(decile_tokens) OVER (ORDER BY decile DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+       |         / CAST(CAST(sum(decile_tokens) OVER () AS BIGINT) AS DOUBLE) AS cum_share
+       |FROM pd ORDER BY phase""".stripMargin
 
   /** Deterministic training-order interleave: documents are shuffled
     * within each source by content digest (reproducible, no RNG) and the

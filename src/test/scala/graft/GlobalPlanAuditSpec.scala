@@ -31,6 +31,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     * - cdc_partition_skew: total over |nBuckets|=32 rows;
     * - cdc_snapshot_progress: progress rank over |chunks| rows;
     * - pipe_interleave: source rank over |sources| rows;
+    * - pipe_curriculum: schedule windows over the 10 decile rows (the
+    *   per-doc decile assignment itself is the distributed ntile);
     * - text_quality_bins: prefix-sum offsets over ≤ shuffle-partition
     *   count rows (the distributed-ntile design, PlanShapeSpec pins it). */
   private val boundedGlobalWindowAllowlist: Set[String] =
@@ -38,7 +40,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     else Set(
       "q_moving_avg", "q_range_frame", "q_percent_of_total", "q_dow_seasonality",
       "cdc_alert_suppress", "cdc_partition_skew", "cdc_snapshot_progress",
-      "pipe_interleave", "text_quality_bins")
+      "pipe_interleave", "pipe_curriculum", "text_quality_bins")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

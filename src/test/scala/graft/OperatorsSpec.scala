@@ -225,6 +225,31 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("curriculum schedule covers the corpus best-quality-first") {
+    val sched = TextFunctions.curriculum(spark, dir).collect()
+    assert(sched.length === 10)
+    assert(sched.map(_.getAs[Long]("phase")).sameElements(1L to 10L))
+    val deciles = sched.sortBy(_.getAs[Long]("phase")).map(_.getAs[Long]("decile"))
+    assert(deciles.sameElements(deciles.sorted.reverse), "phase 1 must be the top decile")
+    assert(sched.map(_.getAs[Long]("n_docs")).sum ===
+      Tables.load(spark, dir, "documents").count())
+    val shares = sched.sortBy(_.getAs[Long]("phase")).map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(math.abs(shares.last - 1.0) < 1e-12)
+  }
+
+  test("probe sweep recall is monotone in the probe count") {
+    val rows = Ann.probeSweep(spark, dir).collect().sortBy(_.getAs[Long]("n_probes"))
+    assert(rows.map(_.getAs[Long]("n_probes")).sameElements(Array(1L, 3L, 5L, 9L)))
+    val common = rows.map(_.getAs[Long]("n_common"))
+    assert(common.zip(common.tail).forall { case (a, b) => a <= b },
+      "more probes can only add candidates, never lose them")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") === r.getAs[Long]("n_common").toDouble / 10.0)
+      assert(r.getAs[Long]("n_returned") <= 10L)
+    }
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
