@@ -55,4 +55,41 @@ object Sketches {
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
       .groupBy("source")
       .agg(countDistinct(col("token")).as("exact_distinct_tokens"))
+
+  /** Heavy hitters via a Count-Min structure built in DataFrame algebra:
+    * `depth` hash rows × `width` buckets, counts aggregated map-side, the
+    * estimate for a probe term = min over rows of its bucket counts.
+    * At lake scale the exact term table needs a full (term) shuffle with
+    * |vocabulary| keys; the CMS shuffle carries at most depth×width keys
+    * (4096 here) regardless of corpus size, and rows merge additively —
+    * the same property that makes it a streaming-state fit. CMS only
+    * OVERcounts (collisions add), so estimate ≥ exact always; SketchesSpec
+    * pins that bound and the N·depth/width error ceiling.
+    *
+    * The probe set here is the exact top-k (so the accuracy contract can
+    * compare); a deployment probes whatever candidate stream it wants. */
+  def approxHeavyHitters(spark: SparkSession, dir: String, topK: Int = 20,
+                         depth: Int = 4, width: Int = 1024): DataFrame = {
+    val tokens = Tables.load(spark, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .where(length(col("token")) >= 3)
+    def rowBuckets = array((0 until depth).map { i =>
+      struct(lit(i).as("row"), pmod(xxhash64(col("token"), lit(i)), lit(width)).as("bucket"))
+    }: _*)
+    val cms = tokens
+      .select(explode(rowBuckets).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+      .limit(topK)
+    exact
+      .select(col("token"), col("exact_cnt"), explode(rowBuckets).as("rb"))
+      .select(col("token"), col("exact_cnt"),
+        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(broadcast(cms), Seq("row", "bucket"))
+      .groupBy("token", "exact_cnt")
+      .agg(min(col("cnt")).as("cms_cnt"))
+      .orderBy(col("exact_cnt").desc, col("token"))
+  }
 }

@@ -24,6 +24,23 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min heavy hitters: estimate >= exact, overcount under N*depth/width") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.approxHeavyHitters(spark, dir).collect()
+    assert(rows.length === 20)
+    val nTotal = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .where(length(col("t")) >= 3).count()
+    val bound = nTotal.toDouble * 4 / 1024
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt")
+      val est = r.getAs[Long]("cms_cnt")
+      assert(est >= exact, s"${r.getAs[String]("token")}: CMS must never undercount")
+      assert(est - exact <= bound,
+        s"${r.getAs[String]("token")}: overcount ${est - exact} exceeds bound $bound")
+    }
+  }
+
   test("HLL distinct-token estimates land within 3x the configured rsd") {
     val exact = Sketches.exactCorpusDistinct(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("exact_distinct_tokens")).toMap
