@@ -216,6 +216,9 @@ object SparkEntry {
     "pipe_dup_rate_by_source" -> ((s, d) => TextFunctions.dupRateBySource(s, d)),
     "cdc_retention_impact" -> ((s, d) => Monitoring.retentionImpact(Cdc.changelog(s, d))),
     "mm_frame_stats" -> ((s, d) => Binary.frameStats(s, d)),
+    "q_corr_ols" -> ((s, d) => Relational.corrOls(s, d)),
+    "q_mad" -> ((s, d) => Relational.madByFlag(s, d)),
+    "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -886,6 +889,9 @@ object SparkEntry {
       "pipe_dup_rate_by_source" -> TextFunctions.dupRateBySourceSql,
       "cdc_retention_impact" -> Monitoring.retentionImpactSql(cl),
       "mm_frame_stats" -> Binary.frameStatsSql,
+      "q_corr_ols" -> Relational.corrOlsSql,
+      "q_mad" -> Relational.madByFlagSql,
+      "ann_pq_topk" -> Ann.pqTopKSql(),
     )
   }
 }

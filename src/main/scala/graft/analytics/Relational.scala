@@ -830,4 +830,88 @@ object Relational {
         count(lit(1)).as("n_events"),
         sum(dec(col("value"))).cast(DecimalType(28, 2)).cast("double").as("sum_value"))
       .orderBy("k_bucket")
+
+  /** Pearson correlation + OLS fit of price on quantity per return flag —
+    * the statistical-profiling surface (does order size drive value?).
+    * Built-in `corr`/`regr_slope` accumulate float moments in partition
+    * order (non-deterministic bits under AQE re-splits), so the moments
+    * are EXACT decimal sums (Σx, Σy, Σxy, Σx², Σy²) instead: partial-agg
+    * + one small-key shuffle, then the closed-form corr/slope/intercept
+    * as a fixed-order double expression over those exact sums —
+    * bit-identical on any engine and any partitioning. */
+  def corrOls(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast(DecimalType(28, 2)).as("sx"),
+        sum(col("y")).cast(DecimalType(28, 2)).as("sy"),
+        sum(col("x") * col("y")).cast(DecimalType(38, 4)).as("sxy"),
+        sum(col("x") * col("x")).cast(DecimalType(38, 4)).as("sxx"),
+        sum(col("y") * col("y")).cast(DecimalType(38, 4)).as("syy"))
+    val nd = col("n").cast("double")
+    val cov = nd * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varx = nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vary = nd * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("l_returnflag"), col("n"),
+        (cov / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
+        (cov / varx).as("ols_slope"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .withColumn("ols_intercept", (col("syd") - col("ols_slope") * col("sxd")) / col("n").cast("double"))
+      .drop("sxd", "syd")
+      .orderBy("l_returnflag")
+  }
+
+  val corrOlsSql: String =
+    """WITH s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4)) AS syy
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS ols_slope,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM s)
+      |SELECT l_returnflag, n, corr_qty_price, ols_slope,
+      |       (syd - ols_slope * sxd) / CAST(n AS DOUBLE) AS ols_intercept
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  /** Median absolute deviation of order value per return flag — the
+    * robust dispersion measure (outlier-insensitive, unlike stddev).
+    * Two exact-percentile passes: the per-group median, then the median
+    * of |x − median| with the 3-row median table broadcast back onto the
+    * scan. Both shuffles are keyed by the group column; at 100 TB the
+    * approx_percentile sketch is the drop-in when exactness is
+    * negotiable (same trade as [[percentileCont]]). */
+  def madByFlag(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+    val med = li.groupBy("l_returnflag").agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("med")).as("median_price"),
+        expr("percentile(abs(l_extendedprice - med), 0.5)").as("mad"))
+      .withColumn("rel_mad", col("mad") / col("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val madByFlagSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l.l_returnflag, count(*) AS n_rows, max(m.med) AS median_price,
+      |       quantile_cont(abs(l.l_extendedprice - m.med), 0.5) AS mad,
+      |       quantile_cont(abs(l.l_extendedprice - m.med), 0.5) / max(m.med) AS rel_mad
+      |FROM lineitem l JOIN med m USING (l_returnflag)
+      |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
 }

@@ -20,13 +20,26 @@ object GraftFunctions {
     CosineSimilarity(children.head, children(1))
   }
 
-  def register(spark: SparkSession): Unit =
+  private[functions] val l2Info = new ExpressionInfo(
+    classOf[L2DistanceSq].getName, null, "graft_l2sq")
+
+  private[functions] val l2Builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_l2sq requires exactly 2 arguments")
+    L2DistanceSq(children.head, children(1))
+  }
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_l2sq"), l2Info, l2Builder)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_l2sq"), GraftFunctions.l2Info, GraftFunctions.l2Builder))
+  }
 }

@@ -551,4 +551,89 @@ object Ann {
        |  FROM scored)
        |SELECT q_id, neighbor_id, cosine, rank FROM ranked
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Product-quantization top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the compressed-domain scale
+    * path: 64-dim vectors split into 4 subspaces of 16 dims, each
+    * subvector coded to its nearest of 16 codebook entries (L2), and the
+    * query scored against CODES ONLY via the asymmetric distance
+    * Σ_s d²(query_s, codebook[s][code_s]). At 100 TB the corpus stores
+    * 4 bytes/vector instead of 256 and never re-reads raw floats at
+    * query time.
+    *
+    * Determinism: the codebook is the seed vectors vec_id 1..16 (sampled
+    * init — no iterative k-means, so no float-order dependence); every
+    * distance is an index-ordered fold; code assignment ties break to
+    * the lowest code on both engines (first-occurrence array_position).
+    *
+    * Scale shape: the codebook (64 small rows → one nested-array row)
+    * and the query broadcast; encode + ADC scoring are pure per-row
+    * expressions — one corpus scan, ZERO shuffles before
+    * TakeOrderedAndProject. */
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val m = 4; val subDim = 16; val nCodes = 16
+    val emb = Tables.load(spark, dir, "embeddings")
+    // codebook: per subspace s, the 16 seed subvectors ordered by code.
+    val cbRow = emb.where(col("vec_id").between(1, nCodes))
+      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), (col("vec_id") - 1).as("c"),
+        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("v"))
+      .groupBy("s").agg(sort_array(collect_list(struct(col("c"), col("v")))).as("ents"))
+      .select(col("s"), transform(col("ents"), e => e.getField("v")).as("vs"))
+      .agg(sort_array(collect_list(struct(col("s"), col("vs")))).as("sl"))
+      .select(transform(col("sl"), e => e.getField("vs")).as("cbl"))
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    // d²(subvector, codebook entry) is the native codegen'd graft_l2sq —
+    // bit-identical to the portable fold (FunctionsSpec) and a fused loop
+    // instead of an interpreted ArrayAggregate in the encode hot path.
+    GraftFunctions.register(spark)
+    emb.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cbRow)).crossJoin(broadcast(q))
+      .withColumn("dls", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(sequence(1, $nCodes), c ->
+           |    graft_l2sq(slice(embedding, s * $subDim + 1, $subDim),
+           |               element_at(element_at(cbl, s + 1), c))))""".stripMargin))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  cast(array_position(element_at(dls, s + 1),
+           |                      array_min(element_at(dls, s + 1))) as int))""".stripMargin))
+      .withColumn("adc_dist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double), (acc, s) ->
+           |  acc + graft_l2sq(slice(qe, s * $subDim + 1, $subDim),
+           |                   element_at(element_at(cbl, s + 1), element_at(codes, s + 1))))""".stripMargin))
+      .select(col("vec_id"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  def pqTopKSql(k: Int = 10): String =
+    s"""WITH cbrows AS (
+       |  SELECT ss.s, vec_id - 1 AS c, embedding[ss.s*16+1 : ss.s*16+16] AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
+       |  WHERE vec_id BETWEEN 1 AND 16),
+       |cbs AS (SELECT s, list(v ORDER BY c) AS vs FROM cbrows GROUP BY s),
+       |cbrow AS (SELECT list(vs ORDER BY s) AS cbl FROM cbs),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |scored AS (
+       |  SELECT vec_id, qe, cbl,
+       |    list_transform(range(0, 4), s ->
+       |      list_transform(range(1, 17), c ->
+       |        list_reduce(list_transform(range(1, 17), i ->
+       |          (CAST(embedding[s*16+i] AS DOUBLE) - CAST(cbl[s+1][c][i] AS DOUBLE)) *
+       |          (CAST(embedding[s*16+i] AS DOUBLE) - CAST(cbl[s+1][c][i] AS DOUBLE))),
+       |          (x, y) -> x + y))) AS dls
+       |  FROM embeddings CROSS JOIN cbrow CROSS JOIN q WHERE vec_id <> 0),
+       |enc AS (
+       |  SELECT vec_id, qe, cbl,
+       |    list_transform(range(0, 4), s -> list_position(dls[s+1], list_min(dls[s+1]))) AS codes
+       |  FROM scored)
+       |SELECT vec_id,
+       |  list_reduce(list_transform(range(0, 4), s ->
+       |    list_reduce(list_transform(range(1, 17), i ->
+       |      (CAST(qe[s*16+i] AS DOUBLE) - CAST(cbl[s+1][codes[s+1]][i] AS DOUBLE)) *
+       |      (CAST(qe[s*16+i] AS DOUBLE) - CAST(cbl[s+1][codes[s+1]][i] AS DOUBLE))),
+       |      (x, y) -> x + y)),
+       |    (x, y) -> x + y) AS adc_dist
+       |FROM enc ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
 }

@@ -29,6 +29,24 @@ class FunctionsSpec extends AnyFunSuite {
     assert(self.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("native graft_l2sq is bit-identical to the portable fold") {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val folded = aggregate(
+      transform(sequence(lit(1), lit(64)), i => {
+        val d = element_at(col("embedding"), i).cast("double") -
+          element_at(col("qe"), i).cast("double")
+        d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val both = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("native"), folded.as("folded"))
+    assert(both.where(col("native") =!= col("folded")).count() === 0)
+    // self-distance is exactly zero
+    val self = emb.limit(5).select(expr("graft_l2sq(embedding, embedding)").as("z")).collect()
+    assert(self.forall(_.getDouble(0) === 0.0))
+  }
+
   test("graft_cosine rejects wrong argument types") {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("emb_v")

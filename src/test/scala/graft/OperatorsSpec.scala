@@ -250,6 +250,54 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("corr/OLS moments are consistent and bounded") {
+    val rows = Relational.corrOls(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("l_returnflag")).toSet === Set("A", "N", "R"))
+    rows.foreach { r =>
+      val corr = r.getAs[Double]("corr_qty_price")
+      assert(corr >= -1.0 && corr <= 1.0)
+      // slope and corr must agree in sign (same covariance numerator)
+      assert(corr.sign === r.getAs[Double]("ols_slope").sign)
+    }
+  }
+
+  test("MAD is positive and below the median for this distribution") {
+    val rows = Relational.madByFlag(spark, dir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mad") > 0.0)
+      assert(r.getAs[Double]("rel_mad") ===
+        r.getAs[Double]("mad") / r.getAs[Double]("median_price"))
+    }
+  }
+
+  test("PQ ADC top-k sorts ascending and selects closer-than-average vectors") {
+    val pq = Ann.pqTopK(spark, dir, k = 10).collect()
+    assert(pq.length === 10)
+    val dists = pq.map(_.getAs[Double]("adc_dist"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    assert(dists.forall(_ >= 0.0))
+    // 16 codes is a coarse quantizer, so exact-top-k recall is not a
+    // stable contract on unclustered synthetic data — the honest floor is
+    // that PQ's picks beat the corpus average in EXACT L2 distance.
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val l2 = aggregate(
+      transform(sequence(lit(1), lit(64)), i => {
+        val d = element_at(col("embedding"), i).cast("double") -
+          element_at(col("qe"), i).cast("double")
+        d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), l2.as("l2")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("l2")).toMap
+    val pqIds = pq.map(_.getAs[Long]("vec_id"))
+    val pqMean = pqIds.map(exact).sum / pqIds.length
+    val allMean = exact.values.sum / exact.size
+    assert(pqMean < allMean,
+      s"PQ selection (mean L2 $pqMean) must beat the corpus average ($allMean)")
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
