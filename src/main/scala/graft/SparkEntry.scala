@@ -219,6 +219,8 @@ object SparkEntry {
     "q_corr_ols" -> ((s, d) => Relational.corrOls(s, d)),
     "q_mad" -> ((s, d) => Relational.madByFlag(s, d)),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -892,6 +894,8 @@ object SparkEntry {
       "q_corr_ols" -> Relational.corrOlsSql,
       "q_mad" -> Relational.madByFlagSql,
       "ann_pq_topk" -> Ann.pqTopKSql(),
+      "dedup_incremental" -> Dedup.incrementalSql,
+      "text_rarity" -> TextFunctions.raritySql,
     )
   }
 }

@@ -617,4 +617,46 @@ object Dedup {
        |       CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
        |FROM pairs WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental (batch-vs-index) dedup — the PRODUCTION shape at 100 TB:
+    * today's crawl is admitted against the existing corpus without ever
+    * re-pairing the index with itself. Here the index is the original
+    * documents (doc_id < 1M) and the "new batch" is the injected copies
+    * (doc_id ≥ 1M); each new document reports its best-matching index
+    * document and an admit/reject verdict at Jaccard ≥ 0.6.
+    *
+    * Scale shape: candidates come from the same band-bucket join as
+    * [[minhashLsh]] (shared [[verifiedPairs]] build), filtered to
+    * index×batch pairs — cost scales with the batch's bucket overlap,
+    * not |index|²; the best-match window partitions on the new doc id.
+    * In a deployed pipeline the index signatures are a persisted table
+    * and only the batch side is computed fresh. */
+  def incremental(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val newDocs = corpus(spark, dir).where(col("doc_id") >= 1000000L).select(col("doc_id"))
+    val matches = verifiedPairs(spark, dir)
+      .where(col("id_a") < 1000000L && col("id_b") >= 1000000L)
+      .select(col("id_b").as("doc_id"), col("id_a").as("match_id"), col("jaccard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jaccard").desc, col("match_id"))
+    val best = matches.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    newDocs.join(best, Seq("doc_id"), "left")
+      .withColumn("admitted", when(col("jaccard") >= threshold, 0L).otherwise(1L))
+      .orderBy("doc_id")
+  }
+
+  def incrementalSql: String =
+    s"""$minhashPairsCte,
+       |nd AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
+       |m AS (
+       |  SELECT id_b AS doc_id, id_a AS match_id,
+       |         CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |  FROM verified WHERE id_a < 1000000 AND id_b >= 1000000),
+       |best AS (
+       |  SELECT doc_id, match_id, jaccard,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, match_id) AS rn
+       |  FROM m)
+       |SELECT nd.doc_id, b.match_id, b.jaccard,
+       |       CAST(CASE WHEN b.jaccard >= 0.6 THEN 0 ELSE 1 END AS BIGINT) AS admitted
+       |FROM nd LEFT JOIN (SELECT doc_id, match_id, jaccard FROM best WHERE rn = 1) b USING (doc_id)
+       |ORDER BY nd.doc_id""".stripMargin
 }

@@ -261,6 +261,54 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** Per-document vocabulary rarity — the log-free stand-in for the
+    * LM-perplexity quality filter (CCNet-style): per doc, the count and
+    * share of terms that are corpus-rare (df < n_docs/10, an integer
+    * comparison — no float threshold), and the mean document frequency
+    * of its terms (low mean-df = unusual vocabulary). Both engines
+    * compute it from the same exact integer df table, so every ratio is
+    * a division of exact longs.
+    *
+    * Scale shape: terms dedupe per-row before the explode; one shuffle
+    * for the df table, a co-partitioned join back on the term key, one
+    * shuffle for the per-doc rollup. The df table is vocabulary-sized —
+    * at 100 TB it persists once and broadcasts if it fits. */
+  def rarity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(array_distinct(split(normText(col("text")), " "))).as("term"))
+    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    terms.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        count(when(col("df") < floor(col("n_docs") / 10).cast("long"), 1)).as("n_rare"),
+        sum(col("df")).as("sum_df"))
+      .select(col("doc_id"), col("n_terms"), col("n_rare"),
+        (col("n_rare").cast("double") / col("n_terms").cast("double")).as("rare_ratio"),
+        (col("sum_df").cast("double") / col("n_terms").cast("double")).as("mean_df"))
+      .orderBy("doc_id")
+  }
+
+  val raritySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+      |  FROM documents),
+      |df AS (SELECT term, count(*) AS df FROM t GROUP BY term),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_terms,
+      |         count(CASE WHEN df < n_docs // 10 THEN 1 END) AS n_rare,
+      |         CAST(sum(df) AS BIGINT) AS sum_df
+      |  FROM t JOIN df USING (term) CROSS JOIN n
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_terms, n_rare,
+      |       CAST(n_rare AS DOUBLE) / CAST(n_terms AS DOUBLE) AS rare_ratio,
+      |       CAST(sum_df AS DOUBLE) / CAST(n_terms AS DOUBLE) AS mean_df
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Per-source novelty: the share of word-trigram shingles that occur in
     * exactly one document corpus-wide. High-novelty sources contribute
     * fresh text; low-novelty ones are template/boilerplate-heavy — the

@@ -298,6 +298,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"PQ selection (mean L2 $pqMean) must beat the corpus average ($allMean)")
   }
 
+  test("incremental dedup rejects exact copies against the index") {
+    val rows = Dedup.incremental(spark, dir).collect()
+    val nNew = Dedup.corpus(spark, dir).where(col("doc_id") >= 1000000L).count()
+    assert(rows.length === nNew)
+    val exactCopies = rows.filter(r =>
+      r.getAs[Long]("doc_id") >= 1000000L && r.getAs[Long]("doc_id") < 2000000L)
+    assert(exactCopies.nonEmpty)
+    exactCopies.foreach { r =>
+      assert(r.getAs[Double]("jaccard") === 1.0)
+      assert(r.getAs[Long]("admitted") === 0L)
+    }
+    // verdict is total: every new doc gets exactly one row, 0/1 admitted
+    assert(rows.forall(r => Set(0L, 1L)(r.getAs[Long]("admitted"))))
+  }
+
+  test("rarity ratios are bounded and df-consistent") {
+    val rows = TextFunctions.rarity(spark, dir).collect()
+    assert(rows.length === Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("rare_ratio")
+      assert(ratio >= 0.0 && ratio <= 1.0)
+      assert(r.getAs[Long]("n_rare") <= r.getAs[Long]("n_terms"))
+      // every term occurs in at least this document
+      assert(r.getAs[Double]("mean_df") >= 1.0)
+    }
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
