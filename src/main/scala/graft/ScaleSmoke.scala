@@ -132,6 +132,12 @@ object ScaleSmoke {
         .select(expr("graft_cosine(e_a, e_b)").as("c"))
         .where(col("c") >= 0.95).count()
     }
+    t("PQ encode + ADC top-k", nEmb) {
+      // ann_pq_topk shape: codebook + query broadcast as single rows,
+      // encode/score are per-row codegen'd graft_l2sq calls — zero
+      // shuffles before TakeOrderedAndProject at any corpus size
+      graft.similarity.Ann.pqTopKOf(spark, bigEmb, 10).count()
+    }
     t("knn bucket join", nEmb) {
       // ann_knn_join shape: bucket-equality join bounds candidates to
       // |corpus|/256 per query; ranking windows partition on the join key

@@ -1,7 +1,7 @@
 package graft.analytics
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-based forms of the exact operators — the 100 TB path.
@@ -91,5 +91,43 @@ object Sketches {
       .groupBy("token", "exact_cnt")
       .agg(min(col("cnt")).as("cms_cnt"))
       .orderBy(col("exact_cnt").desc, col("token"))
+  }
+
+  /** Bloom-filter membership in DataFrame algebra — the fourth canonical
+    * sketch (with KLL quantiles, HLL distinct, CMS counts): `k` hash
+    * functions over `m` bit positions. Build = the distinct set-bit
+    * positions of the member set — the shuffle carries at most m keys
+    * regardless of corpus size, and shard bitmaps merge by union (OR),
+    * the same mergeability as the other sketches. Probe = a key is
+    * "probably present" iff ALL of its (distinct) positions are set.
+    *
+    * Contract (SketchesSpec): false negatives are IMPOSSIBLE by
+    * construction; false positives occur at ≈ (1 − e^{−kn/m})^k.
+    * The 100 TB use: admit today's crawl against yesterday's corpus by
+    * shipping the m-bit table, never re-shuffling the corpus — the
+    * sketch front-end to [[graft.dedup.Dedup.incremental]]'s exact path.
+    *
+    * Output: one row per probe class (`expected` 1 = member, 0 = absent
+    * key) with probe and hit counts — the confusion summary the accuracy
+    * contract pins. */
+  def approxMembership(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4096): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val keys = docs.select(md5(col("text")).as("key"))
+    def positions(c: Column): Column =
+      array_distinct(array((0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(m))): _*))
+    val bits = keys.select(explode(positions(col("key"))).as("pos")).distinct()
+      .withColumn("set", lit(1L))
+    val probes = keys.withColumn("expected", lit(1L))
+      .unionAll(docs.select(md5(concat(col("text"), lit("#absent"))).as("key"))
+        .withColumn("expected", lit(0L)))
+    probes
+      .withColumn("ps", positions(col("key")))
+      .select(col("key"), col("expected"), size(col("ps")).as("np"), explode(col("ps")).as("pos"))
+      .join(broadcast(bits), Seq("pos"), "left")
+      .groupBy("key", "expected", "np")
+      .agg((count(col("set")) === col("np")).cast("long").as("found"))
+      .groupBy("expected")
+      .agg(count(lit(1)).as("n_probes"), sum(col("found")).as("n_found"))
+      .orderBy(col("expected").desc)
   }
 }

@@ -98,6 +98,33 @@ object Dedup {
        |SELECT multiplicity, count(*) AS n_chunks
        |FROM m GROUP BY multiplicity ORDER BY multiplicity""".stripMargin
 
+  /** Shingle table for an arbitrary (doc_id, text) frame — the building
+    * block the streaming admission path shares with the batch family. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingleCol(normText(col("text"))).as("shingles"))
+
+  /** Band-key table (doc_id, band_id, band_key) for a shingle table:
+    * the same 16 minhash permutations and 4×4 banding as the batch
+    * pipeline, so streaming-admitted signatures and batch-built ones are
+    * interchangeable state. */
+  private[graft] def bandsOf(shingled: DataFrame): DataFrame = {
+    val withHs = shingled.withColumn("hs", transform(col("shingles"), s => baseHash(s)))
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
+    }
+    withHs.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(bandStructsCol).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+  }
+
+  /** One explode over a 4-element band array — NOT a 4-way union, which
+    * would re-evaluate the whole signature subtree once per band. */
+  private def bandStructsCol: Column = array((0 until 4).map { b =>
+    val key = coalesce(
+      md5(concat_ws(",", (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string")): _*)), lit(""))
+    struct(lit(b).as("band_id"), key.as("band_key"))
+  }: _*)
+
   /** Distinct 5-char shingles (stride 3) of the normalized text. */
   private def shingleCol(norm: Column): Column =
     array_distinct(transform(
@@ -172,18 +199,11 @@ object Dedup {
     val sigs = signatures(spark, dir)
     val shingleTable = base.select(col("doc_id"), col("shingles"))
 
-    // One explode over a 4-element band array — NOT a 4-way union, which
-    // would re-evaluate the whole signature subtree once per band.
-    val bandStructs = array((0 until 4).map { b =>
-      val key = coalesce(
-        md5(concat_ws(",", (0 until 4).map(r => col(s"sig${b * 4 + r}").cast("string")): _*)), lit(""))
-      struct(lit(b).as("band_id"), key.as("band_key"))
-    }: _*)
     // Candidate pairs travel as bare (id_a, id_b) — the shingle arrays are
     // re-joined from the cached signature table only after pair dedup, so
     // the band join + distinct never shuffles the heavy arrays.
     val banded = sigs
-      .select(col("doc_id"), explode(bandStructs).as("bk"))
+      .select(col("doc_id"), explode(bandStructsCol).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
 
     val left = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))

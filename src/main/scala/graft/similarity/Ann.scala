@@ -570,9 +570,11 @@ object Ann {
     * and the query broadcast; encode + ADC scoring are pure per-row
     * expressions — one corpus scan, ZERO shuffles before
     * TakeOrderedAndProject. */
-  def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    pqTopKOf(spark, Tables.load(spark, dir, "embeddings"), k)
+
+  private[graft] def pqTopKOf(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     val m = 4; val subDim = 16; val nCodes = 16
-    val emb = Tables.load(spark, dir, "embeddings")
     // codebook: per subspace s, the 16 seed subvectors ordered by code.
     val cbRow = emb.where(col("vec_id").between(1, nCodes))
       .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("s"))

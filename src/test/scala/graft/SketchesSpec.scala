@@ -41,6 +41,24 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom membership: zero false negatives, FP rate within 3x theory") {
+    val k = 3; val m = 4096
+    val rows = Sketches.approxMembership(spark, dir, k, m).collect()
+      .map(r => r.getAs[Long]("expected") ->
+        ((r.getAs[Long]("n_probes"), r.getAs[Long]("n_found")))).toMap
+    assert(rows.keySet === Set(0L, 1L))
+    val (nMembers, foundMembers) = rows(1L)
+    assert(foundMembers === nMembers, "a Bloom filter can never miss a member")
+    val (nAbsent, foundAbsent) = rows(0L)
+    // distinct member keys set the bits; duplicate texts collapse
+    val n = graft.Tables.load(spark, dir, "documents")
+      .select(org.apache.spark.sql.functions.md5(
+        org.apache.spark.sql.functions.col("text"))).distinct().count()
+    val theoreticalFp = math.pow(1.0 - math.exp(-k.toDouble * n / m), k)
+    assert(foundAbsent.toDouble / nAbsent <= 3.0 * theoreticalFp + 0.01,
+      s"FP rate ${foundAbsent.toDouble / nAbsent} exceeds 3x theoretical $theoreticalFp")
+  }
+
   test("HLL distinct-token estimates land within 3x the configured rsd") {
     val exact = Sketches.exactCorpusDistinct(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("exact_distinct_tokens")).toMap
