@@ -221,6 +221,8 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
+    "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
+    "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -896,6 +898,8 @@ object SparkEntry {
       "ann_pq_topk" -> Ann.pqTopKSql(),
       "dedup_incremental" -> Dedup.incrementalSql,
       "text_rarity" -> TextFunctions.raritySql,
+      "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
+      "ann_pq_recall" -> Ann.pqRecallSql(),
     )
   }
 }

@@ -609,6 +609,54 @@ object Ann {
       .limit(k)
   }
 
+  /** PQ quality evaluation: recall@k of the compressed-domain ADC search
+    * against the exact L2 top-k — the fidelity gate that decides whether
+    * a 64:1-compression codebook is acceptable before the raw vectors
+    * are archived. (ADC approximates L2, so L2 — not cosine — is the
+    * honest baseline.) Both top-k sets are k rows; the compare is a
+    * tagged union + one tiny aggregation, like [[recallEval]]. */
+  def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(k)
+      .select(col("vec_id"), lit(1).as("e"), lit(0).as("p"))
+    val pq = pqTopK(spark, dir, k).select(col("vec_id"), lit(0).as("e"), lit(1).as("p"))
+    exact.unionAll(pq)
+      .groupBy("vec_id")
+      .agg(max(col("e")).as("in_exact"), max(col("p")).as("in_pq"))
+      .agg(
+        sum(col("in_exact")).as("n_exact"),
+        sum(col("in_pq")).as("n_pq"),
+        count(when(col("in_exact") === 1 && col("in_pq") === 1, 1)).as("n_common"))
+      .withColumn("recall_at_k",
+        col("n_common").cast("double") / col("n_exact").cast("double"))
+  }
+
+  private def l2Sql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))), (x, y) -> x + y)"
+
+  def pqRecallSql(k: Int = 10): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT vec_id FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> 0
+       |  ORDER BY ${l2Sql("embedding", "qe")} ASC, vec_id LIMIT $k),
+       |pqk AS (SELECT vec_id FROM (${pqTopKSql(k)}) pqt),
+       |tagged AS (
+       |  SELECT vec_id, 1 AS e, 0 AS p FROM exact
+       |  UNION ALL SELECT vec_id, 0 AS e, 1 AS p FROM pqk),
+       |flags AS (
+       |  SELECT vec_id, max(e) AS in_exact, max(p) AS in_pq FROM tagged GROUP BY vec_id)
+       |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+       |       CAST(sum(in_pq) AS BIGINT) AS n_pq,
+       |       count(CASE WHEN in_exact = 1 AND in_pq = 1 THEN 1 END) AS n_common,
+       |       CAST(count(CASE WHEN in_exact = 1 AND in_pq = 1 THEN 1 END) AS DOUBLE)
+       |         / CAST(sum(in_exact) AS DOUBLE) AS recall_at_k
+       |FROM flags""".stripMargin
+
   def pqTopKSql(k: Int = 10): String =
     s"""WITH cbrows AS (
        |  SELECT ss.s, vec_id - 1 AS c, embedding[ss.s*16+1 : ss.s*16+16] AS v

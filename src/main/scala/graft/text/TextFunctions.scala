@@ -261,6 +261,57 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** Per-document bigram coherence — the second log-free LM-perplexity
+    * proxy: the mean corpus conditional probability P(w₂|w₁) =
+    * c(w₁w₂)/c(w₁·) over the document's adjacent word pairs. Coherent
+    * text follows the corpus's transition structure (high mean);
+    * shuffled/generated word soup does not. No logs: each probability is
+    * a division of exact longs, quantized to floor(p·2⁴⁰) and summed as
+    * exact BIGINTs so the per-doc mean is order-independent on any
+    * engine and any partitioning (same trick as the IVF centroids).
+    *
+    * Scale shape: bigram positions explode per-row; the unigram/bigram
+    * count tables are vocabulary-bounded (broadcast when they fit — AQE
+    * decides), the position-table joins are co-partitioned on w1, and
+    * the final rollup shuffles on doc_id. */
+  def bigramCoherence(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+    val pairs = toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
+        i => struct(element_at(col("w"), i).as("w1"), element_at(col("w"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w2").isNotNull)
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    pairs
+      .join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .withColumn("q", floor(col("c12").cast("double") / col("c1").cast("double") * Q).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sq").cast("double") / Q) / col("n_bigrams").cast("double")).as("mean_bigram_p"))
+      .orderBy("doc_id")
+  }
+
+  val bigramCoherenceSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2 FROM t),
+      |u AS (SELECT w1, count(*) AS c1 FROM p GROUP BY w1),
+      |b AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY w1, w2),
+      |j AS (
+      |  SELECT doc_id,
+      |         CAST(floor(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE) * 1099511627776.0) AS BIGINT) AS q
+      |  FROM p JOIN b USING (w1, w2) JOIN u USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       (CAST(sum(q) AS DOUBLE) / 1099511627776.0) / CAST(count(*) AS DOUBLE) AS mean_bigram_p
+      |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-document vocabulary rarity — the log-free stand-in for the
     * LM-perplexity quality filter (CCNet-style): per doc, the count and
     * share of terms that are corpus-rare (df < n_docs/10, an integer

@@ -325,6 +325,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram coherence probabilities are bounded and positionally complete") {
+    val rows = TextFunctions.bigramCoherence(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("mean_bigram_p")
+      // quantization floors each addend, so 0 < p ≤ 1 with tiny downward bias
+      assert(p > 0.0 && p <= 1.0)
+    }
+    // every bigram position of a sampled doc is scored: n_bigrams = words-1
+    val doc0Words = Tables.load(spark, dir, "documents").where(col("doc_id") === 0)
+      .select(split(lower(col("text")), "\\s+")).collect()(0).getSeq[String](0).length
+    val doc0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(doc0.getAs[Long]("n_bigrams") === (doc0Words - 1).toLong)
+  }
+
+  test("PQ recall eval compares two full top-k sets") {
+    val r = Ann.pqRecall(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_exact") === 10L)
+    assert(r.getAs[Long]("n_pq") === 10L)
+    val recall = r.getAs[Double]("recall_at_k")
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall === r.getAs[Long]("n_common").toDouble / 10.0)
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle

@@ -122,4 +122,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "chunk explode should not shuffle")
   }
+
+  test("PQ ADC search: corpus scan never shuffles, top-k is a bounded take") {
+    val p = planOf("ann_pq_topk")
+    // the only hash exchange allowed is the codebook build's 64-row
+    // rollup (inside the broadcast subtree); the corpus spine is scan →
+    // per-row encode/score projections → broadcast joins → bounded take
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      "PQ encode/score must be per-row expressions over the scan — the " +
+        "codebook and query broadcast, the corpus side never repartitions")
+    val spine = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
+    assert(!spine.contains("Exchange"), "no exchange between the corpus scan and the take")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("graft_l2sq"), "scoring must use the codegen'd native distance")
+  }
 }
