@@ -44,7 +44,15 @@ object Cli {
           case "postgresql" => Postgres
           case "sqlserver"  => SqlServer
           case "oracle"     => OracleDb
+          // the reference routes both spellings to the AS400 connector
+          // (debezium_config.py:64-75)
+          case "as400" | "ibm_i" => As400
+          case "db2" => Db2
           case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
+        }
+        if (args(1) == "sink" && (dialect == As400 || dialect == Db2)) {
+          System.err.println(s"dialect '${args(3)}' is source-only (sinks: jdbc dialects, s3, snowflake)")
+          sys.exit(2)
         }
         val cfgMap = args(1) match {
           case "source" => ConnectorConfig.sourceConfig(SourceSpec(

@@ -223,6 +223,8 @@ object SparkEntry {
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
     "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
+    "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
+    "emb_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -900,6 +902,8 @@ object SparkEntry {
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
       "ann_pq_recall" -> Ann.pqRecallSql(),
+      "text_bpe_pairs" -> TextFunctions.bpePairsSql(),
+      "emb_centroid_drift" -> Ann.centroidDriftSql,
     )
   }
 }

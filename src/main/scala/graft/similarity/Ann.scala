@@ -609,6 +609,68 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding centroid drift between two interleaved snapshots (even
+    * vs odd vec_ids stand in for "yesterday's export vs today's"): per
+    * label, the cosine between the two snapshot centroids — the
+    * index-staleness monitor that decides when an ANN index or PQ
+    * codebook must be rebuilt because the distribution moved. All
+    * cross-row sums (centroid means and the centroid dot products) use
+    * the module's 2⁴⁰ quantize-to-long trick, so the drift score is
+    * bit-identical on any engine and partitioning.
+    *
+    * Scale shape: one posexplode + a (label, half, pos) partial-agg
+    * shuffle, then a co-partitioned self-join on (label, pos) over the
+    * |labels|×dims centroid rows — never touches raw-vector pairs. */
+  def centroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val long = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+    val cent = long
+      .groupBy("label", "half", "pos")
+      .agg(
+        sum(floor(col("x").cast("double") * Q).cast("long")).as("snum"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("half"), col("pos"), col("n"),
+        (col("snum").cast("double") / Q / col("n")).as("c"))
+    val a = cent.where(col("half") === 0)
+      .select(col("label"), col("pos"), col("n").as("n_a"), col("c").as("ca"))
+    val b = cent.where(col("half") === 1)
+      .select(col("label"), col("pos"), col("n").as("n_b"), col("c").as("cb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        sum(floor(col("ca") * col("cb") * Q).cast("long")).as("sab"),
+        sum(floor(col("ca") * col("ca") * Q).cast("long")).as("saa"),
+        sum(floor(col("cb") * col("cb") * Q).cast("long")).as("sbb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        ((col("sab").cast("double") / Q) /
+          (sqrt(col("saa").cast("double") / Q) * sqrt(col("sbb").cast("double") / Q)))
+          .as("drift_cosine"))
+      .orderBy("label")
+  }
+
+  val centroidDriftSql: String =
+    s"""WITH longf AS (
+       |  SELECT label, vec_id % 2 AS half, unnest(embedding) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |cent AS (
+       |  SELECT label, half, pos, count(*) AS n,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |           / 1099511627776.0 / count(*) AS c
+       |  FROM longf GROUP BY label, half, pos),
+       |j AS (
+       |  SELECT a.label, a.n AS n_a, b.n AS n_b, a.c AS ca, b.c AS cb
+       |  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+       |  WHERE a.half = 0 AND b.half = 1)
+       |SELECT CAST(label AS BIGINT) AS label, max(n_a) AS n_a, max(n_b) AS n_b,
+       |       (CAST(sum(CAST(floor(ca * cb * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+       |         / (sqrt(CAST(sum(CAST(floor(ca * ca * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+       |            * sqrt(CAST(sum(CAST(floor(cb * cb * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0)) AS drift_cosine
+       |FROM j GROUP BY label ORDER BY label""".stripMargin
+
   /** PQ quality evaluation: recall@k of the compressed-domain ADC search
     * against the exact L2 top-k — the fidelity gate that decides whether
     * a 64:1-compression codebook is acceptable before the raw vectors

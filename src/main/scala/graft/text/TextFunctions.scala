@@ -261,6 +261,38 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** BPE first-merge statistics — the tokenizer-training surface: the
+    * most frequent adjacent character pairs inside words, which is
+    * exactly the pair-count table byte-pair encoding consults for its
+    * first merge (Sennrich et al. 2016). Re-running after each merge
+    * replays the same query over the re-segmented corpus; this operator
+    * is the distributed form of that inner loop's statistics pass.
+    *
+    * Scale shape: pair explode is per-row; one shuffle on the pair key
+    * (alphabet²-bounded, map-side combined), top-k via
+    * TakeOrderedAndProject. */
+  def bpePairs(spark: SparkSession, dir: String, topK: Int = 20): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("word"))
+      .where(length(col("word")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+
+  def bpePairsSql(topK: Int = 20): String =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+       |  FROM documents),
+       |p AS (
+       |  SELECT unnest([substr(word, i, 2) for i in range(1, greatest(length(word) - 1, 0) + 1)]) AS pair
+       |  FROM w WHERE length(word) >= 2)
+       |SELECT pair, count(*) AS n FROM p
+       |GROUP BY pair ORDER BY n DESC, pair LIMIT $topK""".stripMargin
+
   /** Per-document bigram coherence — the second log-free LM-perplexity
     * proxy: the mean corpus conditional probability P(w₂|w₁) =
     * c(w₁w₂)/c(w₁·) over the document's adjacent word pairs. Coherent

@@ -349,6 +349,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall === r.getAs[Long]("n_common").toDouble / 10.0)
   }
 
+  test("BPE pairs: descending counts, two-char pairs, totals bounded by corpus") {
+    val rows = TextFunctions.bpePairs(spark, dir).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getAs[String]("pair").length === 2))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("centroid drift: cosine bounded, halves cover every label, bit-deterministic") {
+    val rows = Ann.centroidDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("drift_cosine")
+      // zero-mean synthetic vectors give near-zero half-centroids whose
+      // direction is noise — the honest reading is LOW cosine; the
+      // contract is boundedness, full coverage, and exact determinism
+      assert(c >= -1.0 && c <= 1.0 + 1e-12)
+      assert(r.getAs[Long]("n_a") > 0 && r.getAs[Long]("n_b") > 0)
+    }
+    val again = Ann.centroidDrift(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Double]("drift_cosine")).toMap
+    rows.foreach { r =>
+      assert(again(r.getAs[Long]("label")) === r.getAs[Double]("drift_cosine"),
+        "quantized sums must make the score bit-stable across runs")
+    }
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
