@@ -95,6 +95,7 @@ object SparkEntry {
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
+    "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(s, d)),
@@ -498,6 +499,7 @@ object SparkEntry {
           |       min(ts) AS t_start, max(ts) AS t_end
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "q_asof_join" -> graft.operators.TemporalJoins.asofJoinSql,
+      "q_asof_join_native" -> graft.operators.TemporalJoins.asofJoinSql,
       "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
       "q_grouping_sets" -> Relational.groupingSetsSql,
       "q_moving_avg" -> Relational.movingAvgSql,

@@ -55,6 +55,29 @@ object TemporalJoins {
       .orderBy("event_id")
   }
 
+  /** Same as-of semantics through the NATIVE custom operator
+    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinStrategy → AsOfJoinExec):
+    * co-partitioned sorted merge with O(1) state instead of the tagged
+    * union + window pass. Shares [[asofJoin]]'s oracle — the correctness
+    * gate proves the custom physical operator bit-matches the composed
+    * plan. */
+  def asofJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    val right = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("otime"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+      .select(col("key"), col("otime"), col("o_orderkey"))
+    val left = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("key"),
+        (col("ts") - expr("INTERVAL 28 YEARS")).as("time"))
+    graft.plans.AsOf.asofJoin(left, right, "key", "time", "key", "otime")
+      .select(
+        col("event_id"),
+        col("key").as("user_id"),
+        col("o_orderkey").as("last_orderkey"),
+        col("otime").as("last_orderdate"))
+      .orderBy("event_id")
+  }
+
   val asofJoinSql: String =
     """WITH od AS (
       |  SELECT o_custkey AS key, o_orderdate AS otime, max(o_orderkey) AS o_orderkey

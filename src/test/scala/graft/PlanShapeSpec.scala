@@ -123,6 +123,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "chunk explode should not shuffle")
   }
 
+  test("native as-of join: custom exec node, one hash exchange per side") {
+    val df = SparkEntry.queries("q_asof_join_native")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin "), "the custom strategy must plan the custom node")
+    // the merge itself adds nothing beyond what sort-merge join would pay:
+    // each side hash-partitions on the key and sorts within partitions
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      "expected only the two child exchanges (plus the orders dedup)")
+    assert(!p.contains("WindowExec") || !p.contains("last("),
+      "the native path must not fall back to the union+window form")
+    // results are bit-identical to the composed union+window form
+    val native = df.collect().map(_.toString).sorted
+    val composed = SparkEntry.queries("q_asof_join")(spark, dir).collect().map(_.toString).sorted
+    assert(native.sameElements(composed), "native and composed as-of joins must agree")
+  }
+
   test("PQ ADC search: corpus scan never shuffles, top-k is a bounded take") {
     val p = planOf("ann_pq_topk")
     // the only hash exchange allowed is the codebook build's 64-row
