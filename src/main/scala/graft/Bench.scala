@@ -19,6 +19,7 @@ object Bench {
     // regression. Whole-suite passes (not back-to-back reps) so pass 1
     // absorbs codegen/JIT warmup for every query shape.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val names = SparkEntry.queries.keys.toVector
     val timings = Vector.fill(passes) {
       names.map { name =>

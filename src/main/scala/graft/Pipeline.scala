@@ -96,7 +96,7 @@ object Pipeline {
     * distinct/collect. Tables outside the list are not consumed, exactly
     * like topics a connector never subscribed to. */
   def startFanout(spark: SparkSession, cfg: Config): StreamingQuery = {
-    val tables: Seq[String] =
+    val staticTables: Seq[String] =
       if (cfg.fanoutTables.nonEmpty) cfg.fanoutTables
       else WireSource.readBatch(spark, cfg.wirePath)
         .select("table_name").distinct().collect().map(_.getString(0)).toSeq
@@ -107,6 +107,14 @@ object Pipeline {
         // one materialization of the micro-batch, |tables| cheap slices
         batch.persist()
         try {
+          // static list when provisioned (the reference's table.include.list);
+          // if neither config nor start-time discovery found tables (wire
+          // was empty at start), fall back to discovering from THIS batch —
+          // a bounded collect over the persisted micro-batch, never silent
+          // event loss for late-appearing tables
+          val tables: Seq[String] =
+            if (staticTables.nonEmpty) staticTables
+            else batch.select("table_name").distinct().collect().map(_.getString(0)).toSeq
           tables.foreach { t =>
             val slice = toChangelog(batch.where(col("table_name") === t))
             val path = s"${cfg.statePath}/$t"

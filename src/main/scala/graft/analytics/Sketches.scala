@@ -112,7 +112,11 @@ object Sketches {
     * contract pins. */
   def approxMembership(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4096): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val keys = docs.select(md5(col("text")).as("key"))
+    // distinct: duplicate texts would duplicate probe rows, and the
+    // all-positions-set check (count == np) would then see 2·np joined
+    // rows and report a genuine member missing — a false negative the
+    // structure itself can never produce
+    val keys = docs.select(md5(col("text")).as("key")).distinct()
     def positions(c: Column): Column =
       array_distinct(array((0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(m))): _*))
     val bits = keys.select(explode(positions(col("key"))).as("pos")).distinct()

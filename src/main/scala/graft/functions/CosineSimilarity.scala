@@ -38,7 +38,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // dimensional mismatch is data corruption — fail loudly rather than
+    // silently scoring a truncated prefix (see L2DistanceSq)
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -64,7 +69,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $x = (double) $a.getFloat($i);

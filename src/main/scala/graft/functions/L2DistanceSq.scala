@@ -44,7 +44,13 @@ case class L2DistanceSq(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // a silent min() here would make a corrupted short vector score a
+    // SMALLER distance (fewer summed terms) and silently outrank honest
+    // ones — dimensional mismatch is data corruption, fail loudly
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_l2sq: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -62,7 +68,11 @@ case class L2DistanceSq(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_l2sq: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);

@@ -87,7 +87,11 @@ final case class AsOfJoinExec(
     val keptIdx = rightSchema.zipWithIndex.collect {
       case (a, i) if a.exprId != rightKey.exprId => i
     }
-    val allAttrs = left.output ++ rightKept
+    // the projection input schema must mark right columns nullable — it
+    // is what BindReferences consults, and a non-nullable right column
+    // (e.g. an aggregate count) would otherwise skip the isNullAt check
+    // and read garbage 0s from the null-extension row
+    val allAttrs = left.output ++ rightKept.map(_.withNullability(true))
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered

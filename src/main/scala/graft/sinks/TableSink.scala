@@ -51,8 +51,10 @@ object TableSink {
     // crash between the renames leaves .bak, which readState falls back
     // to — never a window with no recoverable state. (A lakehouse table
     // format would make this a transactional commit.)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // path-resolved FS: FileSystem.get(conf) is the DEFAULT filesystem and
+    // throws "Wrong FS" for state on s3a://… when the default is hdfs/local
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
     fs.delete(bak, true)
     if (fs.exists(dst)) fs.rename(dst, bak)
@@ -67,18 +69,17 @@ object TableSink {
     * a crash the live path is absent but `.bak` holds the real state, and
     * seeding over it would orphan then delete the only copy. */
   def stateExists(spark: SparkSession, path: String): Boolean = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    fs.exists(new org.apache.hadoop.fs.Path(path)) ||
-      fs.exists(new org.apache.hadoop.fs.Path(path + ".bak"))
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(live) || fs.exists(new org.apache.hadoop.fs.Path(path + ".bak"))
   }
 
   /** Read the state table, falling back to the `.bak` left by a swap that
     * crashed between its two renames. */
   private def readState(spark: SparkSession, path: String): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val src =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path))) path
-      else path + ".bak"
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fs.exists(live)) path else path + ".bak"
     spark.read.parquet(src)
   }
 

@@ -47,8 +47,12 @@ object CorpusAdmission {
   private def decisionsPath(cfg: Config) = s"${cfg.statePath}/decisions"
 
   private def readStateOr(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+    // resolve the filesystem FROM the path — FileSystem.get(conf) returns
+    // the default FS and throws "Wrong FS" for s3a://… state on an
+    // hdfs-default cluster (exactly the lake deployment this targets)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       spark.read.schema(schema.add("batch_id", LongType)).parquet(path)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.add("batch_id", LongType))

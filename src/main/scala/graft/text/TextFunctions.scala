@@ -46,8 +46,7 @@ object TextFunctions {
       (nPunct / nChars).as("punct_ratio"),
       (nDigit / nChars).as("digit_ratio"),
       (nStop / nWords).as("stopword_ratio"),
-      ((nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5)
-        + when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))).as("quality_score"))
+      qualityScoreCol.as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -166,29 +165,32 @@ object TextFunctions {
 
   /** Per-doc quality score only — the ranking key [[qualityBins]] bins on.
     * Same formula as [[quality]]'s quality_score column. */
-  private[graft] def qualityScore(docs: DataFrame): DataFrame = {
+  /** The one quality-score formula — every consumer (deciles, curriculum,
+    * corpus filter, domain mix, keep-best) must build from THIS column so
+    * a formula change can never desynchronize them. */
+  private[graft] def qualityScoreCol: Column = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val nWords = size(words).cast("double")
     val nChars = length(col("text")).cast("double")
     val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
     val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
-    docs.select(
-      col("doc_id"),
-      ((nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5)
-        + when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))).as("quality_score"))
+    (nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5) +
+      when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))
   }
+
+  private[graft] def qualityScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), qualityScoreCol.as("quality_score"))
 
   /** Quality-score decile binning (exact ntile semantics) — the histogram
     * a pipeline uses to pick filter thresholds.
     *
     * Scale shape: a naive `ntile(10) OVER (ORDER BY ...)` funnels the whole
-    * corpus through one task. Instead the corpus is range-partitioned on
-    * the sort key, each partition ranks locally (partitioned window), and
-    * the global rank is local rank + the prefix sum of partition counts —
-    * the prefix sum runs over ≤ numShufflePartitions pre-aggregated rows.
-    * Both consumers of the range shuffle share one exchange (reuse), so
-    * partition boundaries are sampled exactly once. Deciles reproduce SQL
-    * ntile bit-for-bit: the first n%10 buckets get one extra row. */
+    * corpus through one task. Instead each row gets a deterministic range
+    * bucket (a pure function of the sort key), each bucket ranks locally
+    * (partitioned window), and the global rank is local rank + the prefix
+    * sum of bucket counts — the prefix sum runs over ≤ |buckets|
+    * pre-aggregated rows. Deciles reproduce SQL ntile bit-for-bit: the
+    * first n%10 buckets get one extra row. */
   def qualityBins(spark: SparkSession, dir: String): DataFrame =
     qualityBinsOf(qualityScore(Tables.load(spark, dir, "documents")))
 
@@ -198,11 +200,19 @@ object TextFunctions {
     * the prefix-sum of partition counts (a window over ≤ |partitions|
     * pre-aggregated rows, never the corpus). */
   private[graft] def qualityDecilesOf(scored: DataFrame): DataFrame = {
-    val spark = scored.sparkSession
-    val parts = math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val ranged = scored
-      .repartitionByRange(parts, col("quality_score"), col("doc_id"))
-      .withColumn("part", spark_partition_id().cast("long"))
+    // deterministic range bucketing — a PURE per-row function of the sort
+    // key — instead of repartitionByRange: sampled range boundaries live
+    // inside the exchange, so the count branch and the ranking branch
+    // would only agree if the optimizer reuses one exchange for both
+    // (spark.sql.exchange.reuse — an optional rewrite correctness must
+    // not hinge on). A pure bucket function cannot disagree between
+    // branches under any optimizer configuration. Scores live in
+    // [−0.5, 3.05] (2·stop − 0.5·punct + length bonus), so ×16 yields
+    // ≈57 buckets; a degenerate corpus (all-equal scores) collapses to
+    // fewer active buckets — the same failure class as a range
+    // partitioner fed constant keys.
+    val ranged = scored.withColumn("part",
+      floor((col("quality_score") + lit(0.5)) * 16.0).cast("long"))
     // per-range-partition counts → prefix-sum offsets + grand total, all
     // over ≤ `parts` rows (one tiny task, never the corpus)
     val tiny = org.apache.spark.sql.expressions.Window.orderBy("part")
@@ -992,17 +1002,10 @@ object TextFunctions {
     * Scale shape: one scan, one partial-aggregated shuffle on the small
     * source key, grand totals broadcast back as a 1-row scalar join. */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
-    val words = split(lower(trim(col("text"))), "\\s+")
-    val nWords = size(words).cast("double")
-    val nChars = length(col("text")).cast("double")
-    val nPunct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-    val nStop = size(filter(words, w => w.isInCollection(stopwords))).cast("double")
-    val score = (nStop / nWords) * lit(2.0) - (nPunct / nChars) * lit(0.5) +
-      when(nWords >= 10.0, lit(1.0)).otherwise(lit(0.0))
     val perSource = Tables.load(spark, dir, "documents")
       .select(col("source"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
-        when(score >= 1.0, 1L).otherwise(0L).as("good"))
+        when(qualityScoreCol >= 1.0, 1L).otherwise(0L).as("good"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

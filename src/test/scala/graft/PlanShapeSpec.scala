@@ -99,10 +99,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unpartitioned window over raw rows:\n${bad.mkString("\n")}")
     // distributed rank + bucket formula must reproduce SQL ntile exactly
     val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
-    // the range shuffle must be sampled ONCE and shared by both consumers —
-    // divergent boundary samples would silently corrupt the global ranks
-    assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
-      "range exchange not reused across the counts and ranking branches")
+    // bucketing must be a pure function of the sort key — no SAMPLED range
+    // partitioning of the corpus (the output sort over the 10 aggregated
+    // decile rows may still range-partition; that one is harmless)
+    assert(!df.queryExecution.executedPlan.toString.contains("rangepartitioning(quality_score"),
+      "deciles must not rely on sampled range-partition boundaries over the corpus")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(org.apache.spark.sql.functions.col("quality_score"),
         org.apache.spark.sql.functions.col("doc_id"))
