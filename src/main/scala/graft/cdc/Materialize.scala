@@ -48,13 +48,17 @@ object Materialize {
       .groupBy(col("pk").as("user_id"))
       .agg(
         max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"),
-        sum(col("weight")).as("n_changes"))
+        sum(col("weight")).as("n_changes"),
+        // per-key applied watermark: lets the incremental sink drop
+        // micro-batch replays (seq ≤ max_seq) instead of re-counting them
+        max(col("seq")).as("max_seq"))
       .where(col("last.op") =!= "d")
       .select(
         col("user_id"),
         dec(col("last.value"), 18, 2).cast("double").as("last_value"),
         col("last.ts").as("updated_at"),
-        col("n_changes"))
+        col("n_changes"),
+        col("max_seq"))
 
   /** Generic form of [[latestSnapshot]] for arbitrary tables: composite
     * keys, arbitrary ordering columns, arbitrary payload. `orderCols`

@@ -38,7 +38,12 @@ object Resilience {
         try Right(f)
         catch {
           case e: NonRetryableError => throw e
-          case e: Throwable if attempt < maxAttempts =>
+          // interruption is a shutdown signal: restore the flag and stop —
+          // sleeping through the backoff schedule would stall shutdown
+          case e: InterruptedException => Thread.currentThread().interrupt(); throw e
+          // NonFatal only: retrying after OutOfMemoryError/LinkageError
+          // re-runs work on a JVM already in a fatal state
+          case scala.util.control.NonFatal(e) if attempt < maxAttempts =>
             try onRetry(e, attempt) catch { case _: Throwable => () }
             sleep(delay)
             Left(e)

@@ -25,40 +25,64 @@ object TableSink {
     * key wins across {stored state ∪ increment}; deletes drop keys.
     * Writes the new state and returns it.
     *
-    * Precondition: increments are at-or-after the applied watermark (true
-    * when seq is the apply order and the checkpoint advances monotonically)
-    * — the clean state table keeps no tombstones, so an increment older
-    * than an applied delete would resurrect the key. For unordered replays
-    * use [[graft.cdc.Materialize.snapshotHandoff]]'s compacted-changelog
-    * form, which retains tombstones. */
+    * Replay-idempotent: the state carries a per-key applied watermark
+    * (max_seq) and increment rows with seq ≤ it are dropped BEFORE the
+    * merge, so an at-least-once redelivery of a whole micro-batch changes
+    * neither values nor n_changes. The clean state table keeps no
+    * tombstones, so a genuinely NEW event (seq above the watermark) for a
+    * deleted key re-inserts it — log-order apply, the JDBC-sink
+    * semantics; note an event-time resolution over the full changelog can
+    * disagree with it on (ts,seq)-disordered keys. For unordered replays
+    * or tombstone retention use
+    * [[graft.cdc.Materialize.snapshotHandoff]]'s compacted form. */
   def upsert(spark: SparkSession, path: String, changes: DataFrame, nBuckets: Int = 32): DataFrame = {
-    val existing = readState(spark, path)
-      // stored state re-enters the merge as a synthetic "create" older than
-      // any increment row at the same (ts, seq); its weight carries the
+    val raw = readState(spark, path)
+    // snapshot-seeded state (writeSnapshot of a plain materialization)
+    // predates the watermark column: treat as "nothing applied yet"
+    val state =
+      if (raw.columns.contains("max_seq")) raw
+      else raw.withColumn("max_seq", lit(Long.MinValue))
+    val existing = state
+      // stored state re-enters the merge as a synthetic "create" carrying
+      // the per-key applied watermark as its seq; its weight carries the
       // cumulative per-key change count so n_changes matches a one-shot
       // batch materialization after any number of micro-batches
       .select(col("user_id").as("pk"), lit("c").as("op"),
         col("last_value").cast("double").as("value"),
-        col("updated_at").as("ts"), lit(Long.MinValue).as("seq"),
+        col("updated_at").as("ts"), col("max_seq").as("seq"),
         col("n_changes").as("weight"))
+    // drop already-applied rows (micro-batch replay): anything at or
+    // below the key's applied watermark contributed to the stored row
+    val fresh = changes.select("pk", "op", "value", "ts", "seq")
+      .join(existing.select(col("pk"), col("seq").as("applied_seq")), Seq("pk"), "left")
+      .where(col("applied_seq").isNull || col("seq") > col("applied_seq"))
+      .drop("applied_seq")
     val merged = Materialize.latestSnapshotWeighted(
-      existing.unionByName(
-        changes.select("pk", "op", "value", "ts", "seq").withColumn("weight", lit(1L))))
+      existing.unionByName(fresh.withColumn("weight", lit(1L))))
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     merged.repartition(nBuckets, col("user_id"))
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // Crash-safe swap: move the old state aside, then the new one in. A
-    // crash between the renames leaves .bak, which readState falls back
-    // to — never a window with no recoverable state. (A lakehouse table
-    // format would make this a transactional commit.)
+    // Crash-safe swap. Invariant: at EVERY instant at least one of
+    // {dst, bak} holds a complete committed state, and every rename is
+    // checked (Hadoop FileSystem.rename reports failure as `false`; an
+    // unchecked failed dst→bak rename would make rename(tmp,dst) nest the
+    // tmp dir INSIDE the live dir, silently mixing old and new files).
     val dst = new org.apache.hadoop.fs.Path(path)
     // path-resolved FS: FileSystem.get(conf) is the DEFAULT filesystem and
     // throws "Wrong FS" for state on s3a://… when the default is hdfs/local
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new org.apache.hadoop.fs.Path(path + ".bak")
-    fs.delete(bak, true)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
+    def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+      require(fs.rename(from, to), s"state swap: rename $from -> $to failed")
+    // recovering from a crashed swap (only .bak survives): promote the
+    // backup FIRST — deleting it while dst is absent would leave a window
+    // with no recoverable copy at all
+    if (!fs.exists(dst) && fs.exists(bak)) mv(bak, dst)
+    if (fs.exists(dst)) {
+      fs.delete(bak, true)
+      mv(dst, bak)
+    }
+    mv(tmp, dst)
     fs.delete(bak, true)
     spark.read.parquet(path)
   }
@@ -85,11 +109,15 @@ object TableSink {
 
   /** Time-partitioned lake write (the reference's S3 sink with time-based
     * partitioning): rows land under dt=YYYY-MM-DD directories so readers
-    * prune by date. */
+    * prune by date. Dynamic overwrite: an incremental write replaces only
+    * the dt partitions it carries — static overwrite would silently erase
+    * every previously landed date on each call. */
   def writeTimePartitioned(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("dt", date_format(col(tsCol), "yyyy-MM-dd"))
       .repartition(col("dt"))
-      .write.partitionBy("dt").mode(SaveMode.Overwrite).parquet(path)
+      .write.partitionBy("dt")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite).parquet(path)
 
   /** Append-only audit sink (pipeline_runs equivalent). */
   def appendAudit(df: DataFrame, path: String): Unit =

@@ -31,32 +31,50 @@ object CdcStream {
     * explicit tombstone records (`deleted = true`, the retract-stream
     * shape a downstream sink needs to delete rows). Tombstones stay in
     * state so a late out-of-order event older than the delete cannot
-    * resurrect the key; bound their retention with a state TTL
-    * (GroupStateTimeout) sized to the source's max disorder. Late or
-    * replayed events (ts, seq) ≤ current state are ignored — apply is
-    * idempotent, which makes at-least-once delivery from the bus
-    * exactly-once in the table. */
-  def applyChanges(events: Dataset[ChangeEvent]): Dataset[KeyState] = {
+    * resurrect the key; `tombstoneTtl` (e.g. `"1 hour"`, sized to the
+    * source's max disorder) evicts them after that long with no new
+    * activity, so a delete-heavy keyspace cannot grow state without
+    * bound — live keys are the materialized table and never expire.
+    * Late or replayed events (ts, seq) ≤ current state are ignored —
+    * apply is idempotent, which makes at-least-once delivery from the
+    * bus exactly-once in the table. */
+  def applyChanges(
+      events: Dataset[ChangeEvent],
+      tombstoneTtl: Option[String] = None): Dataset[KeyState] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (tombstoneTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.pk)
       .flatMapGroupsWithState[KeyState, KeyState](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (pk: Long, changes: Iterator[ChangeEvent], state: GroupState[KeyState]) =>
-          var cur = state.getOption.orNull
-          var changed = false
-          changes.toSeq.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
-            val newer = cur == null ||
-              Ordering[(Long, Long)].gt((c.ts.getTime, c.seq), (cur.ts.getTime, cur.seq))
-            if (newer) {
-              val n = if (cur == null) 1L else cur.nChanges + 1L
-              cur = KeyState(pk, if (c.op == "d") 0.0 else c.value, c.ts, c.seq, n,
-                deleted = c.op == "d")
-              changed = true
+          if (state.hasTimedOut) {
+            // the tombstone outlived the configured max disorder — evict
+            state.remove()
+            Iterator.empty
+          } else {
+            var cur = state.getOption.orNull
+            var changed = false
+            changes.toSeq.sortBy(c => (c.ts.getTime, c.seq)).foreach { c =>
+              val newer = cur == null ||
+                Ordering[(Long, Long)].gt((c.ts.getTime, c.seq), (cur.ts.getTime, cur.seq))
+              if (newer) {
+                val n = if (cur == null) 1L else cur.nChanges + 1L
+                cur = KeyState(pk, if (c.op == "d") 0.0 else c.value, c.ts, c.seq, n,
+                  deleted = c.op == "d")
+                changed = true
+              }
             }
+            if (changed) {
+              state.update(cur)
+              // timeouts reset on every invocation for the key: only a
+              // tombstone re-arms one, so a re-created key lives forever
+              if (cur.deleted) tombstoneTtl.foreach(state.setTimeoutDuration)
+              Iterator.single(cur)
+            } else Iterator.empty
           }
-          if (changed) { state.update(cur); Iterator.single(cur) }
-          else Iterator.empty
       }
   }
 

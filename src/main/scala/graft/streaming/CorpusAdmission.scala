@@ -85,8 +85,11 @@ object CorpusAdmission {
   private[graft] def admitBatch(
       spark: SparkSession, cfg: Config, batch: DataFrame, batchId: Long): Unit = {
     val sh = Dedup.shinglesOf(batch).persist()
+    // bands feeds both sides of the self-join AND the state write —
+    // persist it too, or the 16-permutation signature subtree re-executes
+    // per consumer on every micro-batch
+    val bands = Dedup.bandsOf(sh).persist()
     try {
-      val bands = Dedup.bandsOf(sh)
       // the index visible to batch N is exactly the state batches < N
       // wrote: a REPLAYED batch must not match against its own previous
       // write (it would reject everything against itself), and the
@@ -141,7 +144,7 @@ object CorpusAdmission {
         writePartitioned(bands.join(admittedIds, "doc_id").withColumn("batch_id", lit(batchId)),
           bandsPath(cfg))
       } finally { decisions.unpersist(); () }
-    } finally { sh.unpersist(); () }
+    } finally { bands.unpersist(); sh.unpersist(); () }
   }
 
   /** Read back the decision log (doc_id, match_id, jaccard, admitted,
