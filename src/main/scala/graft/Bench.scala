@@ -1,14 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // shared session defaults (UTC, AQE, shuffle partitions): the timings
+    // must measure the SAME plans the correctness runs validate
+    val spark = Tables.localSession("graft-bench", cpus)
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM/codegen/file index so the first timed query isn't
     // charged session startup.
@@ -21,17 +18,25 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val names = SparkEntry.queries.keys.toVector
-    val timings = Vector.fill(passes) {
+    // a crashed query must NOT masquerade as a fast one: failures record
+    // NaN (excluded from medians) and are reported, never silently timed
+    val timings: Vector[Map[String, Double]] = Vector.fill(passes) {
       names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(name)(spark, sfDir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            name -> Double.NaN
+        }
       }.toMap
     }
-    val results: Map[String, Double] = names.map { name =>
-      val sorted = timings.map(_(name)).sorted
-      name -> sorted(sorted.length / 2)
+    val failed = names.filter(n => timings.forall(t => t(n).isNaN))
+    val results: Map[String, Double] = names.flatMap { name =>
+      val ok = timings.map(_(name)).filterNot(_.isNaN).sorted
+      if (ok.isEmpty) None else Some(name -> ok(ok.length / 2))
     }.toMap
     // The driver captures only the LAST 2000 chars of stdout; a map with
     // every query's full-precision timing (~3.4 KB for 135 queries) pushed
@@ -51,7 +56,7 @@ object Bench {
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()

@@ -103,10 +103,21 @@ object Pipeline {
     WireSource.readStream(spark, cfg.wirePath)
       .writeStream
       .option("checkpointLocation", cfg.checkpointPath)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // one materialization of the micro-batch, |tables| cheap slices
         batch.persist()
         try {
+          // same poisoned-message guard as the single-table path: a null-op
+          // envelope must land in the DLQ, not vanish inside the merge's
+          // op filter with no trace
+          val bad = batch.where(col("op").isNull)
+          cfg.dlqPath.foreach { p =>
+            bad.select("topic", "offset").withColumn("batch_id", lit(batchId))
+              .write.partitionBy("batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite").parquet(p)
+          }
+          val good = batch.where(col("op").isNotNull)
           // static list when provisioned (the reference's table.include.list);
           // if neither config nor start-time discovery found tables (wire
           // was empty at start), fall back to discovering from THIS batch —
@@ -114,15 +125,20 @@ object Pipeline {
           // event loss for late-appearing tables
           val tables: Seq[String] =
             if (staticTables.nonEmpty) staticTables
-            else batch.select("table_name").distinct().collect().map(_.getString(0)).toSeq
+            else good.select("table_name").distinct().collect().map(_.getString(0)).toSeq
           tables.foreach { t =>
-            val slice = toChangelog(batch.where(col("table_name") === t))
+            val slice = toChangelog(good.where(col("table_name") === t))
             val path = s"${cfg.statePath}/$t"
             // limit-1 probe on the persisted batch, not a shuffle: idle
             // tables must not pay a state rewrite every micro-batch
             if (!slice.isEmpty) {
               if (!TableSink.stateExists(spark, path))
-                TableSink.writeSnapshot(Materialize.latestSnapshot(slice), "user_id", path)
+                // weighted seed: carries the per-key applied watermark
+                // (max_seq), so a checkpoint replay of the seeding batch
+                // is dropped by upsert instead of double-counted
+                TableSink.writeSnapshot(
+                  Materialize.latestSnapshotWeighted(slice.withColumn("weight", lit(1L))),
+                  "user_id", path)
               else
                 TableSink.upsert(spark, path, slice)
             }

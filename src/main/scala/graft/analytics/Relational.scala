@@ -132,7 +132,9 @@ object Relational {
     lineitemWithDec(spark, dir)
       .where(col("l_returnflag") === "R")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // customer grows with SF (unlike nation) — no forced broadcast; the
+      // optimizer/AQE picks broadcast whenever it actually fits
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
       .agg(
@@ -161,7 +163,8 @@ object Relational {
     val orders = Tables.load(spark, dir, "orders")
     val w = Window.partitionBy("c_mktsegment").orderBy(col("o_totalprice").desc, col("o_orderkey"))
     orders
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      // unfiltered customer scales with SF: let the optimizer decide
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .withColumn("rnk", rank().over(w))
       .where(col("rnk") <= 3)
       .select(col("c_mktsegment"), col("rnk").cast("long").as("rnk"), col("o_orderkey"), dec(col("o_totalprice"), 18, 2).cast("double").as("o_totalprice"))
@@ -265,13 +268,19 @@ object Relational {
     // single aggregation — equivalent to INTERSECT/EXCEPT counts.
     val flags = activeIn(1996).withColumn("in96", lit(true))
       .join(activeIn(1997).withColumn("in97", lit(true)), Seq("o_custkey"), "full_outer")
-    flags
+    val counted = flags
       .select(
         when(col("in96").isNotNull && col("in97").isNotNull, "both_years")
           .when(col("in96").isNotNull, "only_1996")
           .otherwise("only_1997").as("cohort"))
       .groupBy("cohort")
       .agg(count(lit(1)).as("n_customers"))
+    // the oracle's three UNION ALL'd scalar counts always emit 3 rows —
+    // an empty cohort must surface as an explicit 0, not a missing row
+    val allCohorts = spark.createDataFrame(
+      Seq(Tuple1("both_years"), Tuple1("only_1996"), Tuple1("only_1997"))).toDF("cohort")
+    allCohorts.join(counted, Seq("cohort"), "left")
+      .select(col("cohort"), coalesce(col("n_customers"), lit(0L)).as("n_customers"))
       .orderBy("cohort")
   }
 

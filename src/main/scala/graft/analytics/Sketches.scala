@@ -121,8 +121,11 @@ object Sketches {
       array_distinct(array((0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(m))): _*))
     val bits = keys.select(explode(positions(col("key"))).as("pos")).distinct()
       .withColumn("set", lit(1L))
+    // absent probes derive from the already-distinct member keys, not raw
+    // docs: duplicate texts would duplicate absent probes the same way
+    // they would member probes, corrupting the all-positions-set check
     val probes = keys.withColumn("expected", lit(1L))
-      .unionAll(docs.select(md5(concat(col("text"), lit("#absent"))).as("key"))
+      .unionAll(keys.select(md5(concat(col("key"), lit("#absent"))).as("key"))
         .withColumn("expected", lit(0L)))
     probes
       .withColumn("ps", positions(col("key")))
