@@ -403,18 +403,28 @@ object SparkEntry {
           |       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS total_price
           |FROM unioned GROUP BY 1 ORDER BY o_channel""".stripMargin,
       "cdc_alert_suppress" ->
-        s"""$cl, m AS (
+        // greedy debounce against the last FIRED alert = a recursive
+        // fired-chain (next fired = first candidate past the cooldown of
+        // the previous fired); RECURSIVE must ride the shared WITH prefix
+        s"""${cl.replaceFirst("WITH ", "WITH RECURSIVE ")}, m AS (
            |  SELECT date_trunc('hour', ts) AS bucket,
            |         count(CASE WHEN op = 'd' THEN 1 END) AS n_errors
            |  FROM changelog GROUP BY bucket),
            |a AS (SELECT 'r_error_burst' AS rule_id, bucket, n_errors FROM m WHERE n_errors > 2),
-           |f AS (
-           |  SELECT rule_id, bucket, n_errors,
-           |         lag(epoch_ms(bucket)) OVER (PARTITION BY rule_id ORDER BY bucket) AS prev_ms
-           |  FROM a)
-           |SELECT rule_id, bucket, n_errors,
-           |       (prev_ms IS NOT NULL AND epoch_ms(bucket) - prev_ms <= ${6 * 3600000L}) AS suppressed
-           |FROM f ORDER BY bucket""".stripMargin,
+           |fired AS (
+           |  SELECT rule_id, min(bucket) AS bucket FROM a GROUP BY rule_id
+           |  UNION ALL
+           |  SELECT f.rule_id,
+           |         (SELECT min(c.bucket) FROM a c
+           |          WHERE c.rule_id = f.rule_id
+           |            AND epoch_ms(c.bucket) - epoch_ms(f.bucket) > ${6 * 3600000L}) AS bucket
+           |  FROM fired f
+           |  WHERE (SELECT min(c.bucket) FROM a c
+           |         WHERE c.rule_id = f.rule_id
+           |           AND epoch_ms(c.bucket) - epoch_ms(f.bucket) > ${6 * 3600000L}) IS NOT NULL)
+           |SELECT a.rule_id, a.bucket, a.n_errors, (fired.bucket IS NULL) AS suppressed
+           |FROM a LEFT JOIN fired ON a.rule_id = fired.rule_id AND a.bucket = fired.bucket
+           |ORDER BY a.bucket""".stripMargin,
       "cdc_incremental_agg" ->
         s"""$cl
            |SELECT date_trunc('minute', ts) AS bucket, count(*) AS n_events,

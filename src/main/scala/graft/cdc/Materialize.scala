@@ -237,7 +237,6 @@ object Materialize {
       .groupBy(col("seq"))
       .agg(
         count(lit(1)).as("deliveries"),
-        min(col("pk")).as("pk"),
         min(Cdc.normalizeOp(col("op"))).as("event_class"))
       .groupBy(col("event_class"))
       .agg(
@@ -263,20 +262,29 @@ object Materialize {
     * deleted recently keep their tombstone (late out-of-order events must
     * still lose to it); old tombstones are safe to forget once no event
     * older than them can still arrive. */
-  def tombstoneGc(changelog: DataFrame, retentionMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
-    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+  /** Compact to the single latest change per key — KEEPING tombstones and
+    * the winner's original (ts, seq). Shared by [[tombstoneGc]] and
+    * [[snapshotHandoff]] so the (correctness-critical) ordering key can
+    * never silently diverge between them. */
+  private def lastChangePerKey(changelog: DataFrame): DataFrame =
     changelog
       .groupBy(col("pk"))
       .agg(max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"))
+      .select(col("pk"), col("last.op").as("op"), col("last.value").as("value"),
+        col("last.ts").as("ts"), col("last.seq").as("seq"))
+
+  def tombstoneGc(changelog: DataFrame, retentionMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+    lastChangePerKey(changelog)
       .crossJoin(broadcast(hwm))
-      .where(col("last.op") =!= "d" ||
-        unix_millis(col("hwm")) - unix_millis(col("last.ts")) <= retentionMs)
+      .where(col("op") =!= "d" ||
+        unix_millis(col("hwm")) - unix_millis(col("ts")) <= retentionMs)
       .select(
         col("pk").as("user_id"),
-        col("last.op").as("op"),
-        dec(col("last.value"), 18, 2).cast("double").as("value"),
-        col("last.ts").as("ts"),
-        col("last.seq").as("seq"))
+        col("op"),
+        dec(col("value"), 18, 2).cast("double").as("value"),
+        col("ts"),
+        col("seq"))
   }
 
   /** Snapshot→CDC handoff (the reference's full-load-then-stream start:
@@ -288,11 +296,7 @@ object Materialize {
     * delete. (A tombstone-free snapshot would resurrect such keys — a bug
     * this operator's property test caught.) */
   def snapshotHandoff(changelog: DataFrame, cutoverSeq: Long): DataFrame = {
-    val compactedPrefix = changelog.where(col("seq") < cutoverSeq)
-      .groupBy(col("pk"))
-      .agg(max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"))
-      .select(col("pk"), col("last.op").as("op"), col("last.value").as("value"),
-        col("last.ts").as("ts"), col("last.seq").as("seq"))
+    val compactedPrefix = lastChangePerKey(changelog.where(col("seq") < cutoverSeq))
     val tail = changelog.where(col("seq") >= cutoverSeq)
       .select("pk", "op", "value", "ts", "seq")
     latestSnapshot(compactedPrefix.unionByName(tail))

@@ -130,12 +130,15 @@ object Monitoring {
     * arrive (in seq order) with an event time behind the running maximum,
     * and by how much — the numbers that size a streaming watermark. */
   def disorderStats(changelog: DataFrame): DataFrame = {
+    // % (not pmod): the oracle SQL and every sibling cohort operator
+    // (deleteRatio, lagPercentiles, heartbeatGaps) bucket with %, and the
+    // two disagree on negative keys
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pmod(col("pk"), lit(10)))
+      .partitionBy(col("pk") % 10)
       .orderBy("seq")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     changelog
-      .withColumn("cohort", pmod(col("pk"), lit(10)))
+      .withColumn("cohort", col("pk") % 10)
       .withColumn("prev_max_ms", max(unix_millis(col("ts"))).over(w))
       .withColumn("regress_ms",
         when(col("prev_max_ms").isNull, lit(0L))
@@ -150,22 +153,35 @@ object Monitoring {
   }
 
   /** Alert debounce (the notification hygiene the reference's alert engine
-    * needs): a candidate alert is suppressed if another candidate for the
-    * same rule fired within the cooldown window. Window partitions by
-    * rule — no global state. */
+    * needs): a candidate is suppressed when it falls inside the cooldown
+    * of the last FIRED alert — measuring from the previous candidate
+    * (fired or not) would let a sustained burst re-arm the cooldown
+    * forever and deliver exactly one notification for a multi-day
+    * incident. The greedy fired-chain is inherently sequential, so it
+    * runs as a per-rule sorted iteration (flatMapGroups); group size is
+    * the rule's candidate-HOUR count, never the event volume. */
   def alertSuppress(changelog: DataFrame, threshold: Long = 2, cooldownHours: Long = 6): DataFrame = {
+    val spark = changelog.sparkSession
+    import spark.implicits._
     val candidates = changelog
       .groupBy(date_trunc("hour", col("ts")).as("bucket"))
       .agg(count(when(col("op") === "d", 1)).as("n_errors"))
       .where(col("n_errors") > threshold)
       .withColumn("rule_id", lit("r_error_burst"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("rule_id").orderBy("bucket")
+    val cooldownMs = cooldownHours * 3600000L
     candidates
-      .withColumn("prev_ms", lag(unix_millis(col("bucket")), 1).over(w))
-      .select(
-        col("rule_id"), col("bucket"), col("n_errors"),
-        (col("prev_ms").isNotNull &&
-          unix_millis(col("bucket")) - col("prev_ms") <= cooldownHours * 3600000L).as("suppressed"))
+      .select(col("rule_id"), col("bucket").cast("timestamp"), col("n_errors"))
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        var lastFired = Long.MinValue
+        it.toSeq.sortBy(_._2.getTime).iterator.map { case (r, b, n) =>
+          val fire = lastFired == Long.MinValue || b.getTime - lastFired > cooldownMs
+          if (fire) lastFired = b.getTime
+          (r, b, n, !fire)
+        }
+      }
+      .toDF("rule_id", "bucket", "n_errors", "suppressed")
       .orderBy("bucket")
   }
 

@@ -56,21 +56,28 @@ object Quality {
     * null count, distinct count, and an exact decimal sum for numerics. */
   def integrityStats(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
-    def statsFor(c: String, numeric: Boolean): DataFrame =
-      orders.agg(
-        count(lit(1)).as("n_rows"),
-        count(when(col(c).isNull, 1)).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
+    // ONE scan computing every per-column aggregate, exploded to the
+    // long format afterwards — a union of per-column aggregations would
+    // read the table once per column (5 scans here, ruinous at scale)
+    val cols = Seq(
+      ("o_orderkey", true), ("o_custkey", true), ("o_orderstatus", false),
+      ("o_totalprice", true), ("o_orderpriority", false))
+    val aggs = cols.flatMap { case (c, numeric) =>
+      Seq(
+        count(when(col(c).isNull, 1)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
         (if (numeric) sum(graft.dec(col(c))).cast(DecimalType(28, 2)).cast("double")
-         else lit(null).cast("double")).as("sum_value"))
-        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"), col("sum_value"))
-    Seq(
-      statsFor("o_orderkey", numeric = true),
-      statsFor("o_custkey", numeric = true),
-      statsFor("o_orderstatus", numeric = false),
-      statsFor("o_totalprice", numeric = true),
-      statsFor("o_orderpriority", numeric = false))
-      .reduce(_ unionAll _)
+         else lit(null).cast("double")).as(s"${c}_sum"))
+    }
+    val wide = orders.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = cols.map { case (c, _) =>
+      struct(lit(c).as("column_name"), col("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_sum").as("sum_value"))
+    }
+    wide.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column_name"), col("e.n_rows"), col("e.n_nulls"),
+        col("e.n_distinct"), col("e.sum_value"))
       .orderBy("column_name")
   }
 
@@ -187,11 +194,17 @@ object Quality {
     * commutative on both engines). */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
     val P = 1000000007L
+    // per-row digests sum in DECIMAL(38,0) — a BIGINT sum would silently
+    // wrap past ~9.2e9 rows on Spark while DuckDB's HUGEINT sum errors on
+    // the cast, making matching replicas compare as corrupt; the final
+    // mod-P fold keeps the published checksum a stable BIGINT
     def sumOf(name: String, keyExpr: org.apache.spark.sql.Column) =
       Tables.load(spark, dir, name)
-        .select((conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long") % P).as("h"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
-        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+        .select((conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long") % P)
+          .cast(DecimalType(38, 0)).as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hs"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          (col("hs") % P).cast("long").as("checksum"))
     sumOf("orders", concat_ws("|", col("o_orderkey"), col("o_orderstatus")))
       .unionAll(sumOf("customer", concat_ws("|", col("c_custkey"), col("c_mktsegment"))))
       .unionAll(sumOf("part", concat_ws("|", col("p_partkey"))))
@@ -201,15 +214,15 @@ object Quality {
   val tableChecksumSql: String =
     """SELECT * FROM (
       |  SELECT 'orders' AS table_name, count(*) AS n_rows,
-      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS checksum
+      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', o_orderkey, o_orderstatus)), 1, 15) AS BIGINT) % 1000000007) % 1000000007 AS BIGINT) AS checksum
       |  FROM orders
       |  UNION ALL
       |  SELECT 'customer', count(*),
-      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', c_custkey, c_mktsegment)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT)
+      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', c_custkey, c_mktsegment)), 1, 15) AS BIGINT) % 1000000007) % 1000000007 AS BIGINT)
       |  FROM customer
       |  UNION ALL
       |  SELECT 'part', count(*),
-      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', p_partkey)), 1, 15) AS BIGINT) % 1000000007) AS BIGINT)
+      |         CAST(sum(CAST('0x' || substr(md5(concat_ws('|', p_partkey)), 1, 15) AS BIGINT) % 1000000007) % 1000000007 AS BIGINT)
       |  FROM part)
       |ORDER BY table_name""".stripMargin
 

@@ -93,7 +93,15 @@ object Binary {
     * deterministic stub signature collides exactly when (doc_id % 100,
     * frame_idx) collide, giving the operator real work to find. */
   def frameDedup(spark: SparkSession, dir: String): DataFrame = {
-    val frames = frameSample(spark, dir)
+    // frame fan-out straight from the byte length (same derivation as
+    // frameStats) — routing through frameSample would pay its per-frame
+    // stub-decode digest and ordered output, then throw both away
+    val frames = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        ((length(encode(col("text"), "UTF-8")).cast("long") + 999L) / 1000L)
+          .cast("int").as("n_frames"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       // stub collision domain: docs congruent mod 100 produce identical
       // frame signatures (a real pipeline would use a perceptual hash)
       .withColumn("sig", md5(concat_ws(":",

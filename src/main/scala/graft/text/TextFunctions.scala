@@ -211,8 +211,12 @@ object TextFunctions {
     // ≈57 buckets; a degenerate corpus (all-equal scores) collapses to
     // fewer active buckets — the same failure class as a range
     // partitioner fed constant keys.
+    // NaN scores (empty text → 0/0 ratio) must land in the TOP bucket:
+    // both engines' ORDER BY and SQL ntile sort NaN greatest, and
+    // floor(NaN) would otherwise silently drop them into bucket 0
     val ranged = scored.withColumn("part",
-      floor((col("quality_score") + lit(0.5)) * 16.0).cast("long"))
+      when(isnan(col("quality_score")), lit(Long.MaxValue))
+        .otherwise(floor((col("quality_score") + lit(0.5)) * 16.0).cast("long")))
     // per-range-partition counts → prefix-sum offsets + grand total, all
     // over ≤ `parts` rows (one tiny task, never the corpus)
     val tiny = org.apache.spark.sql.expressions.Window.orderBy("part")
