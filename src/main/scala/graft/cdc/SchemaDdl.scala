@@ -65,21 +65,41 @@ object SchemaDdl {
       throw new IllegalArgumentException(s"no ${d.name} mapping for ${other.simpleString}")
   }
 
+  /** Quote an identifier, escaping embedded quote characters — an
+    * upstream column literally named `a"b` (legal in Postgres) or `a]b`
+    * must not break out of the quoting and inject into the DDL. */
   private def quote(ident: String, dialect: Dialect): String = dialect match {
-    case SqlServer => s"[$ident]"
-    case _ => "\"" + ident + "\""
+    case SqlServer => "[" + ident.replace("]", "]]") + "]"
+    case _ => "\"" + ident.replace("\"", "\"\"") + "\""
+  }
+
+  /** Bounded-string key type: NVARCHAR(MAX)/CLOB/TEXT cannot be index or
+    * key columns; Debezium's JDBC sink sizes key strings the same way. */
+  private def keyStringType(dialect: Dialect): String = dialect match {
+    case Postgres => "VARCHAR(255)"
+    case SqlServer => "NVARCHAR(255)"
+    case Oracle => "VARCHAR2(255)"
+    case Snowflake => "VARCHAR(255)"
   }
 
   /** CREATE TABLE DDL for a Catalyst schema, with optional primary key —
-    * what the sink's auto.create would issue on the target. */
+    * what the sink's auto.create would issue on the target. Primary-key
+    * columns are forced NOT NULL (parquet-derived Catalyst schemas are
+    * nullable by default, and e.g. SQL Server rejects a PK over a
+    * nullable column outright) and string keys take the bounded type. */
   def createTableDdl(
       table: String,
       schema: StructType,
       dialect: Dialect,
       primaryKey: Seq[String] = Nil): String = {
+    val pkSet = primaryKey.toSet
     val cols = schema.fields.map { f =>
-      val nullable = if (f.nullable) "" else " NOT NULL"
-      s"  ${quote(f.name, dialect)} ${columnType(f.dataType, dialect)}$nullable"
+      val isKey = pkSet(f.name)
+      val nullable = if (f.nullable && !isKey) "" else " NOT NULL"
+      val tpe =
+        if (isKey && f.dataType == StringType) keyStringType(dialect)
+        else columnType(f.dataType, dialect)
+      s"  ${quote(f.name, dialect)} $tpe$nullable"
     }
     val pk =
       if (primaryKey.isEmpty) Nil

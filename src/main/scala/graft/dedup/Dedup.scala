@@ -107,15 +107,25 @@ object Dedup {
     * the same 16 minhash permutations and 4×4 banding as the batch
     * pipeline, so streaming-admitted signatures and batch-built ones are
     * interchangeable state. */
-  private[graft] def bandsOf(shingled: DataFrame): DataFrame = {
-    val withHs = shingled.withColumn("hs", transform(col("shingles"), s => baseHash(s)))
-    val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
-    }
-    withHs.select(col("doc_id") +: sigCols: _*)
-      .select(col("doc_id"), explode(bandStructsCol).as("bk"))
-      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+  private[graft] def bandsOf(shingled: DataFrame): DataFrame =
+    bandsFromSigs(sigsOf(shingled))
+
+  /** The 16 permuted-min signature columns over an `hs` column — the ONE
+    * definition of the signature scheme (batch family and streaming
+    * admission state must stay interchangeable). */
+  private def sigColumns: Seq[Column] = hashParams.zipWithIndex.map { case ((a, b), i) =>
+    array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
   }
+
+  /** (doc_id, sig0..15) for an arbitrary shingle table. */
+  private def sigsOf(shingled: DataFrame): DataFrame =
+    shingled.withColumn("hs", transform(col("shingles"), s => baseHash(s)))
+      .select(col("doc_id") +: sigColumns: _*)
+
+  /** 4×4 band-key explode of a signature table. */
+  private def bandsFromSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(bandStructsCol).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
 
   /** One explode over a 4-element band array — NOT a 4-way union, which
     * would re-evaluate the whole signature subtree once per band. */
@@ -173,55 +183,50 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_union", "jaccard")
       .orderBy("id_a", "id_b")
 
+  private val labelsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val simhashFpCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val ngramBaseCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
   /** Cached (doc_id, sig0..15) signature table — shared by the pair
     * build and the estimator-accuracy operator. */
   private val sigCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private[graft] def signatures(spark: SparkSession, dir: String): DataFrame =
-    memo(sigCache, spark, dir) {
-      val base = normCorpus(spark, dir)
-        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
-        .withColumn("hs", transform(col("shingles"), s => baseHash(s)))
-      val sigCols = hashParams.zipWithIndex.map { case ((a, b), i) =>
-        array_min(transform(col("hs"), h => pmod(h * a + b, lit(P)))).as(s"sig$i")
-      }
-      base.select(col("doc_id") +: sigCols: _*)
-    }
+    memo(sigCache, spark, dir)(
+      sigsOf(normCorpus(spark, dir)
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles"))))
 
   private def buildVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val base = normCorpus(spark, dir)
-      .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
-
     // Materialize signatures before the self-join (at 100 TB: checkpoint /
     // persisted table); otherwise both join sides recompute the pipeline.
-    // Only (doc_id, sig0..15) is cached - columnar-caching the shingle
-    // arrays costs more in serialization than recomputing them.
-    val sigs = signatures(spark, dir)
-    val shingleTable = base.select(col("doc_id"), col("shingles"))
-
     // Candidate pairs travel as bare (id_a, id_b) — the shingle arrays are
-    // re-joined from the cached signature table only after pair dedup, so
-    // the band join + distinct never shuffles the heavy arrays.
-    val banded = sigs
-      .select(col("doc_id"), explode(bandStructsCol).as("bk"))
-      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
-
+    // re-joined only after pair dedup, so the band join + distinct never
+    // shuffles the heavy arrays.
+    val banded = bandsFromSigs(signatures(spark, dir))
     val left = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
     val right = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
     val candIds = left.join(right, Seq("band_id", "band_key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    exactVerify(spark, dir, candIds)
+  }
 
+  /** Exact shingle verify of bare candidate id pairs — shared by the
+    * symmetric (4×4-band) and containment (single-sig-band) pipelines.
+    * Plain shuffled joins on the bare doc_id keys: the shingle table is
+    * the heaviest column in the corpus, so forcing it into a broadcast
+    * would OOM long before 100 TB. AQE still picks broadcast at runtime
+    * whenever the post-scan shingle table is actually small. */
+  private def exactVerify(spark: SparkSession, dir: String, candIds: DataFrame): DataFrame = {
+    val shingleTable = normCorpus(spark, dir)
+      .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
     val shA = shingleTable.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = shingleTable.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    // Plain shuffled joins on the bare doc_id keys: the shingle table is
-    // the heaviest column in the corpus, so forcing it into a broadcast
-    // would OOM long before 100 TB. AQE still picks broadcast at runtime
-    // whenever the post-scan shingle table is actually small.
-    val cands = candIds.join(shA, "id_a").join(shB, "id_b")
-
-    cands
+    candIds.join(shA, "id_a").join(shB, "id_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("n_b", size(col("sh_b")).cast("long"))
@@ -230,16 +235,12 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_union", "n_a", "n_b", "jaccard")
   }
 
-  /** Shared CTE chain ending in `verified(id_a, id_b, n_common, n_union)`
-    * — generated so the 16 permutations stay in lockstep with hashParams. */
-  private def minhashPairsCte: String = {
+  /** Shared CTE prefix ending in `sigs(doc_id, shingles, sig0..15)` —
+    * generated so the 16 permutations stay in lockstep with hashParams. */
+  private def sigsCte: String = {
     val sigExprs = hashParams.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS sig$i"
     }.mkString(",\n         ")
-    val bandSelects = (0 until 4).map { b =>
-      val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
-      s"SELECT doc_id, shingles, $b AS band_id, md5($cat) AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
     s"""$corpusSql,
        |norm AS (
        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
@@ -255,19 +256,34 @@ object Dedup {
        |sigs AS (
        |  SELECT doc_id, shingles,
        |         $sigExprs
-       |  FROM hashed),
+       |  FROM hashed)""".stripMargin
+  }
+
+  /** Shared CTE tail: `banded` → distinct candidates → exact verify —
+    * the one verify definition both banding schemes append to. */
+  private val candsVerifyCte: String =
+    """cands AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+      |  WHERE a.doc_id < b.doc_id),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+      |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union,
+      |         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+      |  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
+
+  /** Shared CTE chain ending in `verified(id_a, id_b, n_common, n_union)`
+    * over the symmetric 4×4 banding. */
+  private def minhashPairsCte: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, shingles, $b AS band_id, md5($cat) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$sigsCte,
        |banded AS (
        |  $bandSelects),
-       |cands AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |  WHERE a.doc_id < b.doc_id),
-       |verified AS (
-       |  SELECT c.id_a, c.id_b,
-       |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
-       |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union,
-       |         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
-       |  FROM cands c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id)""".stripMargin
+       |$candsVerifyCte""".stripMargin
   }
 
   def minhashLshSql: String =
@@ -277,26 +293,57 @@ object Dedup {
        |FROM verified WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
 
-  /** Shingle-containment dedup: |A∩B| / min(|A|,|B|) over the LSH-verified
-    * candidate pairs — catches sub-document duplication (one document
-    * truncating or embedding another) that symmetric Jaccard under-scores:
-    * a 20%-length prefix copy has Jaccard ≈ 0.2 but containment ≈ 1.0.
-    * Shares [[verifiedPairs]], so the marginal cost is one filter. */
+  /** Shingle-containment dedup: |A∩B| / min(|A|,|B|) — catches
+    * sub-document duplication (one document truncating or embedding
+    * another) that symmetric Jaccard under-scores: a 20%-length prefix
+    * copy has Jaccard ≈ 0.2 but containment ≈ 1.0.
+    *
+    * Candidates come from SINGLE-signature bands (16 bands × 1 row), not
+    * the symmetric 4×4 banding: a J=0.2 pair hits a 4-row band with
+    * probability ≈ 0.6% (it would almost never become a candidate), but
+    * hits some single signature with 1−(1−J)^16 ≈ 97% — the blocking the
+    * stated purpose actually needs, at the cost of larger buckets. */
   def containment(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
-    verifiedPairs(spark, dir)
+    containmentPairs(spark, dir)
       .withColumn("containment",
         col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
       .where(col("containment") >= threshold)
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
       .orderBy("id_a", "id_b")
 
-  def containmentSql: String =
-    s"""$minhashPairsCte
+  /** Verified pairs over single-signature candidates, memoized like
+    * [[verifiedPairs]] (the containment family's shared build). */
+  private val containPairsCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    memo(containPairsCache, spark, dir) {
+      val sigs = signatures(spark, dir)
+      val banded = sigs.select(col("doc_id"), explode(array((0 until 16).map(i =>
+          struct(lit(i).as("band_id"), col(s"sig$i").cast("string").as("band_key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+      val left = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+      val right = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+      val candIds = left.join(right, Seq("band_id", "band_key"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      exactVerify(spark, dir, candIds)
+    }
+
+  def containmentSql: String = {
+    val bandSelects = (0 until 16).map { i =>
+      s"SELECT doc_id, shingles, $i AS band_id, CAST(sig$i AS VARCHAR) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$sigsCte,
+       |banded AS (
+       |  $bandSelects),
+       |$candsVerifyCte
        |SELECT id_a, id_b, n_common, n_a, n_b,
        |       CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
        |FROM verified
        |WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Near-dup clustering: connected components over the verified minhash
     * pairs via min-label propagation (3 rounds — enough for the ≤3-hop
@@ -324,7 +371,13 @@ object Dedup {
       // of three tiny AQE-broadcast joins). At 100 TB node counts, switch
       // to checkpoint-per-round — there the recompute dominates instead.
     }
-    labels = labels.cache()   // referenced twice below (sizes + final select)
+    // bounded memo, not a bare cache: referenced twice below AND by
+    // pipe_dedup_keep_best's second cluster() call; a raw .cache() here
+    // leaked one cached plan per invocation per dir (memo only admits the
+    // default-rounds build — a custom rounds value builds uncached)
+    labels =
+      if (rounds == 3) memo(labelsCache, spark, dir)(labels)
+      else labels.cache()
     val sizes = labels.groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("canonical_id"))
@@ -527,10 +580,11 @@ object Dedup {
     }.reduce(_ + _)
 
     val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 8).bitwiseAND(255).as(s"band$b"))
-    val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), fpExpr.as("simhash"))
-      .select(col("doc_id") +: col("simhash") +: bandCols: _*)
-      .cache()   // materialized before the band self-join
+    val fps = memo(simhashFpCache, spark, dir)(
+      toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), fpExpr.as("simhash"))
+        .select(col("doc_id") +: col("simhash") +: bandCols: _*))
+    // memoized (bounded, unpersists on dir eviction): both self-join sides
 
     val banded = fps
       .select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { b =>
@@ -591,10 +645,10 @@ object Dedup {
         transform(sequence(lit(1), size(w) - 2),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
         .otherwise(array(col("t"))))
-    val base = normCorpus(spark, dir)
-      .withColumn("w", split(col("t"), " "))
-      .select(col("doc_id"), grams.as("grams"))
-      .cache()   // materialized before the block self-join
+    val base = memo(ngramBaseCache, spark, dir)(
+      normCorpus(spark, dir)
+        .withColumn("w", split(col("t"), " "))
+        .select(col("doc_id"), grams.as("grams")))
       // coalesce makes the join key non-nullable: otherwise Catalyst pushes
       // an IsNotNull(block_key) filter to the scan that re-inlines the whole
       // gram pipeline (split re-evaluated per lambda element - O(n^2)/row).

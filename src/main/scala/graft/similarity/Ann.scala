@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Similarity search over the `embeddings` table (Array[Float], 64 dims).
   *
@@ -11,8 +12,10 @@ import org.apache.spark.sql.functions._
   * the array in index order — Spark `aggregate` and DuckDB `list_reduce`
   * both fold sequentially, and float→double conversion is exact, so both
   * engines produce bit-identical IEEE doubles. Cross-row float sums (IVF
-  * centroids) instead quantize each addend to floor(x·2^40) and sum exact
-  * BIGINTs — order-independent on both engines.
+  * centroids) instead quantize each addend to floor(x·2^40) and sum them
+  * EXACTLY — as DECIMAL(38,0) on Spark (a long sum would silently wrap
+  * past ~2M vectors per group) and HUGEINT on DuckDB — order-independent
+  * on both engines.
   *
   * Scale design: brute force is the correctness baseline (one scan, no
   * shuffle before the top-k); LSH bounds candidates to one sign-bucket;
@@ -83,7 +86,9 @@ object Ann {
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
-    emb.crossJoin(broadcast(q))
+    // the query never ranks against itself: a guaranteed cosine-1.0
+    // self-match would waste a result slot and bias recall gates by 1/k
+    emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -93,6 +98,7 @@ object Ann {
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
        |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
        |FROM embeddings CROSS JOIN q
+       |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
   /** Radius (range) search: every vector whose cosine against the query
@@ -134,6 +140,7 @@ object Ann {
        |top AS (
        |  SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
        |  FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> 0
        |  ORDER BY cosine DESC, vec_id LIMIT 10)
        |SELECT doc_id, source, lang, n_chars, cosine
        |FROM documents JOIN top ON doc_id = vec_id
@@ -157,7 +164,8 @@ object Ann {
       .withColumn("bucket", signCode(col("embedding")))
     val q = emb.where(col("vec_id") === 0)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
-    emb.join(broadcast(q), col("bucket") === col("qbucket"))
+    emb.where(col("vec_id") =!= 0)
+      .join(broadcast(q), col("bucket") === col("qbucket"))
       .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -169,6 +177,7 @@ object Ann {
        |q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded WHERE vec_id = 0)
        |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
        |FROM coded JOIN q ON bucket = qbucket
+       |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   /** Multi-probe sign-LSH: probe the query's bucket plus all Hamming-1
@@ -182,7 +191,8 @@ object Ann {
     val probeCodes = explode(array(
       col("qbucket") +: (0 until 8).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*)).as("probe")
     val probes = qRow.select(col("qe"), probeCodes)
-    emb.join(broadcast(probes), col("bucket") === col("probe"))
+    emb.where(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bucket") === col("probe"))
       .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
@@ -199,6 +209,7 @@ object Ann {
        |  UNION ALL $flips)
        |SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
        |FROM coded JOIN probes ON bucket = probe
+       |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
   }
 
@@ -213,7 +224,7 @@ object Ann {
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(
-        sum(floor(col("x").cast("double") * Q).cast("long")).as("snum"),
+        sum(floor(col("x").cast("double") * Q).cast("long").cast(DecimalType(38, 0))).as("snum"),
         count(lit(1)).as("n"))
       .select(col("label"), col("pos"),
         (col("snum").cast("double") / Q / col("n")).as("c"))
@@ -223,15 +234,16 @@ object Ann {
       .join(broadcast(qLong), "pos")
       .groupBy("label")
       .agg(
-        sum(floor(col("y").cast("double") * col("c") * Q).cast("long")).as("sn"),
-        sum(floor(col("c") * col("c") * Q).cast("long")).as("ncn"))
+        sum(floor(col("y").cast("double") * col("c") * Q).cast("long").cast(DecimalType(38, 0))).as("sn"),
+        sum(floor(col("c") * col("c") * Q).cast("long").cast(DecimalType(38, 0))).as("ncn"))
       .select(col("label"),
         ((col("sn").cast("double") / Q) / sqrt(col("ncn").cast("double") / Q)).as("score"))
       .orderBy(col("score").desc, col("label"))
       .limit(2)
       .select(col("label").as("probe_label"))
 
-    emb.join(broadcast(probes), col("label") === col("probe_label"))
+    emb.where(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("label") === col("probe_label"))
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"), cosine(spark, "embedding", "qe").as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -249,7 +261,7 @@ object Ann {
     val centroids = long
       .groupBy("label", "pos")
       .agg(
-        sum(floor(col("x").cast("double") * Q).cast("long")).as("snum"),
+        sum(floor(col("x").cast("double") * Q).cast("long").cast(DecimalType(38, 0))).as("snum"),
         count(lit(1)).as("n"))
       .select(col("label"), col("n"),
         (col("snum").cast("double") / Q / col("n")).as("c"))
@@ -258,7 +270,7 @@ object Ann {
       .agg(
         max(col("n")).as("n_vectors"),
         count(lit(1)).as("n_dims"),
-        sqrt(sum(floor(col("c") * col("c") * Q).cast("long")).cast("double") / Q)
+        sqrt(sum(floor(col("c") * col("c") * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q)
           .as("centroid_norm"))
       .orderBy("label")
   }
@@ -299,6 +311,7 @@ object Ann {
        |  ORDER BY score DESC, label LIMIT 2)
        |SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine
        |FROM embeddings JOIN probes USING (label) CROSS JOIN q
+       |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
 
   /** Embedding-cosine near-dup pairs: 16-bit sign-bucket candidates, exact
@@ -430,11 +443,13 @@ object Ann {
        |           FROM embeddings WHERE vec_id = 0),
        |brute AS (
        |  SELECT vec_id FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> 0
        |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k),
        |lsh AS (
        |  SELECT e.vec_id
        |  FROM (SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings) e
        |  JOIN q ON e.bucket = q.qbucket
+       |  WHERE e.vec_id <> 0
        |  ORDER BY ${cosineSql("e.embedding", "q.qe")} DESC, e.vec_id LIMIT $k),
        |tagged AS (
        |  SELECT vec_id, 1 AS b, 0 AS l FROM brute
@@ -467,19 +482,28 @@ object Ann {
       val probeCols = col("qbucket") +:
         (0 until (p - 1)).map(j => col("qbucket").bitwiseXOR(lit(1L << j)))
       val probes = q.select(col("qe"), explode(array(probeCols: _*)).as("probe"))
-      emb.join(broadcast(probes), col("bucket") === col("probe"))
+      emb.where(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("bucket") === col("probe"))
         .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id"))
         .limit(k)
         .select(lit(p).cast("long").as("n_probes"), col("vec_id"))
     }.reduce(_ unionAll _)
-    tagged.join(broadcast(brute), Seq("vec_id"), "left")
+    val counted = tagged.join(broadcast(brute), Seq("vec_id"), "left")
       .groupBy("n_probes")
       .agg(
         count(lit(1)).as("n_returned"),
         sum(coalesce(col("in_brute"), lit(0))).cast("long").as("n_common"))
+    // a probe level whose buckets hold nothing but the query itself
+    // returns zero candidates — the sweep must still report that level
+    // (recall 0), not silently drop the row
+    val allLevels = emb.sparkSession.createDataFrame(levels.map(p => Tuple1(p.toLong)))
+      .toDF("n_probes")
+    allLevels.join(counted, Seq("n_probes"), "left")
+      .select(col("n_probes"),
+        coalesce(col("n_returned"), lit(0L)).as("n_returned"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
       .withColumn("recall_at_k", col("n_common").cast("double") / lit(k.toDouble))
-      .select("n_probes", "n_returned", "n_common", "recall_at_k")
       .orderBy("n_probes")
   }
 
@@ -491,25 +515,34 @@ object Ann {
       s"""lsh$p AS (
          |  SELECT $p AS n_probes, vec_id
          |  FROM coded JOIN ($probes) pr ON coded.bucket = pr.probe
+         |  WHERE vec_id <> 0
          |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k)"""
         .stripMargin
     }.mkString(",\n")
     val unions = levels.map(p => s"SELECT n_probes, vec_id FROM lsh$p").mkString("\n  UNION ALL ")
+    val levelRows = levels.map(p => s"SELECT $p AS n_probes").mkString(" UNION ALL ")
     s"""WITH coded AS (
        |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
        |q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded WHERE vec_id = 0),
        |brute AS (
        |  SELECT vec_id, 1 AS in_brute FROM coded CROSS JOIN q
+       |  WHERE vec_id <> 0
        |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k),
        |$levelCtes,
        |tagged AS (
-       |  $unions)
-       |SELECT CAST(t.n_probes AS BIGINT) AS n_probes,
-       |       count(*) AS n_returned,
-       |       CAST(sum(coalesce(b.in_brute, 0)) AS BIGINT) AS n_common,
-       |       CAST(CAST(sum(coalesce(b.in_brute, 0)) AS BIGINT) AS DOUBLE) / CAST($k AS DOUBLE) AS recall_at_k
-       |FROM tagged t LEFT JOIN brute b USING (vec_id)
-       |GROUP BY t.n_probes ORDER BY n_probes""".stripMargin
+       |  $unions),
+       |counted AS (
+       |  SELECT t.n_probes, count(*) AS n_returned,
+       |         CAST(sum(coalesce(b.in_brute, 0)) AS BIGINT) AS n_common
+       |  FROM tagged t LEFT JOIN brute b USING (vec_id)
+       |  GROUP BY t.n_probes),
+       |lvls AS ($levelRows)
+       |SELECT CAST(lvls.n_probes AS BIGINT) AS n_probes,
+       |       coalesce(counted.n_returned, 0) AS n_returned,
+       |       coalesce(counted.n_common, 0) AS n_common,
+       |       CAST(coalesce(counted.n_common, 0) AS DOUBLE) / CAST($k AS DOUBLE) AS recall_at_k
+       |FROM lvls LEFT JOIN counted USING (n_probes)
+       |ORDER BY n_probes""".stripMargin
   }
 
   /** Batch k-NN join: every query vector (vec_id ≡ 0 mod 100) gets its
@@ -628,7 +661,7 @@ object Ann {
     val cent = long
       .groupBy("label", "half", "pos")
       .agg(
-        sum(floor(col("x").cast("double") * Q).cast("long")).as("snum"),
+        sum(floor(col("x").cast("double") * Q).cast("long").cast(DecimalType(38, 0))).as("snum"),
         count(lit(1)).as("n"))
       .select(col("label"), col("half"), col("pos"), col("n"),
         (col("snum").cast("double") / Q / col("n")).as("c"))
@@ -641,9 +674,9 @@ object Ann {
       .agg(
         max(col("n_a")).as("n_a"),
         max(col("n_b")).as("n_b"),
-        sum(floor(col("ca") * col("cb") * Q).cast("long")).as("sab"),
-        sum(floor(col("ca") * col("ca") * Q).cast("long")).as("saa"),
-        sum(floor(col("cb") * col("cb") * Q).cast("long")).as("sbb"))
+        sum(floor(col("ca") * col("cb") * Q).cast("long").cast(DecimalType(38, 0))).as("sab"),
+        sum(floor(col("ca") * col("ca") * Q).cast("long").cast(DecimalType(38, 0))).as("saa"),
+        sum(floor(col("cb") * col("cb") * Q).cast("long").cast(DecimalType(38, 0))).as("sbb"))
       .select(col("label"), col("n_a"), col("n_b"),
         ((col("sab").cast("double") / Q) /
           (sqrt(col("saa").cast("double") / Q) * sqrt(col("sbb").cast("double") / Q)))

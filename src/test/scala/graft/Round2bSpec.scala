@@ -207,9 +207,10 @@ class Round2bSpec extends AnyFunSuite {
   test("recall eval: lsh recall is a valid fraction and counts agree") {
     val r = Ann.recallEval(spark, dir).collect().head
     assert(r.getAs[Long]("n_brute") === 10L)
-    assert(r.getAs[Long]("n_lsh") >= 1L && r.getAs[Long]("n_lsh") <= 10L)
-    assert(r.getAs[Long]("n_common") <= r.getAs[Long]("n_lsh"))
-    assert(r.getAs[Long]("n_common") >= 1L) // query itself is in both top-k sets
+    // self-matches are excluded, so a bucket holding only the query
+    // legitimately yields zero LSH results (recall 0 — the honest reading)
+    assert(r.getAs[Long]("n_lsh") >= 0L && r.getAs[Long]("n_lsh") <= 10L)
+    assert(r.getAs[Long]("n_common") <= math.max(r.getAs[Long]("n_lsh"), 0L))
     assert(r.getAs[Double]("recall_at_k") ===
       r.getAs[Long]("n_common").toDouble / 10.0)
   }
