@@ -63,6 +63,23 @@ class CorpusAdmissionSpec extends AnyFunSuite {
     assert(indexed === Set(1L, 2L, 4L))
   }
 
+  test("near-duplicates (not just exact copies) are rejected cross-batch") {
+    val base = Files.createTempDirectory("admission3").toString
+    val cfg = CorpusAdmission.Config(s"$base/docs", s"$base/state", s"$base/ckpt")
+    val truncatedA = textA.dropRight(12) // near-copy: high Jaccard, not equal
+    CorpusAdmission.admitBatch(spark, cfg,
+      spark.createDataFrame(Seq((1L, textA))).toDF("doc_id", "text"), 0L)
+    CorpusAdmission.admitBatch(spark, cfg,
+      spark.createDataFrame(Seq((2L, truncatedA), (3L, textD))).toDF("doc_id", "text"), 1L)
+    val rows = CorpusAdmission.decisions(spark, cfg).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(2L).getAs[Long]("admitted") === 0L, "truncated near-copy must be rejected")
+    assert(rows(2L).getAs[Long]("match_id") === 1L)
+    val j = rows(2L).getAs[Double]("jaccard")
+    assert(j >= 0.6 && j < 1.0, s"near-dup jaccard should be high but not exact, got $j")
+    assert(rows(3L).getAs[Long]("admitted") === 1L)
+  }
+
   test("a replayed batch overwrites its own partition (idempotent)") {
     val base = Files.createTempDirectory("admission2").toString
     val cfg = CorpusAdmission.Config(s"$base/docs", s"$base/state", s"$base/ckpt")

@@ -35,6 +35,31 @@ class SchemaDdlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no postgresql mapping"))
   }
 
+  test("primary-key columns are forced NOT NULL with bounded string types") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", StringType, nullable = true),
+      StructField("payload", StringType, nullable = true)))
+    val mssql = SchemaDdl.createTableDdl("t", schema, SchemaDdl.SqlServer, Seq("id"))
+    // a PK over a nullable column is rejected by SQL Server outright, and
+    // NVARCHAR(MAX)/CLOB cannot be key columns
+    assert(mssql.contains("[id] NVARCHAR(255) NOT NULL"))
+    assert(mssql.contains("[payload] NVARCHAR(MAX)"))
+    assert(!mssql.contains("[payload] NVARCHAR(MAX) NOT NULL"))
+    val ora = SchemaDdl.createTableDdl("t", schema, SchemaDdl.Oracle, Seq("id"))
+    assert(ora.contains("\"id\" VARCHAR2(255) NOT NULL"))
+  }
+
+  test("identifiers with embedded quote characters are escaped, not injected") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("a\"b", LongType, nullable = true)))
+    val pg = SchemaDdl.createTableDdl("t", schema, Postgres)
+    assert(pg.contains("\"a\"\"b\" BIGINT"))
+    val weird = StructType(Seq(StructField("a]b", LongType, nullable = true)))
+    val mssql = SchemaDdl.createTableDdl("t", weird, SchemaDdl.SqlServer)
+    assert(mssql.contains("[a]]b] BIGINT"))
+  }
+
   test("time-partitioned sink writes prunable dt partitions") {
     val out = Files.createTempDirectory("tp").toString + "/events"
     TableSink.writeTimePartitioned(Tables.load(spark, dir, "events"), "ts", out)

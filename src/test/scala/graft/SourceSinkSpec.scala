@@ -63,6 +63,23 @@ class SourceSinkSpec extends AnyFunSuite {
     assert(again === once, "values AND n_changes must survive a batch replay unchanged")
   }
 
+  test("upsert recovering from a crashed swap promotes .bak before touching it") {
+    val base = Files.createTempDirectory("swapcrash").toString
+    val tmp = s"$base/state"
+    val changelog = Cdc.changelog(spark, dir).cache()
+    TableSink.writeSnapshot(Materialize.latestSnapshot(changelog.where(col("seq") < 500)),
+      "user_id", tmp)
+    val before = spark.read.parquet(tmp).count()
+    // simulate the crash window: live state moved aside, only .bak on disk
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(tmp + ".bak")))
+    // the next upsert must read the backup AND leave a recoverable copy at
+    // every instant (the old protocol deleted .bak first — the only copy)
+    val after = TableSink.upsert(spark, tmp, changelog.where(col("seq") >= 500 && col("seq") < 600))
+    assert(after.count() >= before)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+  }
+
   test("time-partitioned writes keep previously landed partitions") {
     val tmp = Files.createTempDirectory("tpart").toString + "/lake"
     val changelog = Cdc.changelog(spark, dir).cache()
