@@ -226,6 +226,7 @@ object SparkEntry {
     "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
     "emb_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
+    "pipe_temperature_mix" -> ((s, d) => TextFunctions.temperatureMix(s, d)),
   )
 
   /** DuckDB-dialect oracle SQL per query (same tables, same column names). */
@@ -916,6 +917,7 @@ object SparkEntry {
       "ann_pq_recall" -> Ann.pqRecallSql(),
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),
       "emb_centroid_drift" -> Ann.centroidDriftSql,
+      "pipe_temperature_mix" -> TextFunctions.temperatureMixSql,
     )
   }
 }

@@ -275,6 +275,54 @@ object TextFunctions {
       .limit(topK)
   }
 
+  /** Temperature-scaled source sampling (T = 2): the multilingual /
+    * multi-domain mixing staple — sampling probability ∝ √(natural token
+    * share), which up-weights under-represented sources without letting
+    * any source dominate. T = 2 is the portable temperature: √ is
+    * correctly rounded under IEEE-754 on both engines, where a general
+    * share^(1/T) would ride libm's pow. The √-weights are quantized to
+    * floor(w·2⁴⁰) and summed as exact integers (cross-row double sums
+    * are partition-order dependent; quantized longs are not).
+    *
+    * Scale shape: one scan → per-source partial-agg shuffle; every later
+    * step runs on the |sources|-row aggregate with broadcast scalar
+    * totals. */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val perSource = Tables.load(spark, dir, "documents")
+      .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("corpus_tokens"))
+    val weighted = perSource.crossJoin(broadcast(tot))
+      .withColumn("natural_share",
+        col("n_tokens").cast("double") / col("corpus_tokens").cast("double"))
+      .withColumn("wq", floor(sqrt(col("natural_share")) * Q).cast("long"))
+    val wsum = weighted.agg(sum(col("wq")).as("wsum"))
+    weighted.crossJoin(broadcast(wsum))
+      .withColumn("sampling_p", col("wq").cast("double") / col("wsum").cast("double"))
+      .withColumn("boost", col("sampling_p") / col("natural_share"))
+      .select("source", "n_docs", "n_tokens", "natural_share", "sampling_p", "boost")
+      .orderBy("source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH per_source AS (
+      |  SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM per_source),
+      |w AS (
+      |  SELECT source, n_docs, n_tokens,
+      |         CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE) AS natural_share,
+      |         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)) * 1099511627776.0) AS BIGINT) AS wq
+      |  FROM per_source CROSS JOIN tot),
+      |ws AS (SELECT CAST(sum(wq) AS BIGINT) AS wsum FROM w)
+      |SELECT source, n_docs, n_tokens, natural_share,
+      |       CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) AS sampling_p,
+      |       (CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)) / natural_share AS boost
+      |FROM w CROSS JOIN ws ORDER BY source""".stripMargin
+
   /** BPE first-merge statistics — the tokenizer-training surface: the
     * most frequent adjacent character pairs inside words, which is
     * exactly the pair-count table byte-pair encoding consults for its

@@ -376,6 +376,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature mix boosts the under-represented and sums to one") {
+    val rows = TextFunctions.temperatureMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("sampling_p")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val boost = r.getAs[Double]("boost")
+      val share = r.getAs[Double]("natural_share")
+      // √-scaling pulls every source toward the mean share: below-average
+      // sources gain probability, above-average ones give it up
+      val meanShare = 1.0 / rows.length.toDouble
+      if (share < meanShare * 0.95) assert(boost > 1.0, s"${r.getString(0)}: $boost")
+      if (share > meanShare * 1.05) assert(boost < 1.0, s"${r.getString(0)}: $boost")
+    }
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
