@@ -106,6 +106,43 @@ object ScaleSmoke {
       wordStats.join(gramStats, "doc_id").count()
     }
 
+    // simhash banded candidate growth: distinct texts per replica (suffix
+    // changes every token-set slightly, fingerprints differ), so candidate
+    // count should grow ~linearly with corpus size if banding really
+    // bounds occupancy — a quadratic ratio here is the 100 TB red flag
+    def simhashCandidates(d: DataFrame): Long = {
+      val toks = d.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+        .select(col("doc_id") +: (0 until 7).map { b =>
+          conv(substring(md5(col("tok")), 4 * b + 1, 4), 16, 10).cast("long").as(s"h$b")
+        }: _*)
+      val sums = for (b <- 0 until 7; j <- 0 until 16) yield
+        sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s${b}_$j")
+      val fpCols = (0 until 7).map { b =>
+        (0 until 16).map { j =>
+          when(col(s"s${b}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"fp$b")
+      }
+      val fps = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+        .select(col("doc_id") +: fpCols: _*)
+      val banded = fps.select(col("doc_id"),
+        explode(array((0 until 7).map { b =>
+          struct(lit(b).as("band_id"), col(s"fp$b").as("band_val"))
+        }: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
+      banded.as("a").join(banded.as("b"), Seq("band_id", "band_val"))
+        .where(col("a.doc_id") < col("b.doc_id")).count()
+    }
+    def replicatedDocs(f: Int): DataFrame =
+      docs.crossJoin(spark.range(f).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          concat(col("text"), lit(" r"), col("rep")).as("text"))
+    val c1 = simhashCandidates(replicatedDocs(math.max(docFactor / 2, 1)))
+    val c2 = simhashCandidates(replicatedDocs(docFactor))
+    val growth = c2.toDouble / math.max(c1, 1L)
+    println(f"== simhash banded candidates: $c1%d @ x${math.max(docFactor / 2, 1)}%d -> $c2%d @ x$docFactor%d (growth ${growth}%.2f; 2.0 = linear, 4.0 = quadratic)")
+    require(growth < 3.0,
+      f"simhash candidate growth $growth%.2f looks quadratic — banding is under-blocked")
+
     val emb = Tables.load(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))
       .select((col("vec_id") + col("rep") * 1000000L).as("vec_id"), col("embedding"), col("label"))
@@ -118,11 +155,11 @@ object ScaleSmoke {
         .orderBy(col("c").desc, col("vec_id")).limit(20).count()
     }
     t("semantic dedup buckets", nEmb) {
-      // dedup_semantic shape: pairs only within (label, sign-bucket) —
-      // replicas keep the original label but distinct vec_ids, so bucket
+      // dedup_semantic shape: pairs only within (label, 16-bit sign-bucket)
+      // — replicas keep the original label but distinct vec_ids, so bucket
       // populations grow ×factor and the pair fan-out stays bucket-bounded
-      val code = (0 until 8).map { k =>
-        when(element_at(col("embedding"), 1 + 8 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+      val code = (0 until 16).map { k =>
+        when(element_at(col("embedding"), 1 + 4 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
       }.reduce(_ + _)
       val coded = bigEmb.withColumn("bucket", code)
       val l = coded.select(col("label"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))

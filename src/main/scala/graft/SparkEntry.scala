@@ -911,7 +911,7 @@ object SparkEntry {
       "q_corr_ols" -> Relational.corrOlsSql,
       "q_mad" -> Relational.madByFlagSql,
       "ann_pq_topk" -> Ann.pqTopKSql(),
-      "dedup_incremental" -> Dedup.incrementalSql,
+      "dedup_incremental" -> Dedup.incrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
       "ann_pq_recall" -> Ann.pqRecallSql(),

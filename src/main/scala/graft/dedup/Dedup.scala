@@ -565,57 +565,103 @@ object Dedup {
        |       (SELECT count(DISTINCT train_id) FROM hits) AS n_contaminated,
        |       (SELECT count(DISTINCT bench_id) FROM hits) AS n_affected_bench""".stripMargin
 
-  /** 32-bit SimHash over word tokens + banded Hamming pairing: pairs that
-    * share a byte-band with Hamming distance ≤ 6. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  /** SimHash band-table count / width — Manku, Das, Garg & Sarma, "Detecting
+    * Near-Duplicates for Web Crawling" (WWW 2007), §3: to find all pairs
+    * within Hamming distance k of an f-bit fingerprint, block the
+    * fingerprint into more than k pieces — any qualifying pair must agree
+    * on at least one whole piece (pigeonhole). Here f = 7×16 = 112 and
+    * k = 6: 7 tables of 16-bit bands give an EXACT recall guarantee at
+    * Hamming ≤ 6 and 65,536 buckets per band, so bucket occupancy is
+    * density-driven, not modulus-driven (the 8-bit/4-band predecessor
+    * packed the corpus into 256 buckets — O(n²/256) candidate pairs). */
+  private val simhashBands = 7
+  private val simhashBandBits = 16
+
+  /** 112-bit SimHash over word tokens + banded Hamming pairing: pairs
+    * within Hamming distance ≤ 6 across the full fingerprint. Each band's
+    * 16 bits come from its own hex range of the token md5 (band b = hex
+    * chars [4b+1, 4b+4]) — the per-band permutation of Manku's scheme in
+    * its disjoint-blocks form — so the 7 band fingerprints are independent
+    * and their concatenation is the document fingerprint. Candidates are
+    * the self-join on (band_id, band_val): by pigeonhole a pair with ≤ 6
+    * differing bits has ≥ 1 of its 7 bands clean, so blocking loses
+    * nothing; verification is 7 xor+popcounts per candidate. */
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val toks = normCorpus(spark, dir)
       .select(col("doc_id"), explode(split(col("t"), " ")).as("tok"))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id") +: (0 until simhashBands).map { b =>
+        conv(substring(md5(col("tok")), 4 * b + 1, 4), 16, 10).cast("long").as(s"h$b")
+      }: _*)
 
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    val bitSums = for (b <- 0 until simhashBands; j <- 0 until simhashBandBits) yield
+      sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s${b}_$j")
+    val fpCols = (0 until simhashBands).map { b =>
+      (0 until simhashBandBits).map { j =>
+        when(col(s"s${b}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"fp$b")
     }
-    val fpExpr = (0 until 32).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val bandCols = (0 until 4).map(b => shiftright(col("simhash"), b * 8).bitwiseAND(255).as(s"band$b"))
-    val fps = memo(simhashFpCache, spark, dir)(
+    memo(simhashFpCache, spark, dir)(
       toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), fpExpr.as("simhash"))
-        .select(col("doc_id") +: col("simhash") +: bandCols: _*))
+        .select(col("doc_id") +: fpCols: _*))
     // memoized (bounded, unpersists on dir eviction): both self-join sides
+  }
 
+  /** Banded near-dup pairing over [[simhashFingerprints]]: self-join on
+    * (band_id, band_val), verify candidates at full-fingerprint Hamming
+    * ≤ 6. Recall is exact by the pigeonhole argument above; the spec
+    * brute-force-checks it on the small corpus. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fps = simhashFingerprints(spark, dir)
+
+    val fpNames = (0 until simhashBands).map(b => s"fp$b")
     val banded = fps
-      .select(col("doc_id"), col("simhash"), explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band_id"), col(s"band$b").as("band_val"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
+      .select(col("doc_id") +: fpNames.map(col) :+ explode(array((0 until simhashBands).map { b =>
+        struct(lit(b).as("band_id"), col(s"fp$b").as("band_val"))
+      }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: fpNames.map(col) :+
+        col("bk.band_id").as("band_id") :+ col("bk.band_val").as("band_val"): _*)
 
-    val l = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_a"), col("simhash").as("fp_a"))
-    val r = banded.select(col("band_id"), col("band_val"), col("doc_id").as("id_b"), col("simhash").as("fp_b"))
+    val l = banded.select(col("band_id") +: col("band_val") +:
+      col("doc_id").as("id_a") +: fpNames.map(n => col(n).as(n + "_a")): _*)
+    val r = banded.select(col("band_id") +: col("band_val") +:
+      col("doc_id").as("id_b") +: fpNames.map(n => col(n).as(n + "_b")): _*)
+    val hammingExpr = fpNames.map { n =>
+      bit_count(col(n + "_a").bitwiseXOR(col(n + "_b")))
+    }.reduce(_ + _).cast("long")
     l.join(r, Seq("band_id", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .select(col("id_a") +: col("id_b") +:
+        fpNames.flatMap(n => Seq(col(n + "_a"), col(n + "_b"))): _*)
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .withColumn("hamming", hammingExpr)
       .where(col("hamming") <= 6)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
 
   def simhashSql: String = {
-    val bitSums = (0 until 32).map { j =>
-      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    val hCols = (0 until simhashBands).map { b =>
+      s"CAST('0x' || substr(md5(tok), ${4 * b + 1}, 4) AS BIGINT) AS h$b"
     }.mkString(",\n         ")
-    val fp = (0 until 32).map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    val bandSelects = (0 until 4).map { b =>
-      s"SELECT doc_id, simhash, $b AS band_id, (simhash >> ${b * 8}) & 255 AS band_val FROM fps"
+    val bitSums = (for (b <- 0 until simhashBands; j <- 0 until simhashBandBits) yield
+      s"sum(CASE WHEN (h$b >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${b}_$j"
+    ).mkString(",\n         ")
+    val fpCols = (0 until simhashBands).map { b =>
+      (0 until simhashBandBits).map(j => s"CASE WHEN s${b}_$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ") + s" AS fp$b"
+    }.mkString(",\n         ")
+    val fpList = (0 until simhashBands).map(b => s"fp$b").mkString(", ")
+    val bandSelects = (0 until simhashBands).map { b =>
+      s"SELECT doc_id, $fpList, $b AS band_id, fp$b AS band_val FROM fps"
     }.mkString("\n  UNION ALL ")
+    val abList = (0 until simhashBands)
+      .map(b => s"a.fp$b AS fp${b}_a, b.fp$b AS fp${b}_b").mkString(", ")
+    val hamming = (0 until simhashBands)
+      .map(b => s"bit_count(xor(fp${b}_a, fp${b}_b))").mkString(" + ")
     s"""$corpusSql,
        |toks AS (
        |  SELECT doc_id,
-       |         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+       |         $hCols
        |  FROM (SELECT doc_id,
        |               unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
        |        FROM corpus)),
@@ -624,15 +670,15 @@ object Dedup {
        |         $bitSums
        |  FROM toks GROUP BY doc_id),
        |fps AS (
-       |  SELECT doc_id, $fp AS simhash FROM sums),
+       |  SELECT doc_id, $fpCols FROM sums),
        |banded AS (
        |  $bandSelects),
        |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fp_a, b.simhash AS fp_b
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $abList
        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
        |  WHERE a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-       |FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 6
+       |SELECT id_a, id_b, CAST($hamming AS BIGINT) AS hamming
+       |FROM pairs WHERE $hamming <= 6
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -718,7 +764,7 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def incrementalSql: String =
+  def incrementalSql(threshold: Double = 0.6): String =
     s"""$minhashPairsCte,
        |nd AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),
        |m AS (
@@ -730,7 +776,7 @@ object Dedup {
        |         row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, match_id) AS rn
        |  FROM m)
        |SELECT nd.doc_id, b.match_id, b.jaccard,
-       |       CAST(CASE WHEN b.jaccard >= 0.6 THEN 0 ELSE 1 END AS BIGINT) AS admitted
+       |       CAST(CASE WHEN b.jaccard >= $threshold THEN 0 ELSE 1 END AS BIGINT) AS admitted
        |FROM nd LEFT JOIN (SELECT doc_id, match_id, jaccard FROM best WHERE rn = 1) b USING (doc_id)
        |ORDER BY nd.doc_id""".stripMargin
 }

@@ -100,6 +100,9 @@ object Binary {
       .select(col("doc_id"),
         ((length(encode(col("text"), "UTF-8")).cast("long") + 999L) / 1000L)
           .cast("int").as("n_frames"))
+      // empty payloads fan out to zero frames; Spark's sequence(0, -1)
+      // would auto-descend to [0, -1] instead of empty, so guard first
+      .where(col("n_frames") > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       // stub collision domain: docs congruent mod 100 produce identical

@@ -2,6 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
@@ -138,10 +139,9 @@ object AsOf {
   /** As-of join two frames: for each `left` row, the `right` row with
     * equal `rightKeyCol` and the greatest `rightTimeCol` ≤ the left
     * row's `leftTimeCol` (LEFT OUTER). Right columns other than its key
-    * must not collide with left column names. Key/time columns are
-    * assumed NON-NULL (CDC keys and event times always are here): the
-    * merge reads them as raw longs, so a null would silently compare as
-    * 0 — null-filter first if your data can carry them. */
+    * must not collide with left column names. Rows with a null key or
+    * time are dropped from BOTH sides before the merge (it reads raw
+    * longs, where a null would silently compare as 0). */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKeyCol: String, leftTimeCol: String,
@@ -150,8 +150,16 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // the merge reads key/time as raw longs, where a null would silently
+    // compare as 0 — drop null keys/times up front so that can't happen
+    // (parquet attributes are nullable by default even when no nulls exist;
+    // the filter is a codegen'd IsNotNull, free when the data is clean)
+    val lPlan = left
+      .where(col(leftKeyCol).isNotNull && col(leftTimeCol).isNotNull)
+      .queryExecution.analyzed
+    val rPlan = right
+      .where(col(rightKeyCol).isNotNull && col(rightTimeCol).isNotNull)
+      .queryExecution.analyzed
     def attr(plan: LogicalPlan, name: String): Attribute =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

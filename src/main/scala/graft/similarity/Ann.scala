@@ -157,6 +157,22 @@ object Ann {
       s"CASE WHEN $e[${1 + 8 * k}] >= 0 THEN ${1L << k} ELSE 0 END"
     }.mkString(" + ")
 
+  /** 16-bit sign-hyperplane code over dims 1,5,…,61 — the DEDUP blocking
+    * code. Twice the bits of the probe code: dedup self-joins pay
+    * occupancy² per bucket, so the bucket count must scale ahead of the
+    * corpus (65k cells per partition vs 256), while probe-side search
+    * (lshTopK) keeps 8 bits so a single bucket still holds enough
+    * candidates to fill a top-k. */
+  private def signCode16(emb: Column): Column =
+    (0 until 16).map { k =>
+      when(element_at(emb, 1 + 4 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def signCode16Sql(e: String): String =
+    (0 until 16).map { k =>
+      s"CASE WHEN $e[${1 + 4 * k}] >= 0 THEN ${1L << k} ELSE 0 END"
+    }.mkString(" + ")
+
   /** Sign-LSH candidate top-k: only the query's bucket is scored —
     * expected candidate count is |data| / 256 (the 100 TB path). */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
@@ -321,10 +337,7 @@ object Ann {
     val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val copies = emb.where(col("vec_id") % 11 === 0)
       .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
-    val code16 = (0 until 16).map { k =>
-      when(element_at(col("embedding"), 1 + 4 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val all = emb.unionAll(copies).withColumn("bucket", code16)
+    val all = emb.unionAll(copies).withColumn("bucket", signCode16(col("embedding")))
 
     val l = all.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = all.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
@@ -336,9 +349,7 @@ object Ann {
   }
 
   def embeddingDupSql: String = {
-    val code = (0 until 16).map { k =>
-      s"CASE WHEN embedding[${1 + 4 * k}] >= 0 THEN ${1L << k} ELSE 0 END"
-    }.mkString(" + ")
+    val code = signCode16Sql("embedding")
     s"""WITH allv AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 11 = 0),
@@ -353,7 +364,7 @@ object Ann {
   }
 
   /** SemDeDup-style semantic dedup: candidate pairs come from the IVF
-    * partition (label) refined by the 8-bit sign bucket, and any vector
+    * partition (label) refined by the 16-bit sign bucket, and any vector
     * whose cosine to a lower-id cluster-mate clears the threshold is
     * dropped in favor of that keeper — the "same meaning, different
     * bytes" dedup that exact/minhash text dedup can't see.
@@ -367,8 +378,10 @@ object Ann {
     * double→float identically on both engines.
     *
     * Scale shape: pairs exist only within (label, sign-bucket) — |data|
-    * /(labels·256) expected bucket size — and the keeper reduction is
-    * one more shuffle keyed by the dropped id, proportional to the dup
+    * /(labels·65536) expected bucket size; the ×1.4 rescale is sign-
+    * preserving, so injected near-copies share all 16 bucket bits with
+    * their originals by construction — and the keeper reduction is one
+    * more shuffle keyed by the dropped id, proportional to the dup
     * population. */
   def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
@@ -379,7 +392,7 @@ object Ann {
           i => when(i % 3 === 1,
             (element_at(col("embedding"), i).cast("double") * lit(1.4)).cast("float"))
             .otherwise(element_at(col("embedding"), i))).as("embedding"))
-    val all = emb.unionAll(perturbed).withColumn("bucket", signCode(col("embedding")))
+    val all = emb.unionAll(perturbed).withColumn("bucket", signCode16(col("embedding")))
     val l = all.select(col("label"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = all.select(col("label"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     l.join(r, Seq("label", "bucket"))
@@ -406,7 +419,7 @@ object Ann {
        |  SELECT vec_id, label, embedding FROM embeddings
        |  UNION ALL SELECT vec_id, label, embedding FROM pert),
        |coded AS (
-       |  SELECT vec_id, label, embedding, ${signCodeSql("embedding")} AS bucket FROM allv),
+       |  SELECT vec_id, label, embedding, ${signCode16Sql("embedding")} AS bucket FROM allv),
        |cands AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
        |  FROM coded a JOIN coded b

@@ -73,7 +73,15 @@ object CdcStream {
               // tombstone re-arms one, so a re-created key lives forever
               if (cur.deleted) tombstoneTtl.foreach(state.setTimeoutDuration)
               Iterator.single(cur)
-            } else Iterator.empty
+            } else {
+              // stale replay against an existing tombstone still cancelled
+              // this invocation's timeout — re-arm it or the tombstone
+              // escapes its TTL and leaks state forever
+              if (cur != null && cur.deleted) {
+                tombstoneTtl.foreach(state.setTimeoutDuration)
+              }
+              Iterator.empty
+            }
           }
       }
   }

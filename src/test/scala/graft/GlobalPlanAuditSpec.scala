@@ -26,8 +26,6 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     *   rows (|days| in the window's date span);
     * - q_percent_of_total / q_dow_seasonality: share-of-total over rows
     *   already grouped to |priorities| / 7 weekdays;
-    * - cdc_alert_suppress: lag() over hourly error buckets that cleared
-    *   the alert threshold (|hours|, pre-aggregated);
     * - cdc_partition_skew: total over |nBuckets|=32 rows;
     * - cdc_snapshot_progress: progress rank over |chunks| rows;
     * - pipe_interleave: source rank over |sources| rows;
@@ -39,7 +37,7 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     if (sys.env.contains("GRAFT_AUDIT_ALL")) Set.empty
     else Set(
       "q_moving_avg", "q_range_frame", "q_percent_of_total", "q_dow_seasonality",
-      "cdc_alert_suppress", "cdc_partition_skew", "cdc_snapshot_progress",
+      "cdc_partition_skew", "cdc_snapshot_progress",
       "pipe_interleave", "pipe_curriculum", "text_quality_bins")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {

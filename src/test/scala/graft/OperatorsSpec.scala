@@ -93,6 +93,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exactPairs.forall(_._3 === 0L))
   }
 
+  test("simhash banded recall is exact: blocking finds every pair at hamming <= 6") {
+    // the pigeonhole guarantee, checked empirically: brute-force all
+    // fingerprint pairs on the small corpus and assert the banded join
+    // returned exactly the Hamming <= 6 set (no recall loss from blocking)
+    val fps = Dedup.simhashFingerprints(spark, dir).collect()
+      .map(r => (r.getLong(0), (1 to 7).map(r.getLong).toArray))
+    val expected = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
+      h = fa.zip(fb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if h <= 6
+    } yield (ida, idb, h.toLong)).toSet
+    val got = Dedup.simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(expected.nonEmpty, "corpus with injected copies must produce near-dup pairs")
+  }
+
   test("embedding near-dup finds the injected vector copies at cosine ~1") {
     val pairs = Ann.embeddingDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
