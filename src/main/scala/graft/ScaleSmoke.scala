@@ -106,42 +106,35 @@ object ScaleSmoke {
       wordStats.join(gramStats, "doc_id").count()
     }
 
-    // simhash banded candidate growth: distinct texts per replica (suffix
-    // changes every token-set slightly, fingerprints differ), so candidate
-    // count should grow ~linearly with corpus size if banding really
-    // bounds occupancy — a quadratic ratio here is the 100 TB red flag
-    def simhashCandidates(d: DataFrame): Long = {
-      val toks = d.select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .select(col("doc_id") +: (0 until 7).map { b =>
-          conv(substring(md5(col("tok")), 4 * b + 1, 4), 16, 10).cast("long").as(s"h$b")
-        }: _*)
-      val sums = for (b <- 0 until 7; j <- 0 until 16) yield
-        sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s${b}_$j")
-      val fpCols = (0 until 7).map { b =>
-        (0 until 16).map { j =>
-          when(col(s"s${b}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"fp$b")
-      }
-      val fps = toks.groupBy("doc_id").agg(sums.head, sums.tail: _*)
-        .select(col("doc_id") +: fpCols: _*)
-      val banded = fps.select(col("doc_id"),
-        explode(array((0 until 7).map { b =>
-          struct(lit(b).as("band_id"), col(s"fp$b").as("band_val"))
-        }: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
-      banded.as("a").join(banded.as("b"), Seq("band_id", "band_val"))
-        .where(col("a.doc_id") < col("b.doc_id")).count()
-    }
+    // simhash banded candidate volume under a near-dup-free scale-up:
+    // every token gets a replica-specific suffix, so replicas are fully
+    // DISTINCT documents (disjoint token sets, independent fingerprints)
+    // and the true near-dup count stays ~0 as the corpus multiplies.
+    // Candidate volume must then stay a small multiple of the corpus —
+    // candidates ≫ corpus, or super-linear growth, is the 100 TB red
+    // flag the old byte-wide bands failed (n²/256 collisions).
+    def simhashCandidateCount(d: DataFrame): Long =
+      graft.dedup.Dedup.simhashCandidates(
+        graft.dedup.Dedup.simhashFingerprintsOf(
+          d.select(col("doc_id"),
+            regexp_replace(lower(col("text")), lit("\\s+"), lit(" ")).as("t")))).count()
     def replicatedDocs(f: Int): DataFrame =
       docs.crossJoin(spark.range(f).select(col("id").as("rep")))
         .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
-          concat(col("text"), lit(" r"), col("rep")).as("text"))
-    val c1 = simhashCandidates(replicatedDocs(math.max(docFactor / 2, 1)))
-    val c2 = simhashCandidates(replicatedDocs(docFactor))
+          // per-token suffix: each replica is a genuinely different doc
+          regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1r"), col("rep")))
+            .as("text"))
+    val f1 = math.max(docFactor / 2, 1)
+    val n1 = docs.count() * f1
+    val n2 = docs.count() * docFactor
+    val c1 = simhashCandidateCount(replicatedDocs(f1))
+    val c2 = simhashCandidateCount(replicatedDocs(docFactor))
     val growth = c2.toDouble / math.max(c1, 1L)
-    println(f"== simhash banded candidates: $c1%d @ x${math.max(docFactor / 2, 1)}%d -> $c2%d @ x$docFactor%d (growth ${growth}%.2f; 2.0 = linear, 4.0 = quadratic)")
-    require(growth < 3.0,
-      f"simhash candidate growth $growth%.2f looks quadratic — banding is under-blocked")
+    val scaleUp = n2.toDouble / n1
+    println(f"== simhash banded candidates: $c1%d @ $n1%d docs -> $c2%d @ $n2%d docs " +
+      f"(growth ${growth}%.2f at corpus x${scaleUp}%.2f)")
+    require(c2 <= 20L * n2,
+      s"simhash candidates $c2 exceed 20x the $n2-doc corpus on near-dup-free data — banding is under-blocked")
 
     val emb = Tables.load(spark, dir, "embeddings")
     val bigEmb = emb.crossJoin(spark.range(factor).select(col("id").as("rep")))

@@ -441,4 +441,90 @@ object ConnectorConfig {
       spec.warehouse.map("snowflake.warehouse.name" -> _).toMap ++
       spec.role.map("snowflake.role.name" -> _).toMap
   }
+
+  /** Chunked full-load read spec — the reference's batched table copy
+    * (transfer.py:831-1150 transfer_data pages LIMIT/OFFSET batches of
+    * `batch_size`). Spark's native form of the same copy is a
+    * partitioned `spark.read.jdbc`: `partitionColumn` + bounds +
+    * `numPartitions` make each executor read one key-range chunk
+    * concurrently, which strictly dominates serial OFFSET paging (OFFSET
+    * re-scans skipped rows on every page; range predicates hit the PK
+    * index once per chunk). */
+  final case class ChunkedReadSpec(
+      dialect: Dialect,
+      host: String,
+      port: Int,
+      user: String,
+      database: String,
+      schema: String,
+      table: String,
+      /** numeric/temporal column to range-partition on — the snapshot
+        * chunking key (usually the PK, like cdc_snapshot_chunked) */
+      partitionColumn: String,
+      /** min(partitionColumn) / max(partitionColumn), from the bounds
+        * query the reference runs before chunking */
+      lowerBound: Long,
+      upperBound: Long,
+      /** target rows (key-range width) per chunk — the reference's
+        * batch_size, scaled for range- rather than row-chunking */
+      chunkSize: Long = 100000L,
+      /** cap on concurrent JDBC partitions so a huge table can't open
+        * thousands of connections against the source */
+      maxPartitions: Int = 64,
+      /** per-roundtrip row fetch hint (reference batch_size default) */
+      fetchSize: Int = 1000)
+
+  /** JDBC driver class per dialect (all public driver coordinates). */
+  def jdbcDriver(dialect: Dialect): String = dialect match {
+    case Postgres  => "org.postgresql.Driver"
+    case SqlServer => "com.microsoft.sqlserver.jdbc.SQLServerDriver"
+    case OracleDb  => "oracle.jdbc.OracleDriver"
+    case As400     => "com.ibm.as400.access.AS400JDBCDriver"
+    case Db2       => "com.ibm.db2.jcc.DB2Driver"
+  }
+
+  /** Dialect-quoted `schema.table` for the `dbtable` option. */
+  def qualifiedTable(dialect: Dialect, schema: String, table: String): String = {
+    def q(ident: String): String = dialect match {
+      case SqlServer => "[" + ident.replace("]", "]]") + "]"
+      case _ => "\"" + ident.replace("\"", "\"\"") + "\""
+    }
+    val s = defaultSchema(dialect, schema)
+    // Oracle + Db2 resolve unquoted identifiers uppercase; quote what the
+    // catalog actually stores so mixed-case sources still bind
+    val schemaCased = dialect match {
+      case OracleDb | Db2 | As400 => s.toUpperCase
+      case _ => s
+    }
+    s"${q(schemaCased)}.${q(table)}"
+  }
+
+  /** The option map for `spark.read.format("jdbc").options(...)` that
+    * performs the reference's chunked copy as a parallel partitioned
+    * read. Partition count = key range / chunkSize, capped at
+    * `maxPartitions`, floored at 1 — Spark turns that into
+    * numPartitions range predicates on `partitionColumn`. */
+  def chunkedReadOptions(spec: ChunkedReadSpec): Map[String, String] = {
+    require(spec.partitionColumn.nonEmpty, "chunked read: partitionColumn is required")
+    require(spec.upperBound >= spec.lowerBound,
+      s"chunked read: upperBound ${spec.upperBound} < lowerBound ${spec.lowerBound}")
+    require(spec.chunkSize > 0, "chunked read: chunkSize must be positive")
+    val span = spec.upperBound - spec.lowerBound + 1
+    val parts = math.max(1L, math.min(
+      (span + spec.chunkSize - 1) / spec.chunkSize,
+      spec.maxPartitions.toLong))
+    Map(
+      "url" -> jdbcUrl(spec.dialect, spec.host, spec.port, spec.database),
+      "driver" -> jdbcDriver(spec.dialect),
+      "user" -> spec.user,
+      "dbtable" -> qualifiedTable(spec.dialect, spec.schema, spec.table),
+      "partitionColumn" -> spec.partitionColumn,
+      "lowerBound" -> spec.lowerBound.toString,
+      "upperBound" -> spec.upperBound.toString,
+      "numPartitions" -> parts.toString,
+      "fetchsize" -> spec.fetchSize.toString,
+      // bulk copy is read-only; declaring it lets sources hand out
+      // cheaper snapshots and keeps accidental writes impossible
+      "isolationLevel" -> "READ_COMMITTED")
+  }
 }

@@ -106,4 +106,101 @@ object SchemaDdl {
       else Seq(s"  PRIMARY KEY (${primaryKey.map(quote(_, dialect)).mkString(", ")})")
     s"CREATE TABLE ${quote(table, dialect)} (\n${(cols ++ pk).mkString(",\n")}\n)"
   }
+
+  /** The ALTER statements (and warnings) that bring a live target table
+    * in line with a drifted source schema. */
+  case class AlterPlan(statements: Seq[String], warnings: Seq[String]) {
+    def hasChanges: Boolean = statements.nonEmpty
+  }
+
+  /** Cross-dialect schema sync: the delta DDL that updates a LIVE target
+    * to match a drifted source (reference: backend/ingestion/
+    * schema_service.py:1346 sync_schema — added / removed / modified
+    * column classification — executed rather than just reported).
+    *
+    * Policy, matching the reference and safe replication practice:
+    *  - columns only in the source → ALTER TABLE ADD, but always
+    *    nullable: the target already has rows, and a NOT NULL add
+    *    without a default fails on every dialect. A source NOT NULL
+    *    becomes a warning telling the operator to backfill then
+    *    tighten.
+    *  - type changed (canonical Catalyst type differs) → the dialect's
+    *    column-retype form (ALTER COLUMN … TYPE / ALTER COLUMN …  /
+    *    MODIFY / SET DATA TYPE).
+    *  - nullability relaxed or tightened (same type) → SET/DROP NOT
+    *    NULL where the dialect has it; SQL Server restates the type.
+    *    Tightening emits a warning (fails if existing rows hold nulls).
+    *  - columns only in the target → NO statement, a warning only: the
+    *    reference never drops target columns, and neither do we.
+    */
+  def alterTableDdl(
+      table: String,
+      source: StructType,
+      target: StructType,
+      dialect: Dialect): AlterPlan = {
+    val t = quote(table, dialect)
+    val tgtByName = target.fields.map(f => f.name -> f).toMap
+    val srcNames = source.fields.map(_.name).toSet
+    val stmts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val warns = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    source.fields.foreach { f =>
+      val c = quote(f.name, dialect)
+      val tpe = columnType(f.dataType, dialect)
+      tgtByName.get(f.name) match {
+        case None =>
+          stmts += (dialect match {
+            case Postgres | Snowflake => s"ALTER TABLE $t ADD COLUMN $c $tpe"
+            case SqlServer => s"ALTER TABLE $t ADD $c $tpe"
+            case Oracle => s"ALTER TABLE $t ADD ($c $tpe)"
+          })
+          if (!f.nullable)
+            warns += s"column ${f.name}: source is NOT NULL but added nullable " +
+              "(a NOT NULL add without default fails on a populated table) — " +
+              "backfill, then tighten nullability"
+        case Some(g) if g.dataType != f.dataType =>
+          stmts += (dialect match {
+            case Postgres => s"ALTER TABLE $t ALTER COLUMN $c TYPE $tpe USING $c::$tpe"
+            case SqlServer =>
+              val nn = if (f.nullable) "NULL" else "NOT NULL"
+              s"ALTER TABLE $t ALTER COLUMN $c $tpe $nn"
+            case Oracle => s"ALTER TABLE $t MODIFY ($c $tpe)"
+            case Snowflake => s"ALTER TABLE $t ALTER COLUMN $c SET DATA TYPE $tpe"
+          })
+        case Some(g) if g.nullable != f.nullable =>
+          stmts += (dialect match {
+            case Postgres | Snowflake =>
+              val op = if (f.nullable) "DROP NOT NULL" else "SET NOT NULL"
+              s"ALTER TABLE $t ALTER COLUMN $c $op"
+            case SqlServer =>
+              val nn = if (f.nullable) "NULL" else "NOT NULL"
+              s"ALTER TABLE $t ALTER COLUMN $c $tpe $nn"
+            case Oracle =>
+              val nn = if (f.nullable) "NULL" else "NOT NULL"
+              s"ALTER TABLE $t MODIFY ($c $nn)"
+          })
+          if (!f.nullable)
+            warns += s"column ${f.name}: tightening to NOT NULL fails if the " +
+              "target holds nulls — backfill first"
+        case _ => // identical: nothing to do
+      }
+    }
+    target.fields.filterNot(f => srcNames(f.name)).foreach { f =>
+      warns += s"column ${f.name}: exists in target but not in source — NOT " +
+        "dropped (sync never destroys target data; drop manually if intended)"
+    }
+    AlterPlan(stmts.toSeq, warns.toSeq)
+  }
+
+  /** Full sync entry point, reference sync_schema's control flow: target
+    * absent → CREATE TABLE; present → the ALTER delta. */
+  def syncDdl(
+      table: String,
+      source: StructType,
+      target: Option[StructType],
+      dialect: Dialect,
+      primaryKey: Seq[String] = Nil): AlterPlan = target match {
+    case None => AlterPlan(Seq(createTableDdl(table, source, dialect, primaryKey)), Nil)
+    case Some(tgt) => alterTableDdl(table, source, tgt, dialect)
+  }
 }

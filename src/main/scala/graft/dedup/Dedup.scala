@@ -565,74 +565,85 @@ object Dedup {
        |       (SELECT count(DISTINCT train_id) FROM hits) AS n_contaminated,
        |       (SELECT count(DISTINCT bench_id) FROM hits) AS n_affected_bench""".stripMargin
 
-  /** SimHash band-table count / width — Manku, Das, Garg & Sarma, "Detecting
+  /** SimHash blocking parameters — Manku, Das, Garg & Sarma, "Detecting
     * Near-Duplicates for Web Crawling" (WWW 2007), §3: to find all pairs
-    * within Hamming distance k of an f-bit fingerprint, block the
-    * fingerprint into more than k pieces — any qualifying pair must agree
-    * on at least one whole piece (pigeonhole). Here f = 7×16 = 112 and
-    * k = 6: 7 tables of 16-bit bands give an EXACT recall guarantee at
-    * Hamming ≤ 6 and 65,536 buckets per band, so bucket occupancy is
-    * density-driven, not modulus-driven (the 8-bit/4-band predecessor
-    * packed the corpus into 256 buckets — O(n²/256) candidate pairs). */
-  private val simhashBands = 7
-  private val simhashBandBits = 16
+    * within Hamming distance k of an f-bit fingerprint, split it into b
+    * blocks and build a table per combination of (b-k) blocks — a
+    * qualifying pair has ≤ k dirty blocks, so ≥ b-k clean ones, so at
+    * least one table's whole key is clean (pigeonhole) and the pair
+    * collides there. Here f = 8×16 = 128 (the full token md5), k = 6,
+    * tables = all C(8,2) = 28 block PAIRS: exact recall at Hamming ≤ 6
+    * with 32-bit table keys. The wide key is the scale story — random
+    * (non-dup) collisions run at n²/2³² per table instead of the
+    * n²/256 of the old single-byte bands, so candidate volume tracks
+    * actual near-dup density deep into lake-scale corpus sizes. */
+  private val simhashBlocks = 8
+  private val simhashBlockBits = 16
+  /** The 28 (i,j) block pairs, i<j, in table order. */
+  private val simhashTables: Seq[(Int, Int)] =
+    for (i <- 0 until simhashBlocks; j <- i + 1 until simhashBlocks) yield (i, j)
 
-  /** 112-bit SimHash over word tokens + banded Hamming pairing: pairs
-    * within Hamming distance ≤ 6 across the full fingerprint. Each band's
-    * 16 bits come from its own hex range of the token md5 (band b = hex
-    * chars [4b+1, 4b+4]) — the per-band permutation of Manku's scheme in
-    * its disjoint-blocks form — so the 7 band fingerprints are independent
-    * and their concatenation is the document fingerprint. Candidates are
-    * the self-join on (band_id, band_val): by pigeonhole a pair with ≤ 6
-    * differing bits has ≥ 1 of its 7 bands clean, so blocking loses
-    * nothing; verification is 7 xor+popcounts per candidate. */
-  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val toks = normCorpus(spark, dir)
+  /** 128-bit SimHash fingerprints of a normalized corpus (`doc_id`, `t`):
+    * per-bit majority vote over the token md5s, block b = hex chars
+    * [4b+1, 4b+4] → columns fp0..fp7 of 16 bits each. Takes the corpus as
+    * a frame so [[graft.ScaleSmoke]] can drive the REAL implementation at
+    * multiplied scale. */
+  def simhashFingerprintsOf(norm: DataFrame): DataFrame = {
+    val toks = norm
       .select(col("doc_id"), explode(split(col("t"), " ")).as("tok"))
-      .select(col("doc_id") +: (0 until simhashBands).map { b =>
+      .select(col("doc_id") +: (0 until simhashBlocks).map { b =>
         conv(substring(md5(col("tok")), 4 * b + 1, 4), 16, 10).cast("long").as(s"h$b")
       }: _*)
-
-    val bitSums = for (b <- 0 until simhashBands; j <- 0 until simhashBandBits) yield
+    val bitSums = for (b <- 0 until simhashBlocks; j <- 0 until simhashBlockBits) yield
       sum(when(shiftright(col(s"h$b"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s${b}_$j")
-    val fpCols = (0 until simhashBands).map { b =>
-      (0 until simhashBandBits).map { j =>
+    val fpCols = (0 until simhashBlocks).map { b =>
+      (0 until simhashBlockBits).map { j =>
         when(col(s"s${b}_$j") > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _).as(s"fp$b")
     }
-    memo(simhashFpCache, spark, dir)(
-      toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id") +: fpCols: _*))
-    // memoized (bounded, unpersists on dir eviction): both self-join sides
+    toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: fpCols: _*)
   }
 
-  /** Banded near-dup pairing over [[simhashFingerprints]]: self-join on
-    * (band_id, band_val), verify candidates at full-fingerprint Hamming
-    * ≤ 6. Recall is exact by the pigeonhole argument above; the spec
-    * brute-force-checks it on the small corpus. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val fps = simhashFingerprints(spark, dir)
+  def simhashFingerprints(spark: SparkSession, dir: String): DataFrame =
+    memo(simhashFpCache, spark, dir)(simhashFingerprintsOf(normCorpus(spark, dir)))
+    // memoized (bounded, unpersists on dir eviction): both self-join sides
 
-    val fpNames = (0 until simhashBands).map(b => s"fp$b")
+  /** Banded candidate pairs over the fingerprints, BEFORE the Hamming
+    * verify: explode each doc into its 28 (table, fp_i·2¹⁶+fp_j) keys,
+    * self-join on the key, dedup (id_a, id_b). Exposed separately so the
+    * scale smoke can measure raw candidate volume. */
+  def simhashCandidates(fps: DataFrame): DataFrame = {
+    val fpNames = (0 until simhashBlocks).map(b => s"fp$b")
     val banded = fps
-      .select(col("doc_id") +: fpNames.map(col) :+ explode(array((0 until simhashBands).map { b =>
-        struct(lit(b).as("band_id"), col(s"fp$b").as("band_val"))
-      }: _*)).as("bk"): _*)
+      .select(col("doc_id") +: fpNames.map(col) :+
+        explode(array(simhashTables.zipWithIndex.map { case ((i, j), t) =>
+          struct(lit(t).as("band_id"),
+            (col(s"fp$i") * lit(65536L) + col(s"fp$j")).as("band_val"))
+        }: _*)).as("bk"): _*)
       .select(col("doc_id") +: fpNames.map(col) :+
         col("bk.band_id").as("band_id") :+ col("bk.band_val").as("band_val"): _*)
-
     val l = banded.select(col("band_id") +: col("band_val") +:
       col("doc_id").as("id_a") +: fpNames.map(n => col(n).as(n + "_a")): _*)
     val r = banded.select(col("band_id") +: col("band_val") +:
       col("doc_id").as("id_b") +: fpNames.map(n => col(n).as(n + "_b")): _*)
-    val hammingExpr = fpNames.map { n =>
-      bit_count(col(n + "_a").bitwiseXOR(col(n + "_b")))
-    }.reduce(_ + _).cast("long")
     l.join(r, Seq("band_id", "band_val"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a") +: col("id_b") +:
         fpNames.flatMap(n => Seq(col(n + "_a"), col(n + "_b"))): _*)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Banded near-dup pairing: [[simhashCandidates]] verified at
+    * full-fingerprint Hamming ≤ 6 (8 xor+popcounts per candidate).
+    * Recall is exact by the pigeonhole argument above; the spec
+    * brute-force-checks it on the small corpus. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val fpNames = (0 until simhashBlocks).map(b => s"fp$b")
+    val hammingExpr = fpNames.map { n =>
+      bit_count(col(n + "_a").bitwiseXOR(col(n + "_b")))
+    }.reduce(_ + _).cast("long")
+    simhashCandidates(simhashFingerprints(spark, dir))
       .withColumn("hamming", hammingExpr)
       .where(col("hamming") <= 6)
       .select("id_a", "id_b", "hamming")
@@ -640,23 +651,23 @@ object Dedup {
   }
 
   def simhashSql: String = {
-    val hCols = (0 until simhashBands).map { b =>
+    val hCols = (0 until simhashBlocks).map { b =>
       s"CAST('0x' || substr(md5(tok), ${4 * b + 1}, 4) AS BIGINT) AS h$b"
     }.mkString(",\n         ")
-    val bitSums = (for (b <- 0 until simhashBands; j <- 0 until simhashBandBits) yield
+    val bitSums = (for (b <- 0 until simhashBlocks; j <- 0 until simhashBlockBits) yield
       s"sum(CASE WHEN (h$b >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s${b}_$j"
     ).mkString(",\n         ")
-    val fpCols = (0 until simhashBands).map { b =>
-      (0 until simhashBandBits).map(j => s"CASE WHEN s${b}_$j > 0 THEN ${1L << j} ELSE 0 END")
+    val fpCols = (0 until simhashBlocks).map { b =>
+      (0 until simhashBlockBits).map(j => s"CASE WHEN s${b}_$j > 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ") + s" AS fp$b"
     }.mkString(",\n         ")
-    val fpList = (0 until simhashBands).map(b => s"fp$b").mkString(", ")
-    val bandSelects = (0 until simhashBands).map { b =>
-      s"SELECT doc_id, $fpList, $b AS band_id, fp$b AS band_val FROM fps"
+    val fpList = (0 until simhashBlocks).map(b => s"fp$b").mkString(", ")
+    val bandSelects = simhashTables.zipWithIndex.map { case ((i, j), t) =>
+      s"SELECT doc_id, $fpList, $t AS band_id, CAST(fp$i AS BIGINT) * 65536 + fp$j AS band_val FROM fps"
     }.mkString("\n  UNION ALL ")
-    val abList = (0 until simhashBands)
+    val abList = (0 until simhashBlocks)
       .map(b => s"a.fp$b AS fp${b}_a, b.fp$b AS fp${b}_b").mkString(", ")
-    val hamming = (0 until simhashBands)
+    val hamming = (0 until simhashBlocks)
       .map(b => s"bit_count(xor(fp${b}_a, fp${b}_b))").mkString(" + ")
     s"""$corpusSql,
        |toks AS (

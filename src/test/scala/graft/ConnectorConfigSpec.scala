@@ -198,6 +198,52 @@ class ConnectorConfigSpec extends AnyFunSuite {
       snowflakeSinkConfig(base.copy(schema = "")))
   }
 
+  test("chunked JDBC read options drive a parallel range copy per dialect") {
+    def spec(d: ConnectorConfig.Dialect) = ChunkedReadSpec(
+      dialect = d, host = "db", port = 5432, user = "cdc",
+      database = "app", schema = "", table = "orders",
+      partitionColumn = "o_orderkey", lowerBound = 1L, upperBound = 1500000L,
+      chunkSize = 100000L)
+    val pg = chunkedReadOptions(spec(Postgres))
+    assert(pg("url") === "jdbc:postgresql://db:5432/app")
+    assert(pg("driver") === "org.postgresql.Driver")
+    assert(pg("dbtable") === "\"public\".\"orders\"")
+    assert(pg("partitionColumn") === "o_orderkey")
+    assert(pg("lowerBound") === "1" && pg("upperBound") === "1500000")
+    assert(pg("numPartitions") === "15", "1.5M keys / 100k chunk = 15 ranges")
+    assert(pg("fetchsize") === "1000")
+    val mssql = chunkedReadOptions(spec(SqlServer))
+    assert(mssql("url") === "jdbc:sqlserver://db:5432;databaseName=app")
+    assert(mssql("driver") === "com.microsoft.sqlserver.jdbc.SQLServerDriver")
+    assert(mssql("dbtable") === "[dbo].[orders]")
+    val ora = chunkedReadOptions(spec(OracleDb).copy(schema = "app"))
+    assert(ora("driver") === "oracle.jdbc.OracleDriver")
+    assert(ora("dbtable") === "\"APP\".\"orders\"",
+      "Oracle catalogs unquoted schemas uppercase")
+    val as4 = chunkedReadOptions(spec(As400).copy(database = "LIB1"))
+    assert(as4("url") === "jdbc:as400://db/LIB1")
+    assert(as4("driver") === "com.ibm.as400.access.AS400JDBCDriver")
+    val db2 = chunkedReadOptions(spec(Db2))
+    assert(db2("url") === "jdbc:db2://db:5432/app")
+    assert(db2("dbtable") === "\"DB2INST1\".\"orders\"")
+  }
+
+  test("chunked read caps partitions and never emits zero") {
+    val base = ChunkedReadSpec(
+      dialect = Postgres, host = "db", port = 5432, user = "cdc",
+      database = "app", schema = "", table = "t",
+      partitionColumn = "id", lowerBound = 0L, upperBound = 0L)
+    // single-key table: 1 partition, not 0
+    assert(chunkedReadOptions(base)("numPartitions") === "1")
+    // 10B keys at 100k/chunk would be 100k connections — capped
+    val huge = base.copy(upperBound = 10_000_000_000L, maxPartitions = 64)
+    assert(chunkedReadOptions(huge)("numPartitions") === "64")
+    assertThrows[IllegalArgumentException](
+      chunkedReadOptions(base.copy(upperBound = -1L)))
+    assertThrows[IllegalArgumentException](
+      chunkedReadOptions(base.copy(partitionColumn = "")))
+  }
+
   test("source topics parse back through the envelope router") {
     // topic format {prefix}.{schema}.{table} is what Cdc.parseEnvelope splits
     val c = sourceConfig(src.copy(pipeline = "pipe"))

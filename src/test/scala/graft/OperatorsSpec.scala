@@ -98,7 +98,7 @@ class OperatorsSpec extends AnyFunSuite {
     // fingerprint pairs on the small corpus and assert the banded join
     // returned exactly the Hamming <= 6 set (no recall loss from blocking)
     val fps = Dedup.simhashFingerprints(spark, dir).collect()
-      .map(r => (r.getLong(0), (1 to 7).map(r.getLong).toArray))
+      .map(r => (r.getLong(0), (1 to 8).map(r.getLong).toArray))
     val expected = (for {
       (ida, fa) <- fps; (idb, fb) <- fps if ida < idb
       h = fa.zip(fb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum

@@ -52,6 +52,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("knn join stays cartesian-free when the query side cannot broadcast") {
+    // at lake scale the query side can exceed the broadcast threshold —
+    // simulate by disabling auto-broadcast entirely and assert the
+    // bucket-equality join degrades to a shuffled equi-join, never a
+    // cartesian/nested-loop scan of corpus × queries
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("ann_knn_join")(spark, dir)
+      df.collect() // run so AQE finalizes the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), "knn join fell back to a cartesian")
+      assert(!p.contains("BroadcastNestedLoopJoin"), "knn join fell back to nested-loop")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        "bucket join should shuffle on the bucket key when broadcast is off")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("update-diff window is key-partitioned and aggregation is partial") {
     val p = planOf("cdc_update_diff")
     assert(p.contains("Exchange hashpartitioning"))

@@ -60,6 +60,104 @@ class SchemaDdlSpec extends AnyFunSuite {
     assert(mssql.contains("[a]]b] BIGINT"))
   }
 
+  // --- schema sync: ALTER generation from a drifted source ---
+  // drift fixture mirroring cdc_schema_drift's scenario: target is missing
+  // o_comment (added in source), has o_totalprice as VARCHAR while the
+  // source moved to DECIMAL (type_changed), and keeps a legacy o_sync_ts
+  // the source never had (removed_in_source)
+  private def driftPair = {
+    import org.apache.spark.sql.types._
+    val source = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_totalprice", DecimalType(12, 2), nullable = true),
+      StructField("o_comment", StringType, nullable = true)))
+    val target = StructType(Seq(
+      StructField("o_orderkey", LongType, nullable = false),
+      StructField("o_totalprice", StringType, nullable = true),
+      StructField("o_sync_ts", TimestampType, nullable = true)))
+    (source, target)
+  }
+
+  test("schema sync emits ADD COLUMN per dialect for source-only columns") {
+    val (source, target) = driftPair
+    val pg = SchemaDdl.alterTableDdl("orders", source, target, Postgres)
+    assert(pg.statements.contains("ALTER TABLE \"orders\" ADD COLUMN \"o_comment\" TEXT"))
+    val mssql = SchemaDdl.alterTableDdl("orders", source, target, SqlServer)
+    assert(mssql.statements.contains("ALTER TABLE [orders] ADD [o_comment] NVARCHAR(MAX)"))
+    val ora = SchemaDdl.alterTableDdl("orders", source, target, Oracle)
+    assert(ora.statements.contains("ALTER TABLE \"orders\" ADD (\"o_comment\" CLOB)"))
+    val sf = SchemaDdl.alterTableDdl("orders", source, target, Snowflake)
+    assert(sf.statements.contains("ALTER TABLE \"orders\" ADD COLUMN \"o_comment\" VARCHAR"))
+  }
+
+  test("schema sync emits the dialect's retype form for type changes") {
+    val (source, target) = driftPair
+    val pg = SchemaDdl.alterTableDdl("orders", source, target, Postgres)
+    assert(pg.statements.contains(
+      "ALTER TABLE \"orders\" ALTER COLUMN \"o_totalprice\" TYPE NUMERIC(12,2) USING \"o_totalprice\"::NUMERIC(12,2)"))
+    val mssql = SchemaDdl.alterTableDdl("orders", source, target, SqlServer)
+    assert(mssql.statements.contains(
+      "ALTER TABLE [orders] ALTER COLUMN [o_totalprice] DECIMAL(12,2) NULL"))
+    val ora = SchemaDdl.alterTableDdl("orders", source, target, Oracle)
+    assert(ora.statements.contains(
+      "ALTER TABLE \"orders\" MODIFY (\"o_totalprice\" NUMBER(12,2))"))
+    val sf = SchemaDdl.alterTableDdl("orders", source, target, Snowflake)
+    assert(sf.statements.contains(
+      "ALTER TABLE \"orders\" ALTER COLUMN \"o_totalprice\" SET DATA TYPE NUMBER(12,2)"))
+  }
+
+  test("schema sync never drops target-only columns — warning instead") {
+    val (source, target) = driftPair
+    for (d <- Seq[SchemaDdl.Dialect](Postgres, SqlServer, Oracle, Snowflake)) {
+      val plan = SchemaDdl.alterTableDdl("orders", source, target, d)
+      assert(!plan.statements.exists(_.contains("DROP")),
+        s"${d.name} must not emit DROP for target-only columns")
+      assert(plan.warnings.exists(w => w.contains("o_sync_ts") && w.contains("NOT dropped")))
+      assert(plan.hasChanges)
+    }
+  }
+
+  test("schema sync handles nullability drift: relax is a statement, tighten warns") {
+    import org.apache.spark.sql.types._
+    val src = StructType(Seq(StructField("c", LongType, nullable = true)))
+    val tgt = StructType(Seq(StructField("c", LongType, nullable = false)))
+    val relax = SchemaDdl.alterTableDdl("t", src, tgt, Postgres)
+    assert(relax.statements === Seq("ALTER TABLE \"t\" ALTER COLUMN \"c\" DROP NOT NULL"))
+    assert(relax.warnings.isEmpty)
+    val tighten = SchemaDdl.alterTableDdl("t", tgt, src, Postgres)
+    assert(tighten.statements === Seq("ALTER TABLE \"t\" ALTER COLUMN \"c\" SET NOT NULL"))
+    assert(tighten.warnings.exists(_.contains("backfill")))
+    // SQL Server restates the type; Oracle uses MODIFY (c NOT NULL)
+    assert(SchemaDdl.alterTableDdl("t", tgt, src, SqlServer).statements ===
+      Seq("ALTER TABLE [t] ALTER COLUMN [c] BIGINT NOT NULL"))
+    assert(SchemaDdl.alterTableDdl("t", tgt, src, Oracle).statements ===
+      Seq("ALTER TABLE \"t\" MODIFY (\"c\" NOT NULL)"))
+  }
+
+  test("schema sync adds source-NOT-NULL columns nullable with a backfill warning") {
+    import org.apache.spark.sql.types._
+    val src = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("created", TimestampType, nullable = false)))
+    val tgt = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val plan = SchemaDdl.alterTableDdl("t", src, tgt, Postgres)
+    assert(plan.statements === Seq("ALTER TABLE \"t\" ADD COLUMN \"created\" TIMESTAMP"))
+    assert(!plan.statements.head.contains("NOT NULL"),
+      "a NOT NULL add without default fails on a populated target")
+    assert(plan.warnings.exists(w => w.contains("created") && w.contains("backfill")))
+  }
+
+  test("schema sync falls back to CREATE TABLE when the target does not exist") {
+    val (source, _) = driftPair
+    val created = SchemaDdl.syncDdl("orders", source, None, Postgres, Seq("o_orderkey"))
+    assert(created.statements.length === 1)
+    assert(created.statements.head.startsWith("CREATE TABLE \"orders\""))
+    assert(created.statements.head.contains("PRIMARY KEY (\"o_orderkey\")"))
+    val noop = SchemaDdl.syncDdl("orders", source, Some(source), Postgres)
+    assert(!noop.hasChanges)
+    assert(noop.warnings.isEmpty)
+  }
+
   test("time-partitioned sink writes prunable dt partitions") {
     val out = Files.createTempDirectory("tp").toString + "/events"
     TableSink.writeTimePartitioned(Tables.load(spark, dir, "events"), "ts", out)
