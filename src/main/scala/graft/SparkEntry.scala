@@ -188,6 +188,7 @@ object SparkEntry {
     }),
     "cdc_scd3" -> ((s, d) => Materialize.scd3(Cdc.changelog(s, d)).orderBy("user_id")),
     "ann_ivf_build" -> ((s, d) => Ann.ivfBuild(s, d)),
+    "ann_kmeans_refine" -> ((s, d) => Ann.kmeansRefine(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "cdc_audit_chain" -> ((s, d) => Monitoring.auditChain(Cdc.changelog(s, d))),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -221,6 +222,10 @@ object SparkEntry {
     "q_mad" -> ((s, d) => Relational.madByFlag(s, d)),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
+    "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
+    "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
+    "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
+    "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
     "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
@@ -879,6 +884,7 @@ object SparkEntry {
           |ORDER BY l_suppkey, l_partkey""".stripMargin,
       "cdc_scd3" -> Materialize.scd3Sql(cl),
       "ann_ivf_build" -> Ann.ivfBuildSql,
+      "ann_kmeans_refine" -> Ann.kmeansRefineSql,
       "q_unpivot" -> Relational.unpivotMeasuresSql,
       "cdc_audit_chain" -> Monitoring.auditChainSql(cl),
       "q_gap_fill" -> Relational.gapFillSql,
@@ -912,6 +918,10 @@ object SparkEntry {
       "q_mad" -> Relational.madByFlagSql,
       "ann_pq_topk" -> Ann.pqTopKSql(),
       "dedup_incremental" -> Dedup.incrementalSql(),
+      "pipe_cross_source_dup" -> Dedup.crossSourceDupSql,
+      "dedup_threshold_curve" -> Dedup.thresholdCurveSql,
+      "dedup_pair_degree" -> Dedup.pairDegreeSql,
+      "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
       "ann_pq_recall" -> Ann.pqRecallSql(),

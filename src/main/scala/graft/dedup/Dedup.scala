@@ -775,6 +775,128 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Cross-source duplication matrix: verified near-dup pairs (Jaccard
+    * ≥ 0.6, the [[minhashLsh]] population) labeled with BOTH documents'
+    * sources — which sources copy from each other, the licensing /
+    * crawl-priority signal a corpus curator reads before deciding what
+    * to keep. Injected copies inherit their original's source
+    * (orig = doc_id mod 1M, the corpus construction).
+    *
+    * Scale shape: everything downstream of the shared LSH pair build is
+    * proportional to the near-dup population; the two source lookups are
+    * doc_id equi-joins; the final aggregate is |sources|² rows max.
+    * Aggregates are exact integer sums — the mean dup strength is the
+    * single division sum_common/sum_union (deterministic), never an
+    * order-dependent avg of doubles. */
+  def crossSourceDup(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).where(col("jaccard") >= 0.6)
+    val src = Tables.load(spark, dir, "documents").select(col("doc_id"), col("source"))
+    pairs
+      .withColumn("orig_a", col("id_a") % 1000000L)
+      .withColumn("orig_b", col("id_b") % 1000000L)
+      .join(src.select(col("doc_id").as("orig_a"), col("source").as("sa")), "orig_a")
+      .join(src.select(col("doc_id").as("orig_b"), col("source").as("sb")), "orig_b")
+      .select(
+        least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("n_common"), col("n_union"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("n_common")).as("sum_common"),
+        sum(col("n_union")).as("sum_union"),
+        max(col("jaccard")).as("max_jaccard"))
+      .withColumn("mean_strength",
+        col("sum_common").cast("double") / col("sum_union").cast("double"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def crossSourceDupSql: String =
+    s"""$minhashPairsCte,
+       |near AS (
+       |  SELECT id_a, id_b, n_common, n_union,
+       |         CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |  FROM verified
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b,
+       |         n.n_common, n.n_union, n.jaccard
+       |  FROM near n
+       |  JOIN documents da ON n.id_a % 1000000 = da.doc_id
+       |  JOIN documents db ON n.id_b % 1000000 = db.doc_id)
+       |SELECT source_a, source_b,
+       |       count(*) AS n_pairs,
+       |       CAST(sum(n_common) AS BIGINT) AS sum_common,
+       |       CAST(sum(n_union) AS BIGINT) AS sum_union,
+       |       max(jaccard) AS max_jaccard,
+       |       CAST(sum(n_common) AS DOUBLE) / CAST(sum(n_union) AS DOUBLE) AS mean_strength
+       |FROM lab GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Dup-rate calibration curve: verified pair count and affected-doc
+    * count at each candidate Jaccard threshold — the table an operator
+    * reads to pick the dedup threshold (how much of the corpus each
+    * setting would drop) BEFORE running the destructive pass. One pass
+    * over the shared verified pairs; thresholds are a 6-row literal
+    * spine, so the whole curve costs one |pairs| aggregation per
+    * threshold — never a re-pair. */
+  def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    val thresholds = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val pairs = verifiedPairs(spark, dir)
+    import spark.implicits._
+    val spine = thresholds.toDF("threshold")
+    pairs.join(broadcast(spine), col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_droppable"))
+      .orderBy("threshold")
+  }
+
+  def thresholdCurveSql: String =
+    s"""$minhashPairsCte,
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |         CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |  FROM verified),
+       |thresholds AS (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+       |SELECT threshold, count(*) AS n_pairs,
+       |       count(DISTINCT id_b) AS n_droppable
+       |FROM thresholds t JOIN jac j ON j.jaccard >= t.threshold
+       |GROUP BY threshold ORDER BY threshold""".stripMargin
+
+  /** Near-dup graph degree profile: per degree (number of verified
+    * near-dup partners at Jaccard ≥ 0.6), how many documents have it —
+    * the hub detector. A template page duplicated thousands of times
+    * shows up as a high-degree hub; clustering such a component pays
+    * degree² verification, so curators cap or pre-drop hubs first.
+    * Symmetric degree via both pair endpoints, then two small
+    * aggregations — |pairs| + |dup docs| work. */
+  def pairDegree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir).where(col("jaccard") >= 0.6)
+    pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      .groupBy("degree")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("example_doc"))
+      .orderBy("degree")
+  }
+
+  def pairDegreeSql: String =
+    s"""$minhashPairsCte,
+       |near AS (
+       |  SELECT id_a, id_b FROM verified
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+       |ends AS (
+       |  SELECT id_a AS doc_id FROM near UNION ALL SELECT id_b FROM near),
+       |deg AS (
+       |  SELECT doc_id, count(*) AS degree FROM ends GROUP BY doc_id)
+       |SELECT degree, count(*) AS n_docs, min(doc_id) AS example_doc
+       |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+
   def incrementalSql(threshold: Double = 0.6): String =
     s"""$minhashPairsCte,
        |nd AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),

@@ -306,6 +306,100 @@ object Ann {
        |       sqrt(CAST(sum(CAST(floor(c * c * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS centroid_norm
        |FROM centroids GROUP BY label ORDER BY label""".stripMargin
 
+  /** One exact Lloyd (k-means) refinement step over the IVF partitions —
+    * the index-maintenance operator that lets cluster count track the
+    * corpus (SemDeDup's k ∝ corpus; a drifting corpus re-balances its
+    * partitions instead of accreting into stale ones). Assign every
+    * vector to its nearest current centroid (squared-L2, ties to the
+    * lower label), then report per label: population before/after,
+    * inbound movers, and how far the centroid moved.
+    *
+    * Scale shape: assignment is the inherent |data|·k·d work of Lloyd —
+    * here a pos-equi-join against the ≤ k·d-row centroid table (broadcast)
+    * followed by one (vec, cand) aggregation; every floating sum is
+    * per-term 2⁴⁰-quantized then exactly summed (the ivf_build pattern),
+    * so both engines agree bit-for-bit regardless of partition order. */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val long = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    def qMean(c: Column): Column =
+      sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q / count(lit(1))
+    val oldC = long.groupBy("label", "pos").agg(qMean(col("x").cast("double")).as("c"))
+    val dist = long.select(col("vec_id"), col("label").as("old_label"), col("pos"), col("x"))
+      .join(broadcast(oldC.select(col("label").as("cand_label"), col("pos"), col("c"))), "pos")
+      .withColumn("dq",
+        floor((col("x").cast("double") - col("c")) * (col("x").cast("double") - col("c")) * Q)
+          .cast("long").cast(DecimalType(38, 0)))
+      .groupBy("vec_id", "old_label", "cand_label")
+      .agg(sum(col("dq")).as("d2q"))
+    val assigned = dist
+      .groupBy("vec_id", "old_label")
+      .agg(min(struct(col("d2q"), col("cand_label"))).as("m"))
+      .select(col("vec_id"), col("old_label"), col("m.cand_label").as("new_label"))
+    val newC = long.join(assigned.select(col("vec_id"), col("new_label")), "vec_id")
+      .groupBy(col("new_label").as("label"), col("pos"))
+      .agg(qMean(col("x").cast("double")).as("c2"))
+    val shift = oldC.join(newC, Seq("label", "pos"))
+      .withColumn("sq",
+        floor((col("c2") - col("c")) * (col("c2") - col("c")) * Q)
+          .cast("long").cast(DecimalType(38, 0)))
+      .groupBy("label")
+      .agg(sqrt(sum(col("sq")).cast("double") / Q).as("centroid_shift"))
+    val before = emb.groupBy("label").agg(count(lit(1)).as("n_before"))
+    val after = assigned.groupBy(col("new_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_after"),
+        sum(when(col("new_label") =!= col("old_label"), 1L).otherwise(0L)).as("n_moved_in"))
+    before.join(after, "label").join(shift, "label")
+      .select(col("label").cast("long").as("label"),
+        col("n_before"), col("n_after"), col("n_moved_in"), col("centroid_shift"))
+      .orderBy("label")
+  }
+
+  val kmeansRefineSql: String =
+    s"""WITH longf AS (
+       |  SELECT vec_id, label, unnest(embedding) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |oldc AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |           / 1099511627776.0 / count(*) AS c
+       |  FROM longf GROUP BY label, pos),
+       |dist AS (
+       |  SELECT v.vec_id, v.label AS old_label, c.label AS cand_label,
+       |         sum(CAST(floor((CAST(v.x AS DOUBLE) - c.c) * (CAST(v.x AS DOUBLE) - c.c)
+       |                         * 1099511627776.0) AS BIGINT)) AS d2q
+       |  FROM longf v JOIN oldc c ON v.pos = c.pos
+       |  GROUP BY v.vec_id, v.label, c.label),
+       |assigned AS (
+       |  SELECT vec_id, old_label, cand_label AS new_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cand_label) AS rn
+       |    FROM dist)
+       |  WHERE rn = 1),
+       |newc AS (
+       |  SELECT a.new_label AS label, v.pos,
+       |         CAST(sum(CAST(floor(CAST(v.x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |           / 1099511627776.0 / count(*) AS c2
+       |  FROM longf v JOIN assigned a ON v.vec_id = a.vec_id
+       |  GROUP BY a.new_label, v.pos),
+       |shift AS (
+       |  SELECT o.label,
+       |         sqrt(CAST(sum(CAST(floor((n.c2 - o.c) * (n.c2 - o.c) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |              / 1099511627776.0) AS centroid_shift
+       |  FROM oldc o JOIN newc n ON o.label = n.label AND o.pos = n.pos
+       |  GROUP BY o.label),
+       |before_c AS (SELECT label, count(*) AS n_before FROM embeddings GROUP BY label),
+       |after_c AS (
+       |  SELECT new_label AS label, count(*) AS n_after,
+       |         CAST(sum(CASE WHEN new_label <> old_label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+       |  FROM assigned GROUP BY new_label)
+       |SELECT CAST(b.label AS BIGINT) AS label, b.n_before, a.n_after, a.n_moved_in, s.centroid_shift
+       |FROM before_c b JOIN after_c a ON b.label = a.label JOIN shift s ON b.label = s.label
+       |ORDER BY label""".stripMargin
+
   def ivfTopKSql: String =
     s"""WITH longf AS (
        |  SELECT vec_id, label, unnest(embedding) AS x,
@@ -383,16 +477,21 @@ object Ann {
     * their originals by construction — and the keeper reduction is one
     * more shuffle keyed by the dropped id, proportional to the dup
     * population. */
-  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
-    val perturbed = emb.where(col("vec_id") % 7 === 0)
+  /** The deterministic semantic-near-copy injection shared by
+    * [[semanticDedup]] and [[semanticIncremental]]: every 7th vector
+    * re-appears (+200k id) with dims i≡1 (mod 3) rescaled ×1.4. */
+  private def perturbedCopies(emb: DataFrame): DataFrame =
+    emb.where(col("vec_id") % 7 === 0)
       .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
         transform(sequence(lit(1), size(col("embedding"))),
           i => when(i % 3 === 1,
             (element_at(col("embedding"), i).cast("double") * lit(1.4)).cast("float"))
             .otherwise(element_at(col("embedding"), i))).as("embedding"))
-    val all = emb.unionAll(perturbed).withColumn("bucket", signCode16(col("embedding")))
+
+  def semanticDedup(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val all = emb.unionAll(perturbedCopies(emb)).withColumn("bucket", signCode16(col("embedding")))
     val l = all.select(col("label"), col("bucket"), col("vec_id").as("id_a"), col("embedding").as("e_a"))
     val r = all.select(col("label"), col("bucket"), col("vec_id").as("id_b"), col("embedding").as("e_b"))
     l.join(r, Seq("label", "bucket"))
@@ -429,6 +528,67 @@ object Ann {
        |FROM cands
        |WHERE ${cosineSql("ea", "eb")} >= $threshold
        |GROUP BY id_b ORDER BY drop_id""".stripMargin
+
+  /** Incremental (batch-vs-index) SEMANTIC admission — the embedding twin
+    * of [[graft.dedup.Dedup.incremental]], and the production shape at
+    * 100 TB: today's embedded batch is admitted against the persisted
+    * corpus index without ever re-pairing the index with itself. The
+    * index is the original vectors; the "new batch" is the injected
+    * perturbed copies (+200k id). Each batch vector reports its
+    * best-matching index vector and an admit verdict at cosine <
+    * `threshold`.
+    *
+    * Scale shape: candidates come ONLY from the (label × 16-bit
+    * sign-bucket) equi-join of batch against index — cost scales with the
+    * batch's bucket overlap, never |index|²; the best-match window
+    * partitions on the batch id. In a deployed pipeline the index side is
+    * a persisted bucketed table and only the batch is embedded fresh. */
+  def semanticIncremental(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val idx = emb.withColumn("bucket", signCode16(col("embedding")))
+      .select(col("label"), col("bucket"), col("vec_id").as("match_id"), col("embedding").as("e_i"))
+    val batch = perturbedCopies(emb).withColumn("bucket", signCode16(col("embedding")))
+    val cands = batch
+      .select(col("label"), col("bucket"), col("vec_id"), col("embedding").as("e_b"))
+      .join(idx, Seq("label", "bucket"))
+      .select(col("vec_id"), col("match_id"), cosine(spark, "e_i", "e_b").as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("match_id"))
+    val best = cands.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    batch.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .withColumn("admitted", when(col("cosine") >= threshold, 0L).otherwise(1L))
+      .orderBy("vec_id")
+  }
+
+  def semanticIncrementalSql(threshold: Double = 0.95): String =
+    s"""WITH pert AS (
+       |  SELECT vec_id + 200000 AS vec_id, label,
+       |         list_transform(generate_series(1, len(embedding)),
+       |           i -> CASE WHEN i % 3 = 1
+       |                THEN CAST(CAST(embedding[i] AS DOUBLE) * CAST(1.4 AS DOUBLE) AS FLOAT)
+       |                ELSE embedding[i] END) AS embedding
+       |  FROM embeddings WHERE vec_id % 7 = 0),
+       |idx AS (
+       |  SELECT vec_id AS match_id, label, embedding AS e_i,
+       |         ${signCode16Sql("embedding")} AS bucket
+       |  FROM embeddings),
+       |bat AS (
+       |  SELECT vec_id, label, embedding AS e_b,
+       |         ${signCode16Sql("embedding")} AS bucket
+       |  FROM pert),
+       |cand AS (
+       |  SELECT b.vec_id, i.match_id, ${cosineSql("i.e_i", "b.e_b")} AS cosine
+       |  FROM bat b JOIN idx i ON b.label = i.label AND b.bucket = i.bucket),
+       |best AS (
+       |  SELECT vec_id, match_id, cosine,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, match_id) AS rn
+       |  FROM cand)
+       |SELECT p.vec_id, b.match_id, b.cosine,
+       |       CAST(CASE WHEN b.cosine >= $threshold THEN 0 ELSE 1 END AS BIGINT) AS admitted
+       |FROM (SELECT vec_id FROM pert) p
+       |LEFT JOIN (SELECT vec_id, match_id, cosine FROM best WHERE rn = 1) b USING (vec_id)
+       |ORDER BY p.vec_id""".stripMargin
 
   /** ANN quality evaluation: recall@k of the sign-LSH candidate search
     * against the exact brute-force top-k — the measurement that decides

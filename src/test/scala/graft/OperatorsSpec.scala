@@ -110,6 +110,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "corpus with injected copies must produce near-dup pairs")
   }
 
+  test("semantic incremental admission rejects every injected perturbed copy") {
+    val rows = Ann.semanticIncremental(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every batch vector is a perturbed near-copy of an index original
+    // (cosine >= 0.986 by construction) — none may be admitted
+    assert(rows.forall(_.getAs[Long]("admitted") === 0L))
+    // and its best index match is the original it was perturbed from
+    // (max natural within-bucket cosine ~0.38 is far below threshold)
+    assert(rows.forall(r => r.getAs[Long]("match_id") === r.getAs[Long]("vec_id") - 200000L))
+  }
+
+  test("threshold curve is monotone and degree profile accounts for every pair") {
+    val curve = Dedup.thresholdCurve(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getAs[Long]("n_pairs"), r.getAs[Long]("n_droppable")))
+    assert(curve.map(_._1).toSeq === Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    // raising the threshold can only shrink what a dedup pass would drop
+    assert(curve.sliding(2).forall { case Array(lo, hi) => hi._2 <= lo._2 && hi._3 <= lo._3 })
+    val degrees = Dedup.pairDegree(spark, dir).collect()
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    val nPairs = Dedup.minhashLsh(spark, dir).count()
+    assert(degrees === 2 * nPairs, "sum of degrees must be twice the pair count")
+  }
+
+  test("kmeans refinement conserves the corpus and moves centroids") {
+    val rows = Ann.kmeansRefine(spark, dir).collect()
+    val before = rows.map(_.getAs[Long]("n_before")).sum
+    val after = rows.map(_.getAs[Long]("n_after")).sum
+    assert(before === after, "reassignment must conserve the vector population")
+    assert(rows.forall(_.getAs[Double]("centroid_shift") >= 0.0))
+  }
+
   test("embedding near-dup finds the injected vector copies at cosine ~1") {
     val pairs = Ann.embeddingDup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
