@@ -74,6 +74,42 @@ object Cli {
         println(Pipeline.status(q))
         q.stop()
         println(s"state rows: ${spark.read.parquet(args(2)).count()}")
+      case "sync-ddl" =>
+        // sync-ddl <sfDir> <table> <dialect>: the schema-sync delta DDL
+        // against the same synthetic drift cdc_schema_drift reports
+        import graft.cdc.SchemaDdl
+        spark.sparkContext.setLogLevel("ERROR")
+        val dialect: SchemaDdl.Dialect = args(3) match {
+          case "postgresql" => SchemaDdl.Postgres
+          case "sqlserver"  => SchemaDdl.SqlServer
+          case "oracle"     => SchemaDdl.Oracle
+          case "snowflake"  => SchemaDdl.Snowflake
+          case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
+        }
+        val source = Tables.load(spark, args(1), args(2))
+        val target = source.drop(source.columns.last)
+          .withColumn("legacy_sync_ts", org.apache.spark.sql.functions.current_timestamp())
+        val plan = SchemaDdl.alterTableDdl(args(2), source.schema,
+          target.schema, dialect)
+        plan.statements.foreach(s => println(s"$s;"))
+        plan.warnings.foreach(w => System.err.println(s"-- WARNING: $w"))
+      case "chunked-read" =>
+        // chunked-read <dialect> <host> <port> <db> <schema> <table> <pk> <lo> <hi>
+        import graft.cdc.ConnectorConfig
+        import graft.cdc.ConnectorConfig._
+        val dialect = args(1) match {
+          case "postgresql" => Postgres
+          case "sqlserver"  => SqlServer
+          case "oracle"     => OracleDb
+          case "as400" | "ibm_i" => As400
+          case "db2" => Db2
+          case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
+        }
+        ConnectorConfig.chunkedReadOptions(ChunkedReadSpec(
+          dialect = dialect, host = args(2), port = args(3).toInt, user = "cdc",
+          database = args(4), schema = args(5), table = args(6),
+          partitionColumn = args(7), lowerBound = args(8).toLong, upperBound = args(9).toLong))
+          .toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
       case other =>
         System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
     }
@@ -83,5 +119,7 @@ object Cli {
   private def usage(): Unit =
     System.err.println(
       "usage: graft.Cli tables <sfDir> | describe <sfDir> <table> | queries | " +
-        "run <sfDir> <query> [n] | pipeline <wire> <state> <ckpt> [sfDir]")
+        "run <sfDir> <query> [n] | pipeline <wire> <state> <ckpt> [sfDir] | " +
+        "sync-ddl <sfDir> <table> <dialect> | " +
+        "chunked-read <dialect> <host> <port> <db> <schema> <table> <pk> <lo> <hi>")
 }

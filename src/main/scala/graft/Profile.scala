@@ -28,7 +28,8 @@ object Profile {
       .foreach { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          // same honest action as Bench: evaluate every output column
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }
         println(f"$name%-28s cold=${times.head}%6.2f warm_min=${times.tail.minOption.getOrElse(Double.NaN)}%6.2f all=${times.map(t => f"$t%.2f").mkString(",")}")

@@ -466,19 +466,36 @@ object TextFunctions {
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val w = split(normText(col("text")), " ")
-    val shingled = docs
+    val base = docs
       .select(col("doc_id"), col("source"), w.as("w"))
       .withColumn("grams", array_distinct(transform(
         sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
         i => concat_ws(" ", slice(col("w"), i, lit(3))))))
-      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
-    // per-doc distinct shingles → count(*) per g IS the document frequency
-    val gdf = shingled.groupBy("g").agg(count(lit(1)).as("gdf"))
-    shingled.join(gdf, "g")
-      .groupBy("source")
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    // per-doc distinct shingles → count(*) per g IS the document frequency.
+    // Two scale choices: (a) the per-source shingle total is array-side
+    // arithmetic (sum of sizes), no fan-out at all; (b) a df-1 gram lives
+    // in exactly ONE source, so instead of joining the |grams|-row df
+    // table back onto the exploded set (two shuffles of the full fan-out
+    // + a fan-out-sized join), carry min(source) through the df
+    // aggregation and count uniques per source from the df-1 groups —
+    // the fan-out is shuffled ONCE, everything after is |sources| rows
+    val perSource = base.groupBy("source")
+      .agg(sum(size(col("grams")).cast("long")).as("n_shingles"))
+    // shuffle 8-byte gram digests, not ~25-char strings (≈3× less shuffle
+    // volume, long-vs-string compares in the aggregate); both engines take
+    // the same md5 prefix, so any digest collision is SHARED and the df
+    // counts still agree bit-for-bit
+    val uniques = base
+      .select(col("source"), explode(col("grams")).as("g"))
+      .select(col("source"), conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      .groupBy("gh")
+      .agg(count(lit(1)).as("gdf"), min(col("source")).as("usource"))
+      .where(col("gdf") === 1L)
+      .groupBy(col("usource").as("source"))
+      .agg(count(lit(1)).as("n_unique"))
+    perSource.join(uniques, Seq("source"), "left")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
       .withColumn("novelty_ratio",
         col("n_unique").cast("double") / col("n_shingles").cast("double"))
       .orderBy("source")
@@ -489,19 +506,27 @@ object TextFunctions {
       |  SELECT doc_id, source,
       |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
       |  FROM documents),
-      |g0 AS (
+      |base AS (
       |  SELECT doc_id, source,
-      |         unnest(list_distinct([array_to_string(w[i:i+2], ' ')
-      |                               for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS g
+      |         list_distinct([array_to_string(w[i:i+2], ' ')
+      |                        for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS grams
       |  FROM n),
-      |d AS (SELECT g, count(*) AS gdf FROM g0 GROUP BY g)
-      |SELECT source,
-      |       count(*) AS n_shingles,
-      |       CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
-      |       CAST(CAST(sum(CASE WHEN d.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
-      |         / CAST(count(*) AS DOUBLE) AS novelty_ratio
-      |FROM g0 JOIN d USING (g)
-      |GROUP BY source ORDER BY source""".stripMargin
+      |per_source AS (
+      |  SELECT source, CAST(sum(len(grams)) AS BIGINT) AS n_shingles
+      |  FROM base GROUP BY source),
+      |g0 AS (
+      |  SELECT source,
+      |         CAST('0x' || substr(md5(unnest(grams)), 1, 15) AS BIGINT) AS gh
+      |  FROM base),
+      |uniq AS (
+      |  SELECT usource AS source, count(*) AS n_unique FROM (
+      |    SELECT gh, count(*) AS gdf, min(source) AS usource FROM g0 GROUP BY gh)
+      |  WHERE gdf = 1 GROUP BY usource)
+      |SELECT p.source, p.n_shingles,
+      |       coalesce(u.n_unique, 0) AS n_unique,
+      |       CAST(coalesce(u.n_unique, 0) AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS novelty_ratio
+      |FROM per_source p LEFT JOIN uniq u USING (source)
+      |ORDER BY p.source""".stripMargin
 
   /** Per-source character diversity: Simpson index 1 − Σ p² over the
     * source's character distribution, plus distinct-character counts.
