@@ -40,16 +40,7 @@ object Cli {
         // connector <source|sink> <pipeline> <dialect> <host> <port> <db> <schema> <tables-csv>
         import graft.cdc.ConnectorConfig
         import graft.cdc.ConnectorConfig._
-        val dialect = args(3) match {
-          case "postgresql" => Postgres
-          case "sqlserver"  => SqlServer
-          case "oracle"     => OracleDb
-          // the reference routes both spellings to the AS400 connector
-          // (debezium_config.py:64-75)
-          case "as400" | "ibm_i" => As400
-          case "db2" => Db2
-          case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
-        }
+        val dialect = parseDialect(args(3))
         if (args(1) == "sink" && (dialect == As400 || dialect == Db2)) {
           System.err.println(s"dialect '${args(3)}' is source-only (sinks: jdbc dialects, s3, snowflake)")
           sys.exit(2)
@@ -97,16 +88,8 @@ object Cli {
         // chunked-read <dialect> <host> <port> <db> <schema> <table> <pk> <lo> <hi>
         import graft.cdc.ConnectorConfig
         import graft.cdc.ConnectorConfig._
-        val dialect = args(1) match {
-          case "postgresql" => Postgres
-          case "sqlserver"  => SqlServer
-          case "oracle"     => OracleDb
-          case "as400" | "ibm_i" => As400
-          case "db2" => Db2
-          case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
-        }
         ConnectorConfig.chunkedReadOptions(ChunkedReadSpec(
-          dialect = dialect, host = args(2), port = args(3).toInt, user = "cdc",
+          dialect = parseDialect(args(1)), host = args(2), port = args(3).toInt, user = "cdc",
           database = args(4), schema = args(5), table = args(6),
           partitionColumn = args(7), lowerBound = args(8).toLong, upperBound = args(9).toLong))
           .toSeq.sortBy(_._1).foreach { case (k, v) => println(s"$k=$v") }
@@ -114,6 +97,20 @@ object Cli {
         System.err.println(s"unknown command '$other'"); usage(); sys.exit(2)
     }
     if (args(0) != "queries") spark.stop()
+  }
+
+  /** CLI name → connector dialect; the reference routes both AS400
+    * spellings to the same connector (debezium_config.py:64-75). */
+  private def parseDialect(name: String): graft.cdc.ConnectorConfig.Dialect = {
+    import graft.cdc.ConnectorConfig._
+    name match {
+      case "postgresql" => Postgres
+      case "sqlserver"  => SqlServer
+      case "oracle"     => OracleDb
+      case "as400" | "ibm_i" => As400
+      case "db2" => Db2
+      case d => System.err.println(s"unknown dialect '$d'"); sys.exit(2)
+    }
   }
 
   private def usage(): Unit =

@@ -150,6 +150,21 @@ object Pipeline {
       .start()
   }
 
+  /** Run the single-table pipeline under the auto-recovery policy
+    * ([[graft.cdc.Recovery]], the reference's recover_failed_pipeline):
+    * rebuild-and-restart from the same checkpoint on failure, capped
+    * attempts, give-up with the attempt log. `run` drives each started
+    * query (production: `_.awaitTermination()`; tests drain with
+    * processAllAvailable). The checkpoint + idempotent upsert make the
+    * replayed micro-batch harmless, so restart IS recovery. */
+  def runSupervised(
+      spark: SparkSession,
+      cfg: Config,
+      run: org.apache.spark.sql.streaming.StreamingQuery => Unit = _.awaitTermination(),
+      maxRestarts: Int = 3,
+      delayMs: Long = 60000L): graft.cdc.Recovery.Outcome =
+    graft.cdc.Recovery.supervise(() => start(spark, cfg), run, maxRestarts, delayMs)
+
   /** Pipeline status from the live query (metrics_collector surface). */
   def status(q: StreamingQuery): Map[String, Any] = {
     val p = Option(q.lastProgress)

@@ -483,20 +483,25 @@ object ConnectorConfig {
     case Db2       => "com.ibm.db2.jcc.DB2Driver"
   }
 
-  /** Dialect-quoted `schema.table` for the `dbtable` option. */
+  /** Dialect-quoted `schema.table` for the `dbtable` option. Oracle,
+    * Db2 and AS400 catalog unquoted identifiers UPPERCASE, so both the
+    * schema and the table are uppercased there before quoting (a table
+    * created as `CREATE TABLE orders` is cataloged as ORDERS — quoting
+    * the lowercase name would fail to bind). An empty schema (Oracle's
+    * default: the connecting user's own schema) omits the qualifier
+    * rather than emitting an illegal zero-length identifier. */
   def qualifiedTable(dialect: Dialect, schema: String, table: String): String = {
     def q(ident: String): String = dialect match {
       case SqlServer => "[" + ident.replace("]", "]]") + "]"
       case _ => "\"" + ident.replace("\"", "\"\"") + "\""
     }
-    val s = defaultSchema(dialect, schema)
-    // Oracle + Db2 resolve unquoted identifiers uppercase; quote what the
-    // catalog actually stores so mixed-case sources still bind
-    val schemaCased = dialect match {
-      case OracleDb | Db2 | As400 => s.toUpperCase
-      case _ => s
+    def cased(ident: String): String = dialect match {
+      case OracleDb | Db2 | As400 => ident.toUpperCase
+      case _ => ident
     }
-    s"${q(schemaCased)}.${q(table)}"
+    val s = cased(defaultSchema(dialect, schema))
+    if (s.isEmpty) q(cased(table))
+    else s"${q(s)}.${q(cased(table))}"
   }
 
   /** The option map for `spark.read.format("jdbc").options(...)` that
@@ -522,9 +527,6 @@ object ConnectorConfig {
       "lowerBound" -> spec.lowerBound.toString,
       "upperBound" -> spec.upperBound.toString,
       "numPartitions" -> parts.toString,
-      "fetchsize" -> spec.fetchSize.toString,
-      // bulk copy is read-only; declaring it lets sources hand out
-      // cheaper snapshots and keeps accidental writes impossible
-      "isolationLevel" -> "READ_COMMITTED")
+      "fetchsize" -> spec.fetchSize.toString)
   }
 }

@@ -29,13 +29,16 @@ object Recovery {
 
   /** Outcome of a supervised run: `recovered` = the final run completed
     * without failing (for a continuous query: terminated cleanly).
-    * `attempts` lists every failure that triggered a restart (empty =
-    * first run succeeded); `finalError` is set when the policy gave up. */
+    * `attempts` lists every failed run (empty = first run succeeded);
+    * `finalError` is set when the policy gave up. `restarts` counts
+    * actual restarts performed: on the gave-up path the LAST failure
+    * did not trigger one, so it is failures − 1 there. */
   final case class Outcome(
       recovered: Boolean,
       attempts: Seq[Attempt],
       finalError: Option[String]) {
-    def restarts: Int = attempts.length
+    def failures: Int = attempts.length
+    def restarts: Int = if (recovered) attempts.length else math.max(0, attempts.length - 1)
   }
 
   /** Run a streaming query under the restart policy.
@@ -69,7 +72,16 @@ object Recovery {
         try {
           val q = mkQuery()
           try { run(q); None }
-          finally if (q.isActive) q.stop() // stop-before-restart, and no leak on success paths that didn't stop
+          finally {
+            // stop-before-restart, and no leak on success paths that
+            // didn't stop — but stop() itself can throw (stopTimeout):
+            // swallowed, or it would mask run()'s real failure in this
+            // finally, or convert a completed run into a counted one
+            if (q.isActive) {
+              try q.stop()
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
         } catch {
           case e: Resilience.NonRetryableError =>
             return Outcome(recovered = false, attempts.toSeq,

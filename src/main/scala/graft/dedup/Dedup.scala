@@ -844,27 +844,42 @@ object Dedup {
   def thresholdCurve(spark: SparkSession, dir: String): DataFrame = {
     val thresholds = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     val pairs = verifiedPairs(spark, dir)
-    import spark.implicits._
-    val spine = thresholds.toDF("threshold")
-    pairs.join(broadcast(spine), col("jaccard") >= col("threshold"))
-      .groupBy("threshold")
-      .agg(
-        count(lit(1)).as("n_pairs"),
-        countDistinct(col("id_b")).as("n_droppable"))
+    // one conditional-aggregation pass over the pairs — no join, and a
+    // threshold no pair clears still reports 0 ("drops nothing") instead
+    // of vanishing from the calibration table
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+      count(when(col("jaccard") >= t, 1)).as(s"np_$i"),
+      countDistinct(when(col("jaccard") >= t, col("id_b"))).as(s"nd_$i"))
+    }
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+        struct(lit(t).as("threshold"),
+          col(s"np_$i").as("n_pairs"), col(s"nd_$i").as("n_droppable"))
+      }: _*)).as("r"))
+      .select("r.*")
       .orderBy("threshold")
   }
 
-  def thresholdCurveSql: String =
+  def thresholdCurveSql: String = {
+    val thresholds = Seq(0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val aggCols = thresholds.zipWithIndex.map { case (t, i) =>
+      s"count(CASE WHEN jaccard >= $t THEN 1 END) AS np_$i,\n" +
+        s"         count(DISTINCT CASE WHEN jaccard >= $t THEN id_b END) AS nd_$i"
+    }.mkString(",\n         ")
+    val unpivot = thresholds.zipWithIndex.map { case (t, i) =>
+      s"SELECT CAST($t AS DOUBLE) AS threshold, np_$i AS n_pairs, nd_$i AS n_droppable FROM agg"
+    }.mkString("\n  UNION ALL ")
     s"""$minhashPairsCte,
        |jac AS (
        |  SELECT id_a, id_b,
        |         CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
        |  FROM verified),
-       |thresholds AS (SELECT unnest([0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
-       |SELECT threshold, count(*) AS n_pairs,
-       |       count(DISTINCT id_b) AS n_droppable
-       |FROM thresholds t JOIN jac j ON j.jaccard >= t.threshold
-       |GROUP BY threshold ORDER BY threshold""".stripMargin
+       |agg AS (
+       |  SELECT $aggCols
+       |  FROM jac)
+       |$unpivot
+       |ORDER BY threshold""".stripMargin
+  }
 
   /** Near-dup graph degree profile: per degree (number of verified
     * near-dup partners at Jaccard ≥ 0.6), how many documents have it —

@@ -352,9 +352,16 @@ object Ann {
       .agg(
         count(lit(1)).as("n_after"),
         sum(when(col("new_label") =!= col("old_label"), 1L).otherwise(0L)).as("n_moved_in"))
-    before.join(after, "label").join(shift, "label")
+    // LEFT joins from `before`: a cluster whose population empties after
+    // reassignment (a dominated/stale centroid — exactly the drift this
+    // operator exists to surface) must report n_after = 0, not vanish;
+    // its centroid shift is NULL (no new centroid exists to measure)
+    before.join(after, Seq("label"), "left").join(shift, Seq("label"), "left")
       .select(col("label").cast("long").as("label"),
-        col("n_before"), col("n_after"), col("n_moved_in"), col("centroid_shift"))
+        col("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        col("centroid_shift"))
       .orderBy("label")
   }
 
@@ -396,8 +403,12 @@ object Ann {
        |  SELECT new_label AS label, count(*) AS n_after,
        |         CAST(sum(CASE WHEN new_label <> old_label THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
        |  FROM assigned GROUP BY new_label)
-       |SELECT CAST(b.label AS BIGINT) AS label, b.n_before, a.n_after, a.n_moved_in, s.centroid_shift
-       |FROM before_c b JOIN after_c a ON b.label = a.label JOIN shift s ON b.label = s.label
+       |SELECT CAST(b.label AS BIGINT) AS label, b.n_before,
+       |       coalesce(a.n_after, 0) AS n_after,
+       |       coalesce(a.n_moved_in, 0) AS n_moved_in,
+       |       s.centroid_shift
+       |FROM before_c b LEFT JOIN after_c a ON b.label = a.label
+       |LEFT JOIN shift s ON b.label = s.label
        |ORDER BY label""".stripMargin
 
   def ivfTopKSql: String =

@@ -218,14 +218,18 @@ class ConnectorConfigSpec extends AnyFunSuite {
     assert(mssql("dbtable") === "[dbo].[orders]")
     val ora = chunkedReadOptions(spec(OracleDb).copy(schema = "app"))
     assert(ora("driver") === "oracle.jdbc.OracleDriver")
-    assert(ora("dbtable") === "\"APP\".\"orders\"",
-      "Oracle catalogs unquoted schemas uppercase")
+    assert(ora("dbtable") === "\"APP\".\"ORDERS\"",
+      "Oracle catalogs unquoted identifiers uppercase — schema AND table")
+    // Oracle's empty schema default = the connecting user's own schema:
+    // no qualifier, never a zero-length quoted identifier
+    val oraDefault = chunkedReadOptions(spec(OracleDb))
+    assert(oraDefault("dbtable") === "\"ORDERS\"")
     val as4 = chunkedReadOptions(spec(As400).copy(database = "LIB1"))
     assert(as4("url") === "jdbc:as400://db/LIB1")
     assert(as4("driver") === "com.ibm.as400.access.AS400JDBCDriver")
     val db2 = chunkedReadOptions(spec(Db2))
     assert(db2("url") === "jdbc:db2://db:5432/app")
-    assert(db2("dbtable") === "\"DB2INST1\".\"orders\"")
+    assert(db2("dbtable") === "\"DB2INST1\".\"ORDERS\"")
   }
 
   test("chunked read caps partitions and never emits zero") {

@@ -96,7 +96,8 @@ class RecoverySpec extends AnyFunSuite {
       mk, run = q => { q.processAllAvailable(); q.stop() },
       maxRestarts = 2, delayMs = 1L, sleep = _ => ())
     assert(!outcome.recovered)
-    assert(outcome.restarts === 3, "initial run + 2 restarts, all failed")
+    assert(outcome.failures === 3, "initial run + 2 restarts, all failed")
+    assert(outcome.restarts === 2, "the final failure triggers give-up, not a restart")
     assert(starts.get === 3, "no restart beyond the cap")
     assert(outcome.finalError.exists(_.contains("always dies")))
   }
@@ -112,6 +113,23 @@ class RecoverySpec extends AnyFunSuite {
     assert(!outcome.recovered)
     assert(starts.get === 1)
     assert(outcome.finalError.exists(_.contains("bad credentials")))
+  }
+
+  test("supervised product pipeline drains clean and matches the one-shot state") {
+    val base = Files.createTempDirectory("supervised").toString
+    val cfg = Pipeline.Config(s"$base/wire", s"$base/state", s"$base/ckpt")
+    Cdc.toWire(spark, dir).write.mode("append").json(cfg.wirePath)
+    val outcome = Pipeline.runSupervised(spark, cfg,
+      run = q => { q.processAllAvailable(); q.stop() },
+      maxRestarts = 2, delayMs = 1L)
+    assert(outcome.recovered)
+    assert(outcome.restarts === 0, "a healthy pipeline must not burn restart attempts")
+    val got = spark.read.parquet(cfg.statePath)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, v) => assert(got(k) === v, s"key $k") }
   }
 
   test("recoverAll sweeps independently: one exhausted pipeline doesn't stop the rest") {
