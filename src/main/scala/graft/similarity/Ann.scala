@@ -85,7 +85,7 @@ object Ann {
   /** Exact cosine top-k against the vec_id=0 query vector. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
     // the query never ranks against itself: a guaranteed cosine-1.0
     // self-match would waste a result slot and bias recall gates by 1/k
     emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -108,7 +108,7 @@ object Ann {
     * the selective filter means only matches reach the output sort. */
   def rangeSearch(spark: SparkSession, dir: String, threshold: Double = 0.25): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
     emb.crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(spark, "embedding", "qe").as("cosine"))
       .where(col("cosine") >= threshold && col("vec_id") =!= 0)
@@ -178,7 +178,7 @@ object Ann {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signCode(col("embedding")))
-    val q = emb.where(col("vec_id") === 0)
+    val q = emb.where(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     emb.where(col("vec_id") =!= 0)
       .join(broadcast(q), col("bucket") === col("qbucket"))
@@ -202,7 +202,7 @@ object Ann {
   def multiprobeTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signCode(col("embedding")))
-    val qRow = emb.where(col("vec_id") === 0)
+    val qRow = emb.where(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     val probeCodes = explode(array(
       col("qbucket") +: (0 until 8).map(j => col("qbucket").bitwiseXOR(lit(1L << j))): _*)).as("probe")
@@ -234,7 +234,7 @@ object Ann {
     * centroid score, and only those partitions are exact-scored. */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
 
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -659,7 +659,7 @@ object Ann {
     val levels = Seq(1, 3, 5, 9)
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signCode(col("embedding")))
-    val q = emb.where(col("vec_id") === 0)
+    val q = emb.where(col("vec_id") === 0).limit(1)
       .select(col("embedding").as("qe"), col("bucket").as("qbucket"))
     val brute = bruteForceTopK(spark, dir, k).select(col("vec_id"), lit(1).as("in_brute"))
     val tagged = levels.map { p =>
@@ -801,7 +801,7 @@ object Ann {
       .select(col("s"), transform(col("ents"), e => e.getField("v")).as("vs"))
       .agg(sort_array(collect_list(struct(col("s"), col("vs")))).as("sl"))
       .select(transform(col("sl"), e => e.getField("vs")).as("cbl"))
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
     // d²(subvector, codebook entry) is the native codegen'd graft_l2sq —
     // bit-identical to the portable fold (FunctionsSpec) and a fused loop
     // instead of an interpreted ArrayAggregate in the encode hot path.
@@ -897,7 +897,7 @@ object Ann {
   def pqRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
-    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
     val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
       .orderBy(col("d").asc, col("vec_id")).limit(k)

@@ -65,4 +65,51 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       s"unbounded single-partition windows in: ${offenders.mkString(", ")} — " +
         "either partition the window or justify boundedness in the allowlist")
   }
+
+  test("every nested-loop join broadcasts a bounded side (scalar aggregate, limit, or literal spine)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RDDScanExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    // a BNLJ side is bounded when its subtree reduces to O(1)-ish rows
+    // BEFORE the join: a grouping-free (scalar) aggregate, an explicit
+    // top-k/limit, or a literal local spine — never a raw table scan
+    def bounded(p: SparkPlan): Boolean = {
+      val self = p match {
+        case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+        case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+        case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+        case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+        case l: LocalTableScanExec => l.rows.lengthCompare(100) <= 0
+        case _: RDDScanExec => true // spark.createDataFrame literal spines
+        case _ => false
+      }
+      self || p.children.exists(bounded)
+    }
+    def offending(p: SparkPlan): Int = {
+      val self = p match {
+        case j: BroadcastNestedLoopJoinExec =>
+          val side = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          if (bounded(side)) 0 else 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children ++ other.subqueries
+      }
+      self + kids.map(offending).sum
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = offending(fn(spark, dir).queryExecution.executedPlan)
+      if (n > 0) Some(s"$name ($n)") else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop joins over an UNBOUNDED broadcast side in: ${offenders.mkString(", ")} — " +
+        "at lake scale that broadcast is the fact table; restructure to an equi/banded join")
+  }
 }
