@@ -223,6 +223,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
+    "pipe_contamination_ngram" -> ((s, d) => Dedup.contaminationNgram(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
@@ -919,6 +920,7 @@ object SparkEntry {
       "ann_pq_topk" -> Ann.pqTopKSql(),
       "dedup_incremental" -> Dedup.incrementalSql(),
       "pipe_cross_source_dup" -> Dedup.crossSourceDupSql,
+      "pipe_contamination_ngram" -> Dedup.contaminationNgramSql(),
       "dedup_threshold_curve" -> Dedup.thresholdCurveSql,
       "dedup_pair_degree" -> Dedup.pairDegreeSql,
       "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),

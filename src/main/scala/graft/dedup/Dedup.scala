@@ -775,6 +775,87 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** N-gram benchmark contamination — the PARTIAL-overlap eval-integrity
+    * check [[contamination]]'s exact digests cannot see: a training doc
+    * that embeds, truncates, or lightly edits a benchmark item shares
+    * long word n-grams with it without hashing equal (the GPT-3-style
+    * n-gram decontamination methodology, applied symmetric). Benchmark =
+    * the same held-out slice as the exact check; a train doc is flagged
+    * against a benchmark doc when they share ≥ `minShared` distinct
+    * word-8-grams.
+    *
+    * Scale shape: the benchmark side is small by definition (eval sets),
+    * so the gram join broadcasts it; the train side is one explode +
+    * one shuffle on 8-byte gram digests; everything after the
+    * (train, bench) count is |overlapping pairs| rows. Output is one row
+    * per benchmark doc (left join), so "no contamination" is visible as
+    * zeros, not absence. */
+  def contaminationNgram(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    val grams8 = {
+      val w = col("w")
+      // empty-guard: sequence(1, 0) would auto-descend, not return empty
+      when(size(w) >= 8,
+        array_distinct(transform(sequence(lit(1), size(w) - 7),
+          i => conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15), 16, 10)
+            .cast("long"))))
+        .otherwise(array().cast("array<long>"))
+    }
+    val base = normCorpus(spark, dir)
+      .select(col("doc_id"), split(col("t"), " ").as("w"))
+      .select(col("doc_id"), grams8.as("grams"))
+    val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
+    val bench = base.where(isBench)
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("g"))
+    val train = base.where(!isBench)
+      .select(col("doc_id").as("train_id"), explode(col("grams")).as("g"))
+    val shared = train.join(bench, "g")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+    val flagged = shared.where(col("n_shared") >= minShared)
+      .groupBy("bench_id")
+      .agg(
+        countDistinct(col("train_id")).as("n_flagged_train"),
+        max(col("n_shared")).as("max_shared"))
+    base.where(isBench).select(col("doc_id").as("bench_id"))
+      .join(flagged, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_flagged_train"), lit(0L)).as("n_flagged_train"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"))
+      .orderBy("bench_id")
+  }
+
+  def contaminationNgramSql(minShared: Int = 3): String =
+    s"""$corpusSql,
+       |norm2 AS (
+       |  SELECT doc_id,
+       |         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+       |  FROM corpus),
+       |base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 8
+       |              THEN list_distinct([CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT)
+       |                                  for i in range(1, len(w) - 7 + 1)])
+       |              ELSE [] END AS grams
+       |  FROM norm2),
+       |bench AS (
+       |  SELECT doc_id AS bench_id, unnest(grams) AS g FROM base
+       |  WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |train AS (
+       |  SELECT doc_id AS train_id, unnest(grams) AS g FROM base
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)),
+       |shared AS (
+       |  SELECT train_id, bench_id, count(*) AS n_shared
+       |  FROM train JOIN bench USING (g) GROUP BY train_id, bench_id),
+       |flagged AS (
+       |  SELECT bench_id, count(DISTINCT train_id) AS n_flagged_train,
+       |         CAST(max(n_shared) AS BIGINT) AS max_shared
+       |  FROM shared WHERE n_shared >= $minShared GROUP BY bench_id)
+       |SELECT b.bench_id, coalesce(f.n_flagged_train, 0) AS n_flagged_train,
+       |       coalesce(f.max_shared, 0) AS max_shared
+       |FROM (SELECT doc_id AS bench_id FROM base WHERE doc_id % 50 = 0 AND doc_id < 1000000) b
+       |LEFT JOIN flagged f USING (bench_id)
+       |ORDER BY bench_id""".stripMargin
+
   /** Cross-source duplication matrix: verified near-dup pairs (Jaccard
     * ≥ 0.6, the [[minhashLsh]] population) labeled with BOTH documents'
     * sources — which sources copy from each other, the licensing /

@@ -133,6 +133,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(degrees === 2 * nPairs, "sum of degrees must be twice the pair count")
   }
 
+  test("ngram contamination flags benchmark docs with injected train copies") {
+    val rows = Dedup.contaminationNgram(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_flagged_train"), r.getAs[Long]("max_shared")))
+      .toMap
+    // every benchmark doc appears exactly once, flagged or not
+    val nBench = Dedup.corpus(spark, dir)
+      .where(col("doc_id") % 50 === 0 && col("doc_id") < 1000000L).count()
+    assert(rows.size.toLong === nBench)
+    // a benchmark doc with an injected exact copy (id%7==0 → +1M twin in
+    // the train side) must be flagged with a substantial gram overlap
+    val withCopies = rows.filter { case (id, _) => id % 7 == 0 }
+    assert(withCopies.nonEmpty)
+    withCopies.foreach { case (id, (flagged, shared)) =>
+      assert(flagged >= 1L, s"bench doc $id has an exact train copy but was not flagged")
+      assert(shared >= 3L)
+    }
+  }
+
   test("kmeans refinement conserves the corpus and moves centroids") {
     val rows = Ann.kmeansRefine(spark, dir).collect()
     val before = rows.map(_.getAs[Long]("n_before")).sum
