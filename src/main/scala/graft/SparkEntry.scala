@@ -225,6 +225,7 @@ object SparkEntry {
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
     "pipe_contamination_ngram" -> ((s, d) => Dedup.contaminationNgram(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
+    "dedup_cluster_lss" -> ((s, d) => Dedup.clusterLargeStar(s, d)),
     "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
@@ -824,6 +825,9 @@ object SparkEntry {
       "ann_lsh_topk" -> Ann.lshTopKSql,
       "ann_multiprobe_topk" -> Ann.multiprobeTopKSql,
       "dedup_cluster" -> Dedup.clusterSql,
+      // the large-star/small-star form must produce the SAME components
+      // as min-label propagation on this corpus — shared oracle proves it
+      "dedup_cluster_lss" -> Dedup.clusterSql,
       "ann_ivf_topk" -> Ann.ivfTopKSql,
       "ann_range_search" -> Ann.rangeSearchSql,
       "mm_semantic_join" -> Ann.semanticJoinSql,

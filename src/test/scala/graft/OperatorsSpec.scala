@@ -133,6 +133,55 @@ class OperatorsSpec extends AnyFunSuite {
     assert(degrees === 2 * nPairs, "sum of degrees must be twice the pair count")
   }
 
+  test("large-star clustering converges on a long chain where 3-round propagation cannot") {
+    import spark.implicits._
+    // a 40-node chain: diameter 39 — min-label propagation needs ~39
+    // rounds; large-star/small-star must collapse it in O(log n)
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val rows = Dedup.clusterEdgesLargeStar(chain, maxRounds = 12).collect()
+    assert(rows.length === 40)
+    assert(rows.forall(_.getAs[Long]("canonical_id") === 0L),
+      "every chain member must label to the component min")
+    assert(rows.forall(_.getAs[Long]("cluster_size") === 40L))
+    // and two disjoint components never merge
+    val two = (Seq((0L, 1L), (1L, 2L)) ++ Seq((10L, 11L), (11L, 12L))).toDF("id_a", "id_b")
+    val labels = Dedup.clusterEdgesLargeStar(two, maxRounds = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    assert(labels.filter(_._1 < 10).values.toSet === Set(0L))
+    assert(labels.filter(_._1 >= 10).values.toSet === Set(10L))
+  }
+
+  test("large-star clustering matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(30)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      // in-memory union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(x => x -> find(x))
+        .groupBy(_._2).filter(_._2.size > 1)
+        .flatMap { case (_, members) =>
+          val canon = members.map(_._1).min
+          members.map(m => m._1 -> canon)
+        }.toMap
+      val got = Dedup.clusterEdgesLargeStar(
+        edges.toDF("id_a", "id_b"), maxRounds = 12).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+      assert(got === expected)
+    }
+  }
+
   test("ngram contamination flags benchmark docs with injected train copies") {
     val rows = Dedup.contaminationNgram(spark, dir).collect()
       .map(r => r.getLong(0) -> (r.getAs[Long]("n_flagged_train"), r.getAs[Long]("max_shared")))
