@@ -120,6 +120,40 @@ object Recovery {
       failed: Int,
       details: Map[String, Outcome])
 
+  /** One background-monitor sweep (reference background_monitor.py
+    * _check_all_pipelines + cdc_health_monitor.monitor_all_pipelines):
+    * classify every registered pipeline from its LIVE query handle —
+    * active → healthy, terminated with an exception → unhealthy — and
+    * put each unhealthy one back through the restart policy. Healthy
+    * pipelines are never touched; the summary carries the same counters
+    * the reference logs (checked / healthy / unhealthy / recovered). */
+  final case class MonitorSweep(
+      checked: Int,
+      healthy: Int,
+      unhealthy: Int,
+      recovered: Int,
+      outcomes: Map[String, Outcome])
+
+  def checkAndRecover(
+      running: Map[String, StreamingQuery],
+      rebuild: Map[String, () => StreamingQuery],
+      run: StreamingQuery => Unit = _.awaitTermination(),
+      maxRestarts: Int = 3,
+      delayMs: Long = 60000L,
+      sleep: Long => Unit = Thread.sleep): MonitorSweep = {
+    val (ok, dead) = running.partition { case (_, q) => q.isActive }
+    val outcomes = dead.flatMap { case (name, _) =>
+      rebuild.get(name).map(mk =>
+        name -> supervise(mk, run, maxRestarts, delayMs, sleep = sleep))
+    }
+    MonitorSweep(
+      checked = running.size,
+      healthy = ok.size,
+      unhealthy = dead.size,
+      recovered = outcomes.count(_._2.recovered),
+      outcomes = outcomes)
+  }
+
   /** Recover every failed pipeline: `failedPipelines` maps pipeline name
     * to its (rebuild, drive) pair; each is supervised independently, and
     * one pipeline exhausting its restarts does not stop the sweep. */

@@ -132,6 +132,47 @@ class RecoverySpec extends AnyFunSuite {
     expected.foreach { case (k, v) => assert(got(k) === v, s"key $k") }
   }
 
+  test("monitor sweep recovers only the dead pipeline and never touches the healthy one") {
+    val base = Files.createTempDirectory("monitor").toString
+    Cdc.toWire(spark, dir).where(col("offset") < 50)
+      .write.mode("append").json(s"$base/wire")
+    // healthy: a live no-op query
+    val healthy = spark.readStream
+      .format("rate").option("rowsPerSecond", "1").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/ckpt_h").start()
+    // dead: a query that already terminated with an error
+    val dead = WireSource.readStream(spark, s"$base/wire")
+      .writeStream.option("checkpointLocation", s"$base/ckpt_d")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        throw new RuntimeException("boom")
+      }.start()
+    try dead.processAllAvailable() catch { case _: Throwable => () }
+    try dead.stop() catch { case _: Throwable => () }
+    assert(!dead.isActive)
+
+    val healedOnce = new AtomicBoolean(true)
+    def rebuilt(): StreamingQuery =
+      WireSource.readStream(spark, s"$base/wire")
+        .writeStream.option("checkpointLocation", s"$base/ckpt_d2")
+        .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    try {
+      val sweep = Recovery.checkAndRecover(
+        running = Map("healthy" -> healthy, "dead" -> dead),
+        rebuild = Map("healthy" -> (() => fail("healthy pipeline must not be rebuilt")),
+          "dead" -> (rebuilt _)),
+        run = q => { q.processAllAvailable(); q.stop() },
+        maxRestarts = 1, delayMs = 1L, sleep = _ => ())
+      assert(sweep.checked === 2)
+      assert(sweep.healthy === 1)
+      assert(sweep.unhealthy === 1)
+      assert(sweep.recovered === 1)
+      assert(sweep.outcomes.keySet === Set("dead"))
+      assert(healthy.isActive, "the healthy pipeline must keep running through a sweep")
+      assert(healedOnce.get, "sweep must not have touched the healed flag")
+    } finally healthy.stop()
+  }
+
   test("recoverAll sweeps independently: one exhausted pipeline doesn't stop the rest") {
     val base = Files.createTempDirectory("sweep").toString
     Cdc.toWire(spark, dir).where(col("offset") < 50)
