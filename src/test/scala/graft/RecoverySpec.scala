@@ -151,7 +151,6 @@ class RecoverySpec extends AnyFunSuite {
     try dead.stop() catch { case _: Throwable => () }
     assert(!dead.isActive)
 
-    val healedOnce = new AtomicBoolean(true)
     def rebuilt(): StreamingQuery =
       WireSource.readStream(spark, s"$base/wire")
         .writeStream.option("checkpointLocation", s"$base/ckpt_d2")
@@ -169,7 +168,6 @@ class RecoverySpec extends AnyFunSuite {
       assert(sweep.recovered === 1)
       assert(sweep.outcomes.keySet === Set("dead"))
       assert(healthy.isActive, "the healthy pipeline must keep running through a sweep")
-      assert(healedOnce.get, "sweep must not have touched the healed flag")
     } finally healthy.stop()
   }
 
