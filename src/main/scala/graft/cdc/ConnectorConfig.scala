@@ -484,19 +484,22 @@ object ConnectorConfig {
   }
 
   /** Dialect-quoted `schema.table` for the `dbtable` option. Oracle,
-    * Db2 and AS400 catalog unquoted identifiers UPPERCASE, so both the
-    * schema and the table are uppercased there before quoting (a table
-    * created as `CREATE TABLE orders` is cataloged as ORDERS — quoting
-    * the lowercase name would fail to bind). An empty schema (Oracle's
-    * default: the connecting user's own schema) omits the qualifier
-    * rather than emitting an illegal zero-length identifier. */
+    * Db2 and AS400 catalog unquoted identifiers UPPERCASE, so an
+    * all-lowercase name there (the way an unquoted `CREATE TABLE orders`
+    * reads back) is uppercased before quoting — quoting it lowercase
+    * would fail to bind (ORA-00942). A name that already carries ANY
+    * uppercase is treated as intentional casing (a quoted-created
+    * case-sensitive identifier) and passed through verbatim, so both
+    * conventions stay addressable. An empty schema (Oracle's default:
+    * the connecting user's own schema) omits the qualifier rather than
+    * emitting an illegal zero-length identifier. */
   def qualifiedTable(dialect: Dialect, schema: String, table: String): String = {
     def q(ident: String): String = dialect match {
       case SqlServer => "[" + ident.replace("]", "]]") + "]"
       case _ => "\"" + ident.replace("\"", "\"\"") + "\""
     }
     def cased(ident: String): String = dialect match {
-      case OracleDb | Db2 | As400 => ident.toUpperCase
+      case OracleDb | Db2 | As400 if !ident.exists(_.isUpper) => ident.toUpperCase
       case _ => ident
     }
     val s = cased(defaultSchema(dialect, schema))

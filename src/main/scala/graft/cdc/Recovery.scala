@@ -29,10 +29,11 @@ object Recovery {
 
   /** Outcome of a supervised run: `recovered` = the final run completed
     * without failing (for a continuous query: terminated cleanly).
-    * `attempts` lists every failed run (empty = first run succeeded);
-    * `finalError` is set when the policy gave up. `restarts` counts
-    * actual restarts performed: on the gave-up path the LAST failure
-    * did not trigger one, so it is failures − 1 there. */
+    * `attempts` lists every failed run, INCLUDING a terminal
+    * non-retryable one (empty = first run succeeded); `finalError` is
+    * set when the policy gave up. `restarts` counts actual restarts
+    * performed: on every gave-up path (cap exhausted or non-retryable)
+    * the LAST failure did not trigger one, so it is failures − 1 there. */
   final case class Outcome(
       recovered: Boolean,
       attempts: Seq[Attempt],
@@ -84,6 +85,9 @@ object Recovery {
           }
         } catch {
           case e: Resilience.NonRetryableError =>
+            // recorded like any other failed run (so failures/restarts
+            // stay exact), but never retried
+            attempts += Attempt(attempt + 1, s"non-retryable: ${e.getMessage}")
             return Outcome(recovered = false, attempts.toSeq,
               Some(s"non-retryable: ${e.getMessage}"))
           case e: InterruptedException => Thread.currentThread().interrupt(); throw e
@@ -130,6 +134,9 @@ object Recovery {
   final case class MonitorSweep(
       checked: Int,
       healthy: Int,
+      /** terminated WITHOUT an exception — deliberately taken down;
+        * never restarted by a sweep */
+      stopped: Int,
       unhealthy: Int,
       recovered: Int,
       outcomes: Map[String, Outcome])
@@ -141,14 +148,26 @@ object Recovery {
       maxRestarts: Int = 3,
       delayMs: Long = 60000L,
       sleep: Long => Unit = Thread.sleep): MonitorSweep = {
-    val (ok, dead) = running.partition { case (_, q) => q.isActive }
-    val outcomes = dead.flatMap { case (name, _) =>
-      rebuild.get(name).map(mk =>
-        name -> supervise(mk, run, maxRestarts, delayMs, sleep = sleep))
+    val active = running.filter { case (_, q) => q.isActive }
+    val terminated = running.filter { case (_, q) => !q.isActive }
+    // a pipeline an operator stopped cleanly (no exception) is NOT
+    // unhealthy — restarting it would resume something deliberately
+    // taken down; only exception-terminated queries enter recovery
+    val (dead, stopped) = terminated.partition { case (_, q) => q.exception.isDefined }
+    val outcomes = dead.map { case (name, _) =>
+      rebuild.get(name) match {
+        case Some(mk) => name -> supervise(mk, run, maxRestarts, delayMs, sleep = sleep)
+        case None =>
+          // registry drift must be VISIBLE: the pipeline that most needs
+          // attention can't silently vanish from the report
+          name -> Outcome(recovered = false, Nil,
+            Some("no rebuild registered for this pipeline"))
+      }
     }
     MonitorSweep(
       checked = running.size,
-      healthy = ok.size,
+      healthy = active.size,
+      stopped = stopped.size,
       unhealthy = dead.size,
       recovered = outcomes.count(_._2.recovered),
       outcomes = outcomes)

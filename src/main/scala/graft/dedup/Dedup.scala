@@ -791,7 +791,7 @@ object Dedup {
     * node ids over the EDGE list (|edges| rows, never |nodes|²); the
     * edge list shrinks as stars collapse. This is the 100 TB clustering
     * path; [[cluster]] stays the cheap small-diameter default. */
-  def clusterLargeStar(spark: SparkSession, dir: String, maxRounds: Int = 12): DataFrame = {
+  def clusterLargeStar(spark: SparkSession, dir: String, maxRounds: Int = 20): DataFrame = {
     val pairs = verifiedPairs(spark, dir)
       .where(col("jaccard") >= 0.6).select(col("id_a"), col("id_b"))
     clusterEdgesLargeStar(pairs, maxRounds)
@@ -839,6 +839,11 @@ object Dedup {
       edges = next
       round += 1
     }
+    // partially-collapsed parent edges would silently mislabel whole
+    // components — refuse rather than return wrong clusters (O(log n)
+    // rounds suffice, so hitting this means maxRounds was set far too low)
+    require(converged,
+      s"large-star/small-star did not reach its fixed point in $maxRounds rounds — raise maxRounds")
     // at convergence every surviving edge is (node, component-min); the
     // root has no outgoing edge, so add its self-labeled row back — the
     // canonical doc is a cluster member too (same contract as [[cluster]])
@@ -888,7 +893,10 @@ object Dedup {
       .select(col("doc_id").as("bench_id"), explode(col("grams")).as("g"))
     val train = base.where(!isBench)
       .select(col("doc_id").as("train_id"), explode(col("grams")).as("g"))
-    val shared = train.join(bench, "g")
+    // explicit hint: the benchmark gram side is small by definition, and
+    // a stats misestimate falling back to sort-merge would shuffle the
+    // full train fan-out a second time — the cost this design avoids
+    val shared = train.join(broadcast(bench), "g")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
     val flagged = shared.where(col("n_shared") >= minShared)

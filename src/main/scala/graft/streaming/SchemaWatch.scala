@@ -60,25 +60,24 @@ object SchemaWatch {
       .writeStream
       .option("checkpointLocation", checkpointPath)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val drift = driftInBatch(batch)
         // bounded collect: rows = distinct UNKNOWN fields in this batch
         // (a handful at worst — this is drift, not data)
-        val rows = drift.collect()
+        val rows = driftInBatch(batch).collect()
         if (rows.nonEmpty) {
           val target = Cdc.envelopeSchema("after").dataType.asInstanceOf[StructType]
-          val ddlByField = rows.map { r =>
+          // alert rows built from the ALREADY-collected result — writing
+          // the drift frame back would re-run the whole parse + explode +
+          // aggregation over the batch a second time
+          val alerts = rows.map { r =>
             val f = r.getString(0)
             // one field per plan so each alert row carries ITS statement
             val plan = SchemaDdl.alterTableDdl(table,
               StructType(target.fields :+ StructField(f, StringType)), target, dialect)
-            f -> plan.statements.mkString("; ")
-          }.toMap
-          val ddlCol = ddlByField.foldLeft(lit(null).cast("string")) {
-            case (acc, (f, ddl)) => when(col("field") === f, lit(ddl)).otherwise(acc)
-          }
-          drift
-            .withColumn("alter_ddl", ddlCol)
-            .withColumn("batch_id", lit(batchId))
+            (f, r.getLong(1), r.getLong(2), plan.statements.mkString("; "), batchId)
+          }.toSeq
+          val spark = batch.sparkSession
+          import spark.implicits._
+          alerts.toDF("field", "n_events", "first_offset", "alter_ddl", "batch_id")
             .write.partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite").parquet(alertPath)

@@ -73,20 +73,26 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
-    // a BNLJ side is bounded when its subtree reduces to O(1)-ish rows
-    // BEFORE the join: a grouping-free (scalar) aggregate, an explicit
-    // top-k/limit, or a literal local spine — never a raw table scan
-    def bounded(p: SparkPlan): Boolean = {
-      val self = p match {
-        case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
-        case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
-        case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
-        case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
-        case l: LocalTableScanExec => l.rows.lengthCompare(100) <= 0
-        case _: RDDScanExec => true // spark.createDataFrame literal spines
-        case _ => false
-      }
-      self || p.children.exists(bounded)
+    // a BNLJ side is bounded when its OUTPUT cardinality is provably
+    // O(1)-ish: computed BOTTOM-UP per operator — a bounding node caps
+    // everything above it, a cardinality-preserving unary op inherits its
+    // child, a join/union is bounded only if every input is (an
+    // exists-a-bounded-descendant shortcut would bless
+    // fullTable.crossJoin(tiny.limit(1)), the exact broadcast this audit
+    // exists to catch), and row-multiplying generators never are
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+      case l: LocalTableScanExec => l.rows.lengthCompare(100) <= 0
+      case _: RDDScanExec => true // spark.createDataFrame literal spines
+      case _: org.apache.spark.sql.execution.GenerateExec => false // explode multiplies rows
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        bounded(j.left) && bounded(j.right)
+      case u: org.apache.spark.sql.execution.UnionExec => u.children.forall(bounded)
+      case unary if unary.children.length == 1 => bounded(unary.children.head)
+      case _ => false
     }
     def offending(p: SparkPlan): Int = {
       val self = p match {

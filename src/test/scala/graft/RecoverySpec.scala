@@ -113,6 +113,23 @@ class RecoverySpec extends AnyFunSuite {
     assert(!outcome.recovered)
     assert(starts.get === 1)
     assert(outcome.finalError.exists(_.contains("bad credentials")))
+    // the terminal failure is recorded, and it triggered no restart
+    assert(outcome.failures === 1)
+    assert(outcome.restarts === 0)
+  }
+
+  test("a retryable failure then a non-retryable one counts exactly one restart") {
+    val starts = new AtomicInteger(0)
+    def mk(): StreamingQuery = {
+      if (starts.incrementAndGet() === 1) throw new RuntimeException("transient")
+      else throw new Resilience.NonRetryableError("config broken")
+    }
+    val outcome = Recovery.supervise(
+      mk, run = _ => (), maxRestarts = 5, delayMs = 1L, sleep = _ => ())
+    assert(!outcome.recovered)
+    assert(starts.get === 2)
+    assert(outcome.failures === 2, "both failed runs must be recorded")
+    assert(outcome.restarts === 1, "one restart happened; the non-retryable end triggered none")
   }
 
   test("supervised product pipeline drains clean and matches the one-shot state") {
@@ -155,18 +172,34 @@ class RecoverySpec extends AnyFunSuite {
       WireSource.readStream(spark, s"$base/wire")
         .writeStream.option("checkpointLocation", s"$base/ckpt_d2")
         .foreachBatch { (_: DataFrame, _: Long) => () }.start()
+    // deliberately taken down: terminated WITHOUT an exception — a sweep
+    // must never resurrect it
+    val stoppedQ = spark.readStream
+      .format("rate").option("rowsPerSecond", "1").load()
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/ckpt_s").start()
+    stoppedQ.stop()
+    assert(!stoppedQ.isActive && stoppedQ.exception.isEmpty)
+
     try {
       val sweep = Recovery.checkAndRecover(
-        running = Map("healthy" -> healthy, "dead" -> dead),
+        running = Map("healthy" -> healthy, "dead" -> dead,
+          "taken-down" -> stoppedQ, "orphan" -> dead),
         rebuild = Map("healthy" -> (() => fail("healthy pipeline must not be rebuilt")),
+          "taken-down" -> (() => fail("a cleanly-stopped pipeline must not be restarted")),
           "dead" -> (rebuilt _)),
         run = q => { q.processAllAvailable(); q.stop() },
         maxRestarts = 1, delayMs = 1L, sleep = _ => ())
-      assert(sweep.checked === 2)
+      assert(sweep.checked === 4)
       assert(sweep.healthy === 1)
-      assert(sweep.unhealthy === 1)
+      assert(sweep.stopped === 1)
+      assert(sweep.unhealthy === 2)
       assert(sweep.recovered === 1)
-      assert(sweep.outcomes.keySet === Set("dead"))
+      // the dead pipeline with no rebuild entry must be VISIBLE as
+      // unrecovered, not silently dropped from the report
+      assert(sweep.outcomes.keySet === Set("dead", "orphan"))
+      assert(!sweep.outcomes("orphan").recovered)
+      assert(sweep.outcomes("orphan").finalError.exists(_.contains("no rebuild registered")))
       assert(healthy.isActive, "the healthy pipeline must keep running through a sweep")
     } finally healthy.stop()
   }
