@@ -224,13 +224,17 @@ object SparkEntry {
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
     "pipe_contamination_ngram" -> ((s, d) => Dedup.contaminationNgram(s, d)),
+    "pipe_mix_drift" -> ((s, d) => TextFunctions.mixDrift(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_cluster_lss" -> ((s, d) => Dedup.clusterLargeStar(s, d)),
     "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
+    "dedup_component_stats" -> ((s, d) => Dedup.componentStats(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
     "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
+    "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
+    "ann_sq8_recall" -> ((s, d) => Ann.sq8Recall(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
     "emb_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
     "pipe_temperature_mix" -> ((s, d) => TextFunctions.temperatureMix(s, d)),
@@ -925,12 +929,16 @@ object SparkEntry {
       "dedup_incremental" -> Dedup.incrementalSql(),
       "pipe_cross_source_dup" -> Dedup.crossSourceDupSql,
       "pipe_contamination_ngram" -> Dedup.contaminationNgramSql(),
+      "pipe_mix_drift" -> TextFunctions.mixDriftSql,
       "dedup_threshold_curve" -> Dedup.thresholdCurveSql,
       "dedup_pair_degree" -> Dedup.pairDegreeSql,
+      "dedup_component_stats" -> Dedup.componentStatsSql,
       "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
       "ann_pq_recall" -> Ann.pqRecallSql(),
+      "ann_sq8_topk" -> Ann.sq8TopKSql(),
+      "ann_sq8_recall" -> Ann.sq8RecallSql(),
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),
       "emb_centroid_drift" -> Ann.centroidDriftSql,
       "pipe_temperature_mix" -> TextFunctions.temperatureMixSql,

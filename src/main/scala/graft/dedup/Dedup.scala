@@ -1081,6 +1081,52 @@ object Dedup {
        |SELECT degree, count(*) AS n_docs, min(doc_id) AS example_doc
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** Near-dup component statistics: the cluster-size histogram with the
+    * deletion bill attached — per component size, how many clusters and
+    * member documents exist, how many docs clustering will delete
+    * (members minus one survivor per cluster), and the character volume
+    * those deletions reclaim. This is the report a curator reads BEFORE
+    * running the destructive collapse: [[thresholdCurve]] answers "what
+    * would each threshold drop", this answers "what does the chosen
+    * threshold's component structure look like".
+    *
+    * Scale shape: membership comes from the shared memoized [[cluster]]
+    * build (|dup members| rows); the char join back to the corpus is
+    * per-doc equi-join (no fan-out) and the final groupBy carries
+    * |distinct sizes| keys. Only the already-shared LSH build touches
+    * corpus-sized data. */
+  def componentStats(spark: SparkSession, dir: String): DataFrame = {
+    val members = cluster(spark, dir)
+    val lens = corpus(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    members.join(lens, "doc_id")
+      .groupBy("cluster_size")
+      .agg(
+        countDistinct(col("canonical_id")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canonical_id"), col("n_chars"))
+          .otherwise(lit(0L))).as("reclaim_chars"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        (col("n_docs") - col("n_clusters")).as("n_redundant_docs"),
+        col("reclaim_chars"))
+      .orderBy("cluster_size")
+  }
+
+  def componentStatsSql: String =
+    s"""$clusterCte,
+       |members AS (
+       |  SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
+       |  FROM l3 JOIN sizes s ON l3.label = s.canonical_id
+       |  WHERE s.cluster_size > 1),
+       |lens AS (SELECT doc_id, length(text) AS n_chars FROM corpus)
+       |SELECT m.cluster_size,
+       |       count(DISTINCT m.canonical_id) AS n_clusters,
+       |       count(*) AS n_docs,
+       |       count(*) - count(DISTINCT m.canonical_id) AS n_redundant_docs,
+       |       CAST(sum(CASE WHEN m.doc_id <> m.canonical_id THEN l.n_chars ELSE 0 END) AS BIGINT) AS reclaim_chars
+       |FROM members m JOIN lens l ON m.doc_id = l.doc_id
+       |GROUP BY m.cluster_size ORDER BY m.cluster_size""".stripMargin
+
   def incrementalSql(threshold: Double = 0.6): String =
     s"""$minhashPairsCte,
        |nd AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),

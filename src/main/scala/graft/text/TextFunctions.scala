@@ -1102,6 +1102,47 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Mix-drift QA: ONE summary row saying how far the corpus' actual
+    * token mix sits from its quality-derived target mix — the
+    * post-sampling check that the reweighting ([[domainMix]]) actually
+    * landed. `tv_distance` is the total-variation distance
+    * Σ|current−target|/2 (0 = exactly on target, 1 = disjoint), with
+    * each |gap| term 2⁴⁰-quantized before the cross-source sum so the
+    * result is partition-order-independent and bit-equal to the oracle;
+    * `max_gap_source` is the worst offender (quantized argmax, ties to
+    * the larger source name — deterministic on both engines).
+    *
+    * Scale shape: everything is an aggregation over [[domainMix]]'s
+    * |sources|-row output — the corpus-sized work is the shared mix
+    * computation itself. */
+  def mixDrift(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val mix = domainMix(spark, dir)
+      .select(col("source"),
+        abs(col("current_share") - col("target_share")).as("gap"))
+      .withColumn("gapq",
+        floor(col("gap") * Q).cast("long").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    mix.agg(
+      count(lit(1)).as("n_sources"),
+      (sum(col("gapq")).cast("double") / Q / 2.0).as("tv_distance"),
+      max(col("gap")).as("max_gap"),
+      max(struct(col("gapq"), col("source"))).getField("source").as("max_gap_source"))
+  }
+
+  def mixDriftSql: String =
+    s"""WITH mix AS (
+       |${domainMixSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |gaps AS (
+       |  SELECT source, abs(current_share - target_share) AS gap,
+       |         CAST(floor(abs(current_share - target_share) * 1099511627776.0) AS BIGINT) AS gapq
+       |  FROM mix)
+       |SELECT count(*) AS n_sources,
+       |       CAST(sum(gapq) AS DOUBLE) / 1099511627776.0 / 2.0 AS tv_distance,
+       |       max(gap) AS max_gap,
+       |       (SELECT source FROM gaps ORDER BY gapq DESC, source DESC LIMIT 1) AS max_gap_source
+       |FROM gaps""".stripMargin
+
   def domainMixSql: String =
     s"""WITH f AS (
        |  SELECT source,
