@@ -94,6 +94,7 @@ object SparkEntry {
     "q_scalar_subquery" -> ((s, d) => Relational.scalarSubquery(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
+    "q_order_gaps" -> ((s, d) => Relational.orderGaps(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
@@ -114,6 +115,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_chunk_hist" -> ((s, d) => Dedup.chunkDupHist(s, d)),
     "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
+    "text_dup_gram_share" -> ((s, d) => TextFunctions.dupGramShare(s, d)),
+    "pipe_tokenizer_fertility" -> ((s, d) => TextFunctions.tokenizerFertility(s, d)),
     "text_char_diversity" -> ((s, d) => TextFunctions.charDiversity(s, d)),
     "emb_norm_stats" -> ((s, d) => Ann.normStats(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -524,6 +527,7 @@ object SparkEntry {
       "q_asof_join_native" -> graft.operators.TemporalJoins.asofJoinSql,
       "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
       "q_grouping_sets" -> Relational.groupingSetsSql,
+      "q_order_gaps" -> Relational.orderGapsSql,
       "q_moving_avg" -> Relational.movingAvgSql,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (
@@ -812,6 +816,8 @@ object SparkEntry {
            |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
       "dedup_chunk_hist" -> Dedup.chunkDupHistSql,
       "text_novelty" -> TextFunctions.noveltySql,
+      "text_dup_gram_share" -> TextFunctions.dupGramShareSql,
+      "pipe_tokenizer_fertility" -> TextFunctions.tokenizerFertilitySql,
       "text_char_diversity" -> TextFunctions.charDiversitySql,
       "emb_norm_stats" -> Ann.normStatsSql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,

@@ -303,6 +303,64 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Inter-purchase gap analysis per market segment — the lag/lead
+    * window family over a keyed business timeline: per customer, the
+    * day gaps between consecutive orders (lag over a per-customer
+    * window, orderkey tiebreak for same-day orders), rolled up to
+    * segment-level repeat-rate and cadence numbers.
+    *
+    * Scale shape: the window partitions on o_custkey (bounded per-key
+    * order counts, never a global sort); the per-customer aggregate
+    * reuses the same hash partitioning, and the customer join is a
+    * co-partitioned key join. The mean gap is one division of two
+    * exact integer sums. */
+  def orderGaps(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val perCust = orders
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")).cast("long"))
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("gap_days")).as("n_gaps"),
+        sum(col("gap_days")).as("sum_gap"),
+        max(col("gap_days")).as("max_gap"))
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, lit(1L)).otherwise(lit(0L))).as("n_repeat_customers"),
+        sum(col("n_gaps")).as("n_gaps"),
+        (sum(col("sum_gap")).cast("double") / sum(col("n_gaps")).cast("double")).as("avg_gap_days"),
+        max(col("max_gap")).as("max_gap_days"))
+      .orderBy("c_mktsegment")
+  }
+
+  val orderGapsSql: String =
+    """WITH g AS (
+      |  SELECT o_custkey, o_orderdate,
+      |         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+      |  FROM orders),
+      |pc AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         count(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE))) AS n_gaps,
+      |         sum(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE))) AS sum_gap,
+      |         max(date_diff('day', CAST(prev_date AS DATE), CAST(o_orderdate AS DATE))) AS max_gap
+      |  FROM g GROUP BY o_custkey)
+      |SELECT c_mktsegment,
+      |       count(*) AS n_customers,
+      |       CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_customers,
+      |       CAST(sum(n_gaps) AS BIGINT) AS n_gaps,
+      |       CAST(sum(sum_gap) AS DOUBLE) / CAST(sum(n_gaps) AS DOUBLE) AS avg_gap_days,
+      |       CAST(max(max_gap) AS BIGINT) AS max_gap_days
+      |FROM pc JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** GROUPING SETS with explicit grouping indicators: (region, segment)
     * detail + per-region subtotal + grand total in one pass. Catalyst
     * expands grouping sets into a single Expand + hash aggregation — one

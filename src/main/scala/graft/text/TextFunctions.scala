@@ -528,6 +528,120 @@ object TextFunctions {
       |FROM per_source p LEFT JOIN uniq u USING (source)
       |ORDER BY p.source""".stripMargin
 
+  /** Tokenizer fertility per (source, lang) — the multilingual tokenizer
+    * QA table: BPE-ish tokens per whitespace word ("fertility", Ács'
+    * measure for how much a tokenizer fragments a language) and chars
+    * per BPE token. Sources/languages with outlier fertility either
+    * break the token-budget math ([[tokenBudget]] counts whitespace
+    * tokens) or signal a script the tokenizer handles badly — both are
+    * read before committing a mix.
+    *
+    * Determinism: the three volumes are exact integer sums; the two
+    * ratios are single divisions of those sums. Scale shape: per-row
+    * counting then ONE partial-aggregated shuffle on (source, lang);
+    * the output is |sources×langs| rows. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nw"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).cast("long").as("nb"))
+      .groupBy("source", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_ws_tokens"),
+        sum(col("nb")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast("double") / col("n_bpe_tokens").cast("double"))
+      .orderBy("source", "lang")
+
+  val tokenizerFertilitySql: String =
+    """WITH f AS (
+      |  SELECT source, lang,
+      |         CAST(length(text) AS BIGINT) AS nc,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+      |         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS nb
+      |  FROM documents)
+      |SELECT source, lang, count(*) AS n_docs,
+      |       CAST(sum(nc) AS BIGINT) AS n_chars,
+      |       CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+      |       CAST(sum(nb) AS BIGINT) AS n_bpe_tokens,
+      |       CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility,
+      |       CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS chars_per_token
+      |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+  /** Per-document duplicated-gram share histogram — the RefinedWeb-style
+    * per-DOC dup filter signal, complementing [[novelty]]'s per-SOURCE
+    * view: for each document, the fraction of its distinct word-trigram
+    * shingles that also occur in at least one other document (corpus
+    * df ≥ 2), bucketed into deciles. Documents in the top bins are
+    * boilerplate/template pages an aggressive near-dup pass would keep
+    * (no single partner clears a Jaccard threshold) yet contribute
+    * almost no novel text — the filter reads this histogram to pick a
+    * drop threshold.
+    *
+    * Scale shape: a per-doc signal needs the gram df joined BACK onto
+    * the fan-out — that join is the honest cost (novelty's min-source
+    * trick cannot attribute shared grams to every holder). Both the df
+    * aggregation and the join-back shuffle the fan-out on the same
+    * 8-byte gram digest (≈3× less volume than the gram strings, shared
+    * collisions agree with the oracle by construction), so the join is
+    * co-partitioned with the df build; everything after is |docs| rows
+    * then ≤ 10 histogram rows. */
+  def dupGramShare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = split(normText(col("text")), " ")
+    val base = docs.select(col("doc_id"), w.as("w"))
+      .withColumn("grams", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+      .select(col("doc_id"), explode(col("grams")).as("g"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    val df = base.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    base.join(df, "gh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(
+        least(floor(col("n_dup").cast("double") / col("n_grams").cast("double") * 10.0),
+          lit(9L)).cast("long").as("dup_bin"),
+        col("n_grams"), col("n_dup"))
+      .groupBy("dup_bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_dup")).as("n_dup_grams"))
+      .orderBy("dup_bin")
+  }
+
+  val dupGramShareSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+      |  FROM (
+      |    SELECT doc_id,
+      |           unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |                                 for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS g
+      |    FROM n)),
+      |df AS (SELECT gh, count(*) AS gdf FROM base GROUP BY gh),
+      |per_doc AS (
+      |  SELECT b.doc_id, count(*) AS n_grams,
+      |         CAST(sum(CASE WHEN d.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM base b JOIN df d USING (gh) GROUP BY b.doc_id)
+      |SELECT CAST(least(floor(CAST(n_dup AS DOUBLE) / CAST(n_grams AS DOUBLE) * 10.0), 9.0) AS BIGINT) AS dup_bin,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_grams) AS BIGINT) AS n_grams,
+      |       CAST(sum(n_dup) AS BIGINT) AS n_dup_grams
+      |FROM per_doc GROUP BY dup_bin ORDER BY dup_bin""".stripMargin
+
   /** Per-source character diversity: Simpson index 1 − Σ p² over the
     * source's character distribution, plus distinct-character counts.
     * Gibberish (flat distribution, index → 1) and template spam
