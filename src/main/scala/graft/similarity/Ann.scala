@@ -790,41 +790,8 @@ object Ann {
   def pqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
     pqTopKOf(spark, Tables.load(spark, dir, "embeddings"), k)
 
-  private[graft] def pqTopKOf(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
-    val m = 4; val subDim = 16; val nCodes = 16
-    // codebook: per subspace s, the 16 seed subvectors ordered by code.
-    val cbRow = emb.where(col("vec_id").between(1, nCodes))
-      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("s"))
-      .select(col("s"), (col("vec_id") - 1).as("c"),
-        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("v"))
-      .groupBy("s").agg(sort_array(collect_list(struct(col("c"), col("v")))).as("ents"))
-      .select(col("s"), transform(col("ents"), e => e.getField("v")).as("vs"))
-      .agg(sort_array(collect_list(struct(col("s"), col("vs")))).as("sl"))
-      .select(transform(col("sl"), e => e.getField("vs")).as("cbl"))
-    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
-    // d²(subvector, codebook entry) is the native codegen'd graft_l2sq —
-    // bit-identical to the portable fold (FunctionsSpec) and a fused loop
-    // instead of an interpreted ArrayAggregate in the encode hot path.
-    GraftFunctions.register(spark)
-    emb.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(cbRow)).crossJoin(broadcast(q))
-      .withColumn("dls", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  transform(sequence(1, $nCodes), c ->
-           |    graft_l2sq(slice(embedding, s * $subDim + 1, $subDim),
-           |               element_at(element_at(cbl, s + 1), c))))""".stripMargin))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  cast(array_position(element_at(dls, s + 1),
-           |                      array_min(element_at(dls, s + 1))) as int))""".stripMargin))
-      .withColumn("adc_dist", expr(
-        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double), (acc, s) ->
-           |  acc + graft_l2sq(slice(qe, s * $subDim + 1, $subDim),
-           |                   element_at(element_at(cbl, s + 1), element_at(codes, s + 1))))""".stripMargin))
-      .select(col("vec_id"), col("adc_dist"))
-      .orderBy(col("adc_dist").asc, col("vec_id"))
-      .limit(k)
-  }
+  private[graft] def pqTopKOf(spark: SparkSession, emb: DataFrame, k: Int): DataFrame =
+    pqTopKOver(spark, emb, emb, k).drop("label")
 
   /** Embedding centroid drift between two interleaved snapshots (even
     * vs odd vec_ids stand in for "yesterday's export vs today's"): per
@@ -958,6 +925,133 @@ object Ann {
        |    list_transform(range(0, 4), s -> list_position(dls[s+1], list_min(dls[s+1]))) AS codes
        |  FROM scored)
        |SELECT vec_id,
+       |  list_reduce(list_transform(range(0, 4), s ->
+       |    list_reduce(list_transform(range(1, 17), i ->
+       |      (CAST(qe[s*16+i] AS DOUBLE) - CAST(cbl[s+1][codes[s+1]][i] AS DOUBLE)) *
+       |      (CAST(qe[s*16+i] AS DOUBLE) - CAST(cbl[s+1][codes[s+1]][i] AS DOUBLE))),
+       |      (x, y) -> x + y)),
+       |    (x, y) -> x + y) AS adc_dist
+       |FROM enc ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
+
+  /** IVF-PQ top-k — the production composition of the two index halves
+    * (the default faiss shape for billion-vector search): the query
+    * probes its best 2 IVF cells exactly as [[ivfTopK]] does (quantized
+    * centroid cosine, deterministic ties), and the PQ asymmetric scan of
+    * [[pqTopK]] then runs ONLY inside the probed cells. At 100 TB this
+    * is the index that makes compressed-domain search tractable: the
+    * corpus is label-partitioned on disk, a probe prunes the scan to
+    * nprobe/nlist of the data, and each scanned vector costs a 4-byte
+    * code distance, never a raw-float read.
+    *
+    * Scale shape: probe selection aggregates |labels|×dims centroid
+    * rows; the probe set (2 rows), codebook row, and query broadcast;
+    * the scan is partition-pruned per-row expression work with ZERO
+    * shuffles before TakeOrderedAndProject. */
+  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("x").cast("double") * Q).cast("long").cast(DecimalType(38, 0))).as("snum"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("snum").cast("double") / Q / col("n")).as("c"))
+    val qLong = q.select(posexplode(col("qe")).as(Seq("pos", "y")))
+    val probes = centroids
+      .join(broadcast(qLong), "pos")
+      .groupBy("label")
+      .agg(
+        sum(floor(col("y").cast("double") * col("c") * Q).cast("long").cast(DecimalType(38, 0))).as("sn"),
+        sum(floor(col("c") * col("c") * Q).cast("long").cast(DecimalType(38, 0))).as("ncn"))
+      .select(col("label"),
+        ((col("sn").cast("double") / Q) / sqrt(col("ncn").cast("double") / Q)).as("score"))
+      .orderBy(col("score").desc, col("label"))
+      .limit(2)
+      .select(col("label").as("probe_label"))
+    val restricted = emb
+      .join(broadcast(probes), col("label") === col("probe_label"))
+      .select(emb.columns.map(col): _*)
+    pqTopKOver(spark, emb, restricted, k)
+  }
+
+  /** PQ asymmetric scan with a separate codebook/query source and scan
+    * corpus — the shared core of [[pqTopKOf]] (corpus = everything) and
+    * [[ivfpqTopK]] (corpus = the probed IVF cells). */
+  private def pqTopKOver(
+      spark: SparkSession, cbSource: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val m = 4; val subDim = 16; val nCodes = 16
+    val cbRow = cbSource.where(col("vec_id").between(1, nCodes))
+      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), (col("vec_id") - 1).as("c"),
+        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("v"))
+      .groupBy("s").agg(sort_array(collect_list(struct(col("c"), col("v")))).as("ents"))
+      .select(col("s"), transform(col("ents"), e => e.getField("v")).as("vs"))
+      .agg(sort_array(collect_list(struct(col("s"), col("vs")))).as("sl"))
+      .select(transform(col("sl"), e => e.getField("vs")).as("cbl"))
+    val q = cbSource.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    GraftFunctions.register(spark)
+    corpus.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(cbRow)).crossJoin(broadcast(q))
+      .withColumn("dls", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  transform(sequence(1, $nCodes), c ->
+           |    graft_l2sq(slice(embedding, s * $subDim + 1, $subDim),
+           |               element_at(element_at(cbl, s + 1), c))))""".stripMargin))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}), s ->
+           |  cast(array_position(element_at(dls, s + 1),
+           |                      array_min(element_at(dls, s + 1))) as int))""".stripMargin))
+      .withColumn("adc_dist", expr(
+        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double), (acc, s) ->
+           |  acc + graft_l2sq(slice(qe, s * $subDim + 1, $subDim),
+           |                   element_at(element_at(cbl, s + 1), element_at(codes, s + 1))))""".stripMargin))
+      .select(col("vec_id"), col("label"), col("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfpqTopKSql(k: Int = 10): String =
+    s"""WITH longf AS (
+       |  SELECT vec_id, label, unnest(embedding) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |qlong AS (SELECT pos, x AS y FROM longf WHERE vec_id = 0),
+       |centroids AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |           / 1099511627776.0 / count(*) AS c
+       |  FROM longf GROUP BY label, pos),
+       |probes AS (
+       |  SELECT label FROM (
+       |    SELECT ct.label,
+       |           (CAST(sum(CAST(floor(CAST(ql.y AS DOUBLE) * ct.c * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0)
+       |             / sqrt(CAST(sum(CAST(floor(ct.c * ct.c * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS score
+       |    FROM centroids ct JOIN qlong ql ON ct.pos = ql.pos GROUP BY ct.label)
+       |  ORDER BY score DESC, label LIMIT 2),
+       |cbrows AS (
+       |  SELECT ss.s, vec_id - 1 AS c, embedding[ss.s*16+1 : ss.s*16+16] AS v
+       |  FROM embeddings CROSS JOIN (SELECT unnest(range(0, 4)) AS s) ss
+       |  WHERE vec_id BETWEEN 1 AND 16),
+       |cbs AS (SELECT s, list(v ORDER BY c) AS vs FROM cbrows GROUP BY s),
+       |cbrow AS (SELECT list(vs ORDER BY s) AS cbl FROM cbs),
+       |scored AS (
+       |  SELECT vec_id, label, qe, cbl,
+       |    list_transform(range(0, 4), s ->
+       |      list_transform(range(1, 17), c ->
+       |        list_reduce(list_transform(range(1, 17), i ->
+       |          (CAST(embedding[s*16+i] AS DOUBLE) - CAST(cbl[s+1][c][i] AS DOUBLE)) *
+       |          (CAST(embedding[s*16+i] AS DOUBLE) - CAST(cbl[s+1][c][i] AS DOUBLE))),
+       |          (x, y) -> x + y))) AS dls
+       |  FROM embeddings JOIN probes USING (label) CROSS JOIN cbrow CROSS JOIN q
+       |  WHERE vec_id <> 0),
+       |enc AS (
+       |  SELECT vec_id, label, qe, cbl,
+       |    list_transform(range(0, 4), s -> list_position(dls[s+1], list_min(dls[s+1]))) AS codes
+       |  FROM scored)
+       |SELECT vec_id, label,
        |  list_reduce(list_transform(range(0, 4), s ->
        |    list_reduce(list_transform(range(1, 17), i ->
        |      (CAST(qe[s*16+i] AS DOUBLE) - CAST(cbl[s+1][codes[s+1]][i] AS DOUBLE)) *
