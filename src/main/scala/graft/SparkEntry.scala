@@ -104,6 +104,7 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
     "text_langid" -> ((s, d) => TextFunctions.langId(s, d)),
+    "text_lang_confusion" -> ((s, d) => TextFunctions.langConfusion(s, d)),
     "text_fingerprint" -> ((s, d) => TextFunctions.fingerprint(s, d)),
     "text_ngrams" -> ((s, d) => TextFunctions.ngrams(s, d)),
     "text_source_stats" -> ((s, d) => TextFunctions.sourceStats(s, d)),
@@ -736,6 +737,7 @@ object SparkEntry {
           |             WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
           |             WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END) = lang AS agrees
           |FROM h ORDER BY doc_id""".stripMargin,
+      "text_lang_confusion" -> TextFunctions.langConfusionSql,
       "text_fingerprint" ->
         """WITH n AS (
           |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)

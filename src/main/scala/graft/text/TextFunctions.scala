@@ -58,8 +58,10 @@ object TextFunctions {
 
   /** n-gram/stopword-heuristic language ID: lexicon-hit argmax with a fixed
     * preference order (en > es > de > fr) for ties. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+  /** Unsorted per-doc language scores + prediction — shared by the
+    * per-doc [[langId]] listing and the [[langConfusion]] rollup (which
+    * must not inherit a corpus-wide doc_id sort it would only discard). */
+  private def langScored(docs: DataFrame): DataFrame = {
     val words = split(lower(trim(col("text"))), "\\s+")
     val hits = langLexicons.map { case (lang, lex) =>
       lang -> size(filter(words, w => w.isInCollection(lex)))
@@ -76,8 +78,57 @@ object TextFunctions {
       pred.as("pred_lang"),
       col("lang").as("labeled_lang"),
       (pred === col("lang")).as("agrees"))
-      .orderBy("doc_id")
   }
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    langScored(Tables.load(spark, dir, "documents")).orderBy("doc_id")
+
+  /** Language-ID confusion matrix — the QA rollup of [[langId]]: per
+    * (labeled, predicted) cell, document count and the cell's share of
+    * its labeled-language row. The off-diagonal hot spots say WHICH
+    * languages the n-gram heuristic confuses (and therefore which
+    * corpus slices need a stronger model before the lang-conditioned
+    * mix math can be trusted); the diagonal share is per-language
+    * recall.
+    *
+    * Scale shape: one scan → a ≤|langs|² cell aggregation; the row
+    * totals join over ≤|langs|² rows. The share is one division of
+    * exact counts. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cells = langScored(Tables.load(spark, dir, "documents"))
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = cells.groupBy("labeled_lang").agg(sum(col("n_docs")).as("label_total"))
+    cells.join(totals, "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"), col("label_total"),
+        (col("n_docs").cast("double") / col("label_total").cast("double")).as("cell_share"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
+  val langConfusionSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS words FROM documents),
+      |h AS (
+      |  SELECT lang,
+      |         CAST(len(list_filter(words, w -> w IN ('the','and','of','to','is','in','a'))) AS BIGINT) AS en_hits,
+      |         CAST(len(list_filter(words, w -> w IN ('el','la','de','y','es','en','un'))) AS BIGINT) AS es_hits,
+      |         CAST(len(list_filter(words, w -> w IN ('der','die','das','und','ist','ein','zu'))) AS BIGINT) AS de_hits,
+      |         CAST(len(list_filter(words, w -> w IN ('le','la','de','et','est','un','une'))) AS BIGINT) AS fr_hits
+      |  FROM f),
+      |p AS (
+      |  SELECT lang AS labeled_lang,
+      |         CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+      |              WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+      |              WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS pred_lang
+      |  FROM h),
+      |cells AS (
+      |  SELECT labeled_lang, pred_lang, count(*) AS n_docs FROM p GROUP BY 1, 2),
+      |totals AS (
+      |  SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS label_total FROM cells GROUP BY 1)
+      |SELECT c.labeled_lang, c.pred_lang, c.n_docs, t.label_total,
+      |       CAST(c.n_docs AS DOUBLE) / CAST(t.label_total AS DOUBLE) AS cell_share
+      |FROM cells c JOIN totals t USING (labeled_lang)
+      |ORDER BY c.labeled_lang, c.pred_lang""".stripMargin
 
   /** Document fingerprinting: full-text md5 + a rolling min-hash over
     * 16-char windows (stride 1) of the normalized text. */
