@@ -95,6 +95,7 @@ object SparkEntry {
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_order_gaps" -> ((s, d) => Relational.orderGaps(s, d)),
+    "q_rfm" -> ((s, d) => Relational.rfm(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
@@ -172,6 +173,7 @@ object SparkEntry {
     "cdc_materialize_salted" -> ((s, d) =>
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
     "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
+    "cdc_robust_anomaly" -> ((s, d) => Monitoring.robustAnomaly(Cdc.changelog(s, d))),
     "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
     "q_range_frame" -> ((s, d) => Relational.rangeFrame(s, d)),
@@ -530,6 +532,7 @@ object SparkEntry {
       "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
       "q_grouping_sets" -> Relational.groupingSetsSql,
       "q_order_gaps" -> Relational.orderGapsSql,
+      "q_rfm" -> Relational.rfmSql,
       "q_moving_avg" -> Relational.movingAvgSql,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (
@@ -884,6 +887,7 @@ object SparkEntry {
            |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at, n_changes
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
       "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
+      "cdc_robust_anomaly" -> Monitoring.robustAnomalySql(cl),
       "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
       "pipe_dataset_card" -> TextFunctions.datasetCardSql,
       "q_range_frame" -> Relational.rangeFrameSql,

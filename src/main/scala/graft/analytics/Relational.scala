@@ -303,6 +303,99 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** RFM customer segmentation — the classic marketing-analytics cube:
+    * per customer, Recency (days since last order at the corpus' own
+    * horizon), Frequency (order count) and Monetary (exact decimal
+    * lifetime spend) are each scored 1–4 against their global quartile
+    * boundaries, and the output is the 4×4×4 segment cube with customer
+    * counts and segment spend.
+    *
+    * Determinism: quartile boundaries interpolate halves/quarters of
+    * exact inputs identically on both engines; boundary comparisons see
+    * the same doubles. Spend stays DECIMAL through the segment sum and
+    * casts to double only in the final projection.
+    *
+    * Scale shape: one per-customer shuffle; the quartile row is a
+    * broadcast scalar aggregate; scoring is per-row arithmetic and the
+    * final aggregation carries ≤ 64 cells. */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val horizon = orders.agg(max(col("o_orderdate")).as("max_date"))
+    val perCust = orders
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("monetary_d"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("o_custkey"),
+        datediff(col("max_date").cast("date"), col("last_order").cast("date"))
+          .cast("long").as("recency"),
+        col("frequency"),
+        col("monetary_d"),
+        col("monetary_d").cast("double").as("monetary"))
+    val qs = perCust.agg(
+      expr("percentile(recency, 0.25)").as("r1"),
+      expr("percentile(recency, 0.5)").as("r2"),
+      expr("percentile(recency, 0.75)").as("r3"),
+      expr("percentile(frequency, 0.25)").as("f1"),
+      expr("percentile(frequency, 0.5)").as("f2"),
+      expr("percentile(frequency, 0.75)").as("f3"),
+      expr("percentile(monetary, 0.25)").as("m1"),
+      expr("percentile(monetary, 0.5)").as("m2"),
+      expr("percentile(monetary, 0.75)").as("m3"))
+    def score(x: org.apache.spark.sql.Column, q1: String, q2: String, q3: String) =
+      when(x <= col(q1), 1L).when(x <= col(q2), 2L).when(x <= col(q3), 3L).otherwise(4L)
+    perCust.crossJoin(broadcast(qs))
+      .select(
+        score(col("recency").cast("double"), "r1", "r2", "r3").as("r_score"),
+        score(col("frequency").cast("double"), "f1", "f2", "f3").as("f_score"),
+        score(col("monetary"), "m1", "m2", "m3").as("m_score"),
+        col("monetary_d"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("monetary_d")).cast(DecimalType(28, 2)).cast("double").as("segment_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val rfmSql: String =
+    """WITH horizon AS (SELECT max(o_orderdate) AS max_date FROM orders),
+      |pc AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', CAST(max(o_orderdate) AS DATE), CAST((SELECT max_date FROM horizon) AS DATE)) AS recency,
+      |         count(*) AS frequency,
+      |         CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS monetary_d,
+      |         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,2)) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey),
+      |qs AS (
+      |  SELECT quantile_cont(CAST(recency AS DOUBLE), 0.25) AS r1,
+      |         quantile_cont(CAST(recency AS DOUBLE), 0.5) AS r2,
+      |         quantile_cont(CAST(recency AS DOUBLE), 0.75) AS r3,
+      |         quantile_cont(CAST(frequency AS DOUBLE), 0.25) AS f1,
+      |         quantile_cont(CAST(frequency AS DOUBLE), 0.5) AS f2,
+      |         quantile_cont(CAST(frequency AS DOUBLE), 0.75) AS f3,
+      |         quantile_cont(monetary, 0.25) AS m1,
+      |         quantile_cont(monetary, 0.5) AS m2,
+      |         quantile_cont(monetary, 0.75) AS m3
+      |  FROM pc),
+      |scored AS (
+      |  SELECT CASE WHEN CAST(recency AS DOUBLE) <= r1 THEN 1 WHEN CAST(recency AS DOUBLE) <= r2 THEN 2
+      |              WHEN CAST(recency AS DOUBLE) <= r3 THEN 3 ELSE 4 END AS r_score,
+      |         CASE WHEN CAST(frequency AS DOUBLE) <= f1 THEN 1 WHEN CAST(frequency AS DOUBLE) <= f2 THEN 2
+      |              WHEN CAST(frequency AS DOUBLE) <= f3 THEN 3 ELSE 4 END AS f_score,
+      |         CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+      |              WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score,
+      |         monetary_d
+      |  FROM pc, qs)
+      |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |       CAST(m_score AS BIGINT) AS m_score,
+      |       count(*) AS n_customers,
+      |       CAST(CAST(sum(monetary_d) AS DECIMAL(28,2)) AS DOUBLE) AS segment_spend
+      |FROM scored GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+
   /** Inter-purchase gap analysis per market segment — the lag/lead
     * window family over a keyed business timeline: per customer, the
     * day gaps between consecutive orders (lag over a per-customer

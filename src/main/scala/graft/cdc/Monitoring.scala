@@ -675,6 +675,50 @@ object Monitoring {
       .orderBy("minute")
   }
 
+  /** Robust (median/MAD) volume-anomaly days — the breakdown-resistant
+    * twin of [[burstDetect]]: a z-score's mean AND variance are both
+    * dragged by the very bursts it hunts (one huge spike inflates σ
+    * enough to hide the next one), where the median and the median
+    * absolute deviation have a 50% breakdown point. A day is anomalous
+    * when |n − median| > k·MAD (k = 3, the Hampel identifier).
+    *
+    * Determinism: daily counts are exact longs; the two medians
+    * interpolate halves of integers (exactly representable), matching
+    * DuckDB's quantile_cont. Uniform-traffic edge: MAD = 0 means most
+    * days sit exactly on the median — mirroring [[burstDetect]]'s
+    * variance>0 guard, such corpora flag nothing rather than everything.
+    *
+    * Scale shape: one count-per-day shuffle (map-side combined); both
+    * percentiles and the flagging run on |days| rows — bounded by the
+    * calendar, not the corpus. */
+  def robustAnomaly(changelog: DataFrame, k: Double = 3.0): DataFrame = {
+    val perDay = changelog
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val med = perDay.agg(expr("percentile(n_events, 0.5)").as("med"))
+    val withMed = perDay.crossJoin(broadcast(med))
+    val mad = withMed.agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .where(col("mad") > 0 &&
+        abs(col("n_events").cast("double") - col("med")) > lit(k) * col("mad"))
+      .select(col("day"), col("n_events"), col("med"), col("mad"),
+        (abs(col("n_events").cast("double") - col("med")) / col("mad")).as("deviation"))
+      .orderBy("day")
+  }
+
+  def robustAnomalySql(changelogSql: String, k: Double = 3.0): String =
+    s"""$changelogSql, per_day AS (
+       |  SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+       |  FROM changelog GROUP BY day),
+       |med AS (SELECT quantile_cont(n_events, 0.5) AS med FROM per_day),
+       |wm AS (SELECT day, n_events, med FROM per_day, med),
+       |mad AS (SELECT quantile_cont(abs(n_events - med), 0.5) AS mad FROM wm)
+       |SELECT day, n_events, med, mad,
+       |       abs(CAST(n_events AS DOUBLE) - med) / mad AS deviation
+       |FROM wm, mad
+       |WHERE mad > 0 AND abs(CAST(n_events AS DOUBLE) - med) > $k * mad
+       |ORDER BY day""".stripMargin
+
   def burstDetectSql(changelogSql: String, z: Double = 2.0): String =
     s"""$changelogSql, per_min AS (
        |  SELECT date_trunc('minute', ts) AS minute, count(*) AS n_events
