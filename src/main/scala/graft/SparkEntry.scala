@@ -207,6 +207,7 @@ object SparkEntry {
     "cdc_backfill_ranges" -> ((s, d) => Monitoring.backfillRanges(Cdc.toWire(s, d))),
     "pipe_quality_drift" -> ((s, d) => TextFunctions.qualityDrift(s, d)),
     "pipe_pack_sequences" -> ((s, d) => TextFunctions.packSequences(s, d)),
+    "pipe_pack_efficiency" -> ((s, d) => TextFunctions.packEfficiency(s, d)),
     "q_interval_overlap" -> ((s, d) => Relational.intervalOverlap(s, d)),
     "q_yoy_growth" -> ((s, d) => Relational.yoyGrowth(s, d)),
     "cdc_state_size" -> ((s, d) => Monitoring.stateSize(Cdc.changelog(s, d))),
@@ -235,6 +236,7 @@ object SparkEntry {
     "dedup_cluster_lss" -> ((s, d) => Dedup.clusterLargeStar(s, d)),
     "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
     "dedup_component_stats" -> ((s, d) => Dedup.componentStats(s, d)),
+    "dedup_band_occupancy" -> ((s, d) => Dedup.bandOccupancy(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
@@ -919,6 +921,7 @@ object SparkEntry {
       "cdc_backfill_ranges" -> Monitoring.backfillRangesSql,
       "pipe_quality_drift" -> TextFunctions.qualityDriftSql,
       "pipe_pack_sequences" -> TextFunctions.packSequencesSql(),
+      "pipe_pack_efficiency" -> TextFunctions.packEfficiencySql(),
       "q_interval_overlap" -> Relational.intervalOverlapSql,
       "q_yoy_growth" -> Relational.yoyGrowthSql,
       "cdc_state_size" -> Monitoring.stateSizeSql(cl),
@@ -946,6 +949,7 @@ object SparkEntry {
       "dedup_threshold_curve" -> Dedup.thresholdCurveSql,
       "dedup_pair_degree" -> Dedup.pairDegreeSql,
       "dedup_component_stats" -> Dedup.componentStatsSql,
+      "dedup_band_occupancy" -> Dedup.bandOccupancySql,
       "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,

@@ -1081,6 +1081,49 @@ object Dedup {
        |SELECT degree, count(*) AS n_docs, min(doc_id) AS example_doc
        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
 
+  /** LSH band-bucket occupancy histogram — the blocking-health metric
+    * the ScaleSmoke probe bounds, exposed as a first-class query: per
+    * band, how many buckets hold k signatures and how many candidate
+    * pairs (k·(k−1)/2 each) those buckets generate. THE number to watch
+    * at 100 TB: verify cost is exactly Σ occ·(occ−1)/2, and a template
+    * flood shows up here (one bucket's occupancy exploding) before the
+    * verify stage melts — the curator reads this, then caps or pre-drops
+    * the hub via [[pairDegree]].
+    *
+    * Scale shape: reuses the memoized signature table; one band-key
+    * shuffle to bucket sizes, then an |occupancies|-key aggregation.
+    * Never touches pairs — the histogram PRICES the pair build without
+    * running it. */
+  def bandOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandsFromSigs(signatures(spark, dir))
+    banded.groupBy("band_id", "band_key")
+      .agg(count(lit(1)).as("occupancy"))
+      .groupBy(col("band_id").cast("long").as("band_id"), col("occupancy"))
+      .agg(count(lit(1)).as("n_buckets"))
+      .select(col("band_id"), col("occupancy"),
+        col("n_buckets"),
+        expr("occupancy * (occupancy - 1) div 2 * n_buckets").as("cand_pairs"))
+      .orderBy("band_id", "occupancy")
+  }
+
+  def bandOccupancySql: String = {
+    val bandSelects = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_id, md5($cat) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$sigsCte,
+       |banded AS (
+       |  $bandSelects),
+       |occ AS (
+       |  SELECT band_id, band_key, count(*) AS occupancy
+       |  FROM banded GROUP BY band_id, band_key)
+       |SELECT CAST(band_id AS BIGINT) AS band_id, occupancy,
+       |       count(*) AS n_buckets,
+       |       CAST(occupancy * (occupancy - 1) // 2 * count(*) AS BIGINT) AS cand_pairs
+       |FROM occ GROUP BY band_id, occupancy
+       |ORDER BY band_id, occupancy""".stripMargin
+  }
+
   /** Near-dup component statistics: the cluster-size histogram with the
     * deletion bill attached — per component size, how many clusters and
     * member documents exist, how many docs clustering will delete

@@ -1037,6 +1037,43 @@ object TextFunctions {
        |       CAST(sum(tokens) AS DOUBLE) / $budget.0 AS fill_ratio
        |FROM runsum GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** Packing-efficiency rollup of [[packSequences]] — the batch-assembly
+    * QA row per source: pack count, packed token volume, and the
+    * efficiency total_tokens/(n_packs·budget) (how much of the training
+    * batch the packer actually fills), with the min/max per-pack fill as
+    * the tail indicators. A source whose efficiency sags (long docs
+    * straddling bins) either needs [[chunkDocuments]] upstream or a
+    * bigger budget; this row is how that decision is priced.
+    *
+    * Scale shape: an aggregation over the pack table — |packs| rows,
+    * already bounded by corpus_tokens/budget; the division runs on the
+    * |sources|-row result. */
+  def packEfficiency(spark: SparkSession, dir: String, budget: Long = 2048L): DataFrame =
+    packSequences(spark, dir, budget)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_packs"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("pack_tokens")).as("total_tokens"),
+        min(col("fill_ratio")).as("min_fill"),
+        max(col("fill_ratio")).as("max_fill"))
+      .withColumn("efficiency",
+        col("total_tokens").cast("double") /
+          (col("n_packs") * lit(budget)).cast("double"))
+      .orderBy("source")
+
+  def packEfficiencySql(budget: Long = 2048L): String =
+    s"""WITH packs AS (
+       |${packSequencesSql(budget).linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT source, count(*) AS n_packs,
+       |       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       |       CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
+       |       min(fill_ratio) AS min_fill,
+       |       max(fill_ratio) AS max_fill,
+       |       CAST(sum(pack_tokens) AS DOUBLE) / CAST(count(*) * $budget AS DOUBLE) AS efficiency
+       |FROM packs GROUP BY source ORDER BY source""".stripMargin
+
   /** Per-language charset profile: letter / digit / punctuation / space
     * shares — the multilingual slice of quality scoring (script mix is
     * the first filter for mislabeled-language documents). Exact integer
