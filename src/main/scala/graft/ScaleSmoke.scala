@@ -168,6 +168,13 @@ object ScaleSmoke {
       // shuffles before TakeOrderedAndProject at any corpus size
       graft.similarity.Ann.pqTopKOf(spark, bigEmb, 10).count()
     }
+    t("IVF-PQ pruned ADC scan", nEmb) {
+      // ann_ivfpq_topk shape: 2-label probe set broadcasts, the PQ code
+      // scan touches only the probed cells (2/|labels| of the corpus) —
+      // the label join must plan as a pruning hash/broadcast join, and
+      // the ADC work stays per-row with zero pre-top-k shuffles
+      graft.similarity.Ann.ivfpqTopKOf(spark, bigEmb, 10).count()
+    }
     t("knn bucket join", nEmb) {
       // ann_knn_join shape: bucket-equality join bounds candidates to
       // |corpus|/256 per query; ranking windows partition on the join key

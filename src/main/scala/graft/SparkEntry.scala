@@ -208,6 +208,7 @@ object SparkEntry {
     "pipe_quality_drift" -> ((s, d) => TextFunctions.qualityDrift(s, d)),
     "pipe_pack_sequences" -> ((s, d) => TextFunctions.packSequences(s, d)),
     "pipe_pack_efficiency" -> ((s, d) => TextFunctions.packEfficiency(s, d)),
+    "text_zipf_check" -> ((s, d) => TextFunctions.zipfCheck(s, d)),
     "q_interval_overlap" -> ((s, d) => Relational.intervalOverlap(s, d)),
     "q_yoy_growth" -> ((s, d) => Relational.yoyGrowth(s, d)),
     "cdc_state_size" -> ((s, d) => Monitoring.stateSize(Cdc.changelog(s, d))),
@@ -922,6 +923,7 @@ object SparkEntry {
       "pipe_quality_drift" -> TextFunctions.qualityDriftSql,
       "pipe_pack_sequences" -> TextFunctions.packSequencesSql(),
       "pipe_pack_efficiency" -> TextFunctions.packEfficiencySql(),
+      "text_zipf_check" -> TextFunctions.zipfCheckSql(),
       "q_interval_overlap" -> Relational.intervalOverlapSql,
       "q_yoy_growth" -> Relational.yoyGrowthSql,
       "cdc_state_size" -> Monitoring.stateSizeSql(cl),

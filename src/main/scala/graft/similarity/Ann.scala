@@ -947,8 +947,10 @@ object Ann {
     * rows; the probe set (2 rows), codebook row, and query broadcast;
     * the scan is partition-pruned per-row expression work with ZERO
     * shuffles before TakeOrderedAndProject. */
-  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
+  def ivfpqTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    ivfpqTopKOf(spark, Tables.load(spark, dir, "embeddings"), k)
+
+  private[graft] def ivfpqTopKOf(spark: SparkSession, emb: DataFrame, k: Int): DataFrame = {
     val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))

@@ -1037,6 +1037,72 @@ object TextFunctions {
        |       CAST(sum(tokens) AS DOUBLE) / $budget.0 AS fill_ratio
        |FROM runsum GROUP BY source, pack_id ORDER BY source, pack_id""".stripMargin
 
+  /** Zipf-law naturalness check — log-free: natural language keeps
+    * rank × frequency roughly constant over the vocabulary head
+    * (Zipf's law with exponent ≈ 1), so the coefficient of variation of
+    * r·f(r) over the top-100 terms separates organic text (low CV) from
+    * templated/keyword-stuffed corpora (head terms wildly over- or
+    * under-represented). Deliberately transcendental-free (no log-log
+    * slope fit): r·f products are exact longs, the CV is
+    * √(n·Σx²−(Σx)²)/Σx over those exact sums — bit-portable where a
+    * libm-based regression is not.
+    *
+    * Scale shape: term counts are one vocab shuffle; the head is a
+    * TakeOrdered 100 rows collected into ONE array row and re-exploded
+    * for ranks — no global rank window over the vocabulary, and
+    * everything after the top-k runs on 100 rows. */
+  def zipfCheck(spark: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val head = Tables.load(spark, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("term").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term"))
+      .limit(topK)
+    head
+      .agg(sort_array(collect_list(struct((-col("f")).as("nf"), col("term"), col("f"))))
+        .as("hd"))
+      .select(posexplode(col("hd")).as(Seq("pos", "e")))
+      .select(((col("pos") + 1L) * col("e.f")).as("rf"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("rf")).as("s1"),
+        sum(col("rf") * col("rf")).as("s2"),
+        min(col("rf")).as("min_rf"),
+        max(col("rf")).as("max_rf"))
+      .select(
+        col("n_terms"),
+        (col("s1").cast("double") / col("n_terms").cast("double")).as("mean_rf"),
+        col("min_rf"), col("max_rf"),
+        (sqrt(col("n_terms").cast("double") * col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double"))
+          / col("s1").cast("double")).as("cv_rf"))
+  }
+
+  def zipfCheckSql(topK: Int = 100): String =
+    s"""WITH terms AS (
+       |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+       |  FROM documents),
+       |counts AS (
+       |  SELECT term, count(*) AS f FROM terms WHERE length(term) >= 1
+       |  GROUP BY term ORDER BY f DESC, term LIMIT $topK),
+       |hd AS (SELECT list(struct_pack(nf := -f, term := term, f := f) ORDER BY -f, term) AS hd FROM counts),
+       |ranked AS (
+       |  SELECT (i) * e.f AS rf FROM (
+       |    SELECT unnest(hd) AS e, unnest(generate_series(1, len(hd))) AS i FROM hd)),
+       |agg AS (
+       |  SELECT count(*) AS n_terms,
+       |         CAST(sum(rf) AS BIGINT) AS s1,
+       |         CAST(sum(rf * rf) AS BIGINT) AS s2,
+       |         CAST(min(rf) AS BIGINT) AS min_rf,
+       |         CAST(max(rf) AS BIGINT) AS max_rf
+       |  FROM ranked)
+       |SELECT n_terms,
+       |       CAST(s1 AS DOUBLE) / CAST(n_terms AS DOUBLE) AS mean_rf,
+       |       min_rf, max_rf,
+       |       sqrt(CAST(n_terms AS DOUBLE) * CAST(s2 AS DOUBLE)
+       |            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / CAST(s1 AS DOUBLE) AS cv_rf
+       |FROM agg""".stripMargin
+
   /** Packing-efficiency rollup of [[packSequences]] — the batch-assembly
     * QA row per source: pack count, packed token volume, and the
     * efficiency total_tokens/(n_packs·budget) (how much of the training
