@@ -1,0 +1,116 @@
+package graft
+
+import graft.analytics.Relational
+import graft.cdc.{Cdc, Monitoring}
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics checks for the second late-round-6 operator batch. */
+class Round6cSpec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  test("ivf-pq: results come from at most 2 probed cells with ordered ADC distances") {
+    val rows = Ann.ivfpqTopK(spark, dir).collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.getAs[Int]("label")).distinct.length <= 2)
+    val d = rows.map(_.getAs[Double]("adc_dist"))
+    assert(d.forall(_ >= 0.0))
+    assert(d.toSeq === d.sortBy(identity).toSeq)
+    // inside the probed cells the ADC scores are the SAME codes pqTopK
+    // assigns, so any vec returned by both paths must carry one distance
+    val pq = Ann.pqTopK(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc_dist")).toMap
+    rows.foreach { r =>
+      pq.get(r.getAs[Long]("vec_id")).foreach { pd =>
+        assert(pd === r.getAs[Double]("adc_dist"))
+      }
+    }
+  }
+
+  test("lang confusion: cells partition the corpus and the diagonal matches the per-doc agreement rate") {
+    val cells = TextFunctions.langConfusion(spark, dir).collect()
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(cells.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    val diag = cells.filter(r => r.getAs[String]("labeled_lang") == r.getAs[String]("pred_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val agrees = TextFunctions.langId(spark, dir)
+      .where(col("agrees")).count()
+    assert(diag === agrees)
+    cells.foreach { r =>
+      val share = r.getAs[Double]("cell_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
+  test("robust anomaly: every flagged day actually exceeds the Hampel bound") {
+    val daily = Cdc.changelog(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val flagged = Monitoring.robustAnomaly(Cdc.changelog(spark, dir)).collect()
+    flagged.foreach { r =>
+      val med = r.getAs[Double]("med"); val mad = r.getAs[Double]("mad")
+      assert(mad > 0.0)
+      assert(math.abs(r.getAs[Long]("n_events").toDouble - med) > 3.0 * mad)
+      assert(r.getAs[Double]("deviation") > 3.0)
+      // the flagged count is the real daily count
+      assert(daily(r.getTimestamp(0)) === r.getAs[Long]("n_events"))
+    }
+  }
+
+  test("rfm: the segment cube partitions the customer base with scores in 1..4") {
+    val cube = Relational.rfm(spark, dir).collect()
+    val nCust = Tables.load(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(cube.map(_.getAs[Long]("n_customers")).sum === nCust)
+    cube.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Long](c); assert(s >= 1L && s <= 4L)
+      }
+      assert(r.getAs[Long]("n_customers") > 0L)
+      assert(r.getAs[Double]("segment_spend") > 0.0)
+    }
+  }
+
+  test("band occupancy: each band's buckets account for every signature exactly once") {
+    val hist = Dedup.bandOccupancy(spark, dir).collect()
+    val corpusSize = Dedup.corpus(spark, dir).count()
+    hist.groupBy(_.getAs[Long]("band_id")).foreach { case (_, rows) =>
+      // every doc contributes exactly one key per band
+      assert(rows.map(r => r.getAs[Long]("occupancy") * r.getAs[Long]("n_buckets")).sum === corpusSize)
+    }
+    hist.foreach { r =>
+      val k = r.getAs[Long]("occupancy")
+      assert(r.getAs[Long]("cand_pairs") === k * (k - 1) / 2 * r.getAs[Long]("n_buckets"))
+    }
+  }
+
+  test("pack efficiency: totals reconcile with the pack table and fill bounds hold") {
+    val packs = TextFunctions.packSequences(spark, dir).collect()
+    val eff = TextFunctions.packEfficiency(spark, dir).collect()
+    assert(eff.map(_.getAs[Long]("n_packs")).sum === packs.length.toLong)
+    assert(eff.map(_.getAs[Long]("total_tokens")).sum ===
+      packs.map(_.getAs[Long]("pack_tokens")).sum)
+    eff.foreach { r =>
+      val e = r.getAs[Double]("efficiency")
+      assert(e > 0.0)
+      assert(r.getAs[Double]("min_fill") <= r.getAs[Double]("max_fill"))
+      // mean fill IS the efficiency, so it sits inside the fill envelope
+      assert(e >= r.getAs[Double]("min_fill") - 1e-9 && e <= r.getAs[Double]("max_fill") + 1e-9)
+    }
+  }
+
+  test("zipf check: full head, non-negative spread, envelope contains the mean") {
+    val r = TextFunctions.zipfCheck(spark, dir).collect().head
+    // head covers min(100, |vocab|) — the smoke corpus has a tiny vocabulary
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(graft.text.TextFunctions.normText(col("text")), " ")).as("t"))
+      .where(length(col("t")) >= 1).select("t").distinct().count()
+    assert(r.getAs[Long]("n_terms") === math.min(100L, vocab))
+    val mean = r.getAs[Double]("mean_rf")
+    assert(r.getAs[Long]("min_rf").toDouble <= mean && mean <= r.getAs[Long]("max_rf").toDouble)
+    assert(r.getAs[Double]("cv_rf") >= 0.0)
+  }
+}
