@@ -96,6 +96,8 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => Relational.sessionize(s, d)),
     "q_order_gaps" -> ((s, d) => Relational.orderGaps(s, d)),
     "q_rfm" -> ((s, d) => Relational.rfm(s, d)),
+    "q_mode" -> ((s, d) => Relational.modeReturnflag(s, d)),
+    "q_first_last" -> ((s, d) => Relational.firstLast(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
@@ -536,6 +538,8 @@ object SparkEntry {
       "q_grouping_sets" -> Relational.groupingSetsSql,
       "q_order_gaps" -> Relational.orderGapsSql,
       "q_rfm" -> Relational.rfmSql,
+      "q_mode" -> Relational.modeReturnflagSql,
+      "q_first_last" -> Relational.firstLastSql,
       "q_moving_avg" -> Relational.movingAvgSql,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (

@@ -303,6 +303,113 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** First-vs-last order trajectory per market segment — the
+    * first_value/last_value semantics WITHOUT a window: each customer's
+    * first and last order (by date, orderkey tiebreak) come from one
+    * struct-min/max aggregation (the (date, key) prefix is unique, so
+    * the extremum is total), and the segment rollup reports how many
+    * customers changed priority between them and the exact-decimal net
+    * spend drift (last minus first order value).
+    *
+    * Scale shape: one per-customer aggregation (struct extrema combine
+    * map-side), a co-partitioned key join to customer, and a ≤|segments|
+    * rollup — no per-customer ordering window anywhere. */
+  def firstLast(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val customer = Tables.load(spark, dir, "customer")
+    val ev = struct(col("o_orderdate"), col("o_orderkey"),
+      col("o_orderpriority").as("prio"), dec(col("o_totalprice")).as("price"))
+    val perCust = orders
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), min(ev).as("f"), max(ev).as("l"))
+      .select(col("o_custkey"), col("n_orders"),
+        col("f.prio").as("first_prio"), col("l.prio").as("last_prio"),
+        (col("l.price") - col("f.price")).as("drift_d"))
+    perCust
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, lit(1L)).otherwise(lit(0L))).as("n_repeat"),
+        sum(when(col("first_prio") =!= col("last_prio"), lit(1L)).otherwise(lit(0L)))
+          .as("n_priority_changed"),
+        sum(col("drift_d")).cast(DecimalType(28, 2)).cast("double").as("net_spend_drift"))
+      .orderBy("c_mktsegment")
+  }
+
+  val firstLastSql: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_orderpriority, CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn_f,
+      |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_l,
+      |         count(*) OVER (PARTITION BY o_custkey) AS n_orders
+      |  FROM orders),
+      |pc AS (
+      |  SELECT f.o_custkey, f.n_orders,
+      |         f.o_orderpriority AS first_prio, l.o_orderpriority AS last_prio,
+      |         l.price - f.price AS drift_d
+      |  FROM (SELECT * FROM ranked WHERE rn_f = 1) f
+      |  JOIN (SELECT * FROM ranked WHERE rn_l = 1) l USING (o_custkey))
+      |SELECT c_mktsegment,
+      |       count(*) AS n_customers,
+      |       CAST(sum(CASE WHEN pc.n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+      |       CAST(sum(CASE WHEN first_prio <> last_prio THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_changed,
+      |       CAST(CAST(sum(drift_d) AS DECIMAL(28,2)) AS DOUBLE) AS net_spend_drift
+      |FROM pc JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Deterministic per-group mode — the MODE aggregate with an explicit
+    * tie policy (highest count, then lexicographically LAST value), which
+    * engine-native mode() functions leave unspecified: per order
+    * priority, the most common lineitem return flag with its count and
+    * group share. Two hash aggregations and a ≤|priorities×modes|-row
+    * argmax via struct-max — no window, no shuffle beyond the group
+    * keys.
+    *
+    * Tie policy note: max(struct(cnt, value)) breaks count ties toward
+    * the LARGER value on both engines — pinned here so replication
+    * between engines can diff the result byte-for-byte. */
+  def modeReturnflag(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
+    val o = Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+    val cells = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cells.groupBy("o_orderpriority").agg(sum(col("cnt")).as("n_rows"))
+    cells
+      .groupBy("o_orderpriority")
+      .agg(max(struct(col("cnt"), col("l_returnflag"))).as("m"))
+      .join(totals, "o_orderpriority")
+      .select(
+        col("o_orderpriority"),
+        col("m.l_returnflag").as("mode_returnflag"),
+        col("m.cnt").as("mode_count"),
+        col("n_rows"),
+        (col("m.cnt").cast("double") / col("n_rows").cast("double")).as("mode_share"))
+      .orderBy("o_orderpriority")
+  }
+
+  val modeReturnflagSql: String =
+    """WITH cells AS (
+      |  SELECT o_orderpriority, l_returnflag, count(*) AS cnt
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY o_orderpriority, l_returnflag),
+      |totals AS (
+      |  SELECT o_orderpriority, CAST(sum(cnt) AS BIGINT) AS n_rows
+      |  FROM cells GROUP BY o_orderpriority),
+      |best AS (
+      |  SELECT o_orderpriority, l_returnflag, cnt,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY cnt DESC, l_returnflag DESC) AS rn
+      |  FROM cells)
+      |SELECT b.o_orderpriority, b.l_returnflag AS mode_returnflag,
+      |       b.cnt AS mode_count, t.n_rows,
+      |       CAST(b.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS mode_share
+      |FROM best b JOIN totals t USING (o_orderpriority)
+      |WHERE b.rn = 1
+      |ORDER BY b.o_orderpriority""".stripMargin
+
   /** RFM customer segmentation — the classic marketing-analytics cube:
     * per customer, Recency (days since last order at the corpus' own
     * horizon), Frequency (order count) and Monetary (exact decimal
