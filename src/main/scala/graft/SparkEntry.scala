@@ -240,6 +240,7 @@ object SparkEntry {
     "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
     "dedup_component_stats" -> ((s, d) => Dedup.componentStats(s, d)),
     "dedup_band_occupancy" -> ((s, d) => Dedup.bandOccupancy(s, d)),
+    "dedup_simhash_tables" -> ((s, d) => Dedup.simhashTableStats(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
@@ -956,6 +957,7 @@ object SparkEntry {
       "dedup_pair_degree" -> Dedup.pairDegreeSql,
       "dedup_component_stats" -> Dedup.componentStatsSql,
       "dedup_band_occupancy" -> Dedup.bandOccupancySql,
+      "dedup_simhash_tables" -> Dedup.simhashTableStatsSql,
       "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,

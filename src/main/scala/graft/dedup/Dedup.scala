@@ -650,7 +650,10 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  def simhashSql: String = {
+  /** Shared CTE chain ending in `fps(doc_id, fp0..fp7)` — the DuckDB
+    * twin of [[simhashFingerprintsOf]], factored so the pairing oracle
+    * and the table-stats oracle stay in lockstep. */
+  private def simhashFpsCte: String = {
     val hCols = (0 until simhashBlocks).map { b =>
       s"CAST('0x' || substr(md5(tok), ${4 * b + 1}, 4) AS BIGINT) AS h$b"
     }.mkString(",\n         ")
@@ -661,14 +664,6 @@ object Dedup {
       (0 until simhashBlockBits).map(j => s"CASE WHEN s${b}_$j > 0 THEN ${1L << j} ELSE 0 END")
         .mkString(" + ") + s" AS fp$b"
     }.mkString(",\n         ")
-    val fpList = (0 until simhashBlocks).map(b => s"fp$b").mkString(", ")
-    val bandSelects = simhashTables.zipWithIndex.map { case ((i, j), t) =>
-      s"SELECT doc_id, $fpList, $t AS band_id, CAST(fp$i AS BIGINT) * 65536 + fp$j AS band_val FROM fps"
-    }.mkString("\n  UNION ALL ")
-    val abList = (0 until simhashBlocks)
-      .map(b => s"a.fp$b AS fp${b}_a, b.fp$b AS fp${b}_b").mkString(", ")
-    val hamming = (0 until simhashBlocks)
-      .map(b => s"bit_count(xor(fp${b}_a, fp${b}_b))").mkString(" + ")
     s"""$corpusSql,
        |toks AS (
        |  SELECT doc_id,
@@ -681,9 +676,28 @@ object Dedup {
        |         $bitSums
        |  FROM toks GROUP BY doc_id),
        |fps AS (
-       |  SELECT doc_id, $fpCols FROM sums),
+       |  SELECT doc_id, $fpCols FROM sums)""".stripMargin
+  }
+
+  /** The 28 two-block band selects over `fps` (fpList columns carried
+    * through when `withFps` — the pairing oracle needs them for the
+    * Hamming verify; the stats oracle does not). */
+  private def simhashBandSelects(withFps: Boolean): String = {
+    val fpList = (0 until simhashBlocks).map(b => s"fp$b").mkString(", ")
+    val carry = if (withFps) s"$fpList, " else ""
+    simhashTables.zipWithIndex.map { case ((i, j), t) =>
+      s"SELECT doc_id, $carry$t AS band_id, CAST(fp$i AS BIGINT) * 65536 + fp$j AS band_val FROM fps"
+    }.mkString("\n  UNION ALL ")
+  }
+
+  def simhashSql: String = {
+    val abList = (0 until simhashBlocks)
+      .map(b => s"a.fp$b AS fp${b}_a, b.fp$b AS fp${b}_b").mkString(", ")
+    val hamming = (0 until simhashBlocks)
+      .map(b => s"bit_count(xor(fp${b}_a, fp${b}_b))").mkString(" + ")
+    s"""$simhashFpsCte,
        |banded AS (
-       |  $bandSelects),
+       |  ${simhashBandSelects(withFps = true)}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $abList
        |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
@@ -692,6 +706,49 @@ object Dedup {
        |FROM pairs WHERE $hamming <= 6
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** SimHash pair-table health stats — the [[bandOccupancy]] twin for
+    * the Manku blocking: per two-block table, distinct key count, the
+    * hottest bucket, and the candidate pairs the table implies. The 28
+    * tables each hash into 2³² keys, so on a healthy corpus occupancy
+    * stays ~1 and total candidates ~|near-dups|; a table whose
+    * max_occupancy explodes has found a fingerprint-collision flood
+    * (templated docs voting identical bits) BEFORE the self-join pays
+    * for it.
+    *
+    * Scale shape: reuses the memoized fingerprints; one (table, key)
+    * shuffle to bucket sizes, then a 28-key aggregation. */
+  def simhashTableStats(spark: SparkSession, dir: String): DataFrame = {
+    val fps = simhashFingerprints(spark, dir)
+    val banded = fps
+      .select(col("doc_id"),
+        explode(array(simhashTables.zipWithIndex.map { case ((i, j), t) =>
+          struct(lit(t).as("band_id"),
+            (col(s"fp$i") * lit(65536L) + col(s"fp$j")).as("band_val"))
+        }: _*)).as("bk"))
+      .select(col("bk.band_id").as("band_id"), col("bk.band_val").as("band_val"))
+    banded.groupBy("band_id", "band_val")
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("band_id").cast("long").as("band_id"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        max(col("occ")).as("max_occupancy"),
+        expr("sum(occ * (occ - 1) div 2)").as("cand_pairs"))
+      .orderBy("band_id")
+  }
+
+  def simhashTableStatsSql: String =
+    s"""$simhashFpsCte,
+       |banded AS (
+       |  ${simhashBandSelects(withFps = false)}),
+       |occ AS (
+       |  SELECT band_id, band_val, count(*) AS occ
+       |  FROM banded GROUP BY band_id, band_val)
+       |SELECT CAST(band_id AS BIGINT) AS band_id,
+       |       count(*) AS n_keys,
+       |       CAST(max(occ) AS BIGINT) AS max_occupancy,
+       |       CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS cand_pairs
+       |FROM occ GROUP BY band_id ORDER BY band_id""".stripMargin
 
   /** Word-3-gram Jaccard near-dup with min-hash blocking: candidates share
     * the minimum 3-gram digest; verified pairs at Jaccard ≥ 0.4. */
