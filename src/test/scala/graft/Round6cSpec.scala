@@ -102,6 +102,43 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  test("mode: the argmax cell is consistent with its group's row total") {
+    val rows = Relational.modeReturnflag(spark, dir).collect()
+    val liRows = Tables.load(spark, dir, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === liRows)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mode_count") <= r.getAs[Long]("n_rows"))
+      val share = r.getAs[Double]("mode_share")
+      // the mode is at least as common as a uniform split over the
+      // 3 return-flag values
+      assert(share > 1.0 / 3.0 - 1e-9 && share <= 1.0)
+    }
+  }
+
+  test("first/last: priority changes only happen to repeat customers") {
+    val rows = Relational.firstLast(spark, dir).collect()
+    val nCust = Tables.load(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum === nCust)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_priority_changed") <= r.getAs[Long]("n_repeat"))
+      assert(r.getAs[Long]("n_repeat") <= r.getAs[Long]("n_customers"))
+    }
+  }
+
+  test("simhash tables: 28 tables, keys bounded by the corpus, candidates cover the verified pairs") {
+    val stats = Dedup.simhashTableStats(spark, dir).collect()
+    assert(stats.length === 28)
+    val corpusSize = Dedup.corpus(spark, dir).count()
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_keys") <= corpusSize)
+      assert(r.getAs[Long]("max_occupancy") >= 1L)
+    }
+    // every verified near-dup pair collided in >= 1 table, so the summed
+    // per-table pair counts bound the verified set from above
+    val verified = Dedup.simhash(spark, dir).count()
+    assert(stats.map(_.getAs[Long]("cand_pairs")).sum >= verified)
+  }
+
   test("zipf check: full head, non-negative spread, envelope contains the mean") {
     val r = TextFunctions.zipfCheck(spark, dir).collect().head
     // head covers min(100, |vocab|) — the smoke corpus has a tiny vocabulary
