@@ -235,6 +235,7 @@ object SparkEntry {
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
     "pipe_contamination_ngram" -> ((s, d) => Dedup.contaminationNgram(s, d)),
     "pipe_mix_drift" -> ((s, d) => TextFunctions.mixDrift(s, d)),
+    "pipe_mix_anneal" -> ((s, d) => TextFunctions.mixAnneal(s, d)),
     "dedup_threshold_curve" -> ((s, d) => Dedup.thresholdCurve(s, d)),
     "dedup_cluster_lss" -> ((s, d) => Dedup.clusterLargeStar(s, d)),
     "dedup_pair_degree" -> ((s, d) => Dedup.pairDegree(s, d)),
@@ -953,6 +954,7 @@ object SparkEntry {
       "pipe_cross_source_dup" -> Dedup.crossSourceDupSql,
       "pipe_contamination_ngram" -> Dedup.contaminationNgramSql(),
       "pipe_mix_drift" -> TextFunctions.mixDriftSql,
+      "pipe_mix_anneal" -> TextFunctions.mixAnnealSql,
       "dedup_threshold_curve" -> Dedup.thresholdCurveSql,
       "dedup_pair_degree" -> Dedup.pairDegreeSql,
       "dedup_component_stats" -> Dedup.componentStatsSql,

@@ -1370,6 +1370,65 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Two-phase anneal schedule — the mid-training mix switch in one
+    * table: 80% of a one-epoch token budget is allocated at the corpus'
+    * NATURAL share (phase 1, coverage), the final 20% at the
+    * quality-derived TARGET share (phase 2, the anneal — the standard
+    * "finish on your best data" pretraining move). Per source: both
+    * phase allocations, the total, and the anneal boost (phase-2
+    * sampling rate over phase-1 rate — >1 means the source is
+    * up-weighted at the end).
+    *
+    * Determinism: phase budgets are integer div of the exact corpus
+    * total; allocations are floor of identically-shaped double
+    * expressions (budget × exact-long share ratio) — the same IEEE ops
+    * on both engines. Scale shape: everything runs on [[domainMix]]'s
+    * |sources|-row output with one broadcast totals row. */
+  def mixAnneal(spark: SparkSession, dir: String): DataFrame = {
+    val mix = domainMix(spark, dir).select(col("source"), col("total_tokens"), col("good_docs"))
+    val tot = mix.agg(sum(col("total_tokens")).as("ct"), sum(col("good_docs")).as("cg"))
+    mix.crossJoin(broadcast(tot))
+      .withColumn("b1", expr("ct * 4 div 5"))
+      .withColumn("b2", col("ct") - col("b1"))
+      .withColumn("alloc_phase1",
+        floor(col("b1").cast("double")
+          * (col("total_tokens").cast("double") / col("ct").cast("double"))).cast("long"))
+      .withColumn("alloc_phase2",
+        floor(col("b2").cast("double")
+          * (col("good_docs").cast("double") / col("cg").cast("double"))).cast("long"))
+      .select(col("source"), col("alloc_phase1"), col("alloc_phase2"),
+        (col("alloc_phase1") + col("alloc_phase2")).as("alloc_total"),
+        when(col("alloc_phase1") > 0,
+          (col("alloc_phase2").cast("double") / col("b2").cast("double"))
+            / (col("alloc_phase1").cast("double") / col("b1").cast("double")))
+          .as("anneal_boost"))
+      .orderBy("source")
+  }
+
+  def mixAnnealSql: String =
+    s"""WITH mix AS (
+       |${domainMixSql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |tot AS (
+       |  SELECT CAST(sum(total_tokens) AS BIGINT) AS ct,
+       |         CAST(sum(good_docs) AS BIGINT) AS cg FROM mix),
+       |b AS (SELECT ct, cg, ct * 4 // 5 AS b1, ct - ct * 4 // 5 AS b2 FROM tot),
+       |alloc AS (
+       |  SELECT source,
+       |         CAST(floor(CAST(b1 AS DOUBLE)
+       |           * (CAST(total_tokens AS DOUBLE) / CAST(ct AS DOUBLE))) AS BIGINT) AS alloc_phase1,
+       |         CAST(floor(CAST(b2 AS DOUBLE)
+       |           * (CAST(good_docs AS DOUBLE) / CAST(cg AS DOUBLE))) AS BIGINT) AS alloc_phase2,
+       |         b1, b2
+       |  FROM mix, b)
+       |SELECT source, alloc_phase1, alloc_phase2,
+       |       alloc_phase1 + alloc_phase2 AS alloc_total,
+       |       CASE WHEN alloc_phase1 > 0 THEN
+       |         (CAST(alloc_phase2 AS DOUBLE) / CAST(b2 AS DOUBLE))
+       |           / (CAST(alloc_phase1 AS DOUBLE) / CAST(b1 AS DOUBLE))
+       |       END AS anneal_boost
+       |FROM alloc ORDER BY source""".stripMargin
+
   /** Mix-drift QA: ONE summary row saying how far the corpus' actual
     * token mix sits from its quality-derived target mix — the
     * post-sampling check that the reweighting ([[domainMix]]) actually
