@@ -242,6 +242,7 @@ object SparkEntry {
     "dedup_component_stats" -> ((s, d) => Dedup.componentStats(s, d)),
     "dedup_band_occupancy" -> ((s, d) => Dedup.bandOccupancy(s, d)),
     "dedup_simhash_tables" -> ((s, d) => Dedup.simhashTableStats(s, d)),
+    "pipe_dedup_waterfall" -> ((s, d) => Dedup.dedupWaterfall(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
@@ -960,6 +961,7 @@ object SparkEntry {
       "dedup_component_stats" -> Dedup.componentStatsSql,
       "dedup_band_occupancy" -> Dedup.bandOccupancySql,
       "dedup_simhash_tables" -> Dedup.simhashTableStatsSql,
+      "pipe_dedup_waterfall" -> Dedup.dedupWaterfallSql,
       "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,

@@ -707,6 +707,145 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Sequential dedup-campaign plan ("the waterfall"): what each stage
+    * of the standard dedup ladder — exact (md5 groups) → near-dup
+    * clustering (Jaccard ≥ 0.6 components, keep min-id) → containment
+    * (≥ 0.9, drop the contained/shorter side) — would remove from THIS
+    * corpus, applied in order so each stage is charged only documents
+    * the earlier stages left alive. One row per stage: docs removed,
+    * normalized chars reclaimed, survivors remaining. This is the
+    * campaign plan a curator signs off before the destructive passes
+    * run, with the cost of each rung priced separately.
+    *
+    * Scale shape: every stage reads a shared memoized build (norm
+    * digest groups, cluster labels, containment pairs) — the waterfall
+    * adds only anti-joins over the removed-doc populations and
+    * single-row scalar aggregates (broadcast, structurally bounded). */
+  def dedupWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val lens = normCorpus(spark, dir)
+      .select(col("doc_id"), length(col("t")).cast("long").as("n_chars"))
+    val nc = normCorpus(spark, dir).select(col("doc_id"), md5(col("t")).as("sig"))
+    val exg = nc.groupBy("sig").agg(min(col("doc_id")).as("keep"), count(lit(1)).as("c"))
+    val removed1 = nc.join(exg, "sig")
+      .where(col("c") > 1 && col("doc_id") =!= col("keep")).select("doc_id")
+    val removed2 = cluster(spark, dir)
+      .where(col("doc_id") =!= col("canonical_id")).select("doc_id")
+      .join(removed1, Seq("doc_id"), "left_anti")
+    val removed3 = containment(spark, dir)
+      .select(when(col("n_a") < col("n_b"), col("id_a"))
+        .when(col("n_b") < col("n_a"), col("id_b"))
+        .otherwise(col("id_b")).as("doc_id"))
+      .distinct()
+      .join(removed1, Seq("doc_id"), "left_anti")
+      .join(removed2, Seq("doc_id"), "left_anti")
+    def stat(df: DataFrame, n: String, ch: String) =
+      df.join(lens, "doc_id")
+        .agg(count(lit(1)).as(n), coalesce(sum(col("n_chars")), lit(0L)).as(ch))
+    val total = normCorpus(spark, dir).agg(count(lit(1)).as("total"))
+    stat(removed1, "n1", "c1")
+      .crossJoin(broadcast(stat(removed2, "n2", "c2")))
+      .crossJoin(broadcast(stat(removed3, "n3", "c3")))
+      .crossJoin(broadcast(total))
+      .select(explode(array(
+        struct(lit("1_exact").as("stage"), col("n1").as("n_removed"),
+          col("c1").as("chars_removed"), (col("total") - col("n1")).as("survivors")),
+        struct(lit("2_near_dup").as("stage"), col("n2").as("n_removed"),
+          col("c2").as("chars_removed"),
+          (col("total") - col("n1") - col("n2")).as("survivors")),
+        struct(lit("3_containment").as("stage"), col("n3").as("n_removed"),
+          col("c3").as("chars_removed"),
+          (col("total") - col("n1") - col("n2") - col("n3")).as("survivors")))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.n_removed").as("n_removed"),
+        col("s.chars_removed").as("chars_removed"), col("s.survivors").as("survivors"))
+      .orderBy("stage")
+  }
+
+  def dedupWaterfallSql: String = {
+    val band4 = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_id, md5($cat) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val band1 = (0 until 16).map { i =>
+      s"SELECT doc_id, $i AS band_id, CAST(sig$i AS VARCHAR) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val lsteps = (1 to 3).map { k =>
+      val prev = s"wl${k - 1}"
+      s"""wl$k AS (
+         |  SELECT p.doc_id,
+         |         least(p.label, coalesce(m.nbr_label, p.label)) AS label
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT e.id_a AS doc_id, min(q.label) AS nbr_label
+         |    FROM wedges e JOIN $prev q ON e.id_b = q.doc_id
+         |    GROUP BY e.id_a) m ON p.doc_id = m.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$sigsCte,
+       |lens AS (SELECT doc_id, length(t) AS n_chars FROM norm),
+       |ex AS (SELECT doc_id, md5(t) AS sig FROM norm),
+       |exg AS (SELECT sig, min(doc_id) AS keep, count(*) AS c FROM ex GROUP BY sig),
+       |removed1 AS (
+       |  SELECT e.doc_id FROM ex e JOIN exg g USING (sig)
+       |  WHERE g.c > 1 AND e.doc_id <> g.keep),
+       |wband4 AS (
+       |  $band4),
+       |wcands4 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM wband4 a JOIN wband4 b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |wver4 AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       |         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union
+       |  FROM wcands4 c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id),
+       |wpairs AS (
+       |  SELECT id_a, id_b FROM wver4
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6),
+       |wedges AS (
+       |  SELECT id_a, id_b FROM wpairs
+       |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM wpairs),
+       |wl0 AS (SELECT doc_id, doc_id AS label FROM corpus),
+       |$lsteps,
+       |wsizes AS (
+       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM wl3 GROUP BY label),
+       |removed2 AS (
+       |  SELECT wl3.doc_id FROM wl3 JOIN wsizes s ON wl3.label = s.canonical_id
+       |  WHERE s.cluster_size > 1 AND wl3.doc_id <> wl3.label
+       |    AND wl3.doc_id NOT IN (SELECT doc_id FROM removed1)),
+       |wband1 AS (
+       |  $band1),
+       |wcands1 AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM wband1 a JOIN wband1 b ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |wver1 AS (
+       |  SELECT c.id_a, c.id_b,
+       |         len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+       |         len(sa.shingles) AS n_a, len(sb.shingles) AS n_b
+       |  FROM wcands1 c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id),
+       |removed3 AS (
+       |  SELECT DISTINCT CASE WHEN n_a < n_b THEN id_a
+       |                       WHEN n_b < n_a THEN id_b ELSE id_b END AS doc_id
+       |  FROM wver1
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+       |  EXCEPT SELECT doc_id FROM removed1
+       |  EXCEPT SELECT doc_id FROM removed2),
+       |tot AS (SELECT count(*) AS total FROM corpus),
+       |s1 AS (SELECT count(*) AS n1, coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS c1
+       |       FROM removed1 JOIN lens USING (doc_id)),
+       |s2 AS (SELECT count(*) AS n2, coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS c2
+       |       FROM removed2 JOIN lens USING (doc_id)),
+       |s3 AS (SELECT count(*) AS n3, coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS c3
+       |       FROM removed3 JOIN lens USING (doc_id))
+       |SELECT stage, n_removed, chars_removed, survivors FROM (
+       |  SELECT '1_exact' AS stage, n1 AS n_removed, c1 AS chars_removed,
+       |         total - n1 AS survivors FROM s1, tot
+       |  UNION ALL
+       |  SELECT '2_near_dup', n2, c2, total - n1 - n2 FROM s1, s2, tot
+       |  UNION ALL
+       |  SELECT '3_containment', n3, c3, total - n1 - n2 - n3 FROM s1, s2, s3, tot)
+       |ORDER BY stage""".stripMargin
+  }
+
   /** SimHash pair-table health stats — the [[bandOccupancy]] twin for
     * the Manku blocking: per two-block table, distinct key count, the
     * hottest bucket, and the candidate pairs the table implies. The 28
