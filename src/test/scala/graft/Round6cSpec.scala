@@ -139,6 +139,45 @@ class Round6cSpec extends AnyFunSuite {
     assert(stats.map(_.getAs[Long]("cand_pairs")).sum >= verified)
   }
 
+  test("dedup waterfall: stages are disjoint, survivors strictly account for every removal") {
+    val stages = Dedup.dedupWaterfall(spark, dir).collect()
+      .map(r => r.getAs[String]("stage") -> r).toMap
+    assert(stages.keySet === Set("1_exact", "2_near_dup", "3_containment"))
+    val total = Dedup.corpus(spark, dir).count()
+    val n1 = stages("1_exact").getAs[Long]("n_removed")
+    val n2 = stages("2_near_dup").getAs[Long]("n_removed")
+    val n3 = stages("3_containment").getAs[Long]("n_removed")
+    // the injected corpus plants exact copies (doc_id%7) and truncated
+    // near-copies (doc_id%11): stages 1 and 2 must both fire
+    assert(n1 > 0L && n2 > 0L)
+    assert(stages("1_exact").getAs[Long]("survivors") === total - n1)
+    assert(stages("2_near_dup").getAs[Long]("survivors") === total - n1 - n2)
+    assert(stages("3_containment").getAs[Long]("survivors") === total - n1 - n2 - n3)
+    stages.values.foreach { r =>
+      if (r.getAs[Long]("n_removed") > 0) assert(r.getAs[Long]("chars_removed") > 0L)
+    }
+  }
+
+  test("mix anneal: phase allocations respect their budgets and the boost tracks the mix weight") {
+    val mix = TextFunctions.domainMix(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("mix_weight")).toMap
+    val rows = TextFunctions.mixAnneal(spark, dir).collect()
+    val corpusTokens = TextFunctions.domainMix(spark, dir)
+      .agg(sum(col("total_tokens"))).collect().head.getLong(0)
+    val b1 = corpusTokens * 4 / 5; val b2 = corpusTokens - b1
+    // floor-allocation never overshoots a phase budget
+    assert(rows.map(_.getAs[Long]("alloc_phase1")).sum <= b1)
+    assert(rows.map(_.getAs[Long]("alloc_phase2")).sum <= b2)
+    rows.foreach { r =>
+      val boost = r.getAs[Double]("anneal_boost")
+      val w = mix(r.getAs[String]("source"))
+      // the anneal up-weights exactly the sources the mix planner does
+      // (floor rounding keeps the ratio within a hair of mix_weight)
+      if (w > 1.05) assert(boost > 1.0)
+      if (w < 0.95) assert(boost < 1.0)
+    }
+  }
+
   test("zipf check: full head, non-negative spread, envelope contains the mean") {
     val r = TextFunctions.zipfCheck(spark, dir).collect().head
     // head covers min(100, |vocab|) — the smoke corpus has a tiny vocabulary
