@@ -248,6 +248,7 @@ object SparkEntry {
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
     "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Ann.ivfpqTopK(s, d)),
+    "ann_index_menu" -> ((s, d) => Ann.indexMenu(s, d)),
     "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
     "ann_sq8_recall" -> ((s, d) => Ann.sq8Recall(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
@@ -967,6 +968,7 @@ object SparkEntry {
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
       "ann_pq_recall" -> Ann.pqRecallSql(),
       "ann_ivfpq_topk" -> Ann.ivfpqTopKSql(),
+      "ann_index_menu" -> Ann.indexMenuSql(),
       "ann_sq8_topk" -> Ann.sq8TopKSql(),
       "ann_sq8_recall" -> Ann.sq8RecallSql(),
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),

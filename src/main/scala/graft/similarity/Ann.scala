@@ -1062,6 +1062,73 @@ object Ann {
        |    (x, y) -> x + y) AS adc_dist
        |FROM enc ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
 
+  /** The index menu — one decision table across the four vector-storage
+    * formats this module implements: per format, bytes per vector, total
+    * index bytes at this corpus size, and measured recall@10 against the
+    * exact L2 top-k. This is the artifact an operator reads to pick the
+    * 100 TB trade-off (raw floats for recall 1.0 at 256 B/vec, SQ8 at
+    * 64 B, PQ/IVF-PQ at 4 B) — the same sweep faiss users run by hand,
+    * as a single oracle-checked query.
+    *
+    * Scale shape: each recall cell joins two k-row top-k results; the
+    * only corpus-sized work is the scans the underlying searches already
+    * do, and the menu rows come from broadcast scalar aggregates. */
+  def indexMenu(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nRow = emb.agg(count(lit(1)).as("n_vectors"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(k).select("vec_id")
+    def recallOf(topk: DataFrame, name: String) =
+      topk.select("vec_id").join(exact, "vec_id")
+        .agg((count(lit(1)).cast("double") / lit(k.toDouble)).as(name))
+    nRow
+      .crossJoin(broadcast(recallOf(pqTopK(spark, dir, k), "r_pq")))
+      .crossJoin(broadcast(recallOf(sq8TopK(spark, dir, k), "r_sq8")))
+      .crossJoin(broadcast(recallOf(ivfpqTopK(spark, dir, k), "r_ivfpq")))
+      .select(explode(array(
+        struct(lit("1_raw_float32").as("format"), lit(256L).as("bytes_per_vector"),
+          (col("n_vectors") * 256L).as("total_bytes"), lit(1.0).as("recall_at_k")),
+        struct(lit("2_sq8").as("format"), lit(64L).as("bytes_per_vector"),
+          (col("n_vectors") * 64L).as("total_bytes"), col("r_sq8").as("recall_at_k")),
+        struct(lit("3_pq").as("format"), lit(4L).as("bytes_per_vector"),
+          (col("n_vectors") * 4L).as("total_bytes"), col("r_pq").as("recall_at_k")),
+        struct(lit("4_ivfpq").as("format"), lit(4L).as("bytes_per_vector"),
+          (col("n_vectors") * 4L).as("total_bytes"), col("r_ivfpq").as("recall_at_k")))).as("m"))
+      .select(col("m.format").as("format"), col("m.bytes_per_vector").as("bytes_per_vector"),
+        col("m.total_bytes").as("total_bytes"), col("m.recall_at_k").as("recall_at_k"))
+      .orderBy("format")
+  }
+
+  def indexMenuSql(k: Int = 10): String =
+    s"""WITH qm AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |ex AS (
+       |  SELECT vec_id FROM embeddings CROSS JOIN qm
+       |  WHERE vec_id <> 0
+       |  ORDER BY ${l2Sql("embedding", "qe")} ASC, vec_id LIMIT $k),
+       |nvec AS (SELECT count(*) AS n_vectors FROM embeddings),
+       |rpq AS (
+       |  SELECT CAST(count(*) AS DOUBLE) / CAST($k AS DOUBLE) AS r
+       |  FROM (${pqTopKSql(k)}) p JOIN ex USING (vec_id)),
+       |rsq AS (
+       |  SELECT CAST(count(*) AS DOUBLE) / CAST($k AS DOUBLE) AS r
+       |  FROM (${sq8TopKSql(k)}) s JOIN ex USING (vec_id)),
+       |rivf AS (
+       |  SELECT CAST(count(*) AS DOUBLE) / CAST($k AS DOUBLE) AS r
+       |  FROM (${ivfpqTopKSql(k)}) i JOIN ex USING (vec_id))
+       |SELECT format, bytes_per_vector, total_bytes, recall_at_k FROM (
+       |  SELECT '1_raw_float32' AS format, CAST(256 AS BIGINT) AS bytes_per_vector,
+       |         n_vectors * 256 AS total_bytes, CAST(1.0 AS DOUBLE) AS recall_at_k FROM nvec
+       |  UNION ALL
+       |  SELECT '2_sq8', 64, n_vectors * 64, r FROM nvec, rsq
+       |  UNION ALL
+       |  SELECT '3_pq', 4, n_vectors * 4, r FROM nvec, rpq
+       |  UNION ALL
+       |  SELECT '4_ivfpq', 4, n_vectors * 4, r FROM nvec, rivf)
+       |ORDER BY format""".stripMargin
+
   /** Scalar-quantization (SQ8) top-k — the OTHER compressed-domain scale
     * path, complementing [[pqTopK]]: each dimension is independently
     * affine-coded to 8 bits against the corpus' per-dimension min/max
