@@ -121,6 +121,8 @@ object SparkEntry {
     "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
     "text_dup_gram_share" -> ((s, d) => TextFunctions.dupGramShare(s, d)),
     "pipe_tokenizer_fertility" -> ((s, d) => TextFunctions.tokenizerFertility(s, d)),
+    "pipe_token_histogram" -> ((s, d) => TextFunctions.tokenHistogram(s, d)),
+    "pipe_vocab_growth" -> ((s, d) => TextFunctions.vocabGrowth(s, d)),
     "text_char_diversity" -> ((s, d) => TextFunctions.charDiversity(s, d)),
     "emb_norm_stats" -> ((s, d) => Ann.normStats(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
@@ -835,6 +837,8 @@ object SparkEntry {
       "text_novelty" -> TextFunctions.noveltySql,
       "text_dup_gram_share" -> TextFunctions.dupGramShareSql,
       "pipe_tokenizer_fertility" -> TextFunctions.tokenizerFertilitySql,
+      "pipe_token_histogram" -> TextFunctions.tokenHistogramSql,
+      "pipe_vocab_growth" -> TextFunctions.vocabGrowthSql,
       "text_char_diversity" -> TextFunctions.charDiversitySql,
       "emb_norm_stats" -> Ann.normStatsSql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,

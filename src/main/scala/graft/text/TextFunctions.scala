@@ -1370,6 +1370,115 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Power-of-two document-length histogram — the context-window
+    * planning table: documents bucketed by floor(log2(tokens)) so an
+    * operator can read off directly how much of the corpus fits a 2k /
+    * 4k / 8k window, how much needs [[chunkDocuments]], and where the
+    * packing waste will come from. The log2 is a generated CASE ladder
+    * over the power-of-two boundaries (both engines run the identical
+    * integer comparisons — no libm in the bucket function).
+    *
+    * Scale shape: pure per-row bucketing, one ≤18-key aggregation. */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val maxBucket = 17 // 2^17 = 128k tokens — beyond any sane document
+    val toks = size(split(trim(col("text")), "\\s+")).cast("long")
+    val bucket = (1 to maxBucket).foldLeft(lit(0L)) { (acc, b) =>
+      when(toks >= (1L << b), lit(b.toLong)).otherwise(acc)
+    }
+    Tables.load(spark, dir, "documents")
+      .select(bucket.as("log2_bucket"), toks.as("n_tokens"))
+      .groupBy("log2_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("bucket_floor", expr("cast(pow(2, log2_bucket) as bigint)"))
+      .select("log2_bucket", "bucket_floor", "n_docs", "total_tokens",
+        "min_tokens", "max_tokens")
+      .orderBy("log2_bucket")
+  }
+
+  val tokenHistogramSql: String = {
+    val maxBucket = 17
+    val ladder = (1 to maxBucket).foldLeft("0") { (acc, b) =>
+      s"CASE WHEN nt >= ${1L << b} THEN $b ELSE $acc END"
+    }
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+       |  FROM documents),
+       |b AS (SELECT nt, CAST($ladder AS BIGINT) AS log2_bucket FROM d)
+       |SELECT log2_bucket,
+       |       CAST(pow(2, log2_bucket) AS BIGINT) AS bucket_floor,
+       |       count(*) AS n_docs,
+       |       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       |       CAST(min(nt) AS BIGINT) AS min_tokens,
+       |       CAST(max(nt) AS BIGINT) AS max_tokens
+       |FROM b GROUP BY log2_bucket ORDER BY log2_bucket""".stripMargin
+  }
+
+  /** Vocabulary-growth (Heaps-law) checkpoints: split the corpus into 10
+    * deterministic digest-deciles (a reproducible "ingest order"), and
+    * per decile report how many NEVER-SEEN-BEFORE terms it contributes
+    * and the cumulative vocabulary — the curve that says whether more
+    * data still buys new vocabulary (Heaps exponent alive) or the corpus
+    * has saturated into repetition (new_terms collapsing). Curators read
+    * the elbow to size further crawling.
+    *
+    * Determinism: the decile is a pure digest function of the text (no
+    * sampling); a term's first decile is an exact min. Scale shape: one
+    * (term → min decile) shuffle over per-doc-distinct terms, then
+    * everything runs on 10 rows — the cumulative sums are a 10×10
+    * triangle join, NOT a window.
+    */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("text"),
+        (conv(substring(md5(col("text")), 1, 2), 16, 10).cast("long") % 10).as("dec"))
+    val perDec = docs.groupBy("dec").agg(count(lit(1)).as("n_docs"))
+    val firsts = docs
+      .select(col("dec"), explode(array_distinct(split(normText(col("text")), " "))).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("term").agg(min(col("dec")).as("dec"))
+      .groupBy("dec").agg(count(lit(1)).as("new_terms"))
+    val base = perDec.join(firsts, Seq("dec"), "left")
+      .select(col("dec"), col("n_docs"), coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+    // dec = digest % 10 bounds base at 10 rows; the limit(10) is
+    // semantics-preserving and puts that bound IN the plan, so the
+    // nested-loop audit can prove the broadcast side bounded
+    val b = base.select(col("dec").as("dec2"), col("n_docs").as("nd2"), col("new_terms").as("nt2"))
+      .limit(10)
+    base.join(broadcast(b), col("dec2") <= col("dec"))
+      .groupBy("dec", "n_docs", "new_terms")
+      .agg(sum(col("nd2")).as("docs_cum"), sum(col("nt2")).as("vocab_cum"))
+      .select(col("dec").as("decile"), col("n_docs"), col("docs_cum"),
+        col("new_terms"), col("vocab_cum"))
+      .orderBy("decile")
+  }
+
+  val vocabGrowthSql: String =
+    """WITH d AS (
+      |  SELECT text, CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 10 AS dec FROM documents),
+      |per_dec AS (SELECT dec, count(*) AS n_docs FROM d GROUP BY dec),
+      |firsts AS (
+      |  SELECT dec, count(*) AS new_terms FROM (
+      |    SELECT term, min(dec) AS dec FROM (
+      |      SELECT dec, unnest(list_distinct(
+      |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))) AS term
+      |      FROM d)
+      |    WHERE length(term) >= 1 GROUP BY term)
+      |  GROUP BY dec),
+      |base AS (
+      |  SELECT p.dec, p.n_docs, coalesce(f.new_terms, 0) AS new_terms
+      |  FROM per_dec p LEFT JOIN firsts f USING (dec))
+      |SELECT a.dec AS decile, a.n_docs,
+      |       CAST(sum(b.n_docs) AS BIGINT) AS docs_cum,
+      |       a.new_terms,
+      |       CAST(sum(b.new_terms) AS BIGINT) AS vocab_cum
+      |FROM base a JOIN base b ON b.dec <= a.dec
+      |GROUP BY a.dec, a.n_docs, a.new_terms
+      |ORDER BY decile""".stripMargin
+
   /** Two-phase anneal schedule — the mid-training mix switch in one
     * table: 80% of a one-epoch token budget is allocated at the corpus'
     * NATURAL share (phase 1, coverage), the final 20% at the
