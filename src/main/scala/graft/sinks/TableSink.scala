@@ -122,4 +122,63 @@ object TableSink {
   /** Append-only audit sink (pipeline_runs equivalent). */
   def appendAudit(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Small-file health report for a parquet table directory — the lake
+    * maintenance statistic a streaming sink degrades on (every
+    * micro-batch appends a sliver; a year of 1-minute triggers is half a
+    * million files and the NameNode/S3-listing, task-scheduling, and
+    * footer-reading overheads eat the cluster): data file count, total
+    * bytes, mean file bytes, and the file count a compaction to
+    * `targetFileBytes` (default 128 MiB — the HDFS-block / Iceberg / Delta
+    * convention) would leave. Pure driver-side FS metadata — no data
+    * read. */
+  def compactionPlan(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactionPlan = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var nFiles = 0L; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      // count data files only — _SUCCESS markers and checksums are not
+      // what compaction rewrites
+      if (f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+        nFiles += 1; bytes += f.getLen
+      }
+    }
+    val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    CompactionPlan(nFiles, bytes, target, nFiles > target)
+  }
+
+  final case class CompactionPlan(
+      nFiles: Long, totalBytes: Long, targetFiles: Long, worthCompacting: Boolean)
+
+  /** Execute a compaction: rewrite the table at `targetFiles` files via
+    * the crash-safe tmp-swap used by [[upsert]] (readers never see a
+    * half-written table, and a crash between the two renames leaves a
+    * recoverable `.bak`). Returns the plan it executed. */
+  def compactSmallFiles(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactionPlan = {
+    val plan = compactionPlan(spark, path, targetFileBytes)
+    if (plan.worthCompacting) {
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmpPath = path + ".compact.tmp"
+      spark.read.parquet(path)
+        .repartition(plan.targetFiles.toInt)
+        .write.mode(SaveMode.Overwrite).parquet(tmpPath)
+      val tmp = new org.apache.hadoop.fs.Path(tmpPath)
+      val bak = new org.apache.hadoop.fs.Path(path + ".bak")
+      def mv(from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+        require(fs.rename(from, to), s"compaction swap: rename $from -> $to failed")
+      fs.delete(bak, true)
+      mv(dst, bak)
+      mv(tmp, dst)
+      fs.delete(bak, true)
+      ()
+    }
+    plan
+  }
 }
