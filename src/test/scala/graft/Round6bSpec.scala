@@ -45,6 +45,24 @@ class Round6bSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Double]("sq_dist")).toSeq === top.map(_.getAs[Double]("sq_dist")).sortBy(identity).toSeq)
   }
 
+  test("sq8: ADC distances track the true L2 within the quantization budget") {
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val truth = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("d")).toMap
+    Ann.sq8TopK(spark, dir).collect().foreach { r =>
+      val t = truth(r.getAs[Long]("vec_id"))
+      val adc = r.getAs[Double]("sq_dist")
+      // 8-bit cells on unit-scale dims keep per-dim reconstruction error
+      // below half a cell — the squared distance cannot drift by more
+      // than a few percent of its own magnitude
+      assert(math.abs(adc - t) <= 0.05 * math.max(t, 1.0),
+        s"vec ${r.getAs[Long]("vec_id")}: adc $adc vs true $t")
+    }
+  }
+
   test("dup-gram share: every document lands in exactly one decile bin") {
     val nDocs = Tables.load(spark, dir, "documents").count()
     val hist = TextFunctions.dupGramShare(spark, dir).collect()
