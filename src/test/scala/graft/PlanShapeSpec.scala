@@ -171,4 +171,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
     assert(p.contains("graft_l2sq"), "scoring must use the codegen'd native distance")
   }
+
+  test("IVF-PQ: the probe prunes via a broadcast equi-join, scan spine shuffle-free") {
+    val p = planOf("ann_ivfpq_topk")
+    // cell pruning must be a broadcast hash join on the label (2-row
+    // probe set) — a shuffled or nested-loop label join would move the
+    // corpus to prune it
+    assert(p.contains("BroadcastHashJoin"), "label pruning must broadcast the probe set")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle to meet a 2-row probe set")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+    assert(p.contains("graft_l2sq"), "ADC scoring must use the codegen'd native distance")
+  }
 }
