@@ -98,6 +98,7 @@ object SparkEntry {
     "q_rfm" -> ((s, d) => Relational.rfm(s, d)),
     "q_mode" -> ((s, d) => Relational.modeReturnflag(s, d)),
     "q_first_last" -> ((s, d) => Relational.firstLast(s, d)),
+    "q_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
@@ -546,6 +547,7 @@ object SparkEntry {
       "q_rfm" -> Relational.rfmSql,
       "q_mode" -> Relational.modeReturnflagSql,
       "q_first_last" -> Relational.firstLastSql,
+      "q_salted_join" -> Relational.saltedJoinSql,
       "q_moving_avg" -> Relational.movingAvgSql,
       "cdc_rowcount_validate" ->
         s"""$cl, last_op AS (

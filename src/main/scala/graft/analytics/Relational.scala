@@ -303,6 +303,51 @@ object Relational {
       .orderBy("user_id", "session_id")
   }
 
+  /** Salted hot-key join — the skew-mitigation algebra as an
+    * oracle-checked operator: the fact side is keyed to 5 synthetic hot
+    * groups (user_id % 5 — each key holds a fifth of the stream, the
+    * shape that melts one reducer in a plain hash join), so the join
+    * runs salted: the fact side adds a deterministic salt (seq % 8) and
+    * the 5-row dimension is replicated ×8, turning each hot key into 8
+    * co-sized (key, salt) buckets. The oracle computes the UNSALTED
+    * join — passing proves the salting is semantics-preserving, which
+    * is the entire point of the technique.
+    *
+    * Determinism: the per-key rollup aggregates exact longs (value
+    * quantized to millis before summing — a raw double sum would be
+    * partition-order-dependent, and salting exists to change the
+    * partitioning). */
+  def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select((col("user_id") % 5).as("k"),
+        (col("event_id") % salts).as("salt"),
+        floor(col("value") * 1000.0).cast("long").as("v_millis"))
+    // one Range leaf enumerates the (key × salt) replication directly —
+    // no join at all in the dimension build
+    val dimSalted = spark.range(5L * salts).select(
+      (col("id") / salts).cast("long").as("k"),
+      (col("id") % salts).as("salt"),
+      ((col("id") / salts).cast("long") * 100L + 7L).as("w"))
+    ev.join(broadcast(dimSalted), Seq("k", "salt"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(col("w")).as("w"),
+        sum(col("v_millis")).as("v_millis_sum"))
+      .orderBy("k")
+  }
+
+  val saltedJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id % 5 AS k, CAST(floor(value * 1000.0) AS BIGINT) AS v_millis
+      |  FROM events),
+      |dim AS (SELECT i AS k, i * 100 + 7 AS w FROM (SELECT unnest(range(0, 5)) AS i))
+      |SELECT ev.k, count(*) AS n_events,
+      |       CAST(max(dim.w) AS BIGINT) AS w,
+      |       CAST(sum(v_millis) AS BIGINT) AS v_millis_sum
+      |FROM ev JOIN dim ON ev.k = dim.k
+      |GROUP BY ev.k ORDER BY ev.k""".stripMargin
+
   /** First-vs-last order trajectory per market segment — the
     * first_value/last_value semantics WITHOUT a window: each customer's
     * first and last order (by date, orderkey tiebreak) come from one
