@@ -178,6 +178,45 @@ class Round6cSpec extends AnyFunSuite {
     }
   }
 
+  test("token histogram: buckets partition the corpus and respect their power-of-two walls") {
+    val hist = TextFunctions.tokenHistogram(spark, dir).collect()
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(hist.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    hist.foreach { r =>
+      val b = r.getAs[Long]("log2_bucket")
+      val floor = r.getAs[Long]("bucket_floor")
+      assert(floor === (1L << b.toInt))
+      assert(r.getAs[Long]("min_tokens") >= floor || b === 0L)
+      assert(r.getAs[Long]("max_tokens") < (floor << 1) || b === 17L)
+    }
+  }
+
+  test("vocab growth: cumulative vocabulary lands exactly on the corpus vocabulary") {
+    val rows = TextFunctions.vocabGrowth(spark, dir).collect().sortBy(_.getAs[Long]("decile"))
+    val vocab = Tables.load(spark, dir, "documents")
+      .select(explode(split(graft.text.TextFunctions.normText(col("text")), " ")).as("t"))
+      .where(length(col("t")) >= 1).select("t").distinct().count()
+    assert(rows.last.getAs[Long]("vocab_cum") === vocab)
+    assert(rows.last.getAs[Long]("docs_cum") ===
+      Tables.load(spark, dir, "documents").count())
+    // cumulative columns are running sums of the per-decile columns
+    rows.foldLeft((0L, 0L)) { case ((docs, voc), r) =>
+      val d = docs + r.getAs[Long]("n_docs"); val v = voc + r.getAs[Long]("new_terms")
+      assert(r.getAs[Long]("docs_cum") === d)
+      assert(r.getAs[Long]("vocab_cum") === v)
+      (d, v)
+    }
+    ()
+  }
+
+  test("salted join: bucket replication neither loses nor duplicates events") {
+    val rows = Relational.saltedJoin(spark, dir).collect()
+    val nEvents = Tables.load(spark, dir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum === nEvents)
+    assert(rows.map(_.getAs[Long]("k")).toSet === Set(0L, 1L, 2L, 3L, 4L))
+    rows.foreach(r => assert(r.getAs[Long]("w") === r.getAs[Long]("k") * 100L + 7L))
+  }
+
   test("zipf check: full head, non-negative spread, envelope contains the mean") {
     val r = TextFunctions.zipfCheck(spark, dir).collect().head
     // head covers min(100, |vocab|) — the smoke corpus has a tiny vocabulary
