@@ -179,6 +179,7 @@ object SparkEntry {
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
     "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
     "cdc_robust_anomaly" -> ((s, d) => Monitoring.robustAnomaly(Cdc.changelog(s, d))),
+    "cdc_lag_sla" -> ((s, d) => Monitoring.lagSla(Cdc.changelog(s, d))),
     "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
     "q_range_frame" -> ((s, d) => Relational.rangeFrame(s, d)),
@@ -905,6 +906,7 @@ object SparkEntry {
            |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
       "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
       "cdc_robust_anomaly" -> Monitoring.robustAnomalySql(cl),
+      "cdc_lag_sla" -> Monitoring.lagSlaSql(cl),
       "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
       "pipe_dataset_card" -> TextFunctions.datasetCardSql,
       "q_range_frame" -> Relational.rangeFrameSql,

@@ -675,6 +675,59 @@ object Monitoring {
       .orderBy("minute")
   }
 
+  /** Replication-freshness SLA ladder: against the stream's own
+    * high-water mark, what share of events sits within each standard
+    * freshness objective (1 hour / 1 day / 7 days / 30 days) — the
+    * one-table answer to "are we meeting the replication SLA, and at
+    * which tier does compliance break". Read next to [[lagTrend]] (the
+    * when) and [[lagPercentiles]] (the how bad): this is the
+    * contractual yes/no per tier.
+    *
+    * Scale shape: ONE conditional-aggregation pass over the changelog
+    * (four when-sums in the same hash aggregate); the ladder rows come
+    * from exploding a 4-element literal array over the single result
+    * row. Shares are divisions of exact counts. */
+  def lagSla(changelog: DataFrame): DataFrame = {
+    val slos = Seq(("1_hour", 3600000L), ("2_day", 86400000L),
+      ("3_week", 604800000L), ("4_month", 2592000000L))
+    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+    val lags = changelog.crossJoin(broadcast(hwm))
+      .select((unix_millis(col("hwm")) - unix_millis(col("ts"))).as("lag_ms"))
+    val aggCols = count(lit(1)).as("n_events") +: slos.map { case (name, ms) =>
+      sum(when(col("lag_ms") <= ms, 1L).otherwise(0L)).as(s"w_$name")
+    }
+    val agged = lags.agg(aggCols.head, aggCols.tail: _*)
+    agged.select(explode(array(slos.map { case (name, ms) =>
+        struct(lit(name).as("slo"), lit(ms).as("slo_ms"),
+          col("n_events"), col(s"w_$name").as("n_within"))
+      }: _*)).as("s"))
+      .select(col("s.slo").as("slo"), col("s.slo_ms").as("slo_ms"),
+        col("s.n_events").as("n_events"), col("s.n_within").as("n_within"),
+        (col("s.n_within").cast("double") / col("s.n_events").cast("double"))
+          .as("compliance"))
+      .orderBy("slo")
+  }
+
+  def lagSlaSql(changelogSql: String): String =
+    s"""$changelogSql, hwm AS (SELECT max(ts) AS hwm FROM changelog),
+       |lags AS (
+       |  SELECT epoch_ms(hwm) - epoch_ms(ts) AS lag_ms FROM changelog, hwm),
+       |agged AS (
+       |  SELECT count(*) AS n_events,
+       |         CAST(sum(CASE WHEN lag_ms <= 3600000 THEN 1 ELSE 0 END) AS BIGINT) AS w_hour,
+       |         CAST(sum(CASE WHEN lag_ms <= 86400000 THEN 1 ELSE 0 END) AS BIGINT) AS w_day,
+       |         CAST(sum(CASE WHEN lag_ms <= 604800000 THEN 1 ELSE 0 END) AS BIGINT) AS w_week,
+       |         CAST(sum(CASE WHEN lag_ms <= 2592000000 THEN 1 ELSE 0 END) AS BIGINT) AS w_month
+       |  FROM lags)
+       |SELECT slo, slo_ms, n_events, n_within,
+       |       CAST(n_within AS DOUBLE) / CAST(n_events AS DOUBLE) AS compliance
+       |FROM (
+       |  SELECT '1_hour' AS slo, CAST(3600000 AS BIGINT) AS slo_ms, n_events, w_hour AS n_within FROM agged
+       |  UNION ALL SELECT '2_day', 86400000, n_events, w_day FROM agged
+       |  UNION ALL SELECT '3_week', 604800000, n_events, w_week FROM agged
+       |  UNION ALL SELECT '4_month', 2592000000, n_events, w_month FROM agged)
+       |ORDER BY slo""".stripMargin
+
   /** Robust (median/MAD) volume-anomaly days — the breakdown-resistant
     * twin of [[burstDetect]]: a z-score's mean AND variance are both
     * dragged by the very bursts it hunts (one huge spike inflates σ
