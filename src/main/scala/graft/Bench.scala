@@ -1,4 +1,13 @@
 package graft
+
+/** Benchmark main: times every registered query at the target scale factor
+  * and emits (a) a one-line headline JSON on stdout for the driver and (b) a
+  * full per-query record — median AND raw per-pass timings for ALL queries —
+  * as a JSON file. The file is the canonical record: the driver captures only
+  * the LAST 2000 characters of stdout, and 190 per-query entries (~4.7 KB)
+  * cannot physically fit in that window, so the stdout line carries a
+  * one-per-family headline subset plus a pointer to the file.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -6,7 +15,12 @@ object Bench {
     // shared session defaults (UTC, AQE, shuffle partitions): the timings
     // must measure the SAME plans the correctness runs validate
     val spark = Tables.localSession("graft-bench", cpus)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the 9 audited bounded-window queries each emit a
+    // "No Partition Defined for Window" warning per pass, and those lines
+    // (justified — the inputs are pre-aggregated/cardinality-capped, see
+    // GlobalPlanAuditSpec's allowlist) were drowning the driver's
+    // 2000-char stdout tail that must end with the JSON line below.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm up the JVM/codegen/file index so the first timed query isn't
     // charged session startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -43,11 +57,31 @@ object Bench {
       val ok = timings.map(_(name)).filterNot(_.isNaN).sorted
       if (ok.isEmpty) None else Some(name -> ok(ok.length / 2))
     }.toMap
-    // The driver captures only the LAST 2000 chars of stdout; a map with
-    // every query's full-precision timing (~3.4 KB for 135 queries) pushed
-    // the front of the JSON line out of that window in r1/r2 → parsed:null.
-    // Emit a headline subset (one per operator family) rounded to 3
-    // decimals; `value` stays the total across ALL queries.
+    def r3(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full per-query record → file. Per-pass raws are kept alongside the
+    // median so a cold-cache pass 1 (memoized corpus builds being paid by
+    // whichever query touches them first) is distinguishable from a query
+    // that is genuinely slow every pass.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
+    val fullQueries = names.sorted.map { name =>
+      val raw = timings.map(_(name)).map(r3).mkString("[", ",", "]")
+      s"""    "$name": {"median": ${results.get(name).map(r3).getOrElse("null")}, "passes": $raw}"""
+    }.mkString(",\n")
+    val fullJson =
+      s"""{
+         |  "metric": "total", "value": ${r3(total)}, "unit": "sec",
+         |  "sf": "$sfDir", "cpus": $cpus, "passes": $passes,
+         |  "n_queries": ${results.size}, "n_failed": ${failed.length},
+         |  "failed": ${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |  "queries": {
+         |$fullQueries
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Headline stdout line (driver-parsed): one query per operator family,
+    // rounded to 3 decimals; `value` stays the total across ALL queries.
     val headline = Vector(
       "q1_agg", "q3_topk", "q5_multijoin", "q7_volume", "q10_returns",
       "q_window_rank", "q_cube", "q_asof_join", "q_sessionize",
@@ -57,11 +91,9 @@ object Bench {
       "dedup_embedding_cosine", "ann_bruteforce_topk", "ann_ivf_topk",
       "ann_knn_join", "text_langid", "text_quality", "text_tokens",
       "mm_frame_sample", "pipe_chunk_documents", "pipe_interleave")
-    def r3(v: Double): String = f"$v%.3f"
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"full":"$fullPath","queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()

@@ -135,9 +135,11 @@ object Pipeline {
               if (!TableSink.stateExists(spark, path))
                 // weighted seed: carries the per-key applied watermark
                 // (max_seq), so a checkpoint replay of the seeding batch
-                // is dropped by upsert instead of double-counted
+                // is dropped by upsert instead of double-counted; the
+                // tombstone-keeping form so a key deleted at the end of
+                // the seed batch keeps its watermark and count too
                 TableSink.writeSnapshot(
-                  Materialize.latestSnapshotWeighted(slice.withColumn("weight", lit(1L))),
+                  Materialize.latestStateWeighted(slice.withColumn("weight", lit(1L))),
                   "user_id", path)
               else
                 TableSink.upsert(spark, path, slice)
@@ -164,6 +166,46 @@ object Pipeline {
       maxRestarts: Int = 3,
       delayMs: Long = 60000L): graft.cdc.Recovery.Outcome =
     graft.cdc.Recovery.supervise(() => start(spark, cfg), run, maxRestarts, delayMs)
+
+  /** Result of an operator-initiated pause — the reference's stop_pipeline
+    * response shape (pipeline_id / stopped flags / status). */
+  final case class PauseResult(id: String, status: String, lastBatchId: Long)
+
+  /** Graceful operator-initiated stop — the Spark-native form of the
+    * reference's pause-before-delete (cdc_manager.py:2305-2330
+    * stop_pipeline PAUSES the connectors; the checkpoint/offsets survive so
+    * a later resume continues where it left off).
+    *
+    * `drain = true` (default) first lets every buffered wire file process
+    * to a batch boundary, so the pause point is clean. Set `drain = false`
+    * for a source with continuous arrivals (drain would chase its tail):
+    * stopping mid-batch is still safe — an uncommitted micro-batch is
+    * replayed on resume, and [[graft.sinks.TableSink.upsert]]'s per-key
+    * watermark makes the replay a no-op, so pause NEVER costs an event or
+    * a duplicate apply either way. The checkpoint is retained: this is
+    * pause, not teardown. */
+  def pause(q: StreamingQuery, drain: Boolean = true): PauseResult = {
+    if (drain) q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    PauseResult(q.id.toString, "PAUSED",
+      Option(q.lastProgress).map(_.batchId).getOrElse(-1L))
+  }
+
+  /** Resume a paused pipeline: [[start]] against the SAME config. The
+    * retained checkpoint delivers only wire files not yet committed, the
+    * state-seed guard skips re-seeding, and the upsert watermark drops any
+    * replayed boundary batch — so events that accumulated during the pause
+    * are applied exactly once and nothing before the pause is reapplied.
+    * Fails loudly if the checkpoint is absent (that is a first start, not
+    * a resume — use [[start]]). */
+  def resume(spark: SparkSession, cfg: Config): StreamingQuery = {
+    val ckpt = new org.apache.hadoop.fs.Path(cfg.checkpointPath)
+    val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(ckpt),
+      s"resume: no checkpoint at ${cfg.checkpointPath} — this would be a first start; use start()")
+    start(spark, cfg)
+  }
 
   /** Pipeline status from the live query (metrics_collector surface). */
   def status(q: StreamingQuery): Map[String, Any] = {

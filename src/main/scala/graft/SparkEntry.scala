@@ -80,6 +80,7 @@ object SparkEntry {
     "cdc_rowcount_validate" -> ((s, d) => Quality.rowcountValidate(s, d)),
     "cdc_integrity_stats" -> ((s, d) => Quality.integrityStats(s, d)),
     "cdc_schema_drift" -> ((s, d) => Quality.schemaDrift(s, d)),
+    "cdc_schema_compat" -> ((s, d) => Quality.schemaCompat(s, d)),
     // ── Relational analytics ─────────────────────────────────────────
     "q1_agg" -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_topk" -> ((s, d) => Relational.q3TopK(s, d)),
@@ -610,6 +611,7 @@ object SparkEntry {
           |            ELSE 'added_in_target' END AS status
           |FROM src FULL OUTER JOIN tgt ON src.column_name = tgt.column_name
           |ORDER BY column_name""".stripMargin,
+      "cdc_schema_compat" -> Quality.schemaCompatSql,
       // ── Relational analytics ───────────────────────────────────────
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,

@@ -317,14 +317,23 @@ object Relational {
     * quantized to millis before summing — a raw double sum would be
     * partition-order-dependent, and salting exists to change the
     * partitioning). */
-  def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
-      .select((col("user_id") % 5).as("k"),
-        (col("event_id") % salts).as("salt"),
-        floor(col("value") * 1000.0).cast("long").as("v_millis"))
+  def saltedJoin(spark: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    saltedJoinOf(
+      Tables.load(spark, dir, "events")
+        .select(col("user_id"), col("event_id"),
+          floor(col("value") * 1000.0).cast("long").as("v_millis")),
+      nKeys = 5, salts = salts)
+
+  /** The salted algebra over an arbitrary (user_id, event_id, v_millis)
+    * fact frame — factored out so the property fuzz can prove
+    * semantics-preservation for random key skews and salt counts. */
+  def saltedJoinOf(ev0: DataFrame, nKeys: Int, salts: Int): DataFrame = {
+    val spark = ev0.sparkSession
+    val ev = ev0.select((col("user_id") % nKeys).as("k"),
+      (col("event_id") % salts).as("salt"), col("v_millis"))
     // one Range leaf enumerates the (key × salt) replication directly —
     // no join at all in the dimension build
-    val dimSalted = spark.range(5L * salts).select(
+    val dimSalted = spark.range(nKeys.toLong * salts).select(
       (col("id") / salts).cast("long").as("k"),
       (col("id") % salts).as("salt"),
       ((col("id") / salts).cast("long") * 100L + 7L).as("w"))

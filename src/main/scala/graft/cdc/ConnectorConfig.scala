@@ -532,4 +532,57 @@ object ConnectorConfig {
       "numPartitions" -> parts.toString,
       "fetchsize" -> spec.fetchSize.toString)
   }
+
+  /** Kafka consumer-side read spec — the wire-reader half of a provisioned
+    * pipeline. Generation-only in this sandbox (no broker), exactly like
+    * [[chunkedReadOptions]]: the map plugs straight into
+    * `spark.readStream.format("kafka").options(...)`, replacing
+    * [[graft.sources.WireSource.readStream]]'s file source. */
+  final case class KafkaReadSpec(
+      bootstrap: String,
+      source: SourceSpec,
+      /** bounded micro-batches — the Kafka twin of WireSource's
+        * maxFilesPerTrigger: caps per-trigger work so one giant backlog
+        * drain cannot blow executor memory */
+      maxOffsetsPerTrigger: Long = 100000L,
+      /** CDC topics are retention-compacted; an aged-out offset after a
+        * long pause should warn and continue, not kill the pipeline */
+      failOnDataLoss: Boolean = false)
+
+  /** The Debezium topic names a SourceSpec's connector produces:
+    * `{topic.prefix}.{schema}.{table}` per included table — the same
+    * naming [[sourceConfig]] provisions (`topic.prefix` = pipeline) and
+    * [[Cdc.parseEnvelope]] parses back. AS400 resolves its library the
+    * way the source connector does. */
+  def kafkaTopics(spec: SourceSpec): Seq[String] = {
+    val schema = spec.dialect match {
+      case As400 => resolveAs400Library(spec.schema, spec.database, spec.additionalConfig)._1
+      case d => defaultSchema(d, spec.schema)
+    }
+    spec.tables.map(t => s"${spec.pipeline}.$schema.$t")
+  }
+
+  /** Option map for `spark.readStream.format("kafka")` consuming a
+    * provisioned pipeline's topics. Mirrors the reference consumer
+    * (cdc_event_logger.py:181-185): subscribe to the pipeline's Debezium
+    * topics, `auto_offset_reset='earliest'` with committed offsets
+    * thereafter — Spark's checkpoint plays the committed-offset role, so
+    * `startingOffsets` only applies on FIRST start. After a completed
+    * full load the topic backlog up to the handoff is already in the
+    * state table, so the first read starts at `latest` (the consumer
+    * twin of [[resolveSnapshotMode]]'s initial_only collapse and of
+    * cdc_snapshot_handoff's cutover). */
+  def kafkaReadOptions(spec: KafkaReadSpec): Map[String, String] = {
+    require(spec.bootstrap.nonEmpty, "kafka read: bootstrap servers required")
+    require(spec.source.tables.nonEmpty,
+      s"kafka read: no tables for pipeline ${spec.source.pipeline}")
+    require(spec.maxOffsetsPerTrigger > 0,
+      "kafka read: maxOffsetsPerTrigger must be positive")
+    Map(
+      "kafka.bootstrap.servers" -> spec.bootstrap,
+      "subscribe" -> kafkaTopics(spec.source).mkString(","),
+      "startingOffsets" -> (if (spec.source.fullLoadDone) "latest" else "earliest"),
+      "maxOffsetsPerTrigger" -> spec.maxOffsetsPerTrigger.toString,
+      "failOnDataLoss" -> spec.failOnDataLoss.toString)
+  }
 }

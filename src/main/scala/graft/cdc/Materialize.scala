@@ -44,6 +44,18 @@ object Materialize {
     * one-shot materialization agree on n_changes (sum is associative the
     * same way the struct max is). */
   def latestSnapshotWeighted(changelog: DataFrame): DataFrame =
+    latestStateWeighted(changelog)
+      .where(!col("is_deleted")).drop("is_deleted")
+
+  /** [[latestSnapshotWeighted]] WITHOUT the tombstone drop: every key the
+    * merge has ever seen stays in the output, deletes flagged
+    * `is_deleted` — the batch-boundary-INDEPENDENT state form. Dropping
+    * deleted keys from stored state forgets their applied watermark and
+    * cumulative change count, so a delete-then-recreate split across two
+    * micro-batches would materialize differently from the same events in
+    * one batch; keeping the tombstone row makes the final state a pure
+    * function of the event log, wherever the boundaries fell. */
+  def latestStateWeighted(changelog: DataFrame): DataFrame =
     changelog
       .groupBy(col("pk").as("user_id"))
       .agg(
@@ -52,13 +64,13 @@ object Materialize {
         // per-key applied watermark: lets the incremental sink drop
         // micro-batch replays (seq ≤ max_seq) instead of re-counting them
         max(col("seq")).as("max_seq"))
-      .where(col("last.op") =!= "d")
       .select(
         col("user_id"),
         dec(col("last.value"), 18, 2).cast("double").as("last_value"),
         col("last.ts").as("updated_at"),
         col("n_changes"),
-        col("max_seq"))
+        col("max_seq"),
+        (col("last.op") === "d").as("is_deleted"))
 
   /** Generic form of [[latestSnapshot]] for arbitrary tables: composite
     * keys, arbitrary ordering columns, arbitrary payload. `orderCols`

@@ -226,6 +226,75 @@ object Quality {
       |  FROM part)
       |ORDER BY table_name""".stripMargin
 
+  /** Pre-provisioning schema-compatibility verdict — the yes/no a user
+    * runs BEFORE creating a pipeline, rolled up from the column diff the
+    * way the reference's `validate_schema_compatibility` does
+    * (schema_service.py:1455-1539): compatibility is decided on column
+    * NAMES only — any source column missing in the target ⇒ incompatible;
+    * extra target columns are tolerated; an absent target table is
+    * compatible ("can be created"). One row per table: `customer` drifts
+    * by one extra audit column (compatible), `orders` drifts by a dropped
+    * column (incompatible, same drift scenario as [[schemaDrift]]), and
+    * `part` has no target yet. Schema metadata lives on the driver, so
+    * this is a bounded 3-row toDF, like [[schemaDrift]]. */
+  def schemaCompat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def verdict(table: String, source: DataFrame,
+                target: Option[DataFrame]): (String, Boolean, String, Long, Long, String, String) = {
+      val c = SchemaDdl.compatibility(source.schema, target.map(_.schema))
+      (table, c.compatible, c.message, c.sourceColumns.toLong,
+        c.targetColumns.toLong, c.missingColumns.mkString(","),
+        c.extraColumns.mkString(","))
+    }
+    val customer = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    val part = Tables.load(spark, dir, "part")
+    Seq(
+      verdict("customer", customer,
+        Some(customer.withColumn("c_sync_ts", current_timestamp()))),
+      verdict("orders", orders,
+        Some(orders.drop("o_orderpriority")
+          .withColumn("o_totalprice", col("o_totalprice").cast("string"))
+          .withColumn("o_sync_ts", col("o_orderdate")))),
+      verdict("part", part, None),
+    ).toDF("table_name", "compatible", "message", "n_source_columns",
+      "n_target_columns", "missing_columns", "extra_columns")
+      .orderBy("table_name")
+  }
+
+  val schemaCompatSql: String =
+    """WITH so AS (SELECT column_name FROM (DESCRIBE SELECT * FROM orders)),
+      |tg AS (SELECT column_name FROM (DESCRIBE SELECT o_orderkey, o_custkey, o_orderstatus,
+      |       CAST(o_totalprice AS VARCHAR) AS o_totalprice, o_orderdate,
+      |       o_orderdate AS o_sync_ts FROM orders)),
+      |sc AS (SELECT column_name FROM (DESCRIBE SELECT * FROM customer)),
+      |tc AS (SELECT column_name FROM (DESCRIBE SELECT *, now() AS c_sync_ts FROM customer))
+      |SELECT * FROM (
+      |  SELECT 'customer' AS table_name,
+      |         (SELECT count(*) FROM sc WHERE column_name NOT IN (SELECT column_name FROM tc)) = 0 AS compatible,
+      |         CASE WHEN (SELECT count(*) FROM sc WHERE column_name NOT IN (SELECT column_name FROM tc)) = 0
+      |              THEN 'Compatible' ELSE 'Incompatible - missing columns in target' END AS message,
+      |         (SELECT count(*) FROM sc) AS n_source_columns,
+      |         (SELECT count(*) FROM tc) AS n_target_columns,
+      |         coalesce((SELECT string_agg(column_name, ',' ORDER BY column_name) FROM sc
+      |                   WHERE column_name NOT IN (SELECT column_name FROM tc)), '') AS missing_columns,
+      |         coalesce((SELECT string_agg(column_name, ',' ORDER BY column_name) FROM tc
+      |                   WHERE column_name NOT IN (SELECT column_name FROM sc)), '') AS extra_columns
+      |  UNION ALL
+      |  SELECT 'orders',
+      |         (SELECT count(*) FROM so WHERE column_name NOT IN (SELECT column_name FROM tg)) = 0,
+      |         CASE WHEN (SELECT count(*) FROM so WHERE column_name NOT IN (SELECT column_name FROM tg)) = 0
+      |              THEN 'Compatible' ELSE 'Incompatible - missing columns in target' END,
+      |         (SELECT count(*) FROM so), (SELECT count(*) FROM tg),
+      |         coalesce((SELECT string_agg(column_name, ',' ORDER BY column_name) FROM so
+      |                   WHERE column_name NOT IN (SELECT column_name FROM tg)), ''),
+      |         coalesce((SELECT string_agg(column_name, ',' ORDER BY column_name) FROM tg
+      |                   WHERE column_name NOT IN (SELECT column_name FROM so)), '')
+      |  UNION ALL
+      |  SELECT 'part', TRUE, 'Target table does not exist - can be created',
+      |         (SELECT count(*) FROM (DESCRIBE SELECT * FROM part)), 0, '', '')
+      |ORDER BY table_name""".stripMargin
+
   def schemaDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val source = Tables.load(spark, dir, "orders")

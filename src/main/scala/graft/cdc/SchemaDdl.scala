@@ -192,6 +192,35 @@ object SchemaDdl {
     AlterPlan(stmts.toSeq, warns.toSeq)
   }
 
+  /** Pre-provisioning compatibility verdict (reference: backend/ingestion/
+    * schema_service.py:1455-1539 validate_schema_compatibility). Decided on
+    * column NAMES only, exactly like the reference: a source column missing
+    * in the target ⇒ incompatible (replication would drop data); extra
+    * target columns are tolerated; an absent target is compatible because
+    * [[syncDdl]] can create it. */
+  case class Compat(
+      compatible: Boolean,
+      message: String,
+      sourceColumns: Int,
+      targetColumns: Int,
+      missingColumns: Seq[String],
+      extraColumns: Seq[String])
+
+  def compatibility(source: StructType, target: Option[StructType]): Compat =
+    target match {
+      case None =>
+        Compat(compatible = true, "Target table does not exist - can be created",
+          source.size, 0, Nil, Nil)
+      case Some(t) =>
+        val srcNames = source.fieldNames.toSet
+        val tgtNames = t.fieldNames.toSet
+        val missing = (srcNames -- tgtNames).toSeq.sorted
+        Compat(missing.isEmpty,
+          if (missing.isEmpty) "Compatible"
+          else "Incompatible - missing columns in target",
+          source.size, t.size, missing, (tgtNames -- srcNames).toSeq.sorted)
+    }
+
   /** Full sync entry point, reference sync_schema's control flow: target
     * absent → CREATE TABLE; present → the ALTER delta. */
   def syncDdl(

@@ -22,32 +22,45 @@ object TableSink {
       .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Apply a changelog increment to the stored state: latest change per
-    * key wins across {stored state ∪ increment}; deletes drop keys.
-    * Writes the new state and returns it.
+    * key wins across {stored state ∪ increment}; deleted keys stay in the
+    * stored table as TOMBSTONE rows (`is_deleted = true`, hidden from
+    * [[readLive]] and from the returned frame). Writes the new state and
+    * returns its live view.
     *
     * Replay-idempotent: the state carries a per-key applied watermark
     * (max_seq) and increment rows with seq ≤ it are dropped BEFORE the
     * merge, so an at-least-once redelivery of a whole micro-batch changes
-    * neither values nor n_changes. The clean state table keeps no
-    * tombstones, so a genuinely NEW event (seq above the watermark) for a
-    * deleted key re-inserts it — log-order apply, the JDBC-sink
-    * semantics; note an event-time resolution over the full changelog can
-    * disagree with it on (ts,seq)-disordered keys. For unordered replays
-    * or tombstone retention use
-    * [[graft.cdc.Materialize.snapshotHandoff]]'s compacted form. */
+    * neither values nor n_changes. The tombstone retains a deleted key's
+    * watermark and cumulative change count, which makes the stored state
+    * batch-boundary-independent: a delete-then-recreate pair split across
+    * two micro-batches merges to exactly the one-batch (and one-shot
+    * batch materialization) result — without the tombstone the recreate
+    * would restart the key's count and forget its replay watermark. A
+    * genuinely NEW event above the watermark re-inserts the key —
+    * log-order apply, the JDBC-sink semantics; note an event-time
+    * resolution over the full changelog can disagree with it on
+    * (ts,seq)-disordered keys. Tombstone retention is bounded by deleted
+    * key cardinality; reclaim space offline with the `cdc_tombstone_gc`
+    * policy (drop tombstones older than every replayable source offset),
+    * like any compacted-topic retention. */
   def upsert(spark: SparkSession, path: String, changes: DataFrame, nBuckets: Int = 32): DataFrame = {
     val raw = readState(spark, path)
     // snapshot-seeded state (writeSnapshot of a plain materialization)
-    // predates the watermark column: treat as "nothing applied yet"
-    val state =
+    // predates the watermark/tombstone columns: treat as "nothing
+    // applied yet", all rows live
+    val state0 =
       if (raw.columns.contains("max_seq")) raw
       else raw.withColumn("max_seq", lit(Long.MinValue))
+    val state =
+      if (state0.columns.contains("is_deleted")) state0
+      else state0.withColumn("is_deleted", lit(false))
     val existing = state
-      // stored state re-enters the merge as a synthetic "create" carrying
-      // the per-key applied watermark as its seq; its weight carries the
-      // cumulative per-key change count so n_changes matches a one-shot
-      // batch materialization after any number of micro-batches
-      .select(col("user_id").as("pk"), lit("c").as("op"),
+      // stored state re-enters the merge carrying the per-key applied
+      // watermark as its seq and the cumulative change count as its
+      // weight; a tombstone re-enters as the delete it recorded, so the
+      // merge keeps it dead unless a fresh, newer event revives the key
+      .select(col("user_id").as("pk"),
+        when(col("is_deleted"), lit("d")).otherwise(lit("c")).as("op"),
         col("last_value").cast("double").as("value"),
         col("updated_at").as("ts"), col("max_seq").as("seq"),
         col("n_changes").as("weight"))
@@ -57,7 +70,7 @@ object TableSink {
       .join(existing.select(col("pk"), col("seq").as("applied_seq")), Seq("pk"), "left")
       .where(col("applied_seq").isNull || col("seq") > col("applied_seq"))
       .drop("applied_seq")
-    val merged = Materialize.latestSnapshotWeighted(
+    val merged = Materialize.latestStateWeighted(
       existing.unionByName(fresh.withColumn("weight", lit(1L))))
     val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
     merged.repartition(nBuckets, col("user_id"))
@@ -84,7 +97,18 @@ object TableSink {
     }
     mv(tmp, dst)
     fs.delete(bak, true)
-    spark.read.parquet(path)
+    readLive(spark, path)
+  }
+
+  /** The live view of a state table: tombstone rows filtered out, helper
+    * column dropped — what the state looked like to every reader before
+    * tombstone retention, and what downstream consumers should read.
+    * Pre-tombstone tables (no `is_deleted` column) pass through as-is. */
+  def readLive(spark: SparkSession, path: String): DataFrame = {
+    val df = readState(spark, path)
+    if (df.columns.contains("is_deleted"))
+      df.where(!col("is_deleted")).drop("is_deleted")
+    else df
   }
 
   /** True when recoverable state exists at `path` — either the live table
@@ -155,9 +179,20 @@ object TableSink {
       nFiles: Long, totalBytes: Long, targetFiles: Long, worthCompacting: Boolean)
 
   /** Execute a compaction: rewrite the table at `targetFiles` files via
-    * the crash-safe tmp-swap used by [[upsert]] (readers never see a
-    * half-written table, and a crash between the two renames leaves a
-    * recoverable `.bak`). Returns the plan it executed. */
+    * the tmp-swap used by [[upsert]]. Returns the plan it executed.
+    *
+    * CONCURRENCY CONTRACT — the WRITER must be stopped (pipeline paused,
+    * see [[graft.Pipeline.pause]]) for the duration of this call: the
+    * rewrite reads the table at one instant and swaps directories at a
+    * later one, so any upsert/append that lands in between is silently
+    * discarded by the swap (a lost update, with no error raised). This
+    * maintenance op does NOT take part in the upsert watermark protocol —
+    * schedule it the way the reference schedules snapshots: on a paused
+    * pipeline. Readers: there is an instant between the two renames where
+    * the table path does not exist; concurrent readers should retry on
+    * FileNotFound (the window is two FS metadata ops). A crash between the
+    * renames leaves the complete pre-compaction table at `<path>.bak` —
+    * restore by renaming it back manually. */
   def compactSmallFiles(
       spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): CompactionPlan = {

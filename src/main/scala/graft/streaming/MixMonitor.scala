@@ -60,11 +60,20 @@ object MixMonitor {
   }
 
   /** Per-source whitespace-token deltas for one batch of documents —
-    * the same token definition the batch budget/mix operators use. */
+    * the same token definition the batch budget/mix operators use, with
+    * an empty-document guard: split(trim(''), '\\s+') yields [""] with
+    * size 1, and a monitor that credits phantom tokens to whichever
+    * source ships empty docs would skew the very drift it polices (the
+    * batch twins run on the curated corpus, where empty texts are
+    * already filtered out; the wire is not curated yet). Counting
+    * non-empty split pieces — rather than a trim()-emptiness test —
+    * also covers tab/newline-only docs, which sql trim (spaces only)
+    * leaves non-empty. */
   private[graft] def tokenDeltas(batch: DataFrame): DataFrame =
     batch
       .select(col("source"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(filter(split(col("text"), "\\s+"),
+          t => length(t) > 0)).cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(sum(col("n_tokens")).as("n_tokens"))
 

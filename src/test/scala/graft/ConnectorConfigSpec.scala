@@ -254,4 +254,42 @@ class ConnectorConfigSpec extends AnyFunSuite {
     val topic = s"${c("topic.prefix")}.public.users"
     assert(topic.split("\\.").toSeq === Seq("pipe", "public", "users"))
   }
+
+  test("kafka read options subscribe to exactly the provisioned topics") {
+    val spec = KafkaReadSpec(
+      bootstrap = "broker-1:9092,broker-2:9092",
+      source = src.copy(pipeline = "pipe", schema = "",
+        tables = Seq("users", "orders")))
+    val opts = kafkaReadOptions(spec)
+    assert(opts("kafka.bootstrap.servers") === "broker-1:9092,broker-2:9092")
+    // Debezium topic naming {prefix}.{schema}.{table}, schema defaulted per
+    // dialect — the SAME topics sourceConfig's connector will produce
+    assert(opts("subscribe") === "pipe.public.users,pipe.public.orders")
+    assert(opts("maxOffsetsPerTrigger") === "100000")
+    assert(opts("failOnDataLoss") === "false")
+    // every subscribed topic routes back through the envelope parser
+    opts("subscribe").split(",").foreach { t =>
+      assert(t.split("\\.").length === 3, s"unroutable topic $t")
+    }
+    // AS400 topics use the resolved library, like the source connector
+    val as4 = kafkaReadOptions(spec.copy(source = spec.source.copy(
+      dialect = As400, schema = "", database = "LIB1", tables = Seq("members"))))
+    assert(as4("subscribe") === "pipe.LIB1.members")
+  }
+
+  test("kafka read starting offsets follow the full-load handoff") {
+    val base = KafkaReadSpec(bootstrap = "b:9092",
+      source = src.copy(tables = Seq("users")))
+    // no full load: consume the topic from the beginning (the reference
+    // consumer's auto_offset_reset='earliest'); checkpoint rules thereafter
+    assert(kafkaReadOptions(base)("startingOffsets") === "earliest")
+    // completed full load: the backlog is already in the state table —
+    // starting earliest would replay the whole snapshot through the wire
+    val afterLoad = base.copy(source = base.source.copy(fullLoadDone = true))
+    assert(kafkaReadOptions(afterLoad)("startingOffsets") === "latest")
+    assertThrows[IllegalArgumentException](kafkaReadOptions(base.copy(bootstrap = "")))
+    assertThrows[IllegalArgumentException](
+      kafkaReadOptions(base.copy(source = base.source.copy(tables = Nil))))
+    assertThrows[IllegalArgumentException](kafkaReadOptions(base.copy(maxOffsetsPerTrigger = 0)))
+  }
 }

@@ -86,7 +86,14 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
       case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
       case l: LocalTableScanExec => l.rows.lengthCompare(100) <= 0
-      case _: RDDScanExec => true // spark.createDataFrame literal spines
+      case r: RDDScanExec =>
+        // spark.createDataFrame literal spines only: the scan must be a
+        // driver-local collection (ParallelCollectionRDD) AND actually tiny
+        // — counted, like LocalTableScanExec's 100-row cap, so a future
+        // query broadcasting a LARGE createDataFrame-backed side through a
+        // nested loop fails the audit instead of passing silently. The
+        // count is a local job over driver-held rows, not a cluster scan.
+        r.rdd.getClass.getSimpleName == "ParallelCollectionRDD" && r.rdd.count() <= 100
       case _: org.apache.spark.sql.execution.GenerateExec => false // explode multiplies rows
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
         bounded(j.left) && bounded(j.right)

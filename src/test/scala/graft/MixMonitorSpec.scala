@@ -70,6 +70,24 @@ class MixMonitorSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("alert"))
   }
 
+  test("empty and whitespace-only documents contribute zero tokens, not one") {
+    val base = Files.createTempDirectory("mixmon4").toString
+    val cfg = MixMonitor.Config(s"$base/docs", s"$base/state", s"$base/ckpt",
+      targets = Map("web" -> 0.5, "books" -> 0.5))
+    // books ships 3 empty/whitespace docs alongside web's 4 real tokens:
+    // split(trim(''), '\s+') = [""] would credit books 3 phantom tokens
+    // and fake a books share of 3/7
+    val batch = spark.createDataFrame(Seq(
+      doc(1, "web"), (2L, "books", ""), (3L, "books", "   "), (4L, "books", "\t\n")))
+      .toDF("doc_id", "source", "text")
+    MixMonitor.monitorBatch(spark, cfg, batch, 0L)
+    val r = MixMonitor.drift(spark, cfg).collect().head
+    assert(r.getAs[Long]("corpus_tokens") === 4L)
+    // the whole corpus is web → gap vs the 50/50 plan is 0.5, not 3/7-skewed
+    assert(math.abs(r.getAs[Double]("tv_distance") - 0.5) < 1e-9)
+    assert(r.getAs[String]("max_gap_source") === "web")
+  }
+
   test("replaying a batch neither double-counts tokens nor duplicates drift rows") {
     val base = Files.createTempDirectory("mixmon3").toString
     val cfg = MixMonitor.Config(s"$base/docs", s"$base/state", s"$base/ckpt",

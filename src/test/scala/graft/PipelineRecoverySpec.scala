@@ -22,7 +22,7 @@ class PipelineRecoverySpec extends AnyFunSuite {
     val q1 = Pipeline.start(spark, cfg)
     q1.processAllAvailable()
     q1.stop()
-    val midKeys = spark.read.parquet(cfg.statePath).count()
+    val midKeys = graft.sinks.TableSink.readLive(spark, cfg.statePath).count()
     assert(midKeys > 0)
 
     // second delivery + restart with the same checkpoint and state
@@ -32,7 +32,7 @@ class PipelineRecoverySpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
 
-    val state = spark.read.parquet(cfg.statePath)
+    val state = graft.sinks.TableSink.readLive(spark, cfg.statePath)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -64,7 +64,7 @@ class PipelineRecoverySpec extends AnyFunSuite {
     q2.processAllAvailable()
     q2.stop()
 
-    val state = spark.read.parquet(cfg.statePath)
+    val state = graft.sinks.TableSink.readLive(spark, cfg.statePath)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -2,6 +2,7 @@ package graft
 
 import graft.cdc.{Cdc, Materialize}
 import graft.sources.WireSource
+import graft.sinks.TableSink
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -23,7 +24,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(st("isActive") === true)
     assert(st("batchId").asInstanceOf[Long] >= 0L)
 
-    val state = spark.read.parquet(s"$base/state")
+    val state = TableSink.readLive(spark, s"$base/state")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -52,7 +53,7 @@ class PipelineSpec extends AnyFunSuite {
     val dlq = spark.read.parquet(s"$base/dlq").collect()
     assert(dlq.map(_.getAs[Long]("offset")).toSet === Set(999999999L))
     // the apply still processed everything else
-    val state = spark.read.parquet(s"$base/state")
+    val state = TableSink.readLive(spark, s"$base/state")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -74,11 +75,63 @@ class PipelineSpec extends AnyFunSuite {
     val expByTable = expected.collect().groupBy(_.getString(0))
     expByTable.foreach { case (t, rows) =>
       assert(tables.contains(t), s"missing state for table $t")
-      val got = spark.read.parquet(s"$base/state/$t")
+      val got = TableSink.readLive(spark, s"$base/state/$t")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val exp = rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
       assert(got === exp, s"table $t")
     }
+  }
+
+  test("pause/resume: events accumulate during the pause, zero loss, zero duplicate applies") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("pauseresume").toString
+    val wire = Cdc.toWire(spark, dir)
+    // first half of the stream arrives, pipeline drains it, operator pauses
+    wire.where(col("offset") < 500).write.mode("overwrite").json(s"$base/wire")
+    val cfg = Pipeline.Config(
+      wirePath = s"$base/wire",
+      statePath = s"$base/state",
+      checkpointPath = s"$base/ckpt")
+    val q1 = Pipeline.start(spark, cfg)
+    q1.processAllAvailable()
+    val paused = Pipeline.pause(q1)
+    assert(paused.status === "PAUSED")
+    assert(!q1.isActive)
+    assert(paused.lastBatchId >= 0L)
+    val midState = TableSink.readLive(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+
+    // second half lands WHILE the pipeline is paused; state must not move
+    wire.where(col("offset") >= 500).write.mode("append").json(s"$base/wire")
+    val stillPaused = TableSink.readLive(spark, s"$base/state")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(stillPaused === midState, "state moved while paused")
+
+    // resume from the SAME checkpoint, drain the backlog
+    val q2 = Pipeline.resume(spark, cfg)
+    q2.processAllAvailable()
+    Pipeline.pause(q2)
+
+    // bit-parity with an uninterrupted batch materialization of the full
+    // stream — including n_changes, which counts APPLIES per key: any
+    // double-apply across the pause boundary would inflate it
+    val got = TableSink.readLive(spark, s"$base/state")
+      .select("user_id", "last_value", "n_changes")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
+      .select("user_id", "last_value", "n_changes")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got.keySet === expected.keySet, "event loss or phantom keys across pause")
+    expected.foreach { case (k, (v, n)) =>
+      assert(got(k)._1 === v, s"value mismatch for key $k")
+      assert(got(k)._2 === n, s"apply-count mismatch for key $k (duplicate or lost apply)")
+    }
+
+    // resume without a checkpoint is a loud error, not a silent first start
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.resume(spark, cfg.copy(checkpointPath = s"$base/no-such-ckpt"))
+    }
+    assert(e.getMessage.contains("resume"))
   }
 
   test("batch backfill produces the same state table") {

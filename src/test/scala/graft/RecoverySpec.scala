@@ -68,7 +68,7 @@ class RecoverySpec extends AnyFunSuite {
     assert(slept.get === 1)
 
     // state parity: the replayed micro-batch applied idempotently
-    val got = spark.read.parquet(state)
+    val got = TableSink.readLive(spark, state)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -141,7 +141,7 @@ class RecoverySpec extends AnyFunSuite {
       maxRestarts = 2, delayMs = 1L)
     assert(outcome.recovered)
     assert(outcome.restarts === 0, "a healthy pipeline must not burn restart attempts")
-    val got = spark.read.parquet(cfg.statePath)
+    val got = TableSink.readLive(spark, cfg.statePath)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val expected = Materialize.latestSnapshot(Cdc.changelog(spark, dir))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

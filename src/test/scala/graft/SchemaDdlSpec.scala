@@ -158,6 +158,51 @@ class SchemaDdlSpec extends AnyFunSuite {
     assert(noop.warnings.isEmpty)
   }
 
+  // --- pre-provisioning compatibility verdict (schema_service.py:1455) ---
+
+  test("compatibility verdict: missing-in-target columns are exactly what syncDdl would add") {
+    val (source, target) = driftPair
+    val c = SchemaDdl.compatibility(source, Some(target))
+    assert(!c.compatible)
+    assert(c.message === "Incompatible - missing columns in target")
+    assert(c.missingColumns === Seq("o_comment"))
+    assert(c.extraColumns === Seq("o_sync_ts"))
+    assert(c.sourceColumns === 3 && c.targetColumns === 3)
+    // wiring: the verdict's missing list is precisely the set of columns the
+    // sync plan ADDs — the verdict is the read-only pre-flight of the repair
+    val plan = SchemaDdl.syncDdl("orders", source, Some(target), Postgres)
+    val added = plan.statements.filter(_.contains(" ADD COLUMN "))
+    assert(added === c.missingColumns.map(m => s"""ALTER TABLE "orders" ADD COLUMN "$m" TEXT"""))
+  }
+
+  test("compatibility verdict: absent target is compatible and syncDdl creates it") {
+    val (source, _) = driftPair
+    val c = SchemaDdl.compatibility(source, None)
+    assert(c.compatible)
+    assert(c.message === "Target table does not exist - can be created")
+    assert(c.sourceColumns === 3 && c.targetColumns === 0)
+    assert(c.missingColumns.isEmpty && c.extraColumns.isEmpty)
+    val plan = SchemaDdl.syncDdl("orders", source, None, Postgres)
+    assert(plan.statements.head.startsWith("CREATE TABLE \"orders\""))
+  }
+
+  test("compatibility verdict: extra target columns are tolerated, names-only check") {
+    import org.apache.spark.sql.types._
+    val source = StructType(Seq(StructField("id", LongType, nullable = false)))
+    // target keeps a legacy column AND retypes id — still compatible: the
+    // reference's verdict is on column names only (types are sync_schema's job)
+    val target = StructType(Seq(
+      StructField("id", StringType, nullable = true),
+      StructField("legacy", StringType, nullable = true)))
+    val c = SchemaDdl.compatibility(source, Some(target))
+    assert(c.compatible && c.message === "Compatible")
+    assert(c.extraColumns === Seq("legacy"))
+    // and the sync plan never drops the extra column (warning only)
+    val plan = SchemaDdl.syncDdl("t", source, Some(target), Postgres)
+    assert(plan.warnings.exists(w => w.contains("legacy") && w.contains("NOT")))
+    assert(!plan.statements.exists(_.contains("DROP")))
+  }
+
   test("time-partitioned sink writes prunable dt partitions") {
     val out = Files.createTempDirectory("tp").toString + "/events"
     TableSink.writeTimePartitioned(Tables.load(spark, dir, "events"), "ts", out)

@@ -53,7 +53,7 @@ class SourceSinkSpec extends AnyFunSuite {
     val second = changelog.where(col("seq") >= 500 && col("seq") < 700)
     TableSink.writeSnapshot(Materialize.latestSnapshot(first), "user_id", tmp)
     TableSink.upsert(spark, tmp, second)
-    val once = spark.read.parquet(tmp).collect()
+    val once = TableSink.readLive(spark, tmp).collect()
       .map(r => r.getAs[Long]("user_id") ->
         ((r.getAs[Double]("last_value"), r.getAs[Long]("n_changes")))).toMap
     // at-least-once redelivery of the SAME micro-batch
@@ -61,6 +61,48 @@ class SourceSinkSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") ->
         ((r.getAs[Double]("last_value"), r.getAs[Long]("n_changes")))).toMap
     assert(again === once, "values AND n_changes must survive a batch replay unchanged")
+  }
+
+  test("tombstones keep deleted keys' watermark and count across batch boundaries") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("sinktomb").toString + "/state"
+    val schema = StructType(Seq(
+      StructField("op", StringType), StructField("pk", LongType),
+      StructField("ts", TimestampType), StructField("seq", LongType),
+      StructField("value", DoubleType)))
+    def batch(rows: (String, Long, Long, Long, Double)*) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (op, pk, ts, seq, v) =>
+          Row(op, pk, new java.sql.Timestamp(ts * 1000L), seq, v) }, 2), schema)
+    // batch 1 ends on a delete of key 1; batch 2 recreates it
+    val b1 = batch(("c", 1L, 10L, 0L, 1.0), ("u", 1L, 11L, 1L, 2.0),
+      ("d", 1L, 12L, 2L, 2.0), ("c", 2L, 10L, 3L, 5.0))
+    val b2 = batch(("c", 1L, 20L, 4L, 7.0), ("u", 1L, 21L, 5L, 8.0))
+    TableSink.writeSnapshot(Materialize.latestStateWeighted(
+      b1.withColumn("weight", org.apache.spark.sql.functions.lit(1L))), "user_id", tmp)
+    // mid-state: key 1 is dead in the live view but its tombstone row
+    // retains watermark + count in the stored table
+    assert(TableSink.readLive(spark, tmp).collect().map(_.getAs[Long]("user_id")).toSet === Set(2L))
+    val stored = spark.read.parquet(tmp).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("is_deleted")).toMap
+    assert(stored === Map(1L -> true, 2L -> false))
+    val after = TableSink.upsert(spark, tmp, b2).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("last_value"), r.getAs[Long]("n_changes")))).toMap
+    // one-shot parity: the recreated key counts ALL 5 of its changes, not
+    // just the post-recreate 2 — the boundary didn't reset its history
+    val oneShot = Materialize.latestSnapshot(b1.unionByName(b2)).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("last_value"), r.getAs[Long]("n_changes")))).toMap
+    assert(after === oneShot)
+    assert(after(1L) === ((8.0, 5L)))
+    // and a replay of a batch whose last op was the delete cannot revive
+    // the key: its events sit at or below the tombstone's watermark
+    val revived = TableSink.upsert(spark, tmp, b1)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        r.getAs[Long]("n_changes")).toMap
+    assert(revived === after.map { case (k, (_, n)) => k -> n })
   }
 
   test("upsert recovering from a crashed swap promotes .bak before touching it") {
