@@ -148,6 +148,8 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Binary.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Binary.frameSample(s, d)),
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
+    "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
+    "mm_image_stats" -> ((s, d) => Binary.imageStats(s, d)),
     // ── Round-2b batch ───────────────────────────────────────────────
     "cdc_update_diff" -> ((s, d) => Monitoring.updateDiff(Cdc.changelog(s, d))),
     "cdc_txn_group" -> ((s, d) => Monitoring.txnGroup(Cdc.changelog(s, d))),
@@ -871,6 +873,8 @@ object SparkEntry {
       "mm_binary_meta" -> Binary.binaryMetaSql,
       "mm_frame_sample" -> Binary.frameSampleSql,
       "mm_modality_stats" -> Binary.modalityStatsSql,
+      "mm_image_decode" -> Binary.imageDecodeSql,
+      "mm_image_stats" -> Binary.imageStatsSql,
       "cdc_update_diff" -> Monitoring.updateDiffSql(cl),
       "cdc_txn_group" -> Monitoring.txnGroupSql(cl),
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,

@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns with typed metadata. The actual codec step is STUBBED
-  * (this container has no image/audio libraries) with a deterministic fake
-  * decode — but the Spark-side plumbing (binary columns, schema, batched
-  * per-partition decode via mapPartitions, frame-sampling fan-out) is real
-  * and tested.
+  * `binary` columns with typed metadata. The IMAGE decode is real —
+  * [[imageDecode]] encodes and decodes actual PNG containers through
+  * `javax.imageio` (pure JVM) inside the batched mapPartitions shape, with
+  * the oracle pinned to the closed-form pixel stats. The audio/video codec
+  * steps remain deterministic stubs (no such pure-JVM codecs exist in this
+  * container), but the Spark-side plumbing (binary columns, schema, batched
+  * per-partition decode, frame-sampling fan-out) is real and tested.
   *
-  * The binary payloads are derived from `documents.text` (utf-8 bytes) so
-  * both engines construct identical blobs.
+  * The stub binary payloads are derived from `documents.text` (utf-8
+  * bytes) so both engines construct identical blobs.
   */
 object Binary {
 
@@ -158,6 +160,138 @@ object Binary {
       |       quantile_cont(n_frames, 0.5) AS p50_frames,
       |       quantile_cont(n_frames, 0.95) AS p95_frames
       |FROM f""".stripMargin
+
+  private val decodeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("sum_red", LongType, nullable = false),
+    StructField("sum_green", LongType, nullable = false),
+    StructField("sum_blue", LongType, nullable = false)))
+
+  /** REAL image decode — the one stage of the multimodal family that was
+    * previously a declared stub. Each doc_id maps to a deterministic
+    * small RGB image (closed-form pixel function below), which is encoded
+    * to an actual PNG container and decoded back through `javax.imageio`
+    * (pure-JVM codec, no native libs) inside the same batched
+    * mapPartitions shape as [[frameSample]] — per-partition reused encode
+    * buffer, one decoder pass per blob. The output metadata (dimensions,
+    * per-channel pixel sums) is read from the DECODED image, so the
+    * operator proves the full container round trip: PNG is lossless, and
+    * the DuckDB oracle computes the same stats straight from the pixel
+    * formula — any decode shortcut or codec corruption breaks the hash
+    * match. Swap the generator for a binary payload column and this IS
+    * the production decode stage.
+    *
+    * Pixel function (w = id%16+8, h = id%13+8, c = id%256):
+    *   r = (c + 2x + 3y) % 256, g = (5x + 7y) % 256,
+    *   b = (3c + x + 2y) % 256. */
+  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodeSchema)
+    val decoded = ids.mapPartitions { rows =>
+      // batched per-partition codec state: reused encode buffer, the
+      // shape a real decoder (frame buffer, codec context) would keep
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val w = (id % 16 + 8).toInt
+        val h = (id % 13 + 8).toInt
+        val c = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val r = (c + 2 * x + 3 * y) % 256
+            val g = (5 * x + 7 * y) % 256
+            val b = (3 * c + x + 2 * y) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            y += 1
+          }
+          x += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val payload = buf.toByteArray // a real PNG container
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        require(dec != null, s"undecodable PNG for doc $id")
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var xx = 0
+        while (xx < dec.getWidth) {
+          var yy = 0
+          while (yy < dec.getHeight) {
+            val p = dec.getRGB(xx, yy)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            yy += 1
+          }
+          xx += 1
+        }
+        Row(id, dec.getWidth, dec.getHeight,
+          dec.getWidth.toLong * dec.getHeight, sr, sg, sb)
+      }
+    }(enc)
+    decoded
+      .withColumn("mean_red",
+        col("sum_red").cast("double") / col("n_pixels").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared CTE: the oracle's closed-form twin of the pixel function —
+    * per-doc dimensions and channel sums with NO codec involved. */
+  private val imagePixelsCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 13 + 8 AS h,
+      |         doc_id % 256 AS c
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, c,
+      |              unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, c, x,
+      |              unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |sums AS (
+      |  SELECT doc_id, w, h,
+      |         sum((c + 2 * x + 3 * y) % 256) AS sr,
+      |         sum((5 * x + 7 * y) % 256) AS sg,
+      |         sum((3 * c + x + 2 * y) % 256) AS sb
+      |  FROM px GROUP BY doc_id, w, h)""".stripMargin
+
+  val imageDecodeSql: String =
+    s"""$imagePixelsCte
+       |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       CAST(w * h AS BIGINT) AS n_pixels,
+       |       CAST(sr AS BIGINT) AS sum_red, CAST(sg AS BIGINT) AS sum_green,
+       |       CAST(sb AS BIGINT) AS sum_blue,
+       |       CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_red
+       |FROM sums ORDER BY doc_id""".stripMargin
+
+  /** Corpus rollup over the DECODED images — the capacity/color-profile
+    * summary a curation dashboard shows; recomputes the decode (honest
+    * per-op cost) and aggregates exact integer sums. */
+  def imageStats(spark: SparkSession, dir: String): DataFrame =
+    imageDecode(spark, dir)
+      .agg(
+        count(lit(1)).as("n_images"),
+        sum(col("n_pixels")).as("total_pixels"),
+        avg(col("width")).as("avg_width"),
+        avg(col("height")).as("avg_height"),
+        sum(col("sum_red")).as("total_red"))
+      .withColumn("mean_red",
+        col("total_red").cast("double") / col("total_pixels").cast("double"))
+
+  val imageStatsSql: String =
+    s"""$imagePixelsCte
+       |SELECT count(*) AS n_images,
+       |       CAST(sum(w * h) AS BIGINT) AS total_pixels,
+       |       CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_width,
+       |       CAST(sum(h) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_height,
+       |       CAST(sum(sr) AS BIGINT) AS total_red,
+       |       CAST(sum(sr) AS DOUBLE) / CAST(sum(w * h) AS DOUBLE) AS mean_red
+       |FROM sums""".stripMargin
 
   /** Per-modality payload statistics: blob counts, byte volumes and
     * magic-prefix diversity for each modality class — the storage-planning

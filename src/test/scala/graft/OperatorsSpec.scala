@@ -506,6 +506,35 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("image decode round-trips real PNG bytes: decoded stats match an independent pixel loop") {
+    val got = Binary.imageDecode(spark, dir).where(col("doc_id") < 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.keySet === Set(0L, 1L, 2L))
+    // independent reference: same closed-form pixel function, NO codec —
+    // the operator's numbers come from javax.imageio-decoded PNG bytes,
+    // so agreement proves a faithful container round trip
+    (0L until 3L).foreach { id =>
+      val w = (id % 16 + 8).toInt; val h = (id % 13 + 8).toInt; val c = (id % 256).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        sr += (c + 2 * x + 3 * y) % 256
+        sg += (5 * x + 7 * y) % 256
+        sb += (3 * c + x + 2 * y) % 256
+      }
+      val r = got(id)
+      assert(r.getAs[Int]("width") === w && r.getAs[Int]("height") === h, s"doc $id dims")
+      assert(r.getAs[Long]("n_pixels") === w.toLong * h)
+      assert((r.getAs[Long]("sum_red"), r.getAs[Long]("sum_green"),
+        r.getAs[Long]("sum_blue")) === ((sr, sg, sb)), s"doc $id channel sums")
+    }
+    // corpus rollup agrees with the per-doc frame it aggregates
+    val stats = Binary.imageStats(spark, dir).collect().head
+    val perDoc = Binary.imageDecode(spark, dir).collect()
+    assert(stats.getAs[Long]("n_images") === perDoc.length.toLong)
+    assert(stats.getAs[Long]("total_pixels") === perDoc.map(_.getAs[Long]("n_pixels")).sum)
+    assert(stats.getAs[Long]("total_red") === perDoc.map(_.getAs[Long]("sum_red")).sum)
+  }
+
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // every declared operator currently carries a full oracle
