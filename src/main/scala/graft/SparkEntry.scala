@@ -183,6 +183,9 @@ object SparkEntry {
     "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
     "cdc_robust_anomaly" -> ((s, d) => Monitoring.robustAnomaly(Cdc.changelog(s, d))),
     "cdc_lag_sla" -> ((s, d) => Monitoring.lagSla(Cdc.changelog(s, d))),
+    "cdc_error_budget" -> ((s, d) => Monitoring.errorBudget(Cdc.changelog(s, d))),
+    "text_gopher_rules" -> ((s, d) => TextFunctions.gopherRules(s, d)),
+    "pipe_contamination_semantic" -> ((s, d) => Ann.contaminationSemantic(s, d)),
     "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
     "q_range_frame" -> ((s, d) => Relational.rangeFrame(s, d)),
@@ -913,6 +916,9 @@ object SparkEntry {
       "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
       "cdc_robust_anomaly" -> Monitoring.robustAnomalySql(cl),
       "cdc_lag_sla" -> Monitoring.lagSlaSql(cl),
+      "cdc_error_budget" -> Monitoring.errorBudgetSql(cl),
+      "text_gopher_rules" -> TextFunctions.gopherRulesSql,
+      "pipe_contamination_semantic" -> Ann.contaminationSemanticSql,
       "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
       "pipe_dataset_card" -> TextFunctions.datasetCardSql,
       "q_range_frame" -> Relational.rangeFrameSql,

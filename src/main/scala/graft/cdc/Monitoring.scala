@@ -728,6 +728,65 @@ object Monitoring {
        |  UNION ALL SELECT '4_month', 2592000000, n_events, w_month FROM agged)
        |ORDER BY slo""".stripMargin
 
+  /** SLO error-budget burn over the freshness ladder — the SRE view of
+    * [[lagSla]]: each tier's objective (basis points, matching the
+    * streaming monitor's floors: 95%/99%/100%/100%) buys an allowed
+    * violation budget of floor(n·(10000−bps)/10000) events; this reports
+    * how much of that budget the observed violations consumed and
+    * whether the tier is within budget or exhausted. All budget
+    * arithmetic is exact integer (the ratio is a division of exact
+    * longs, null when the objective allows zero violations and none
+    * occurred beyond it — burn of an empty budget is undefined, not
+    * infinite). Adds one projection over [[lagSla]]'s single
+    * conditional-aggregation pass. */
+  def errorBudget(changelog: DataFrame): DataFrame = {
+    val bps = Seq(("1_hour", 9500L), ("2_day", 9900L),
+      ("3_week", 10000L), ("4_month", 10000L))
+    val bpsCol = bps.foldLeft(lit(null).cast("long")) { case (acc, (slo, b)) =>
+      when(col("slo") === slo, lit(b)).otherwise(acc)
+    }
+    lagSla(changelog)
+      .withColumn("objective_bps", bpsCol)
+      .withColumn("violations", col("n_events") - col("n_within"))
+      .withColumn("allowed",
+        expr("(n_events * (10000 - objective_bps)) div 10000"))
+      .withColumn("status",
+        when(col("violations") <= col("allowed"), "within_budget")
+          .otherwise("exhausted"))
+      .withColumn("burn_ratio",
+        when(col("allowed") > 0,
+          col("violations").cast("double") / col("allowed").cast("double")))
+      .select("slo", "objective_bps", "n_events", "n_within", "violations",
+        "allowed", "status", "burn_ratio")
+      .orderBy("slo")
+  }
+
+  def errorBudgetSql(changelogSql: String): String =
+    s"""$changelogSql, hwm AS (SELECT max(ts) AS hwm FROM changelog),
+       |lags AS (
+       |  SELECT epoch_ms(hwm) - epoch_ms(ts) AS lag_ms FROM changelog, hwm),
+       |agged AS (
+       |  SELECT count(*) AS n_events,
+       |         CAST(sum(CASE WHEN lag_ms <= 3600000 THEN 1 ELSE 0 END) AS BIGINT) AS w_hour,
+       |         CAST(sum(CASE WHEN lag_ms <= 86400000 THEN 1 ELSE 0 END) AS BIGINT) AS w_day,
+       |         CAST(sum(CASE WHEN lag_ms <= 604800000 THEN 1 ELSE 0 END) AS BIGINT) AS w_week,
+       |         CAST(sum(CASE WHEN lag_ms <= 2592000000 THEN 1 ELSE 0 END) AS BIGINT) AS w_month
+       |  FROM lags),
+       |tiers AS (
+       |  SELECT '1_hour' AS slo, CAST(9500 AS BIGINT) AS objective_bps, n_events, w_hour AS n_within FROM agged
+       |  UNION ALL SELECT '2_day', 9900, n_events, w_day FROM agged
+       |  UNION ALL SELECT '3_week', 10000, n_events, w_week FROM agged
+       |  UNION ALL SELECT '4_month', 10000, n_events, w_month FROM agged),
+       |b AS (
+       |  SELECT slo, objective_bps, n_events, n_within,
+       |         n_events - n_within AS violations,
+       |         (n_events * (10000 - objective_bps)) // 10000 AS allowed
+       |  FROM tiers)
+       |SELECT slo, objective_bps, n_events, n_within, violations, allowed,
+       |       CASE WHEN violations <= allowed THEN 'within_budget' ELSE 'exhausted' END AS status,
+       |       CASE WHEN allowed > 0 THEN CAST(violations AS DOUBLE) / CAST(allowed AS DOUBLE) END AS burn_ratio
+       |FROM b ORDER BY slo""".stripMargin
+
   /** Robust (median/MAD) volume-anomaly days — the breakdown-resistant
     * twin of [[burstDetect]]: a z-score's mean AND variance are both
     * dragged by the very bursts it hunts (one huge spike inflates σ

@@ -468,6 +468,62 @@ object Ann {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Embedding-level benchmark contamination — the SEMANTIC complement of
+    * the exact-digest and n-gram checks (`pipe_contamination`,
+    * `pipe_contamination_ngram`): a training vector that cosine-matches a
+    * held-out benchmark vector at ≥ 0.999 is an embedding-space
+    * (near-)copy the text-level scans can miss (paraphrase, translation,
+    * format shuffle). Benchmark = every 50th vector plus injected copies
+    * of train vectors (vec_id % 37, +200k id) so contamination provably
+    * exists and is found; sign-preserving copies guarantee bucket-level
+    * recall by construction.
+    *
+    * Scale shape: bench × train only within equal 16-bit sign buckets —
+    * never train×train (the incremental-admission candidate discipline);
+    * expected candidates = |bench|·|train|/65536 per-bucket-balanced.
+    * One summary row. */
+  def contaminationSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val injected = emb
+      .where(col("vec_id") % 37 === 0 && col("vec_id") % 50 =!= 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+    val isBench = col("vec_id") % 50 === 0 || col("vec_id") >= 200000L
+    val all = emb.unionAll(injected)
+      .withColumn("bucket", signCode16(col("embedding")))
+    val bench = all.where(isBench)
+      .select(col("bucket"), col("vec_id").as("bench_id"), col("embedding").as("e_b"))
+    val train = all.where(!isBench)
+      .select(col("bucket"), col("vec_id").as("train_id"), col("embedding").as("e_t"))
+    val hits = train.join(bench, Seq("bucket"))
+      .where(cosine(spark, "e_t", "e_b") >= 0.999)
+    bench.agg(count(lit(1)).as("n_benchmark"))
+      .crossJoin(train.agg(count(lit(1)).as("n_train")))
+      .crossJoin(hits.agg(
+        countDistinct(col("train_id")).as("n_contaminated"),
+        countDistinct(col("bench_id")).as("n_affected_bench")))
+  }
+
+  def contaminationSemanticSql: String = {
+    val code = signCode16Sql("embedding")
+    s"""WITH allv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 200000, embedding FROM embeddings
+       |  WHERE vec_id % 37 = 0 AND vec_id % 50 <> 0),
+       |coded AS (SELECT vec_id, embedding, $code AS bucket FROM allv),
+       |bench AS (SELECT bucket, vec_id, embedding FROM coded
+       |          WHERE vec_id % 50 = 0 OR vec_id >= 200000),
+       |train AS (SELECT bucket, vec_id, embedding FROM coded
+       |          WHERE NOT (vec_id % 50 = 0 OR vec_id >= 200000)),
+       |hits AS (
+       |  SELECT t.vec_id AS train_id, b.vec_id AS bench_id
+       |  FROM train t JOIN bench b ON t.bucket = b.bucket
+       |  WHERE ${cosineSql("t.embedding", "b.embedding")} >= 0.999)
+       |SELECT (SELECT count(*) FROM bench) AS n_benchmark,
+       |       (SELECT count(*) FROM train) AS n_train,
+       |       (SELECT count(DISTINCT train_id) FROM hits) AS n_contaminated,
+       |       (SELECT count(DISTINCT bench_id) FROM hits) AS n_affected_bench""".stripMargin
+  }
+
   /** SemDeDup-style semantic dedup: candidate pairs come from the IVF
     * partition (label) refined by the 16-bit sign bucket, and any vector
     * whose cosine to a lower-id cluster-mate clears the threshold is

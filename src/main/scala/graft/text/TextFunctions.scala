@@ -1797,4 +1797,75 @@ object TextFunctions {
       |       count(CASE WHEN contains(text, '@') THEN 1 END) AS n_at_docs,
       |       CAST(sum(len(regexp_extract_all(text, '[0-9]{4,}'))) AS BIGINT) AS total_digit_runs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    * Models: Gopher", Table A1 — the public heuristic filter set), the
+    * rule-ladder complement to the weighted [[quality]] score: per
+    * source, how many documents pass each hard rule and all of them
+    * together. Rules here (exact integer arithmetic only — ratios become
+    * cross-multiplications so both engines compare the same longs):
+    *   word_count   — 50 ≤ wc ≤ 100 000
+    *   mean_word_len — 3 ≤ sum_len/wc ≤ 10  (as 3·wc ≤ sum_len ≤ 10·wc;
+    *     sum_len = len(normalized) − (wc − 1), exact on single-spaced text)
+    *   symbol_ratio — (#'#' + #'…') / wc ≤ 0.1  (as 10·symbols ≤ wc)
+    *   alpha_share  — words containing a letter ≥ 0.8·wc (as 5·alpha ≥ 4·wc)
+    * One scan, one |sources| aggregation; pass_rate is a ratio of exact
+    * counts. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = normText(col("text"))
+    val words = split(t, " ")
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(words).cast("long").as("wc"),
+        (length(t) - (size(words).cast("long") - 1L)).as("sum_len"),
+        (length(t) - length(regexp_replace(t, "[#…]", ""))).cast("long").as("symbols"),
+        size(filter(words, w => w.rlike("[a-z]"))).cast("long").as("alpha_words"))
+      .select(col("source"),
+        (col("wc") >= 50L && col("wc") <= 100000L).as("r_word_count"),
+        (col("sum_len") >= lit(3L) * col("wc") &&
+          col("sum_len") <= lit(10L) * col("wc")).as("r_mean_word_len"),
+        (lit(10L) * col("symbols") <= col("wc")).as("r_symbol_ratio"),
+        (lit(5L) * col("alpha_words") >= lit(4L) * col("wc")).as("r_alpha_share"))
+    base
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r_word_count"), 1L).otherwise(0L)).as("pass_word_count"),
+        sum(when(col("r_mean_word_len"), 1L).otherwise(0L)).as("pass_mean_word_len"),
+        sum(when(col("r_symbol_ratio"), 1L).otherwise(0L)).as("pass_symbol_ratio"),
+        sum(when(col("r_alpha_share"), 1L).otherwise(0L)).as("pass_alpha_share"),
+        sum(when(col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_alpha_share"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_rate",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
+  val gopherRulesSql: String =
+    """WITH n AS (
+      |  SELECT source, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      |  FROM documents),
+      |f AS (
+      |  SELECT source,
+      |         CAST(len(string_split(t, ' ')) AS BIGINT) AS wc,
+      |         CAST(length(t) - (len(string_split(t, ' ')) - 1) AS BIGINT) AS sum_len,
+      |         CAST(length(t) - length(regexp_replace(t, '[#…]', '', 'g')) AS BIGINT) AS symbols,
+      |         CAST(len(list_filter(string_split(t, ' '), w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words
+      |  FROM n),
+      |g AS (
+      |  SELECT source,
+      |         wc >= 50 AND wc <= 100000 AS r_wc,
+      |         sum_len >= 3 * wc AND sum_len <= 10 * wc AS r_mwl,
+      |         10 * symbols <= wc AS r_sym,
+      |         5 * alpha_words >= 4 * wc AS r_alpha
+      |  FROM f)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS pass_word_count,
+      |       CAST(sum(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS pass_mean_word_len,
+      |       CAST(sum(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol_ratio,
+      |       CAST(sum(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha_share,
+      |       CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |       CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS pass_rate
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
 }
