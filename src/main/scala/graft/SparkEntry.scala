@@ -102,6 +102,7 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
+    "q_asof_join_tolerance" -> ((s, d) => graft.operators.TemporalJoins.asofJoinTolerance(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(s, d)),
@@ -150,6 +151,7 @@ object SparkEntry {
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
     "mm_image_stats" -> ((s, d) => Binary.imageStats(s, d)),
+    "mm_image_phash" -> ((s, d) => Binary.imagePhash(s, d)),
     // ── Round-2b batch ───────────────────────────────────────────────
     "cdc_update_diff" -> ((s, d) => Monitoring.updateDiff(Cdc.changelog(s, d))),
     "cdc_txn_group" -> ((s, d) => Monitoring.txnGroup(Cdc.changelog(s, d))),
@@ -548,6 +550,7 @@ object SparkEntry {
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "q_asof_join" -> graft.operators.TemporalJoins.asofJoinSql,
       "q_asof_join_native" -> graft.operators.TemporalJoins.asofJoinSql,
+      "q_asof_join_tolerance" -> graft.operators.TemporalJoins.asofJoinToleranceSql(),
       "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
       "q_grouping_sets" -> Relational.groupingSetsSql,
       "q_order_gaps" -> Relational.orderGapsSql,
@@ -878,6 +881,7 @@ object SparkEntry {
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,
       "mm_image_stats" -> Binary.imageStatsSql,
+      "mm_image_phash" -> Binary.imagePhashSql,
       "cdc_update_diff" -> Monitoring.updateDiffSql(cl),
       "cdc_txn_group" -> Monitoring.txnGroupSql(cl),
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,

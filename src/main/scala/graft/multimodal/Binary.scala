@@ -269,6 +269,129 @@ object Binary {
        |       CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_red
        |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val phashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Perceptual-hash image dedup over the REAL decode path: each image is
+    * PNG-encoded and decoded back exactly like [[imageDecode]], then a
+    * 56-bit difference hash (dHash, the public perceptual-hash family) is
+    * computed FROM THE DECODED PIXELS — 8×8 box-filter block means of the
+    * channel sum, one bit per adjacent-column comparison (7 × 8 rows).
+    * Block-mean comparisons are cross-multiplied (sum·n vs sum·n) so the
+    * hash is exact integer arithmetic end to end and the DuckDB oracle
+    * reproduces it from the closed-form pixel function without any codec.
+    * Duplicate images provably exist: injected ids (+300k, every 9th doc)
+    * render from their source id's pixel function, so their decoded
+    * pixels — and therefore hashes — are identical. Output mirrors
+    * [[frameDedup]]: cross-document hash groups, hash-groupBy shape. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val ids = base.unionAll(
+      base.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(phashSchema)
+    val hashed = ids.mapPartitions { rows =>
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val docId = row.getLong(0)
+        val id = docId % 300000L // injected copies render their source image
+        val w = (id % 16 + 8).toInt
+        val h = (id % 13 + 8).toInt
+        val c = (id % 256).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val r = (c + 2 * x + 3 * y) % 256
+            val g = (5 * x + 7 * y) % 256
+            val b = (3 * c + x + 2 * y) % 256
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            y += 1
+          }
+          x += 1
+        }
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        require(dec != null, s"undecodable PNG for doc $docId")
+        // 8×8 block sums of (r+g+b) over the DECODED pixels
+        val sums = Array.ofDim[Long](8, 8)
+        val counts = Array.ofDim[Long](8, 8)
+        var xx = 0
+        while (xx < dec.getWidth) {
+          val bx = xx * 8 / dec.getWidth
+          var yy = 0
+          while (yy < dec.getHeight) {
+            val by = yy * 8 / dec.getHeight
+            val p = dec.getRGB(xx, yy)
+            sums(by)(bx) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            counts(by)(bx) += 1L
+            yy += 1
+          }
+          xx += 1
+        }
+        // bit (j,i): column i+1's block mean exceeds column i's —
+        // cross-multiplied, exact
+        var hash = 0L
+        var j = 0
+        while (j < 8) {
+          var i = 0
+          while (i < 7) {
+            if (sums(j)(i + 1) * counts(j)(i) > sums(j)(i) * counts(j)(i + 1))
+              hash |= 1L << (j * 7 + i)
+            i += 1
+          }
+          j += 1
+        }
+        Row(docId, hash)
+      }
+    }(enc)
+    hashed
+      .groupBy("phash")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("phash")
+  }
+
+  val imagePhashSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 300000 FROM documents WHERE doc_id % 9 = 0),
+      |d AS (
+      |  SELECT doc_id, (doc_id % 300000) % 16 + 8 AS w,
+      |         (doc_id % 300000) % 13 + 8 AS h,
+      |         (doc_id % 300000) % 256 AS c
+      |  FROM ids),
+      |xs AS (SELECT doc_id, w, h, c,
+      |              unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, c, x,
+      |              unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |blocks AS (
+      |  SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+      |         CAST(sum((c + 2 * x + 3 * y) % 256 + (5 * x + 7 * y) % 256
+      |                  + (3 * c + x + 2 * y) % 256) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM px GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |         CASE WHEN b.s * a.n > a.s * b.n
+      |              THEN CAST(1 AS BIGINT) << (a.by * 7 + a.bx) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM blocks a JOIN blocks b
+      |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 7),
+      |hashes AS (
+      |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT phash, count(*) AS n_docs, min(doc_id) AS canonical_doc
+      |FROM hashes GROUP BY phash HAVING count(*) > 1
+      |ORDER BY phash""".stripMargin
+
   /** Corpus rollup over the DECODED images — the capacity/color-profile
     * summary a curation dashboard shows; recomputes the decode (honest
     * per-op cost) and aggregates exact integer sums. */

@@ -90,6 +90,61 @@ object TemporalJoins {
       |  ON ev.user_id = od.key AND ev.etime >= od.otime
       |ORDER BY event_id""".stripMargin
 
+  /** As-of join with a staleness tolerance (pandas merge_asof's
+    * `tolerance`, kdb wj's window): the carried match only counts when it
+    * is at most `toleranceDays` old at the probe instant — a stale match
+    * is surfaced as NULLs plus an `is_stale` flag rather than silently
+    * joining year-old state onto today's event. Same union+window shape
+    * as [[asofJoin]] (one hash shuffle, no range join), the tolerance is
+    * a post-window projection — the 100 TB cost is identical. */
+  def asofJoinTolerance(
+      spark: SparkSession, dir: String, toleranceDays: Int = 90): DataFrame = {
+    val ordersDedup = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("key"), col("o_orderdate").as("time"))
+      .agg(max(col("o_orderkey")).as("o_orderkey"))
+    val events = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("key"),
+        (col("ts") - expr("INTERVAL 28 YEARS")).as("time"))
+    val tagged = ordersDedup
+      .select(col("key"), col("time"), lit(0).as("is_event"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey"), col("time").as("o_time"))
+      .unionByName(events
+        .select(col("key"), col("time"), lit(1).as("is_event"),
+          col("event_id"), lit(null).cast("long").as("o_orderkey"),
+          lit(null).cast("timestamp_ntz").as("o_time")))
+    val w = Window.partitionBy("key").orderBy("time", "is_event")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_order",
+        last(when(col("is_event") === 0, struct(col("o_orderkey"), col("o_time"))),
+          ignoreNulls = true).over(w))
+      .where(col("is_event") === 1)
+      .withColumn("fresh",
+        col("last_order.o_time") >= col("time") - expr(s"INTERVAL $toleranceDays DAYS"))
+      .select(
+        col("event_id"),
+        col("key").as("user_id"),
+        when(col("fresh"), col("last_order.o_orderkey")).as("last_orderkey"),
+        when(col("fresh"), col("last_order.o_time")).as("last_orderdate"),
+        (col("last_order").isNotNull && !coalesce(col("fresh"), lit(false)))
+          .as("is_stale"))
+      .orderBy("event_id")
+  }
+
+  def asofJoinToleranceSql(toleranceDays: Int = 90): String =
+    s"""WITH od AS (
+       |  SELECT o_custkey AS key, o_orderdate AS otime, max(o_orderkey) AS o_orderkey
+       |  FROM orders GROUP BY o_custkey, o_orderdate),
+       |ev AS (
+       |  SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS etime FROM events)
+       |SELECT ev.event_id, ev.user_id,
+       |       CASE WHEN od.otime >= ev.etime - INTERVAL $toleranceDays DAY THEN od.o_orderkey END AS last_orderkey,
+       |       CASE WHEN od.otime >= ev.etime - INTERVAL $toleranceDays DAY THEN od.otime END AS last_orderdate,
+       |       od.otime IS NOT NULL AND od.otime < ev.etime - INTERVAL $toleranceDays DAY AS is_stale
+       |FROM ev ASOF LEFT JOIN od
+       |  ON ev.user_id = od.key AND ev.etime >= od.otime
+       |ORDER BY event_id""".stripMargin
+
   /** Range join, bucketed: for each delete/error event, count the same
     * user's other events in the preceding hour. Instead of an inequality
     * join (nested-loop in Spark), both sides join on (user, hour-bucket)

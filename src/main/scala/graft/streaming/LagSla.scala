@@ -128,4 +128,28 @@ object LagSla {
     spark.read.parquet(slaPath(cfg))
       .withColumn("batch_id", col("batch_id").cast("long"))
       .orderBy("batch_id", "slo")
+
+  /** Error-budget burn view over the persisted ladder — the streaming
+    * twin of the batch `cdc_error_budget`: each stored micro-batch ladder
+    * row gets the violation budget its objective buys (exact integer
+    * floor(n·(10000−bps)/10000); the stored double objective rounds back
+    * to basis points first, so 0.95 is 9500 and not 9499), the observed
+    * violations, a within-budget/exhausted status and the burn ratio
+    * (null for a zero budget). Pure read-side projection — no new state,
+    * so it inherits [[monitorBatch]]'s replay idempotency. */
+  def errorBudget(spark: SparkSession, cfg: Config): DataFrame =
+    sla(spark, cfg)
+      .withColumn("objective_bps", round(col("objective") * 10000).cast("long"))
+      .withColumn("violations", col("n_events") - col("n_within"))
+      .withColumn("allowed",
+        expr("(n_events * (10000 - objective_bps)) div 10000"))
+      .withColumn("status",
+        when(col("violations") <= col("allowed"), "within_budget")
+          .otherwise("exhausted"))
+      .withColumn("burn_ratio",
+        when(col("allowed") > 0,
+          col("violations").cast("double") / col("allowed").cast("double")))
+      .select("batch_id", "slo", "objective_bps", "n_events", "n_within",
+        "violations", "allowed", "status", "burn_ratio")
+      .orderBy("batch_id", "slo")
 }

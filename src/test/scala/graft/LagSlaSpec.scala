@@ -74,6 +74,39 @@ class LagSlaSpec extends AnyFunSuite {
     assert(b0.forall(!_.getAs[Boolean]("breach")))
   }
 
+  test("error-budget view: exact integer budgets, exhausted on breach, parity with the batch twin") {
+    val base = Files.createTempDirectory("lagslaeb").toString
+    val c = cfg(base)
+    // batch 0 on SLA, batch 1 blows every tier (the breach scenario)
+    LagSla.monitorBatch(spark, c, events(Seq(D, D + 60000L, D + 120000L, D + 180000L)), 0L)
+    LagSla.monitorBatch(spark, c, events(Seq(D + 35 * D)), 1L)
+    val rows = LagSla.errorBudget(spark, c).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("slo")) -> r).toMap
+    // objective rounding: 0.95 must become 9500 bps, never 9499
+    assert(rows((0L, "1_hour")).getAs[Long]("objective_bps") === 9500L)
+    assert(rows((0L, "4_month")).getAs[Long]("objective_bps") === 10000L)
+    // batch 0: 4 events, zero violations, within budget everywhere
+    assert(rows((0L, "1_hour")).getAs[Long]("violations") === 0L)
+    assert(rows((0L, "1_hour")).getAs[String]("status") === "within_budget")
+    // batch 1 cumulative: 5 events, 4 violations; 5·500/10000 = 0 allowed
+    val b1h = rows((1L, "1_hour"))
+    assert(b1h.getAs[Long]("violations") === 4L)
+    assert(b1h.getAs[Long]("allowed") === 0L)
+    assert(b1h.getAs[String]("status") === "exhausted")
+    assert(b1h.isNullAt(b1h.fieldIndex("burn_ratio")), "burn of a zero budget must be null")
+    // parity with the batch operator's budget arithmetic on the same events
+    val batchRows = graft.cdc.Monitoring.errorBudget(
+      events(Seq(D, D + 60000L, D + 120000L, D + 180000L, D + 35 * D))).collect()
+      .map(r => r.getAs[String]("slo") ->
+        ((r.getAs[Long]("violations"), r.getAs[Long]("allowed"), r.getAs[String]("status")))).toMap
+    Seq("1_hour", "2_day", "3_week", "4_month").foreach { slo =>
+      val s = rows((1L, slo))
+      assert(batchRows(slo) ===
+        ((s.getAs[Long]("violations"), s.getAs[Long]("allowed"), s.getAs[String]("status"))),
+        s"tier $slo diverges from the batch twin")
+    }
+  }
+
   test("replaying a micro-batch neither double-counts events nor duplicates ladder rows") {
     val base = Files.createTempDirectory("lagsla3").toString
     val c = cfg(base)
