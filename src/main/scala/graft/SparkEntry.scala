@@ -191,6 +191,7 @@ object SparkEntry {
     "cdc_gdpr_erasure" -> ((s, d) => Quality.gdprErasure(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextFunctions.datasetCard(s, d)),
     "q_range_frame" -> ((s, d) => Relational.rangeFrame(s, d)),
+    "q_skyline" -> ((s, d) => Relational.skyline(s, d)),
     // composite-key upsert through the generic materializer: lineitem as a
     // (suppkey, partkey)-keyed changelog, returnflag 'R' acting as delete
     "cdc_materialize_composite" -> ((s, d) => {
@@ -254,6 +255,7 @@ object SparkEntry {
     "dedup_component_stats" -> ((s, d) => Dedup.componentStats(s, d)),
     "dedup_band_occupancy" -> ((s, d) => Dedup.bandOccupancy(s, d)),
     "dedup_simhash_tables" -> ((s, d) => Dedup.simhashTableStats(s, d)),
+    "dedup_simhash_dist_hist" -> ((s, d) => Dedup.simhashDistanceHist(s, d)),
     "pipe_dedup_waterfall" -> ((s, d) => Dedup.dedupWaterfall(s, d)),
     "dedup_semantic_incremental" -> ((s, d) => Ann.semanticIncremental(s, d)),
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
@@ -926,6 +928,7 @@ object SparkEntry {
       "cdc_gdpr_erasure" -> Quality.gdprErasureSql(cl),
       "pipe_dataset_card" -> TextFunctions.datasetCardSql,
       "q_range_frame" -> Relational.rangeFrameSql,
+      "q_skyline" -> Relational.skylineSql,
       "cdc_materialize_composite" ->
         """WITH ranked AS (
           |  SELECT l_suppkey, l_partkey,
@@ -986,6 +989,7 @@ object SparkEntry {
       "dedup_component_stats" -> Dedup.componentStatsSql,
       "dedup_band_occupancy" -> Dedup.bandOccupancySql,
       "dedup_simhash_tables" -> Dedup.simhashTableStatsSql,
+      "dedup_simhash_dist_hist" -> Dedup.simhashDistanceHistSql,
       "pipe_dedup_waterfall" -> Dedup.dedupWaterfallSql,
       "dedup_semantic_incremental" -> Ann.semanticIncrementalSql(),
       "text_rarity" -> TextFunctions.raritySql,

@@ -783,6 +783,45 @@ object Relational {
     * per day — unlike the ROWS frame in [[movingAvg]], the frame bound is
     * event-time, so gaps in the calendar shrink the window. Runs over the
     * pre-aggregated daily table (bounded by date range, not data volume). */
+  /** Per-brand Pareto frontier (skyline) over (price ↓, size ↑): the
+    * parts no same-brand part dominates — cheaper-or-equal AND
+    * larger-or-equal with at least one strict. The classic skyline
+    * operator without the O(n²) dominance join: sort each brand by
+    * (price asc, size desc, partkey), and a row is on the frontier iff
+    * its size exceeds the running max over all STRICTLY preceding rows —
+    * every preceding row has price ≤ this one, so a preceding max ≥ size
+    * is precisely a dominator (same-price larger-size rows sort first
+    * and dominate; exact (price, size) duplicates collapse to the lowest
+    * partkey). One partitioned window, |brand| parallelism, scale-safe. */
+  def skyline(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("price").asc, col("size").desc, col("p_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(spark, dir, "part")
+      .select(col("p_brand"), col("p_partkey"),
+        col("p_retailprice").cast("double").as("price"),
+        col("p_size").cast("long").as("size"))
+      .withColumn("max_prev_size", max(col("size")).over(w))
+      .where(col("max_prev_size").isNull || col("size") > col("max_prev_size"))
+      .select("p_brand", "p_partkey", "price", "size")
+      .orderBy("p_brand", "price", "p_partkey")
+  }
+
+  val skylineSql: String =
+    """WITH p AS (
+      |  SELECT p_brand, p_partkey, CAST(p_retailprice AS DOUBLE) AS price,
+      |         CAST(p_size AS BIGINT) AS size
+      |  FROM part),
+      |m AS (
+      |  SELECT p_brand, p_partkey, price, size,
+      |         max(size) OVER (PARTITION BY p_brand
+      |                         ORDER BY price ASC, size DESC, p_partkey ASC
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mps
+      |  FROM p)
+      |SELECT p_brand, p_partkey, price, size
+      |FROM m WHERE mps IS NULL OR size > mps
+      |ORDER BY p_brand, price, p_partkey""".stripMargin
+
   def rangeFrame(spark: SparkSession, dir: String): DataFrame = {
     // DataFrame window, not SQL over a shared temp view (see groupingSets).
     // The interval RANGE frame becomes a numeric range over days-since-epoch

@@ -707,6 +707,57 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Hamming-distance histogram over the banded SimHash candidates — the
+    * threshold-calibration twin of `dedup_threshold_curve` for the Manku
+    * blocking: how candidate pairs distribute across full-fingerprint
+    * Hamming distance (each rung 0–6 individually — the zone the
+    * pigeonhole guarantee covers — then the 7–15 and 16+ reject bands).
+    * Read BEFORE changing the verify threshold: the 0–6 mass is what a
+    * threshold move would admit or drop, the reject mass is pure verify
+    * cost the banding let through. Reuses the memoized fingerprints and
+    * the same candidate build as `dedup_simhash`; one extra aggregation
+    * on ≤9 bucket rows. */
+  def simhashDistanceHist(spark: SparkSession, dir: String): DataFrame = {
+    val fpNames = (0 until simhashBlocks).map(b => s"fp$b")
+    val hammingExpr = fpNames.map { n =>
+      bit_count(col(n + "_a").bitwiseXOR(col(n + "_b")))
+    }.reduce(_ + _).cast("long")
+    val hist = simhashCandidates(simhashFingerprints(spark, dir))
+      .withColumn("hamming", hammingExpr)
+      .select(
+        when(col("hamming") <= 6, lpad(col("hamming").cast("string"), 2, "0"))
+          .when(col("hamming") <= 15, lit("07_15"))
+          .otherwise(lit("16_plus")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("total"))))
+      .select(col("bucket"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("bucket")
+  }
+
+  def simhashDistanceHistSql: String = {
+    val abList = (0 until simhashBlocks)
+      .map(b => s"a.fp$b AS fp${b}_a, b.fp$b AS fp${b}_b").mkString(", ")
+    val hamming = (0 until simhashBlocks)
+      .map(b => s"bit_count(xor(fp${b}_a, fp${b}_b))").mkString(" + ")
+    s"""$simhashFpsCte,
+       |banded AS (
+       |  ${simhashBandSelects(withFps = true)}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, $abList
+       |  FROM banded a JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |  WHERE a.doc_id < b.doc_id),
+       |bucketed AS (
+       |  SELECT CASE WHEN $hamming <= 6 THEN lpad(CAST($hamming AS VARCHAR), 2, '0')
+       |              WHEN $hamming <= 15 THEN '07_15' ELSE '16_plus' END AS bucket
+       |  FROM pairs),
+       |hist AS (SELECT bucket, count(*) AS n_pairs FROM bucketed GROUP BY bucket),
+       |tot AS (SELECT sum(n_pairs) AS total FROM hist)
+       |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS share
+       |FROM hist, tot ORDER BY bucket""".stripMargin
+  }
+
   /** Sequential dedup-campaign plan ("the waterfall"): what each stage
     * of the standard dedup ladder — exact (md5 groups) → near-dup
     * clustering (Jaccard ≥ 0.6 components, keep min-id) → containment
