@@ -57,6 +57,7 @@ object SparkEntry {
     "cdc_alert_eval" -> ((s, d) => Monitoring.alertEval(s, Cdc.changelog(s, d))),
     "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
+    "cdc_status_board" -> ((s, d) => Monitoring.statusBoard(s, d)),
     "cdc_health_score" -> ((s, d) => Monitoring.healthScore(Cdc.changelog(s, d))),
     "cdc_alert_suppress" -> ((s, d) => Monitoring.alertSuppress(Cdc.changelog(s, d))),
     "cdc_alert_dispatch" -> ((s, d) => Monitoring.alertDispatch(s, Cdc.changelog(s, d))),
@@ -922,6 +923,7 @@ object SparkEntry {
       "cdc_burst_detect" -> Monitoring.burstDetectSql(cl),
       "cdc_robust_anomaly" -> Monitoring.robustAnomalySql(cl),
       "cdc_lag_sla" -> Monitoring.lagSlaSql(cl),
+      "cdc_status_board" -> Monitoring.statusBoardSql,
       "cdc_error_budget" -> Monitoring.errorBudgetSql(cl),
       "text_gopher_rules" -> TextFunctions.gopherRulesSql,
       "pipe_contamination_semantic" -> Ann.contaminationSemanticSql,

@@ -269,6 +269,68 @@ object Monitoring {
       .orderBy("server_name", "schema_name", "table_name")
   }
 
+  /** Per-table status board — the one-screen dashboard rollup the
+    * reference serves from its pipeline-status endpoints (api.py
+    * get_pipeline_status + metrics summary): for every routed table, the
+    * event/key volumes, op-mix delete share, last event time, p95
+    * replication lag against the global high-water mark, and an
+    * active/stale verdict (stale = silent for over an hour of stream
+    * time). The per-metric operators (eventCounts, lagPercentiles,
+    * deleteRatio, heartbeatGaps) answer the deep-dive questions; this is
+    * the landing table that says which table to dive into.
+    *
+    * Scale shape: one scan, a broadcast 1-row hwm join, ONE per-table
+    * aggregation (percentile + conditional sums in the same hash
+    * aggregate); output is |tables| rows. */
+  def statusBoard(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type").as("table_name"), col("user_id"), col("ts"),
+        Cdc.opFromEventType(col("event_type")).as("op"))
+    val hwm = ev.agg(max(col("ts")).as("hwm"))
+    ev.crossJoin(broadcast(hwm))
+      .select(col("table_name"), col("user_id"), col("ts"), col("op"),
+        (unix_millis(col("hwm")) - unix_millis(col("ts"))).as("lag_ms"))
+      .groupBy("table_name")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_keys"),
+        max(col("ts")).as("last_event_ts"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"),
+        expr("percentile(lag_ms, 0.95)").as("lag_p95_ms"),
+        min(col("lag_ms")).as("freshest_lag_ms"))
+      .withColumn("delete_share",
+        col("n_deletes").cast("double") / col("n_events").cast("double"))
+      .withColumn("status",
+        when(col("freshest_lag_ms") <= 3600000L, "active").otherwise("stale"))
+      .select("table_name", "n_events", "n_keys", "last_event_ts",
+        "delete_share", "lag_p95_ms", "status")
+      .orderBy("table_name")
+  }
+
+  val statusBoardSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS table_name, user_id, ts,
+      |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op
+      |  FROM events),
+      |hwm AS (SELECT max(ts) AS hwm FROM ev),
+      |lagged AS (
+      |  SELECT table_name, user_id, ts, op,
+      |         epoch_ms(hwm) - epoch_ms(ts) AS lag_ms
+      |  FROM ev, hwm),
+      |g AS (
+      |  SELECT table_name, count(*) AS n_events,
+      |         count(DISTINCT user_id) AS n_keys,
+      |         max(ts) AS last_event_ts,
+      |         CAST(sum(CASE WHEN op = 'd' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+      |         quantile_cont(lag_ms, 0.95) AS lag_p95_ms,
+      |         min(lag_ms) AS freshest_lag_ms
+      |  FROM lagged GROUP BY table_name)
+      |SELECT table_name, n_events, n_keys, last_event_ts,
+      |       CAST(n_deletes AS DOUBLE) / CAST(n_events AS DOUBLE) AS delete_share,
+      |       lag_p95_ms,
+      |       CASE WHEN freshest_lag_ms <= 3600000 THEN 'active' ELSE 'stale' END AS status
+      |FROM g ORDER BY table_name""".stripMargin
+
   /** Heartbeat / silence detection: per key cohort, the distribution of
     * inter-event gaps in event-time order, and how many exceeded the
     * silence threshold — the liveness signal a connector heartbeat table
