@@ -116,11 +116,13 @@ object SparkEntry {
     "text_ngrams" -> ((s, d) => TextFunctions.ngrams(s, d)),
     "text_source_stats" -> ((s, d) => TextFunctions.sourceStats(s, d)),
     "pipe_train_split" -> ((s, d) => TextFunctions.trainSplit(s, d)),
+    "pipe_epoch_shuffle" -> ((s, d) => TextFunctions.epochShuffle(s, d)),
     "text_quality_bins" -> ((s, d) => TextFunctions.qualityBins(s, d)),
     "pipe_corpus_filter" -> ((s, d) => TextFunctions.corpusFilter(s, d)),
     "text_doc_freq" -> ((s, d) => TextFunctions.termDocFreq(s, d)),
     // ── Dedup ────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_exact_prefix" -> ((s, d) => Dedup.exactPrefix(s, d)),
     "dedup_chunk_hist" -> ((s, d) => Dedup.chunkDupHist(s, d)),
     "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
     "text_dup_gram_share" -> ((s, d) => TextFunctions.dupGramShare(s, d)),
@@ -262,6 +264,7 @@ object SparkEntry {
     "text_rarity" -> ((s, d) => TextFunctions.rarity(s, d)),
     "text_bigram_coherence" -> ((s, d) => TextFunctions.bigramCoherence(s, d)),
     "ann_pq_recall" -> ((s, d) => Ann.pqRecall(s, d)),
+    "ann_pq_rerank" -> ((s, d) => Ann.pqRerank(s, d)),
     "ann_ivfpq_topk" -> ((s, d) => Ann.ivfpqTopK(s, d)),
     "ann_index_menu" -> ((s, d) => Ann.indexMenu(s, d)),
     "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
@@ -799,6 +802,7 @@ object SparkEntry {
           |       CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) / count(*) AS avg_chars
           |FROM f GROUP BY source ORDER BY source""".stripMargin,
       "pipe_train_split" -> TextFunctions.trainSplitSql,
+      "pipe_epoch_shuffle" -> TextFunctions.epochShuffleSql(),
       "text_quality_bins" ->
         s"""WITH f AS (
            |  SELECT doc_id,
@@ -849,6 +853,7 @@ object SparkEntry {
            |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS sig FROM corpus)
            |SELECT sig, count(*) AS n_copies, min(doc_id) AS canonical_id, max(doc_id) AS max_id
            |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
+      "dedup_exact_prefix" -> Dedup.exactPrefixSql(),
       "dedup_chunk_hist" -> Dedup.chunkDupHistSql,
       "text_novelty" -> TextFunctions.noveltySql,
       "text_dup_gram_share" -> TextFunctions.dupGramShareSql,
@@ -997,6 +1002,7 @@ object SparkEntry {
       "text_rarity" -> TextFunctions.raritySql,
       "text_bigram_coherence" -> TextFunctions.bigramCoherenceSql,
       "ann_pq_recall" -> Ann.pqRecallSql(),
+      "ann_pq_rerank" -> Ann.pqRerankSql(),
       "ann_ivfpq_topk" -> Ann.ivfpqTopKSql(),
       "ann_index_menu" -> Ann.indexMenuSql(),
       "ann_sq8_topk" -> Ann.sq8TopKSql(),

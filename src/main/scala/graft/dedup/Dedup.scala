@@ -707,6 +707,47 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Prefix-duplicate groups: documents sharing the digest of their first
+    * `prefixLen` normalized characters while differing in the full digest
+    * — truncations, expansions, and append-edited variants, caught by ONE
+    * cheap hash-groupBy where full containment pays a banded signature
+    * join. The common crawl shape this targets: the same article
+    * truncated at different scrape depths. Groups that are pure exact
+    * duplicates (one full digest) are excluded — those belong to
+    * `dedup_exact`. The corpus loader's injected %11 truncations make
+    * real finds provable. */
+  def exactPrefix(spark: SparkSession, dir: String, prefixLen: Int = 100): DataFrame =
+    normCorpus(spark, dir)
+      .select(col("doc_id"),
+        md5(substring(col("t"), 1, prefixLen)).as("prefix_sig"),
+        md5(col("t")).as("sig"),
+        length(col("t")).cast("long").as("n_chars"))
+      .groupBy("prefix_sig")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("sig")).as("n_variants"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") > 1 && col("n_variants") > 1)
+      .orderBy("prefix_sig")
+
+  def exactPrefixSql(prefixLen: Int = 100): String =
+    s"""$corpusSql,
+       |norm2 AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |sigs2 AS (
+       |  SELECT doc_id, md5(substr(t, 1, $prefixLen)) AS prefix_sig, md5(t) AS sig,
+       |         CAST(length(t) AS BIGINT) AS n_chars
+       |  FROM norm2)
+       |SELECT prefix_sig, count(*) AS n_docs,
+       |       count(DISTINCT sig) AS n_variants,
+       |       min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+       |       min(doc_id) AS canonical_doc
+       |FROM sigs2 GROUP BY prefix_sig
+       |HAVING count(*) > 1 AND count(DISTINCT sig) > 1
+       |ORDER BY prefix_sig""".stripMargin
+
   /** Hamming-distance histogram over the banded SimHash candidates — the
     * threshold-calibration twin of `dedup_threshold_curve` for the Manku
     * blocking: how candidate pairs distribute across full-fingerprint

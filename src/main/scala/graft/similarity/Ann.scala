@@ -989,6 +989,35 @@ object Ann {
        |    (x, y) -> x + y) AS adc_dist
        |FROM enc ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
 
+  /** Two-stage retrieval: PQ ADC shortlist → EXACT rerank — the canonical
+    * production pattern (shortlist from the compressed domain, then true
+    * L2 over the raw vectors of ONLY the shortlist). The shortlist size
+    * (5k) is the recall/IO dial: the final answer costs `shortlist`
+    * raw-vector fetches instead of a whole-corpus float scan, and any
+    * shortlist member the codebook mis-ranked is repaired by the exact
+    * stage as long as the true neighbor made the shortlist at all. At
+    * 100 TB the raw vectors live in cold storage keyed by vec_id; this
+    * join IS the fetch. Output is exact distances — downstream consumers
+    * never see quantization error, only quantization RECALL loss (priced
+    * by [[pqRecall]]). */
+  def pqRerank(spark: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val short = pqTopK(spark, dir, shortlist).select("vec_id")
+    short.join(emb, "vec_id") // raw-vector fetch for the shortlist only
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id")).limit(k)
+  }
+
+  def pqRerankSql(k: Int = 10, shortlist: Int = 50): String =
+    s"""WITH short AS (SELECT vec_id FROM (${pqTopKSql(shortlist)}) s),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, ${l2Sql("e.embedding", "qe")} AS l2sq
+       |FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+       |ORDER BY l2sq ASC, e.vec_id LIMIT $k""".stripMargin
+
   /** IVF-PQ top-k — the production composition of the two index halves
     * (the default faiss shape for billion-vector search): the query
     * probes its best 2 IVF cells exactly as [[ivfTopK]] does (quantized

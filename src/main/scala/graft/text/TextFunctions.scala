@@ -1798,6 +1798,47 @@ object TextFunctions {
       |       CAST(sum(len(regexp_extract_all(text, '[0-9]{4,}'))) AS BIGINT) AS total_digit_runs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Deterministic per-epoch training order: epoch e presents the corpus
+    * sorted by md5(e:doc_id) — a fresh pseudo-random permutation every
+    * epoch that ANY worker can recompute locally (no stored shuffle
+    * files, replay-stable). The global order is SHARD-MAJOR: a doc's
+    * shard is its key's first byte, its position is the rank within
+    * (epoch, shard), and the total order is (shard, shard_pos)
+    * lexicographic — so the rank window partitions by (epoch × 256
+    * shards), never funneling an epoch's whole corpus through one
+    * reducer the way a naive per-epoch row_number would. */
+  def epochShuffle(spark: SparkSession, dir: String, epochs: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(array((0 until epochs).map(e => lit(e.toLong)): _*)).as("epoch"))
+      .withColumn("skey", md5(concat_ws(":", col("epoch"), col("doc_id"))))
+      .withColumn("shard",
+        conv(substring(col("skey"), 1, 2), 16, 10).cast("long"))
+    keyed
+      .withColumn("shard_pos",
+        row_number().over(
+          Window.partitionBy("epoch", "shard").orderBy("skey", "doc_id")).cast("long"))
+      .select("epoch", "shard", "shard_pos", "doc_id")
+      .orderBy("epoch", "shard", "shard_pos")
+  }
+
+  def epochShuffleSql(epochs: Int = 3): String =
+    s"""WITH e AS (SELECT unnest(range(0, $epochs)) AS epoch),
+       |keyed AS (
+       |  SELECT epoch, doc_id,
+       |         md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS skey
+       |  FROM documents CROSS JOIN e),
+       |sharded AS (
+       |  SELECT epoch, doc_id, skey,
+       |         CAST('0x' || substr(skey, 1, 2) AS BIGINT) AS shard
+       |  FROM keyed)
+       |SELECT CAST(epoch AS BIGINT) AS epoch, shard,
+       |       CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY skey, doc_id) AS BIGINT) AS shard_pos,
+       |       doc_id
+       |FROM sharded
+       |ORDER BY epoch, shard, shard_pos""".stripMargin
+
   /** Gopher-style quality rules (Rae et al. 2021, "Scaling Language
     * Models: Gopher", Table A1 — the public heuristic filter set), the
     * rule-ladder complement to the weighted [[quality]] score: per
