@@ -58,6 +58,7 @@ object SparkEntry {
     "cdc_delete_ratio" -> ((s, d) => Monitoring.deleteRatio(Cdc.changelog(s, d))),
     "cdc_topic_route" -> ((s, d) => Monitoring.topicRoute(Cdc.toWire(s, d))),
     "cdc_status_board" -> ((s, d) => Monitoring.statusBoard(s, d)),
+    "cdc_op_transitions" -> ((s, d) => Monitoring.opTransitions(Cdc.changelog(s, d))),
     "cdc_health_score" -> ((s, d) => Monitoring.healthScore(Cdc.changelog(s, d))),
     "cdc_alert_suppress" -> ((s, d) => Monitoring.alertSuppress(Cdc.changelog(s, d))),
     "cdc_alert_dispatch" -> ((s, d) => Monitoring.alertDispatch(s, Cdc.changelog(s, d))),
@@ -131,6 +132,7 @@ object SparkEntry {
     "pipe_vocab_growth" -> ((s, d) => TextFunctions.vocabGrowth(s, d)),
     "text_char_diversity" -> ((s, d) => TextFunctions.charDiversity(s, d)),
     "emb_norm_stats" -> ((s, d) => Ann.normStats(s, d)),
+    "emb_dim_variance" -> ((s, d) => Ann.dimVariance(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -862,6 +864,7 @@ object SparkEntry {
       "pipe_vocab_growth" -> TextFunctions.vocabGrowthSql,
       "text_char_diversity" -> TextFunctions.charDiversitySql,
       "emb_norm_stats" -> Ann.normStatsSql,
+      "emb_dim_variance" -> Ann.dimVarianceSql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
@@ -929,6 +932,7 @@ object SparkEntry {
       "cdc_robust_anomaly" -> Monitoring.robustAnomalySql(cl),
       "cdc_lag_sla" -> Monitoring.lagSlaSql(cl),
       "cdc_status_board" -> Monitoring.statusBoardSql,
+      "cdc_op_transitions" -> Monitoring.opTransitionsSql(cl),
       "cdc_error_budget" -> Monitoring.errorBudgetSql(cl),
       "text_gopher_rules" -> TextFunctions.gopherRulesSql,
       "pipe_contamination_semantic" -> Ann.contaminationSemanticSql,

@@ -269,6 +269,46 @@ object Monitoring {
       .orderBy("server_name", "schema_name", "table_name")
   }
 
+  /** Op-transition matrix — the changelog's state machine audited: per
+    * (previous op → op) pair within each key's (ts, seq) order, the
+    * transition count and whether the pair is legal CDC grammar (c may
+    * only follow d or start a key; d/u must follow c/u; a second c after
+    * a live row is a "double create"). The complement of
+    * [[orderViolations]] (which audits TIME order): this audits OP order,
+    * the thing a misconfigured snapshot re-run or an at-least-once
+    * producer without idempotent keys corrupts first.
+    *
+    * Scale shape: one lag window PARTITIONED BY KEY (shuffle by pk,
+    * per-key sort — the co-partitioned shape every sessionizer uses),
+    * then a ≤|op|² aggregation. */
+  def opTransitions(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("ts", "seq")
+    changelog
+      .select(col("pk"), col("ts"), col("seq"), col("op"))
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .select(coalesce(col("prev_op"), lit("start")).as("prev_op"), col("op"))
+      .groupBy("prev_op", "op")
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("legal",
+        (col("prev_op") === "start") ||
+          (col("op") === "c" && col("prev_op") === "d") ||
+          (col("op") =!= "c" && (col("prev_op") === "c" || col("prev_op") === "u")))
+      .orderBy("prev_op", "op")
+  }
+
+  def opTransitionsSql(changelogSql: String): String =
+    s"""$changelogSql,
+       |lagged AS (
+       |  SELECT coalesce(lag(op) OVER (PARTITION BY pk ORDER BY ts, seq), 'start') AS prev_op, op
+       |  FROM changelog)
+       |SELECT prev_op, op, count(*) AS n_transitions,
+       |       (prev_op = 'start')
+       |         OR (op = 'c' AND prev_op = 'd')
+       |         OR (op <> 'c' AND prev_op IN ('c', 'u')) AS legal
+       |FROM lagged GROUP BY prev_op, op
+       |ORDER BY prev_op, op""".stripMargin
+
   /** Per-table status board — the one-screen dashboard rollup the
     * reference serves from its pipeline-status endpoints (api.py
     * get_pipeline_status + metrics summary): for every routed table, the

@@ -989,6 +989,51 @@ object Ann {
        |    (x, y) -> x + y) AS adc_dist
        |FROM enc ORDER BY adc_dist, vec_id LIMIT $k""".stripMargin
 
+  /** Per-dimension variance profile — the dead-dimension detector that
+    * completes [[normStats]]'s embedding-hygiene gate: a dimension whose
+    * variance collapsed (dead ReLU path, truncated export, constant
+    * padding) silently wastes index bits in every PQ/SQ8 codebook built
+    * on it. Per dimension: mean, variance, and a dead flag (variance
+    * below 1e-6). All cross-row sums 2⁴⁰-quantized to longs, so the
+    * profile is bit-identical on any engine and partitioning; variance
+    * uses the E[x²]−E[x]² form over the quantized sums.
+    *
+    * Scale shape: one posexplode + ONE (pos) partial-agg shuffle of
+    * |dims| rows — never a vector pair. */
+  def dimVariance(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("x").cast("double") * Q).cast("long")
+          .cast(DecimalType(38, 0))).as("s1"),
+        sum(floor(col("x").cast("double") * col("x").cast("double") * Q)
+          .cast("long").cast(DecimalType(38, 0))).as("s2"))
+      .select(col("pos"), col("n"),
+        (col("s1").cast("double") / Q / col("n").cast("double")).as("mean"),
+        ((col("s2").cast("double") / Q / col("n").cast("double")) -
+          (col("s1").cast("double") / Q / col("n").cast("double")) *
+          (col("s1").cast("double") / Q / col("n").cast("double"))).as("variance"))
+      .withColumn("dead", col("variance") < 1e-6)
+      .orderBy("pos")
+
+  val dimVarianceSql: String =
+    """WITH longf AS (
+      |  SELECT unnest(embedding) AS x,
+      |         unnest(generate_series(0, len(embedding) - 1)) AS pos
+      |  FROM embeddings),
+      |g AS (
+      |  SELECT pos, count(*) AS n,
+      |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS s1,
+      |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0 AS s2
+      |  FROM longf GROUP BY pos)
+      |SELECT CAST(pos AS BIGINT) AS pos, n,
+      |       s1 / n AS mean,
+      |       s2 / n - (s1 / n) * (s1 / n) AS variance,
+      |       s2 / n - (s1 / n) * (s1 / n) < 1e-6 AS dead
+      |FROM g ORDER BY pos""".stripMargin
+
   /** Two-stage retrieval: PQ ADC shortlist → EXACT rerank — the canonical
     * production pattern (shortlist from the compressed domain, then true
     * L2 over the raw vectors of ONLY the shortlist). The shortlist size
