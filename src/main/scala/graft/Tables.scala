@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loaders for the driver-generated test data.
   *
@@ -22,8 +22,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The generated parquet stores NAIVE timestamps (no timezone). Read them
+    // as session-zone instants (the session is pinned to UTC) rather than
+    // TIMESTAMP_NTZ: epoch math (`unix_millis`) only accepts instants, and
+    // UTC-instant reads are value-identical to DuckDB's naive-epoch oracle.
+    // Done via the scan conf, not a cast, so the column keeps its scan type
+    // and timestamp filter pushdown still reaches the parquet reader.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>
+    val instants = df.schema.fields.foldLeft(df) { (d, f) =>
+      // defensive: if a future writer forces NTZ at the file level anyway
+      if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d
+    }
+    nanosCols.getOrElse(name, Nil).foldLeft(instants) { (d, c) =>
       if (d.schema(c).dataType == LongType)
         // integer `div`, not `/`: nanos exceed double's 2^53 exact range
         d.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))

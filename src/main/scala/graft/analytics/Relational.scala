@@ -1198,7 +1198,14 @@ object Relational {
     * are EXACT decimal sums (Σx, Σy, Σxy, Σx², Σy²) instead: partial-agg
     * + one small-key shuffle, then the closed-form corr/slope/intercept
     * as a fixed-order double expression over those exact sums —
-    * bit-identical on any engine and any partitioning. */
+    * bit-identical on any engine and any partitioning.
+    *
+    * The three output statistics are pinned to a 9-decimal grid: the
+    * decimal→double cast of a >2^53-mantissa sum is itself
+    * engine-specific (Spark single-rounds via BigDecimal, DuckDB
+    * double-rounds via int128→double ÷ 10^scale), so the last ulp of
+    * the raw doubles can legitimately differ — 9 decimals keeps ≥7
+    * significant digits on every statistic while absorbing that. */
   def corrOls(spark: SparkSession, dir: String): DataFrame = {
     val s = Tables.load(spark, dir, "lineitem")
       .select(col("l_returnflag"), dec(col("l_quantity")).as("x"), dec(col("l_extendedprice")).as("y"))
@@ -1215,11 +1222,13 @@ object Relational {
     val varx = nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
     val vary = nd * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
     s.select(col("l_returnflag"), col("n"),
-        (cov / (sqrt(varx) * sqrt(vary))).as("corr_qty_price"),
-        (cov / varx).as("ols_slope"),
+        round(cov / (sqrt(varx) * sqrt(vary)), 9).as("corr_qty_price"),
+        (cov / varx).as("slope_raw"),
         col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
-      .withColumn("ols_intercept", (col("syd") - col("ols_slope") * col("sxd")) / col("n").cast("double"))
-      .drop("sxd", "syd")
+      .withColumn("ols_intercept",
+        round((col("syd") - col("slope_raw") * col("sxd")) / col("n").cast("double"), 9))
+      .withColumn("ols_slope", round(col("slope_raw"), 9))
+      .select("l_returnflag", "n", "corr_qty_price", "ols_slope", "ols_intercept")
       .orderBy("l_returnflag")
   }
 
@@ -1241,8 +1250,9 @@ object Relational {
       |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS ols_slope,
       |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
       |  FROM s)
-      |SELECT l_returnflag, n, corr_qty_price, ols_slope,
-      |       (syd - ols_slope * sxd) / CAST(n AS DOUBLE) AS ols_intercept
+      |SELECT l_returnflag, n, round(corr_qty_price, 9) AS corr_qty_price,
+      |       round(ols_slope, 9) AS ols_slope,
+      |       round((syd - ols_slope * sxd) / CAST(n AS DOUBLE), 9) AS ols_intercept
       |FROM m ORDER BY l_returnflag""".stripMargin
 
   /** Median absolute deviation of order value per return flag — the
