@@ -133,6 +133,7 @@ object SparkEntry {
     "text_char_diversity" -> ((s, d) => TextFunctions.charDiversity(s, d)),
     "emb_norm_stats" -> ((s, d) => Ann.normStats(s, d)),
     "emb_dim_variance" -> ((s, d) => Ann.dimVariance(s, d)),
+    "emb_dim_quantiles" -> ((s, d) => Ann.dimQuantiles(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -161,6 +162,7 @@ object SparkEntry {
     "cdc_update_diff" -> ((s, d) => Monitoring.updateDiff(Cdc.changelog(s, d))),
     "cdc_txn_group" -> ((s, d) => Monitoring.txnGroup(Cdc.changelog(s, d))),
     "cdc_offset_gaps" -> ((s, d) => Monitoring.offsetGaps(Cdc.toWire(s, d))),
+    "cdc_consumer_lag" -> ((s, d) => Monitoring.consumerLag(s, d)),
     "cdc_time_travel" -> ((s, d) =>
       Materialize.timeTravel(Cdc.changelog(s, d)).orderBy("user_id")),
     "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -168,6 +170,7 @@ object SparkEntry {
     "q_cume_ntile" -> ((s, d) => Relational.cumeNtile(s, d)),
     "ann_knn_join" -> ((s, d) => Ann.knnJoin(s, d)),
     "text_pii_scan" -> ((s, d) => TextFunctions.piiScan(s, d)),
+    "text_pii_redact" -> ((s, d) => TextFunctions.piiRedact(s, d)),
     "pipe_chunk_documents" -> ((s, d) => TextFunctions.chunkDocuments(s, d)),
     "pipe_sample_stratified" -> ((s, d) => TextFunctions.sampleStratified(s, d)),
     "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
@@ -271,6 +274,7 @@ object SparkEntry {
     "ann_index_menu" -> ((s, d) => Ann.indexMenu(s, d)),
     "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
     "ann_sq8_recall" -> ((s, d) => Ann.sq8Recall(s, d)),
+    "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
     "emb_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
     "pipe_temperature_mix" -> ((s, d) => TextFunctions.temperatureMix(s, d)),
@@ -865,6 +869,7 @@ object SparkEntry {
       "text_char_diversity" -> TextFunctions.charDiversitySql,
       "emb_norm_stats" -> Ann.normStatsSql,
       "emb_dim_variance" -> Ann.dimVarianceSql,
+      "emb_dim_quantiles" -> Ann.dimQuantilesSql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
@@ -896,12 +901,14 @@ object SparkEntry {
       "cdc_update_diff" -> Monitoring.updateDiffSql(cl),
       "cdc_txn_group" -> Monitoring.txnGroupSql(cl),
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,
+      "cdc_consumer_lag" -> Monitoring.consumerLagSql(),
       "cdc_time_travel" -> Materialize.timeTravelSql(cl),
       "q_cube" -> Relational.cubeAggSql,
       "q_percentile_cont" -> Relational.percentileContSql,
       "q_cume_ntile" -> Relational.cumeNtileSql,
       "ann_knn_join" -> Ann.knnJoinSql(),
       "text_pii_scan" -> TextFunctions.piiScanSql,
+      "text_pii_redact" -> TextFunctions.piiRedactSql,
       "pipe_chunk_documents" -> TextFunctions.chunkDocumentsSql(),
       "pipe_sample_stratified" -> TextFunctions.sampleStratifiedSql,
       "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),
@@ -1011,6 +1018,7 @@ object SparkEntry {
       "ann_index_menu" -> Ann.indexMenuSql(),
       "ann_sq8_topk" -> Ann.sq8TopKSql(),
       "ann_sq8_recall" -> Ann.sq8RecallSql(),
+      "ann_ivf_occupancy" -> Ann.ivfOccupancySql,
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),
       "emb_centroid_drift" -> Ann.centroidDriftSql,
       "pipe_temperature_mix" -> TextFunctions.temperatureMixSql,

@@ -1097,4 +1097,51 @@ object Monitoring {
       |       coalesce(max("offset" - prev - 1), 0) AS max_gap,
       |       count(CASE WHEN "offset" - prev > 1 THEN 1 END) AS n_gaps
       |FROM seqd GROUP BY topic ORDER BY topic""".stripMargin
+
+  /** Consumer-group offset lag — the reference's per-(group, topic,
+    * partition) lag report (check_consumer_lag.py:24-90; the exact row
+    * shape of its lag_report.json: group_id, topic, partition,
+    * committed_offset, end_offset, lag). Offsets are per-partition
+    * message counts; the committed position models a sink consumer
+    * whose last commit trails the stream's own high-water mark by one
+    * checkpoint horizon (an hour of stream time) — the OFFSET-domain
+    * complement of the time-domain lag family ([[lagTrend]],
+    * [[lagPercentiles]], cdc_lag_sla answer "how stale"; this answers
+    * "how many messages behind", the number a Kafka admin API reports).
+    *
+    * Scale shape: one scan, a broadcast 1-row hwm join, ONE
+    * (topic, partition) aggregation with a conditional sum;
+    * |topics × partitions| output rows. */
+  def consumerLag(spark: SparkSession, dir: String,
+                  partitions: Int = 4, horizonMs: Long = 3600000L): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("user_id"), col("ts"))
+    val hwm = ev.agg(max(col("ts")).as("hwm"))
+    ev.crossJoin(broadcast(hwm))
+      .select(
+        concat(lit("connect-sink-"), col("event_type")).as("group_id"),
+        concat(lit("graft.public."), col("event_type")).as("topic"),
+        (col("user_id") % partitions).cast(LongType).as("partition"),
+        (unix_millis(col("hwm")) - unix_millis(col("ts")) >= horizonMs).as("committed"))
+      .groupBy("group_id", "topic", "partition")
+      .agg(
+        count(lit(1)).as("end_offset"),
+        sum(when(col("committed"), 1L).otherwise(0L)).as("committed_offset"))
+      .select(col("group_id"), col("topic"), col("partition"),
+        col("committed_offset"), col("end_offset"),
+        (col("end_offset") - col("committed_offset")).as("lag"))
+      .orderBy("topic", "partition")
+  }
+
+  def consumerLagSql(partitions: Int = 4, horizonMs: Long = 3600000L): String =
+    s"""WITH h AS (SELECT max(ts) AS hwm FROM events)
+       |SELECT 'connect-sink-' || event_type AS group_id,
+       |       'graft.public.' || event_type AS topic,
+       |       CAST(user_id % $partitions AS BIGINT) AS "partition",
+       |       CAST(sum(CASE WHEN epoch_ms(hwm) - epoch_ms(ts) >= $horizonMs THEN 1 ELSE 0 END) AS BIGINT) AS committed_offset,
+       |       count(*) AS end_offset,
+       |       count(*) - CAST(sum(CASE WHEN epoch_ms(hwm) - epoch_ms(ts) >= $horizonMs THEN 1 ELSE 0 END) AS BIGINT) AS lag
+       |FROM events CROSS JOIN h
+       |GROUP BY group_id, topic, "partition"
+       |ORDER BY topic, "partition"""".stripMargin
 }

@@ -1383,4 +1383,77 @@ object Ann {
        |       CAST(count(CASE WHEN in_exact = 1 AND in_sq = 1 THEN 1 END) AS DOUBLE)
        |         / CAST(sum(in_exact) AS DOUBLE) AS recall_at_k
        |FROM flags""".stripMargin
+
+  /** IVF cell occupancy — the index-health view next to [[ivfBuild]]'s
+    * centroid table (and the ANN twin of dedup_band_occupancy): per cell
+    * its population, share of the corpus, and load factor against the
+    * uniform ideal (n·k/total; 1.0 = perfectly balanced). A skewed cell
+    * breaks the pruning economics — probing it costs its load factor
+    * times the uniform estimate — so this table is what decides when
+    * [[kmeansRefine]] must run. All ratios are integer-count divisions
+    * in float64, bit-identical on both engines.
+    *
+    * Scale shape: one scan, one tiny groupBy(label), then window totals
+    * over the ≤ k-row aggregate (bounded input — the pre-aggregated
+    * exception the window audit allows); |cells| output rows. */
+  def ivfOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.load(spark, dir, "embeddings")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("total", sum(col("n_vectors")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("label"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double")).as("share"),
+        (col("n_vectors").cast("double") * col("k").cast("double")
+          / col("total").cast("double")).as("load_factor"))
+      .orderBy("label")
+  }
+
+  val ivfOccupancySql: String =
+    """WITH c AS (
+      |  SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vectors
+      |  FROM embeddings GROUP BY label)
+      |SELECT label, n_vectors,
+      |       CAST(n_vectors AS DOUBLE) / CAST(sum(n_vectors) OVER () AS DOUBLE) AS share,
+      |       CAST(n_vectors AS DOUBLE) * CAST(count(*) OVER () AS DOUBLE)
+      |         / CAST(sum(n_vectors) OVER () AS DOUBLE) AS load_factor
+      |FROM c ORDER BY label""".stripMargin
+
+  /** Per-dimension quantile clip bounds — the embedding-normalization
+    * prep table (feature clipping before SQ8/PQ quantization wants
+    * p01/p99, not min/max, so one outlier can't stretch a dimension's
+    * code range): exact interpolated p01/p50/p99 per dimension plus the
+    * clip range. Spark `percentile` and DuckDB `quantile_cont` both
+    * interpolate linearly at (n−1)·p over sorted float64 — bit-identical
+    * (the [[graft.analytics.Relational.percentileCont]] precedent).
+    *
+    * Scale shape: one |vecs|·d explode, one shuffle keyed by dimension.
+    * Exact percentiles need the full per-dim value set; at 100 TB the
+    * approx_percentile sketch is the drop-in when exactness is
+    * negotiable — same trade the relational percentile op documents. */
+  def dimQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(x, 0.01)").as("p01"),
+        expr("percentile(x, 0.5)").as("p50"),
+        expr("percentile(x, 0.99)").as("p99"))
+      .withColumn("clip_range", col("p99") - col("p01"))
+      .orderBy("dim")
+
+  val dimQuantilesSql: String =
+    """WITH longf AS (
+      |  SELECT CAST(unnest(generate_series(0, len(embedding) - 1)) AS BIGINT) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT dim, count(*) AS n,
+      |       quantile_cont(x, 0.01) AS p01,
+      |       quantile_cont(x, 0.5) AS p50,
+      |       quantile_cont(x, 0.99) AS p99,
+      |       quantile_cont(x, 0.99) - quantile_cont(x, 0.01) AS clip_range
+      |FROM longf GROUP BY dim ORDER BY dim""".stripMargin
 }

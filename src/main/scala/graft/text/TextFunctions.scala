@@ -1244,6 +1244,60 @@ object TextFunctions {
         sum(col("digit_runs")).as("total_digit_runs"))
       .orderBy("source")
 
+  /** PII redaction — the APPLY step downstream of [[piiScan]]'s
+    * where-to-mask decision (and the free-text twin of the reference's
+    * column-level masking, sink_config mask policies): email-shaped
+    * spans are replaced first, then long digit runs, each with a typed
+    * placeholder token, in that fixed order on both engines (emails
+    * contain digits — the order is part of the contract). Output is the
+    * per-document evidence a governance reviewer audits: hit counts per
+    * category, the exact char delta, and the head of the redacted text.
+    * Regexes stay in the Java∩RE2 subset ([[piiScan]]'s constraint).
+    *
+    * Scale shape: pure per-row string work inside one codegen stage —
+    * zero shuffles before the output sort; redaction runs at scan
+    * throughput on any corpus size. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(Tables.load(spark, dir, "documents"))
+
+  /** [[piiRedact]]'s core transform over any (doc_id, text) frame —
+    * split out so the redaction semantics are testable on corpora that
+    * actually contain PII-shaped spans (the generated test corpus has
+    * none; there the operator is an audited pass-through). */
+  def piiRedactOf(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    val digits = "[0-9]{4,}"
+    docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("orig_chars"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).cast("long").as("n_email_hits"),
+        regexp_replace(col("text"), email, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("orig_chars"), col("n_email_hits"),
+        size(regexp_extract_all(col("t1"), lit(digits), lit(0))).cast("long").as("n_digit_hits"),
+        regexp_replace(col("t1"), digits, "<NUM>").as("redacted"))
+      .select(col("doc_id"), col("n_email_hits"), col("n_digit_hits"),
+        col("orig_chars"),
+        length(col("redacted")).cast("long").as("redacted_chars"),
+        substring(col("redacted"), 1, 80).as("redacted_head"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    """WITH r1 AS (
+      |  SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_chars,
+      |         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_email_hits,
+      |         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g') AS t1
+      |  FROM documents),
+      |r2 AS (
+      |  SELECT doc_id, orig_chars, n_email_hits,
+      |         CAST(len(regexp_extract_all(t1, '[0-9]{4,}')) AS BIGINT) AS n_digit_hits,
+      |         regexp_replace(t1, '[0-9]{4,}', '<NUM>', 'g') AS redacted
+      |  FROM r1)
+      |SELECT doc_id, n_email_hits, n_digit_hits, orig_chars,
+      |       CAST(length(redacted) AS BIGINT) AS redacted_chars,
+      |       substr(redacted, 1, 80) AS redacted_head
+      |FROM r2 ORDER BY doc_id""".stripMargin
+
   /** Context-window chunking: split each document into fixed-size word
     * windows (chunk 100, stride 75 — 25-word overlap), the sequence-prep
     * step before tokenization/packing. Pure per-row arithmetic + explode:

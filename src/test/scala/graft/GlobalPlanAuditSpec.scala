@@ -32,13 +32,16 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     * - pipe_curriculum: schedule windows over the 10 decile rows (the
     *   per-doc decile assignment itself is the distributed ntile);
     * - text_quality_bins: prefix-sum offsets over ≤ shuffle-partition
-    *   count rows (the distributed-ntile design, PlanShapeSpec pins it). */
+    *   count rows (the distributed-ntile design, PlanShapeSpec pins it);
+    * - ann_ivf_occupancy: corpus-share totals over the ≤ |cells|-row
+    *   per-label aggregate. */
   private val boundedGlobalWindowAllowlist: Set[String] =
     if (sys.env.contains("GRAFT_AUDIT_ALL")) Set.empty
     else Set(
       "q_moving_avg", "q_range_frame", "q_percent_of_total", "q_dow_seasonality",
       "cdc_partition_skew", "cdc_snapshot_progress",
-      "pipe_interleave", "pipe_curriculum", "text_quality_bins")
+      "pipe_interleave", "pipe_curriculum", "text_quality_bins",
+      "ann_ivf_occupancy")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -1,0 +1,110 @@
+package graft
+
+import graft.cdc.Monitoring
+import graft.similarity.Ann
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics checks for the round-8 operator batch. */
+class Round8Spec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  test("consumer lag: offsets partition the stream and lag is exactly the sub-horizon tail") {
+    val rows = Monitoring.consumerLag(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+    assert(rows.map(_.getAs[Long]("end_offset")).sum === ev.count())
+    rows.foreach { r =>
+      val committed = r.getAs[Long]("committed_offset")
+      val end = r.getAs[Long]("end_offset")
+      val lag = r.getAs[Long]("lag")
+      assert(lag === end - committed)
+      assert(lag >= 0 && committed >= 0)
+      assert(r.getAs[String]("group_id") ===
+        "connect-sink-" + r.getAs[String]("topic").stripPrefix("graft.public."))
+    }
+    // recompute one partition's lag from the raw events: the messages
+    // newer than the hour horizon against the stream's own high-water mark
+    val hwm = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    val first = rows.head
+    val et = first.getAs[String]("topic").stripPrefix("graft.public.")
+    val p = first.getAs[Long]("partition")
+    val expectLag = ev
+      .where(col("event_type") === et && (col("user_id") % 4).cast("long") === p)
+      .where(lit(hwm) - unix_millis(col("ts")) < 3600000L)
+      .count()
+    assert(first.getAs[Long]("lag") === expectLag)
+  }
+
+  test("pii redact: zero-hit documents pass through byte-identical") {
+    val red = TextFunctions.piiRedact(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).collect()
+    assert(red.size === docs.length)
+    docs.foreach { d =>
+      val r = red(d.getAs[Long]("doc_id"))
+      val text = d.getAs[String]("text")
+      assert(r.getAs[Long]("orig_chars") === text.length.toLong)
+      if (r.getAs[Long]("n_email_hits") == 0 && r.getAs[Long]("n_digit_hits") == 0) {
+        assert(r.getAs[Long]("redacted_chars") === text.length.toLong)
+        assert(r.getAs[String]("redacted_head") === text.take(80))
+      }
+    }
+  }
+
+  test("pii redact: emails go before digit runs and placeholders land exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "mail bob.smith+x@corp-mail.example then call 5551234 now"),
+      (2L, "card 1234567890123456 pin 99 ok"),
+      (3L, "clean text with short 123 numbers only"),
+      (4L, "a@b.co and 0000")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.piiRedactOf(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // email replaced FIRST: its digits never count as a digit run
+    assert(out(1L).getAs[Long]("n_email_hits") === 1L)
+    assert(out(1L).getAs[Long]("n_digit_hits") === 1L)
+    assert(out(1L).getAs[String]("redacted_head") ===
+      "mail <EMAIL> then call <NUM> now".take(80))
+    assert(out(2L).getAs[Long]("n_digit_hits") === 1L)
+    assert(out(2L).getAs[String]("redacted_head") === "card <NUM> pin 99 ok")
+    // sub-threshold digits survive untouched
+    assert(out(3L).getAs[Long]("n_digit_hits") === 0L)
+    assert(out(3L).getAs[Long]("redacted_chars") === out(3L).getAs[Long]("orig_chars"))
+    assert(out(4L).getAs[String]("redacted_head") === "<EMAIL> and <NUM>")
+  }
+
+  test("ivf occupancy: shares sum to one, load factors average to one, populations match the build") {
+    val occ = Ann.ivfOccupancy(spark, dir).collect()
+    val total = Tables.load(spark, dir, "embeddings").count()
+    assert(occ.map(_.getAs[Long]("n_vectors")).sum === total)
+    assert(math.abs(occ.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(occ.map(_.getAs[Double]("load_factor")).sum - occ.length.toDouble) < 1e-9)
+    val build = Ann.ivfBuild(spark, dir).collect()
+      .map(r => r.getAs[Long]("label") -> r.getAs[Long]("n_vectors")).toMap
+    occ.foreach(r => assert(build(r.getAs[Long]("label")) === r.getAs[Long]("n_vectors")))
+  }
+
+  test("dim quantiles: ordered bounds per dimension and an exact median spot-check") {
+    val q = Ann.dimQuantiles(spark, dir).collect()
+    val emb = Tables.load(spark, dir, "embeddings")
+    val nVec = emb.count()
+    val dims = emb.select(size(col("embedding"))).distinct().collect().map(_.getInt(0))
+    assert(dims.length === 1 && q.length === dims.head)
+    q.foreach { r =>
+      assert(r.getAs[Long]("n") === nVec)
+      val (p01, p50, p99) = (r.getAs[Double]("p01"), r.getAs[Double]("p50"), r.getAs[Double]("p99"))
+      assert(p01 <= p50 && p50 <= p99)
+      assert(r.getAs[Double]("clip_range") === p99 - p01)
+    }
+    // exact interpolated median of dimension 0, recomputed in memory
+    val xs = emb.select(element_at(col("embedding"), 1).cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val idx = (xs.length - 1) * 0.5
+    val (lo, hi) = (xs(idx.toInt), xs(math.ceil(idx).toInt))
+    val expected = lo + (idx - idx.toInt) * (hi - lo)
+    assert(math.abs(q.head.getAs[Double]("p50") - expected) < 1e-12)
+  }
+}
