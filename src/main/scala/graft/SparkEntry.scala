@@ -275,6 +275,7 @@ object SparkEntry {
     "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
     "ann_sq8_recall" -> ((s, d) => Ann.sq8Recall(s, d)),
     "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
+    "ann_centroid_separation" -> ((s, d) => Ann.centroidSeparation(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
     "emb_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
     "pipe_temperature_mix" -> ((s, d) => TextFunctions.temperatureMix(s, d)),
@@ -1019,6 +1020,7 @@ object SparkEntry {
       "ann_sq8_topk" -> Ann.sq8TopKSql(),
       "ann_sq8_recall" -> Ann.sq8RecallSql(),
       "ann_ivf_occupancy" -> Ann.ivfOccupancySql,
+      "ann_centroid_separation" -> Ann.centroidSeparationSql,
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),
       "emb_centroid_drift" -> Ann.centroidDriftSql,
       "pipe_temperature_mix" -> TextFunctions.temperatureMixSql,

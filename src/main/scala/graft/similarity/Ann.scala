@@ -1420,6 +1420,90 @@ object Ann {
       |         / CAST(sum(n_vectors) OVER () AS DOUBLE) AS load_factor
       |FROM c ORDER BY label""".stripMargin
 
+  /** Inter-centroid separation — the GEOMETRY leg of the index-health
+    * triad ([[ivfBuild]] = the centroids, [[ivfOccupancy]] = their
+    * populations, this = their spacing): per cell, the L2 distance to
+    * its nearest other centroid and the mean distance to all others.
+    * Cells whose centroids sit close together split their true neighbor
+    * sets across the boundary, so probe-1 recall collapses exactly
+    * there — low min_dist is the signal to either merge cells or raise
+    * nprobe. Distances use the same 2^40 per-term quantization as the
+    * build, so both engines agree bit-for-bit.
+    *
+    * Scale shape: ONE corpus scan. A centroid self-JOIN would build the
+    * aggregate twice (the sides canonicalize differently once one is
+    * broadcast, so the exchange is not reused) — instead the ≤ k-row
+    * per-dimension centroid slice is collected into an array
+    * (collect_list after the pos shuffle, bounded by k) and the k²
+    * pairs exploded from it; per-(pair) distance sums stay 2^40
+    * quantized. Production would read the persisted [[ivfBuild]]
+    * artifact and join that instead. */
+  def centroidSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val centroids = Tables.load(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        sum(floor(col("x").cast("double") * Q).cast("long").cast(DecimalType(38, 0))).as("snum"),
+        count(lit(1)).as("n"))
+      .select(col("label").cast("long").as("label"), col("pos"),
+        (col("snum").cast("double") / Q / col("n")).as("c"))
+    val pairs = centroids
+      .groupBy("pos")
+      .agg(collect_list(struct(col("label"), col("c"))).as("cs"))
+      .select(col("pos"), explode(col("cs")).as("a"), col("cs"))
+      .select(col("a.label").as("la"), col("a.c").as("ca"), explode(col("cs")).as("b"))
+      .where(col("la") =!= col("b.label"))
+      .select(col("la"), col("b.label").as("lb"),
+        floor((col("ca") - col("b.c")) * (col("ca") - col("b.c")) * Q)
+          .cast("long").cast(DecimalType(38, 0)).as("dq"))
+      .groupBy("la", "lb")
+      .agg(sqrt(sum(col("dq")).cast("double") / Q).as("dist"))
+    pairs
+      .groupBy(col("la").as("label"))
+      .agg(
+        min(struct(col("dist"), col("lb"))).as("m"),
+        count(lit(1)).as("n_others"),
+        // quantized-exact mean: a plain avg() sums doubles in partition
+        // order — the one nondeterminism this file exists to avoid
+        (sum(floor(col("dist") * Q).cast("long").cast(DecimalType(38, 0))).cast("double")
+          / Q / count(lit(1))).as("mean_dist"))
+      .select(col("label"),
+        col("m.lb").as("nearest_label"),
+        col("m.dist").as("min_dist"),
+        col("mean_dist"), col("n_others"))
+      .orderBy("label")
+  }
+
+  val centroidSeparationSql: String =
+    s"""WITH longf AS (
+       |  SELECT label, unnest(embedding) AS x,
+       |         unnest(generate_series(1, len(embedding))) AS pos
+       |  FROM embeddings),
+       |centroids AS (
+       |  SELECT CAST(label AS BIGINT) AS label, pos,
+       |         CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0 / count(*) AS c
+       |  FROM longf GROUP BY label, pos),
+       |pairs AS (
+       |  SELECT a.label AS la, b.label AS lb,
+       |         sqrt(CAST(sum(CAST(floor((a.c - b.c) * (a.c - b.c) * 1099511627776.0) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS dist
+       |  FROM centroids a JOIN centroids b USING (pos)
+       |  WHERE a.label <> b.label
+       |  GROUP BY a.label, b.label),
+       |ranked AS (
+       |  SELECT la, lb, dist,
+       |         row_number() OVER (PARTITION BY la ORDER BY dist, lb) AS rn
+       |  FROM pairs),
+       |agg AS (
+       |  SELECT la, min(dist) AS min_dist,
+       |         CAST(sum(CAST(floor(dist * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+       |           / 1099511627776.0 / count(*) AS mean_dist,
+       |         count(*) AS n_others
+       |  FROM pairs GROUP BY la)
+       |SELECT a.la AS label, r.lb AS nearest_label,
+       |       a.min_dist, a.mean_dist, a.n_others
+       |FROM agg a JOIN ranked r ON a.la = r.la AND r.rn = 1
+       |ORDER BY label""".stripMargin
+
   /** Per-dimension quantile clip bounds — the embedding-normalization
     * prep table (feature clipping before SQ8/PQ quantization wants
     * p01/p99, not min/max, so one outlier can't stretch a dimension's

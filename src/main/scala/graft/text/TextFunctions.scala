@@ -511,42 +511,34 @@ object TextFunctions {
     * signal a pipeline uses to down-weight a source before training.
     *
     * Scale shape: shingles dedupe per-row (array_distinct) before the
-    * explode; one shuffle on the shingle for document frequency, a
-    * co-partitioned join back on the same key, one shuffle for the
-    * per-source rollup. */
+    * explode, so count(*) per gram IS the document frequency. The df is
+    * attached as a count over a window partitioned by the 8-byte gram
+    * digest (shuffling digests, not ~25-char strings — ≈3× less volume;
+    * both engines take the same md5 prefix so any collision is SHARED
+    * and the counts agree bit-for-bit), which keeps the plan LINEAR:
+    * building the fan-out twice — once for the per-source totals, once
+    * for the df aggregation — would double the expensive shingle
+    * pipeline, since Spark only reuses identical exchanges. After the
+    * window, ONE per-source aggregation reads both numbers: the source's
+    * fan-out rows are its shingle total, and its df-1 rows are its
+    * uniques (a df-1 gram has exactly one holder). Same linearization as
+    * [[dupGramShare]]; measured there at 1.7× warm. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val w = split(normText(col("text")), " ")
-    val base = docs
+    docs
       .select(col("doc_id"), col("source"), w.as("w"))
       .withColumn("grams", array_distinct(transform(
         sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
         i => concat_ws(" ", slice(col("w"), i, lit(3))))))
-    // per-doc distinct shingles → count(*) per g IS the document frequency.
-    // Two scale choices: (a) the per-source shingle total is array-side
-    // arithmetic (sum of sizes), no fan-out at all; (b) a df-1 gram lives
-    // in exactly ONE source, so instead of joining the |grams|-row df
-    // table back onto the exploded set (two shuffles of the full fan-out
-    // + a fan-out-sized join), carry min(source) through the df
-    // aggregation and count uniques per source from the df-1 groups —
-    // the fan-out is shuffled ONCE, everything after is |sources| rows
-    val perSource = base.groupBy("source")
-      .agg(sum(size(col("grams")).cast("long")).as("n_shingles"))
-    // shuffle 8-byte gram digests, not ~25-char strings (≈3× less shuffle
-    // volume, long-vs-string compares in the aggregate); both engines take
-    // the same md5 prefix, so any digest collision is SHARED and the df
-    // counts still agree bit-for-bit
-    val uniques = base
       .select(col("source"), explode(col("grams")).as("g"))
       .select(col("source"), conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-      .groupBy("gh")
-      .agg(count(lit(1)).as("gdf"), min(col("source")).as("usource"))
-      .where(col("gdf") === 1L)
-      .groupBy(col("usource").as("source"))
-      .agg(count(lit(1)).as("n_unique"))
-    perSource.join(uniques, Seq("source"), "left")
-      .select(col("source"), col("n_shingles"),
-        coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      .withColumn("gdf",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
       .withColumn("novelty_ratio",
         col("n_unique").cast("double") / col("n_shingles").cast("double"))
       .orderBy("source")

@@ -87,6 +87,66 @@ class Round8Spec extends AnyFunSuite {
     occ.foreach(r => assert(build(r.getAs[Long]("label")) === r.getAs[Long]("n_vectors")))
   }
 
+  test("centroid separation: symmetric distances, min below mean, full pair coverage") {
+    val rows = Ann.centroidSeparation(spark, dir).collect()
+    val k = rows.length
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_others") === (k - 1).toLong)
+      assert(r.getAs[Double]("min_dist") > 0.0)
+      assert(r.getAs[Double]("min_dist") <= r.getAs[Double]("mean_dist") + 1e-12)
+      assert(r.getAs[Long]("nearest_label") !== r.getAs[Long]("label"))
+    }
+    // nearest relation is built from a symmetric distance: if b is a's
+    // nearest at distance d, then b's own min_dist can't exceed d
+    val minD = rows.map(r => r.getAs[Long]("label") -> r.getAs[Double]("min_dist")).toMap
+    rows.foreach { r =>
+      assert(minD(r.getAs[Long]("nearest_label")) <= r.getAs[Double]("min_dist") + 1e-12)
+    }
+  }
+
+  private def wireBatch(rows: Seq[(String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("table_name", "uid")
+      .select(
+        concat(lit("graft.public."), col("table_name")).as("topic"),
+        col("table_name"),
+        struct(col("uid").as("user_id")).as("after"),
+        lit(null).cast("struct<user_id:bigint>").as("before"))
+  }
+
+  test("streaming consumer lag: committed trails by one batch, lag is exactly the batch's arrivals") {
+    import graft.streaming.ConsumerLag
+    val base = java.nio.file.Files.createTempDirectory("conslag").toString
+    val c = ConsumerLag.Config(s"$base/wire", s"$base/state", s"$base/ckpt")
+    // batch 0: 3 orders msgs in partition 1 (uid%4), 1 in partition 2
+    ConsumerLag.monitorBatch(spark, c,
+      wireBatch(Seq(("orders", 1L), ("orders", 5L), ("orders", 9L), ("orders", 2L))), 0L)
+    val b0 = ConsumerLag.lag(spark, c).where(col("batch_id") === 0L).collect()
+      .map(r => r.getAs[Long]("partition") -> r).toMap
+    assert(b0(1L).getAs[Long]("committed_offset") === 0L)
+    assert(b0(1L).getAs[Long]("end_offset") === 3L)
+    assert(b0(1L).getAs[Long]("lag") === 3L)
+    assert(b0(2L).getAs[Long]("end_offset") === 1L)
+    assert(b0.values.forall(_.getAs[String]("group_id") === "connect-sink-orders"))
+    // batch 1: 2 more in partition 1, none in partition 2 — the quiet
+    // partition still reports, with zero lag
+    ConsumerLag.monitorBatch(spark, c,
+      wireBatch(Seq(("orders", 13L), ("orders", 17L))), 1L)
+    val b1 = ConsumerLag.lag(spark, c).where(col("batch_id") === 1L).collect()
+      .map(r => r.getAs[Long]("partition") -> r).toMap
+    assert(b1(1L).getAs[Long]("committed_offset") === 3L)
+    assert(b1(1L).getAs[Long]("end_offset") === 5L)
+    assert(b1(1L).getAs[Long]("lag") === 2L)
+    assert(b1(2L).getAs[Long]("committed_offset") === 1L)
+    assert(b1(2L).getAs[Long]("lag") === 0L)
+    // replaying batch 1 is idempotent: same rows, nothing double-counted
+    val before = ConsumerLag.lag(spark, c).collect().map(_.toString).sorted
+    ConsumerLag.monitorBatch(spark, c,
+      wireBatch(Seq(("orders", 13L), ("orders", 17L))), 1L)
+    val after = ConsumerLag.lag(spark, c).collect().map(_.toString).sorted
+    assert(after === before)
+  }
+
   test("dim quantiles: ordered bounds per dimension and an exact median spot-check") {
     val q = Ann.dimQuantiles(spark, dir).collect()
     val emb = Tables.load(spark, dir, "embeddings")
