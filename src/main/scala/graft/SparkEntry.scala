@@ -163,6 +163,7 @@ object SparkEntry {
     "cdc_txn_group" -> ((s, d) => Monitoring.txnGroup(Cdc.changelog(s, d))),
     "cdc_offset_gaps" -> ((s, d) => Monitoring.offsetGaps(Cdc.toWire(s, d))),
     "cdc_consumer_lag" -> ((s, d) => Monitoring.consumerLag(s, d)),
+    "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
     "cdc_time_travel" -> ((s, d) =>
       Materialize.timeTravel(Cdc.changelog(s, d)).orderBy("user_id")),
     "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -171,6 +172,7 @@ object SparkEntry {
     "ann_knn_join" -> ((s, d) => Ann.knnJoin(s, d)),
     "text_pii_scan" -> ((s, d) => TextFunctions.piiScan(s, d)),
     "text_pii_redact" -> ((s, d) => TextFunctions.piiRedact(s, d)),
+    "pipe_lang_coverage" -> ((s, d) => TextFunctions.langCoverage(s, d)),
     "pipe_chunk_documents" -> ((s, d) => TextFunctions.chunkDocuments(s, d)),
     "pipe_sample_stratified" -> ((s, d) => TextFunctions.sampleStratified(s, d)),
     "pipe_token_budget" -> ((s, d) => TextFunctions.tokenBudget(s, d)),
@@ -903,6 +905,7 @@ object SparkEntry {
       "cdc_txn_group" -> Monitoring.txnGroupSql(cl),
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,
       "cdc_consumer_lag" -> Monitoring.consumerLagSql(),
+      "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
       "cdc_time_travel" -> Materialize.timeTravelSql(cl),
       "q_cube" -> Relational.cubeAggSql,
       "q_percentile_cont" -> Relational.percentileContSql,
@@ -910,6 +913,7 @@ object SparkEntry {
       "ann_knn_join" -> Ann.knnJoinSql(),
       "text_pii_scan" -> TextFunctions.piiScanSql,
       "text_pii_redact" -> TextFunctions.piiRedactSql,
+      "pipe_lang_coverage" -> TextFunctions.langCoverageSql,
       "pipe_chunk_documents" -> TextFunctions.chunkDocumentsSql(),
       "pipe_sample_stratified" -> TextFunctions.sampleStratifiedSql,
       "pipe_token_budget" -> TextFunctions.tokenBudgetSql(),

@@ -1133,6 +1133,59 @@ object Monitoring {
       .orderBy("topic", "partition")
   }
 
+  /** Replication-slot retention — the source-side mirror of
+    * [[consumerLag]]'s sink-side view, shaped like the reference's
+    * pg_replication_slots probe (postgresql.py:583-605: slot_name,
+    * slot_type, active, lag vs pg_current_wal_lsn): per logical slot
+    * (one per routed table, as Debezium provisions them), the WAL the
+    * source must RETAIN because the consumer hasn't confirmed it — the
+    * number that fills a source disk when a pipeline stalls. A slot is
+    * active when its table produced anything inside the horizon;
+    * confirmed_through is the newest flushed event; retained bytes use
+    * the payload-size proxy (props length + a fixed per-message envelope
+    * overhead) so both engines count identical integers without
+    * requiring byte-identical envelope JSON (the cdc_dlq_route
+    * precedent).
+    *
+    * Scale shape: one scan, broadcast 1-row hwm, ONE per-table
+    * aggregation with conditional sums; |tables| output rows. */
+  def slotRetention(spark: SparkSession, dir: String,
+                    horizonMs: Long = 3600000L, envelopeOverhead: Int = 64): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("props"))
+    val hwm = ev.agg(max(col("ts")).as("hwm"))
+    ev.crossJoin(broadcast(hwm))
+      .select(
+        concat(lit("graft_slot_"), col("event_type")).as("slot_name"),
+        col("ts"),
+        (length(col("props")).cast("long") + envelopeOverhead).as("msg_bytes"),
+        (unix_millis(col("hwm")) - unix_millis(col("ts")) >= horizonMs).as("flushed"))
+      .groupBy("slot_name")
+      .agg(
+        max(when(col("flushed"), col("ts"))).as("confirmed_through"),
+        sum(when(!col("flushed"), 1L).otherwise(0L)).as("n_retained"),
+        sum(when(!col("flushed"), col("msg_bytes")).otherwise(0L)).as("retained_bytes"),
+        max(col("ts")).as("last_event"))
+      .select(col("slot_name"), lit("logical").as("slot_type"),
+        (col("n_retained") > 0L).as("active"),
+        col("confirmed_through"), col("n_retained"), col("retained_bytes"))
+      .orderBy("slot_name")
+  }
+
+  def slotRetentionSql(horizonMs: Long = 3600000L, envelopeOverhead: Int = 64): String =
+    s"""WITH h AS (SELECT max(ts) AS hwm FROM events),
+       |m AS (
+       |  SELECT 'graft_slot_' || event_type AS slot_name, ts,
+       |         CAST(length(props) AS BIGINT) + $envelopeOverhead AS msg_bytes,
+       |         epoch_ms(hwm) - epoch_ms(ts) >= $horizonMs AS flushed
+       |  FROM events CROSS JOIN h)
+       |SELECT slot_name, 'logical' AS slot_type,
+       |       CAST(sum(CASE WHEN NOT flushed THEN 1 ELSE 0 END) AS BIGINT) > 0 AS active,
+       |       max(CASE WHEN flushed THEN ts END) AS confirmed_through,
+       |       CAST(sum(CASE WHEN NOT flushed THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |       CAST(sum(CASE WHEN NOT flushed THEN msg_bytes ELSE 0 END) AS BIGINT) AS retained_bytes
+       |FROM m GROUP BY slot_name ORDER BY slot_name""".stripMargin
+
   def consumerLagSql(partitions: Int = 4, horizonMs: Long = 3600000L): String =
     s"""WITH h AS (SELECT max(ts) AS hwm FROM events)
        |SELECT 'connect-sink-' || event_type AS group_id,

@@ -616,6 +616,48 @@ object TextFunctions {
       |       CAST(sum(nc) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS chars_per_token
       |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
+  /** Language token-coverage curve — the multilingual budgeting table
+    * (which languages must the tokenizer and the mix handle before the
+    * tail stops paying for itself): languages ranked by whitespace-token
+    * volume, each with its share and the cumulative share down the rank
+    * order. The planning read is "the top N rows cover X% of tokens";
+    * rank ties break on the language code so the curve is deterministic.
+    *
+    * Scale shape: one scan, ONE per-lang aggregation (map-side partial),
+    * then rank/cumulative windows over the ≤ |langs|-row aggregate — the
+    * bounded-input exception the window audit allows. */
+  def langCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("lang"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nw"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("total", sum(col("n_tokens")).over(tot))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("rank"), col("lang"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total").cast("double")).as("token_share"),
+        (col("cum").cast("double") / col("total").cast("double")).as("cum_coverage"))
+      .orderBy("rank")
+  }
+
+  val langCoverageSql: String =
+    """WITH l AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang)
+      |SELECT CAST(row_number() OVER (ORDER BY n_tokens DESC, lang) AS BIGINT) AS rank,
+      |       lang, n_docs, n_tokens,
+      |       CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE) AS token_share,
+      |       CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, lang
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(n_tokens) OVER () AS DOUBLE) AS cum_coverage
+      |FROM l ORDER BY rank""".stripMargin
+
   /** Per-document duplicated-gram share histogram — the RefinedWeb-style
     * per-DOC dup filter signal, complementing [[novelty]]'s per-SOURCE
     * view: for each document, the fraction of its distinct word-trigram

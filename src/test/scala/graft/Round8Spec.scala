@@ -87,6 +87,37 @@ class Round8Spec extends AnyFunSuite {
     occ.foreach(r => assert(build(r.getAs[Long]("label")) === r.getAs[Long]("n_vectors")))
   }
 
+  test("slot retention: retained + flushed partition each slot's stream, bytes bound below") {
+    val slots = Monitoring.slotRetention(spark, dir).collect()
+    val ev = Tables.load(spark, dir, "events")
+    val perType = ev.groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    val hwm = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).getTime
+    slots.foreach { r =>
+      val t = r.getAs[String]("slot_name").stripPrefix("graft_slot_")
+      val retained = r.getAs[Long]("n_retained")
+      val flushed = ev.where(col("event_type") === t &&
+        lit(hwm) - unix_millis(col("ts")) >= 3600000L).count()
+      assert(retained + flushed === perType(t))
+      assert(r.getAs[Boolean]("active") === (retained > 0))
+      // every retained message carries at least the envelope overhead
+      assert(r.getAs[Long]("retained_bytes") >= retained * 64L)
+      if (flushed > 0) assert(r.getTimestamp(3) != null)
+    }
+  }
+
+  test("lang coverage: curve is monotone, ends at full coverage, shares partition the tokens") {
+    val rows = TextFunctions.langCoverage(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+    val cums = rows.map(_.getAs[Double]("cum_coverage"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(cums.last - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-9)
+    // ranked by volume: token counts never increase down the curve
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
+  }
+
   test("centroid separation: symmetric distances, min below mean, full pair coverage") {
     val rows = Ann.centroidSeparation(spark, dir).collect()
     val k = rows.length
