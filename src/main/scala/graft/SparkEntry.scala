@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.cdc.{Cdc, Materialize, Monitoring, Quality}
+import graft.cdc.{Cdc, Discovery, Materialize, Monitoring, Quality}
 import graft.analytics.Relational
 import graft.text.TextFunctions
 import graft.dedup.Dedup
@@ -164,6 +164,8 @@ object SparkEntry {
     "cdc_offset_gaps" -> ((s, d) => Monitoring.offsetGaps(Cdc.toWire(s, d))),
     "cdc_consumer_lag" -> ((s, d) => Monitoring.consumerLag(s, d)),
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
+    "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
+    "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
     "cdc_time_travel" -> ((s, d) =>
       Materialize.timeTravel(Cdc.changelog(s, d)).orderBy("user_id")),
     "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -906,6 +908,8 @@ object SparkEntry {
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,
       "cdc_consumer_lag" -> Monitoring.consumerLagSql(),
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
+      "cdc_size_estimate" -> Discovery.sizeEstimateSql,
+      "cdc_load_order" -> Discovery.loadOrderSql,
       "cdc_time_travel" -> Materialize.timeTravelSql(cl),
       "q_cube" -> Relational.cubeAggSql,
       "q_percentile_cont" -> Relational.percentileContSql,

@@ -87,6 +87,46 @@ class Round8Spec extends AnyFunSuite {
     occ.foreach(r => assert(build(r.getAs[Long]("label")) === r.getAs[Long]("n_vectors")))
   }
 
+  test("load order: a valid topological order with the TPC-H dependency depths") {
+    val rows = graft.cdc.Discovery.loadOrder(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(rows.size === Tables.all.size)
+    val level = rows.view.mapValues(_.getAs[Long]("load_level")).toMap
+    // every dependency loads strictly before its dependent
+    rows.values.foreach { r =>
+      val deps = r.getAs[String]("depends_on")
+      if (deps.nonEmpty) deps.split(",").foreach { d =>
+        assert(level(d) < level(r.getAs[String]("table_name")))
+      }
+    }
+    // the TPC-H chain: region -> nation -> customer/supplier -> orders -> lineitem
+    assert(level("region") === 0L && level("part") === 0L && level("events") === 0L)
+    assert(level("nation") === 1L)
+    assert(level("customer") === 2L && level("supplier") === 2L)
+    assert(level("orders") === 3L && level("lineitem") === 4L)
+    assert(rows("lineitem").getAs[String]("depends_on") === "orders,part,supplier")
+  }
+
+  test("size estimate: counts match the tables and the fixed-width table is exact") {
+    val est = graft.cdc.Discovery.sizeEstimate(spark, dir).collect()
+      .map(r => r.getAs[String]("table_name") -> r).toMap
+    assert(est.size === Tables.all.size)
+    Tables.all.foreach { t =>
+      assert(est(t).getAs[Long]("n_rows") === Tables.load(spark, dir, t).count())
+      assert(est(t).getAs[Long]("n_chunks") >= 1L)
+    }
+    // embeddings is entirely fixed-width under the model: 8 + 4*64 + 4
+    val e = est("embeddings")
+    assert(e.getAs[Long]("est_bytes") === e.getAs[Long]("n_rows") * (8L + 4L * 64 + 4L))
+    // chunk plan covers the bytes at 16 MB per chunk
+    est.values.foreach { r =>
+      val chunks = r.getAs[Long]("n_chunks")
+      val bytes = r.getAs[Long]("est_bytes")
+      assert(chunks * 16L * 1024 * 1024 >= bytes)
+      assert((chunks - 1) * 16L * 1024 * 1024 < bytes || chunks == 1L)
+    }
+  }
+
   test("slot retention: retained + flushed partition each slot's stream, bytes bound below") {
     val slots = Monitoring.slotRetention(spark, dir).collect()
     val ev = Tables.load(spark, dir, "events")
