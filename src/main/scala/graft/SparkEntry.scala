@@ -166,6 +166,7 @@ object SparkEntry {
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
+    "cdc_lsn_latency_trend" -> ((s, d) => Monitoring.lsnLatencyTrend(s, d)),
     "cdc_time_travel" -> ((s, d) =>
       Materialize.timeTravel(Cdc.changelog(s, d)).orderBy("user_id")),
     "q_cube" -> ((s, d) => Relational.cubeAgg(s, d)),
@@ -910,6 +911,7 @@ object SparkEntry {
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,
+      "cdc_lsn_latency_trend" -> Monitoring.lsnLatencyTrendSql(),
       "cdc_time_travel" -> Materialize.timeTravelSql(cl),
       "q_cube" -> Relational.cubeAggSql,
       "q_percentile_cont" -> Relational.percentileContSql,

@@ -1186,6 +1186,69 @@ object Monitoring {
        |       CAST(sum(CASE WHEN NOT flushed THEN msg_bytes ELSE 0 END) AS BIGINT) AS retained_bytes
        |FROM m GROUP BY slot_name ORDER BY slot_name""".stripMargin
 
+  /** LSN-latency trend — the reference's lsn-latency-trend endpoint
+    * (api.py:8261-8560: per metric timestamp, source vs processed LSN
+    * and their gap) re-expressed over the event stream: per 10-minute
+    * bucket, the source's log position (running max offset), the
+    * position a consumer one checkpoint horizon behind has processed
+    * (the source position exactly 6 buckets earlier — the bucket-aligned
+    * form of the hour horizon, so every number is integer-exact), the
+    * LSN gap between them, and the trailing-hour arrival count. The
+    * trended, offset-domain complement of [[lagTrend]] — this is the
+    * chart the reference's monitoring dashboard draws.
+    *
+    * Scale shape: one scan collapsed to |buckets| rows by ONE
+    * aggregation; the running max / lag / trailing-sum windows run over
+    * that bounded pre-aggregated trend only (the window-audit
+    * exception), output |buckets| rows. */
+  def lsnLatencyTrend(spark: SparkSession, dir: String,
+                      bucketMs: Long = 600000L, horizonBuckets: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_id")
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    graft.Tables.load(spark, dir, "events")
+      .select(expr(s"unix_millis(ts) div $bucketMs").as("bucket_id"),
+        col("event_id"))
+      .groupBy("bucket_id")
+      .agg(max(col("event_id")).as("bucket_max"), count(lit(1)).as("n_arrived"))
+      .withColumn("source_lsn", max(col("bucket_max")).over(cum))
+      .withColumn("processed_lsn", lag(col("source_lsn"), horizonBuckets).over(w))
+      .withColumn("cum_n", sum(col("n_arrived")).over(cum))
+      .withColumn("n_pending",
+        col("cum_n") - coalesce(lag(col("cum_n"), horizonBuckets).over(w), lit(0L)))
+      .select(
+        timestamp_millis(col("bucket_id") * bucketMs).as("bucket"),
+        col("source_lsn"),
+        coalesce(col("processed_lsn"), lit(0L)).as("processed_lsn"),
+        (col("source_lsn") - coalesce(col("processed_lsn"), lit(0L))).as("lsn_gap"),
+        col("n_arrived"), col("n_pending"))
+      .orderBy("bucket")
+  }
+
+  def lsnLatencyTrendSql(bucketMs: Long = 600000L, horizonBuckets: Int = 6): String =
+    s"""WITH b AS (
+       |  SELECT epoch_ms(ts) // $bucketMs AS bucket_id,
+       |         max(event_id) AS bucket_max, count(*) AS n_arrived
+       |  FROM events GROUP BY bucket_id),
+       |t AS (
+       |  SELECT bucket_id, n_arrived,
+       |         max(bucket_max) OVER (ORDER BY bucket_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS source_lsn,
+       |         CAST(sum(n_arrived) OVER (ORDER BY bucket_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+       |  FROM b),
+       |l AS (
+       |  SELECT bucket_id, n_arrived, source_lsn, cum_n,
+       |         lag(source_lsn, $horizonBuckets) OVER (ORDER BY bucket_id) AS processed_lsn,
+       |         lag(cum_n, $horizonBuckets) OVER (ORDER BY bucket_id) AS prev_cum
+       |  FROM t)
+       |SELECT make_timestamp(bucket_id * $bucketMs * 1000) AS bucket,
+       |       source_lsn,
+       |       coalesce(processed_lsn, 0) AS processed_lsn,
+       |       source_lsn - coalesce(processed_lsn, 0) AS lsn_gap,
+       |       n_arrived,
+       |       cum_n - coalesce(prev_cum, 0) AS n_pending
+       |FROM l ORDER BY bucket""".stripMargin
+
   def consumerLagSql(partitions: Int = 4, horizonMs: Long = 3600000L): String =
     s"""WITH h AS (SELECT max(ts) AS hwm FROM events)
        |SELECT 'connect-sink-' || event_type AS group_id,

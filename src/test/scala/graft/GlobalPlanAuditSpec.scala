@@ -36,14 +36,16 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     * - ann_ivf_occupancy: corpus-share totals over the ≤ |cells|-row
     *   per-label aggregate;
     * - pipe_lang_coverage: rank/cumulative over the ≤ |langs|-row
-    *   per-language aggregate. */
+    *   per-language aggregate;
+    * - cdc_lsn_latency_trend: running-max/lag/trailing-sum over the
+    *   ≤ |buckets|-row per-bucket aggregate. */
   private val boundedGlobalWindowAllowlist: Set[String] =
     if (sys.env.contains("GRAFT_AUDIT_ALL")) Set.empty
     else Set(
       "q_moving_avg", "q_range_frame", "q_percent_of_total", "q_dow_seasonality",
       "cdc_partition_skew", "cdc_snapshot_progress",
       "pipe_interleave", "pipe_curriculum", "text_quality_bins",
-      "ann_ivf_occupancy", "pipe_lang_coverage")
+      "ann_ivf_occupancy", "pipe_lang_coverage", "cdc_lsn_latency_trend")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -87,6 +87,27 @@ class Round8Spec extends AnyFunSuite {
     occ.foreach(r => assert(build(r.getAs[Long]("label")) === r.getAs[Long]("n_vectors")))
   }
 
+  test("lsn latency trend: positions are monotone, the gap telescopes to the horizon window") {
+    val rows = Monitoring.lsnLatencyTrend(spark, dir).collect()
+    assert(rows.length > 6)
+    val src = rows.map(_.getAs[Long]("source_lsn"))
+    assert(src.zip(src.tail).forall { case (a, b) => a <= b })
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("lsn_gap") ===
+        r.getAs[Long]("source_lsn") - r.getAs[Long]("processed_lsn"))
+      assert(r.getAs[Long]("n_pending") >= r.getAs[Long]("n_arrived"))
+      // processed is exactly the source position six buckets back
+      if (i >= 6) assert(r.getAs[Long]("processed_lsn") === src(i - 6))
+      else assert(r.getAs[Long]("processed_lsn") === 0L)
+    }
+    // trailing-hour pending is the sum of the last 6 buckets' arrivals
+    val arr = rows.map(_.getAs[Long]("n_arrived"))
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val lo = math.max(0, i - 5)
+      assert(r.getAs[Long]("n_pending") === arr.slice(lo, i + 1).sum)
+    }
+  }
+
   test("load order: a valid topological order with the TPC-H dependency depths") {
     val rows = graft.cdc.Discovery.loadOrder(spark, dir).collect()
       .map(r => r.getAs[String]("table_name") -> r).toMap
