@@ -239,6 +239,38 @@ class Round8Spec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("object-store sink: connector layout, flush.size rotation, lossless roundtrip") {
+    import graft.sinks.ObjectStoreSink
+    val base = java.nio.file.Files.createTempDirectory("s3sink").toString
+    val wire = graft.cdc.Cdc.toWire(spark, dir)
+    val n = wire.count()
+    ObjectStoreSink.write(wire, base, partitions = 4, flushSize = 10)
+    // layout: topics/<topic>/partition=<p> directories exist
+    val topicsDir = new java.io.File(s"$base/topics")
+    val topicDirs = topicsDir.listFiles().filter(_.isDirectory)
+    assert(topicDirs.nonEmpty && topicDirs.forall(_.getName.startsWith("topic=")))
+    topicDirs.foreach { td =>
+      assert(td.listFiles().filter(_.isDirectory).forall(_.getName.startsWith("partition=")))
+    }
+    // roundtrip: nothing lost, values intact
+    val back = ObjectStoreSink.read(spark, base)
+    assert(back.count() === n)
+    assert(back.select("offset", "value").except(wire.select("offset", "value")).count() === 0L)
+    assert(wire.select("offset", "value").except(back.select("offset", "value")).count() === 0L)
+    // rotation: no object holds more than flush.size records
+    val manifest = ObjectStoreSink.manifest(spark, base).collect()
+    assert(manifest.nonEmpty)
+    manifest.foreach(r => assert(r.getAs[Long]("n_records") <= 10L))
+    assert(manifest.map(_.getAs[Long]("n_records")).sum === n)
+    // every (topic, partition) cell is a real directory in the layout
+    manifest.foreach { r =>
+      val p = r.getAs[Number]("partition").longValue
+      val d = new java.io.File(
+        s"$base/topics/topic=${r.getAs[String]("topic")}/partition=$p")
+      assert(d.isDirectory)
+    }
+  }
+
   test("dim quantiles: ordered bounds per dimension and an exact median spot-check") {
     val q = Ann.dimQuantiles(spark, dir).collect()
     val emb = Tables.load(spark, dir, "embeddings")
