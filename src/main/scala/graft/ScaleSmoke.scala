@@ -82,6 +82,29 @@ object ScaleSmoke {
       bins.length.toLong
     }
 
+    t("gram-df window (dup-gram-share shape)", nDocs) {
+      // the r8 linearization: gram document frequency attached via a
+      // window PARTITIONED by the 8-byte gram digest — the fan-out
+      // builds ONCE (a join-back would build it per join side); this
+      // case proves the gh-partitioned window sorts/streams at corpus
+      // multiples, the shape text_dup_gram_share/text_novelty now share
+      import graft.text.TextFunctions.normText
+      val fanout = bigDocs
+        .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+        .withColumn("grams", array_distinct(transform(
+          sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      fanout
+        .withColumn("gdf", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gh")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("nd"))
+        .count()
+    }
+
     t("term doc-frequency", nDocs) {
       // text_doc_freq shape: per-row distinct terms, one (term) shuffle,
       // broadcast scalar corpus count, top-k via TakeOrderedAndProject
