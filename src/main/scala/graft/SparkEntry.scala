@@ -156,6 +156,7 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Binary.frameSample(s, d)),
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
+    "mm_audio_decode" -> ((s, d) => Binary.audioDecode(s, d)),
     "mm_image_stats" -> ((s, d) => Binary.imageStats(s, d)),
     "mm_image_phash" -> ((s, d) => Binary.imagePhash(s, d)),
     // ── Round-2b batch ───────────────────────────────────────────────
@@ -902,6 +903,7 @@ object SparkEntry {
       "mm_frame_sample" -> Binary.frameSampleSql,
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,
+      "mm_audio_decode" -> Binary.audioDecodeSql,
       "mm_image_stats" -> Binary.imageStatsSql,
       "mm_image_phash" -> Binary.imagePhashSql,
       "cdc_update_diff" -> Monitoring.updateDiffSql(cl),

@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata. The IMAGE decode is real —
   * [[imageDecode]] encodes and decodes actual PNG containers through
   * `javax.imageio` (pure JVM) inside the batched mapPartitions shape, with
-  * the oracle pinned to the closed-form pixel stats. The audio/video codec
-  * steps remain deterministic stubs (no such pure-JVM codecs exist in this
-  * container), but the Spark-side plumbing (binary columns, schema, batched
-  * per-partition decode, frame-sampling fan-out) is real and tested.
+  * the oracle pinned to the closed-form pixel stats. The AUDIO decode is
+  * real too — [[audioDecode]] round-trips actual RIFF/WAVE containers
+  * through `javax.sound.sampled` with the oracle pinned to the closed-form
+  * waveform. Only the VIDEO codec step remains a deterministic stub (no
+  * pure-JVM video codec exists in this container); its Spark-side plumbing
+  * (binary columns, schema, batched per-partition decode, frame-sampling
+  * fan-out) is real and tested.
   *
   * The stub binary payloads are derived from `documents.text` (utf-8
   * bytes) so both engines construct identical blobs.
@@ -268,6 +271,97 @@ object Binary {
        |       CAST(sb AS BIGINT) AS sum_blue,
        |       CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_red
        |FROM sums ORDER BY doc_id""".stripMargin
+
+  private val audioSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_pcm", LongType, nullable = false),
+    StructField("min_pcm", LongType, nullable = false),
+    StructField("max_pcm", LongType, nullable = false)))
+
+  /** REAL audio decode — the WAV leg of the multimodal family, upgraded
+    * from stub exactly like [[imageDecode]] was for PNG: each doc_id maps
+    * to a deterministic PCM16 mono waveform (closed-form sample function
+    * below), which is encoded into an actual RIFF/WAVE container and
+    * decoded back through `javax.sound.sampled.AudioSystem` (pure-JVM
+    * codec, java.desktop — the same module javax.imageio lives in)
+    * inside the batched mapPartitions shape. Format metadata
+    * (sample rate, channels) and the sample aggregates are read from the
+    * DECODED stream, so the operator proves the full container round
+    * trip: PCM WAV is lossless, and the DuckDB oracle computes the same
+    * aggregates straight from the sample formula — a codec shortcut or
+    * header corruption breaks the hash match. Only VIDEO decode remains
+    * stubbed (no pure-JVM codec exists).
+    *
+    * Sample function (n = id%480 + 160, i ∈ [0, n)):
+    *   s(i) = (id·31 + i·17) % 65536 − 32768  (full-range PCM16). */
+  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSchema)
+    val decoded = ids.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM16 mono LE
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val wav = buf.toByteArray // a real RIFF/WAVE container
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(wav))
+        val df = dec.getFormat
+        require(df.getSampleSizeInBits == 16 && !df.isBigEndian,
+          s"unexpected decoded format for doc $id")
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var j = 0
+        while (j < m) {
+          val lo = bytes(2 * j) & 0xff
+          val hi = bytes(2 * j + 1).toInt // sign-carrying high byte
+          val s = (hi << 8) | lo
+          sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+          j += 1
+        }
+        Row(id, df.getSampleRate.toInt, df.getChannels, m.toLong, sum, mn, mx)
+      }
+    }(enc)
+    decoded
+      .withColumn("mean_pcm",
+        col("sum_pcm").cast("double") / col("n_samples").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val audioDecodeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 480 + 160 AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i FROM d),
+      |sums AS (
+      |  SELECT doc_id, n,
+      |         sum((doc_id * 31 + i * 17) % 65536 - 32768) AS sp,
+      |         min((doc_id * 31 + i * 17) % 65536 - 32768) AS mn,
+      |         max((doc_id * 31 + i * 17) % 65536 - 32768) AS mx
+      |  FROM s GROUP BY doc_id, n)
+      |SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+      |       CAST(n AS BIGINT) AS n_samples,
+      |       CAST(sp AS BIGINT) AS sum_pcm,
+      |       CAST(mn AS BIGINT) AS min_pcm, CAST(mx AS BIGINT) AS max_pcm,
+      |       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pcm
+      |FROM sums ORDER BY doc_id""".stripMargin
 
   private val phashSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),

@@ -239,6 +239,29 @@ class Round8Spec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("audio decode: the WAV container round trip reproduces the closed-form waveform") {
+    val rows = graft.multimodal.Binary.audioDecode(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    assert(rows.size === nDocs)
+    rows.values.foreach { r =>
+      assert(r.getAs[Int]("sample_rate") === 8000)
+      assert(r.getAs[Int]("channels") === 1)
+      assert(r.getAs[Long]("min_pcm") >= -32768L && r.getAs[Long]("max_pcm") <= 32767L)
+    }
+    // recompute three documents' aggregates straight from the sample
+    // formula — decoded bytes must reproduce them exactly
+    rows.keys.toSeq.sorted.take(3).foreach { id =>
+      val n = (id % 480 + 160).toInt
+      val samples = (0 until n).map(i => (id * 31 + i * 17) % 65536 - 32768)
+      val r = rows(id)
+      assert(r.getAs[Long]("n_samples") === n.toLong)
+      assert(r.getAs[Long]("sum_pcm") === samples.sum)
+      assert(r.getAs[Long]("min_pcm") === samples.min)
+      assert(r.getAs[Long]("max_pcm") === samples.max)
+    }
+  }
+
   test("object-store sink: connector layout, flush.size rotation, lossless roundtrip") {
     import graft.sinks.ObjectStoreSink
     val base = java.nio.file.Files.createTempDirectory("s3sink").toString
