@@ -157,6 +157,7 @@ object SparkEntry {
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
     "mm_audio_decode" -> ((s, d) => Binary.audioDecode(s, d)),
+    "mm_audio_stats" -> ((s, d) => Binary.audioStats(s, d)),
     "mm_image_stats" -> ((s, d) => Binary.imageStats(s, d)),
     "mm_image_phash" -> ((s, d) => Binary.imagePhash(s, d)),
     // ── Round-2b batch ───────────────────────────────────────────────
@@ -904,6 +905,7 @@ object SparkEntry {
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,
       "mm_audio_decode" -> Binary.audioDecodeSql,
+      "mm_audio_stats" -> Binary.audioStatsSql,
       "mm_image_stats" -> Binary.imageStatsSql,
       "mm_image_phash" -> Binary.imagePhashSql,
       "cdc_update_diff" -> Monitoring.updateDiffSql(cl),

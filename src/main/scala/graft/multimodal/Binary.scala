@@ -363,6 +363,91 @@ object Binary {
       |       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pcm
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val audioStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("n_zero_cross", LongType, nullable = false)))
+
+  /** Audio quality stats over the REAL decode path — the feature-extract
+    * stage after [[audioDecode]]'s container round trip: per clip, the
+    * energy (exact integer Σs²) and zero-crossing count computed FROM
+    * THE DECODED PCM bytes, then RMS amplitude and zero-crossing rate —
+    * the two classic silence/noise screens an audio pipeline runs before
+    * transcription. A crossing is a sign flip under the s ≥ 0 boundary
+    * convention, stated so both engines count identically; the oracle
+    * recomputes everything from the closed-form waveform, so a decode
+    * shortcut breaks the hash. Same batched per-partition shape. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
+    val decoded = ids.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        var sumSq = 0L; var cross = 0L; var prevNonNeg = false
+        var j = 0
+        while (j < m) {
+          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
+          sumSq += s.toLong * s
+          val nonNeg = s >= 0
+          if (j > 0 && nonNeg != prevNonNeg) cross += 1
+          prevNonNeg = nonNeg
+          j += 1
+        }
+        Row(id, m.toLong, sumSq, cross)
+      }
+    }(enc)
+    decoded
+      .withColumn("rms",
+        sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
+      .withColumn("zcr",
+        col("n_zero_cross").cast("double") / (col("n_samples") - 1L).cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val audioStatsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 480 + 160 AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i FROM d),
+      |v AS (SELECT doc_id, n, i,
+      |             (doc_id * 31 + i * 17) % 65536 - 32768 AS x,
+      |             CASE WHEN i > 0
+      |                  THEN (doc_id * 31 + (i - 1) * 17) % 65536 - 32768 END AS px
+      |      FROM s),
+      |sums AS (
+      |  SELECT doc_id, n,
+      |         sum(x * x) AS ssq,
+      |         sum(CASE WHEN px IS NOT NULL AND ((x >= 0) <> (px >= 0))
+      |                  THEN 1 ELSE 0 END) AS zc
+      |  FROM v GROUP BY doc_id, n)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+      |       CAST(ssq AS BIGINT) AS sum_sq,
+      |       CAST(zc AS BIGINT) AS n_zero_cross,
+      |       sqrt(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)) AS rms,
+      |       CAST(zc AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
+      |FROM sums ORDER BY doc_id""".stripMargin
+
   private val phashSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))

@@ -262,6 +262,22 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("audio stats: energy and zero crossings from decoded bytes match the waveform formula") {
+    val stats = graft.multimodal.Binary.audioStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(stats.size === Tables.load(spark, dir, "documents").count())
+    stats.keys.toSeq.sorted.take(3).foreach { id =>
+      val n = (id % 480 + 160).toInt
+      val samples = (0 until n).map(i => (id * 31 + i * 17) % 65536 - 32768)
+      val r = stats(id)
+      assert(r.getAs[Long]("sum_sq") === samples.map(s => s * s).sum)
+      val crossings = samples.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0) }
+      assert(r.getAs[Long]("n_zero_cross") === crossings.toLong)
+      assert(math.abs(r.getAs[Double]("rms") -
+        math.sqrt(samples.map(s => s * s).sum.toDouble / n)) < 1e-12)
+    }
+  }
+
   test("object-store sink: connector layout, flush.size rotation, lossless roundtrip") {
     import graft.sinks.ObjectStoreSink
     val base = java.nio.file.Files.createTempDirectory("s3sink").toString
