@@ -172,6 +172,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("graft_l2sq"), "scoring must use the codegen'd native distance")
   }
 
+  test("linearized gram-df ops build their fan-out exactly once") {
+    // the r8 rewrite: df attached via a gh-partitioned window, not a
+    // self-join of the fan-out with its own groupBy — a regression back
+    // to the join shape shows up as a SECOND parquet scan (Spark only
+    // reuses identical exchanges) and doubles the shingle pipeline
+    for (q <- Seq("text_dup_gram_share", "text_novelty")) {
+      val p = planOf(q)
+      assert("Scan parquet".r.findAllIn(p).length === 1,
+        s"$q must scan the corpus once — the gram fan-out may not be rebuilt per side")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q must attach df via the partitioned window, not a join-back")
+    }
+  }
+
+  test("centroid separation pairs within the collected per-dimension slice — one corpus scan") {
+    val p = planOf("ann_centroid_separation")
+    assert("Scan parquet".r.findAllIn(p).length === 1,
+      "a centroid self-join would rebuild the aggregate per side")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"))
+  }
+
+  test("offset-lag family: broadcast hwm, no row-level joins") {
+    // two scans are the accepted high-watermark shape (the 1-row hwm
+    // aggregate reads its own reduced scan); what must never appear is a
+    // shuffle join of the event rows against anything
+    for (q <- Seq("cdc_consumer_lag", "cdc_slot_retention")) {
+      val p = planOf(q)
+      assert("Scan parquet".r.findAllIn(p).length <= 2, s"$q rescans events beyond the hwm twin")
+      assert(!p.contains("SortMergeJoin"), s"$q must broadcast the 1-row hwm, never shuffle-join")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q must attach the hwm via a broadcast")
+    }
+  }
+
   test("IVF-PQ: the probe prunes via a broadcast equi-join, scan spine shuffle-free") {
     val p = planOf("ann_ivfpq_topk")
     // cell pruning must be a broadcast hash join on the label (2-row
