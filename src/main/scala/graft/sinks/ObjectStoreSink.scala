@@ -34,6 +34,28 @@ object ObjectStoreSink {
       .mode(SaveMode.Overwrite)
       .json(s"$basePath/topics")
 
+  /** The connector's actual operating mode — a streaming consumer
+    * landing objects continuously. Spark's native streaming file sink
+    * gives the same layout/rotation via the identical declarative knobs,
+    * and UPGRADES the connector's at-least-once delivery to exactly-once
+    * (the sink's checkpointed manifest commits each micro-batch's
+    * objects atomically; readers see only committed objects). */
+  def startStream(spark: SparkSession, wirePath: String, basePath: String,
+                  checkpointPath: String, partitions: Int = 4,
+                  flushSize: Int = 10): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(graft.sources.WireSource.wireSchema)
+      .option("maxFilesPerTrigger", "4")
+      .json(wirePath)
+      .withColumn("partition", pmod(col("offset"), lit(partitions.toLong)).cast("int"))
+      .writeStream
+      .format("json")
+      .partitionBy("topic", "partition")
+      .option("maxRecordsPerFile", flushSize.toLong)
+      .option("path", s"$basePath/topics")
+      .option("checkpointLocation", checkpointPath)
+      .start()
+
   /** Read the landed objects back as a wire frame (topic/partition come
     * from the directory layout). */
   def read(spark: SparkSession, basePath: String): DataFrame =

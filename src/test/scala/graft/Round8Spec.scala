@@ -310,6 +310,22 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming object-store landing: same layout, exactly-once manifest, nothing lost") {
+    import graft.sinks.ObjectStoreSink
+    val base = java.nio.file.Files.createTempDirectory("s3stream").toString
+    graft.sources.WireSource.publish(spark, dir, s"$base/wire")
+    val wire = graft.cdc.Cdc.toWire(spark, dir)
+    val q = ObjectStoreSink.startStream(spark, s"$base/wire", base, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // the streaming sink reads back ONLY through its committed manifest
+    val back = spark.read.json(s"$base/topics")
+    assert(back.count() === wire.count())
+    assert(back.select("offset", "value").except(wire.select("offset", "value")).count() === 0L)
+    val manifest = ObjectStoreSink.manifest(spark, base).collect()
+    manifest.foreach(r => assert(r.getAs[Long]("n_records") <= 10L))
+    assert(manifest.map(_.getAs[Long]("n_records")).sum === wire.count())
+  }
+
   test("dim quantiles: ordered bounds per dimension and an exact median spot-check") {
     val q = Ann.dimQuantiles(spark, dir).collect()
     val emb = Tables.load(spark, dir, "embeddings")
