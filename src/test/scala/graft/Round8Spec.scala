@@ -148,6 +148,20 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("offset-lag duality: sink backlog equals source retention under the shared horizon") {
+    // consumer lag (sink view) and slot retention (source view) model the
+    // same horizon-behind consumer — per topic, the messages the sink has
+    // not committed ARE the messages the source must retain
+    val lagByTable = Monitoring.consumerLag(spark, dir).collect()
+      .groupBy(_.getAs[String]("topic").stripPrefix("graft.public."))
+      .view.mapValues(_.map(_.getAs[Long]("lag")).sum).toMap
+    val retained = Monitoring.slotRetention(spark, dir).collect()
+      .map(r => r.getAs[String]("slot_name").stripPrefix("graft_slot_") ->
+        r.getAs[Long]("n_retained")).toMap
+    assert(lagByTable.keySet === retained.keySet)
+    lagByTable.foreach { case (t, lag) => assert(lag === retained(t), s"table $t") }
+  }
+
   test("slot retention: retained + flushed partition each slot's stream, bytes bound below") {
     val slots = Monitoring.slotRetention(spark, dir).collect()
     val ev = Tables.load(spark, dir, "events")
