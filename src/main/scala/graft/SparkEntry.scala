@@ -282,6 +282,7 @@ object SparkEntry {
     "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
     "ann_sq8_recall" -> ((s, d) => Ann.sq8Recall(s, d)),
     "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
+    "ann_sq8_build" -> ((s, d) => Ann.sq8Build(s, d)),
     "ann_centroid_separation" -> ((s, d) => Ann.centroidSeparation(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
     "emb_centroid_drift" -> ((s, d) => Ann.centroidDrift(s, d)),
@@ -1034,6 +1035,7 @@ object SparkEntry {
       "ann_sq8_topk" -> Ann.sq8TopKSql(),
       "ann_sq8_recall" -> Ann.sq8RecallSql(),
       "ann_ivf_occupancy" -> Ann.ivfOccupancySql,
+      "ann_sq8_build" -> Ann.sq8BuildSql,
       "ann_centroid_separation" -> Ann.centroidSeparationSql,
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),
       "emb_centroid_drift" -> Ann.centroidDriftSql,

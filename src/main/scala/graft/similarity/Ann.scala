@@ -1420,6 +1420,41 @@ object Ann {
       |         / CAST(sum(n_vectors) OVER () AS DOUBLE) AS load_factor
       |FROM c ORDER BY label""".stripMargin
 
+  /** SQ8 quantizer BUILD surface — the persisted parameter table behind
+    * [[sq8TopK]]'s inline stats (the [[ivfBuild]] pattern applied to the
+    * scalar quantizer): per dimension, the corpus min/max, the derived
+    * affine scale ((hi−lo)/255 — the value one 8-bit step represents),
+    * and a degenerate flag for collapsed dimensions (hi = lo codes to a
+    * constant; [[dimVariance]]'s dead dims surface here as wasted code
+    * range). A 100 TB deployment persists THIS table once and encodes
+    * every shard against it; search and build agreeing on these exact
+    * doubles is what makes the codes portable. Float min/max are exact
+    * (no summation), so both engines agree bit-for-bit.
+    *
+    * Scale shape: one |vecs|·d explode, one |dims|-key partial-agg
+    * shuffle; |dims| output rows. */
+  def sq8Build(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos").cast("long").as("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x").cast("double")).as("lo"),
+        max(col("x").cast("double")).as("hi"))
+      .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+      .withColumn("degenerate", col("hi") === col("lo"))
+      .orderBy("dim")
+
+  val sq8BuildSql: String =
+    """WITH longf AS (
+      |  SELECT CAST(unnest(generate_series(0, len(embedding) - 1)) AS BIGINT) AS dim,
+      |         CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings)
+      |SELECT dim, count(*) AS n, min(x) AS lo, max(x) AS hi,
+      |       (max(x) - min(x)) / 255.0 AS scale,
+      |       max(x) = min(x) AS degenerate
+      |FROM longf GROUP BY dim ORDER BY dim""".stripMargin
+
   /** Inter-centroid separation — the GEOMETRY leg of the index-health
     * triad ([[ivfBuild]] = the centroids, [[ivfOccupancy]] = their
     * populations, this = their spacing): per cell, the L2 distance to

@@ -193,6 +193,25 @@ class Round8Spec extends AnyFunSuite {
     assert(toks.zip(toks.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sq8 build: quantizer params reproduce the search path's inline stats exactly") {
+    val build = Ann.sq8Build(spark, dir).collect()
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dims = emb.select(size(col("embedding"))).distinct().collect()(0).getInt(0)
+    assert(build.length === dims)
+    build.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("lo"), r.getAs[Double]("hi"))
+      assert(lo <= hi)
+      assert(r.getAs[Double]("scale") === (hi - lo) / 255.0)
+      assert(r.getAs[Boolean]("degenerate") === (lo == hi))
+    }
+    // exact parity with an in-memory min/max of dimension 0 — the codes
+    // are only portable if build and search see these exact doubles
+    val xs = emb.select(element_at(col("embedding"), 1).cast("double")).collect()
+      .map(_.getDouble(0))
+    assert(build.head.getAs[Double]("lo") === xs.min)
+    assert(build.head.getAs[Double]("hi") === xs.max)
+  }
+
   test("centroid separation: symmetric distances, min below mean, full pair coverage") {
     val rows = Ann.centroidSeparation(spark, dir).collect()
     val k = rows.length
