@@ -24,8 +24,13 @@ object ScaleSmoke {
       println(f"== $name: $n%d result rows from $rows%d input in $s%.1f s (${rows / s / 1e6}%.2f M rows/s)")
     }
 
-    // events ×factor with disjoint key/seq spaces per replica
-    val ev = Tables.load(spark, dir, "events")
+    // events ×factor with disjoint key/seq spaces per replica. Spread the
+    // base scan first: the single-row-group test file scans as one split,
+    // and the crossJoin inflation preserves the stream side's partitioning —
+    // without the spread the entire ×factor fan-out (and everything Catalyst
+    // pipelines on top of it, the very work this smoke times) runs on ONE
+    // task, measuring serialization instead of the operator's shape.
+    val ev = Tables.spread(Tables.load(spark, dir, "events"))
     val reps = spark.range(factor).select(col("id").as("rep"))
     val bigChangelog = ev.crossJoin(reps).select(
       Cdc.opFromEventType(col("event_type")).as("op"),
@@ -51,7 +56,8 @@ object ScaleSmoke {
     }
 
     val docFactor = math.max(factor / 2, 2)
-    val docs = Tables.load(spark, dir, "documents")
+    // same stream-side-partitioning rationale as the events spread above
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val bigDocs = docs.crossJoin(spark.range(docFactor).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
         concat(col("text"), lit(" r"), col("rep")).as("text"))

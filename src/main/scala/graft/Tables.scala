@@ -44,6 +44,22 @@ object Tables {
     }
   }
 
+  /** Compute-stage parallelism guard. Parquet splits only at row-group
+    * boundaries, so a small single-row-group file (the driver's testdata is
+    * one row group per table) scans as ONE task — and Catalyst pipelines
+    * everything up to the first exchange into that scan stage, serializing
+    * heavy per-row compute (codecs, shingle fan-outs) on one core.
+    * Redistribute the rows across the cluster when the scan has fewer
+    * splits than cores; at production scale any real table has orders of
+    * magnitude more row groups than cores and this is a no-op, so the
+    * shuffle is never paid where it would be expensive. Round-robin, so no
+    * hash skew; callers must not rely on partition-local ordering (every
+    * registered operator already aggregates order-independently). */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Local session with the defaults every entry point shares. */
   def localSession(appName: String, cpus: Int = 4): SparkSession =
     SparkSession.builder()

@@ -46,7 +46,10 @@ object Dedup {
     val near = docs.where(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         col("text").substr(lit(1), greatest(length(col("text")) - 10, lit(20))).as("text"))
-    docs.unionAll(exact).unionAll(near)
+    // spread: the whole dedup family's shingle/signature fan-out pipelines
+    // into this scan stage; a single-row-group test file would otherwise
+    // serialize it on one core (no-op at production split counts)
+    Tables.spread(docs.unionAll(exact).unionAll(near))
   }
 
   val corpusSql: String =

@@ -22,6 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Binary {
 
+  /** Codec-stage parallelism guard. Parquet splits only at row-group
+    * boundaries, so a small single-row-group file scans as ONE task and the
+    * per-row codec below it runs serially — the r8 bench showed exactly this
+    * (the driver's regenerated sf0.1 parquet is one row group per table; the
+    * documents scan plans as 1 partition on 32 cores). Redistribute the tiny
+    * pre-decode rows (8-byte ids) across the cluster when the scan has fewer
+    * splits than cores; at production scale a blob table has orders of
+    * magnitude more row groups than cores and this is a no-op — the shuffle
+    * is never paid where it would be expensive. */
+  private def spreadForCodec(df: DataFrame): DataFrame = Tables.spread(df)
+
   /** Binary payload + typed metadata extraction: size, magic prefix, and a
     * stubbed decode producing deterministic fake dimensions. */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame =
@@ -191,11 +202,17 @@ object Binary {
     *   r = (c + 2x + 3y) % 256, g = (5x + 7y) % 256,
     *   b = (3c + x + 2y) % 256. */
   def imageDecode(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val ids = spreadForCodec(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodeSchema)
     val decoded = ids.mapPartitions { rows =>
       // batched per-partition codec state: reused encode buffer, the
-      // shape a real decoder (frame buffer, codec context) would keep
+      // shape a real decoder (frame buffer, codec context) would keep.
+      // ImageIO's default stream cache spools EVERY encode/decode through
+      // a /tmp file (create+delete per image) — measured at ~2× the whole
+      // op's cost and sensitive to filesystem state (the r8 "unexplained"
+      // regression). These are in-memory byte arrays; cache off.
+      javax.imageio.ImageIO.setUseCache(false)
       val buf = new java.io.ByteArrayOutputStream(8192)
       rows.map { row =>
         val id = row.getLong(0)
@@ -298,6 +315,11 @@ object Binary {
     * Sample function (n = id%480 + 160, i ∈ [0, n)):
     *   s(i) = (id·31 + i·17) % 65536 − 32768  (full-range PCM16). */
   def audioDecode(spark: SparkSession, dir: String): DataFrame = {
+    // no spreadForCodec here: AudioSystem.write/getAudioInputStream resolve
+    // through a synchronized service-provider registry, so fanning the codec
+    // out across cores buys lock contention, not speedup — measured 2×
+    // SLOWER at 32 partitions than serial. The scan's natural splits are the
+    // right parallelism for this codec.
     val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSchema)
     val decoded = ids.mapPartitions { rows =>
@@ -379,6 +401,8 @@ object Binary {
     * recomputes everything from the closed-form waveform, so a decode
     * shortcut breaks the hash. Same batched per-partition shape. */
   def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    // serial for the same AudioSystem-registry-contention reason as
+    // [[audioDecode]]
     val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
     val decoded = ids.mapPartitions { rows =>
@@ -466,11 +490,12 @@ object Binary {
     * [[frameDedup]]: cross-document hash groups, hash-groupBy shape. */
   def imagePhash(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    val ids = base.unionAll(
+    val ids = spreadForCodec(base.unionAll(
       base.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id")))
+        .select((col("doc_id") + 300000L).as("doc_id"))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(phashSchema)
     val hashed = ids.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false) // see imageDecode
       val buf = new java.io.ByteArrayOutputStream(8192)
       rows.map { row =>
         val docId = row.getLong(0)

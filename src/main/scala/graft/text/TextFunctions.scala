@@ -524,7 +524,9 @@ object TextFunctions {
     * uniques (a df-1 gram has exactly one holder). Same linearization as
     * [[dupGramShare]]; measured there at 1.7× warm. */
   def novelty(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread: the shingle fan-out pipelines into the scan stage; see
+    // Tables.spread (no-op at production split counts)
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val w = split(normText(col("text")), " ")
     docs
       .select(col("doc_id"), col("source"), w.as("w"))
@@ -682,7 +684,8 @@ object TextFunctions {
     * per-gram occurrence lists (bounded by document frequency) and
     * spill-safe in WindowExec. Measured at sf0.1: 9.2 s → ~4 s warm. */
   def dupGramShare(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
+    // spread: same scan-stage serialization guard as [[novelty]]
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
     val w = split(normText(col("text")), " ")
     val base = docs.select(col("doc_id"), w.as("w"))
       .withColumn("grams", array_distinct(transform(
