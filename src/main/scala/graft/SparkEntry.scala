@@ -7,7 +7,7 @@ import graft.analytics.Relational
 import graft.text.TextFunctions
 import graft.dedup.Dedup
 import graft.similarity.Ann
-import graft.multimodal.Binary
+import graft.multimodal.{Binary, Video}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -152,8 +152,9 @@ object SparkEntry {
     "ann_range_search" -> ((s, d) => Ann.rangeSearch(s, d)),
     "mm_semantic_join" -> ((s, d) => Ann.semanticJoin(s, d)),
     // ── Multimodal ───────────────────────────────────────────────────
-    "mm_binary_meta" -> ((s, d) => Binary.binaryMeta(s, d)),
-    "mm_frame_sample" -> ((s, d) => Binary.frameSample(s, d)),
+    "mm_binary_meta" -> ((s, d) => Video.binaryMeta(s, d)),
+    "mm_frame_sample" -> ((s, d) => Video.frameSample(s, d)),
+    "mm_video_decode" -> ((s, d) => Video.videoDecode(s, d)),
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
     "mm_audio_decode" -> ((s, d) => Binary.audioDecode(s, d)),
@@ -192,7 +193,7 @@ object SparkEntry {
     "pipe_interleave" -> ((s, d) => TextFunctions.interleave(s, d)),
     "q7_volume" -> ((s, d) => Relational.q7Volume(s, d)),
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
-    "mm_frame_dedup" -> ((s, d) => Binary.frameDedup(s, d)),
+    "mm_frame_dedup" -> ((s, d) => Video.frameDedup(s, d)),
     "pipe_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     // skew path through the same oracle: provably equal to the plain form
     "cdc_materialize_salted" -> ((s, d) =>
@@ -255,7 +256,7 @@ object SparkEntry {
     "q_dow_seasonality" -> ((s, d) => Relational.dowSeasonality(s, d)),
     "pipe_dup_rate_by_source" -> ((s, d) => TextFunctions.dupRateBySource(s, d)),
     "cdc_retention_impact" -> ((s, d) => Monitoring.retentionImpact(Cdc.changelog(s, d))),
-    "mm_frame_stats" -> ((s, d) => Binary.frameStats(s, d)),
+    "mm_frame_stats" -> ((s, d) => Video.frameStats(s, d)),
     "q_corr_ols" -> ((s, d) => Relational.corrOls(s, d)),
     "q_mad" -> ((s, d) => Relational.madByFlag(s, d)),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
@@ -901,8 +902,9 @@ object SparkEntry {
       "ann_range_search" -> Ann.rangeSearchSql,
       "mm_semantic_join" -> Ann.semanticJoinSql,
       // ── Multimodal ─────────────────────────────────────────────────
-      "mm_binary_meta" -> Binary.binaryMetaSql,
-      "mm_frame_sample" -> Binary.frameSampleSql,
+      "mm_binary_meta" -> Video.binaryMetaSql,
+      "mm_frame_sample" -> Video.frameSampleSql,
+      "mm_video_decode" -> Video.videoDecodeSql,
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,
       "mm_audio_decode" -> Binary.audioDecodeSql,
@@ -939,7 +941,7 @@ object SparkEntry {
       "pipe_interleave" -> TextFunctions.interleaveSql,
       "q7_volume" -> Relational.q7VolumeSql,
       "q10_returns" -> Relational.q10ReturnsSql,
-      "mm_frame_dedup" -> Binary.frameDedupSql,
+      "mm_frame_dedup" -> Video.frameDedupSql,
       "pipe_contamination" -> Dedup.contaminationSql,
       // same oracle as cdc_materialize_latest: the salted two-phase
       // aggregation must be bit-identical to the plain one
@@ -1009,7 +1011,7 @@ object SparkEntry {
       "q_dow_seasonality" -> Relational.dowSeasonalitySql,
       "pipe_dup_rate_by_source" -> TextFunctions.dupRateBySourceSql,
       "cdc_retention_impact" -> Monitoring.retentionImpactSql(cl),
-      "mm_frame_stats" -> Binary.frameStatsSql,
+      "mm_frame_stats" -> Video.frameStatsSql,
       "q_corr_ols" -> Relational.corrOlsSql,
       "q_mad" -> Relational.madByFlagSql,
       "ann_pq_topk" -> Ann.pqTopKSql(),

@@ -248,13 +248,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(l.forall(r => Set("en", "es", "de", "fr").contains(r.getAs[String]("pred_lang"))))
   }
 
-  test("frame sampling fans out ceil(bytes/1000) frames per doc") {
-    val frames = Binary.frameSample(spark, dir)
+  test("frame sampling takes every 2nd frame of the parsed clip, dims from the decoded JPEGs") {
+    import graft.multimodal.Video
+    val frames = Video.frameSample(spark, dir)
       .groupBy("doc_id").count()
-    val docs = Binary.binaryMeta(spark, dir).select("doc_id", "n_bytes")
-    val joined = frames.join(docs, "doc_id")
-      .where(col("count") =!= expr("(n_bytes + 999) div 1000"))
+    val clips = Video.videoDecode(spark, dir).select("doc_id", "n_frames", "width", "height")
+    // every-2nd-frame sampling of an n-frame clip yields ceil(n/2) frames
+    val joined = frames.join(clips, "doc_id")
+      .where(col("count") =!= expr("(n_frames + 1) div 2"))
     assert(joined.count() === 0)
+    // the MJPEG leg's decoded dimensions must agree with the DIB leg's headers
+    val dims = Video.frameSample(spark, dir).join(clips.withColumnRenamed("width", "w")
+      .withColumnRenamed("height", "h"), "doc_id")
+      .where(col("width") =!= col("w") || col("height") =!= col("h"))
+    assert(dims.count() === 0)
   }
 
   test("semantic dedup drops exactly the injected perturbed copies") {

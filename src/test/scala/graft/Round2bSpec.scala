@@ -240,7 +240,7 @@ class Round2bSpec extends AnyFunSuite {
   }
 
   test("frame dedup: recurring signatures span multiple documents") {
-    val got = graft.multimodal.Binary.frameDedup(spark, dir).collect()
+    val got = graft.multimodal.Video.frameDedup(spark, dir).collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       assert(r.getAs[Long]("n_docs") >= 2L)
@@ -604,10 +604,14 @@ class Round2bSpec extends AnyFunSuite {
       r.getAs[Long]("purged_7d").toDouble / r.getAs[Long]("n_events").toDouble)
   }
 
-  test("frame stats: totals agree with the frame-sample fan-out") {
-    val r = graft.multimodal.Binary.frameStats(spark, dir).collect().head
-    val actualFrames = graft.multimodal.Binary.frameSample(spark, dir).count()
-    assert(r.getAs[Long]("total_frames") === actualFrames)
+  test("frame stats: totals agree with the decoded clips") {
+    val r = graft.multimodal.Video.frameStats(spark, dir).collect().head
+    val clips = graft.multimodal.Video.videoDecode(spark, dir)
+      .agg(sum(col("n_frames").cast("long")), sum(col("n_pixels")), sum(col("n_bytes")))
+      .collect().head
+    assert(r.getAs[Long]("total_frames") === clips.getLong(0))
+    assert(r.getAs[Long]("total_pixels") === clips.getLong(1))
+    assert(r.getAs[Long]("total_bytes") === clips.getLong(2))
     assert(r.getAs[Double]("p50_frames") <= r.getAs[Double]("p95_frames"))
     assert(r.getAs[Double]("p95_frames") <= r.getAs[Long]("max_frames").toDouble)
   }
