@@ -167,6 +167,8 @@ object SparkEntry {
     "cdc_offset_gaps" -> ((s, d) => Monitoring.offsetGaps(Cdc.toWire(s, d))),
     "cdc_consumer_lag" -> ((s, d) => Monitoring.consumerLag(s, d)),
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
+    "cdc_checkpoint_browse" -> ((s, d) => Monitoring.checkpointBrowse(s, d)),
+    "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
     "cdc_lsn_latency_trend" -> ((s, d) => Monitoring.lsnLatencyTrend(s, d)),
@@ -226,6 +228,7 @@ object SparkEntry {
     "cdc_scd3" -> ((s, d) => Materialize.scd3(Cdc.changelog(s, d)).orderBy("user_id")),
     "ann_ivf_build" -> ((s, d) => Ann.ivfBuild(s, d)),
     "ann_kmeans_refine" -> ((s, d) => Ann.kmeansRefine(s, d)),
+    "ann_kmeans_converge" -> ((s, d) => Ann.kmeansConverge(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     "cdc_audit_chain" -> ((s, d) => Monitoring.auditChain(Cdc.changelog(s, d))),
     "q_gap_fill" -> ((s, d) => Relational.gapFill(s, d)),
@@ -916,6 +919,8 @@ object SparkEntry {
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,
       "cdc_consumer_lag" -> Monitoring.consumerLagSql(),
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
+      "cdc_checkpoint_browse" -> Monitoring.checkpointBrowseSql,
+      "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,
       "cdc_lsn_latency_trend" -> Monitoring.lsnLatencyTrendSql(),
@@ -981,6 +986,7 @@ object SparkEntry {
       "cdc_scd3" -> Materialize.scd3Sql(cl),
       "ann_ivf_build" -> Ann.ivfBuildSql,
       "ann_kmeans_refine" -> Ann.kmeansRefineSql,
+      "ann_kmeans_converge" -> Ann.kmeansConvergeSql(),
       "q_unpivot" -> Relational.unpivotMeasuresSql,
       "cdc_audit_chain" -> Monitoring.auditChainSql(cl),
       "q_gap_fill" -> Relational.gapFillSql,

@@ -1249,6 +1249,100 @@ object Monitoring {
        |       cum_n - coalesce(prev_cum, 0) AS n_pending
        |FROM l ORDER BY bucket""".stripMargin
 
+  /** Per-pipeline checkpoint listing — the reference's checkpoint browse
+    * dashboard (api.py:13145-13411 get_pipeline_checkpoints): one row per
+    * (pipeline, table) with the checkpoint position (here the offset-domain
+    * LSN = the table's max sequence), the rows processed through it, and
+    * the last event time. Pipelines are the user_id%3 routing cohorts; the
+    * checkpoint id mirrors the reference's "{pipeline_id}_{table}" key.
+    *
+    * Scale shape: one scan, ONE hash aggregation on the composite
+    * (pipeline, table) key; output is |pipelines×tables| rows. */
+  def checkpointBrowse(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "events")
+      .select(
+        concat(lit("pl_"), (col("user_id") % 3).cast("string")).as("pipeline_id"),
+        col("event_type").as("table_name"), col("event_id"), col("ts"))
+      .groupBy("pipeline_id", "table_name")
+      .agg(
+        max(col("event_id")).as("lsn"),
+        count(lit(1)).as("rows_processed"),
+        max(col("ts")).as("last_event_ts"))
+      .select(
+        concat(col("pipeline_id"), lit("_"), col("table_name")).as("checkpoint_id"),
+        col("pipeline_id"), col("table_name"),
+        lit("lsn").as("checkpoint_type"),
+        col("lsn"), col("rows_processed"), col("last_event_ts"))
+      .orderBy("pipeline_id", "table_name")
+
+  val checkpointBrowseSql: String =
+    """SELECT 'pl_' || CAST(user_id % 3 AS VARCHAR) || '_' || event_type AS checkpoint_id,
+      |       'pl_' || CAST(user_id % 3 AS VARCHAR) AS pipeline_id,
+      |       event_type AS table_name,
+      |       'lsn' AS checkpoint_type,
+      |       max(event_id) AS lsn,
+      |       count(*) AS rows_processed,
+      |       max(ts) AS last_event_ts
+      |FROM events
+      |GROUP BY pipeline_id, table_name
+      |ORDER BY pipeline_id, table_name""".stripMargin
+
+  /** Per-pipeline synced statistics — the reference's sync-stats refresh
+    * (api.py:6853 sync_pipeline_stats): recount captured / applied /
+    * failed / pending events straight from the store (the "stats may be
+    * stale, recount everything" endpoint) plus the success rate and last
+    * event time. Event status derives deterministically from the data:
+    * `error` events are failures, every 20th sequence is still in flight
+    * (pending), the rest applied. The success rate is pinned to a
+    * 2-decimal FLOOR grid (exact integer division, then /100) — both
+    * engines compute the identical double, where round() tie-breaking
+    * would diverge.
+    *
+    * Scale shape: one scan, ONE per-pipeline hash aggregation with
+    * conditional sums; output is |pipelines| rows. */
+  def syncStats(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "events")
+      .select(
+        concat(lit("pl_"), (col("user_id") % 3).cast("string")).as("pipeline_id"),
+        when(col("event_type") === "error", "failed")
+          .when(col("event_id") % 20 === 0, "pending")
+          .otherwise("applied").as("status"),
+        col("ts"))
+      .groupBy("pipeline_id")
+      .agg(
+        count(lit(1)).as("events_captured"),
+        sum(when(col("status") === "applied", 1L).otherwise(0L)).as("events_applied"),
+        sum(when(col("status") === "failed", 1L).otherwise(0L)).as("events_failed"),
+        sum(when(col("status") === "pending", 1L).otherwise(0L)).as("events_pending"),
+        max(col("ts")).as("last_event_time"))
+      .withColumn("success_rate",
+        expr("(events_applied * 10000) div events_captured").cast("double") / 100.0)
+      .select("pipeline_id", "events_captured", "events_applied", "events_failed",
+        "events_pending", "success_rate", "last_event_time")
+      .orderBy("pipeline_id")
+
+  val syncStatsSql: String =
+    """WITH e AS (
+      |  SELECT 'pl_' || CAST(user_id % 3 AS VARCHAR) AS pipeline_id,
+      |         CASE WHEN event_type = 'error' THEN 'failed'
+      |              WHEN event_id % 20 = 0 THEN 'pending'
+      |              ELSE 'applied' END AS status,
+      |         ts
+      |  FROM events),
+      |g AS (
+      |  SELECT pipeline_id,
+      |         count(*) AS events_captured,
+      |         CAST(sum(CASE WHEN status = 'applied' THEN 1 ELSE 0 END) AS BIGINT) AS events_applied,
+      |         CAST(sum(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS events_failed,
+      |         CAST(sum(CASE WHEN status = 'pending' THEN 1 ELSE 0 END) AS BIGINT) AS events_pending,
+      |         max(ts) AS last_event_time
+      |  FROM e GROUP BY pipeline_id)
+      |SELECT pipeline_id, events_captured, events_applied, events_failed,
+      |       events_pending,
+      |       CAST(events_applied * 10000 // events_captured AS DOUBLE) / 100.0 AS success_rate,
+      |       last_event_time
+      |FROM g ORDER BY pipeline_id""".stripMargin
+
   def consumerLagSql(partitions: Int = 4, horizonMs: Long = 3600000L): String =
     s"""WITH h AS (SELECT max(ts) AS hwm FROM events)
        |SELECT 'connect-sink-' || event_type AS group_id,

@@ -411,6 +411,114 @@ object Ann {
        |LEFT JOIN shift s ON b.label = s.label
        |ORDER BY label""".stripMargin
 
+  /** Lloyd iteration to a fixed point — the index-refresh loop between
+    * [[ivfBuild]] and a rebuilt IVF: run [[kmeansRefine]]'s exact
+    * assign-then-recenter step for a FIXED number of rounds and report the
+    * per-round convergence trajectory (vectors moved, max centroid shift,
+    * surviving cluster count, converged flag). The round count is fixed —
+    * not data-dependent — so both engines execute the identical unrolled
+    * computation and the oracle stays exact; once a round moves zero
+    * vectors every later round is a no-op (Lloyd is idempotent at a fixed
+    * point), so `converged` reads the fixed point off the trajectory.
+    *
+    * Scale shape: per round, the same |data|·k·d pos-equi-join against the
+    * broadcast centroid table as [[kmeansRefine]], then two bounded
+    * aggregations; all floating sums 2⁴⁰-quantized-exact, so the
+    * trajectory is partition-order independent bit-for-bit. */
+  def kmeansConverge(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val long = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+    def qMean(c: Column): Column =
+      sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q / count(lit(1))
+    def centroidsOf(assign: DataFrame): DataFrame =
+      long.join(assign, "vec_id").groupBy("label", "pos").agg(qMean(col("x")).as("c"))
+    def assignTo(cents: DataFrame): DataFrame =
+      long.join(broadcast(cents.select(col("label").as("cand_label"), col("pos"), col("c"))), "pos")
+        .withColumn("dq",
+          floor((col("x") - col("c")) * (col("x") - col("c")) * Q)
+            .cast("long").cast(DecimalType(38, 0)))
+        .groupBy("vec_id", "cand_label").agg(sum(col("dq")).as("d2q"))
+        .groupBy("vec_id").agg(min(struct(col("d2q"), col("cand_label"))).as("m"))
+        .select(col("vec_id"), col("m.cand_label").as("label"))
+    var assign = emb.select(col("vec_id"), col("label"))
+    var cents = centroidsOf(assign)
+    val stats = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val newAssign = assignTo(cents)
+      val newCents = centroidsOf(newAssign)
+      val moved = assign.select(col("vec_id"), col("label").as("old_label"))
+        .join(newAssign.select(col("vec_id"), col("label").as("new_label")), "vec_id")
+        .agg(sum(when(col("old_label") =!= col("new_label"), 1L).otherwise(0L)).as("n_moved"))
+      val shift = cents.select(col("label"), col("pos"), col("c"))
+        .join(newCents.select(col("label"), col("pos"), col("c").as("c2")), Seq("label", "pos"))
+        .withColumn("sq",
+          floor((col("c2") - col("c")) * (col("c2") - col("c")) * Q)
+            .cast("long").cast(DecimalType(38, 0)))
+        .groupBy("label").agg(sqrt(sum(col("sq")).cast("double") / Q).as("s"))
+        .agg(max(col("s")).as("max_shift"))
+      val active = newAssign.agg(countDistinct(col("label")).as("n_active_labels"))
+      stats += moved.crossJoin(broadcast(shift)).crossJoin(broadcast(active))
+        .select(lit(r).cast("long").as("round"), col("n_moved"), col("max_shift"),
+          col("n_active_labels"), (col("n_moved") === 0L).as("converged"))
+      assign = newAssign
+      cents = newCents
+    }
+    stats.result().reduce(_ unionAll _).orderBy("round")
+  }
+
+  /** Oracle twin of [[kmeansConverge]]: the identical unrolled rounds,
+    * generated from the same round count. */
+  def kmeansConvergeSql(rounds: Int = 3): String = {
+    val Qs = "1099511627776.0" // 2^40, as a SQL literal (not Scala's E-notation)
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH longf AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |         unnest(generate_series(1, len(embedding))) AS pos
+         |  FROM embeddings),
+         |assign_0 AS (SELECT vec_id, label FROM embeddings),
+         |cents_0 AS (
+         |  SELECT a.label, v.pos,
+         |         CAST(sum(CAST(floor(v.x * $Qs) AS BIGINT)) AS DOUBLE) / $Qs / count(*) AS c
+         |  FROM longf v JOIN assign_0 a USING (vec_id) GROUP BY a.label, v.pos)""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(
+        s""",
+           |dist_$r AS (
+           |  SELECT v.vec_id, c.label AS cand_label,
+           |         sum(CAST(floor((v.x - c.c) * (v.x - c.c) * $Qs) AS BIGINT)) AS d2q
+           |  FROM longf v JOIN cents_$p c ON v.pos = c.pos GROUP BY v.vec_id, c.label),
+           |assign_$r AS (
+           |  SELECT vec_id, cand_label AS label FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2q, cand_label) AS rn
+           |    FROM dist_$r) WHERE rn = 1),
+           |cents_$r AS (
+           |  SELECT a.label, v.pos,
+           |         CAST(sum(CAST(floor(v.x * $Qs) AS BIGINT)) AS DOUBLE) / $Qs / count(*) AS c
+           |  FROM longf v JOIN assign_$r a USING (vec_id) GROUP BY a.label, v.pos),
+           |stats_$r AS (
+           |  SELECT $r AS round,
+           |    (SELECT CAST(sum(CASE WHEN o.label <> n.label THEN 1 ELSE 0 END) AS BIGINT)
+           |     FROM assign_$p o JOIN assign_$r n USING (vec_id)) AS n_moved,
+           |    (SELECT max(s) FROM (
+           |       SELECT o.label,
+           |              sqrt(CAST(sum(CAST(floor((n.c - o.c) * (n.c - o.c) * $Qs) AS BIGINT)) AS DOUBLE) / $Qs) AS s
+           |       FROM cents_$p o JOIN cents_$r n ON o.label = n.label AND o.pos = n.pos
+           |       GROUP BY o.label)) AS max_shift,
+           |    (SELECT count(DISTINCT label) FROM assign_$r) AS n_active_labels)""".stripMargin)
+    }
+    sb.append("\n" +
+      (1 to rounds).map(r =>
+        s"SELECT CAST(round AS BIGINT) AS round, n_moved, max_shift, n_active_labels, " +
+          s"n_moved = 0 AS converged FROM stats_$r").mkString("\nUNION ALL\n"))
+    sb.append("\nORDER BY round")
+    sb.toString
+  }
+
   def ivfTopKSql: String =
     s"""WITH longf AS (
        |  SELECT vec_id, label, unnest(embedding) AS x,
