@@ -31,6 +31,25 @@ object Bench {
     // absorbs codegen/JIT warmup for every query shape.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    // Force the dedup family's memoized shared builds FIRST, each under its
+    // own attributed `shared:<name>` line: the per-query medians below then
+    // measure marginal cost, and the one-time build cost stops hiding
+    // inside whichever family member a pass happens to run first (r8's
+    // pipe_dedup_waterfall 38.9 s cold pass).
+    val shared: Vector[(String, Double)] =
+      graft.dedup.Dedup.sharedBuilds.toVector.map { case (n, fn) =>
+        val t0 = System.nanoTime()
+        val t = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] shared:$n FAILED: ${e.getMessage}")
+            Double.NaN
+        }
+        s"shared:$n" -> t
+      }
+    val sharedTotal = shared.map(_._2).filterNot(_.isNaN).sum
     val names = SparkEntry.queries.keys.toVector
     // a crashed query must NOT masquerade as a fast one: failures record
     // NaN (excluded from medians) and are reported, never silently timed
@@ -68,12 +87,18 @@ object Bench {
       val raw = timings.map(_(name)).map(r3).mkString("[", ",", "]")
       s"""    "$name": {"median": ${results.get(name).map(r3).getOrElse("null")}, "passes": $raw}"""
     }.mkString(",\n")
+    val sharedLines = shared
+      .map { case (n, t) => s"""    "$n": ${r3(t)}""" }.mkString(",\n")
     val fullJson =
       s"""{
          |  "metric": "total", "value": ${r3(total)}, "unit": "sec",
          |  "sf": "$sfDir", "cpus": $cpus, "passes": $passes,
          |  "n_queries": ${results.size}, "n_failed": ${failed.length},
          |  "failed": ${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |  "shared_total": ${r3(sharedTotal)},
+         |  "shared": {
+         |$sharedLines
+         |  },
          |  "queries": {
          |$fullQueries
          |  }
@@ -93,7 +118,7 @@ object Bench {
       "mm_frame_sample", "pipe_chunk_documents", "pipe_interleave")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"full":"$fullPath","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"shared_total":${r3(sharedTotal)},"full":"$fullPath","queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()

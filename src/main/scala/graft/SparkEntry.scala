@@ -155,6 +155,7 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Video.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Video.frameSample(s, d)),
     "mm_video_decode" -> ((s, d) => Video.videoDecode(s, d)),
+    "mm_scene_detect" -> ((s, d) => Video.sceneDetect(s, d)),
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
     "mm_audio_decode" -> ((s, d) => Binary.audioDecode(s, d)),
@@ -166,11 +167,13 @@ object SparkEntry {
     "cdc_txn_group" -> ((s, d) => Monitoring.txnGroup(Cdc.changelog(s, d))),
     "cdc_offset_gaps" -> ((s, d) => Monitoring.offsetGaps(Cdc.toWire(s, d))),
     "cdc_consumer_lag" -> ((s, d) => Monitoring.consumerLag(s, d)),
+    "cdc_replay_plan" -> ((s, d) => Monitoring.replayPlan(s, d)),
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
     "cdc_checkpoint_browse" -> ((s, d) => Monitoring.checkpointBrowse(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
+    "cdc_table_preview" -> ((s, d) => Discovery.preview(s, d, "events", 50)),
     "cdc_lsn_latency_trend" -> ((s, d) => Monitoring.lsnLatencyTrend(s, d)),
     "cdc_time_travel" -> ((s, d) =>
       Materialize.timeTravel(Cdc.changelog(s, d)).orderBy("user_id")),
@@ -265,6 +268,7 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
+    "pipe_source_overlap" -> ((s, d) => TextFunctions.sourceOverlap(s, d)),
     "pipe_contamination_ngram" -> ((s, d) => Dedup.contaminationNgram(s, d)),
     "pipe_mix_drift" -> ((s, d) => TextFunctions.mixDrift(s, d)),
     "pipe_mix_anneal" -> ((s, d) => TextFunctions.mixAnneal(s, d)),
@@ -908,6 +912,7 @@ object SparkEntry {
       "mm_binary_meta" -> Video.binaryMetaSql,
       "mm_frame_sample" -> Video.frameSampleSql,
       "mm_video_decode" -> Video.videoDecodeSql,
+      "mm_scene_detect" -> Video.sceneDetectSql,
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,
       "mm_audio_decode" -> Binary.audioDecodeSql,
@@ -918,11 +923,13 @@ object SparkEntry {
       "cdc_txn_group" -> Monitoring.txnGroupSql(cl),
       "cdc_offset_gaps" -> Monitoring.offsetGapsSql,
       "cdc_consumer_lag" -> Monitoring.consumerLagSql(),
+      "cdc_replay_plan" -> Monitoring.replayPlanSql(),
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
       "cdc_checkpoint_browse" -> Monitoring.checkpointBrowseSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,
+      "cdc_table_preview" -> Discovery.previewSql("events", 50),
       "cdc_lsn_latency_trend" -> Monitoring.lsnLatencyTrendSql(),
       "cdc_time_travel" -> Materialize.timeTravelSql(cl),
       "q_cube" -> Relational.cubeAggSql,
@@ -1023,6 +1030,7 @@ object SparkEntry {
       "ann_pq_topk" -> Ann.pqTopKSql(),
       "dedup_incremental" -> Dedup.incrementalSql(),
       "pipe_cross_source_dup" -> Dedup.crossSourceDupSql,
+      "pipe_source_overlap" -> TextFunctions.sourceOverlapSql,
       "pipe_contamination_ngram" -> Dedup.contaminationNgramSql(),
       "pipe_mix_drift" -> TextFunctions.mixDriftSql,
       "pipe_mix_anneal" -> TextFunctions.mixAnnealSql,

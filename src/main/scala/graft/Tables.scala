@@ -20,15 +20,29 @@ object Tables {
     * DuckDB's ns→µs truncation yields, so oracle results line up. */
   private val nanosCols = Map("events" -> Seq("ts"))
 
+  /** Scan confs every graft read depends on. The generated parquet stores
+    * NAIVE timestamps (no timezone): read them as session-zone instants (the
+    * session is pinned to UTC) rather than TIMESTAMP_NTZ — epoch math
+    * (`unix_millis`) only accepts instants, and UTC-instant reads are
+    * value-identical to DuckDB's naive-epoch oracle. Done via the scan conf,
+    * not a cast, so the column keeps its scan type and timestamp filter
+    * pushdown still reaches the parquet reader. Both are SQLConf-only (no
+    * per-read parquet option exists — verified against Spark 4.1's
+    * ParquetOptions), so graft-owned sessions pin them at BUILD time
+    * (localSession below) and load() only repairs an externally-built
+    * session that lacks them. */
+  val scanConfs: Seq[(String, String)] = Seq(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // The generated parquet stores NAIVE timestamps (no timezone). Read them
-    // as session-zone instants (the session is pinned to UTC) rather than
-    // TIMESTAMP_NTZ: epoch math (`unix_millis`) only accepts instants, and
-    // UTC-instant reads are value-identical to DuckDB's naive-epoch oracle.
-    // Done via the scan conf, not a cast, so the column keeps its scan type
-    // and timestamp filter pushdown still reaches the parquet reader.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Idempotent repair for sessions not built by localSession (the driver
+    // smoke-check hands entry() its own session). Writes a constant, and
+    // only when the live value differs, so steady state mutates nothing and
+    // concurrent loads are benign.
+    scanConfs.foreach { case (k, v) =>
+      if (!spark.conf.getOption(k).contains(v)) spark.conf.set(k, v)
+    }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val instants = df.schema.fields.foldLeft(df) { (d, f) =>
       // defensive: if a future writer forces NTZ at the file level anyway
@@ -61,13 +75,14 @@ object Tables {
   }
 
   /** Local session with the defaults every entry point shares. */
-  def localSession(appName: String, cpus: Int = 4): SparkSession =
-    SparkSession.builder()
+  def localSession(appName: String, cpus: Int = 4): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
-      .getOrCreate()
+    scanConfs.foldLeft(b) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
+  }
 }

@@ -3,7 +3,6 @@ package graft.cdc
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StringType}
 
 /** Catalog discovery — the Spark-native form of the reference's
   * discovery_service.py (list databases/schemas/tables/columns for the
@@ -31,10 +30,61 @@ object Discovery {
       .toDF("column_name", "data_type", "nullable")
   }
 
+  /** ONE source of truth for the per-column byte model: each Spark
+    * `simpleString` type maps to (the Spark Column, the DuckDB SQL term) in
+    * a single match, so the two engines cannot diverge on the model —
+    * `sizeEstimate` walks the live schema, `sizeEstimateSql` walks
+    * [[schemaCatalog]], and DiscoverySpec pins catalog == live schema so a
+    * schema change fails the spec loudly instead of surfacing as a
+    * bench-time hash mismatch. */
+  private def byteModel(name: String, simpleType: String): (Column, String) =
+    simpleType match {
+      case "string" =>
+        (coalesce(length(col(name)).cast("long"), lit(0L)), s"length($name)")
+      case "int" => (lit(4L), "4")
+      case "array<float>" =>
+        (coalesce(size(col(name)).cast("long") * 4L, lit(0L)), s"4 * len($name)")
+      case _ => (lit(8L), "8") // int64 / double / timestamp
+    }
+
+  /** Static (table → columns with Spark simpleString types) catalog of the
+    * post-load testdata schemas. The SQL oracle string must exist before
+    * any SparkSession does, so it cannot walk the live schema — this
+    * catalog stands in, and DiscoverySpec asserts it equals the live
+    * `Tables.load(...).schema` for every table. */
+  val schemaCatalog: Seq[(String, Seq[(String, String)])] = Seq(
+    "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+    "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+      "n_regionkey" -> "int"),
+    "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+      "c_nationkey" -> "int", "c_acctbal" -> "double",
+      "c_mktsegment" -> "string"),
+    "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+      "s_nationkey" -> "int", "s_acctbal" -> "double"),
+    "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+      "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+      "p_retailprice" -> "double"),
+    "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "string", "o_totalprice" -> "double",
+      "o_orderdate" -> "timestamp", "o_orderpriority" -> "string"),
+    "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+      "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+      "l_quantity" -> "double", "l_extendedprice" -> "double",
+      "l_discount" -> "double", "l_tax" -> "double",
+      "l_returnflag" -> "string", "l_linestatus" -> "string",
+      "l_shipdate" -> "timestamp"),
+    "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp",
+      "user_id" -> "bigint", "event_type" -> "string", "value" -> "double",
+      "props" -> "string"),
+    "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+      "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+    "embeddings" -> Seq("vec_id" -> "bigint", "embedding" -> "array<float>",
+      "label" -> "int"))
+
   /** Table size estimation — the pre-transfer planning probe behind the
     * reference's `/tables/size-estimate` endpoint (api.py; feeds
     * transfer.py's chunked full-load): per table, the row count, a
-    * data-driven byte estimate from a fixed per-column model
+    * data-driven byte estimate from the shared [[byteModel]]
     * (4/8 bytes for int32 / 64-bit scalars & timestamps, character
     * counts for strings, 4·len for float arrays — the same arithmetic on
     * both engines, so the estimate is oracle-checkable), the mean row
@@ -48,15 +98,9 @@ object Discovery {
                    chunkBytes: Long = 16L * 1024 * 1024): DataFrame = {
     val per = Tables.all.map { t =>
       val df = Tables.load(spark, dir, t)
-      val rowBytes: Column = df.schema.fields.map { f =>
-        f.dataType match {
-          case StringType => coalesce(length(col(f.name)).cast("long"), lit(0L))
-          case IntegerType => lit(4L)
-          case ArrayType(FloatType, _) =>
-            coalesce(size(col(f.name)).cast("long") * 4L, lit(0L))
-          case _ => lit(8L) // int64 / double / timestamp
-        }
-      }.reduce(_ + _)
+      val rowBytes: Column = df.schema.fields
+        .map(f => byteModel(f.name, f.dataType.simpleString)._1)
+        .reduce(_ + _)
       df.agg(count(lit(1)).as("n_rows"),
           coalesce(sum(rowBytes), lit(0L)).as("est_bytes"))
         .select(lit(t).as("table_name"), col("n_rows"), col("est_bytes"))
@@ -70,18 +114,8 @@ object Discovery {
   }
 
   val sizeEstimateSql: String = {
-    val models = Seq(
-      "region" -> "4 + length(r_name)",
-      "nation" -> "4 + length(n_name) + 4",
-      "customer" -> "8 + length(c_name) + 4 + 8 + length(c_mktsegment)",
-      "supplier" -> "8 + length(s_name) + 4 + 8",
-      "part" -> "8 + length(p_name) + length(p_brand) + length(p_type) + 4 + 8",
-      "orders" -> "8 + 8 + length(o_orderstatus) + 8 + 8 + length(o_orderpriority)",
-      "lineitem" -> "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8 + length(l_returnflag) + length(l_linestatus) + 8",
-      "events" -> "8 + 8 + 8 + length(event_type) + 8 + length(props)",
-      "documents" -> "8 + length(text) + length(lang) + length(source) + 8",
-      "embeddings" -> "8 + 4 * len(embedding) + 4")
-    val union = models.map { case (t, m) =>
+    val union = schemaCatalog.map { case (t, cols) =>
+      val m = cols.map { case (n, dt) => byteModel(n, dt)._2 }.mkString(" + ")
       s"""SELECT '$t' AS table_name, count(*) AS n_rows,
          |       CAST(coalesce(sum($m), 0) AS BIGINT) AS est_bytes FROM $t""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -116,18 +150,32 @@ object Discovery {
         .flatMap(stem => Tables.all.filter(u => u != t && u.startsWith(stem)))
         .toSet
     }
-    var level = Tables.all.map(_ -> 0).toMap
-    var changed = true
-    while (changed) {
-      changed = false
-      for (t <- Tables.all; d <- edges(t))
-        if (level(t) < level(d) + 1) { level += t -> (level(d) + 1); changed = true }
-    }
+    val level = loadLevels(Tables.all, edges)
     Tables.all.map { t =>
       val deps = edges(t).toSeq.sorted
       (t, level(t).toLong, deps.length.toLong, deps.mkString(","))
     }.toDF("table_name", "load_level", "n_deps", "depends_on")
       .orderBy("load_level", "table_name")
+  }
+
+  /** Longest-path load levels by relaxation. A DAG's longest path
+    * stabilizes within |nodes|-1 rounds; one more still-changing round
+    * proves a cycle in the (schema-driven) name-convention edges, so the
+    * loop fails loudly instead of relaxing levels forever. */
+  private[graft] def loadLevels(nodes: Seq[String],
+                                edges: Map[String, Set[String]]): Map[String, Int] = {
+    var level = nodes.map(_ -> 0).toMap
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      require(rounds <= nodes.size,
+        s"loadOrder: dependency cycle detected in FK convention edges: $edges")
+      rounds += 1
+      changed = false
+      for (t <- nodes; d <- edges.getOrElse(t, Set.empty))
+        if (level(t) < level(d) + 1) { level += t -> (level(d) + 1); changed = true }
+    }
+    level
   }
 
   val loadOrderSql: String = {
@@ -146,7 +194,11 @@ object Discovery {
        |paths AS (
        |  SELECT table_name AS tbl, 0 AS depth FROM tabs
        |  UNION ALL
-       |  SELECT e.tbl, p.depth + 1 FROM edges e JOIN paths p ON e.dep = p.tbl),
+       |  -- depth < |tables| bounds the recursion: never binding on a DAG
+       |  -- (longest path <= |tables|-1), terminates instead of spinning
+       |  -- if the convention edges ever form a cycle
+       |  SELECT e.tbl, p.depth + 1 FROM edges e JOIN paths p
+       |  ON e.dep = p.tbl WHERE p.depth < ${Tables.all.size}),
        |lv AS (SELECT tbl, CAST(max(depth) AS BIGINT) AS load_level FROM paths GROUP BY tbl),
        |deps AS (
        |  SELECT tbl, CAST(count(*) AS BIGINT) AS n_deps,
@@ -158,4 +210,98 @@ object Discovery {
        |FROM lv l LEFT JOIN deps d ON d.tbl = l.tbl
        |ORDER BY load_level, table_name""".stripMargin
   }
+
+  /** Deterministic table-data preview — the reference's
+    * `/connections/{id}/tables/{t}/data` endpoint (api.py:2583-2641 →
+    * connection_service.py:797 get_table_data: records + columns, limit
+    * clamped to [1,1000]). The reference issues `SELECT * ... LIMIT n`,
+    * whose row set is engine-dependent; here the head is pinned to the
+    * table's first column (the PK by the TPC-H naming convention) so the
+    * preview is reproducible — and oracle-checkable.
+    *
+    * Scale shape: orderBy+limit collapses to TakeOrderedAndProject (a
+    * per-partition top-n then a driver merge of n·|partitions| rows) —
+    * never a full sort. */
+  def preview(spark: SparkSession, dir: String, table: String,
+              limit: Int = 100): DataFrame = {
+    require(limit >= 1 && limit <= 1000, s"preview limit must be in [1,1000], got $limit")
+    val df = Tables.load(spark, dir, table)
+    df.orderBy(col(df.columns.head)).limit(limit)
+  }
+
+  def previewSql(table: String, limit: Int = 100): String = {
+    val pk = schemaCatalog.toMap.apply(table).head._1
+    s"SELECT * FROM $table ORDER BY $pk LIMIT $limit"
+  }
+
+  /** Connection-test verdict — the reference's `/connections/test`
+    * endpoint (api.py:2019-2155 test_connection_data): validate the
+    * config's per-database-type required fields and, when the type is
+    * locally probeable (`parquet_dir` — this engine's native source),
+    * actually probe it. The reference's network probes (JDBC ping, S3
+    * HeadBucket) are environment calls, not data semantics, so types
+    * other than `parquet_dir` stop at the validation verdict — the same
+    * early-return shape the reference takes for a failed validation.
+    * Catalog work: pure driver-side function, no jobs. */
+  def connectionTest(config: Map[String, String]): ConnectionTestResult = {
+    val t0 = System.nanoTime()
+    def ms: Long = (System.nanoTime() - t0) / 1000000L
+    def fail(err: String) = ConnectionTestResult(
+      success = false, status = "FAILED", error = err, probed = false, responseTimeMs = ms)
+    val supported = Seq("postgresql", "mysql", "sqlserver", "oracle",
+      "mongodb", "snowflake", "s3", "as400", "parquet_dir")
+    config.get("database_type").map(_.toLowerCase) match {
+      case None | Some("") =>
+        fail(s"database_type is required. Supported types: ${supported.mkString(", ")}")
+      case Some(dbType) if !supported.contains(dbType) =>
+        fail(s"Unsupported database_type: $dbType. Supported types: ${supported.mkString(", ")}")
+      case Some(dbType) =>
+        def missing(field: String, label: String): Option[String] =
+          if (config.get(field).exists(_.nonEmpty)) None else Some(label)
+        val required: Seq[Option[String]] = dbType match {
+          case "s3" => Seq(
+            missing("database", "Bucket name is required for S3 connections"),
+            missing("username", "AWS Access Key ID is required for S3 connections"),
+            missing("password", "AWS Secret Access Key is required for S3 connections"))
+          case "snowflake" => Seq(
+            missing("host", "Account is required for Snowflake connections"),
+            missing("username", "Username is required"),
+            missing("password", "Password is required"),
+            missing("database", "Database is required"))
+          case "parquet_dir" => Seq(
+            missing("path", "path is required for parquet_dir connections"))
+          case "mongodb" => Seq(
+            missing("host", "Host is required"),
+            missing("username", "Username is required"),
+            missing("password", "Password is required"))
+          case _ => Seq( // JDBC family: postgresql/mysql/sqlserver/oracle/as400
+            missing("host", "Host is required"),
+            missing("port", "Port is required"),
+            missing("database", "Database is required"),
+            missing("username", "Username is required"),
+            missing("password", "Password is required"))
+        }
+        required.flatten.headOption match {
+          case Some(err) => fail(err)
+          case None if dbType == "parquet_dir" =>
+            val path = java.nio.file.Paths.get(config("path"))
+            val found = Tables.all.filter(t =>
+              java.nio.file.Files.exists(path.resolve(s"$t.parquet")))
+            if (found.nonEmpty)
+              ConnectionTestResult(success = true, status = "SUCCESS",
+                error = "", probed = true, responseTimeMs = ms)
+            else fail(s"No graft tables found under $path")
+          case None =>
+            ConnectionTestResult(success = true, status = "VALIDATED",
+              error = "", probed = false, responseTimeMs = ms)
+        }
+    }
+  }
 }
+
+/** Row shape of [[Discovery.connectionTest]] — the reference's test
+  * response minus the wall-clock `tested_at` (callers stamp it; keeping
+  * the function clock-free keeps it reproducible in specs). */
+case class ConnectionTestResult(success: Boolean, status: String,
+                                error: String, probed: Boolean,
+                                responseTimeMs: Long)

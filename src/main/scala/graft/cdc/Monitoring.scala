@@ -1195,21 +1195,30 @@ object Monitoring {
     * form of the hour horizon, so every number is integer-exact), the
     * LSN gap between them, and the trailing-hour arrival count. The
     * trended, offset-domain complement of [[lagTrend]] — this is the
-    * chart the reference's monitoring dashboard draws.
+    * chart the reference's monitoring dashboard draws. The per-bucket
+    * aggregate is densified over a `sequence(min,max)` bucket spine
+    * (empty buckets appear with 0 arrivals), so the lag-6 horizon is
+    * six TIME buckets even through quiet periods, not six observed rows.
     *
     * Scale shape: one scan collapsed to |buckets| rows by ONE
-    * aggregation; the running max / lag / trailing-sum windows run over
-    * that bounded pre-aggregated trend only (the window-audit
-    * exception), output |buckets| rows. */
+    * aggregation; the spine join and the running max / lag /
+    * trailing-sum windows run over that bounded pre-aggregated trend
+    * only (the window-audit exception), output |buckets| rows. */
   def lsnLatencyTrend(spark: SparkSession, dir: String,
                       bucketMs: Long = 600000L, horizonBuckets: Int = 6): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.orderBy("bucket_id")
     val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    graft.Tables.load(spark, dir, "events")
+    val agg = graft.Tables.load(spark, dir, "events")
       .select(expr(s"unix_millis(ts) div $bucketMs").as("bucket_id"),
         col("event_id"))
       .groupBy("bucket_id")
       .agg(max(col("event_id")).as("bucket_max"), count(lit(1)).as("n_arrived"))
+    // Dense bucket spine from the aggregate's own range: |buckets| rows,
+    // derived and joined entirely on the pre-aggregated trend.
+    val spine = agg.agg(min(col("bucket_id")).as("lo"), max(col("bucket_id")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("bucket_id"))
+    spine.join(agg, Seq("bucket_id"), "left")
+      .withColumn("n_arrived", coalesce(col("n_arrived"), lit(0L)))
       .withColumn("source_lsn", max(col("bucket_max")).over(cum))
       .withColumn("processed_lsn", lag(col("source_lsn"), horizonBuckets).over(w))
       .withColumn("cum_n", sum(col("n_arrived")).over(cum))
@@ -1229,13 +1238,19 @@ object Monitoring {
        |  SELECT epoch_ms(ts) // $bucketMs AS bucket_id,
        |         max(event_id) AS bucket_max, count(*) AS n_arrived
        |  FROM events GROUP BY bucket_id),
+       |spine AS (
+       |  SELECT unnest(generate_series(min_b, max_b)) AS bucket_id
+       |  FROM (SELECT min(bucket_id) AS min_b, max(bucket_id) AS max_b FROM b)),
+       |d AS (
+       |  SELECT s.bucket_id, coalesce(b.n_arrived, 0) AS n_arrived, b.bucket_max
+       |  FROM spine s LEFT JOIN b ON b.bucket_id = s.bucket_id),
        |t AS (
        |  SELECT bucket_id, n_arrived,
        |         max(bucket_max) OVER (ORDER BY bucket_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS source_lsn,
        |         CAST(sum(n_arrived) OVER (ORDER BY bucket_id
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
-       |  FROM b),
+       |  FROM d),
        |l AS (
        |  SELECT bucket_id, n_arrived, source_lsn, cum_n,
        |         lag(source_lsn, $horizonBuckets) OVER (ORDER BY bucket_id) AS processed_lsn,
@@ -1354,4 +1369,53 @@ object Monitoring {
        |FROM events CROSS JOIN h
        |GROUP BY group_id, topic, "partition"
        |ORDER BY topic, "partition"""".stripMargin
+
+  /** Point-in-time replay plan — the consumer-side twin of
+    * [[graft.cdc.Materialize]]'s time travel (same hwm − 1 day target
+    * convention): per topic, the offset to seek BACK to so state can be
+    * rebuilt as of the target (the last offset at-or-before it), and the
+    * replay bill — event count, payload byte volume (length(props) +
+    * the 64-byte envelope proxy shared with cdc_slot_retention), and
+    * replay share of the topic. The number a PITR restore or a
+    * reprocessing backfill reads before seeking a consumer group.
+    *
+    * Scale shape: one scan, broadcast hwm, ONE conditional aggregation
+    * per topic — |topics| output rows, no row shuffles beyond the
+    * topic-key partial aggregation. */
+  def replayPlan(spark: SparkSession, dir: String,
+                 horizonMs: Long = 86400000L, envelopeOverhead: Int = 64): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+    val hwm = ev.agg(max(col("ts")).as("hwm"))
+    val target = unix_millis(col("hwm")) - horizonMs
+    ev.crossJoin(broadcast(hwm))
+      .select(
+        concat(lit("graft.public."), col("event_type")).as("topic"),
+        col("event_id"), col("ts"),
+        (unix_millis(col("ts")) <= target).as("before_target"),
+        (length(col("props")).cast("long") + envelopeOverhead).as("msg_bytes"))
+      .groupBy("topic")
+      .agg(
+        coalesce(max(when(col("before_target"), col("event_id"))), lit(0L)).as("resume_offset"),
+        sum(when(!col("before_target"), 1L).otherwise(0L)).as("n_replay"),
+        sum(when(!col("before_target"), col("msg_bytes")).otherwise(0L)).as("replay_bytes"),
+        count(lit(1)).as("n_total"))
+      .select(col("topic"), col("resume_offset"), col("n_replay"), col("replay_bytes"),
+        (col("n_replay").cast("double") / col("n_total").cast("double")).as("replay_share"))
+      .orderBy("topic")
+  }
+
+  def replayPlanSql(horizonMs: Long = 86400000L, envelopeOverhead: Int = 64): String =
+    s"""WITH h AS (SELECT max(ts) AS hwm FROM events),
+       |m AS (
+       |  SELECT 'graft.public.' || event_type AS topic, event_id,
+       |         CAST(length(props) AS BIGINT) + $envelopeOverhead AS msg_bytes,
+       |         epoch_ms(ts) <= epoch_ms(hwm) - $horizonMs AS before_target
+       |  FROM events CROSS JOIN h)
+       |SELECT topic,
+       |       coalesce(max(CASE WHEN before_target THEN event_id END), 0) AS resume_offset,
+       |       CAST(sum(CASE WHEN NOT before_target THEN 1 ELSE 0 END) AS BIGINT) AS n_replay,
+       |       CAST(sum(CASE WHEN NOT before_target THEN msg_bytes ELSE 0 END) AS BIGINT) AS replay_bytes,
+       |       CAST(sum(CASE WHEN NOT before_target THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS replay_share
+       |FROM m GROUP BY topic ORDER BY topic""".stripMargin
 }

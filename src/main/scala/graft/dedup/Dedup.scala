@@ -202,6 +202,23 @@ object Dedup {
       sigsOf(normCorpus(spark, dir)
         .select(col("doc_id"), shingleCol(col("t")).as("shingles"))))
 
+  /** The memoized corpus builds the dedup family shares, in dependency
+    * order. Bench forces each under its own `shared:<name>` line BEFORE
+    * timing the registry, so (a) every family query's median measures its
+    * marginal cost instead of whichever member happened to pay a cold
+    * build first, and (b) the build cost itself is an explicit, attributed
+    * bench line (each line's time is its marginal cost over the lines
+    * before it — e.g. `verified_pairs` charges the band join + exact
+    * verify but not the signature build it reads). */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "norm_corpus" -> ((s, d) => normCorpus(s, d)),
+    "minhash_signatures" -> ((s, d) => signatures(s, d)),
+    "verified_pairs" -> ((s, d) => verifiedPairs(s, d)),
+    "containment_pairs" -> ((s, d) => containmentPairs(s, d)),
+    "clusters" -> ((s, d) => cluster(s, d)),
+    "simhash_fingerprints" -> ((s, d) => simhashFingerprints(s, d)),
+    "ngram_base" -> ((s, d) => ngramBase(s, d)))
+
   private def buildVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     // Materialize signatures before the self-join (at 100 TB: checkpoint /
     // persisted table); otherwise both join sides recompute the pipeline.
@@ -318,7 +335,7 @@ object Dedup {
     * [[verifiedPairs]] (the containment family's shared build). */
   private val containPairsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
-  private def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     memo(containPairsCache, spark, dir) {
       val sigs = signatures(spark, dir)
       val banded = sigs.select(col("doc_id"), explode(array((0 until 16).map(i =>
@@ -986,17 +1003,23 @@ object Dedup {
 
   /** Word-3-gram Jaccard near-dup with min-hash blocking: candidates share
     * the minimum 3-gram digest; verified pairs at Jaccard ≥ 0.4. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Cached (doc_id, word-trigram set) table — the ngram family's shared
+    * build. */
+  private[graft] def ngramBase(spark: SparkSession, dir: String): DataFrame = {
     val w = col("w")
     val grams = array_distinct(
       when(size(w) >= 3,
         transform(sequence(lit(1), size(w) - 2),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
         .otherwise(array(col("t"))))
-    val base = memo(ngramBaseCache, spark, dir)(
+    memo(ngramBaseCache, spark, dir)(
       normCorpus(spark, dir)
         .withColumn("w", split(col("t"), " "))
         .select(col("doc_id"), grams.as("grams")))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val base = ngramBase(spark, dir)
       // coalesce makes the join key non-nullable: otherwise Catalyst pushes
       // an IsNotNull(block_key) filter to the scan that re-inlines the whole
       // gram pipeline (split re-evaluated per lambda element - O(n^2)/row).

@@ -173,6 +173,43 @@ object Video {
     buildAvi(id, (0 until n).map(frameDib(id, _)), "DIB ", 0L, "00db")
   }
 
+  /** Scene-cut clip family for [[sceneDetect]]: same container, but the
+    * pixel function adds per-channel offsets that jump every
+    * `scenePeriod(id)` frames — real scene cuts with a closed-form
+    * oracle. Offsets (61/83/47) and in-scene steps (11/13/7) are all
+    * < 128, so the per-pixel CIRCULAR byte distance between consecutive
+    * frames is exactly 31 inside a scene and 222 across a cut, wrap or
+    * no wrap. */
+  private[multimodal] def scenePeriod(id: Long): Int = (id % 3 + 2).toInt
+
+  private def frameDibScenes(id: Long, f: Int): Array[Byte] = {
+    val (w, h, _, cc) = dims(id)
+    val s = f / scenePeriod(id)
+    val st = stride(w)
+    val data = new Array[Byte](st * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = (h - 1 - y) * st // bottom-up
+      var x = 0
+      while (x < w) {
+        val r = (cc + 2 * x + 3 * y + 11 * f + 61 * s) % 256
+        val g = (5 * x + 7 * y + 13 * f + 83 * s) % 256
+        val b = (3 * cc + x + 2 * y + 7 * f + 47 * s) % 256
+        data(rowOff + 3 * x) = b.toByte // BGR order
+        data(rowOff + 3 * x + 1) = g.toByte
+        data(rowOff + 3 * x + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    data
+  }
+
+  private[multimodal] def buildAviDibScenes(id: Long): Array[Byte] = {
+    val n = dims(id)._3
+    buildAvi(id, (0 until n).map(frameDibScenes(id, _)), "DIB ", 0L, "00db")
+  }
+
   private[multimodal] def buildAviMjpeg(id: Long): Array[Byte] = {
     javax.imageio.ImageIO.setUseCache(false)
     val n = dims(id)._3
@@ -578,4 +615,102 @@ object Video {
       |            ELSE (doc_id % 8 + 5) * (doc_id % 5 + 6) * (doc_id % 6 + 2)
       |       END AS BIGINT) AS n_units
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val sceneSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("scene_period", IntegerType, nullable = false),
+    StructField("n_cuts", LongType, nullable = false),
+    StructField("first_cut", IntegerType, nullable = false),
+    StructField("sad_total", LongType, nullable = false),
+    StructField("mean_sad_per_px", DoubleType, nullable = false)))
+
+  /** Scene-cut detection over DECODED frames — the keyframe-selection
+    * stage a video pipeline runs before per-scene sampling (shot-boundary
+    * detection by frame differencing, the classic SAD detector): per
+    * consecutive frame pair, the per-pixel sum of CIRCULAR byte distances
+    * (min(|Δ|, 256−|Δ|) per channel — wrap-proof where plain |Δ| is not),
+    * a cut where the SAD exceeds 100·pixels. Clips come from the
+    * scene-cut family ([[buildAviDibScenes]]): real AVI containers whose
+    * pixel function jumps every `scenePeriod(id)` frames, so cuts exist
+    * by construction, the lossless DIB round trip makes the decoded SAD
+    * exact, and the oracle recomputes everything closed-form.
+    *
+    * Scale shape: per-clip codec work in the batched mapPartitions shape
+    * (consecutive-frame state never crosses a row boundary), zero
+    * shuffles before the output sort. */
+  def sceneDetect(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.spread(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sceneSchema)
+    val detected = ids.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val p = parseAvi(buildAviDibScenes(id))
+        require(p.handler == "DIB " && p.biCompression == 0L,
+          s"clip $id: unexpected codec ${p.handler}/${p.biCompression}")
+        val st = ((3 * p.width + 3) / 4) * 4
+        val px = p.width * p.height
+        var sadTotal = 0L
+        var nCuts = 0L
+        var firstCut = 0
+        var f = 1
+        while (f < p.nFrames) {
+          val a = p.frames(f - 1)._2
+          val b = p.frames(f)._2
+          var sad = 0L
+          var y = 0
+          while (y < p.height) {
+            val rowOff = y * st // same layout both frames: row order is irrelevant to SAD
+            var i = rowOff
+            val end = rowOff + 3 * p.width
+            while (i < end) {
+              val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+              sad += math.min(d, 256 - d)
+              i += 1
+            }
+            y += 1
+          }
+          sadTotal += sad
+          if (sad > 100L * px) {
+            nCuts += 1
+            if (firstCut == 0) firstCut = f
+          }
+          f += 1
+        }
+        Row(id, p.nFrames, scenePeriod(id), nCuts, firstCut, sadTotal,
+          sadTotal.toDouble / ((p.nFrames - 1).toLong * px).toDouble)
+      }
+    }(enc)
+    detected.orderBy("doc_id")
+  }
+
+  val sceneDetectSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 + 5 AS w, doc_id % 5 + 6 AS h,
+      |         doc_id % 6 + 2 AS n, doc_id % 40 AS cc, doc_id % 3 + 2 AS sp
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h, n, cc, sp,
+      |              unnest(generate_series(1, CAST(n - 1 AS INTEGER))) AS f FROM d),
+      |xs AS (SELECT *, unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM fr),
+      |px AS (SELECT *, unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |dd AS (
+      |  SELECT doc_id, n, sp, w * h AS npx, f,
+      |         abs((cc + 2*x + 3*y + 11*f + 61*(f // sp)) % 256
+      |           - (cc + 2*x + 3*y + 11*(f-1) + 61*((f-1) // sp)) % 256) AS ar,
+      |         abs((5*x + 7*y + 13*f + 83*(f // sp)) % 256
+      |           - (5*x + 7*y + 13*(f-1) + 83*((f-1) // sp)) % 256) AS ag,
+      |         abs((3*cc + x + 2*y + 7*f + 47*(f // sp)) % 256
+      |           - (3*cc + x + 2*y + 7*(f-1) + 47*((f-1) // sp)) % 256) AS abl
+      |  FROM px),
+      |fs AS (
+      |  SELECT doc_id, n, sp, npx, f,
+      |         sum(least(ar, 256 - ar) + least(ag, 256 - ag) + least(abl, 256 - abl)) AS sad
+      |  FROM dd GROUP BY doc_id, n, sp, npx, f)
+      |SELECT doc_id, CAST(n AS INTEGER) AS n_frames, CAST(sp AS INTEGER) AS scene_period,
+      |       CAST(sum(CASE WHEN sad > 100 * npx THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |       CAST(coalesce(min(CASE WHEN sad > 100 * npx THEN f END), 0) AS INTEGER) AS first_cut,
+      |       CAST(sum(sad) AS BIGINT) AS sad_total,
+      |       CAST(sum(sad) AS DOUBLE) / CAST((n - 1) * npx AS DOUBLE) AS mean_sad_per_px
+      |FROM fs GROUP BY doc_id, n, sp, npx ORDER BY doc_id""".stripMargin
 }

@@ -2006,4 +2006,71 @@ object TextFunctions {
       |       CAST(sum(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha THEN 1 ELSE 0 END) AS DOUBLE)
       |         / CAST(count(*) AS DOUBLE) AS pass_rate
       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** Source-vocabulary overlap matrix: for every source pair, the distinct
+    * word-trigram grams they share, with containment (|∩| / min) and
+    * Jaccard. The VOCABULARY-level complement of `pipe_cross_source_dup`
+    * (which rolls up verified near-dup DOC pairs): two sources can share
+    * heavy boilerplate — headers, templates, license blurbs — without any
+    * single document pair clearing a Jaccard threshold, and this matrix is
+    * where that shows. Read before merging corpora or pricing a
+    * cross-source dedup pass.
+    *
+    * Scale shape: grams travel as 8-byte digests (as in dup_gram_share);
+    * one distinct on (source, gh) bounds every gram to ≤|sources| rows, so
+    * the gh self-join fans out ≤|sources|² per gram; vocabulary sizes
+    * attach as a broadcast-sized |sources|-row join; output
+    * |sources|²/2 rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val w = split(normText(col("text")), " ")
+    val grams = docs.select(col("source"), w.as("w"))
+      .withColumn("grams", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("w")) - 2, lit(1))),
+        i => concat_ws(" ", slice(col("w"), i, lit(3))))))
+      .select(col("source"), explode(col("grams")).as("g"))
+      .select(col("source"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val l = grams.select(col("gh"), col("source").as("source_a"))
+    val r = grams.select(col("gh"), col("source").as("source_b"))
+    l.join(r, "gh")
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_grams").as("n_a"))), "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_grams").as("n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"), col("n_b"),
+        (col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double")).as("containment"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH n AS (
+      |  SELECT source,
+      |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT source, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+      |  FROM (
+      |    SELECT source,
+      |           unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |                                 for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS g
+      |    FROM n)),
+      |sizes AS (SELECT source, count(*) AS n_grams FROM grams GROUP BY source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      |  FROM grams a JOIN grams b ON a.gh = b.gh AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT p.source_a, p.source_b, p.n_common,
+      |       sa.n_grams AS n_a, sb.n_grams AS n_b,
+      |       CAST(p.n_common AS DOUBLE) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE) AS containment,
+      |       CAST(p.n_common AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - p.n_common AS DOUBLE) AS jaccard
+      |FROM pairs p
+      |JOIN sizes sa ON sa.source = p.source_a
+      |JOIN sizes sb ON sb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
 }

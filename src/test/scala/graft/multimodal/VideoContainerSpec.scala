@@ -33,6 +33,27 @@ class VideoContainerSpec extends AnyFunSuite {
     assert(err.getMessage.contains("RIFF size mismatch"))
   }
 
+  test("scene detect: cuts land exactly on scene-period boundaries with the closed-form SAD levels") {
+    import graft.TestSpark.{spark, dir}
+    val rows = Video.sceneDetect(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, n, _) = Video.dims(id)
+      val sp = Video.scenePeriod(id)
+      val px = w * h
+      assert(r.getAs[Int]("n_frames") === n)
+      assert(r.getAs[Int]("scene_period") === sp)
+      // cut boundaries: f in [1, n-1] with f % sp == 0 (scene index jumps)
+      val cuts = (1 until n).filter(f => f / sp != (f - 1) / sp)
+      assert(r.getAs[Long]("n_cuts") === cuts.length.toLong)
+      assert(r.getAs[Int]("first_cut") === cuts.headOption.getOrElse(0))
+      // circular SAD is EXACTLY 31·px in-scene and 222·px across a cut
+      val expectedSad = (1 until n).map(f => if (f / sp != (f - 1) / sp) 222L * px else 31L * px).sum
+      assert(r.getAs[Long]("sad_total") === expectedSad)
+    }
+  }
+
   test("MJPEG variant carries real decodable JPEGs with the clip's dimensions") {
     val id = 7L
     val p = Video.parseAvi(Video.buildAviMjpeg(id))
