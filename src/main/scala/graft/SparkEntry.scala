@@ -124,9 +124,11 @@ object SparkEntry {
     // ── Dedup ────────────────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_exact_prefix" -> ((s, d) => Dedup.exactPrefix(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
     "dedup_chunk_hist" -> ((s, d) => Dedup.chunkDupHist(s, d)),
     "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
     "text_dup_gram_share" -> ((s, d) => TextFunctions.dupGramShare(s, d)),
+    "text_unigram_surprisal" -> ((s, d) => TextFunctions.unigramSurprisal(s, d)),
     "pipe_tokenizer_fertility" -> ((s, d) => TextFunctions.tokenizerFertility(s, d)),
     "pipe_token_histogram" -> ((s, d) => TextFunctions.tokenHistogram(s, d)),
     "pipe_vocab_growth" -> ((s, d) => TextFunctions.vocabGrowth(s, d)),
@@ -134,6 +136,8 @@ object SparkEntry {
     "emb_norm_stats" -> ((s, d) => Ann.normStats(s, d)),
     "emb_dim_variance" -> ((s, d) => Ann.dimVariance(s, d)),
     "emb_dim_quantiles" -> ((s, d) => Ann.dimQuantiles(s, d)),
+    "emb_pca_power" -> ((s, d) => Ann.pcaPower(s, d)),
+    "ann_nndescent_round" -> ((s, d) => Ann.nnDescentRound(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -158,6 +162,9 @@ object SparkEntry {
     "mm_scene_detect" -> ((s, d) => Video.sceneDetect(s, d)),
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
+    "mm_image_resize" -> ((s, d) => Binary.imageResize(s, d)),
+    "mm_audio_resample" -> ((s, d) => Binary.audioResample(s, d)),
+    "pipe_dataset_diff" -> ((s, d) => TextFunctions.datasetDiff(s, d)),
     "mm_audio_decode" -> ((s, d) => Binary.audioDecode(s, d)),
     "mm_audio_stats" -> ((s, d) => Binary.audioStats(s, d)),
     "mm_image_stats" -> ((s, d) => Binary.imageStats(s, d)),
@@ -170,6 +177,7 @@ object SparkEntry {
     "cdc_replay_plan" -> ((s, d) => Monitoring.replayPlan(s, d)),
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
     "cdc_checkpoint_browse" -> ((s, d) => Monitoring.checkpointBrowse(s, d)),
+    "cdc_log_browse" -> ((s, d) => Monitoring.logBrowse(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -877,9 +885,11 @@ object SparkEntry {
            |SELECT sig, count(*) AS n_copies, min(doc_id) AS canonical_id, max(doc_id) AS max_id
            |FROM sigs GROUP BY sig HAVING count(*) > 1 ORDER BY sig""".stripMargin,
       "dedup_exact_prefix" -> Dedup.exactPrefixSql(),
+      "dedup_substring" -> Dedup.substringDupSql(),
       "dedup_chunk_hist" -> Dedup.chunkDupHistSql,
       "text_novelty" -> TextFunctions.noveltySql,
       "text_dup_gram_share" -> TextFunctions.dupGramShareSql,
+      "text_unigram_surprisal" -> TextFunctions.unigramSurprisalSql,
       "pipe_tokenizer_fertility" -> TextFunctions.tokenizerFertilitySql,
       "pipe_token_histogram" -> TextFunctions.tokenHistogramSql,
       "pipe_vocab_growth" -> TextFunctions.vocabGrowthSql,
@@ -887,6 +897,8 @@ object SparkEntry {
       "emb_norm_stats" -> Ann.normStatsSql,
       "emb_dim_variance" -> Ann.dimVarianceSql,
       "emb_dim_quantiles" -> Ann.dimQuantilesSql,
+      "emb_pca_power" -> Ann.pcaPowerSql,
+      "ann_nndescent_round" -> Ann.nnDescentRoundSql(),
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,
@@ -915,6 +927,9 @@ object SparkEntry {
       "mm_scene_detect" -> Video.sceneDetectSql,
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,
+      "mm_image_resize" -> Binary.imageResizeSql,
+      "mm_audio_resample" -> Binary.audioResampleSql,
+      "pipe_dataset_diff" -> TextFunctions.datasetDiffSql,
       "mm_audio_decode" -> Binary.audioDecodeSql,
       "mm_audio_stats" -> Binary.audioStatsSql,
       "mm_image_stats" -> Binary.imageStatsSql,
@@ -926,6 +941,7 @@ object SparkEntry {
       "cdc_replay_plan" -> Monitoring.replayPlanSql(),
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
       "cdc_checkpoint_browse" -> Monitoring.checkpointBrowseSql,
+      "cdc_log_browse" -> Monitoring.logBrowseSql(),
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1418,4 +1418,71 @@ object Monitoring {
        |       CAST(sum(CASE WHEN NOT before_target THEN 1 ELSE 0 END) AS DOUBLE)
        |         / CAST(count(*) AS DOUBLE) AS replay_share
        |FROM m GROUP BY topic ORDER BY topic""".stripMargin
+
+  /** Application-log browse — the reference's paginated log listing
+    * (api.py:10153 get_application_logs): newest-first page with the
+    * endpoint's exact guardrails — `limit` capped at 50, the default
+    * window clamped to the trailing 7 days (here against the stream's
+    * own high-water mark instead of utcnow, so the result is
+    * reproducible), optional level filter and ILIKE search over the
+    * message — and the `total` the endpoint attaches, which by its own
+    * count query honors ONLY the 7-day horizon (not the level/search
+    * filters; mirrored faithfully). Log rows derive deterministically
+    * from the event stream: error events are ERROR, lifecycle events
+    * (signup/purchase) INFO, interaction events (click/view) DEBUG;
+    * logger is the component name, the props payload is the message.
+    *
+    * Scale shape: the page is orderBy+limit → TakeOrderedAndProject
+    * (never a full sort); the horizon bound and total are ONE scalar
+    * aggregate broadcast back. At 100 TB the filter reaches the scan
+    * and the page costs one pass. */
+  def logBrowse(
+      spark: SparkSession, dir: String,
+      level: String = "DEBUG", search: String = "7",
+      limit: Int = 50, horizonMs: Long = 7L * 86400000L): DataFrame = {
+    val cappedLimit = math.min(limit, 50) // the endpoint's cap (api.py:10260)
+    val logs = graft.Tables.load(spark, dir, "events")
+      .select(
+        col("event_id"), col("ts"),
+        when(col("event_type") === "error", "ERROR")
+          .when(col("event_type").isin("signup", "purchase"), "INFO")
+          .otherwise("DEBUG").as("level"),
+        concat(lit("graft."), col("event_type")).as("logger"),
+        col("props").as("message"))
+    val h = logs.agg(max(unix_millis(col("ts"))).as("hwm_ms"))
+    val horizon = logs.crossJoin(broadcast(h))
+      .where(unix_millis(col("ts")) >= col("hwm_ms") - horizonMs)
+    val total = horizon.agg(count(lit(1)).as("total_7d"))
+    horizon
+      .where(col("level") === level && col("message").contains(search))
+      .select("event_id", "ts", "level", "logger", "message")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(cappedLimit)
+      .crossJoin(broadcast(total))
+      .orderBy(col("ts").desc, col("event_id").desc)
+  }
+
+  def logBrowseSql(
+      level: String = "DEBUG", search: String = "7",
+      limit: Int = 50, horizonMs: Long = 7L * 86400000L): String =
+    s"""WITH logs AS (
+       |  SELECT event_id, ts,
+       |         CASE WHEN event_type = 'error' THEN 'ERROR'
+       |              WHEN event_type IN ('signup', 'purchase') THEN 'INFO'
+       |              ELSE 'DEBUG' END AS level,
+       |         'graft.' || event_type AS logger,
+       |         props AS message
+       |  FROM events),
+       |h AS (SELECT max(epoch_ms(ts)) AS hwm_ms FROM logs),
+       |horizon AS (
+       |  SELECT l.* FROM logs l CROSS JOIN h
+       |  WHERE epoch_ms(ts) >= hwm_ms - $horizonMs),
+       |total AS (SELECT count(*) AS total_7d FROM horizon)
+       |SELECT event_id, ts, level, logger, message, total_7d
+       |FROM (
+       |  SELECT * FROM horizon
+       |  WHERE level = '$level' AND message LIKE '%$search%'
+       |  ORDER BY ts DESC, event_id DESC LIMIT ${math.min(limit, 50)})
+       |CROSS JOIN total
+       |ORDER BY ts DESC, event_id DESC""".stripMargin
 }

@@ -1484,6 +1484,90 @@ object Dedup {
        |FROM members m JOIN lens l ON m.doc_id = l.doc_id
        |GROUP BY m.cluster_size ORDER BY m.cluster_size""".stripMargin
 
+  /** Exact duplicate-SUBSTRING spans — the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" semantics (arXiv
+    * 2107.06499), suffix-array-free: every fixed-length character gram
+    * (32 chars, their 50-token analogue scaled to the corpus) that occurs
+    * more than once corpus-wide marks its positions as duplicated, and
+    * per document the marked [p, p+31] intervals are merged into maximal
+    * spans — the regions an exact-substring dedup pass would cut, with
+    * the coverage share that decides whether the document is worth
+    * keeping at all. Catches partial overlap (the truncated near-copies,
+    * boilerplate headers) that whole-document hashing cannot.
+    *
+    * Scale shape: a suffix array over 100 TB is a research project; the
+    * gram lattice is two shuffles — occurrence multiplicity attached via
+    * a window PARTITIONED on the 16-byte gram digest (the corpus is
+    * never re-paired and the shingle pipeline is built once — the same
+    * linearization text_dup_gram_share uses), then the span merge as a
+    * per-document ordered window. Both keys are high-cardinality and
+    * skew-free by construction. */
+  def substringDup(spark: SparkSession, dir: String, gram: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = normCorpus(spark, dir)
+      .select(col("doc_id"), col("t"), length(col("t")).as("len"))
+      .where(col("len") >= gram)
+    val occ = base
+      .select(col("doc_id"), col("len"),
+        explode(sequence(lit(1), col("len") - (gram - 1))).as("p"), col("t"))
+      .select(col("doc_id"), col("len"), col("p"),
+        md5(col("t").substr(col("p"), lit(gram))).as("gh"))
+    val dup = occ
+      .withColumn("occ_n", count(lit(1)).over(w.partitionBy("gh")))
+      .where(col("occ_n") > 1)
+    val wDoc = w.partitionBy("doc_id").orderBy("p")
+    val spans = dup
+      .withColumn("prev_p", lag("p", 1).over(wDoc))
+      .withColumn("brk",
+        when(col("prev_p").isNull || col("p") - col("prev_p") > gram, 1L).otherwise(0L))
+      .withColumn("span_id", sum("brk").over(wDoc))
+      .groupBy(col("doc_id"), col("len"), col("span_id"))
+      .agg(min("p").as("s"), (max("p") + (gram - 1)).as("e"), count(lit(1)).as("npos"))
+    spans
+      .groupBy("doc_id", "len")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("npos")).as("n_dup_grams"),
+        sum((col("e") - col("s") + 1).cast("long")).as("dup_chars"))
+      .select(col("doc_id"), col("len").cast("long").as("doc_chars"),
+        col("n_spans"), col("n_dup_grams"), col("dup_chars"),
+        (col("dup_chars").cast("double") / col("len").cast("double")).as("dup_share"))
+      .orderBy("doc_id")
+  }
+
+  def substringDupSql(gram: Int = 32): String =
+    s"""$corpusSql,
+       |norm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |base AS (
+       |  SELECT doc_id, t, length(t) AS len FROM norm WHERE length(t) >= $gram),
+       |occ AS (
+       |  SELECT doc_id, len, unnest(generate_series(1, len - ${gram - 1})) AS p, t FROM base),
+       |gh AS (SELECT doc_id, len, p, md5(substr(t, CAST(p AS INTEGER), $gram)) AS gh FROM occ),
+       |dup AS (
+       |  SELECT doc_id, len, p FROM (
+       |    SELECT doc_id, len, p, count(*) OVER (PARTITION BY gh) AS occ_n FROM gh)
+       |  WHERE occ_n > 1),
+       |sp AS (
+       |  SELECT doc_id, len, p,
+       |         CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+       |                   OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $gram
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM dup),
+       |sid AS (
+       |  SELECT doc_id, len, p,
+       |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span_id FROM sp),
+       |spans AS (
+       |  SELECT doc_id, len, span_id, min(p) AS s, max(p) + ${gram - 1} AS e,
+       |         count(*) AS npos
+       |  FROM sid GROUP BY doc_id, len, span_id)
+       |SELECT doc_id, CAST(len AS BIGINT) AS doc_chars,
+       |       count(*) AS n_spans,
+       |       CAST(sum(npos) AS BIGINT) AS n_dup_grams,
+       |       CAST(sum(e - s + 1) AS BIGINT) AS dup_chars,
+       |       CAST(sum(e - s + 1) AS DOUBLE) / CAST(len AS DOUBLE) AS dup_share
+       |FROM spans GROUP BY doc_id, len ORDER BY doc_id""".stripMargin
+
   def incrementalSql(threshold: Double = 0.6): String =
     s"""$minhashPairsCte,
        |nd AS (SELECT doc_id FROM corpus WHERE doc_id >= 1000000),

@@ -333,6 +333,94 @@ object Binary {
       |       CAST(zc AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val resampleSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("in_rate", IntegerType, nullable = false),
+    StructField("out_rate", IntegerType, nullable = false),
+    StructField("n_in", LongType, nullable = false),
+    StructField("n_out", LongType, nullable = false),
+    StructField("sum_pcm", LongType, nullable = false),
+    StructField("min_pcm", LongType, nullable = false),
+    StructField("max_pcm", LongType, nullable = false)))
+
+  /** REAL audio resample — the rate-conversion stage after
+    * [[audioDecode]]: the RIFF/WAVE container is decoded and the PCM
+    * stream is halved 8000 → 4000 Hz by pair-averaging decimation (each
+    * output sample the FLOOR mean of its two sources, computed in the
+    * offset-binary u = s+32768 domain so the division is nonnegative
+    * and floor/truncate agree on every engine; a trailing odd sample is
+    * dropped). Naive decimation's aliasing trade-off is documented —
+    * the pipeline point is the decode→transform→aggregate shape with
+    * the aggregates read from the RESAMPLED stream, every value pinned
+    * by the closed-form waveform oracle.
+    *
+    * Serial like [[audioDecode]] (AudioSystem's provider registry is
+    * synchronized; fanning out buys contention). */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resampleSchema)
+    val out = ids.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val rate = dec.getFormat.getSampleRate.toInt
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        val mOut = m / 2
+        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+        var k = 0
+        while (k < mOut) {
+          def u(j: Int): Int =
+            ((((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)) + 32768)
+          val v = ((u(2 * k) + u(2 * k + 1)) / 2 - 32768).toLong
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          k += 1
+        }
+        Row(id, rate, rate / 2, m.toLong, mOut.toLong, sum, mn, mx)
+      }
+    }(enc)
+    out
+      .withColumn("mean_pcm",
+        col("sum_pcm").cast("double") / col("n_out").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val audioResampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 480 + 160 AS n FROM documents),
+      |k AS (SELECT doc_id, n,
+      |             unnest(generate_series(0, CAST(n // 2 - 1 AS INTEGER))) AS k FROM d),
+      |v AS (SELECT doc_id, n,
+      |             ((doc_id * 31 + (2 * k) * 17) % 65536
+      |              + (doc_id * 31 + (2 * k + 1) * 17) % 65536) // 2 - 32768 AS x
+      |      FROM k),
+      |sums AS (
+      |  SELECT doc_id, n, sum(x) AS sp, min(x) AS mn, max(x) AS mx, count(*) AS m_out
+      |  FROM v GROUP BY doc_id, n)
+      |SELECT doc_id, 8000 AS in_rate, 4000 AS out_rate,
+      |       CAST(n AS BIGINT) AS n_in, CAST(m_out AS BIGINT) AS n_out,
+      |       CAST(sp AS BIGINT) AS sum_pcm,
+      |       CAST(mn AS BIGINT) AS min_pcm, CAST(mx AS BIGINT) AS max_pcm,
+      |       CAST(sp AS DOUBLE) / CAST(m_out AS DOUBLE) AS mean_pcm
+      |FROM sums ORDER BY doc_id""".stripMargin
+
   private val phashSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("phash", LongType, nullable = false)))
@@ -464,6 +552,106 @@ object Binary {
        |       CAST(sum(sr) AS BIGINT) AS total_red,
        |       CAST(sum(sr) AS DOUBLE) / CAST(sum(w * h) AS DOUBLE) AS mean_red
        |FROM sums""".stripMargin
+
+  private val resizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_w", IntegerType, nullable = false),
+    StructField("src_h", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("n_out_pixels", LongType, nullable = false),
+    StructField("sum_red", LongType, nullable = false),
+    StructField("sum_green", LongType, nullable = false),
+    StructField("sum_blue", LongType, nullable = false)))
+
+  /** REAL image resize — the feature-extract stage after [[imageDecode]]:
+    * each PNG is decoded and 2× box-filter downsampled (every output
+    * pixel is the FLOOR INTEGER mean of its ≤2×2 source block; odd
+    * edges get 1-wide blocks — the standard area-average minification,
+    * in exact integer arithmetic so the DuckDB oracle can pin every
+    * resized pixel from the closed-form pixel function with no float in
+    * sight). Output metadata and channel sums are read from the RESIZED
+    * pixels, so a codec shortcut, a wrong stride, or a rounding-mode
+    * drift in the filter all break the hash match. Swap the generator
+    * for a blob column and this is the production thumbnail stage.
+    *
+    * Scale shape: same batched per-partition codec as [[imageDecode]]
+    * ([[spreadForCodec]] guards the single-row-group test file); zero
+    * shuffles before the output sort. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    val ids = spreadForCodec(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeSchema)
+    val resized = ids.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        buf.reset()
+        javax.imageio.ImageIO.write(pixelImage(id), "png", buf)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        require(dec != null, s"undecodable PNG for doc $id")
+        val w = dec.getWidth; val h = dec.getHeight
+        val ow = (w + 1) / 2; val oh = (h + 1) / 2
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var bx = 0
+        while (bx < ow) {
+          var by = 0
+          while (by < oh) {
+            var r = 0L; var g = 0L; var b = 0L; var n = 0L
+            var dx = 0
+            while (dx < 2 && 2 * bx + dx < w) {
+              var dy = 0
+              while (dy < 2 && 2 * by + dy < h) {
+                val p = dec.getRGB(2 * bx + dx, 2 * by + dy)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                n += 1; dy += 1
+              }
+              dx += 1
+            }
+            sr += r / n; sg += g / n; sb += b / n
+            by += 1
+          }
+          bx += 1
+        }
+        Row(id, w, h, ow, oh, ow.toLong * oh, sr, sg, sb)
+      }
+    }(enc)
+    resized
+      .withColumn("mean_red",
+        col("sum_red").cast("double") / col("n_out_pixels").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val imageResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 13 + 8 AS h,
+      |         doc_id % 256 AS c
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, c,
+      |              unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, c, x,
+      |              unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |blocks AS (
+      |  SELECT doc_id, w, h, x // 2 AS bx, y // 2 AS by,
+      |         sum((c + 2 * x + 3 * y) % 256) // count(*) AS r,
+      |         sum((5 * x + 7 * y) % 256) // count(*) AS g,
+      |         sum((3 * c + x + 2 * y) % 256) // count(*) AS b
+      |  FROM px GROUP BY doc_id, w, h, x // 2, y // 2),
+      |sums AS (
+      |  SELECT doc_id, w, h, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+      |         count(*) AS np
+      |  FROM blocks GROUP BY doc_id, w, h)
+      |SELECT doc_id,
+      |       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+      |       CAST((w + 1) // 2 AS INTEGER) AS out_w,
+      |       CAST((h + 1) // 2 AS INTEGER) AS out_h,
+      |       CAST(np AS BIGINT) AS n_out_pixels,
+      |       CAST(sr AS BIGINT) AS sum_red, CAST(sg AS BIGINT) AS sum_green,
+      |       CAST(sb AS BIGINT) AS sum_blue,
+      |       CAST(sr AS DOUBLE) / CAST(np AS DOUBLE) AS mean_red
+      |FROM sums ORDER BY doc_id""".stripMargin
 
   /** Per-modality payload statistics: blob counts, byte volumes and
     * magic-prefix diversity for each modality class — the storage-planning

@@ -1683,4 +1683,208 @@ object Ann {
       |       quantile_cont(x, 0.99) AS p99,
       |       quantile_cont(x, 0.99) - quantile_cont(x, 0.01) AS clip_range
       |FROM longf GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** One NN-DESCENT refinement round over the all-nodes k-NN graph
+    * (Dong et al., WWW 2011 — the graph-ANN construction HNSW-class
+    * indexes descend from, in its MapReduce form): the initial graph is
+    * each node's top-k within its sign-LSH bucket (the cheap seed), and
+    * the round exploits the paper's observation that "a neighbor of a
+    * neighbor is likely a neighbor" — candidates are the node's current
+    * neighbors plus its neighbors' neighbors, exact-rescored, and the
+    * per-node report shows what the round bought: candidate volume,
+    * best cosine before/after, and the improved flag. Iterating this
+    * round to fixed point IS the index build; one round exposes the
+    * whole machinery and keeps the oracle exact.
+    *
+    * Scale shape: the seed join is bucket-bounded (never all-pairs);
+    * the expansion is two self-equi-joins of the k·|V|-row edge list on
+    * node ids (candidates ≤ k² per node by construction); rescoring is
+    * two hash joins against the vector table; per-node top state via a
+    * window partitioned on vec_id. All shuffles are on node ids —
+    * uniform by construction. */
+  def nnDescentRound(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val coded = emb.withColumn("bucket", signCode(col("embedding")))
+    // seed edges, two kinds — both are essential: sign-LSH bucket peers
+    // give LOCALLY good neighbors, and deterministic "ring" partners
+    // ((v + j·97) mod |V|, the reproducible stand-in for the paper's
+    // random initialization) give CROSS-BUCKET reach. A bucket-only seed
+    // would trap the whole expansion inside one bucket (a neighbor of a
+    // bucket peer is another bucket peer) and the round could never
+    // improve anything.
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val bucketEdges = coded
+      .join(coded.select(col("vec_id").as("nbr"), col("bucket")), "bucket")
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"))
+    val ringEdges = emb.select(col("vec_id"))
+      .crossJoin(broadcast(nv))
+      .select(col("vec_id"), explode(array(lit(1), lit(2))).as("j"), col("nv"))
+      .select(col("vec_id"), ((col("vec_id") + col("j") * 97L) % col("nv")).as("nbr"))
+      .where(col("vec_id") =!= col("nbr"))
+    val p0 = bucketEdges.union(ringEdges).distinct()
+      .join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")), "nbr")
+      .select(col("vec_id"), col("nbr"), cosine(spark, "embedding", "ne").as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+    val g0 = p0.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    val nn2 = g0.select(col("vec_id"), col("nbr").as("mid"))
+      .join(g0.select(col("vec_id").as("mid"), col("nbr").as("cand")), "mid")
+      .where(col("cand") =!= col("vec_id"))
+      .select(col("vec_id"), col("cand"))
+    val cands = g0.select(col("vec_id"), col("nbr").as("cand"))
+      .union(nn2).distinct()
+    val scored = cands
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(emb.select(col("vec_id").as("cand"), col("embedding").as("ce")), "cand")
+      .select(col("vec_id"), col("cand"), cosine(spark, "embedding", "ce").as("cos"))
+    val b0 = g0.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_init"), max(col("cos")).as("best_cos_0"))
+    val b1 = scored.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos_1"))
+    b0.join(b1, "vec_id")
+      .select(col("vec_id"), col("n_init"), col("n_cand"),
+        col("best_cos_0"), col("best_cos_1"),
+        when(col("best_cos_1") > col("best_cos_0"), 1L).otherwise(0L).as("improved"))
+      .orderBy("vec_id")
+  }
+
+  def nnDescentRoundSql(k: Int = 5): String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |n AS (SELECT count(*) AS nv FROM embeddings),
+       |edges AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT e.vec_id, (e.vec_id + j * 97) % n.nv AS nbr
+       |  FROM embeddings e CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2]) AS j)
+       |  WHERE e.vec_id <> (e.vec_id + j * 97) % n.nv),
+       |p0 AS (
+       |  SELECT c.vec_id, c.nbr,
+       |         ${cosineSql("x.embedding", "y.embedding")} AS cos
+       |  FROM edges c JOIN coded x ON c.vec_id = x.vec_id
+       |                JOIN coded y ON c.nbr = y.vec_id),
+       |g0 AS (
+       |  SELECT vec_id, nbr, cos FROM (
+       |    SELECT vec_id, nbr, cos,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+       |    FROM p0)
+       |  WHERE rn <= $k),
+       |nn2 AS (
+       |  SELECT e1.vec_id, e2.nbr AS cand
+       |  FROM g0 e1 JOIN g0 e2 ON e1.nbr = e2.vec_id
+       |  WHERE e2.nbr <> e1.vec_id),
+       |cands AS (
+       |  SELECT vec_id, nbr AS cand FROM g0
+       |  UNION
+       |  SELECT vec_id, cand FROM nn2),
+       |scored AS (
+       |  SELECT c.vec_id, c.cand,
+       |         ${cosineSql("x.embedding", "y.embedding")} AS cos
+       |  FROM cands c JOIN coded x ON c.vec_id = x.vec_id
+       |                JOIN coded y ON c.cand = y.vec_id),
+       |b0 AS (SELECT vec_id, count(*) AS n_init, max(cos) AS best_cos_0 FROM g0 GROUP BY vec_id),
+       |b1 AS (SELECT vec_id, count(*) AS n_cand, max(cos) AS best_cos_1 FROM scored GROUP BY vec_id)
+       |SELECT vec_id, n_init, n_cand, best_cos_0, best_cos_1,
+       |       CAST(CASE WHEN best_cos_1 > best_cos_0 THEN 1 ELSE 0 END AS BIGINT) AS improved
+       |FROM b0 JOIN b1 USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  /** Top principal direction of the embedding table by POWER ITERATION —
+    * the spectral-health probe (anisotropy check, whitening input,
+    * rogue-dimension detector) run before cosine retrieval is trusted:
+    * embedding exports whose mass collapses onto one direction (the
+    * classic "rogue dimension" failure) show a dominant λ here long
+    * before recall gates degrade. Two unrolled iterations of
+    * v ← Xᵀ(Xv)/‖Xᵀ(Xv)‖ on the UNCENTERED second-moment matrix,
+    * seeded with the deterministic first basis vector; outputs one row
+    * per dimension with the final loading and both per-round Rayleigh
+    * estimates (their ratio is the usual convergence telltale).
+    *
+    * Determinism: per-vector projections are index-ordered folds
+    * (bit-stable doubles); every cross-ROW sum quantizes addends to
+    * floor(x·2⁴⁰) and sums exactly as DECIMAL(38,0)/HUGEINT — the
+    * kmeans_refine pattern — so loadings are bit-identical on any
+    * engine and partitioning. Fixed unroll keeps the oracle exact.
+    *
+    * Scale shape: each round is one |vecs|·d explode + ONE shuffle keyed
+    * by dimension (d keys, map-side combined); the d-row spectral state
+    * collapses to a single broadcast row between rounds. At 100 TB this
+    * is the textbook distributed power method — no Gram matrix is ever
+    * materialized. */
+  def pcaPower(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    def qSum(c: Column): Column =
+      sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q
+    // round 1: v0 = e1, so the projection is just the first component
+    val r1 = emb
+      .select(element_at(col("embedding"), 1).cast("double").as("s"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(qSum(col("x").cast("double") * col("s")).as("c"))
+    val v1 = r1
+      .agg(sort_array(collect_list(struct(col("j"), col("c")))).as("a"))
+      .select(transform(col("a"), e => e.getField("c")).as("ca"))
+      .select(col("ca"), sqrt(dotFold(col("ca"), col("ca"))).as("lambda1"))
+      .select(transform(col("ca"), x => x / col("lambda1")).as("v1"), col("lambda1"))
+    // round 2: project on v1 (index-ordered fold), re-aggregate per dim
+    val r2 = emb.crossJoin(broadcast(v1))
+      .select(col("lambda1"), dotFold(col("embedding"), col("v1")).as("s"),
+        posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("j")
+      .agg(max(col("lambda1")).as("lambda1"), qSum(col("x").cast("double") * col("s")).as("c"))
+    r2
+      .agg(max(col("lambda1")).as("lambda1"),
+        sort_array(collect_list(struct(col("j"), col("c")))).as("a"))
+      .select(col("lambda1"), transform(col("a"), e => e.getField("c")).as("ca"))
+      .select(col("lambda1"), col("ca"), sqrt(dotFold(col("ca"), col("ca"))).as("lambda2"))
+      .select(posexplode(transform(col("ca"), x => x / col("lambda2"))).as(Seq("j", "loading")),
+        col("lambda1"), col("lambda2"))
+      .select((col("j") + 1).cast("long").as("dim"), col("loading"),
+        col("lambda1"), col("lambda2"))
+      .orderBy("dim")
+  }
+
+  val pcaPowerSql: String = {
+    val Qs = "1099511627776.0"
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |l1 AS (
+       |  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+       |         unnest(generate_series(1, len(embedding))) AS j,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM e),
+       |r1 AS (
+       |  SELECT j, CAST(sum(CAST(floor(x * s * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs AS c
+       |  FROM l1 GROUP BY j),
+       |a1 AS (SELECT list(c ORDER BY j) AS ca FROM r1),
+       |n1 AS (
+       |  SELECT ca, sqrt(list_reduce(list_transform(ca, x -> x * x), (a, b) -> a + b)) AS lambda1
+       |  FROM a1),
+       |vv AS (SELECT list_transform(ca, x -> x / lambda1) AS v1, lambda1 FROM n1),
+       |l2 AS (
+       |  SELECT lambda1,
+       |         list_reduce(list_transform(generate_series(1, len(embedding)),
+       |                                    i -> CAST(embedding[i] AS DOUBLE) * v1[i]),
+       |                     (a, b) -> a + b) AS s,
+       |         unnest(generate_series(1, len(embedding))) AS j,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM e CROSS JOIN vv),
+       |r2 AS (
+       |  SELECT j, max(lambda1) AS lambda1,
+       |         CAST(sum(CAST(floor(x * s * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs AS c
+       |  FROM l2 GROUP BY j),
+       |a2 AS (SELECT max(lambda1) AS lambda1, list(c ORDER BY j) AS ca FROM r2),
+       |n2 AS (
+       |  SELECT lambda1, ca,
+       |         sqrt(list_reduce(list_transform(ca, x -> x * x), (a, b) -> a + b)) AS lambda2
+       |  FROM a2),
+       |fin AS (
+       |  SELECT unnest(generate_series(1, len(ca))) AS j,
+       |         unnest(list_transform(ca, x -> x / lambda2)) AS loading,
+       |         lambda1, lambda2
+       |  FROM n2)
+       |SELECT CAST(j AS BIGINT) AS dim, loading, lambda1, lambda2
+       |FROM fin ORDER BY dim""".stripMargin
+  }
 }

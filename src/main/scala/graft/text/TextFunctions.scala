@@ -505,6 +505,57 @@ object TextFunctions {
       |       CAST(sum_df AS DOUBLE) / CAST(n_terms AS DOUBLE) AS mean_df
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Per-document unigram surprisal in WHOLE BITS — the third (and
+    * sharpest) log-free LM-perplexity proxy: each token's surprisal
+    * −log₂ P(w) = log₂(N/c_w) is floored to the exact integer
+    * k = ⌊log₂(N/c_w)⌋, computed with PURE integer comparisons
+    * (largest k ∈ [0,40] with c_w·2ᵏ ≤ N — no libm, so the value is
+    * bit-identical on any engine) and averaged per document. Documents
+    * full of corpus-rare tokens score high (gibberish, OCR noise, other
+    * languages); templated text scores low. The whole-bit floor costs
+    * < 1 bit/token of resolution against true cross-entropy — plenty
+    * for the quality-bucketing decision this feeds — and buys exactness
+    * where a float Σln would depend on partitioning and libm.
+    *
+    * Scale shape: one vocabulary shuffle for the counts (map-side
+    * combined), count table re-joined on the term key (AQE broadcasts
+    * it when it fits), the corpus total attached as a 1-row broadcast,
+    * and the per-doc rollup sums exact integers — order-independent. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val pows = array((0 to 40).map(k => lit(1L << k)): _*)
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(cnt, "term").crossJoin(broadcast(n))
+      .withColumn("bits",
+        (size(filter(pows, p => col("c") * p <= col("n_total"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"),
+        max("bits").as("max_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"), col("max_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  val unigramSurprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term FROM toks WHERE length(term) >= 1),
+      |c AS (SELECT term, count(*) AS c FROM t GROUP BY term),
+      |n AS (SELECT count(*) AS n_total FROM t),
+      |b AS (
+      |  SELECT doc_id,
+      |         CAST(len(list_filter(list_transform(generate_series(0, 40), k -> 1::BIGINT << k),
+      |                              p -> c.c * p <= n.n_total)) - 1 AS BIGINT) AS bits
+      |  FROM t JOIN c USING (term) CROSS JOIN n)
+      |SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits,
+      |       CAST(max(bits) AS BIGINT) AS max_bits,
+      |       CAST(sum(bits) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_bits
+      |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Per-source novelty: the share of word-trigram shingles that occur in
     * exactly one document corpus-wide. High-novelty sources contribute
     * fresh text; low-novelty ones are template/boilerplate-heavy — the
@@ -2073,4 +2124,80 @@ object TextFunctions {
       |JOIN sizes sa ON sa.source = p.source_a
       |JOIN sizes sb ON sb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  /** Corpus snapshot DIFF — the dataset-versioning report (what Delta's
+    * change-data-feed `DESCRIBE` gives a lakehouse, for a corpus): per
+    * source, how many documents the next snapshot added / removed /
+    * changed / kept, and the net character delta — the review gate
+    * before a training run re-pins its data version. The second
+    * snapshot derives deterministically from the first (docs ≡0 mod 23
+    * removed, ≡0 mod 17 tail-truncated i.e. changed, ≡0 mod 13 cloned
+    * under +3M ids i.e. added) so both engines diff identical inputs.
+    *
+    * Scale shape: ONE full-outer equi-join on doc_id (content compared
+    * by 128-bit digest, never by text) + one |sources|-key rollup. At
+    * 100 TB this is the canonical snapshot-diff plan; no window, no
+    * fan-out. */
+  def datasetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2base = docs.where(col("doc_id") % 23 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 17 === 0,
+          col("text").substr(lit(1), greatest(length(col("text")) - 10, lit(20))))
+          .otherwise(col("text")).as("text"))
+    val added = docs.where(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 3000000L).as("doc_id"), col("source"), col("text"))
+    def sig(df: DataFrame, tag: String): DataFrame =
+      df.select(col("doc_id"), col("source").as(s"s$tag"),
+        md5(col("text")).as(s"h$tag"), length(col("text")).cast("long").as(s"l$tag"))
+    val j = sig(docs, "1")
+      .join(sig(v2base.unionAll(added), "2"), Seq("doc_id"), "full_outer")
+    j.select(
+        coalesce(col("s1"), col("s2")).as("source"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"),
+        (coalesce(col("l2"), lit(0L)) - coalesce(col("l1"), lit(0L))).as("delta"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("delta")).as("net_char_delta"))
+      .orderBy("source")
+  }
+
+  val datasetDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, md5(text) AS h, length(text) AS l FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, source,
+      |         md5(CASE WHEN doc_id % 17 = 0
+      |                  THEN substr(text, 1, greatest(length(text) - 10, 20))
+      |                  ELSE text END) AS h,
+      |         length(CASE WHEN doc_id % 17 = 0
+      |                     THEN substr(text, 1, greatest(length(text) - 10, 20))
+      |                     ELSE text END) AS l
+      |  FROM documents WHERE doc_id % 23 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, source, md5(text), length(text)
+      |  FROM documents WHERE doc_id % 13 = 0),
+      |j AS (
+      |  SELECT coalesce(v1.source, v2.source) AS source,
+      |         CASE WHEN v1.h IS NULL THEN 'added'
+      |              WHEN v2.h IS NULL THEN 'removed'
+      |              WHEN v1.h = v2.h THEN 'unchanged'
+      |              ELSE 'changed' END AS status,
+      |         coalesce(v2.l, 0) - coalesce(v1.l, 0) AS delta
+      |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      |SELECT source,
+      |       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |       CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+      |       CAST(sum(delta) AS BIGINT) AS net_char_delta
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
 }
