@@ -111,6 +111,31 @@ object ScaleSmoke {
         .count()
     }
 
+    t("substring dup spans (dedup_substring shape)", nDocs) {
+      // dedup_substring shape: EVERY character position fans out a
+      // 32-char gram (≈|text| rows per doc — the heaviest text fan-out in
+      // the engine), occurrence multiplicity attached via the
+      // gh-partitioned window, span merge via a doc_id-partitioned
+      // window. Replica-suffixed tokens keep replicas distinct, so dup
+      // positions come only from intra-replica structure and the count
+      // scales linearly with the corpus — super-linear growth here means
+      // the digest key went skewed
+      import graft.text.TextFunctions.normText
+      val w = org.apache.spark.sql.expressions.Window
+      val base = bigDocs
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .select(col("doc_id"), col("t"), length(col("t")).as("len"))
+        .where(col("len") >= 32)
+      base
+        .select(col("doc_id"),
+          explode(sequence(lit(1), col("len") - 31)).as("p"), col("t"))
+        .select(col("doc_id"), col("p"),
+          conv(substring(md5(col("t").substr(col("p"), lit(32))), 1, 15), 16, 10)
+            .cast("long").as("gh"))
+        .withColumn("n", count(lit(1)).over(w.partitionBy("gh")))
+        .where(col("n") > 1).count()
+    }
+
     t("term doc-frequency", nDocs) {
       // text_doc_freq shape: per-row distinct terms, one (term) shuffle,
       // broadcast scalar corpus count, top-k via TakeOrderedAndProject
