@@ -224,7 +224,7 @@ object SparkEntry {
     // composite-key upsert through the generic materializer: lineitem as a
     // (suppkey, partkey)-keyed changelog, returnflag 'R' acting as delete
     "cdc_materialize_composite" -> ((s, d) => {
-      val li = graft.Tables.load(s, d, "lineitem").select(
+      val li = graft.Tables.spread(graft.Tables.load(s, d, "lineitem")).select(
         when(col("l_returnflag") === "R", "d").otherwise("u").as("op"),
         col("l_suppkey"), col("l_partkey"),
         col("l_shipdate"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),

@@ -35,7 +35,24 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
 
+  /** Tables whose operators do real per-row compute (JSON parse, shingle
+    * fan-out, codecs, vector folds) — [[load]] applies the [[spread]]
+    * parallelism guard to these. Dimension tables stay unspread: they
+    * broadcast into joins, and a pre-broadcast shuffle is pure waste. */
+  private val spreadTables: Set[String] =
+    Set("documents")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = loadSerial(spark, dir, name)
+    if (spreadTables(name)) spread(df) else df
+  }
+
+  /** [[load]] without the parallelism guard — for consumers where the
+    * spread is provably wrong: serial-by-design codecs (the audio path's
+    * synchronized AudioSystem registry — fan-out buys lock contention,
+    * measured 2-3× slower) and bounded takes (a preview shuffling the
+    * whole table to take 10 rows). */
+  def loadSerial(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Idempotent repair for sessions not built by localSession (the driver
     // smoke-check hands entry() its own session). Writes a constant, and
     // only when the live value differs, so steady state mutates nothing and

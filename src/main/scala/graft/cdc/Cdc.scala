@@ -76,7 +76,11 @@ object Cdc {
     * This is the "Kafka topic" surrogate: downstream operators parse it back
     * with [[parseEnvelope]], exercising the real from_json path. */
   def toWire(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.load(spark, dir, "events")
+    // spread: every wire consumer pays per-row to_json here and from_json
+    // above (the two heaviest row expressions in the CDC family) — the
+    // parallelism guard keeps them off a single single-split scan task
+    // (parse_envelope 2.7 → 0.8 s at sf0.1; no-op at production splits)
+    val ev = Tables.spread(Tables.load(spark, dir, "events"))
     val row = struct(col("user_id"), col("event_type"), col("value"))
     val op = opFromEventType(col("event_type"))
     ev.select(

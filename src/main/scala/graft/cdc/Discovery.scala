@@ -97,7 +97,11 @@ object Discovery {
   def sizeEstimate(spark: SparkSession, dir: String,
                    chunkBytes: Long = 16L * 1024 * 1024): DataFrame = {
     val per = Tables.all.map { t =>
-      val df = Tables.load(spark, dir, t)
+      // loadSerial: a pure scalar aggregation pipelines into the scan and
+      // partial aggregation already parallelizes at production split
+      // counts; the parallelism-guard shuffle would move the whole table
+      // just to count it
+      val df = Tables.loadSerial(spark, dir, t)
       val rowBytes: Column = df.schema.fields
         .map(f => byteModel(f.name, f.dataType.simpleString)._1)
         .reduce(_ + _)
@@ -225,7 +229,10 @@ object Discovery {
   def preview(spark: SparkSession, dir: String, table: String,
               limit: Int = 100): DataFrame = {
     require(limit >= 1 && limit <= 1000, s"preview limit must be in [1,1000], got $limit")
-    val df = Tables.load(spark, dir, table)
+    // loadSerial: a bounded take must not pay the parallelism-guard
+    // shuffle — TakeOrdered's per-partition top-n over the natural scan
+    // splits is already the right plan at every scale
+    val df = Tables.loadSerial(spark, dir, table)
     df.orderBy(col(df.columns.head)).limit(limit)
   }
 

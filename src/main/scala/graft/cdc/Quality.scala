@@ -55,7 +55,9 @@ object Quality {
   /** Per-column integrity aggregates on orders (long format): row count,
     * null count, distinct count, and an exact decimal sum for numerics. */
   def integrityStats(spark: SparkSession, dir: String): DataFrame = {
-    val orders = Tables.load(spark, dir, "orders")
+    // spread: the one-scan multi-aggregate evaluates every per-column
+    // expression per row; keep that off a single-split scan task
+    val orders = Tables.spread(Tables.load(spark, dir, "orders"))
     // ONE scan computing every per-column aggregate, exploded to the
     // long format afterwards — a union of per-column aggregations would
     // read the table once per column (5 scans here, ruinous at scale)
@@ -199,7 +201,8 @@ object Quality {
     // the cast, making matching replicas compare as corrupt; the final
     // mod-P fold keeps the published checksum a stable BIGINT
     def sumOf(name: String, keyExpr: org.apache.spark.sql.Column) =
-      Tables.load(spark, dir, name)
+      // spread: per-row md5 digests below the scalar aggregate
+      Tables.spread(Tables.load(spark, dir, name))
         .select((conv(substring(md5(keyExpr), 1, 15), 16, 10).cast("long") % P)
           .cast(DecimalType(38, 0)).as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hs"))

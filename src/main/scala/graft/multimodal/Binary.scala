@@ -181,7 +181,7 @@ object Binary {
     // out across cores buys lock contention, not speedup — measured 2×
     // SLOWER at 32 partitions than serial. The scan's natural splits are the
     // right parallelism for this codec.
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSchema)
     val decoded = ids.mapPartitions { rows =>
       import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
@@ -264,7 +264,7 @@ object Binary {
   def audioStats(spark: SparkSession, dir: String): DataFrame = {
     // serial for the same AudioSystem-registry-contention reason as
     // [[audioDecode]]
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
     val decoded = ids.mapPartitions { rows =>
       import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
@@ -357,7 +357,7 @@ object Binary {
     * Serial like [[audioDecode]] (AudioSystem's provider registry is
     * synchronized; fanning out buys contention). */
   def audioResample(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.load(spark, dir, "documents").select(col("doc_id"))
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resampleSchema)
     val out = ids.mapPartitions { rows =>
       import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}

