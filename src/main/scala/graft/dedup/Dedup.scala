@@ -847,30 +847,38 @@ object Dedup {
     * adds only anti-joins over the removed-doc populations and
     * single-row scalar aggregates (broadcast, structurally bounded). */
   def dedupWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    // "first stage wins" as a MIN over stage tags rather than a chain of
+    // anti-joins: the anti-join form re-evaluated each removal set once
+    // per downstream use (removed1 three times, the cluster filter
+    // twice — measured ~2× the whole operator), while the union +
+    // per-doc min computes every base exactly once. Semantics are
+    // identical: a doc removed by several rungs is charged to the
+    // earliest.
     val lens = normCorpus(spark, dir)
       .select(col("doc_id"), length(col("t")).cast("long").as("n_chars"))
     val nc = normCorpus(spark, dir).select(col("doc_id"), md5(col("t")).as("sig"))
     val exg = nc.groupBy("sig").agg(min(col("doc_id")).as("keep"), count(lit(1)).as("c"))
-    val removed1 = nc.join(exg, "sig")
-      .where(col("c") > 1 && col("doc_id") =!= col("keep")).select("doc_id")
-    val removed2 = cluster(spark, dir)
-      .where(col("doc_id") =!= col("canonical_id")).select("doc_id")
-      .join(removed1, Seq("doc_id"), "left_anti")
-    val removed3 = containment(spark, dir)
+    val r1 = nc.join(exg, "sig")
+      .where(col("c") > 1 && col("doc_id") =!= col("keep"))
+      .select(col("doc_id"), lit(1).as("stage"))
+    val r2 = cluster(spark, dir)
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(2).as("stage"))
+    val r3 = containment(spark, dir)
       .select(when(col("n_a") < col("n_b"), col("id_a"))
         .when(col("n_b") < col("n_a"), col("id_b"))
-        .otherwise(col("id_b")).as("doc_id"))
-      .distinct()
-      .join(removed1, Seq("doc_id"), "left_anti")
-      .join(removed2, Seq("doc_id"), "left_anti")
-    def stat(df: DataFrame, n: String, ch: String) =
-      df.join(lens, "doc_id")
-        .agg(count(lit(1)).as(n), coalesce(sum(col("n_chars")), lit(0L)).as(ch))
+        .otherwise(col("id_b")).as("doc_id"), lit(3).as("stage"))
+    val firstStage = r1.unionAll(r2).unionAll(r3)
+      .groupBy("doc_id").agg(min(col("stage")).as("stage"))
+    // one UNGROUPED conditional aggregate (bounded — audit-safe as a
+    // broadcast side) carries all six stage counters in a single row
+    def n(s: Int) = sum(when(col("stage") === s, 1L).otherwise(0L))
+    def ch(s: Int) = sum(when(col("stage") === s, col("n_chars")).otherwise(0L))
+    val stats = firstStage.join(lens, "doc_id")
+      .agg(n(1).as("n1"), ch(1).as("c1"), n(2).as("n2"), ch(2).as("c2"),
+        n(3).as("n3"), ch(3).as("c3"))
     val total = normCorpus(spark, dir).agg(count(lit(1)).as("total"))
-    stat(removed1, "n1", "c1")
-      .crossJoin(broadcast(stat(removed2, "n2", "c2")))
-      .crossJoin(broadcast(stat(removed3, "n3", "c3")))
-      .crossJoin(broadcast(total))
+    stats.crossJoin(broadcast(total))
       .select(explode(array(
         struct(lit("1_exact").as("stage"), col("n1").as("n_removed"),
           col("c1").as("chars_removed"), (col("total") - col("n1")).as("survivors")),
