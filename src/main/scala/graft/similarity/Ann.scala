@@ -1791,6 +1791,152 @@ object Ann {
        |       CAST(CASE WHEN best_cos_1 > best_cos_0 THEN 1 ELSE 0 END AS BIGINT) AS improved
        |FROM b0 JOIN b1 USING (vec_id) ORDER BY vec_id""".stripMargin
 
+  /** The NN-DESCENT loop ITERATED — the index-build trajectory between
+    * [[nnDescentRound]]'s single step and a finished k-NN graph (the
+    * Dong et al. construction converges in a handful of rounds; the
+    * per-round row here is the convergence telemetry an index build
+    * publishes). Two expansion rounds unrolled over the same seed graph
+    * (fixed unroll keeps the oracle exact, as in kmeans_converge), each
+    * round reporting: graph size, the quantized-exact mean best cosine
+    * (floor(c·2⁴⁰) summed exactly — partition-order independent), nodes
+    * whose best neighbor improved, edges replaced since the previous
+    * round, and the converged flag (no edge changed).
+    *
+    * Scale shape: per round ONE ≤(k+k²)·|V|-row candidate expansion via
+    * two edge-list self-equi-joins, two hash joins to rescore, and a
+    * vec_id-partitioned top-k window. No all-pairs anywhere — recall
+    * telemetry against brute force lives in ann_recall_eval, which is
+    * why this op can stay linear. */
+  def nnDescentConverge(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val coded = emb.withColumn("bucket", signCode(col("embedding")))
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val bucketEdges = coded
+      .join(coded.select(col("vec_id").as("nbr"), col("bucket")), "bucket")
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"))
+    val ringEdges = emb.select(col("vec_id"))
+      .crossJoin(broadcast(nv))
+      .select(col("vec_id"), explode(array(lit(1), lit(2))).as("j"), col("nv"))
+      .select(col("vec_id"), ((col("vec_id") + col("j") * 97L) % col("nv")).as("nbr"))
+      .where(col("vec_id") =!= col("nbr"))
+    def score(edges: DataFrame): DataFrame = edges
+      .join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")), "nbr")
+      .select(col("vec_id"), col("nbr"), cosine(spark, "embedding", "ne").as("cos"))
+    def topK(scored: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    }
+    def expand(g: DataFrame): DataFrame =
+      g.select(col("vec_id"), col("nbr"))
+        .union(
+          g.select(col("vec_id"), col("nbr").as("mid"))
+            .join(g.select(col("vec_id").as("mid"), col("nbr").as("cand")), "mid")
+            .where(col("cand") =!= col("vec_id"))
+            .select(col("vec_id"), col("cand").as("nbr")))
+        .distinct()
+    val g0 = topK(score(bucketEdges.union(ringEdges).distinct()))
+    val g1 = topK(score(expand(g0)))
+    val g2 = topK(score(expand(g1)))
+    def best(g: DataFrame): DataFrame =
+      g.groupBy("vec_id").agg(max(col("cos")).as("best"))
+    def roundStats(round: Int, g: DataFrame, prev: Option[DataFrame]): DataFrame = {
+      val base = g.agg(
+        countDistinct(col("vec_id")).as("n_nodes"),
+        count(lit(1)).as("n_edges"),
+        (sum(floor(col("cos") * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q
+          / count(lit(1))).as("mean_cos"))
+      val (nImproved, nNew) = prev match {
+        case None =>
+          (g.agg(lit(0L).as("n_improved")),
+            g.agg(count(lit(1)).as("n_new_edges")))
+        case Some(p) =>
+          (best(g).join(best(p).select(col("vec_id"), col("best").as("pb")), "vec_id")
+            .agg(count(when(col("best") > col("pb"), 1)).as("n_improved")),
+            g.join(p.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
+              .agg(count(lit(1)).as("n_new_edges")))
+      }
+      base.crossJoin(broadcast(nImproved)).crossJoin(broadcast(nNew))
+        .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"),
+          col("mean_cos"), col("n_improved"), col("n_new_edges"),
+          (col("n_new_edges") === 0L).cast("long").as("converged"))
+    }
+    roundStats(0, g0, None)
+      .unionAll(roundStats(1, g1, Some(g0)))
+      .unionAll(roundStats(2, g2, Some(g1)))
+      .orderBy("round")
+  }
+
+  def nnDescentConvergeSql(k: Int = 5): String = {
+    val Qs = "1099511627776.0"
+    def expandCte(prev: String, cand: String): String =
+      s"""$cand AS (
+         |  SELECT vec_id, nbr FROM $prev
+         |  UNION
+         |  SELECT e1.vec_id, e2.nbr
+         |  FROM $prev e1 JOIN $prev e2 ON e1.nbr = e2.vec_id
+         |  WHERE e2.nbr <> e1.vec_id)""".stripMargin
+    def scoreTopCte(cand: String, g: String): String =
+      s"""$g AS (
+         |  SELECT vec_id, nbr, cos FROM (
+         |    SELECT c.vec_id, c.nbr,
+         |           ${cosineSql("x.embedding", "y.embedding")} AS cos,
+         |           row_number() OVER (PARTITION BY c.vec_id
+         |                              ORDER BY ${cosineSql("x.embedding", "y.embedding")} DESC, c.nbr) AS rn
+         |    FROM $cand c JOIN coded x ON c.vec_id = x.vec_id
+         |                  JOIN coded y ON c.nbr = y.vec_id)
+         |  WHERE rn <= $k)""".stripMargin
+    def statCte(round: Int, g: String, prev: Option[String]): String = prev match {
+      case None =>
+        s"""SELECT $round AS round,
+           |       count(DISTINCT vec_id) AS n_nodes, count(*) AS n_edges,
+           |       CAST(sum(CAST(floor(cos * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs / count(*) AS mean_cos,
+           |       CAST(0 AS BIGINT) AS n_improved,
+           |       count(*) AS n_new_edges,
+           |       CAST(0 AS BIGINT) AS converged
+           |FROM $g""".stripMargin
+      case Some(p) =>
+        s"""SELECT $round AS round,
+           |       (SELECT count(DISTINCT vec_id) FROM $g) AS n_nodes,
+           |       (SELECT count(*) FROM $g) AS n_edges,
+           |       (SELECT CAST(sum(CAST(floor(cos * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs / count(*) FROM $g) AS mean_cos,
+           |       (SELECT count(*) FROM
+           |          (SELECT vec_id, max(cos) AS b FROM $g GROUP BY vec_id) cg
+           |          JOIN (SELECT vec_id, max(cos) AS pb FROM $p GROUP BY vec_id) pg USING (vec_id)
+           |        WHERE cg.b > pg.pb) AS n_improved,
+           |       (SELECT count(*) FROM $g
+           |        WHERE NOT EXISTS (SELECT 1 FROM $p
+           |                          WHERE $p.vec_id = $g.vec_id AND $p.nbr = $g.nbr)) AS n_new_edges,
+           |       CAST(CASE WHEN (SELECT count(*) FROM $g
+           |                       WHERE NOT EXISTS (SELECT 1 FROM $p
+           |                                         WHERE $p.vec_id = $g.vec_id AND $p.nbr = $g.nbr)) = 0
+           |                 THEN 1 ELSE 0 END AS BIGINT) AS converged""".stripMargin
+    }
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |n AS (SELECT count(*) AS nv FROM embeddings),
+       |seed AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  UNION
+       |  SELECT e.vec_id, (e.vec_id + j * 97) % n.nv AS nbr
+       |  FROM embeddings e CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2]) AS j)
+       |  WHERE e.vec_id <> (e.vec_id + j * 97) % n.nv),
+       |${scoreTopCte("seed", "g0")},
+       |${expandCte("g0", "cand1")},
+       |${scoreTopCte("cand1", "g1")},
+       |${expandCte("g1", "cand2")},
+       |${scoreTopCte("cand2", "g2")}
+       |${statCte(0, "g0", None)}
+       |UNION ALL
+       |${statCte(1, "g1", Some("g0"))}
+       |UNION ALL
+       |${statCte(2, "g2", Some("g1"))}
+       |ORDER BY round""".stripMargin
+  }
+
   /** Top principal direction of the embedding table by POWER ITERATION —
     * the spectral-health probe (anisotropy check, whitening input,
     * rogue-dimension detector) run before cosine retrieval is trusted:

@@ -113,6 +113,25 @@ class Round9bSpec extends AnyFunSuite {
       "at least one node should find a better neighbor through the expansion")
   }
 
+  test("nn-descent converge: monotone trajectory, k-bounded graph, consistent flags") {
+    val rows = Ann.nnDescentConverge(spark, dir).collect().sortBy(_.getAs[Long]("round"))
+    assert(rows.length === 3)
+    val k = 5L
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_edges") <= k * r.getAs[Long]("n_nodes"))
+      assert(r.getAs[Long]("converged") ===
+        (if (r.getAs[Long]("n_new_edges") == 0L) 1L else 0L))
+    }
+    // round 0 charges the whole seed graph as new
+    assert(rows.head.getAs[Long]("n_new_edges") === rows.head.getAs[Long]("n_edges"))
+    assert(rows.head.getAs[Long]("n_improved") === 0L)
+    // each expansion keeps prior candidates available, so the mean best-k
+    // cosine can only rise; on clustered embeddings it must strictly rise
+    val means = rows.map(_.getAs[Double]("mean_cos"))
+    assert(means(1) > means(0) && means(2) > means(1),
+      s"trajectory must climb: ${means.mkString(" -> ")}")
+  }
+
   test("pca power: unit-norm loadings, positive Rayleigh growth, partition independence") {
     val rows = Ann.pcaPower(spark, dir).collect()
     assert(rows.length === 64, "one row per dimension")
