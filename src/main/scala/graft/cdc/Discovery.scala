@@ -304,6 +304,44 @@ object Discovery {
         }
     }
   }
+
+  /** Connection-test HISTORY — the reference's
+    * `/connections/{id}/test/history` endpoint backed by its
+    * `_save_test_history` / `get_test_history` pair
+    * (connection_service.py:1420-1450): every test run appends a record,
+    * the history endpoint returns the connection's records newest-first
+    * with a limit. The store is an instance (not a global) so specs are
+    * isolated; `tested_seq` is a monotone sequence in place of the
+    * reference's wall-clock `tested_at` (same ordering role, clock-free
+    * and thus reproducible). Catalog-sized driver state, like the
+    * pipeline registry. */
+  final class TestHistory {
+    private val records =
+      scala.collection.mutable.ArrayBuffer.empty[ConnectionTestRecord]
+    private var seq = 0L
+
+    /** Run [[connectionTest]] for `config` and append the outcome. */
+    def recordTest(connectionId: String, config: Map[String, String]): ConnectionTestRecord =
+      synchronized {
+        seq += 1
+        val r = connectionTest(config)
+        val rec = ConnectionTestRecord(
+          id = seq, connectionId = connectionId, status = r.status,
+          responseTimeMs = r.responseTimeMs,
+          errorMessage = if (r.error.isEmpty) None else Some(r.error),
+          testedSeq = seq)
+        records += rec
+        rec
+      }
+
+    /** Newest-first history for one connection, limited — the endpoint's
+      * exact shape (order by tested_at desc, limit). */
+    def history(connectionId: String, limit: Int = 10): Seq[ConnectionTestRecord] =
+      synchronized {
+        records.filter(_.connectionId == connectionId)
+          .sortBy(-_.testedSeq).take(math.max(limit, 0)).toSeq
+      }
+  }
 }
 
 /** Row shape of [[Discovery.connectionTest]] — the reference's test
@@ -312,3 +350,10 @@ object Discovery {
 case class ConnectionTestResult(success: Boolean, status: String,
                                 error: String, probed: Boolean,
                                 responseTimeMs: Long)
+
+/** Row shape of [[Discovery.TestHistory]] — the reference's test-history
+  * record (id / status / response_time_ms / error_message / tested_at),
+  * with the wall-clock stamp replaced by the monotone `testedSeq`. */
+case class ConnectionTestRecord(id: Long, connectionId: String, status: String,
+                                responseTimeMs: Long, errorMessage: Option[String],
+                                testedSeq: Long)

@@ -173,6 +173,30 @@ class Round9bSpec extends AnyFunSuite {
     assert(changed === expectedChanged)
   }
 
+  test("connection test history: newest-first, limited, per-connection isolated") {
+    val h = new graft.cdc.Discovery.TestHistory
+    val good = Map("database_type" -> "parquet_dir", "path" -> dir)
+    val bad = Map("database_type" -> "parquet_dir", "path" -> "/no/such/dir")
+    h.recordTest("conn_a", good)
+    h.recordTest("conn_a", bad)
+    h.recordTest("conn_b", good)
+    (1 to 10).foreach(_ => h.recordTest("conn_a", good))
+    val full = h.history("conn_a", limit = 100)
+    assert(full.length === 12)
+    // newest-first ordering by the monotone sequence
+    assert(full.map(_.testedSeq) === full.map(_.testedSeq).sorted.reverse)
+    // the endpoint's limit shape
+    assert(h.history("conn_a").length === 10)
+    assert(h.history("conn_a", 3).map(_.testedSeq) === full.take(3).map(_.testedSeq))
+    // outcome content mirrors the reference's record fields
+    val failRec = full.find(_.status == "FAILED").get
+    assert(failRec.errorMessage.exists(_.contains("No graft tables")))
+    assert(full.count(_.status == "SUCCESS") === 11)
+    // other connections never bleed in
+    assert(h.history("conn_b").length === 1)
+    assert(h.history("conn_missing").isEmpty)
+  }
+
   test("log browse: page respects the endpoint caps and the horizon total") {
     val rows = graft.cdc.Monitoring.logBrowse(spark, dir).collect()
     assert(rows.length <= 50, "the endpoint caps limit at 50")
