@@ -33,7 +33,19 @@ object Tables {
     * session that lacks them. */
   val scanConfs: Seq[(String, String)] = Seq(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
-    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false")
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
+    // InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
+    // explode and pushes it toward the scan. When the array is COMPUTED
+    // (every corpus fan-out here: shingles, grams, chunk spans), that
+    // filter re-evaluates the whole construction pipeline a second time —
+    // below the parallelism-guard exchange, i.e. serially on the scan
+    // task (measured: the trigram fan-out spent 3.4 of its 3.8 s inside
+    // the duplicated Filter). The inference only ever saves work when the
+    // generator input is a STORED column that can be pruned early, which
+    // no graft operator relies on — the explode itself already drops
+    // empty arrays.
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
 
   /** Tables whose operators do real per-row compute (JSON parse, shingle
     * fan-out, codecs, vector folds) — [[load]] applies the [[spread]]
