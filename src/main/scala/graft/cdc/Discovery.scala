@@ -305,6 +305,57 @@ object Discovery {
     }
   }
 
+  /** Source→target table mapping — the reference's
+    * `/pipelines/{id}/tables/mapping` endpoint backed by
+    * discovery_service.py:96 map_tables, with its exact precedence:
+    * a custom mapping wins (absent entries fall back to the source
+    * name), else provided target tables pair 1:1 by index (shorter
+    * target list falls back to the source name), else identity.
+    * Catalog work — pure function, no jobs. */
+  def mapTables(
+      sourceTables: Seq[String],
+      targetTables: Seq[String] = Nil,
+      customMapping: Map[String, String] = Map.empty): Seq[(String, String)] =
+    if (customMapping.nonEmpty)
+      sourceTables.map(s => s -> customMapping.getOrElse(s, s))
+    else if (targetTables.nonEmpty)
+      sourceTables.zipWithIndex.map { case (s, i) =>
+        s -> (if (i < targetTables.length) targetTables(i) else s)
+      }
+    else sourceTables.map(s => s -> s)
+
+  /** Table-selection validation — the reference's
+    * `/pipelines/{id}/tables/select` guard (discovery_service.py:135
+    * validate_table_selection): each selected table is checked against
+    * the catalog for existence and for a primary key (CDC needs one —
+    * missing PK is the reference's warning, missing table its error).
+    * PK convention matches [[preview]]/the TPC-H naming: the first
+    * catalog column. Returns per-table detail rows plus the overall
+    * verdict, mirroring the endpoint's `valid`/`errors`/`warnings`
+    * split. Catalog work — no jobs. */
+  def validateTableSelection(tables: Seq[String]): TableSelectionResult = {
+    val catalog = schemaCatalog.toMap
+    val details = tables.map { t =>
+      catalog.get(t) match {
+        case None =>
+          TableSelectionDetail(t, exists = false, hasPrimaryKey = false,
+            errors = Seq(s"Table '$t' does not exist"), warnings = Nil)
+        case Some(cols) =>
+          val pk = cols.headOption.exists(_._1.endsWith("key")) ||
+            cols.headOption.exists(_._1.endsWith("_id"))
+          TableSelectionDetail(t, exists = true, hasPrimaryKey = pk,
+            errors = Nil,
+            warnings = if (pk) Nil
+            else Seq("Table has no primary key - may cause issues with CDC"))
+      }
+    }
+    TableSelectionResult(
+      valid = details.forall(_.exists),
+      errors = details.flatMap(_.errors),
+      warnings = details.flatMap(_.warnings),
+      tableDetails = details)
+  }
+
   /** Connection-test HISTORY — the reference's
     * `/connections/{id}/test/history` endpoint backed by its
     * `_save_test_history` / `get_test_history` pair
@@ -357,3 +408,16 @@ case class ConnectionTestResult(success: Boolean, status: String,
 case class ConnectionTestRecord(id: Long, connectionId: String, status: String,
                                 responseTimeMs: Long, errorMessage: Option[String],
                                 testedSeq: Long)
+
+/** Per-table row of [[Discovery.validateTableSelection]] — the
+  * reference's table_details entry (name/exists/has_primary_key plus its
+  * errors/warnings lists). */
+case class TableSelectionDetail(name: String, exists: Boolean,
+                                hasPrimaryKey: Boolean,
+                                errors: Seq[String], warnings: Seq[String])
+
+/** Verdict shape of [[Discovery.validateTableSelection]] — the endpoint's
+  * valid/errors/warnings/table_details split. */
+case class TableSelectionResult(valid: Boolean, errors: Seq[String],
+                                warnings: Seq[String],
+                                tableDetails: Seq[TableSelectionDetail])

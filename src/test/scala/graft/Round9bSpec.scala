@@ -197,6 +197,26 @@ class Round9bSpec extends AnyFunSuite {
     assert(h.history("conn_missing").isEmpty)
   }
 
+  test("table mapping and selection validation mirror the reference's precedence") {
+    import graft.cdc.Discovery.{mapTables, validateTableSelection}
+    // custom mapping wins; absent entries fall back to the source name
+    assert(mapTables(Seq("a", "b"), Seq("x"), Map("a" -> "t_a")) ===
+      Seq("a" -> "t_a", "b" -> "b"))
+    // index pairing with a shorter target list falls back per-table
+    assert(mapTables(Seq("a", "b", "c"), Seq("x", "y")) ===
+      Seq("a" -> "x", "b" -> "y", "c" -> "c"))
+    // identity when nothing is provided
+    assert(mapTables(Seq("a", "b")) === Seq("a" -> "a", "b" -> "b"))
+
+    val ok = validateTableSelection(Seq("lineitem", "events", "documents"))
+    assert(ok.valid && ok.errors.isEmpty)
+    assert(ok.tableDetails.forall(d => d.exists && d.hasPrimaryKey))
+    val bad = validateTableSelection(Seq("lineitem", "no_such_table"))
+    assert(!bad.valid)
+    assert(bad.errors.exists(_.contains("no_such_table")))
+    assert(bad.tableDetails.map(_.exists) === Seq(true, false))
+  }
+
   test("log browse: page respects the endpoint caps and the horizon total") {
     val rows = graft.cdc.Monitoring.logBrowse(spark, dir).collect()
     assert(rows.length <= 50, "the endpoint caps limit at 50")
