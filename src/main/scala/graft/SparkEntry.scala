@@ -139,6 +139,7 @@ object SparkEntry {
     "emb_pca_power" -> ((s, d) => Ann.pcaPower(s, d)),
     "ann_nndescent_round" -> ((s, d) => Ann.nnDescentRound(s, d)),
     "ann_nndescent_converge" -> ((s, d) => Ann.nnDescentConverge(s, d)),
+    "emb_outlier_share" -> ((s, d) => Ann.outlierShare(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -901,6 +902,7 @@ object SparkEntry {
       "emb_pca_power" -> Ann.pcaPowerSql,
       "ann_nndescent_round" -> Ann.nnDescentRoundSql(),
       "ann_nndescent_converge" -> Ann.nnDescentConvergeSql(),
+      "emb_outlier_share" -> Ann.outlierShareSql,
       "dedup_minhash_lsh" -> Dedup.minhashLshSql,
       "dedup_simhash" -> Dedup.simhashSql,
       "dedup_ngram_jaccard" -> Dedup.ngramJaccardSql,

@@ -1212,7 +1212,7 @@ object Ann {
       .select(col("label").as("probe_label"))
     val restricted = emb
       .join(broadcast(probes), col("label") === col("probe_label"))
-      .select(emb.columns.map(col): _*)
+      .select(emb.columns.toIndexedSeq.map(col): _*)
     pqTopKOver(spark, emb, restricted, k)
   }
 
@@ -1683,6 +1683,90 @@ object Ann {
       |       quantile_cont(x, 0.99) AS p99,
       |       quantile_cont(x, 0.99) - quantile_cont(x, 0.01) AS clip_range
       |FROM longf GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** Per-label embedding OUTLIERS by distance-to-centroid — the
+    * cluster-relative hygiene screen that completes the embedding-QA
+    * family (norm_stats catches broken exports globally; this catches
+    * rows that do not belong to their own label: mislabeled vectors,
+    * cross-domain leaks, the points SemDeDup-style pruning drops
+    * first). Per label: the exact quantized centroid, each member's
+    * squared L2 distance to it (index-ordered per-row fold), the
+    * label's mean/σ of that distance from exact quantized sums, and
+    * the count/share beyond mean + 2σ — every float either a
+    * deterministic per-row fold or a ratio of exactly-summed
+    * quantities, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one |vecs|·d explode + ONE shuffle keyed by
+    * (label, dim) for centroids (≤ |labels|·d rows, broadcast back),
+    * distances per-row against the broadcast centroid, then two
+    * |labels|-key aggregations with a broadcast join between them.
+    * Never an all-pairs anything. */
+  def outlierShare(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val long = emb.select(col("vec_id"), col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "x")))
+    def qSum(c: Column): Column =
+      sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q
+    val centroids = long.groupBy("label", "pos")
+      .agg((qSum(col("x").cast("double")) / count(lit(1))).as("c"))
+    val dist = long
+      .join(broadcast(centroids), Seq("label", "pos"))
+      .withColumn("dq",
+        floor((col("x").cast("double") - col("c")) * (col("x").cast("double") - col("c")) * Q)
+          .cast("long").cast(DecimalType(38, 0)))
+      .groupBy("vec_id", "label")
+      .agg((sum(col("dq")).cast("double") / Q).as("d2"))
+    val stats = dist.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (qSum(col("d2")) / count(lit(1))).as("mean_d2"),
+        (qSum(col("d2") * col("d2")) / count(lit(1))).as("mean_d4"))
+      .withColumn("std_d2", sqrt(col("mean_d4") - col("mean_d2") * col("mean_d2")))
+    dist.join(broadcast(stats), "label")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        max(col("n_vecs")).as("n_vecs"),
+        max(col("mean_d2")).as("mean_d2"),
+        max(col("std_d2")).as("std_d2"),
+        sum(when(col("d2") > col("mean_d2") + lit(2.0) * col("std_d2"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_share",
+        col("n_outliers").cast("double") / col("n_vecs").cast("double"))
+      .orderBy("label")
+  }
+
+  val outlierShareSql: String = {
+    val Qs = "1099511627776.0"
+    s"""WITH longf AS (
+       |  SELECT vec_id, label,
+       |         unnest(generate_series(1, len(embedding))) AS pos,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |centroids AS (
+       |  SELECT label, pos,
+       |         CAST(sum(CAST(floor(x * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs / count(*) AS c
+       |  FROM longf GROUP BY label, pos),
+       |dist AS (
+       |  SELECT vec_id, l.label,
+       |         CAST(sum(CAST(floor((x - c) * (x - c) * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs AS d2
+       |  FROM longf l JOIN centroids ct ON l.label = ct.label AND l.pos = ct.pos
+       |  GROUP BY vec_id, l.label),
+       |stats AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |         CAST(sum(CAST(floor(d2 * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs / count(*) AS mean_d2,
+       |         CAST(sum(CAST(floor(d2 * d2 * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs / count(*) AS mean_d4
+       |  FROM dist GROUP BY label)
+       |SELECT CAST(s.label AS BIGINT) AS label, s.n_vecs, s.mean_d2,
+       |       sqrt(s.mean_d4 - s.mean_d2 * s.mean_d2) AS std_d2,
+       |       CAST(sum(CASE WHEN d.d2 > s.mean_d2 + 2.0 * sqrt(s.mean_d4 - s.mean_d2 * s.mean_d2)
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       CAST(sum(CASE WHEN d.d2 > s.mean_d2 + 2.0 * sqrt(s.mean_d4 - s.mean_d2 * s.mean_d2)
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(s.n_vecs AS DOUBLE) AS outlier_share
+       |FROM dist d JOIN stats s ON d.label = s.label
+       |GROUP BY s.label, s.n_vecs, s.mean_d2, s.mean_d4
+       |ORDER BY label""".stripMargin
+  }
 
   /** One NN-DESCENT refinement round over the all-nodes k-NN graph
     * (Dong et al., WWW 2011 — the graph-ANN construction HNSW-class

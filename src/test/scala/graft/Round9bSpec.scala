@@ -152,6 +152,28 @@ class Round9bSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("embedding outliers: shares bounded, stats positive, partition independent") {
+    val rows = Ann.outlierShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.load(spark, dir, "embeddings")
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_d2") > 0.0)
+      assert(r.getAs[Double]("std_d2") >= 0.0)
+      val share = r.getAs[Double]("outlier_share")
+      // Chebyshev/Cantelli: beyond mean+2σ can hold at most 1/(1+4) of mass
+      assert(share >= 0.0 && share <= 0.2 + 1e-9)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_vecs"))
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Ann.outlierShare(spark, dir).collect().map(_.toString)
+      assert(again.sameElements(rows.map(_.toString)),
+        "quantized sums must make outlier stats partition-order independent")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("dataset diff: statuses partition both snapshots exactly") {
     val rows = TextFunctions.datasetDiff(spark, dir).collect()
     val docs = Tables.load(spark, dir, "documents")
