@@ -161,6 +161,7 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Video.binaryMeta(s, d)),
     "mm_frame_sample" -> ((s, d) => Video.frameSample(s, d)),
     "mm_video_decode" -> ((s, d) => Video.videoDecode(s, d)),
+    "mm_video_resize" -> ((s, d) => Video.videoResize(s, d)),
     "mm_scene_detect" -> ((s, d) => Video.sceneDetect(s, d)),
     "mm_modality_stats" -> ((s, d) => Binary.modalityStats(s, d)),
     "mm_image_decode" -> ((s, d) => Binary.imageDecode(s, d)),
@@ -928,6 +929,7 @@ object SparkEntry {
       "mm_binary_meta" -> Video.binaryMetaSql,
       "mm_frame_sample" -> Video.frameSampleSql,
       "mm_video_decode" -> Video.videoDecodeSql,
+      "mm_video_resize" -> Video.videoResizeSql,
       "mm_scene_detect" -> Video.sceneDetectSql,
       "mm_modality_stats" -> Binary.modalityStatsSql,
       "mm_image_decode" -> Binary.imageDecodeSql,

@@ -713,4 +713,105 @@ object Video {
       |       CAST(sum(sad) AS BIGINT) AS sad_total,
       |       CAST(sum(sad) AS DOUBLE) / CAST((n - 1) * npx AS DOUBLE) AS mean_sad_per_px
       |FROM fs GROUP BY doc_id, n, sp, npx ORDER BY doc_id""".stripMargin
+
+  private val videoResizeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("src_w", IntegerType, nullable = false),
+    StructField("src_h", IntegerType, nullable = false),
+    StructField("out_w", IntegerType, nullable = false),
+    StructField("out_h", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_out_pixels", LongType, nullable = false),
+    StructField("sum_red", LongType, nullable = false),
+    StructField("sum_green", LongType, nullable = false),
+    StructField("sum_blue", LongType, nullable = false)))
+
+  /** REAL video resize — the thumbnail/preview-track stage over the
+    * pixel-exact DIB leg, mirroring [[Binary.imageResize]] frame-wise:
+    * the container is parsed, every decoded frame is 2× box-filter
+    * downsampled (each output pixel the FLOOR INTEGER mean of its ≤2×2
+    * source block; odd edges 1-wide), and the aggregates are read from
+    * the RESIZED frames — all exact integer arithmetic, so the DuckDB
+    * oracle pins every resized pixel of every frame from the closed-form
+    * clip function. A wrong stride, bottom-up flip, or rounding drift
+    * anywhere in parse→decode→filter breaks the hash.
+    *
+    * Scale shape: per-clip codec work in mapPartitions (spread-guarded),
+    * zero shuffles before the output sort. */
+  def videoResize(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.spread(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoResizeSchema)
+    val resized = ids.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val p = parseAvi(buildAviDib(id))
+        val (w, h) = (p.width, p.height)
+        val st = stride(w)
+        val ow = (w + 1) / 2; val oh = (h + 1) / 2
+        var sr = 0L; var sg = 0L; var sb = 0L
+        p.frames.foreach { case (_, data) =>
+          var bx = 0
+          while (bx < ow) {
+            var by = 0
+            while (by < oh) {
+              var r = 0L; var g = 0L; var b = 0L; var n = 0L
+              var dx = 0
+              while (dx < 2 && 2 * bx + dx < w) {
+                var dy = 0
+                while (dy < 2 && 2 * by + dy < h) {
+                  val x = 2 * bx + dx; val y = 2 * by + dy
+                  val off = (h - 1 - y) * st + 3 * x // bottom-up BGR
+                  b += data(off) & 0xff
+                  g += data(off + 1) & 0xff
+                  r += data(off + 2) & 0xff
+                  n += 1; dy += 1
+                }
+                dx += 1
+              }
+              sr += r / n; sg += g / n; sb += b / n
+              by += 1
+            }
+            bx += 1
+          }
+        }
+        Row(id, w, h, ow, oh, p.nFrames,
+          ow.toLong * oh * p.nFrames, sr, sg, sb)
+      }
+    }(enc)
+    resized
+      .withColumn("mean_red",
+        col("sum_red").cast("double") / col("n_out_pixels").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val videoResizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 + 5 AS w, doc_id % 5 + 6 AS h,
+      |         doc_id % 6 + 2 AS n, doc_id % 40 AS cc
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h, n, cc,
+      |              unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS f FROM d),
+      |xs AS (SELECT *, unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM fr),
+      |px AS (SELECT *, unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |blocks AS (
+      |  SELECT doc_id, w, h, n, f, x // 2 AS bx, y // 2 AS by,
+      |         sum((cc + 2 * x + 3 * y + 11 * f) % 256) // count(*) AS r,
+      |         sum((5 * x + 7 * y + 13 * f) % 256) // count(*) AS g,
+      |         sum((3 * cc + x + 2 * y + 7 * f) % 256) // count(*) AS b
+      |  FROM px GROUP BY doc_id, w, h, n, f, x // 2, y // 2),
+      |sums AS (
+      |  SELECT doc_id, w, h, n, sum(r) AS sr, sum(g) AS sg, sum(b) AS sb,
+      |         count(*) AS np
+      |  FROM blocks GROUP BY doc_id, w, h, n)
+      |SELECT doc_id,
+      |       CAST(w AS INTEGER) AS src_w, CAST(h AS INTEGER) AS src_h,
+      |       CAST((w + 1) // 2 AS INTEGER) AS out_w,
+      |       CAST((h + 1) // 2 AS INTEGER) AS out_h,
+      |       CAST(n AS INTEGER) AS n_frames,
+      |       CAST(np AS BIGINT) AS n_out_pixels,
+      |       CAST(sr AS BIGINT) AS sum_red, CAST(sg AS BIGINT) AS sum_green,
+      |       CAST(sb AS BIGINT) AS sum_blue,
+      |       CAST(sr AS DOUBLE) / CAST(np AS DOUBLE) AS mean_red
+      |FROM sums ORDER BY doc_id""".stripMargin
 }

@@ -79,6 +79,21 @@ class Round9bSpec extends AnyFunSuite {
     assert(r0.getAs[Long]("sum_red") === sr, "red channel must match the direct box filter")
   }
 
+  test("video resize: halved dims per frame, pixel counts consistent") {
+    val rows = graft.multimodal.Video.videoResize(spark, dir).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Int]("src_w"), r.getAs[Int]("src_h"))
+      assert(r.getAs[Int]("out_w") === (w + 1) / 2)
+      assert(r.getAs[Int]("out_h") === (h + 1) / 2)
+      assert(r.getAs[Long]("n_out_pixels") ===
+        ((w + 1) / 2).toLong * ((h + 1) / 2) * r.getAs[Int]("n_frames"))
+      // box means of byte pixels stay in byte range
+      val mean = r.getAs[Double]("mean_red")
+      assert(mean >= 0.0 && mean <= 255.0)
+    }
+  }
+
   test("audio resample: halved rate and counts, values within PCM16 range") {
     val rows = Binary.audioResample(spark, dir).collect()
     assert(rows.length > 0)
