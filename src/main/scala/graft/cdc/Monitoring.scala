@@ -1453,14 +1453,27 @@ object Monitoring {
     val horizon = logs.crossJoin(broadcast(h))
       .where(unix_millis(col("ts")) >= col("hwm_ms") - horizonMs)
     val total = horizon.agg(count(lit(1)).as("total_7d"))
+    // the endpoint ILIKEs (case-insensitive) the search across every text
+    // field of the row — here message and logger, the two the log schema
+    // carries; the needle is treated as a literal substring, not a pattern
+    val needle = search.toLowerCase
     horizon
-      .where(col("level") === level && col("message").contains(search))
+      .where(col("level") === level &&
+        (lower(col("message")).contains(needle) || lower(col("logger")).contains(needle)))
       .select("event_id", "ts", "level", "logger", "message")
       .orderBy(col("ts").desc, col("event_id").desc)
       .limit(cappedLimit)
       .crossJoin(broadcast(total))
       .orderBy(col("ts").desc, col("event_id").desc)
   }
+
+  /** Escape a string for interpolation inside a single-quoted SQL literal. */
+  private def sqlQuote(s: String): String = s.replace("'", "''")
+
+  /** Escape a literal needle for use inside a LIKE pattern (backslash
+    * escape char): `%`/`_`/`\` lose their meta meaning, quotes doubled. */
+  private def likeEscape(s: String): String =
+    sqlQuote(s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_"))
 
   def logBrowseSql(
       level: String = "DEBUG", search: String = "7",
@@ -1481,7 +1494,9 @@ object Monitoring {
        |SELECT event_id, ts, level, logger, message, total_7d
        |FROM (
        |  SELECT * FROM horizon
-       |  WHERE level = '$level' AND message LIKE '%$search%'
+       |  WHERE level = '${sqlQuote(level)}'
+       |    AND (lower(message) LIKE '%${likeEscape(search.toLowerCase)}%' ESCAPE '\\'
+       |         OR lower(logger) LIKE '%${likeEscape(search.toLowerCase)}%' ESCAPE '\\')
        |  ORDER BY ts DESC, event_id DESC LIMIT ${math.min(limit, 50)})
        |CROSS JOIN total
        |ORDER BY ts DESC, event_id DESC""".stripMargin

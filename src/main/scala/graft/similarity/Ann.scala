@@ -27,6 +27,23 @@ object Ann {
   /** 2^40 quantization scale for cross-row float sums. */
   private val Q = 1099511627776.0
 
+  /** Materialize an iteration-trajectory intermediate ONCE and truncate
+    * its lineage (eager `localCheckpoint`, executor-local blocks).
+    * Unrolled fixed-round loops (kmeans_converge, nndescent_converge)
+    * reference each round's output at least twice — without truncation
+    * the static plan re-derives every prior round per reference and its
+    * size grows exponentially in the round count (r9 evidence: 632
+    * parquet scans / 866 exchanges / 2,559 nodes in one plan). With it,
+    * each round computes once and the driver optimizes a bounded plan.
+    * On a real cluster the same call holds — executor-local checkpoint
+    * blocks are the standard iterative-algorithm pattern (MLlib's ALS /
+    * GraphX use periodic checkpointing for exactly this); a
+    * reliability-critical deployment would swap in `checkpoint()` against
+    * the cluster checkpoint dir with identical semantics. Every consumer
+    * aggregates order-independently (2⁴⁰-quantized sums), so the
+    * partition order a checkpoint re-read yields cannot change a bit. */
+  private def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Index-ordered fold: Σ a[i]·b[i] as exact-ordered double ops. */
   private def dotFold(a: Column, b: Column): Column =
     aggregate(
@@ -428,9 +445,9 @@ object Ann {
   def kmeansConverge(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-    val long = emb
+    val long = pin(emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x")))
     def qMean(c: Column): Column =
       sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q / count(lit(1))
     def centroidsOf(assign: DataFrame): DataFrame =
@@ -443,12 +460,19 @@ object Ann {
         .groupBy("vec_id", "cand_label").agg(sum(col("dq")).as("d2q"))
         .groupBy("vec_id").agg(min(struct(col("d2q"), col("cand_label"))).as("m"))
         .select(col("vec_id"), col("m.cand_label").as("label"))
+    // Every round's assignment and centroid table is REFERENCED at least
+    // twice (stats for round r, inputs of round r+1). Without truncation
+    // the unrolled plan re-derives each prior round per reference — the
+    // static plan grows exponentially in the round count (r9: 632 scans /
+    // 866 exchanges for 3 rounds). [[pin]] materializes each round once
+    // and truncates lineage; all downstream sums are 2⁴⁰-quantized exact,
+    // so the partition order a checkpoint re-read yields cannot move a bit.
     var assign = emb.select(col("vec_id"), col("label"))
-    var cents = centroidsOf(assign)
+    var cents = pin(centroidsOf(assign))
     val stats = Seq.newBuilder[DataFrame]
     for (r <- 1 to rounds) {
-      val newAssign = assignTo(cents)
-      val newCents = centroidsOf(newAssign)
+      val newAssign = pin(assignTo(cents))
+      val newCents = pin(centroidsOf(newAssign))
       val moved = assign.select(col("vec_id"), col("label").as("old_label"))
         .join(newAssign.select(col("vec_id"), col("label").as("new_label")), "vec_id")
         .agg(sum(when(col("old_label") =!= col("new_label"), 1L).otherwise(0L)).as("n_moved"))
@@ -1722,7 +1746,12 @@ object Ann {
         count(lit(1)).as("n_vecs"),
         (qSum(col("d2")) / count(lit(1))).as("mean_d2"),
         (qSum(col("d2") * col("d2")) / count(lit(1))).as("mean_d4"))
-      .withColumn("std_d2", sqrt(col("mean_d4") - col("mean_d2") * col("mean_d2")))
+      // clamp: the quantized sums pass through float division, so a
+      // degenerate label (all d2 identical) can yield a tiny negative
+      // variance — Spark's sqrt would return NaN while DuckDB raises,
+      // so both engines clamp at zero before the sqrt
+      .withColumn("std_d2",
+        sqrt(greatest(col("mean_d4") - col("mean_d2") * col("mean_d2"), lit(0.0))))
     dist.join(broadcast(stats), "label")
       .groupBy(col("label").cast("long").as("label"))
       .agg(
@@ -1758,15 +1787,51 @@ object Ann {
        |         CAST(sum(CAST(floor(d2 * d2 * $Qs) AS HUGEINT)) AS DOUBLE) / $Qs / count(*) AS mean_d4
        |  FROM dist GROUP BY label)
        |SELECT CAST(s.label AS BIGINT) AS label, s.n_vecs, s.mean_d2,
-       |       sqrt(s.mean_d4 - s.mean_d2 * s.mean_d2) AS std_d2,
-       |       CAST(sum(CASE WHEN d.d2 > s.mean_d2 + 2.0 * sqrt(s.mean_d4 - s.mean_d2 * s.mean_d2)
+       |       sqrt(greatest(s.mean_d4 - s.mean_d2 * s.mean_d2, 0.0)) AS std_d2,
+       |       CAST(sum(CASE WHEN d.d2 > s.mean_d2 + 2.0 * sqrt(greatest(s.mean_d4 - s.mean_d2 * s.mean_d2, 0.0))
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-       |       CAST(sum(CASE WHEN d.d2 > s.mean_d2 + 2.0 * sqrt(s.mean_d4 - s.mean_d2 * s.mean_d2)
+       |       CAST(sum(CASE WHEN d.d2 > s.mean_d2 + 2.0 * sqrt(greatest(s.mean_d4 - s.mean_d2 * s.mean_d2, 0.0))
        |                     THEN 1 ELSE 0 END) AS DOUBLE) / CAST(s.n_vecs AS DOUBLE) AS outlier_share
        |FROM dist d JOIN stats s ON d.label = s.label
        |GROUP BY s.label, s.n_vecs, s.mean_d2, s.mean_d4
        |ORDER BY label""".stripMargin
   }
+
+  /** Per-bucket seed fan-out cap for the NN-Descent sign-LSH seed join.
+    * Without it the bucket self-join is bucket-bounded only for
+    * well-spread sign codes: an anisotropic embedding export where most
+    * vectors share one code would degenerate the seed to near all-pairs
+    * — the exact blowup the op family exists to avoid. Every node still
+    * joins to the bucket's FIRST [[SeedCap]] members (deterministic by
+    * vec_id, so the oracle is exact); nodes beyond the cap keep their
+    * outbound seed edges plus the ring edges, and the expansion rounds
+    * recover the rest transitively. */
+  private val SeedCap = 32
+
+  /** Sign-LSH bucket seed edges, fan-out-capped at [[SeedCap]] peers per
+    * bucket (see there). `coded` must carry vec_id + bucket. */
+  private def seedEdges(coded: DataFrame): DataFrame = {
+    val peers = coded.select(col("vec_id").as("nbr"), col("bucket"))
+      .withColumn("rnb", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("nbr")))
+      .where(col("rnb") <= SeedCap).drop("rnb")
+    coded.select(col("vec_id"), col("bucket"))
+      .join(peers, "bucket")
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"))
+  }
+
+  /** SQL twin of [[seedEdges]] as a CTE body over `coded`. */
+  private def seedEdgesSql: String =
+    s"""SELECT a.vec_id, p.nbr
+       |  FROM coded a JOIN (
+       |    SELECT nbr, bucket FROM (
+       |      SELECT vec_id AS nbr, bucket,
+       |             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rnb
+       |      FROM coded)
+       |    WHERE rnb <= $SeedCap) p
+       |  ON a.bucket = p.bucket AND a.vec_id <> p.nbr""".stripMargin
 
   /** One NN-DESCENT refinement round over the all-nodes k-NN graph
     * (Dong et al., WWW 2011 — the graph-ANN construction HNSW-class
@@ -1787,7 +1852,9 @@ object Ann {
     * window partitioned on vec_id. All shuffles are on node ids —
     * uniform by construction. */
   def nnDescentRound(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // the vector table is joined against every edge/candidate set below
+    // (score + rescore legs) — pin it once instead of re-scanning per join
+    val emb = pin(Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
     val coded = emb.withColumn("bucket", signCode(col("embedding")))
     // seed edges, two kinds — both are essential: sign-LSH bucket peers
     // give LOCALLY good neighbors, and deterministic "ring" partners
@@ -1797,10 +1864,7 @@ object Ann {
     // bucket peer is another bucket peer) and the round could never
     // improve anything.
     val nv = emb.agg(count(lit(1)).as("nv"))
-    val bucketEdges = coded
-      .join(coded.select(col("vec_id").as("nbr"), col("bucket")), "bucket")
-      .where(col("vec_id") =!= col("nbr"))
-      .select(col("vec_id"), col("nbr"))
+    val bucketEdges = seedEdges(coded)
     val ringEdges = emb.select(col("vec_id"))
       .crossJoin(broadcast(nv))
       .select(col("vec_id"), explode(array(lit(1), lit(2))).as("j"), col("nv"))
@@ -1839,8 +1903,7 @@ object Ann {
        |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
        |n AS (SELECT count(*) AS nv FROM embeddings),
        |edges AS (
-       |  SELECT a.vec_id, b.vec_id AS nbr
-       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  $seedEdgesSql
        |  UNION
        |  SELECT e.vec_id, (e.vec_id + j * 97) % n.nv AS nbr
        |  FROM embeddings e CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2]) AS j)
@@ -1892,13 +1955,14 @@ object Ann {
     * telemetry against brute force lives in ann_recall_eval, which is
     * why this op can stay linear. */
   def nnDescentConverge(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    // pin the vector table once (it is joined 2× per round) and each
+    // round's top-k graph (referenced by the next round's expansion AND
+    // two rounds of stats) — see the lineage note in [[kmeansConverge]];
+    // without this the 3-round static plan held 632 parquet scans
+    val emb = pin(Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
     val coded = emb.withColumn("bucket", signCode(col("embedding")))
     val nv = emb.agg(count(lit(1)).as("nv"))
-    val bucketEdges = coded
-      .join(coded.select(col("vec_id").as("nbr"), col("bucket")), "bucket")
-      .where(col("vec_id") =!= col("nbr"))
-      .select(col("vec_id"), col("nbr"))
+    val bucketEdges = seedEdges(coded)
     val ringEdges = emb.select(col("vec_id"))
       .crossJoin(broadcast(nv))
       .select(col("vec_id"), explode(array(lit(1), lit(2))).as("j"), col("nv"))
@@ -1921,9 +1985,9 @@ object Ann {
             .where(col("cand") =!= col("vec_id"))
             .select(col("vec_id"), col("cand").as("nbr")))
         .distinct()
-    val g0 = topK(score(bucketEdges.union(ringEdges).distinct()))
-    val g1 = topK(score(expand(g0)))
-    val g2 = topK(score(expand(g1)))
+    val g0 = pin(topK(score(bucketEdges.union(ringEdges).distinct())))
+    val g1 = pin(topK(score(expand(g0))))
+    val g2 = pin(topK(score(expand(g1))))
     def best(g: DataFrame): DataFrame =
       g.groupBy("vec_id").agg(max(col("cos")).as("best"))
     def roundStats(round: Int, g: DataFrame, prev: Option[DataFrame]): DataFrame = {
@@ -1942,10 +2006,16 @@ object Ann {
             g.join(p.select(col("vec_id"), col("nbr")), Seq("vec_id", "nbr"), "left_anti")
               .agg(count(lit(1)).as("n_new_edges")))
       }
+      // round 0 (the seed) is definitionally not converged — hard-coded
+      // on BOTH sides so an empty embeddings table (n_new_edges = 0)
+      // still agrees with the oracle, which pins round-0 converged to 0
+      val converged =
+        if (prev.isEmpty) lit(0L)
+        else (col("n_new_edges") === 0L).cast("long")
       base.crossJoin(broadcast(nImproved)).crossJoin(broadcast(nNew))
         .select(lit(round.toLong).as("round"), col("n_nodes"), col("n_edges"),
           col("mean_cos"), col("n_improved"), col("n_new_edges"),
-          (col("n_new_edges") === 0L).cast("long").as("converged"))
+          converged.as("converged"))
     }
     roundStats(0, g0, None)
       .unionAll(roundStats(1, g1, Some(g0)))
@@ -2002,8 +2072,7 @@ object Ann {
        |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
        |n AS (SELECT count(*) AS nv FROM embeddings),
        |seed AS (
-       |  SELECT a.vec_id, b.vec_id AS nbr
-       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  $seedEdgesSql
        |  UNION
        |  SELECT e.vec_id, (e.vec_id + j * 97) % n.nv AS nbr
        |  FROM embeddings e CROSS JOIN n CROSS JOIN (SELECT unnest([1, 2]) AS j)

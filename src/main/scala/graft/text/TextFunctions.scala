@@ -529,8 +529,14 @@ object TextFunctions {
     val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
     val n = toks.agg(count(lit(1)).as("n_total"))
     toks.join(cnt, "term").crossJoin(broadcast(n))
+      // overflow-free form of c·2ᵏ ≤ N: for positive integers it is
+      // equivalent to 2ᵏ ≤ ⌊N/c⌋, and the division can never overflow
+      // (c·p would once c reaches 2²³ at production corpus sizes —
+      // Spark wraps silently while DuckDB raises, so the engines would
+      // diverge exactly where exactness is claimed)
+      .withColumn("maxp", expr("n_total DIV c"))
       .withColumn("bits",
-        (size(filter(pows, p => col("c") * p <= col("n_total"))) - 1).cast("long"))
+        (size(filter(pows, p => p <= col("maxp"))) - 1).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"),
         max("bits").as("max_bits"))
@@ -549,7 +555,7 @@ object TextFunctions {
       |b AS (
       |  SELECT doc_id,
       |         CAST(len(list_filter(list_transform(generate_series(0, 40), k -> 1::BIGINT << k),
-      |                              p -> c.c * p <= n.n_total)) - 1 AS BIGINT) AS bits
+      |                              p -> p <= n.n_total // c.c)) - 1 AS BIGINT) AS bits
       |  FROM t JOIN c USING (term) CROSS JOIN n)
       |SELECT doc_id, count(*) AS n_tokens, CAST(sum(bits) AS BIGINT) AS sum_bits,
       |       CAST(max(bits) AS BIGINT) AS max_bits,
