@@ -181,6 +181,10 @@ object SparkEntry {
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
     "cdc_checkpoint_browse" -> ((s, d) => Monitoring.checkpointBrowse(s, d)),
     "cdc_log_browse" -> ((s, d) => Monitoring.logBrowse(s, d)),
+    "cdc_log_levels" -> ((s, d) => Monitoring.logLevels(s, d)),
+    "cdc_event_browse" -> ((s, d) => Monitoring.eventBrowse(s, d)),
+    "cdc_audit_browse" -> ((s, d) => Monitoring.auditBrowse(s, d)),
+    "cdc_audit_facets" -> ((s, d) => Monitoring.auditFacets(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -948,6 +952,10 @@ object SparkEntry {
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
       "cdc_checkpoint_browse" -> Monitoring.checkpointBrowseSql,
       "cdc_log_browse" -> Monitoring.logBrowseSql(),
+      "cdc_log_levels" -> Monitoring.logLevelsSql,
+      "cdc_event_browse" -> Monitoring.eventBrowseSql(),
+      "cdc_audit_browse" -> Monitoring.auditBrowseSql(),
+      "cdc_audit_facets" -> Monitoring.auditFacetsSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

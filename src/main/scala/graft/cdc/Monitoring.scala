@@ -1500,4 +1500,297 @@ object Monitoring {
        |  ORDER BY ts DESC, event_id DESC LIMIT ${math.min(limit, 50)})
        |CROSS JOIN total
        |ORDER BY ts DESC, event_id DESC""".stripMargin
+
+  /** Replication-events browse — the dashboard's most-hit raw listing
+    * (api.py:8715 get_replication_events): one page of CDC run events,
+    * newest first, with the endpoint's exact semantics: only CDC-typed
+    * runs; optional pipeline / table-name / date filters; when NO filter
+    * is given the window clamps to the trailing 7 days (here against the
+    * stream's high-water mark instead of utcnow, so the page is
+    * reproducible); `limit` capped at 1000 (default 100) with OFFSET
+    * `skip`; op normalization to insert/update/delete (the endpoint's
+    * i/c→insert, u→update, d/remove→delete map); status normalized
+    * through its status_map with the error-message override (an event
+    * carrying an error is `failed` no matter what the run row claims);
+    * and — mirrored faithfully — the table-name substring filter is
+    * applied AFTER pagination, exactly as the reference filters inside
+    * the Python result loop, so a table-filtered page can return fewer
+    * than `limit` rows (documented endpoint quirk, api.py:9020).
+    *
+    * Run rows derive deterministically from the event stream: run id =
+    * event id, started_at = ts, pipeline = `pl-<user_id mod 4>`, table =
+    * `public.<event_type>`, op via the changelog convention
+    * (signup→insert, error→delete, else→update), latency =
+    * max(1, ⌊value·100⌋) ms, status failed for error events.
+    *
+    * Scale shape: sort+offset+limit collapses to one TakeOrdered pass —
+    * but OFFSET pagination re-reads `skip+limit` rows per page, so deep
+    * pages scan the prefix again and again. The 100 TB path is KEYSET
+    * pagination: remember the last row's (started_at, run_id) cursor and
+    * page with `WHERE (started_at, run_id) < (cursor_ts, cursor_id)` —
+    * the predicate reaches the parquet scan (time-partitioned layout →
+    * partition pruning) and every page costs one bounded read instead of
+    * an ever-growing prefix. The OFFSET form is kept because it is the
+    * endpoint's contract; both forms share the same ordering key. */
+  def eventBrowse(
+      spark: SparkSession, dir: String,
+      pipelineId: Option[String] = None, tableName: Option[String] = None,
+      todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
+      horizonMs: Long = 7L * 86400000L): DataFrame = {
+    val effLimit = math.min(limit, 1000)
+    val runs = graft.Tables.load(spark, dir, "events")
+      .select(
+        col("event_id").as("run_id"),
+        col("ts").as("started_at"),
+        concat(lit("pl-"), (col("user_id") % 4).cast("string")).as("pipeline_id"),
+        concat(lit("public."), col("event_type")).as("table_name"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update").as("event_type"),
+        when(col("event_type") === "error", "failed").otherwise("success").as("status"),
+        greatest(lit(1L), floor(col("value") * 100).cast("long")).as("latency_ms"))
+    val h = runs.agg(max(unix_millis(col("started_at"))).as("hwm_ms"))
+    val windowed =
+      if (todayOnly)
+        runs.crossJoin(broadcast(h))
+          .where(unix_millis(date_trunc("DAY", col("started_at"))) >=
+            unix_millis(date_trunc("DAY", timestamp_millis(col("hwm_ms")))))
+      else if (pipelineId.isEmpty && tableName.isEmpty)
+        // the endpoint's default-window clamp: no filters → trailing 7 days
+        runs.crossJoin(broadcast(h))
+          .where(unix_millis(col("started_at")) >= col("hwm_ms") - horizonMs)
+      else runs
+    val filtered = pipelineId.fold(windowed)(p => windowed.where(col("pipeline_id") === p))
+    val page = filtered
+      .orderBy(col("started_at").desc, col("run_id").desc)
+      .offset(skip).limit(effLimit)
+    // endpoint quirk mirrored: the table filter runs AFTER the page
+    tableName.fold(page)(t =>
+        page.where(lower(col("table_name")).contains(t.toLowerCase)))
+      .select("run_id", "started_at", "pipeline_id", "table_name",
+        "event_type", "status", "latency_ms")
+      .orderBy(col("started_at").desc, col("run_id").desc)
+  }
+
+  def eventBrowseSql(
+      pipelineId: Option[String] = None, tableName: Option[String] = None,
+      todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
+      horizonMs: Long = 7L * 86400000L): String = {
+    val effLimit = math.min(limit, 1000)
+    val pipePred = pipelineId.map(p => s"AND pipeline_id = '${sqlQuote(p)}'").getOrElse("")
+    val window =
+      if (todayOnly)
+        "epoch_ms(date_trunc('day', started_at)) >= epoch_ms(date_trunc('day', hwm))"
+      else if (pipelineId.isEmpty && tableName.isEmpty)
+        s"epoch_ms(started_at) >= epoch_ms(hwm) - $horizonMs"
+      else "TRUE"
+    val postFilter = tableName
+      .map(t => s"WHERE lower(table_name) LIKE '%${likeEscape(t.toLowerCase)}%' ESCAPE '\\'")
+      .getOrElse("")
+    s"""WITH runs AS (
+       |  SELECT event_id AS run_id, ts AS started_at,
+       |         'pl-' || CAST(user_id % 4 AS VARCHAR) AS pipeline_id,
+       |         'public.' || event_type AS table_name,
+       |         CASE event_type WHEN 'signup' THEN 'insert'
+       |                         WHEN 'error' THEN 'delete'
+       |                         ELSE 'update' END AS event_type,
+       |         CASE WHEN event_type = 'error' THEN 'failed' ELSE 'success' END AS status,
+       |         greatest(1, CAST(floor(value * 100) AS BIGINT)) AS latency_ms
+       |  FROM events),
+       |h AS (SELECT max(started_at) AS hwm FROM runs),
+       |page AS (
+       |  SELECT r.* FROM runs r CROSS JOIN h
+       |  WHERE $window $pipePred
+       |  ORDER BY started_at DESC, run_id DESC
+       |  LIMIT $effLimit OFFSET $skip)
+       |SELECT run_id, started_at, pipeline_id, table_name, event_type, status, latency_ms
+       |FROM page $postFilter
+       |ORDER BY started_at DESC, run_id DESC""".stripMargin
+  }
+
+  /** User-action audit-log listing — the reference's `/api/v1/audit-logs`
+    * (api.py:13507 get_audit_logs): one page of user-action audit rows
+    * with the endpoint's exact guardrails — `limit` clamped to [1, 100]
+    * (FastAPI `Query(20, ge=1, le=100)`), OFFSET `skip`, optional exact
+    * `action` / `resource_type` equality filters, newest-first by
+    * created_at — plus the `total` the endpoint computes with
+    * `query.count()` BEFORE pagination (after the filters), attached to
+    * every page row. Distinct from [[Cdc.appendAudit]]: that is the CDC
+    * change audit; this is the who-did-what user-action trail.
+    *
+    * Audit rows derive deterministically from the event stream: id =
+    * event id, actor = user_id, created_at = ts, and the action /
+    * resource_type pair from the event type (signup→create:user,
+    * purchase→update:pipeline, click→execute:connector, view→read:table,
+    * error→delete:system) — the shape of the AuditLogModel columns the
+    * endpoint serializes (models_db.py:261).
+    *
+    * Scale shape: filters + sort + offset + limit collapse to one
+    * TakeOrdered pass with the equality predicates pushed to the scan;
+    * the pre-pagination total is ONE scalar aggregate broadcast back.
+    * Keyset pagination on (created_at, id) is the deep-page path at
+    * 100 TB, as with [[eventBrowse]]. */
+  def auditBrowse(
+      spark: SparkSession, dir: String,
+      action: Option[String] = None, resourceType: Option[String] = Some("pipeline"),
+      skip: Int = 20, limit: Int = 20): DataFrame = {
+    val effLimit = math.max(1, math.min(limit, 100))
+    val logs = graft.Tables.load(spark, dir, "events")
+      .select(
+        col("event_id").as("id"),
+        col("user_id"),
+        when(col("event_type") === "signup", "create")
+          .when(col("event_type") === "purchase", "update")
+          .when(col("event_type") === "click", "execute")
+          .when(col("event_type") === "view", "read")
+          .otherwise("delete").as("action"),
+        when(col("event_type") === "signup", "user")
+          .when(col("event_type") === "purchase", "pipeline")
+          .when(col("event_type") === "click", "connector")
+          .when(col("event_type") === "view", "table")
+          .otherwise("system").as("resource_type"),
+        col("user_id").cast("string").as("resource_id"),
+        col("ts").as("created_at"))
+    val filtered = Seq(
+      action.map(a => col("action") === a),
+      resourceType.map(r => col("resource_type") === r)
+    ).flatten.foldLeft(logs)(_ where _)
+    val total = filtered.agg(count(lit(1)).as("total"))
+    filtered
+      .orderBy(col("created_at").desc, col("id").desc)
+      .offset(skip).limit(effLimit)
+      .crossJoin(broadcast(total))
+      .select("id", "user_id", "action", "resource_type", "resource_id",
+        "created_at", "total")
+      .orderBy(col("created_at").desc, col("id").desc)
+  }
+
+  def auditBrowseSql(
+      action: Option[String] = None, resourceType: Option[String] = Some("pipeline"),
+      skip: Int = 20, limit: Int = 20): String = {
+    val effLimit = math.max(1, math.min(limit, 100))
+    val preds = Seq(
+      action.map(a => s"action = '${sqlQuote(a)}'"),
+      resourceType.map(r => s"resource_type = '${sqlQuote(r)}'")).flatten
+    val where = if (preds.isEmpty) "TRUE" else preds.mkString(" AND ")
+    s"""WITH logs AS (
+       |  SELECT event_id AS id, user_id,
+       |         CASE event_type WHEN 'signup' THEN 'create'
+       |                         WHEN 'purchase' THEN 'update'
+       |                         WHEN 'click' THEN 'execute'
+       |                         WHEN 'view' THEN 'read'
+       |                         ELSE 'delete' END AS action,
+       |         CASE event_type WHEN 'signup' THEN 'user'
+       |                         WHEN 'purchase' THEN 'pipeline'
+       |                         WHEN 'click' THEN 'connector'
+       |                         WHEN 'view' THEN 'table'
+       |                         ELSE 'system' END AS resource_type,
+       |         CAST(user_id AS VARCHAR) AS resource_id,
+       |         ts AS created_at
+       |  FROM events),
+       |filtered AS (SELECT * FROM logs WHERE $where),
+       |t AS (SELECT count(*) AS total FROM filtered)
+       |SELECT id, user_id, action, resource_type, resource_id, created_at, total
+       |FROM (
+       |  SELECT * FROM filtered
+       |  ORDER BY created_at DESC, id DESC
+       |  LIMIT $effLimit OFFSET $skip)
+       |CROSS JOIN t
+       |ORDER BY created_at DESC, id DESC""".stripMargin
+  }
+
+  /** Audit-log filter facets — `/api/v1/audit-logs/filters`
+    * (api.py:13425): the distinct `action` and `resource_type` values the
+    * UI offers as filter options, each list sorted — here as one tidy
+    * (facet, value, n_rows) row set (the count is the natural extension a
+    * faceted UI shows next to each option; the reference returns the bare
+    * sorted lists).
+    *
+    * Scale shape: two partial-aggregated distinct scans unioned — at
+    * 100 TB each is a map-side-combined shuffle on a handful of keys;
+    * the facet row set is bounded by the value domain, never the data. */
+  def auditFacets(spark: SparkSession, dir: String): DataFrame = {
+    val logs = graft.Tables.load(spark, dir, "events")
+      .select(
+        when(col("event_type") === "signup", "create")
+          .when(col("event_type") === "purchase", "update")
+          .when(col("event_type") === "click", "execute")
+          .when(col("event_type") === "view", "read")
+          .otherwise("delete").as("action"),
+        when(col("event_type") === "signup", "user")
+          .when(col("event_type") === "purchase", "pipeline")
+          .when(col("event_type") === "click", "connector")
+          .when(col("event_type") === "view", "table")
+          .otherwise("system").as("resource_type"))
+    val actions = logs.groupBy(col("action").as("value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("action").as("facet"), col("value"), col("n_rows"))
+    val resources = logs.groupBy(col("resource_type").as("value"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit("resource_type").as("facet"), col("value"), col("n_rows"))
+    actions.unionAll(resources).orderBy("facet", "value")
+  }
+
+  val auditFacetsSql: String =
+    """WITH logs AS (
+      |  SELECT CASE event_type WHEN 'signup' THEN 'create'
+      |                         WHEN 'purchase' THEN 'update'
+      |                         WHEN 'click' THEN 'execute'
+      |                         WHEN 'view' THEN 'read'
+      |                         ELSE 'delete' END AS action,
+      |         CASE event_type WHEN 'signup' THEN 'user'
+      |                         WHEN 'purchase' THEN 'pipeline'
+      |                         WHEN 'click' THEN 'connector'
+      |                         WHEN 'view' THEN 'table'
+      |                         ELSE 'system' END AS resource_type
+      |  FROM events)
+      |SELECT 'action' AS facet, action AS value, count(*) AS n_rows
+      |FROM logs GROUP BY action
+      |UNION ALL
+      |SELECT 'resource_type' AS facet, resource_type AS value, count(*) AS n_rows
+      |FROM logs GROUP BY resource_type
+      |ORDER BY facet, value""".stripMargin
+
+  /** Application-log level facet — `/api/v1/logs/application-logs/levels`
+    * (api.py:10505): the endpoint publishes the FIXED five-level contract
+    * (DEBUG, INFO, WARNING, ERROR, CRITICAL) regardless of data; the
+    * Spark twin keeps that contract row set (severity-ordered, as the
+    * endpoint's array is) and LEFT-joins the count each level actually
+    * has in the derived application-log stream ([[logBrowse]]'s
+    * level mapping), so the facet also answers the question the UI asks
+    * next ("is filtering by WARNING even useful?"). Levels the stream
+    * never emits (WARNING, CRITICAL) appear with n_logs = 0.
+    *
+    * Scale shape: one map-side-combined count on a ≤5-key column,
+    * broadcast-joined to a 5-row literal table. */
+  def logLevels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val contract = Seq(
+      (1L, "DEBUG"), (2L, "INFO"), (3L, "WARNING"), (4L, "ERROR"), (5L, "CRITICAL")
+    ).toDF("severity", "level")
+    val observed = graft.Tables.load(spark, dir, "events")
+      .select(
+        when(col("event_type") === "error", "ERROR")
+          .when(col("event_type").isin("signup", "purchase"), "INFO")
+          .otherwise("DEBUG").as("level"))
+      .groupBy("level").agg(count(lit(1)).as("n"))
+    contract.join(observed, Seq("level"), "left")
+      .select(col("severity"), col("level"),
+        coalesce(col("n"), lit(0L)).as("n_logs"))
+      .orderBy("severity")
+  }
+
+  val logLevelsSql: String =
+    """WITH contract(severity, level) AS (
+      |  VALUES (1, 'DEBUG'), (2, 'INFO'), (3, 'WARNING'), (4, 'ERROR'), (5, 'CRITICAL')),
+      |observed AS (
+      |  SELECT CASE WHEN event_type = 'error' THEN 'ERROR'
+      |              WHEN event_type IN ('signup', 'purchase') THEN 'INFO'
+      |              ELSE 'DEBUG' END AS level,
+      |         count(*) AS n
+      |  FROM events GROUP BY 1)
+      |SELECT CAST(c.severity AS BIGINT) AS severity, c.level,
+      |       coalesce(o.n, 0) AS n_logs
+      |FROM contract c LEFT JOIN observed o ON c.level = o.level
+      |ORDER BY severity""".stripMargin
 }
