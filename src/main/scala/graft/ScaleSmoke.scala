@@ -142,6 +142,19 @@ object ScaleSmoke {
       graft.text.TextFunctions.termDocFreqOf(bigDocs, 20).count()
     }
 
+    t("AVI decode (mm_video_decode shape)", nDocs) {
+      // per-clip codec work in mapPartitions behind the spread guard:
+      // build container -> parse RIFF -> decode every DIB frame; zero
+      // shuffles before the output sort. Clip synthesis is a pure
+      // function of doc_id, so the inflated id set exercises the real
+      // writer+parser at corpus multiples.
+      graft.multimodal.Video.videoDecodeOf(bigDocs.select(col("doc_id"))).count()
+    }
+
+    t("SAD scene detect (mm_scene_detect shape)", nDocs) {
+      graft.multimodal.Video.sceneDetectOf(bigDocs.select(col("doc_id"))).count()
+    }
+
     t("repetition profile", nDocs) {
       // text_repetition shape: trigram stats array-side (no shuffle),
       // word stats shuffle only on doc-local (doc_id, word) keys

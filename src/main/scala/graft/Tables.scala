@@ -50,7 +50,16 @@ object Tables {
   /** Tables whose operators do real per-row compute (JSON parse, shingle
     * fan-out, codecs, vector folds) — [[load]] applies the [[spread]]
     * parallelism guard to these. Dimension tables stay unspread: they
-    * broadcast into joins, and a pre-broadcast shuffle is pure waste. */
+    * broadcast into joins, and a pre-broadcast shuffle is pure waste.
+    *
+    * Per-operator opt-out: a pure hash-agg consumer — ONE narrow per-row
+    * expression feeding straight into a groupBy/sort, no fan-out — pays
+    * more for the round-robin exchange than for the per-row work it
+    * parallelizes, so those operators take [[loadSerial]] (or
+    * Dedup.corpusSerial) explicitly. Measured at sf0.1: text_tokens
+    * 0.57 → 0.44 s, dedup_exact 0.56 → 0.53 s serial. The heavy
+    * fan-out ops (shingles, grams, codecs) keep the spread — it is worth
+    * 35× on the ×50 gram-df smoke. */
   private val spreadTables: Set[String] =
     Set("documents")
 
@@ -102,6 +111,18 @@ object Tables {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** Materialize a multiply-referenced intermediate ONCE and truncate its
+    * lineage (eager executor-local checkpoint). For plans whose branches
+    * would otherwise each re-derive an expensive subtree — per-row-heavy
+    * scoring feeding both a count branch and a rank branch, or unrolled
+    * iteration rounds — correctness must not hinge on the optional
+    * exchange-reuse rewrite finding the duplication. Consumers must
+    * aggregate order-independently (a checkpoint re-read has no row-order
+    * guarantee). On a cluster, executor-local blocks are the standard
+    * iterative-refinement pattern (MLlib ALS); swap `checkpoint()` against
+    * a checkpoint dir where executor loss must be survivable. */
+  private[graft] def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Local session with the defaults every entry point shares. */
   def localSession(appName: String, cpus: Int = 4): SparkSession = {

@@ -40,16 +40,26 @@ object Dedup {
       corpus(spark, dir).withColumn("t", normText(col("text"))))
 
   def corpus(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    // spread: the whole dedup family's shingle/signature fan-out pipelines
+    // into this scan stage; a single-row-group test file would otherwise
+    // serialize it on one core (no-op at production split counts)
+    Tables.spread(corpusSerial(spark, dir))
+  }
+
+  /** [[corpus]] without the spread guard — for pure hash-agg consumers
+    * (one narrow per-row expression straight into a groupBy) where the
+    * round-robin exchange costs more than the per-row work it would
+    * parallelize (measured: dedup_exact 0.23 s serial vs 0.56 s spread at
+    * sf0.1). At production split counts the two are the same plan minus
+    * one exchange. */
+  def corpusSerial(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"), col("text"))
     val exact = docs.where(col("doc_id") % 7 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
     val near = docs.where(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 2000000L).as("doc_id"),
         col("text").substr(lit(1), greatest(length(col("text")) - 10, lit(20))).as("text"))
-    // spread: the whole dedup family's shingle/signature fan-out pipelines
-    // into this scan stage; a single-row-group test file would otherwise
-    // serialize it on one core (no-op at production split counts)
-    Tables.spread(docs.unionAll(exact).unionAll(near))
+    docs.unionAll(exact).unionAll(near)
   }
 
   val corpusSql: String =
@@ -63,7 +73,10 @@ object Dedup {
   /** Exact dedup: hash-groupBy on md5 of normalized text. One shuffle by
     * 128-bit digest; the canonical survivor is min(doc_id). */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    normCorpus(spark, dir)
+    // serial corpus, not the shared spread+memoized one: one md5 per row
+    // straight into the digest groupBy is cheaper than the spread
+    // exchange it would ride behind (see corpusSerial)
+    corpusSerial(spark, dir).withColumn("t", normText(col("text")))
       .select(col("doc_id"), md5(col("t")).as("sig"))
       .groupBy("sig")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("canonical_id"), max("doc_id").as("max_id"))

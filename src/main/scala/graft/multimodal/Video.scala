@@ -335,9 +335,13 @@ object Video {
     * bitmaps, the byte count from the actual container — the oracle
     * recomputes all of it (the byte count from the documented layout
     * formula), so any writer/parser disagreement fails the hash. */
-  def videoDecode(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
+  def videoDecode(spark: SparkSession, dir: String): DataFrame =
+    videoDecodeOf(Tables.spread(
+      Tables.load(spark, dir, "documents").select(col("doc_id"))))
+
+  /** [[videoDecode]]'s codec core over an arbitrary clip-id set — shared
+    * with the ×N scale smoke so codec cost has a growth curve. */
+  private[graft] def videoDecodeOf(ids: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoSchema)
     val decoded = ids.mapPartitions { rows =>
       rows.map { row =>
@@ -639,9 +643,13 @@ object Video {
     * Scale shape: per-clip codec work in the batched mapPartitions shape
     * (consecutive-frame state never crosses a row boundary), zero
     * shuffles before the output sort. */
-  def sceneDetect(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
+  def sceneDetect(spark: SparkSession, dir: String): DataFrame =
+    sceneDetectOf(Tables.spread(
+      Tables.load(spark, dir, "documents").select(col("doc_id"))))
+
+  /** [[sceneDetect]]'s codec core over an arbitrary clip-id set — shared
+    * with the ×N scale smoke. */
+  private[graft] def sceneDetectOf(ids: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(sceneSchema)
     val detected = ids.mapPartitions { rows =>
       rows.map { row =>

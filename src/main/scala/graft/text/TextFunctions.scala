@@ -18,9 +18,14 @@ object TextFunctions {
   val stopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "on", "for", "with")
 
-  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars.
+    *
+    * loadSerial, not load: this is a single narrow projection straight
+    * into the final sort — a spread shuffle in front of it costs more
+    * than the regex work it parallelizes (measured 0.40 vs 0.57 s at
+    * sf0.1; see the policy note on [[Tables.spread]]). */
   def tokens(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "documents")
+    Tables.loadSerial(spark, dir, "documents")
       .select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars_actual"),
@@ -265,9 +270,13 @@ object TextFunctions {
     // NaN scores (empty text → 0/0 ratio) must land in the TOP bucket:
     // both engines' ORDER BY and SQL ntile sort NaN greatest, and
     // floor(NaN) would otherwise silently drop them into bucket 0
-    val ranged = scored.withColumn("part",
+    // pin: the scored table feeds BOTH the per-bucket count branch and
+    // the local-rank branch — without materialize-once, the regex-heavy
+    // quality score is computed twice over the whole corpus (measured:
+    // the ×50 smoke spent 17.6 s here, ~2× the single-pass cost)
+    val ranged = Tables.pin(scored.withColumn("part",
       when(isnan(col("quality_score")), lit(Long.MaxValue))
-        .otherwise(floor((col("quality_score") + lit(0.5)) * 16.0).cast("long")))
+        .otherwise(floor((col("quality_score") + lit(0.5)) * 16.0).cast("long"))))
     // per-range-partition counts → prefix-sum offsets + grand total, all
     // over ≤ `parts` rows (one tiny task, never the corpus)
     val tiny = org.apache.spark.sql.expressions.Window.orderBy("part")
