@@ -1123,6 +1123,68 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Persisted LSH admission index — the storage layout under
+    * [[incremental]]'s production deployment note: the existing corpus's
+    * band keys are written ONCE as a parquet table bucketed (and sorted)
+    * by `band_key` ([[graft.sources.Bucketing.writeBucketed]]). Every
+    * subsequent crawl admission then joins against files whose layout
+    * already satisfies the band join's required distribution: the scan
+    * reports hash(band_key) partitioning, so the plan carries NO Exchange
+    * on the index side — only the (small) fresh batch shuffles. At 100 TB
+    * the index is re-read by every admission run; re-hashing it per run
+    * is the admission path's last avoidable shuffle, and this layout
+    * deletes it (pinned by BucketedAdmissionSpec on the executed plan).
+    * Built from the serial corpus scan, not the memoized session cache —
+    * a write-once index must not depend on session cache state. */
+  def writeAdmissionIndex(
+      spark: SparkSession, dir: String, table: String, path: String,
+      nBuckets: Int = 32): Unit = {
+    val indexDocs = Tables.loadSerial(spark, dir, "documents")
+      .select(col("doc_id"), normText(col("text")).as("t"))
+      .select(col("doc_id"), shingleCol(col("t")).as("shingles"))
+    graft.sources.Bucketing.writeBucketed(
+      bandsOf(indexDocs)
+        .select(col("doc_id").as("index_id"), col("band_id"),
+          bandBucketKey.as("bkey")),
+      table, "bkey", path, nBuckets)
+  }
+
+  /** Composite band bucket key `band_id:band_key` — ONE column, so the
+    * admission equi-join key IS the bucket key. A separate band_id
+    * equality filter would be absorbed into the join keys by Catalyst
+    * (equality of left/right columns = an equi-key), widening the
+    * required distribution past the bucket layout and re-shuffling the
+    * index — the exact shuffle this layout deletes. */
+  private def bandBucketKey: Column =
+    concat_ws(":", col("band_id").cast("string"), col("band_key"))
+
+  /** Band-bucket admission join of a fresh (doc_id, text) batch against
+    * the persisted index: candidates are (new doc, index doc) pairs
+    * sharing a band. The equi-join key is the composite [[bandBucketKey]]
+    * — exactly the bucket key, so the index side scans shuffle-free. */
+  def admissionCandidates(
+      spark: SparkSession, batch: DataFrame, table: String): DataFrame = {
+    val batchBands = bandsOf(
+      batch.select(col("doc_id"), normText(col("text")).as("t"))
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles")))
+      .select(col("doc_id"), bandBucketKey.as("bkey"))
+    batchBands.join(spark.table(table), "bkey")
+      .select(col("doc_id"), col("index_id"), col("band_id"))
+  }
+
+  /** Per-new-doc admission rollup over [[admissionCandidates]]: how many
+    * index documents the batch doc collides with and across how many
+    * band hits — the flood gauge an admission pipeline reads before
+    * paying the exact verify (the verify itself is [[incremental]]'s
+    * verified-Jaccard step). */
+  def admitAgainstIndex(
+      spark: SparkSession, batch: DataFrame, table: String): DataFrame =
+    admissionCandidates(spark, batch, table)
+      .groupBy("doc_id")
+      .agg(countDistinct(col("index_id")).as("n_index_candidates"),
+        count(lit(1)).as("n_band_hits"))
+      .orderBy("doc_id")
+
   /** Connected components via alternating large-star / small-star
     * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
     * Components in MapReduce and Beyond", SoCC 2014 — public

@@ -1246,32 +1246,50 @@ object Ann {
   private def pqTopKOver(
       spark: SparkSession, cbSource: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val m = 4; val subDim = 16; val nCodes = 16
-    val cbRow = cbSource.where(col("vec_id").between(1, nCodes))
-      .select(col("vec_id"), col("embedding"), explode(sequence(lit(0), lit(m - 1))).as("s"))
-      .select(col("s"), (col("vec_id") - 1).as("c"),
-        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("v"))
-      .groupBy("s").agg(sort_array(collect_list(struct(col("c"), col("v")))).as("ents"))
-      .select(col("s"), transform(col("ents"), e => e.getField("v")).as("vs"))
-      .agg(sort_array(collect_list(struct(col("s"), col("vs")))).as("sl"))
-      .select(transform(col("sl"), e => e.getField("vs")).as("cbl"))
-    val q = cbSource.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
     GraftFunctions.register(spark)
-    corpus.where(col("vec_id") =!= 0)
-      .crossJoin(broadcast(cbRow)).crossJoin(broadcast(q))
-      .withColumn("dls", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  transform(sequence(1, $nCodes), c ->
-           |    graft_l2sq(slice(embedding, s * $subDim + 1, $subDim),
-           |               element_at(element_at(cbl, s + 1), c))))""".stripMargin))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${m - 1}), s ->
-           |  cast(array_position(element_at(dls, s + 1),
-           |                      array_min(element_at(dls, s + 1))) as int))""".stripMargin))
-      .withColumn("adc_dist", expr(
-        s"""aggregate(sequence(0, ${m - 1}), cast(0.0 as double), (acc, s) ->
-           |  acc + graft_l2sq(slice(qe, s * $subDim + 1, $subDim),
-           |                   element_at(element_at(cbl, s + 1), element_at(codes, s + 1))))""".stripMargin))
-      .select(col("vec_id"), col("label"), col("adc_dist"))
+    // The encode loop is the index-build hot path: 256·(d/m) float ops per
+    // vector. The nested-lambda form (transform × transform × graft_l2sq
+    // over a broadcast nested-array codebook) does NOT whole-stage-codegen
+    // (higher-order functions fall back to interpreted eval — measured
+    // 10.1 s/100k vectors in the ×50 smoke), so the scan is restructured
+    // relationally: explode each vector into its m subvectors, broadcast-
+    // join the 64-row (s, c, v) codebook table, score every pair with the
+    // CODEGEN'd graft_l2sq, and take the per-(vec, s) argmin as a map-side
+    // partial min — the 16 candidates of one subvector never leave their
+    // partition, so the exchange carries |corpus|·m rows, not ·m·nCodes.
+    // Bit-parity: the scored distances are the identical graft_l2sq calls
+    // on identical slices; min(struct(d, c)) ties to the lowest code
+    // exactly like array_position-of-array_min; and the final ADC sum
+    // folds the m per-subspace lookups in s-order via an ordered
+    // collect+aggregate, matching the oracle's sequential list_reduce.
+    val cb = cbSource.where(col("vec_id").between(1, nCodes))
+      .select((col("vec_id") - 1).as("c"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("s"), col("c"),
+        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("v"))
+    val q = cbSource.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    // ADC lookup table: query-subvector distance to every codebook entry
+    // (m·nCodes = 64 rows, broadcast back)
+    val qdist = cb.crossJoin(broadcast(q))
+      .select(col("s"), col("c"),
+        expr(s"graft_l2sq(slice(qe, s * $subDim + 1, $subDim), v)").as("qd"))
+    val coded = corpus.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
+      .select(col("vec_id"), col("label"), col("s"),
+        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+      .join(broadcast(cb), "s")
+      .select(col("vec_id"), col("label"), col("s"), col("c"),
+        expr("graft_l2sq(sv, v)").as("d"))
+      .groupBy("vec_id", "label", "s")
+      .agg(min(struct(col("d"), col("c"))).as("mc"))
+      .select(col("vec_id"), col("label"), col("s"), col("mc.c").as("c"))
+    coded.join(broadcast(qdist), Seq("s", "c"))
+      .groupBy("vec_id", "label")
+      .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("qds"))
+      .select(col("vec_id"), col("label"),
+        aggregate(transform(col("qds"), e => e.getField("qd")),
+          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
   }
