@@ -110,6 +110,10 @@ object SparkEntry {
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(s, d)),
     // ── Text analysis ────────────────────────────────────────────────
     "text_tokens" -> ((s, d) => TextFunctions.tokens(s, d)),
+    "text_sentence_stats" -> ((s, d) => TextFunctions.sentenceStats(s, d)),
+    "text_hapax" -> ((s, d) => TextFunctions.hapax(s, d)),
+    "text_readability" -> ((s, d) => TextFunctions.readability(s, d)),
+    "pipe_quality_by_lang" -> ((s, d) => TextFunctions.qualityByLang(s, d)),
     "text_quality" -> ((s, d) => TextFunctions.quality(s, d)),
     "text_langid" -> ((s, d) => TextFunctions.langId(s, d)),
     "text_lang_confusion" -> ((s, d) => TextFunctions.langConfusion(s, d)),
@@ -185,6 +189,11 @@ object SparkEntry {
     "cdc_event_browse" -> ((s, d) => Monitoring.eventBrowse(s, d)),
     "cdc_audit_browse" -> ((s, d) => Monitoring.auditBrowse(s, d)),
     "cdc_audit_facets" -> ((s, d) => Monitoring.auditFacets(s, d)),
+    "cdc_dml_mix_trend" -> ((s, d) => Monitoring.dmlMixTrend(s, d)),
+    "mm_audio_silence" -> ((s, d) => Binary.audioSilence(s, d)),
+    "cdc_event_size_pcts" -> ((s, d) => Monitoring.eventSizePercentiles(s, d)),
+    "cdc_hot_key_share" -> ((s, d) => Monitoring.hotKeyShare(s, d)),
+    "q_cumulative_uniques" -> ((s, d) => Relational.cumulativeUniques(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -305,6 +314,8 @@ object SparkEntry {
     "ann_sq8_topk" -> ((s, d) => Ann.sq8TopK(s, d)),
     "ann_sq8_recall" -> ((s, d) => Ann.sq8Recall(s, d)),
     "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
+    "ann_lsh_occupancy" -> ((s, d) => Ann.lshOccupancy(s, d)),
+    "emb_exact_dup" -> ((s, d) => Ann.exactDupVectors(s, d)),
     "ann_sq8_build" -> ((s, d) => Ann.sq8Build(s, d)),
     "ann_centroid_separation" -> ((s, d) => Ann.centroidSeparation(s, d)),
     "text_bpe_pairs" -> ((s, d) => TextFunctions.bpePairs(s, d)),
@@ -956,6 +967,11 @@ object SparkEntry {
       "cdc_event_browse" -> Monitoring.eventBrowseSql(),
       "cdc_audit_browse" -> Monitoring.auditBrowseSql(),
       "cdc_audit_facets" -> Monitoring.auditFacetsSql,
+      "cdc_dml_mix_trend" -> Monitoring.dmlMixTrendSql,
+      "mm_audio_silence" -> Binary.audioSilenceSql(),
+      "cdc_event_size_pcts" -> Monitoring.eventSizePercentilesSql(),
+      "cdc_hot_key_share" -> Monitoring.hotKeyShareSql,
+      "q_cumulative_uniques" -> Relational.cumulativeUniquesSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,
@@ -1038,6 +1054,10 @@ object SparkEntry {
       "pipe_pack_sequences" -> TextFunctions.packSequencesSql(),
       "pipe_pack_efficiency" -> TextFunctions.packEfficiencySql(),
       "text_zipf_check" -> TextFunctions.zipfCheckSql(),
+      "text_sentence_stats" -> TextFunctions.sentenceStatsSql,
+      "text_hapax" -> TextFunctions.hapaxSql,
+      "text_readability" -> TextFunctions.readabilitySql,
+      "pipe_quality_by_lang" -> TextFunctions.qualityByLangSql,
       "q_interval_overlap" -> Relational.intervalOverlapSql,
       "q_yoy_growth" -> Relational.yoyGrowthSql,
       "cdc_state_size" -> Monitoring.stateSizeSql(cl),
@@ -1081,6 +1101,8 @@ object SparkEntry {
       "ann_sq8_topk" -> Ann.sq8TopKSql(),
       "ann_sq8_recall" -> Ann.sq8RecallSql(),
       "ann_ivf_occupancy" -> Ann.ivfOccupancySql,
+      "ann_lsh_occupancy" -> Ann.lshOccupancySql,
+      "emb_exact_dup" -> Ann.exactDupVectorsSql,
       "ann_sq8_build" -> Ann.sq8BuildSql,
       "ann_centroid_separation" -> Ann.centroidSeparationSql,
       "text_bpe_pairs" -> TextFunctions.bpePairsSql(),

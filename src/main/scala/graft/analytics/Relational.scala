@@ -1284,4 +1284,40 @@ object Relational {
       |       quantile_cont(abs(l.l_extendedprice - m.med), 0.5) / max(m.med) AS rel_mad
       |FROM lineitem l JOIN med m USING (l_returnflag)
       |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+  /** Daily unique-user growth — the audience/coverage curve every
+    * event-stream dashboard carries: per day, the active distinct users,
+    * the NEW users (first-ever appearance), and the cumulative unique
+    * count. Computed scale-correctly: "cumulative distinct" is NOT a
+    * distinct over an ever-growing window — each user contributes one
+    * (user, first_day) row via a per-key min, daily news are a ≤|days|-key
+    * rollup of that, and the running total is a window over the
+    * pre-aggregated daily rows. At 100 TB the only big shuffle is the
+    * per-user min, which map-side combines.
+    */
+  def cumulativeUniques(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+    val active = ev.groupBy("day").agg(countDistinct(col("user_id")).as("n_active"))
+    val news = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("day")
+    active.join(news, Seq("day"), "left")
+      .select(col("day"), col("n_active"), coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_uniques", sum(col("n_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  val cumulativeUniquesSql: String =
+    """WITH ev AS (
+      |  SELECT date_trunc('day', ts) AS day, user_id FROM events),
+      |active AS (SELECT day, count(DISTINCT user_id) AS n_active FROM ev GROUP BY day),
+      |firsts AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+      |news AS (SELECT day, count(*) AS n_new FROM firsts GROUP BY day)
+      |SELECT a.day, a.n_active, coalesce(n.n_new, 0) AS n_new,
+      |       CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY a.day
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_uniques
+      |FROM active a LEFT JOIN news n ON a.day = n.day
+      |ORDER BY a.day""".stripMargin
 }

@@ -1780,6 +1780,173 @@ object Monitoring {
       .orderBy("severity")
   }
 
+  /** Daily DML-mix trend — the op-mix drift monitor over the change
+    * stream: per day, insert/update/delete counts and shares (the
+    * changelog convention: signup→c, error→d, else→u), plus the
+    * day-over-day delta of the update share. A mix that lurches toward
+    * deletes flags a purge job or a misconfigured soft-delete; an
+    * insert-heavy lurch flags a backfill running against the live slot.
+    *
+    * Scale shape: one ≤|days|-key map-side-combined aggregation, then a
+    * lag window over the pre-aggregated daily rows (≤|days| rows, never
+    * the stream). */
+  def dmlMixTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = graft.Tables.load(spark, dir, "events")
+      .select(date_trunc("DAY", col("ts")).as("day"),
+        when(col("event_type") === "signup", "c")
+          .when(col("event_type") === "error", "d")
+          .otherwise("u").as("op"))
+      .groupBy("day")
+      .agg(
+        sum(when(col("op") === "c", 1L).otherwise(0L)).as("n_ins"),
+        sum(when(col("op") === "u", 1L).otherwise(0L)).as("n_upd"),
+        sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_del"),
+        count(lit(1)).as("n_total"))
+      .withColumn("upd_share",
+        col("n_upd").cast("double") / col("n_total").cast("double"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    daily
+      .withColumn("upd_share_delta",
+        col("upd_share") - coalesce(lag(col("upd_share"), 1).over(w), col("upd_share")))
+      .orderBy("day")
+  }
+
+  val dmlMixTrendSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_ins,
+      |         CAST(sum(CASE WHEN event_type NOT IN ('signup', 'error') THEN 1 ELSE 0 END) AS BIGINT) AS n_upd,
+      |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+      |         count(*) AS n_total
+      |  FROM events GROUP BY 1),
+      |shares AS (
+      |  SELECT *, CAST(n_upd AS DOUBLE) / CAST(n_total AS DOUBLE) AS upd_share FROM daily)
+      |SELECT day, n_ins, n_upd, n_del, n_total, upd_share,
+      |       upd_share - coalesce(lag(upd_share) OVER (ORDER BY day), upd_share) AS upd_share_delta
+      |FROM shares ORDER BY day""".stripMargin
+
+  /** Per-topic message-size percentiles — the payload-profile gauge that
+    * sizes Kafka batch/fetch settings and sink buffers: exact p50/p90/p99
+    * of the wire message bytes (payload + envelope overhead) per topic,
+    * via the same deterministic order-statistic pick as
+    * [[lagPercentiles]] (rank = ⌈p·n⌉ — no interpolation, so both
+    * engines agree bit-for-bit on integer byte counts).
+    *
+    * Scale shape: per-topic windows partition on the topic key; at
+    * 100 TB swap the exact rank for approx_percentile per the q_mad
+    * note — the output contract is identical. */
+  def eventSizePercentiles(spark: SparkSession, dir: String, overhead: Int = 64): DataFrame = {
+    val sized = graft.Tables.load(spark, dir, "events")
+      .select(concat(lit("graft.public."), col("event_type")).as("topic"),
+        (length(col("props")).cast("long") + overhead).as("msg_bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic").orderBy("msg_bytes")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("topic")
+    def pick(p: Double) =
+      max(when(col("rn") === ceil(lit(p) * col("n")).cast("long"), col("msg_bytes")))
+    sized
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        min(col("msg_bytes")).as("min_bytes"),
+        pick(0.5).as("p50_bytes"), pick(0.9).as("p90_bytes"), pick(0.99).as("p99_bytes"),
+        max(col("msg_bytes")).as("max_bytes"))
+      .orderBy("topic")
+  }
+
+  def eventSizePercentilesSql(overhead: Int = 64): String =
+    s"""WITH sized AS (
+       |  SELECT 'graft.public.' || event_type AS topic,
+       |         CAST(length(props) AS BIGINT) + $overhead AS msg_bytes
+       |  FROM events),
+       |ranked AS (
+       |  SELECT topic, msg_bytes,
+       |         row_number() OVER (PARTITION BY topic ORDER BY msg_bytes) AS rn,
+       |         count(*) OVER (PARTITION BY topic) AS n
+       |  FROM sized)
+       |SELECT topic, count(*) AS n_messages,
+       |       min(msg_bytes) AS min_bytes,
+       |       max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN msg_bytes END) AS p50_bytes,
+       |       max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN msg_bytes END) AS p90_bytes,
+       |       max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN msg_bytes END) AS p99_bytes,
+       |       max(msg_bytes) AS max_bytes
+       |FROM ranked GROUP BY topic ORDER BY topic""".stripMargin
+
+  /** Hot-key concentration — how much of the change volume the top 1% of
+    * keys carry. Computed SCALE-CORRECTLY through the count-of-counts
+    * distribution: per-key counts collapse to (events_per_key →
+    * n_keys_with_that_count) — a table bounded by the DISTINCT count
+    * values, not by |keys| — and the top-1% share is read off its
+    * cumulative tail with the boundary count level fractionally
+    * attributed (exact integer arithmetic: ⌈0.01·n_keys⌉ keys). A naive
+    * global row_number over per-key counts would single-task a
+    * billion-key window at 100 TB; the count-of-counts window sorts a
+    * few hundred rows. Complements [[partitionSkew]] (bucket-level) with
+    * the key-level answer.
+    *
+    * Scale shape: one per-key aggregation (map-side combined), one
+    * aggregation to count-of-counts, one tiny window. */
+  def hotKeyShare(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = graft.Tables.load(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val coc = perKey.groupBy("cnt").agg(count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    coc
+      .withColumn("keys_above", // keys at strictly hotter count levels
+        coalesce(sum(col("n_keys")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("total_keys", sum(col("n_keys")).over(wAll))
+      .withColumn("total_events", sum(col("cnt") * col("n_keys")).over(wAll))
+      .withColumn("events_above",
+        coalesce(sum(col("cnt") * col("n_keys")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("k_top", ceil(col("total_keys").cast("double") * 0.01).cast("long"))
+      // the boundary level: include only the keys still needed to reach k_top
+      .where(col("keys_above") < col("k_top"))
+      .withColumn("take_here",
+        least(col("n_keys"), col("k_top") - col("keys_above")))
+      .groupBy(col("total_keys"), col("total_events"), col("k_top"))
+      .agg(max(col("cnt")).as("hottest_count"),
+        sum(col("take_here") * col("cnt")).as("top_events_raw"))
+      .select(
+        col("total_keys").as("n_keys"),
+        col("total_events").as("n_events"),
+        col("k_top").as("n_top_keys"),
+        col("hottest_count").as("max_events_per_key"),
+        col("top_events_raw").as("top_key_events"),
+        (col("top_events_raw").cast("double") / col("total_events").cast("double"))
+          .as("top_key_share"))
+  }
+
+  val hotKeyShareSql: String =
+    """WITH per_key AS (
+      |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+      |coc AS (SELECT cnt, count(*) AS n_keys FROM per_key GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, n_keys,
+      |         coalesce(sum(n_keys) OVER (ORDER BY cnt DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS keys_above,
+      |         sum(n_keys) OVER () AS total_keys,
+      |         sum(cnt * n_keys) OVER () AS total_events
+      |  FROM coc),
+      |sel AS (
+      |  SELECT *, CAST(ceil(CAST(total_keys AS DOUBLE) * 0.01) AS BIGINT) AS k_top,
+      |         least(n_keys, CAST(ceil(CAST(total_keys AS DOUBLE) * 0.01) AS BIGINT) - keys_above) AS take_here
+      |  FROM cum
+      |  WHERE keys_above < CAST(ceil(CAST(total_keys AS DOUBLE) * 0.01) AS BIGINT))
+      |SELECT CAST(max(total_keys) AS BIGINT) AS n_keys,
+      |       CAST(max(total_events) AS BIGINT) AS n_events,
+      |       CAST(max(k_top) AS BIGINT) AS n_top_keys,
+      |       CAST(max(cnt) AS BIGINT) AS max_events_per_key,
+      |       CAST(sum(take_here * cnt) AS BIGINT) AS top_key_events,
+      |       CAST(sum(take_here * cnt) AS DOUBLE) / CAST(max(total_events) AS DOUBLE) AS top_key_share
+      |FROM sel""".stripMargin
+
   val logLevelsSql: String =
     """WITH contract(severity, level) AS (
       |  VALUES (1, 'DEBUG'), (2, 'INFO'), (3, 'WARNING'), (4, 'ERROR'), (5, 'CRITICAL')),

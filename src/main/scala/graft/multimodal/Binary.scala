@@ -333,6 +333,111 @@ object Binary {
       |       CAST(zc AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val audioSilenceSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_silent", LongType, nullable = false),
+    StructField("longest_run", LongType, nullable = false),
+    StructField("lead_silence", LongType, nullable = false),
+    StructField("trail_silence", LongType, nullable = false)))
+
+  /** Silence profiling — the trim-silence preprocessing stage of every
+    * speech pipeline: decode the real WAV round trip (same synth → WAV →
+    * AudioSystem decode as [[audioStats]]) and report, per clip, the
+    * silent-sample count (|s| below the 4096 amplitude gate), the longest
+    * contiguous silent run, and the leading/trailing silence a trimmer
+    * would cut. Run bookkeeping is a single imperative pass over the
+    * decoded PCM; the oracle recomputes it closed-form with
+    * gaps-and-islands over the synth formula, so any decode disagreement
+    * breaks the hash.
+    *
+    * Scale shape: per-clip codec work; serial load for the same
+    * synchronized-AudioSystem-registry reason as [[audioDecode]] (fan-out
+    * buys lock contention — measured 2-3× slower). Zero shuffles before
+    * the output sort. */
+  def audioSilence(spark: SparkSession, dir: String, gate: Int = 4096): DataFrame = {
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSilenceSchema)
+    val decoded = ids.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        var nSilent = 0L; var longest = 0L; var run = 0L
+        var lead = -1L; var lastLoud = -1L
+        var j = 0
+        while (j < m) {
+          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
+          if (math.abs(s) < gate) {
+            nSilent += 1; run += 1
+            if (run > longest) longest = run
+          } else {
+            run = 0
+            if (lead < 0) lead = j.toLong
+            lastLoud = j.toLong
+          }
+          j += 1
+        }
+        val leadSil = if (lead < 0) m.toLong else lead
+        val trailSil = if (lastLoud < 0) m.toLong else m - 1L - lastLoud
+        Row(id, m.toLong, nSilent, longest, leadSil, trailSil)
+      }
+    }(enc)
+    decoded
+      .withColumn("silent_share",
+        col("n_silent").cast("double") / col("n_samples").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def audioSilenceSql(gate: Int = 4096): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 480 + 160 AS n FROM documents),
+       |s AS (SELECT doc_id, n,
+       |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i FROM d),
+       |v AS (SELECT doc_id, n, i,
+       |             abs((doc_id * 31 + i * 17) % 65536 - 32768) < $gate AS silent
+       |      FROM s),
+       |isl AS (
+       |  SELECT doc_id, n, i, silent,
+       |         i - row_number() OVER (PARTITION BY doc_id, silent ORDER BY i) AS grp
+       |  FROM v),
+       |runs AS (
+       |  SELECT doc_id, count(*) AS run_len
+       |  FROM isl WHERE silent GROUP BY doc_id, grp),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(max(n) AS BIGINT) AS n_samples,
+       |         CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+       |         CAST(coalesce(min(CASE WHEN NOT silent THEN i END), max(n)) AS BIGINT) AS lead_silence,
+       |         CAST(coalesce(max(n) - 1 - max(CASE WHEN NOT silent THEN i END), max(n)) AS BIGINT) AS trail_silence
+       |  FROM v GROUP BY doc_id),
+       |lr AS (SELECT doc_id, CAST(coalesce(max(run_len), 0) AS BIGINT) AS longest_run
+       |       FROM runs GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_samples, a.n_silent,
+       |       coalesce(lr.longest_run, 0) AS longest_run,
+       |       a.lead_silence, a.trail_silence,
+       |       CAST(a.n_silent AS DOUBLE) / CAST(a.n_samples AS DOUBLE) AS silent_share
+       |FROM agg a LEFT JOIN lr ON a.doc_id = lr.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   private val resampleSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("in_rate", IntegerType, nullable = false),

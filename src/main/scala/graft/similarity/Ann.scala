@@ -2208,4 +2208,86 @@ object Ann {
        |SELECT CAST(j AS BIGINT) AS dim, loading, lambda1, lambda2
        |FROM fin ORDER BY dim""".stripMargin
   }
+
+  /** Sign-LSH bucket occupancy — the flood gauge for the LSH probe path,
+    * mirroring [[ivfOccupancy]] for the hyperplane index: per 8-bit sign
+    * bucket, the vector count, corpus share, and load factor (share ×
+    * bucket count — 1.0 = perfectly balanced), plus the expected
+    * candidate volume a single-probe query pays (the occupancy of ITS
+    * bucket, in expectation Σ n_b²/N — reported per bucket as n²/N so
+    * the tail is visible, not averaged away). Anisotropic exports show
+    * up here as a handful of buckets holding most of the corpus — the
+    * exact condition the NN-Descent seed cap guards against.
+    *
+    * Scale shape: one per-row code expression into a ≤256-key map-side
+    * combined aggregation; the total attaches via a tiny window over the
+    * pre-aggregated bucket rows. */
+  def lshOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    Tables.load(spark, dir, "embeddings")
+      .select(signCode(col("embedding")).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vectors"))
+      .withColumn("total", sum(col("n_vectors")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("bucket"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total").cast("double")).as("share"),
+        (col("n_vectors").cast("double") * col("k").cast("double")
+          / col("total").cast("double")).as("load_factor"),
+        (col("n_vectors").cast("double") * col("n_vectors").cast("double")
+          / col("total").cast("double")).as("expected_probe_cost"))
+      .orderBy("bucket")
+  }
+
+  val lshOccupancySql: String =
+    s"""WITH coded AS (
+       |  SELECT ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |b AS (SELECT bucket, count(*) AS n_vectors FROM coded GROUP BY bucket)
+       |SELECT bucket, n_vectors,
+       |       CAST(n_vectors AS DOUBLE) / CAST(sum(n_vectors) OVER () AS DOUBLE) AS share,
+       |       CAST(n_vectors AS DOUBLE) * CAST(count(*) OVER () AS DOUBLE)
+       |         / CAST(sum(n_vectors) OVER () AS DOUBLE) AS load_factor,
+       |       CAST(n_vectors AS DOUBLE) * CAST(n_vectors AS DOUBLE)
+       |         / CAST(sum(n_vectors) OVER () AS DOUBLE) AS expected_probe_cost
+       |FROM b ORDER BY bucket""".stripMargin
+
+  /** Exact-duplicate vector scan — embedding-export hygiene: byte-equal
+    * vectors (grouped on the raw float array, no hashing, no tolerance)
+    * indicate collapsed embeddings (an encoder emitting a constant for
+    * empty inputs) or upstream doc duplication that survived text dedup.
+    * One summary row: corpus size, distinct vectors, duplicated-group
+    * count, the largest clone family, and how many vectors are clones
+    * (member of a group of ≥2).
+    *
+    * Scale shape: one groupBy on the array key (hash-partitioned on the
+    * vector bytes — uniform by construction), then a single-row rollup
+    * of the ≤|distinct| group table. */
+  def exactDupVectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .groupBy(col("embedding"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        sum(col("n")).as("n_vectors"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n") > 1L, 1L).otherwise(0L)).as("n_dup_groups"),
+        max(col("n")).as("max_group"),
+        sum(when(col("n") > 1L, col("n")).otherwise(0L)).as("n_clone_vectors"))
+      .select(
+        col("n_vectors").cast("long").as("n_vectors"),
+        col("n_distinct"), col("n_dup_groups"), col("max_group"),
+        col("n_clone_vectors"),
+        (col("n_clone_vectors").cast("double") / col("n_vectors").cast("double"))
+          .as("clone_share"))
+
+  val exactDupVectorsSql: String =
+    """WITH g AS (
+      |  SELECT embedding, count(*) AS n FROM embeddings GROUP BY embedding)
+      |SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+      |       count(*) AS n_distinct,
+      |       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |       CAST(max(n) AS BIGINT) AS max_group,
+      |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_clone_vectors,
+      |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(n) AS DOUBLE) AS clone_share
+      |FROM g""".stripMargin
 }

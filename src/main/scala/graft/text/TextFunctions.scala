@@ -2215,4 +2215,194 @@ object TextFunctions {
       |       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
       |       CAST(sum(delta) AS BIGINT) AS net_char_delta
       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-document sentence segmentation stats — the structural-quality
+    * signal under readability filters: sentences are the non-empty
+    * `[.!?]+` splits (a text with no terminator is one sentence), words
+    * per sentence the whitespace-token count of each trimmed sentence.
+    * All counts exact integers; the mean a double ratio of exact ints.
+    *
+    * Scale shape: pure per-row array work (split → filter → transform →
+    * ordered fold), zero shuffles before the output sort. */
+  def sentenceStats(spark: SparkSession, dir: String): DataFrame = {
+    val sents = filter(
+      split(col("text"), "[.!?]+"),
+      s => length(trim(s)) >= 1)
+    val wordsPer = transform(sents, s => size(split(trim(s), "\\s+")).cast("long"))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), wordsPer.as("wps"))
+      .select(
+        col("doc_id"),
+        size(col("wps")).cast("long").as("n_sentences"),
+        aggregate(col("wps"), lit(0L), (acc, x) => acc + x).as("n_words"),
+        coalesce(array_max(col("wps")), lit(0L)).as("max_words_per_sentence"))
+      .withColumn("mean_words_per_sentence",
+        when(col("n_sentences") > 0L,
+          col("n_words").cast("double") / col("n_sentences").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
+  val sentenceStatsSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |         list_transform(
+      |           list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |                       s -> length(trim(s)) >= 1),
+      |           s -> CAST(len(string_split_regex(trim(s), '\s+')) AS BIGINT)) AS wps
+      |  FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(wps) AS BIGINT) AS n_sentences,
+      |       list_reduce(list_prepend(0::BIGINT, wps), (x, y) -> x + y) AS n_words,
+      |       coalesce(list_max(wps), 0) AS max_words_per_sentence,
+      |       CASE WHEN len(wps) > 0
+      |            THEN CAST(list_reduce(list_prepend(0::BIGINT, wps), (x, y) -> x + y) AS DOUBLE)
+      |                   / CAST(len(wps) AS DOUBLE)
+      |            ELSE 0.0 END AS mean_words_per_sentence
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Per-source hapax-legomenon profile — the Zipf-tail health check a
+    * corpus curator reads next to [[zipfCheck]]: a hapax is a term whose
+    * corpus-wide TOKEN count is exactly 1 (so each hapax token IS its
+    * term's unique occurrence). Sources whose hapax share spikes are
+    * full of OCR noise, random identifiers, or boilerplate-free unique
+    * text; sources near zero are templated. Reports per source: token
+    * volume, vocabulary size, hapax count, and the hapax share of both
+    * tokens and vocabulary.
+    *
+    * Scale shape: one vocabulary shuffle for the corpus counts
+    * (map-side combined), re-joined on the term key (AQE broadcasts the
+    * count table when it fits), then a ≤|sources|-key rollup. */
+  def hapax(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    toks.join(cnt, "term")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_token_share"),
+        (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+          .as("hapax_vocab_share"))
+      .orderBy("source")
+  }
+
+  val hapaxSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |t AS (SELECT source, doc_id, term FROM toks WHERE length(term) >= 1),
+      |c AS (SELECT term, count(*) AS c FROM t GROUP BY term)
+      |SELECT source,
+      |       count(*) AS n_tokens,
+      |       count(DISTINCT term) AS n_vocab,
+      |       CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |       CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS hapax_token_share,
+      |       CAST(sum(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(DISTINCT term) AS DOUBLE) AS hapax_vocab_share
+      |FROM t JOIN c USING (term)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** Per-document readability (Flesch / Flesch-Kincaid with the standard
+    * vowel-group syllable proxy): words = whitespace tokens, sentences =
+    * non-empty `[.!?]+` splits floored at 1, syllables = `[aeiou]+`
+    * groups of the lowercased text. Every count is an exact integer and
+    * the two scores are fixed double polynomials of two exact-int ratios
+    * with pinned operand order, so both engines produce identical IEEE
+    * doubles. The grade feeds curriculum ordering; the ease score feeds
+    * quality filters.
+    *
+    * Scale shape: pure per-row regex counting, zero shuffles before the
+    * output sort. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+        greatest(lit(1L),
+          size(filter(split(col("text"), "[.!?]+"), s => length(trim(s)) >= 1)).cast("long"))
+          .as("n_sentences"),
+        size(regexp_extract_all(lower(col("text")), lit("[aeiou]+"), lit(0)))
+          .cast("long").as("n_syllables"))
+      .withColumn("wps", col("n_words").cast("double") / col("n_sentences").cast("double"))
+      .withColumn("spw", col("n_syllables").cast("double") / col("n_words").cast("double"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        ((lit(0.39) * col("wps") + lit(11.8) * col("spw")) - lit(15.59)).as("fk_grade"),
+        ((lit(206.835) - lit(1.015) * col("wps")) - lit(84.6) * col("spw")).as("flesch_ease"))
+      .orderBy("doc_id")
+
+  val readabilitySql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+      |         greatest(1, CAST(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+      |                                          s -> length(trim(s)) >= 1)) AS BIGINT)) AS n_sentences,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syllables
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, n_words, n_sentences, n_syllables,
+      |         CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps,
+      |         CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw
+      |  FROM f)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |       (0.39 * wps + 11.8 * spw) - 15.59 AS fk_grade,
+      |       (206.835 - 1.015 * wps) - 84.6 * spw AS flesch_ease
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** Quality-score rollup per language — the mix-curation view joining
+    * [[quality]]'s deterministic score to the stored language tag: per
+    * lang, the document count, the EXACT mean score (each score
+    * 2⁴⁰-quantized and summed as integers, so the mean is
+    * partition-order independent bit-for-bit), and the share of
+    * documents clearing the score ≥ 1.0 admission bar. The table a
+    * data-mix owner reads to decide which languages need a gentler
+    * quality threshold before the corpus goes monolingual-English.
+    *
+    * Scale shape: per-row scoring (no shuffle) into one ≤|langs|-key
+    * map-side-combined aggregation. */
+  def qualityByLang(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), qualityScoreCol.as("score"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(floor(col("score") * Q).cast("long")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("qsum"),
+        sum(when(col("score") >= 1.0, 1L).otherwise(0L)).as("n_pass"))
+      .select(col("lang"), col("n_docs"),
+        (col("qsum").cast("double") / Q / col("n_docs").cast("double")).as("mean_score"),
+        col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double")).as("pass_share"))
+      .orderBy("lang")
+  }
+
+  def qualityByLangSql: String =
+    s"""WITH f AS (
+       |  SELECT lang,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+       |         CAST(length(text) AS DOUBLE) AS nchars,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+       |  FROM documents),
+       |g AS (
+       |  SELECT lang,
+       |         (CAST(len(list_filter(words, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+       |            / CAST(len(words) AS DOUBLE)) * 2.0 - (npunct / nchars) * 0.5 +
+       |           CASE WHEN len(words) >= 10 THEN 1.0 ELSE 0.0 END AS score
+       |  FROM f)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(CAST(floor(score * 1099511627776.0) AS HUGEINT)) AS DOUBLE)
+       |         / 1099511627776.0 / CAST(count(*) AS DOUBLE) AS mean_score,
+       |       CAST(sum(CASE WHEN score >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       CAST(sum(CASE WHEN score >= 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS pass_share
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -38,14 +38,23 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
     * - pipe_lang_coverage: rank/cumulative over the ≤ |langs|-row
     *   per-language aggregate;
     * - cdc_lsn_latency_trend: running-max/lag/trailing-sum over the
-    *   ≤ |buckets|-row per-bucket aggregate. */
+    *   ≤ |buckets|-row per-bucket aggregate;
+    * - cdc_dml_mix_trend / q_cumulative_uniques: lag / running-sum over
+    *   the ≤ |days|-row daily aggregate;
+    * - cdc_hot_key_share: cumulative tail over the count-of-counts
+    *   distribution (≤ |distinct per-key counts| rows — that boundedness
+    *   IS the op's scale design, see Monitoring.hotKeyShare);
+    * - ann_lsh_occupancy: corpus-share totals over the ≤ 256-row
+    *   per-bucket aggregate. */
   private val boundedGlobalWindowAllowlist: Set[String] =
     if (sys.env.contains("GRAFT_AUDIT_ALL")) Set.empty
     else Set(
       "q_moving_avg", "q_range_frame", "q_percent_of_total", "q_dow_seasonality",
       "cdc_partition_skew", "cdc_snapshot_progress",
       "pipe_interleave", "pipe_curriculum", "text_quality_bins",
-      "ann_ivf_occupancy", "pipe_lang_coverage", "cdc_lsn_latency_trend")
+      "ann_ivf_occupancy", "pipe_lang_coverage", "cdc_lsn_latency_trend",
+      "cdc_dml_mix_trend", "q_cumulative_uniques", "cdc_hot_key_share",
+      "ann_lsh_occupancy")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec
