@@ -28,11 +28,21 @@ object GraftFunctions {
     L2DistanceSq(children.head, children(1))
   }
 
+  private[functions] val dbitsInfo = new ExpressionInfo(
+    classOf[DoubleBits].getName, null, "graft_dbits")
+
+  private[functions] val dbitsBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_dbits requires exactly 1 argument")
+    DoubleBits(children.head)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_l2sq"), l2Info, l2Builder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dbits"), dbitsInfo, dbitsBuilder)
   }
 }
 
@@ -41,5 +51,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_l2sq"), GraftFunctions.l2Info, GraftFunctions.l2Builder))
+    ext.injectFunction((FunctionIdentifier("graft_dbits"), GraftFunctions.dbitsInfo, GraftFunctions.dbitsBuilder))
   }
 }

@@ -1273,17 +1273,27 @@ object Ann {
     val qdist = cb.crossJoin(broadcast(q))
       .select(col("s"), col("c"),
         expr(s"graft_l2sq(slice(qe, s * $subDim + 1, $subDim), v)").as("qd"))
+    // argmin by (distance, code) as a PLAIN min over a packed integer
+    // key: for the non-negative l2sq distances, IEEE bits are
+    // order-isomorphic to the value (graft_dbits), so
+    // min(bits(d)·nCodes + c) ranks exactly like min(struct(d, c)) —
+    // equal distances have equal bits and ties fall to the lower code —
+    // but runs as a map-side-combined HashAggregate where the struct min
+    // falls back to SortAggregate and SORTS the full scored pair set.
+    // bits(d)·16 exceeds a long, so the key is DECIMAL(38,0).
     val coded = corpus.where(col("vec_id") =!= 0)
       .select(col("vec_id"), col("label"),
         explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
       .select(col("vec_id"), col("label"), col("s"),
         slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sv"))
       .join(broadcast(cb), "s")
-      .select(col("vec_id"), col("label"), col("s"), col("c"),
-        expr("graft_l2sq(sv, v)").as("d"))
+      .select(col("vec_id"), col("label"), col("s"),
+        (expr("graft_dbits(graft_l2sq(sv, v))").cast(DecimalType(38, 0))
+          * nCodes + col("c")).as("key"))
       .groupBy("vec_id", "label", "s")
-      .agg(min(struct(col("d"), col("c"))).as("mc"))
-      .select(col("vec_id"), col("label"), col("s"), col("mc.c").as("c"))
+      .agg(min(col("key")).as("mk"))
+      .select(col("vec_id"), col("label"), col("s"),
+        (col("mk") % nCodes).cast("long").as("c"))
     coded.join(broadcast(qdist), Seq("s", "c"))
       .groupBy("vec_id", "label")
       .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("qds"))

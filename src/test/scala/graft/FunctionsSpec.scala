@@ -56,4 +56,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("graft_cosine") ||
       e.getMessage.toLowerCase.contains("data type"))
   }
+
+  test("graft_dbits is order-isomorphic on non-negative doubles and matches JVM bits") {
+    GraftFunctions.register(spark)
+    // distances as they occur in the PQ argmin: non-negative l2sq values
+    val q = Tables.load(spark, dir, "embeddings").where(col("vec_id") === 0)
+      .limit(1).select(col("embedding").as("qe"))
+    val d = Tables.load(spark, dir, "embeddings").crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
+      .withColumn("bits", expr("graft_dbits(d)"))
+      .collect()
+    d.foreach { r =>
+      assert(r.getAs[Long]("bits") ==
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("d")))
+    }
+    // order isomorphism: sorting by bits equals sorting by value
+    val byVal = d.sortBy(_.getAs[Double]("d")).map(_.getAs[Long]("vec_id"))
+    val byBits = d.sortBy(_.getAs[Long]("bits")).map(_.getAs[Long]("vec_id"))
+    assert(byVal.sameElements(byBits))
+  }
 }

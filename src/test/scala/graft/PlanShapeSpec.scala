@@ -158,18 +158,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(native.sameElements(composed), "native and composed as-of joins must agree")
   }
 
-  test("PQ ADC search: corpus scan never shuffles, top-k is a bounded take") {
+  test("PQ ADC search: codegen'd scoring, partial-aggregated exchanges, bounded take") {
+    // the r10 shape: the nested-lambda encode (which never codegens) is
+    // restructured as explode-subvectors → broadcast 64-row codebook →
+    // codegen'd graft_l2sq → per-(vec, s) argmin → ADC lookup join →
+    // per-vec ordered fold. Exactly TWO hash exchanges are the contract —
+    // the argmin and the rollup — and both must be map-side combined
+    // (partial aggregate below the exchange), so they carry |corpus|·m
+    // and |corpus| rows, never the ·nCodes scored pairs.
     val p = planOf("ann_pq_topk")
-    // the only hash exchange allowed is the codebook build's 64-row
-    // rollup (inside the broadcast subtree); the corpus spine is scan →
-    // per-row encode/score projections → broadcast joins → bounded take
-    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
-      "PQ encode/score must be per-row expressions over the scan — the " +
-        "codebook and query broadcast, the corpus side never repartitions")
-    val spine = p.substring(0, p.indexOf("BroadcastNestedLoopJoin"))
-    assert(!spine.contains("Exchange"), "no exchange between the corpus scan and the take")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      "the argmin + rollup exchanges, nothing else — a third exchange " +
+        "means the scored pairs or the codebook stopped broadcasting")
+    // the argmin runs as HashAggregate (min of a struct), the rollup as
+    // ObjectHashAggregate (collect_list) — each must appear twice
+    // (partial below its exchange, final above it)
+    assert("(?<!Object)HashAggregate".r.findAllIn(p).length >= 2,
+      "the argmin must be partial (map-side combine below its exchange)")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "the rollup must be partial (map-side combine below its exchange)")
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
     assert(p.contains("graft_l2sq"), "scoring must use the codegen'd native distance")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the codebook attaches via broadcast joins")
   }
 
   test("linearized gram-df ops build their fan-out exactly once") {
