@@ -194,6 +194,10 @@ object SparkEntry {
     "cdc_event_size_pcts" -> ((s, d) => Monitoring.eventSizePercentiles(s, d)),
     "cdc_hot_key_share" -> ((s, d) => Monitoring.hotKeyShare(s, d)),
     "q_cumulative_uniques" -> ((s, d) => Relational.cumulativeUniques(s, d)),
+    "q_event_attribution" -> ((s, d) => Relational.eventAttribution(s, d)),
+    "cdc_table_activity" -> ((s, d) => Monitoring.tableActivity(s, d)),
+    "dedup_lsh_tune" -> ((s, d) => Dedup.lshTune(s, d)),
+    "ann_recall_curve" -> ((s, d) => Ann.recallCurve(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -972,6 +976,10 @@ object SparkEntry {
       "cdc_event_size_pcts" -> Monitoring.eventSizePercentilesSql(),
       "cdc_hot_key_share" -> Monitoring.hotKeyShareSql,
       "q_cumulative_uniques" -> Relational.cumulativeUniquesSql,
+      "q_event_attribution" -> Relational.eventAttributionSql,
+      "cdc_table_activity" -> Monitoring.tableActivitySql(),
+      "dedup_lsh_tune" -> Dedup.lshTuneSql(),
+      "ann_recall_curve" -> Ann.recallCurveSql(),
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1320,4 +1320,67 @@ object Relational {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_uniques
       |FROM active a LEFT JOIN news n ON a.day = n.day
       |ORDER BY a.day""".stripMargin
+
+  /** Last-touch attribution — per purchase, the user's most recent PRIOR
+    * non-purchase event ("what did they do right before buying"), rolled
+    * up per touch type with conversion volume and time-to-convert. The
+    * classic marketing-attribution query, done stream-side: one window
+    * per user carries the last non-purchase touch forward (IGNORE NULLS
+    * over the preceding frame), so no self-join of the event table
+    * against itself.
+    *
+    * Scale shape: one user-partitioned window (uniform keys), one
+    * ≤|event-types|-key rollup; gaps summed as exact millisecond longs,
+    * the mean a double ratio of exact ints. */
+  def eventAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val touchMs = when(col("event_type") =!= "purchase", unix_millis(col("ts")))
+    Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .withColumn("touch_type", last(touch, ignoreNulls = true).over(w))
+      .withColumn("touch_ms", last(touchMs, ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(coalesce(col("touch_type"), lit("none")).as("touch_type"),
+        (unix_millis(col("ts")) - col("touch_ms")).as("gap_ms"))
+      .groupBy("touch_type")
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("gap_ms")).as("n_attributed"),
+        coalesce(sum(col("gap_ms")), lit(0L)).as("sum_gap_ms"),
+        coalesce(max(col("gap_ms")), lit(0L)).as("max_gap_ms"))
+      .select(col("touch_type"), col("n_purchases"),
+        when(col("n_attributed") > 0L,
+          col("sum_gap_ms").cast("double") / col("n_attributed").cast("double"))
+          .otherwise(lit(0.0)).as("mean_gap_ms"),
+        col("max_gap_ms"))
+      .orderBy("touch_type")
+  }
+
+  val eventAttributionSql: String =
+    """WITH t AS (
+      |  SELECT event_id, ts, user_id, event_type,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+      |         last_value(CASE WHEN event_type <> 'purchase' THEN epoch_ms(ts) END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ms
+      |  FROM events),
+      |p AS (
+      |  SELECT coalesce(touch_type, 'none') AS touch_type,
+      |         epoch_ms(ts) - touch_ms AS gap_ms
+      |  FROM t WHERE event_type = 'purchase'),
+      |a AS (
+      |  SELECT touch_type, count(*) AS n_purchases, count(gap_ms) AS n_attributed,
+      |         coalesce(sum(gap_ms), 0) AS sum_gap_ms,
+      |         coalesce(max(gap_ms), 0) AS max_gap_ms
+      |  FROM p GROUP BY touch_type)
+      |SELECT touch_type, n_purchases,
+      |       CASE WHEN n_attributed > 0
+      |            THEN CAST(sum_gap_ms AS DOUBLE) / CAST(n_attributed AS DOUBLE)
+      |            ELSE 0.0 END AS mean_gap_ms,
+      |       CAST(max_gap_ms AS BIGINT) AS max_gap_ms
+      |FROM a ORDER BY touch_type""".stripMargin
 }

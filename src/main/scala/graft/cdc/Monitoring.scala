@@ -1874,6 +1874,53 @@ object Monitoring {
        |       max(msg_bytes) AS max_bytes
        |FROM ranked GROUP BY topic ORDER BY topic""".stripMargin
 
+  /** Per-table activity/freshness board — the "which tables went quiet"
+    * view next to the lag family: per topic, event volume, first/last
+    * change, the observed change rate over the table's own active span,
+    * staleness against the stream high-water mark, and the idle flag
+    * (> 1 h without a change while the stream moved on — a dead slot or
+    * dropped table, where uniform staleness is just stream shutdown).
+    *
+    * Scale shape: one ≤|topics|-key map-side-combined aggregation; the
+    * hwm attaches via a tiny window over the pre-aggregated topic rows. */
+  def tableActivity(spark: SparkSession, dir: String, idleMs: Long = 3600000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    graft.Tables.load(spark, dir, "events")
+      .select(concat(lit("graft.public."), col("event_type")).as("topic"),
+        unix_millis(col("ts")).as("ms"))
+      .groupBy("topic")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("first_ms"), max(col("ms")).as("last_ms"))
+      .withColumn("hwm_ms", max(col("last_ms")).over(w))
+      .select(
+        col("topic"), col("n_events"),
+        timestamp_millis(col("first_ms")).as("first_ts"),
+        timestamp_millis(col("last_ms")).as("last_ts"),
+        when(col("last_ms") > col("first_ms"),
+          col("n_events").cast("double") * 3600000.0
+            / (col("last_ms") - col("first_ms")).cast("double"))
+          .otherwise(lit(0.0)).as("events_per_hour"),
+        (col("hwm_ms") - col("last_ms")).as("idle_ms"),
+        (col("hwm_ms") - col("last_ms") > idleMs).as("idle"))
+      .orderBy("topic")
+  }
+
+  def tableActivitySql(idleMs: Long = 3600000L): String =
+    s"""WITH t AS (
+       |  SELECT 'graft.public.' || event_type AS topic, epoch_ms(ts) AS ms FROM events),
+       |a AS (
+       |  SELECT topic, count(*) AS n_events, min(ms) AS first_ms, max(ms) AS last_ms
+       |  FROM t GROUP BY topic),
+       |h AS (SELECT *, max(last_ms) OVER () AS hwm_ms FROM a)
+       |SELECT topic, n_events,
+       |       epoch_ms(first_ms) AS first_ts, epoch_ms(last_ms) AS last_ts,
+       |       CASE WHEN last_ms > first_ms
+       |            THEN CAST(n_events AS DOUBLE) * 3600000.0 / CAST(last_ms - first_ms AS DOUBLE)
+       |            ELSE 0.0 END AS events_per_hour,
+       |       CAST(hwm_ms - last_ms AS BIGINT) AS idle_ms,
+       |       hwm_ms - last_ms > $idleMs AS idle
+       |FROM h ORDER BY topic""".stripMargin
+
   /** Hot-key concentration — how much of the change volume the top 1% of
     * keys carry. Computed SCALE-CORRECTLY through the count-of-counts
     * distribution: per-key counts collapse to (events_per_key →

@@ -5,6 +5,7 @@ import graft.text.TextFunctions
 import graft.text.TextFunctions.normText
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Document deduplication for the training-data pipeline surface.
   *
@@ -1121,6 +1122,92 @@ object Dedup {
     newDocs.join(best, Seq("doc_id"), "left")
       .withColumn("admitted", when(col("jaccard") >= threshold, 0L).otherwise(1L))
       .orderBy("doc_id")
+  }
+
+  /** LSH banding-parameter tuner — the S-curve table (Leskovec/Rajaraman/
+    * Ullman, "Mining of Massive Datasets" ch.3, public algorithm) that
+    * picks (bands, rows) for a 16-hash signature: for each layout
+    * b×r ∈ {16×1, 8×2, 4×4, 2×8}, the collision probability of a pair
+    * with Jaccard s is p(s) = 1 − (1 − sʳ)ᵇ; summing p over the measured
+    * candidate pairs above/below the 0.6 admission threshold gives the
+    * layout's expected recall and expected precision BEFORE paying a
+    * re-band of the corpus. Powers are expanded as literal multiplication
+    * chains (b·r = 16, so ≤ 8 multiplies) — no libm pow, so both engines
+    * produce identical IEEE doubles — and the cross-row sums are
+    * 2⁴⁰-quantized exact. Pair similarities come from the current 4×4
+    * banding's verified candidates (the observable set; a layout's
+    * ABSOLUTE recall vs all true pairs needs the exact-join ground truth,
+    * which dedup_minhash_accuracy covers).
+    *
+    * Scale shape: one conditional-aggregation pass over the shared
+    * verified-pairs build — no join, no window. */
+  def lshTune(spark: SparkSession, dir: String, threshold: Double = 0.6): DataFrame = {
+    val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+    def powChain(base: Column, n: Int): Column =
+      (2 to n).foldLeft(base)((acc, _) => acc * base)
+    def pCatch(s: Column, b: Int, r: Int): Column =
+      lit(1.0) - powChain(lit(1.0) - powChain(s, r), b)
+    val Q = 1099511627776.0
+    def qsum(c: Column): Column =
+      sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q
+    val pairs = verifiedPairs(spark, dir)
+    val aggs = configs.zipWithIndex.flatMap { case ((b, r), i) =>
+      val p = pCatch(col("jaccard"), b, r)
+      Seq(
+        count(when(col("jaccard") >= threshold, 1)).as(s"nt_$i"),
+        count(when(col("jaccard") < threshold, 1)).as(s"nf_$i"),
+        qsum(when(col("jaccard") >= threshold, p).otherwise(lit(0.0))).as(s"et_$i"),
+        qsum(when(col("jaccard") < threshold, p).otherwise(lit(0.0))).as(s"ef_$i"))
+    }
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(configs.zipWithIndex.map { case ((b, r), i) =>
+        struct(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col(s"nt_$i").as("n_true_pairs"), col(s"nf_$i").as("n_false_pairs"),
+          col(s"et_$i").as("exp_true_caught"), col(s"ef_$i").as("exp_false_caught"))
+      }: _*)).as("c"))
+      .select("c.*")
+      .withColumn("exp_recall",
+        when(col("n_true_pairs") > 0L, col("exp_true_caught") / col("n_true_pairs").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("exp_precision",
+        when(col("exp_true_caught") + col("exp_false_caught") > 0.0,
+          col("exp_true_caught") / (col("exp_true_caught") + col("exp_false_caught")))
+          .otherwise(lit(0.0)))
+      .orderBy("rows_per_band")
+  }
+
+  def lshTuneSql(threshold: Double = 0.6): String = {
+    val configs = Seq((16, 1), (8, 2), (4, 4), (2, 8))
+    def powChainSql(e: String, n: Int): String =
+      if (n == 1) e else List.fill(n)(e).mkString("(", " * ", ")")
+    def pSql(b: Int, r: Int): String =
+      s"(1.0 - ${powChainSql(s"(1.0 - ${powChainSql("jaccard", r)})", b)})"
+    def qsumSql(c: String): String =
+      s"CAST(sum(CAST(floor(($c) * 1099511627776.0) AS HUGEINT)) AS DOUBLE) / 1099511627776.0"
+    val aggCols = configs.zipWithIndex.map { case ((b, r), i) =>
+      s"""count(CASE WHEN jaccard >= $threshold THEN 1 END) AS nt_$i,
+         |         count(CASE WHEN jaccard < $threshold THEN 1 END) AS nf_$i,
+         |         ${qsumSql(s"CASE WHEN jaccard >= $threshold THEN ${pSql(b, r)} ELSE 0.0 END")} AS et_$i,
+         |         ${qsumSql(s"CASE WHEN jaccard < $threshold THEN ${pSql(b, r)} ELSE 0.0 END")} AS ef_$i""".stripMargin
+    }.mkString(",\n         ")
+    val unpivot = configs.zipWithIndex.map { case ((b, r), i) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |       nt_$i AS n_true_pairs, nf_$i AS n_false_pairs,
+         |       et_$i AS exp_true_caught, ef_$i AS exp_false_caught,
+         |       CASE WHEN nt_$i > 0 THEN et_$i / CAST(nt_$i AS DOUBLE) ELSE 0.0 END AS exp_recall,
+         |       CASE WHEN et_$i + ef_$i > 0.0 THEN et_$i / (et_$i + ef_$i) ELSE 0.0 END AS exp_precision
+         |FROM agg""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""$minhashPairsCte,
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |         CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard
+       |  FROM verified),
+       |agg AS (
+       |  SELECT $aggCols
+       |  FROM jac)
+       |$unpivot
+       |ORDER BY rows_per_band""".stripMargin
   }
 
   /** Persisted LSH admission index — the storage layout under

@@ -2219,6 +2219,61 @@ object Ann {
        |FROM fin ORDER BY dim""".stripMargin
   }
 
+  /** Recall@k CURVE — [[recallEval]] unrolled over every k ≤ 10 in one
+    * query: how fast single-probe LSH recall decays as the result page
+    * deepens (recall@1 is usually fine — the nearest neighbor shares the
+    * query's sign bucket — while recall@10 pays for every cross-bucket
+    * neighbor). The curve, not the point, is what picks k for a
+    * multiprobe fallback.
+    *
+    * Scale shape: both top-k sides are bounded takes (brute force one
+    * scan → TakeOrdered; LSH bucket-pruned); everything after operates
+    * on two ≤k-row tables — the rank windows and the k-fan-out are over
+    * bounded inputs by construction. */
+  def recallCurve(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val brute = bruteForceTopK(spark, dir, k)
+      .withColumn("er", row_number().over(w).cast("long")).select("vec_id", "er")
+    val lsh = lshTopK(spark, dir, k)
+      .withColumn("lr", row_number().over(w).cast("long")).select("vec_id", "lr")
+    val joined = brute.join(lsh, Seq("vec_id"), "full_outer")
+    joined
+      // k fan-out as a per-row explode over the ≤2k-row joined table —
+      // no join, so nothing for the BNLJ audit to even inspect
+      .select(col("er"), col("lr"),
+        explode(sequence(lit(1L), lit(k.toLong))).as("k"))
+      .groupBy("k")
+      .agg(count(when(col("er") <= col("k") && col("lr") <= col("k"), 1)).as("n_hits"))
+      .select(col("k"), col("n_hits"),
+        (col("n_hits").cast("double") / col("k").cast("double")).as("recall_at_k"))
+      .orderBy("k")
+  }
+
+  def recallCurveSql(k: Int = 10): String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qbucket FROM coded WHERE vec_id = 0),
+       |brute AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS er
+       |  FROM (
+       |    SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |    FROM coded CROSS JOIN q WHERE vec_id <> 0
+       |    ORDER BY cosine DESC, vec_id LIMIT $k)),
+       |lsh AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS lr
+       |  FROM (
+       |    SELECT vec_id, ${cosineSql("embedding", "qe")} AS cosine
+       |    FROM coded JOIN q ON bucket = qbucket WHERE vec_id <> 0
+       |    ORDER BY cosine DESC, vec_id LIMIT $k)),
+       |j AS (SELECT coalesce(b.vec_id, l.vec_id) AS vec_id, b.er, l.lr
+       |      FROM brute b FULL OUTER JOIN lsh l ON b.vec_id = l.vec_id)
+       |SELECT k, count(CASE WHEN er <= k AND lr <= k THEN 1 END) AS n_hits,
+       |       CAST(count(CASE WHEN er <= k AND lr <= k THEN 1 END) AS DOUBLE)
+       |         / CAST(k AS DOUBLE) AS recall_at_k
+       |FROM j CROSS JOIN (SELECT unnest(generate_series(1, $k)) AS k)
+       |GROUP BY k ORDER BY k""".stripMargin
+
   /** Sign-LSH bucket occupancy — the flood gauge for the LSH probe path,
     * mirroring [[ivfOccupancy]] for the hyperplane index: per 8-bit sign
     * bucket, the vector count, corpus share, and load factor (share ×

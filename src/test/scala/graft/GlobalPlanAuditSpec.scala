@@ -54,7 +54,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "pipe_interleave", "pipe_curriculum", "text_quality_bins",
       "ann_ivf_occupancy", "pipe_lang_coverage", "cdc_lsn_latency_trend",
       "cdc_dml_mix_trend", "q_cumulative_uniques", "cdc_hot_key_share",
-      "ann_lsh_occupancy")
+      "ann_lsh_occupancy",
+      // recall_curve ranks two <= k-row bounded takes; table_activity's
+      // hwm window runs over the <= |topics|-row aggregate
+      "ann_recall_curve", "cdc_table_activity")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

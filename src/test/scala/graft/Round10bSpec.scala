@@ -141,6 +141,63 @@ class Round10bSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_group") >= 1)
   }
 
+  test("event attribution: every purchase is counted once, gaps are non-negative") {
+    val rows = Monitoring.dmlMixTrend(spark, dir) // warm-up shared scan
+    assert(rows.collect().nonEmpty)
+    val att = Relational.eventAttribution(spark, dir).collect()
+    val nPurch = Tables.load(spark, dir, "events")
+      .where(col("event_type") === "purchase").count()
+    assert(att.map(_.getAs[Long]("n_purchases")).sum == nPurch)
+    att.foreach { r =>
+      assert(Set("click", "view", "signup", "error", "none")(r.getAs[String]("touch_type")))
+      assert(r.getAs[Double]("mean_gap_ms") >= 0.0)
+      assert(r.getAs[Long]("max_gap_ms") >= 0L)
+    }
+    // a purchase's touch can never be a purchase
+    assert(!att.exists(_.getAs[String]("touch_type") == "purchase"))
+  }
+
+  test("lsh tune: S-curve behaves (more rows per band = fewer false catches)") {
+    val rows = graft.dedup.Dedup.lshTune(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rows_per_band"))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("exp_recall") >= 0.0 && r.getAs[Double]("exp_recall") <= 1.0 + 1e-9)
+      assert(r.getAs[Double]("exp_precision") >= 0.0 && r.getAs[Double]("exp_precision") <= 1.0)
+    }
+    // monotonicity of the S-curve family: raising r (at b·r = 16) can only
+    // cut the expected false catches, and recall never increases
+    val falses = rows.map(_.getAs[Double]("exp_false_caught"))
+    assert(falses.zip(falses.tail).forall { case (a, b) => b <= a + 1e-9 })
+    val recalls = rows.map(_.getAs[Double]("exp_recall"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => b <= a + 1e-9 })
+  }
+
+  test("table activity: freshest table is not idle, idle math reconciles") {
+    val rows = Monitoring.tableActivity(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.exists(_.getAs[Long]("idle_ms") == 0L), "the hwm topic has zero staleness")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("idle_ms") >= 0L)
+      assert(r.getAs[Boolean]("idle") == (r.getAs[Long]("idle_ms") > 3600000L))
+      assert(r.getAs[Double]("events_per_hour") > 0.0)
+    }
+  }
+
+  test("recall curve: k=10 point matches recall_eval, curve values are sane") {
+    val curve = Ann.recallCurve(spark, dir).collect().sortBy(_.getAs[Long]("k"))
+    assert(curve.length == 10)
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("k"))
+      val rc = r.getAs[Double]("recall_at_k")
+      assert(rc >= 0.0 && rc <= 1.0)
+    }
+    val eval = Ann.recallEval(spark, dir).collect().head
+    val evalRecall = eval.getAs[Long]("n_common").toDouble / eval.getAs[Long]("n_brute")
+    assert(math.abs(curve.last.getAs[Double]("recall_at_k") - evalRecall) < 1e-12,
+      "the curve's k=10 point must equal the scalar recall_eval")
+  }
+
   test("audio silence: run bookkeeping is internally consistent") {
     val rows = Binary.audioSilence(spark, dir).collect()
     assert(rows.nonEmpty)
