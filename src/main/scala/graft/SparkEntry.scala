@@ -198,6 +198,9 @@ object SparkEntry {
     "cdc_table_activity" -> ((s, d) => Monitoring.tableActivity(s, d)),
     "dedup_lsh_tune" -> ((s, d) => Dedup.lshTune(s, d)),
     "ann_recall_curve" -> ((s, d) => Ann.recallCurve(s, d)),
+    "q_streaks" -> ((s, d) => Relational.streaks(s, d)),
+    "text_burstiness" -> ((s, d) => TextFunctions.burstiness(s, d)),
+    "ann_nlist_elbow" -> ((s, d) => Ann.nlistElbow(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -980,6 +983,9 @@ object SparkEntry {
       "cdc_table_activity" -> Monitoring.tableActivitySql(),
       "dedup_lsh_tune" -> Dedup.lshTuneSql(),
       "ann_recall_curve" -> Ann.recallCurveSql(),
+      "q_streaks" -> Relational.streaksSql,
+      "text_burstiness" -> TextFunctions.burstinessSql,
+      "ann_nlist_elbow" -> Ann.nlistElbowSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1383,4 +1383,49 @@ object Relational {
       |            ELSE 0.0 END AS mean_gap_ms,
       |       CAST(max_gap_ms AS BIGINT) AS max_gap_ms
       |FROM a ORDER BY touch_type""".stripMargin
+
+  /** Engagement-streak distribution — for each user the LONGEST run of
+    * consecutive active days (any event counts as active), rolled up
+    * into a streak-length histogram. The classic gaps-and-islands
+    * window: within a user, consecutive days share the constant
+    * `day − row_number(day)` island key, so streak length is a plain
+    * count per island — no self-join of the event stream against a
+    * shifted copy of itself.
+    *
+    * Scale shape: the dedup and both windows partition on user_id
+    * (uniform keys); the histogram rollup is ≤|max-streak| keys, and the
+    * share window runs over that already-tiny table. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val islands = days
+      .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    val longest = islands.groupBy("user_id").agg(max(col("len")).as("streak_days"))
+    val hist = longest.groupBy("streak_days").agg(count(lit(1)).as("n_users"))
+    hist
+      .withColumn("share",
+        col("n_users").cast("double")
+          / sum(col("n_users")).over(Window.partitionBy()).cast("double"))
+      .orderBy("streak_days")
+  }
+
+  val streaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT user_id, day,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      |  FROM d),
+      |s AS (
+      |  SELECT user_id, count(*) AS len
+      |  FROM r GROUP BY user_id, day - CAST(rn AS INTEGER)),
+      |l AS (SELECT user_id, max(len) AS streak_days FROM s GROUP BY user_id),
+      |h AS (SELECT streak_days, count(*) AS n_users FROM l GROUP BY streak_days)
+      |SELECT streak_days, n_users,
+      |       CAST(n_users AS DOUBLE) / CAST(sum(n_users) OVER () AS DOUBLE) AS share
+      |FROM h ORDER BY streak_days""".stripMargin
 }

@@ -2355,4 +2355,91 @@ object Ann {
       |       CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
       |         / CAST(sum(n) AS DOUBLE) AS clone_share
       |FROM g""".stripMargin
+
+  /** IVF nlist elbow — total inertia (sum of squared distance to the
+    * nearest seed centroid) and cell balance at nlist ∈ {4, 8, 16, 32},
+    * in ONE pass: the tuning curve that picks the partition count
+    * [[ivfBuild]] then persists, read next to [[ivfOccupancy]] (health
+    * of the chosen nlist) and the recall gates (quality at the chosen
+    * probe budget). Seeds are the deterministic lowest-vec_id prefix
+    * per k, so both engines score the identical configuration.
+    *
+    * Scale shape: the assignment join is Lloyd's inherent |data|·Σk·d
+    * work — a pos-equi-join against a broadcast ≤(Σk)·d-row seed table,
+    * then per-(k, vec, cand) map-side-combined quantized sums. The
+    * argmin is hash-aggregable end-to-end: distances are exact
+    * non-negative 2⁴⁰-quantized decimals, so `min(d2q·64 + cand)`
+    * (ties to the lower seed, the kmeans_refine convention) replaces a
+    * struct-min that would sort-aggregate, and the winning distance is
+    * the plain `min(d2q)` of the same group. Rollups are ≤Σk keys. */
+  def nlistElbow(spark: SparkSession, dir: String): DataFrame = {
+    val ks = Seq(4, 8, 16, 32)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val seeds = emb.where(col("vec_id") < ks.max)
+      .select(col("vec_id").as("cand"), posexplode(col("embedding")).as(Seq("pos", "c")))
+      .withColumn("kk", explode(array(ks.map(lit(_)): _*)))
+      .where(col("cand") < col("kk"))
+    val long = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val d2 = long
+      .join(broadcast(seeds), "pos")
+      .withColumn("dq",
+        floor((col("x").cast("double") - col("c").cast("double"))
+          * (col("x").cast("double") - col("c").cast("double")) * Q)
+          .cast("long").cast(DecimalType(38, 0)))
+      .groupBy("kk", "vec_id", "cand")
+      .agg(sum(col("dq")).as("d2q"))
+    val assigned = d2
+      .groupBy("kk", "vec_id")
+      .agg(
+        min(col("d2q") * 64 + col("cand")).as("mq"),
+        min(col("d2q")).as("dmin"))
+      .select(col("kk"), col("vec_id"),
+        pmod(col("mq"), lit(64)).cast("long").as("cell"), col("dmin"))
+    val cells = assigned
+      .groupBy("kk", "cell")
+      .agg(count(lit(1)).as("n"), sum(col("dmin")).as("cq"))
+    cells
+      .groupBy(col("kk").cast("long").as("n_clusters"))
+      .agg(
+        (sum(col("cq")).cast("double") / Q).as("inertia"),
+        count(lit(1)).as("n_used_cells"),
+        max(col("n")).as("largest_cell"),
+        sum(col("n")).as("n_vectors"))
+      .select(col("n_clusters"), col("inertia"), col("n_used_cells"),
+        (col("largest_cell").cast("double") / col("n_vectors").cast("double"))
+          .as("largest_cell_share"))
+      .orderBy("n_clusters")
+  }
+
+  val nlistElbowSql: String =
+    """WITH seeds AS (
+      |  SELECT kk, vec_id AS cand, unnest(embedding) AS c,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings, (SELECT unnest([4, 8, 16, 32]) AS kk)
+      |  WHERE vec_id < kk),
+      |longf AS (
+      |  SELECT vec_id, unnest(embedding) AS x,
+      |         unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings),
+      |d2 AS (
+      |  SELECT kk, l.vec_id, s.cand,
+      |         sum(CAST(floor((CAST(l.x AS DOUBLE) - CAST(s.c AS DOUBLE))
+      |                        * (CAST(l.x AS DOUBLE) - CAST(s.c AS DOUBLE))
+      |                        * 1099511627776.0) AS BIGINT)) AS d2q
+      |  FROM longf l JOIN seeds s USING (pos)
+      |  GROUP BY kk, l.vec_id, s.cand),
+      |a AS (
+      |  SELECT kk, vec_id,
+      |         min(d2q * 64 + cand) % 64 AS cell,
+      |         min(d2q) AS dmin
+      |  FROM d2 GROUP BY kk, vec_id),
+      |cells AS (
+      |  SELECT kk, cell, count(*) AS n, sum(dmin) AS cq
+      |  FROM a GROUP BY kk, cell)
+      |SELECT CAST(kk AS BIGINT) AS n_clusters,
+      |       CAST(sum(cq) AS DOUBLE) / 1099511627776.0 AS inertia,
+      |       count(*) AS n_used_cells,
+      |       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS largest_cell_share
+      |FROM cells GROUP BY kk ORDER BY n_clusters""".stripMargin
 }

@@ -2311,6 +2311,47 @@ object TextFunctions {
       |FROM t JOIN c USING (term)
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-term burstiness (Church & Gale's cf/df — "Poisson mixtures",
+    * 1995): how many times a term repeats within the documents it
+    * touches. Function words sit near 1 (spread thin, once per doc);
+    * content words and boilerplate tokens burst (df small, cf large).
+    * The top-burstiness table is the curator's repeated-template probe,
+    * read next to [[termDocFreq]] (which ranks by spread, not
+    * repetition). A df floor keeps one-doc noise terms out of the top.
+    *
+    * Scale shape: per-(doc, term) counts first — map-side combined, so
+    * the term shuffle carries ≤|doc|·|vocab-per-doc| pre-aggregated
+    * rows, never raw tokens — then one vocabulary-key aggregation and a
+    * bounded TakeOrderedAndProject. The ratio is one IEEE division of
+    * two exact ints, identical on both engines. */
+  def burstiness(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("c"))
+    perDoc
+      .groupBy("term")
+      .agg(sum(col("c")).as("cf"), count(lit(1)).as("df"))
+      .where(col("df") >= 5L)
+      .select(col("term"), col("cf"), col("df"),
+        (col("cf").cast("double") / col("df").cast("double")).as("burstiness"))
+      .orderBy(col("burstiness").desc, col("term"))
+      .limit(20)
+  }
+
+  val burstinessSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |t AS (SELECT doc_id, term FROM toks WHERE length(term) >= 1),
+      |pd AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+      |s AS (SELECT term, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df FROM pd GROUP BY term)
+      |SELECT term, cf, df, CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+      |FROM s WHERE df >= 5
+      |ORDER BY burstiness DESC, term LIMIT 20""".stripMargin
+
   /** Per-document readability (Flesch / Flesch-Kincaid with the standard
     * vowel-group syllable proxy): words = whitespace tokens, sentences =
     * non-empty `[.!?]+` splits floored at 1, syllables = `[aeiou]+`

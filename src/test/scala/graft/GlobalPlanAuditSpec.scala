@@ -57,7 +57,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "ann_lsh_occupancy",
       // recall_curve ranks two <= k-row bounded takes; table_activity's
       // hwm window runs over the <= |topics|-row aggregate
-      "ann_recall_curve", "cdc_table_activity")
+      "ann_recall_curve", "cdc_table_activity",
+      // streaks' share-of-total runs over the <= |max-streak-length|-row
+      // histogram (two aggregations below it)
+      "q_streaks")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec
