@@ -201,6 +201,8 @@ object SparkEntry {
     "q_streaks" -> ((s, d) => Relational.streaks(s, d)),
     "text_burstiness" -> ((s, d) => TextFunctions.burstiness(s, d)),
     "ann_nlist_elbow" -> ((s, d) => Ann.nlistElbow(s, d)),
+    "text_source_divergence" -> ((s, d) => TextFunctions.sourceDivergence(s, d)),
+    "ann_pq_m_sweep" -> ((s, d) => Ann.pqMSweep(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -986,6 +988,8 @@ object SparkEntry {
       "q_streaks" -> Relational.streaksSql,
       "text_burstiness" -> TextFunctions.burstinessSql,
       "ann_nlist_elbow" -> Ann.nlistElbowSql,
+      "text_source_divergence" -> TextFunctions.sourceDivergenceSql,
+      "ann_pq_m_sweep" -> Ann.pqMSweepSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

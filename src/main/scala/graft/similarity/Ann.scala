@@ -2442,4 +2442,77 @@ object Ann {
       |       count(*) AS n_used_cells,
       |       CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS largest_cell_share
       |FROM cells GROUP BY kk ORDER BY n_clusters""".stripMargin
+
+  /** PQ subquantizer-count (m) sweep — the storage-axis twin of
+    * [[nlistElbow]]: total encode distortion at m ∈ {2, 4, 8, 16}
+    * subspaces (16 codes each, the corpus's own vectors 1..16 as the
+    * deterministic codebook — the [[pqTopKOver]] convention) against
+    * the code size and compression each m buys. More subspaces always
+    * reconstruct at least as well (each subvector gets its own code),
+    * so the distortion column is provably non-increasing in m — the
+    * spec pins it — and the designer reads the knee next to
+    * ann_index_menu's recall column.
+    *
+    * Scale shape: the scoring join is PQ-build's inherent
+    * |data|·Σ(m)·nCodes subvector arithmetic — codegen'd graft_l2sq
+    * against a broadcast codebook, per-(m, vec, s) argmin as a
+    * map-side-combined plain `min` over non-negative doubles (hash-
+    * aggregable; no struct min), distortions 2⁴⁰-quantized then
+    * exactly summed into a ≤|m-grid|-row result. */
+  def pqMSweep(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val nCodes = 16
+    val ms = Seq(2, 4, 8, 16)
+    val sub = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("m", explode(array(ms.map(lit(_)): _*)))
+      .withColumn("s", explode(expr("sequence(0, m - 1)")))
+      .select(col("vec_id"), col("m"), col("s"),
+        expr("slice(embedding, CAST(s * (64 div m) + 1 AS INT), CAST(64 div m AS INT))").as("sv"))
+    val cb = sub.where(col("vec_id").between(1, nCodes))
+      .select(col("m"), col("s"), col("sv").as("v"))
+    val dmin = sub.where(col("vec_id") =!= 0)
+      .join(broadcast(cb), Seq("m", "s"))
+      .select(col("m"), col("vec_id"), col("s"), expr("graft_l2sq(sv, v)").as("d"))
+      .groupBy("m", "vec_id", "s")
+      .agg(min(col("d")).as("dmin"))
+    dmin
+      .select(col("m"),
+        floor(col("dmin") * Q).cast("long").cast(DecimalType(38, 0)).as("dq"))
+      .groupBy(col("m").cast("long").as("m"))
+      .agg(sum(col("dq")).as("sq"), count(lit(1)).as("n_subvectors"))
+      .select(col("m"), (col("m") * 4).as("code_bits"),
+        (lit(2048.0) / (col("m") * 4).cast("double")).as("compression_x"),
+        (col("sq").cast("double") / Q).as("total_distortion"),
+        col("n_subvectors"))
+      .orderBy("m")
+  }
+
+  val pqMSweepSql: String =
+    """WITH ms AS (SELECT unnest([2, 4, 8, 16]) AS m),
+      |sp AS (
+      |  SELECT m, vec_id, embedding,
+      |         unnest(generate_series(0, m - 1)) AS s
+      |  FROM embeddings, ms),
+      |d AS (
+      |  SELECT c.m, c.vec_id, c.s,
+      |         min(list_reduce(list_transform(generate_series(1, 64 // c.m), i ->
+      |           (CAST(c.embedding[c.s * (64 // c.m) + i] AS DOUBLE)
+      |              - CAST(b.embedding[b.s * (64 // b.m) + i] AS DOUBLE))
+      |           * (CAST(c.embedding[c.s * (64 // c.m) + i] AS DOUBLE)
+      |              - CAST(b.embedding[b.s * (64 // b.m) + i] AS DOUBLE))),
+      |           (x, y) -> x + y)) AS dmin
+      |  FROM sp c JOIN sp b ON c.m = b.m AND c.s = b.s
+      |  WHERE c.vec_id <> 0 AND b.vec_id BETWEEN 1 AND 16
+      |  GROUP BY c.m, c.vec_id, c.s),
+      |agg AS (
+      |  SELECT m, sum(CAST(floor(dmin * 1099511627776.0) AS BIGINT)) AS sq,
+      |         count(*) AS n_subvectors
+      |  FROM d GROUP BY m)
+      |SELECT CAST(m AS BIGINT) AS m,
+      |       CAST(m * 4 AS BIGINT) AS code_bits,
+      |       CAST(2048 AS DOUBLE) / CAST(m * 4 AS DOUBLE) AS compression_x,
+      |       CAST(sq AS DOUBLE) / 1099511627776.0 AS total_distortion,
+      |       n_subvectors
+      |FROM agg ORDER BY m""".stripMargin
 }

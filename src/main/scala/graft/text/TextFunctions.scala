@@ -2352,6 +2352,67 @@ object TextFunctions {
       |FROM s WHERE df >= 5
       |ORDER BY burstiness DESC, term LIMIT 20""".stripMargin
 
+  /** Pairwise total-variation distance between per-source unigram
+    * distributions — the distribution-shift complement of
+    * [[graft.dedup.Dedup]]'s vocabulary-overlap matrix (overlap asks
+    * "do they share words"; TV asks "do they USE the shared words the
+    * same way"). A mix designer reads this to know which sources are
+    * interchangeable and which add genuinely different text. TV needs
+    * no logarithm (unlike KL/JS), so the whole statistic stays in the
+    * engine's exact-arithmetic convention: Σ|p−q| over the shared
+    * vocabulary is folded via the identity
+    * Σ_all |p−q| = 2 + Σ_common(|p−q| − p − q), each per-term
+    * contribution 2⁴⁰-quantized and exactly summed — bit-identical on
+    * both engines regardless of partition order.
+    *
+    * Scale shape: per-(source, term) counts map-side combined; the
+    * pair join shuffles on the term key and fans out ≤|sources|² rows
+    * per term; the rollup is ≤|sources|²-key; totals broadcast. */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1099511627776.0 // 2^40
+    val cf = Tables.load(spark, dir, "documents")
+      .select(col("source"), explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("cf"))
+    val totals = cf.groupBy("source").agg(sum(col("cf")).cast("long").as("n"))
+    val p = cf.join(broadcast(totals), "source")
+      .select(col("source"), col("term"),
+        (col("cf").cast("double") / col("n").cast("double")).as("p"))
+    val a = p.select(col("source").as("source_a"), col("term"), col("p").as("pa"))
+    val b = p.select(col("source").as("source_b"), col("term"), col("p").as("pb"))
+    a.join(b, "term")
+      .where(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        floor((abs(col("pa") - col("pb")) - col("pa") - col("pb")) * Q)
+          .cast("long").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("dq"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common_terms"), sum(col("dq")).as("sq"))
+      .select(col("source_a"), col("source_b"), col("n_common_terms"),
+        ((col("sq").cast("double") / Q + 2.0) * 0.5).as("tv_distance"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceDivergenceSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |t AS (SELECT source, term FROM toks WHERE length(term) >= 1),
+      |cf AS (SELECT source, term, count(*) AS cf FROM t GROUP BY source, term),
+      |tot AS (SELECT source, CAST(sum(cf) AS BIGINT) AS n FROM cf GROUP BY source),
+      |p AS (
+      |  SELECT cf.source, term, CAST(cf AS DOUBLE) / CAST(n AS DOUBLE) AS p
+      |  FROM cf JOIN tot ON cf.source = tot.source),
+      |pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         CAST(floor((abs(a.p - b.p) - a.p - b.p) * 1099511627776.0) AS BIGINT) AS dq
+      |  FROM p a JOIN p b ON a.term = b.term AND a.source < b.source)
+      |SELECT source_a, source_b, count(*) AS n_common_terms,
+      |       (CAST(sum(dq) AS DOUBLE) / 1099511627776.0 + 2.0) * 0.5 AS tv_distance
+      |FROM pairs GROUP BY source_a, source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   /** Per-document readability (Flesch / Flesch-Kincaid with the standard
     * vowel-group syllable proxy): words = whitespace tokens, sentences =
     * non-empty `[.!?]+` splits floored at 1, syllables = `[aeiou]+`

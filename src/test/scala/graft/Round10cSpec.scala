@@ -59,6 +59,57 @@ class Round10cSpec extends AnyFunSuite {
     assert(bs.zip(bs.tail).forall { case (a, b) => a >= b }, "descending top-k")
   }
 
+  test("source divergence: TV bounded, full pair coverage, one pair cross-checked brute-force") {
+    val rows = TextFunctions.sourceDivergence(spark, dir).collect()
+    val nSources = Tables.load(spark, dir, "documents")
+      .select(countDistinct(col("source"))).collect().head.getLong(0)
+    assert(rows.length == (nSources * (nSources - 1) / 2).toInt,
+      "every unordered source pair exactly once")
+    rows.foreach { r =>
+      val tv = r.getAs[Double]("tv_distance")
+      assert(tv >= -1e-9 && tv <= 1.0 + 1e-9, s"TV in [0,1]: $tv")
+      assert(r.getAs[String]("source_a") < r.getAs[String]("source_b"))
+    }
+    // brute-force one pair: full Σ|p−q|/2 over the UNION vocabulary
+    // (the op computes it via the common-terms identity)
+    val (sa, sb) = (rows.head.getAs[String]("source_a"), rows.head.getAs[String]("source_b"))
+    val toks = Tables.load(spark, dir, "documents")
+      .where(col("source").isin(sa, sb))
+      .select(col("source"), explode(split(TextFunctions.normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("source", "term").count()
+      .collect().groupBy(_.getAs[String]("source"))
+    def dist(s: String): Map[String, Double] = {
+      val m = toks(s).map(r => r.getAs[String]("term") -> r.getAs[Long]("count").toDouble).toMap
+      val n = m.values.sum
+      m.map { case (t, c) => t -> c / n }
+    }
+    val (pa, pb) = (dist(sa), dist(sb))
+    val brute = 0.5 * (pa.keySet ++ pb.keySet).toSeq
+      .map(t => math.abs(pa.getOrElse(t, 0.0) - pb.getOrElse(t, 0.0))).sum
+    assert(math.abs(rows.head.getAs[Double]("tv_distance") - brute) < 1e-6,
+      s"identity-based TV must match the brute-force union-vocabulary sum for ($sa, $sb)")
+  }
+
+  test("pq m sweep: nested subspace grid makes distortion non-increasing in m") {
+    val rows = Ann.pqMSweep(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("m")).toSeq == Seq(2L, 4L, 8L, 16L))
+    val ds = rows.map(_.getAs[Double]("total_distortion"))
+    // each m divides the next, so the 2m-chooser can always reproduce the
+    // m-optimum per half — distortion cannot rise with m
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"distortion non-increasing in m: ${ds.toSeq}")
+    val nVecs = Tables.load(spark, dir, "embeddings")
+      .where(col("vec_id") =!= 0).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_subvectors") == nVecs * r.getAs[Long]("m"))
+      assert(r.getAs[Long]("code_bits") == 4 * r.getAs[Long]("m"))
+      assert(r.getAs[Double]("total_distortion") >= 0.0)
+    }
+    val cx = rows.map(_.getAs[Double]("compression_x"))
+    assert(cx.zip(cx.tail).forall { case (a, b) => a > b }, "compression falls as m grows")
+  }
+
   test("nlist elbow: nested seed prefixes make inertia non-increasing in k") {
     val rows = Ann.nlistElbow(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_clusters")).toSeq == Seq(4L, 8L, 16L, 32L))
