@@ -242,6 +242,17 @@ object ScaleSmoke {
       // the ADC work stays per-row with zero pre-top-k shuffles
       graft.similarity.Ann.ivfpqTopKOf(spark, bigEmb, 10).count()
     }
+    t("IVF nlist elbow (4 configs, one pass)", nEmb) {
+      // ann_nlist_elbow shape: Lloyd's inherent |data|·Σk·d assignment
+      // against a broadcast seed table; argmin and every rollup
+      // hash-aggregate — cost must stay linear in the corpus
+      graft.similarity.Ann.nlistElbowOf(spark, bigEmb).count()
+    }
+    t("PQ m sweep (4 configs, one pass)", nEmb) {
+      // ann_pq_m_sweep shape: |data|·Σ(m)·nCodes codegen'd subvector
+      // scoring against a broadcast codebook, map-side plain-min argmin
+      graft.similarity.Ann.pqMSweepOf(spark, bigEmb).count()
+    }
     t("knn bucket join", nEmb) {
       // ann_knn_join shape: bucket-equality join bounds candidates to
       // |corpus|/256 per query; ranking windows partition on the join key

@@ -2372,10 +2372,12 @@ object Ann {
     * (ties to the lower seed, the kmeans_refine convention) replaces a
     * struct-min that would sort-aggregate, and the winning distance is
     * the plain `min(d2q)` of the same group. Rollups are ≤Σk keys. */
-  def nlistElbow(spark: SparkSession, dir: String): DataFrame = {
+  def nlistElbow(spark: SparkSession, dir: String): DataFrame =
+    nlistElbowOf(spark, Tables.load(spark, dir, "embeddings"))
+
+  def nlistElbowOf(spark: SparkSession, embSrc: DataFrame): DataFrame = {
     val ks = Seq(4, 8, 16, 32)
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val emb = embSrc.select(col("vec_id"), col("embedding"))
     val seeds = emb.where(col("vec_id") < ks.max)
       .select(col("vec_id").as("cand"), posexplode(col("embedding")).as(Seq("pos", "c")))
       .withColumn("kk", explode(array(ks.map(lit(_)): _*)))
@@ -2459,12 +2461,14 @@ object Ann {
     * map-side-combined plain `min` over non-negative doubles (hash-
     * aggregable; no struct min), distortions 2⁴⁰-quantized then
     * exactly summed into a ≤|m-grid|-row result. */
-  def pqMSweep(spark: SparkSession, dir: String): DataFrame = {
+  def pqMSweep(spark: SparkSession, dir: String): DataFrame =
+    pqMSweepOf(spark, Tables.load(spark, dir, "embeddings"))
+
+  def pqMSweepOf(spark: SparkSession, embSrc: DataFrame): DataFrame = {
     GraftFunctions.register(spark)
     val nCodes = 16
     val ms = Seq(2, 4, 8, 16)
-    val sub = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
+    val sub = embSrc.select(col("vec_id"), col("embedding"))
       .withColumn("m", explode(array(ms.map(lit(_)): _*)))
       .withColumn("s", explode(expr("sequence(0, m - 1)")))
       .select(col("vec_id"), col("m"), col("s"),
