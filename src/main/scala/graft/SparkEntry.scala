@@ -203,6 +203,8 @@ object SparkEntry {
     "ann_nlist_elbow" -> ((s, d) => Ann.nlistElbow(s, d)),
     "text_source_divergence" -> ((s, d) => TextFunctions.sourceDivergence(s, d)),
     "ann_pq_m_sweep" -> ((s, d) => Ann.pqMSweep(s, d)),
+    "ann_binary_topk" -> ((s, d) => Ann.binaryTopK(s, d)),
+    "ann_binary_recall" -> ((s, d) => Ann.binaryRecall(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -990,6 +992,8 @@ object SparkEntry {
       "ann_nlist_elbow" -> Ann.nlistElbowSql,
       "text_source_divergence" -> TextFunctions.sourceDivergenceSql,
       "ann_pq_m_sweep" -> Ann.pqMSweepSql,
+      "ann_binary_topk" -> Ann.binaryTopKSql(),
+      "ann_binary_recall" -> Ann.binaryRecallSql(),
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -2519,4 +2519,100 @@ object Ann {
       |       CAST(sq AS DOUBLE) / 1099511627776.0 AS total_distortion,
       |       n_subvectors
       |FROM agg ORDER BY m""".stripMargin
+
+  /** Binary-quantized (1-bit-per-dimension) Hamming top-k — the last
+    * rung of the storage ladder (PQ = 4 bits/dim-group, SQ8 = 8
+    * bits/dim, binary = 1 bit/dim, 32:1 over float32): each vector
+    * collapses to two 32-bit sign words, the query likewise, and the
+    * scan ranks by popcount of the XOR — the binary-quantization scan
+    * every production vector store ships as its cheapest tier. Ties (a
+    * 65-value distance can't help but tie) break on vec_id, so the
+    * page is deterministic.
+    *
+    * Scale shape: the signature build and the XOR/popcount scoring are
+    * pure per-row integer codegen (no floats touched at scan time —
+    * two longs per vector is all a 100 TB scan reads); the query
+    * signature broadcasts as one row; zero shuffles before
+    * TakeOrderedAndProject. The oracle scores the mathematically
+    * identical per-dimension sign-disagreement count — bit-packing is
+    * the ENGINE's storage trick, not part of the answer. */
+  def binaryTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    def signWord(src: String, lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), cast(0 as bigint), (acc, i) ->
+         |  acc + IF(element_at($src, i) >= cast(0.0 as float),
+         |           shiftleft(cast(1 as bigint), i - $lo), cast(0 as bigint)))""".stripMargin
+    val q = emb.where(col("vec_id") === 0).limit(1)
+      .select(expr(signWord("embedding", 1)).as("q_lo"),
+        expr(signWord("embedding", 33)).as("q_hi"))
+    emb.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        expr(signWord("embedding", 1)).as("s_lo"),
+        expr(signWord("embedding", 33)).as("s_hi"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        (expr("bit_count(s_lo ^ q_lo)") + expr("bit_count(s_hi ^ q_hi)"))
+          .cast("long").as("hamming"))
+      .orderBy(col("hamming").asc, col("vec_id"))
+      .limit(k)
+  }
+
+  private def binaryCte(k: Int): String =
+    s"""WITH qb AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |bink AS (
+       |  SELECT vec_id,
+       |         CAST(list_reduce(list_transform(range(1, 65), i ->
+       |           CASE WHEN (CAST(embedding[i] AS DOUBLE) >= 0.0)
+       |                     <> (CAST(qe[i] AS DOUBLE) >= 0.0) THEN 1 ELSE 0 END),
+       |           (x, y) -> x + y) AS BIGINT) AS hamming
+       |  FROM embeddings CROSS JOIN qb WHERE vec_id <> 0
+       |  ORDER BY hamming ASC, vec_id LIMIT $k)""".stripMargin
+
+  def binaryTopKSql(k: Int = 10): String =
+    s"""${binaryCte(k)}
+       |SELECT vec_id, hamming FROM bink ORDER BY hamming, vec_id""".stripMargin
+
+  /** Binary-quantization fidelity gate: recall@k of the 1-bit Hamming
+    * scan against the exact L2 top-k — the third row of the
+    * storage-vs-recall read-out next to [[pqRecall]] and [[sq8Recall]]
+    * (32:1 compression is free to TRY; this table says what it costs).
+    * Same tagged-union compare as the other gates. */
+  def binaryRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(k)
+      .select(col("vec_id"), lit(1).as("e"), lit(0).as("p"))
+    val bin = binaryTopK(spark, dir, k).select(col("vec_id"), lit(0).as("e"), lit(1).as("p"))
+    exact.unionAll(bin)
+      .groupBy("vec_id")
+      .agg(max(col("e")).as("in_exact"), max(col("p")).as("in_bin"))
+      .agg(
+        sum(col("in_exact")).as("n_exact"),
+        sum(col("in_bin")).as("n_bin"),
+        count(when(col("in_exact") === 1 && col("in_bin") === 1, 1)).as("n_common"))
+      .withColumn("recall_at_k",
+        col("n_common").cast("double") / col("n_exact").cast("double"))
+  }
+
+  def binaryRecallSql(k: Int = 10): String =
+    s"""${binaryCte(k)},
+       |q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |exact AS (
+       |  SELECT vec_id FROM embeddings CROSS JOIN q2
+       |  WHERE vec_id <> 0
+       |  ORDER BY ${l2Sql("embedding", "qe")} ASC, vec_id LIMIT $k),
+       |tagged AS (
+       |  SELECT vec_id, 1 AS e, 0 AS p FROM exact
+       |  UNION ALL SELECT vec_id, 0 AS e, 1 AS p FROM bink),
+       |flags AS (
+       |  SELECT vec_id, max(e) AS in_exact, max(p) AS in_bin FROM tagged GROUP BY vec_id)
+       |SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+       |       CAST(sum(in_bin) AS BIGINT) AS n_bin,
+       |       count(CASE WHEN in_exact = 1 AND in_bin = 1 THEN 1 END) AS n_common,
+       |       CAST(count(CASE WHEN in_exact = 1 AND in_bin = 1 THEN 1 END) AS DOUBLE)
+       |         / CAST(sum(in_exact) AS DOUBLE) AS recall_at_k
+       |FROM flags""".stripMargin
 }

@@ -110,6 +110,30 @@ class Round10cSpec extends AnyFunSuite {
     assert(cx.zip(cx.tail).forall { case (a, b) => a > b }, "compression falls as m grows")
   }
 
+  test("binary topk: bit-packed hamming equals per-dimension sign disagreement") {
+    val rows = Ann.binaryTopK(spark, dir).collect()
+    assert(rows.length == 10)
+    val hs = rows.map(_.getAs[Long]("hamming"))
+    assert(hs.forall(h => h >= 0L && h <= 64L))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, "ascending page")
+    // driver-side recount for the winner: per-dim sign disagreement vs query
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val qe = emb(0L)
+    val (wid, wham) = (rows.head.getLong(0), rows.head.getAs[Long]("hamming"))
+    val brute = emb(wid).zip(qe).count { case (a, b) => (a >= 0f) != (b >= 0f) }
+    assert(brute.toLong == wham, s"vec $wid: packed-word hamming $wham vs per-dim recount $brute")
+  }
+
+  test("binary recall: both pages are k rows and recall is their overlap share") {
+    val r = Ann.binaryRecall(spark, dir).collect().head
+    assert(r.getAs[Long]("n_exact") == 10L && r.getAs[Long]("n_bin") == 10L)
+    val common = r.getAs[Long]("n_common")
+    assert(common >= 0L && common <= 10L)
+    assert(math.abs(r.getAs[Double]("recall_at_k") - common / 10.0) < 1e-12)
+  }
+
   test("nlist elbow: nested seed prefixes make inertia non-increasing in k") {
     val rows = Ann.nlistElbow(spark, dir).collect()
     assert(rows.map(_.getAs[Long]("n_clusters")).toSeq == Seq(4L, 8L, 16L, 32L))
