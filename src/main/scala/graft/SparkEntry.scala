@@ -205,6 +205,8 @@ object SparkEntry {
     "ann_pq_m_sweep" -> ((s, d) => Ann.pqMSweep(s, d)),
     "ann_binary_topk" -> ((s, d) => Ann.binaryTopK(s, d)),
     "ann_binary_recall" -> ((s, d) => Ann.binaryRecall(s, d)),
+    "q_session_paths" -> ((s, d) => Relational.sessionPaths(s, d)),
+    "dedup_winnowing" -> ((s, d) => Dedup.winnowing(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -994,6 +996,8 @@ object SparkEntry {
       "ann_pq_m_sweep" -> Ann.pqMSweepSql,
       "ann_binary_topk" -> Ann.binaryTopKSql(),
       "ann_binary_recall" -> Ann.binaryRecallSql(),
+      "q_session_paths" -> Relational.sessionPathsSql,
+      "dedup_winnowing" -> Dedup.winnowingSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1428,4 +1428,61 @@ object Relational {
       |SELECT streak_days, n_users,
       |       CAST(n_users AS DOUBLE) / CAST(sum(n_users) OVER () AS DOUBLE) AS share
       |FROM h ORDER BY streak_days""".stripMargin
+
+  /** Top session journeys — the ordered head (first 5 events) of every
+    * 30-minute-gap session rendered as a `a>b>c` path string, counted
+    * corpus-wide: the "how do sessions start" view a funnel can't give
+    * (q_funnel checks ONE fixed ordering; this surfaces whatever
+    * orderings actually dominate). Session assignment is the
+    * [[sessionize]] island sum; the head cap keeps the path domain —
+    * and the final rollup — bounded by |event-types|⁵, not session
+    * length.
+    *
+    * Scale shape: both windows partition on user_id; the path build is
+    * a per-(user, session) aggregation of ≤5 rows; the rollup keys on
+    * the bounded path domain and collapses to TakeOrderedAndProject. */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sessions = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+    sessions.where(col("rn") <= 5)
+      .groupBy("user_id", "session_id")
+      .agg(concat_ws(">",
+        transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+          e => e.getField("event_type"))).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
+  val sessionPathsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, event_type, epoch_ms(ts) AS ms,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |         sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM e),
+      |r AS (
+      |  SELECT user_id, session_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, session_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY user_id, session_id)
+      |SELECT path, count(*) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
 }

@@ -1766,4 +1766,53 @@ object Dedup {
        |       CAST(CASE WHEN b.jaccard >= $threshold THEN 0 ELSE 1 END AS BIGINT) AS admitted
        |FROM nd LEFT JOIN (SELECT doc_id, match_id, jaccard FROM best WHERE rn = 1) b USING (doc_id)
        |ORDER BY nd.doc_id""".stripMargin
+
+  /** Winnowing fingerprint duplication profile (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): each document keeps the
+    * MINIMUM 16-char-gram digest of every sliding 8-gram window, a
+    * content-defined sample with the winnowing guarantee (any shared
+    * substring of ≥ 23 chars shares a fingerprint) and expected density
+    * 2/(w+1) — position-shift-robust where fixed-stride chunking
+    * (dedup_chunk_hist) breaks on a one-char insert. The
+    * fingerprint-multiplicity histogram prices cross-document
+    * boilerplate the same way chunk_hist does, but survives edits.
+    *
+    * Scale shape: gram digests and window minima are pure per-row
+    * array expressions over the memoized spread corpus; one explode +
+    * digest-key shuffle (map-side combined); the histogram rollup is
+    * ≤|distinct multiplicities| keys. Digests are the engine-shared
+    * 60-bit md5 prefix, so any collision is shared with the oracle. */
+  def winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val grams = normCorpus(spark, dir)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), greatest(length(col("t")) - 15, lit(1))),
+          i => conv(substring(md5(col("t").substr(i, lit(16))), 1, 15), 16, 10)
+            .cast("long")).as("g"))
+    grams
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), greatest(size(col("g")) - 7, lit(1))),
+            p => array_min(slice(col("g"), p, lit(8)))))).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_fingerprints"))
+      .orderBy("k")
+  }
+
+  val winnowingSql: String =
+    s"""$corpusSql,
+      |d AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      |  FROM corpus),
+      |g AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(1, greatest(length(t) - 15, 1)),
+      |           i -> CAST('0x' || substr(md5(substr(t, i, 16)), 1, 15) AS BIGINT)) AS g
+      |  FROM d),
+      |f AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(list_transform(generate_series(1, greatest(len(g) - 7, 1)),
+      |           p -> list_min(g[p:p+7])))) AS fp
+      |  FROM g),
+      |c AS (SELECT fp, count(*) AS k FROM f GROUP BY fp)
+      |SELECT k, count(*) AS n_fingerprints FROM c GROUP BY k ORDER BY k""".stripMargin
 }

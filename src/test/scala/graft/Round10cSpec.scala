@@ -1,6 +1,7 @@
 package graft
 
 import graft.analytics.Relational
+import graft.dedup.Dedup
 import graft.similarity.Ann
 import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
@@ -108,6 +109,52 @@ class Round10cSpec extends AnyFunSuite {
     }
     val cx = rows.map(_.getAs[Double]("compression_x"))
     assert(cx.zip(cx.tail).forall { case (a, b) => a > b }, "compression falls as m grows")
+  }
+
+  test("session paths: page bounded and ordered, head cap holds, totals cross-check") {
+    val rows = Relational.sessionPaths(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 15)
+    val ns = rows.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "descending top-k")
+    val types = Set("signup", "error", "click", "view", "purchase")
+    rows.foreach { r =>
+      val segs = r.getAs[String]("path").split(">")
+      assert(segs.length >= 1 && segs.length <= 5, "head cap is 5 events")
+      segs.foreach(s => assert(types(s), s"unknown event type $s"))
+    }
+    // the top path's count can never exceed the total session count
+    val nSessions = Relational.sessionize(spark, dir).count()
+    assert(ns.head <= nSessions)
+    assert(ns.sum <= nSessions)
+  }
+
+  test("winnowing: histogram mass equals occurrences, injected copies create shared prints") {
+    val rows = Dedup.winnowing(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ks = rows.map(_.getAs[Long]("k"))
+    assert(ks.forall(_ >= 1L) && ks.distinct.length == ks.length)
+    // the augmented corpus injects exact copies (doc_id % 7 -> +1M), whose
+    // winnow sets are identical by construction - multiplicity >= 2 MUST exist
+    assert(ks.exists(_ >= 2L), "exact injected copies must collide")
+    // mass check: sum(k * n_fingerprints) == total (doc, fp) occurrences
+    val mass = rows.map(r => r.getAs[Long]("k") * r.getAs[Long]("n_fingerprints")).sum
+    val occurrences = Dedup.normCorpus(spark, dir)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), greatest(length(col("t")) - 15, lit(1))),
+          i => conv(substring(md5(col("t").substr(i, lit(16))), 1, 15), 16, 10)
+            .cast("long")).as("g"))
+      .select(explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("g")) - 7, lit(1))),
+          p => array_min(slice(col("g"), p, lit(8)))))).as("fp"))
+      .count()
+    assert(mass == occurrences, s"histogram mass $mass vs occurrence recount $occurrences")
+    // density: winnowing samples ~2/(w+1) of gram positions; with dedupe it
+    // can only drop. Check the corpus-wide mean sits in a sane band.
+    val nGramPositions = Dedup.normCorpus(spark, dir)
+      .select(greatest(length(col("t")) - 15, lit(1)).as("g")).agg(sum("g")).collect().head.getLong(0)
+    val density = mass.toDouble / nGramPositions
+    assert(density > 0.05 && density < 2.0 / 9.0 * 1.5,
+      s"density $density should sit near the 2/(w+1)=0.222 winnowing expectation")
   }
 
   test("binary topk: bit-packed hamming equals per-dimension sign disagreement") {
