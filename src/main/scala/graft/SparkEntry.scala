@@ -207,6 +207,8 @@ object SparkEntry {
     "ann_binary_recall" -> ((s, d) => Ann.binaryRecall(s, d)),
     "q_session_paths" -> ((s, d) => Relational.sessionPaths(s, d)),
     "dedup_winnowing" -> ((s, d) => Dedup.winnowing(s, d)),
+    "cdc_payload_profile" -> ((s, d) => Monitoring.payloadProfile(s, d)),
+    "q_benford_audit" -> ((s, d) => Relational.benfordAudit(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -998,6 +1000,8 @@ object SparkEntry {
       "ann_binary_recall" -> Ann.binaryRecallSql(),
       "q_session_paths" -> Relational.sessionPathsSql,
       "dedup_winnowing" -> Dedup.winnowingSql,
+      "cdc_payload_profile" -> Monitoring.payloadProfileSql,
+      "q_benford_audit" -> Relational.benfordAuditSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

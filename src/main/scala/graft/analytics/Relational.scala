@@ -1485,4 +1485,62 @@ object Relational {
       |SELECT path, count(*) AS n_sessions
       |FROM p GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
+
+  /** Benford first-digit audit over order totals — the classic
+    * forensic-accounting / data-quality screen: natural multi-scale
+    * amounts follow log10(1+1/d); fabricated, clamped, or
+    * unit-converted data lurches away from it. Reports per digit the
+    * observed share against the Benford expectation (hard-coded
+    * 5-decimal constants — no runtime logarithm) and the absolute
+    * deviation; synthetic uniform data SHOULD deviate, which is
+    * exactly what makes the column informative.
+    *
+    * Determinism: the first digit comes from the INTEGER part cast to
+    * string (integer formatting is identical across engines — never
+    * string-format a double, scientific notation differs); shares are
+    * single divisions of exact counts. Scale shape: one ≤9-key
+    * map-side-combined aggregation, 9-row literal spine joined back,
+    * 1-row total broadcast. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val expected = spark.createDataFrame(Seq(
+      (1L, 0.30103), (2L, 0.17609), (3L, 0.12494), (4L, 0.09691), (5L, 0.07918),
+      (6L, 0.06695), (7L, 0.05799), (8L, 0.05115), (9L, 0.04576)))
+      .toDF("digit", "expected")
+    val counts = Tables.load(spark, dir, "orders")
+      .where(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).cast("long").as("n_total"))
+    expected.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        col("n_total"),
+        (coalesce(col("n"), lit(0L)).cast("double") / col("n_total").cast("double")).as("share"),
+        col("expected"),
+        abs(coalesce(col("n"), lit(0L)).cast("double") / col("n_total").cast("double")
+          - col("expected")).as("deviation"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String =
+    """WITH expected(digit, expected) AS (VALUES
+      |  (1, CAST(0.30103 AS DOUBLE)), (2, CAST(0.17609 AS DOUBLE)),
+      |  (3, CAST(0.12494 AS DOUBLE)), (4, CAST(0.09691 AS DOUBLE)),
+      |  (5, CAST(0.07918 AS DOUBLE)), (6, CAST(0.06695 AS DOUBLE)),
+      |  (7, CAST(0.05799 AS DOUBLE)), (8, CAST(0.05115 AS DOUBLE)),
+      |  (9, CAST(0.04576 AS DOUBLE))),
+      |c AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+      |         count(*) AS n
+      |  FROM orders WHERE o_totalprice >= 1 GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM c)
+      |SELECT CAST(e.digit AS BIGINT) AS digit,
+      |       coalesce(c.n, 0) AS n_orders, t.n_total,
+      |       CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share,
+      |       e.expected,
+      |       abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) - e.expected) AS deviation
+      |FROM expected e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
+      |ORDER BY digit""".stripMargin
 }

@@ -2007,4 +2007,68 @@ object Monitoring {
       |       coalesce(o.n, 0) AS n_logs
       |FROM contract c LEFT JOIN observed o ON c.level = o.level
       |ORDER BY severity""".stripMargin
+
+  /** Wire-payload field discovery — per topic and envelope level (root /
+    * after / before), every JSON key observed on the wire with its
+    * presence rate: the semi-structured schema profile a CDC operator
+    * reads when a producer starts emitting new fields (the payload-level
+    * complement of cdc_schema_drift's table-DDL view). Because the wire
+    * serializer omits null fields, presence is INFORMATIVE: deletes
+    * carry `before` and no `after`, so the rates expose the op mix a
+    * glance — a field present on 100% of one topic and 40% of another is
+    * the drift this op exists to catch.
+    *
+    * Scale shape: key extraction is per-row JSON parsing (codegen'd
+    * json_object_keys / get_json_object); one (topic, level, key)
+    * aggregation bounded by the key domain, never the stream; per-topic
+    * totals broadcast back. */
+  def payloadProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wire = Cdc.toWire(spark, dir)
+    val keyed = wire.select(col("topic"), col("value"),
+      explode(expr("json_object_keys(value)")).as("key"), lit("root").as("level"))
+      .select(col("topic"), col("level"), col("key"))
+      .unionAll(wire.select(col("topic"), col("value"),
+        explode(expr("json_object_keys(get_json_object(value, '$.after'))")).as("key"))
+        .select(col("topic"), lit("after").as("level"), col("key")))
+      .unionAll(wire.select(col("topic"), col("value"),
+        explode(expr("json_object_keys(get_json_object(value, '$.before'))")).as("key"))
+        .select(col("topic"), lit("before").as("level"), col("key")))
+    val totals = wire.groupBy("topic").agg(count(lit(1)).as("n_msgs"))
+    keyed.groupBy("topic", "level", "key")
+      .agg(count(lit(1)).as("n_present"))
+      .join(broadcast(totals), "topic")
+      .select(col("topic"), col("level"), col("key"), col("n_present"), col("n_msgs"),
+        (col("n_present").cast("double") / col("n_msgs").cast("double")).as("presence"))
+      .orderBy("topic", "level", "key")
+  }
+
+  /** The oracle recomputes the serializer's key semantics from the
+    * events table (the repo's wire-oracle convention): to_json omits
+    * null fields, so root carries exactly {source, op, ts_ms} plus
+    * `before` for deletes / `after` otherwise, and the payload level
+    * carries each record field iff it is non-null. */
+  val payloadProfileSql: String =
+    """WITH e AS (
+      |  SELECT 'graft.public.' || event_type AS topic,
+      |         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+      |         user_id, event_type, value
+      |  FROM events),
+      |rootk AS (
+      |  SELECT topic, 'root' AS level,
+      |         unnest(['source', 'op', 'ts_ms',
+      |                 CASE WHEN op = 'd' THEN 'before' ELSE 'after' END]) AS key
+      |  FROM e),
+      |payk AS (
+      |  SELECT topic, CASE WHEN op = 'd' THEN 'before' ELSE 'after' END AS level,
+      |         unnest(CASE WHEN user_id IS NOT NULL THEN ['user_id'] ELSE []::VARCHAR[] END
+      |             || CASE WHEN event_type IS NOT NULL THEN ['event_type'] ELSE []::VARCHAR[] END
+      |             || CASE WHEN value IS NOT NULL THEN ['value'] ELSE []::VARCHAR[] END) AS key
+      |  FROM e),
+      |keyed AS (SELECT * FROM rootk UNION ALL SELECT * FROM payk),
+      |tot AS (SELECT topic, count(*) AS n_msgs FROM e GROUP BY topic)
+      |SELECT k.topic, k.level, k.key, count(*) AS n_present, t.n_msgs,
+      |       CAST(count(*) AS DOUBLE) / CAST(t.n_msgs AS DOUBLE) AS presence
+      |FROM keyed k JOIN tot t ON k.topic = t.topic
+      |GROUP BY k.topic, k.level, k.key, t.n_msgs
+      |ORDER BY k.topic, k.level, k.key""".stripMargin
 }

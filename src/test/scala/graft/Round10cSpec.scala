@@ -1,6 +1,7 @@
 package graft
 
 import graft.analytics.Relational
+import graft.cdc.Monitoring
 import graft.dedup.Dedup
 import graft.similarity.Ann
 import graft.text.TextFunctions
@@ -155,6 +156,44 @@ class Round10cSpec extends AnyFunSuite {
     val density = mass.toDouble / nGramPositions
     assert(density > 0.05 && density < 2.0 / 9.0 * 1.5,
       s"density $density should sit near the 2/(w+1)=0.222 winnowing expectation")
+  }
+
+  test("payload profile: null-omission semantics give op-dependent key sets") {
+    val rows = Monitoring.payloadProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byTopic = rows.groupBy(_.getAs[String]("topic"))
+    byTopic.foreach { case (topic, trs) =>
+      val root = trs.filter(_.getAs[String]("level") == "root")
+        .map(r => r.getAs[String]("key") -> r.getAs[Double]("presence")).toMap
+      // the constant envelope fields are on every message
+      Seq("source", "op", "ts_ms").foreach(k =>
+        assert(math.abs(root(k) - 1.0) < 1e-12, s"$topic root.$k"))
+      // deletes carry before and never after; the error topic is all-delete
+      if (topic.endsWith("error")) {
+        assert(math.abs(root("before") - 1.0) < 1e-12 && !root.contains("after"))
+        assert(trs.forall(_.getAs[String]("level") != "after"))
+      } else {
+        assert(math.abs(root("after") - 1.0) < 1e-12 && !root.contains("before"))
+      }
+      val payloadKeys = trs.filter(r => r.getAs[String]("level") != "root")
+        .map(_.getAs[String]("key")).toSet
+      assert(payloadKeys.subsetOf(Set("user_id", "event_type", "value")))
+    }
+  }
+
+  test("benford audit: full digit spine, shares sum to 1, totals cross-check") {
+    val rows = Relational.benfordAudit(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("digit")).toSeq == (1L to 9L))
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("expected")).sum - 1.0) < 1e-3,
+      "the hard-coded Benford constants must themselves sum to ~1")
+    val nEligible = Tables.load(spark, dir, "orders").where(col("o_totalprice") >= 1.0).count()
+    rows.foreach(r => assert(r.getAs[Long]("n_total") == nEligible))
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nEligible)
+    rows.foreach { r =>
+      val dev = r.getAs[Double]("deviation")
+      assert(math.abs(dev - math.abs(r.getAs[Double]("share") - r.getAs[Double]("expected"))) < 1e-12)
+    }
   }
 
   test("binary topk: bit-packed hamming equals per-dimension sign disagreement") {
