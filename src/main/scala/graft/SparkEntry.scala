@@ -209,6 +209,7 @@ object SparkEntry {
     "dedup_winnowing" -> ((s, d) => Dedup.winnowing(s, d)),
     "cdc_payload_profile" -> ((s, d) => Monitoring.payloadProfile(s, d)),
     "q_benford_audit" -> ((s, d) => Relational.benfordAudit(s, d)),
+    "cdc_value_drift" -> ((s, d) => Monitoring.valueDrift(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1002,6 +1003,7 @@ object SparkEntry {
       "dedup_winnowing" -> Dedup.winnowingSql,
       "cdc_payload_profile" -> Monitoring.payloadProfileSql,
       "q_benford_audit" -> Relational.benfordAuditSql,
+      "cdc_value_drift" -> Monitoring.valueDriftSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -2071,4 +2071,99 @@ object Monitoring {
       |FROM keyed k JOIN tot t ON k.topic = t.topic
       |GROUP BY k.topic, k.level, k.key, t.n_msgs
       |ORDER BY k.topic, k.level, k.key""".stripMargin
+
+  /** Column-level VALUE-distribution drift — per topic, the numeric
+    * payload's mean/σ in the stream's early half vs its late half (split
+    * at the exact millisecond midpoint of the observed span), with a
+    * pooled-σ drift score: the data-quality monitor that catches a
+    * producer silently changing units or clamping a column — invisible
+    * to row-level `cdc_sample_compare` (values are "valid", just
+    * differently distributed) and to schema/payload watches (the field
+    * is present and typed). NULL drift when the pooled σ is zero (a
+    * constant column's drift is undefined, not infinite — the
+    * error-budget convention).
+    *
+    * Determinism: per-row values quantize to 2⁴⁰ integers before
+    * summing (partition-order-free); means/variances are fixed-order
+    * double expressions over those exact sums, the variance clamped at
+    * zero before the sqrt. Scale shape: one ≤|topics×2|-key map-side-
+    * combined aggregation, halves joined on the tiny topic key, span
+    * bounds a 1-row broadcast. */
+  def valueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1099511627776.0
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type").as("topic"), unix_millis(col("ts")).as("ms"), col("value"))
+    val bounds = ev.agg(min(col("ms")).as("lo"), max(col("ms")).as("hi"))
+    val stats = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("ms") * 2 <= col("lo") + col("hi"), lit("early")).otherwise(lit("late")))
+      .groupBy("topic", "half")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(floor(col("value") * Q).cast("long").cast(DecimalType(38, 0))).as("s1"),
+        sum(floor(col("value") * col("value") * Q).cast("long").cast(DecimalType(38, 0))).as("s2"))
+      .select(col("topic"), col("half"), col("n"),
+        (col("s1").cast("double") / Q / col("n")).as("mean"),
+        greatest(
+          col("s2").cast("double") / Q / col("n")
+            - (col("s1").cast("double") / Q / col("n"))
+            * (col("s1").cast("double") / Q / col("n")),
+          lit(0.0)).as("variance"))
+    val e = stats.where(col("half") === "early")
+      .select(col("topic"), col("n").as("n_early"), col("mean").as("mean_early"),
+        col("variance").as("var_early"))
+    val l = stats.where(col("half") === "late")
+      .select(col("topic"), col("n").as("n_late"), col("mean").as("mean_late"),
+        col("variance").as("var_late"))
+    e.join(l, Seq("topic"), "full")
+      .select(col("topic"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"),
+        col("mean_early"), col("mean_late"),
+        when(col("n_early").isNotNull && col("n_late").isNotNull,
+          sqrt((col("var_early") * col("n_early") + col("var_late") * col("n_late"))
+            / (col("n_early") + col("n_late")))).as("pooled_sigma"))
+      .withColumn("drift_z",
+        when(col("pooled_sigma") > 0.0,
+          abs(col("mean_late") - col("mean_early")) / col("pooled_sigma")))
+      .orderBy("topic")
+  }
+
+  val valueDriftSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS topic, epoch_ms(ts) AS ms, value FROM events),
+      |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev),
+      |stats AS (
+      |  SELECT topic,
+      |         CASE WHEN ms * 2 <= lo + hi THEN 'early' ELSE 'late' END AS half,
+      |         count(*) AS n,
+      |         sum(CAST(floor(value * 1099511627776.0) AS BIGINT)) AS s1,
+      |         sum(CAST(floor(value * value * 1099511627776.0) AS BIGINT)) AS s2
+      |  FROM ev CROSS JOIN b
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT topic, half, n,
+      |         CAST(s1 AS DOUBLE) / 1099511627776.0 / n AS mean,
+      |         greatest(
+      |           CAST(s2 AS DOUBLE) / 1099511627776.0 / n
+      |             - (CAST(s1 AS DOUBLE) / 1099511627776.0 / n)
+      |             * (CAST(s1 AS DOUBLE) / 1099511627776.0 / n),
+      |           0.0) AS variance
+      |  FROM stats),
+      |e AS (SELECT topic, n AS n_early, mean AS mean_early, variance AS var_early
+      |      FROM m WHERE half = 'early'),
+      |l AS (SELECT topic, n AS n_late, mean AS mean_late, variance AS var_late
+      |      FROM m WHERE half = 'late'),
+      |j AS (
+      |  SELECT coalesce(e.topic, l.topic) AS topic,
+      |         coalesce(e.n_early, 0) AS n_early, coalesce(l.n_late, 0) AS n_late,
+      |         e.mean_early, l.mean_late,
+      |         CASE WHEN e.n_early IS NOT NULL AND l.n_late IS NOT NULL
+      |              THEN sqrt((e.var_early * e.n_early + l.var_late * l.n_late)
+      |                        / (e.n_early + l.n_late)) END AS pooled_sigma
+      |  FROM e FULL JOIN l ON e.topic = l.topic)
+      |SELECT topic, n_early, n_late, mean_early, mean_late, pooled_sigma,
+      |       CASE WHEN pooled_sigma > 0.0
+      |            THEN abs(mean_late - mean_early) / pooled_sigma END AS drift_z
+      |FROM j ORDER BY topic""".stripMargin
 }

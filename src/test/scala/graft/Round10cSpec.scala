@@ -196,6 +196,39 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("value drift: halves partition every topic, drift reproduces from the halves") {
+    val rows = Monitoring.valueDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totals = Tables.load(spark, dir, "events")
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val topic = r.getAs[String]("topic")
+      assert(r.getAs[Long]("n_early") + r.getAs[Long]("n_late") == totals(topic),
+        s"halves must partition $topic")
+      if (!r.isNullAt(r.fieldIndex("drift_z"))) {
+        val z = r.getAs[Double]("drift_z")
+        assert(z >= 0.0)
+        val expect = math.abs(r.getAs[Double]("mean_late") - r.getAs[Double]("mean_early")) /
+          r.getAs[Double]("pooled_sigma")
+        assert(math.abs(z - expect) < 1e-12)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("pooled_sigma")) ||
+          r.getAs[Double]("pooled_sigma") == 0.0)
+      }
+    }
+    // recompute one topic's early mean from raw values (2^40 tolerance)
+    val t0 = rows.head.getAs[String]("topic")
+    val bounds = Tables.load(spark, dir, "events")
+      .agg(min(unix_millis(col("ts"))), max(unix_millis(col("ts")))).collect().head
+    val mid = (bounds.getLong(0) + bounds.getLong(1))
+    val vals = Tables.load(spark, dir, "events")
+      .where(col("event_type") === t0 && unix_millis(col("ts")) * 2 <= mid)
+      .select(col("value")).collect().map(_.getDouble(0))
+    val brute = vals.sum / vals.length
+    assert(math.abs(rows.head.getAs[Double]("mean_early") - brute) < 1e-6)
+  }
+
   test("binary topk: bit-packed hamming equals per-dimension sign disagreement") {
     val rows = Ann.binaryTopK(spark, dir).collect()
     assert(rows.length == 10)
