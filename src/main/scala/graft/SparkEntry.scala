@@ -210,6 +210,8 @@ object SparkEntry {
     "cdc_payload_profile" -> ((s, d) => Monitoring.payloadProfile(s, d)),
     "q_benford_audit" -> ((s, d) => Relational.benfordAudit(s, d)),
     "cdc_value_drift" -> ((s, d) => Monitoring.valueDrift(s, d)),
+    "q_runs_test" -> ((s, d) => Relational.runsTest(s, d)),
+    "emb_label_purity" -> ((s, d) => Ann.labelPurity(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1004,6 +1006,8 @@ object SparkEntry {
       "cdc_payload_profile" -> Monitoring.payloadProfileSql,
       "q_benford_audit" -> Relational.benfordAuditSql,
       "cdc_value_drift" -> Monitoring.valueDriftSql,
+      "q_runs_test" -> Relational.runsTestSql,
+      "emb_label_purity" -> Ann.labelPuritySql(),
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

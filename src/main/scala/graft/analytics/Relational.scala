@@ -1524,6 +1524,92 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Wald–Wolfowitz runs test over daily order volume — the time-series
+    * randomness audit read next to [[benfordAudit]]'s digit screen: too
+    * FEW runs of above/below-median days means trending or batching
+    * (loads arriving in bursts), too MANY means oscillation
+    * (over-correction or interleaved double-feeds). Days equal to the
+    * median are excluded (the standard treatment); the z-score comes
+    * from the exact run/count integers through fixed-order double
+    * formulas, NULL when the variance degenerates (n1·n2 = 0 — an
+    * all-above or all-below split has no defined randomness).
+    *
+    * Scale shape: the daily rollup is a ≤|days|-key map-side-combined
+    * aggregation; everything after runs over that bounded table (the
+    * median pick, the lag window, the scalar fold — all ≤|days| rows). */
+  def runsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val nDays = daily.agg(count(lit(1)).cast("long").as("n_days"))
+    val median = daily.crossJoin(broadcast(nDays))
+      .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("day"))))
+      .where(col("rk") === ceil(col("n_days").cast("double") * 0.5).cast("long"))
+      .select(col("n").as("median"))
+      .limit(1) // rank filter yields exactly one row; limit makes the bound provable
+    val signed = daily.crossJoin(broadcast(median))
+      .where(col("n") =!= col("median"))
+      .withColumn("above", (col("n") > col("median")).cast("long"))
+    val folded = signed
+      .withColumn("prev", lag(col("above"), 1).over(Window.orderBy("day")))
+      .agg(
+        sum(when(col("prev").isNull || col("above") =!= col("prev"), 1L).otherwise(0L))
+          .as("n_runs"),
+        sum(col("above")).as("n_above"),
+        sum(lit(1L) - col("above")).as("n_below"))
+    folded.crossJoin(broadcast(nDays))
+      .select(col("n_days"), col("n_above"), col("n_below"), col("n_runs"),
+        (lit(2.0) * col("n_above") * col("n_below")
+          / (col("n_above") + col("n_below")) + lit(1.0)).as("expected_runs"))
+      .withColumn("z",
+        when(col("n_above") > 0L && col("n_below") > 0L
+            && col("n_above") + col("n_below") > 1L,
+          (col("n_runs").cast("double") - col("expected_runs"))
+            / sqrt(greatest(
+              (lit(2.0) * col("n_above") * col("n_below")
+                * (lit(2.0) * col("n_above") * col("n_below")
+                  - col("n_above") - col("n_below")))
+                / (((col("n_above") + col("n_below"))
+                  * (col("n_above") + col("n_below"))
+                  * (col("n_above") + col("n_below") - 1L)).cast("double")),
+              lit(1e-300)))))
+  }
+
+  val runsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_days FROM daily),
+      |ranked AS (
+      |  SELECT n, row_number() OVER (ORDER BY n, day) AS rk FROM daily),
+      |med AS (
+      |  SELECT n AS median FROM ranked CROSS JOIN nd
+      |  WHERE rk = CAST(ceil(CAST(n_days AS DOUBLE) * 0.5) AS BIGINT)),
+      |signed AS (
+      |  SELECT day, CAST(n > median AS BIGINT) AS above
+      |  FROM daily CROSS JOIN med WHERE n <> median),
+      |runs AS (
+      |  SELECT above, lag(above) OVER (ORDER BY day) AS prev FROM signed),
+      |f AS (
+      |  SELECT CAST(sum(CASE WHEN prev IS NULL OR above <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+      |         CAST(sum(above) AS BIGINT) AS n_above,
+      |         CAST(sum(1 - above) AS BIGINT) AS n_below
+      |  FROM runs),
+      |e AS (
+      |  SELECT nd.n_days, f.n_above, f.n_below, f.n_runs,
+      |         2.0 * f.n_above * f.n_below / (f.n_above + f.n_below) + 1.0 AS expected_runs
+      |  FROM f CROSS JOIN nd)
+      |SELECT n_days, n_above, n_below, n_runs, expected_runs,
+      |       CASE WHEN n_above > 0 AND n_below > 0 AND n_above + n_below > 1
+      |            THEN (CAST(n_runs AS DOUBLE) - expected_runs)
+      |                 / sqrt(greatest(
+      |                     (2.0 * n_above * n_below
+      |                       * (2.0 * n_above * n_below - n_above - n_below))
+      |                     / CAST((n_above + n_below) * (n_above + n_below)
+      |                            * (n_above + n_below - 1) AS DOUBLE),
+      |                     1e-300)) END AS z
+      |FROM e""".stripMargin
+
   val benfordAuditSql: String =
     """WITH expected(digit, expected) AS (VALUES
       |  (1, CAST(0.30103 AS DOUBLE)), (2, CAST(0.17609 AS DOUBLE)),

@@ -2520,6 +2520,64 @@ object Ann {
       |       n_subvectors
       |FROM agg ORDER BY m""".stripMargin
 
+  /** Per-label kNN purity — the embedding-quality audit that asks
+    * whether geometry agrees with labels: for every vector, do its k
+    * nearest bucket-neighbors share its label? Low purity for one label
+    * means that region of the space is mixed — SemDeDup-style pruning
+    * and IVF routing will both bleed across it. Completes the embedding
+    * QA family: norm_stats (broken exports), outlier_share (mislabeled
+    * points), centroid_drift (staleness), purity (label-geometry
+    * agreement).
+    *
+    * Scale shape: the [[knnJoin]] algebra over the full corpus — the
+    * kNN-graph build job — with candidates bounded to sign-code buckets
+    * (|n|²/256 pairs, never all-pairs), ranking windows partitioned on
+    * the query key, and the rollup ≤|labels| keys with exact integer
+    * match counts. */
+  def labelPurity(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val nb = emb.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("ne"), col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("n_id"))
+    emb.join(nb, Seq("bucket"))
+      .where(col("n_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("label"), col("n_id"), col("n_label"),
+        cosine(spark, "embedding", "ne").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(
+        countDistinct(col("vec_id")).as("n_evaluated"),
+        count(lit(1)).as("n_neighbors"),
+        sum(when(col("n_label") === col("label"), 1L).otherwise(0L)).as("n_matched"))
+      .select(col("label"), col("n_evaluated"), col("n_neighbors"), col("n_matched"),
+        (col("n_matched").cast("double") / col("n_neighbors").cast("double")).as("purity"))
+      .orderBy("label")
+  }
+
+  def labelPuritySql(k: Int = 3): String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, label, embedding, ${signCodeSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, a.label, b.label AS n_label,
+       |         ${cosineSql("a.embedding", "b.embedding")} AS cosine, b.vec_id AS n_id
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, label, n_label,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT CAST(label AS BIGINT) AS label,
+       |       count(DISTINCT vec_id) AS n_evaluated,
+       |       count(*) AS n_neighbors,
+       |       CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       |       CAST(sum(CASE WHEN n_label = label THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS purity
+       |FROM ranked WHERE rank <= $k
+       |GROUP BY label ORDER BY label""".stripMargin
+
   /** Binary-quantized (1-bit-per-dimension) Hamming top-k — the last
     * rung of the storage ladder (PQ = 4 bits/dim-group, SQ8 = 8
     * bits/dim, binary = 1 bit/dim, 32:1 over float32): each vector

@@ -60,7 +60,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "ann_recall_curve", "cdc_table_activity",
       // streaks' share-of-total runs over the <= |max-streak-length|-row
       // histogram (two aggregations below it)
-      "q_streaks")
+      "q_streaks",
+      // runs test: median rank + lag windows over the <= |days|-row daily
+      // aggregate
+      "q_runs_test")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -196,6 +196,40 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("runs test: counts partition non-median days, formulas reproduce, brute-force runs") {
+    val r = Relational.runsTest(spark, dir).collect().head
+    val (n1, n2, runs) = (r.getAs[Long]("n_above"), r.getAs[Long]("n_below"), r.getAs[Long]("n_runs"))
+    assert(runs >= 1L && runs <= n1 + n2)
+    assert(math.abs(r.getAs[Double]("expected_runs")
+      - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) < 1e-12)
+    // brute-force the run count on the driver from the daily series
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day")).count()
+      .orderBy("day").collect().map(r2 => r2.getDate(0) -> r2.getLong(1))
+    val sortedCounts = daily.map(_._2).sorted
+    val median = sortedCounts(math.ceil(daily.length * 0.5).toInt - 1)
+    val signs = daily.collect { case (_, n) if n != median => n > median }
+    assert(n1 == signs.count(identity) && n2 == signs.count(!_))
+    val bruteRuns = if (signs.isEmpty) 0L
+      else 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+    assert(runs == bruteRuns, s"runs $runs vs brute $bruteRuns")
+  }
+
+  test("label purity: neighbor counts bounded by k, matches bounded by neighbors") {
+    val rows = Ann.labelPurity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ev, nb, m) = (r.getAs[Long]("n_evaluated"), r.getAs[Long]("n_neighbors"),
+        r.getAs[Long]("n_matched"))
+      assert(nb <= 3 * ev, "at most k=3 neighbors per evaluated vector")
+      assert(nb >= ev, "every evaluated vector has >= 1 ranked neighbor")
+      assert(m >= 0 && m <= nb)
+      val p = r.getAs[Double]("purity")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(math.abs(p - m.toDouble / nb) < 1e-12)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
