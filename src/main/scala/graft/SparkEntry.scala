@@ -212,6 +212,8 @@ object SparkEntry {
     "cdc_value_drift" -> ((s, d) => Monitoring.valueDrift(s, d)),
     "q_runs_test" -> ((s, d) => Relational.runsTest(s, d)),
     "emb_label_purity" -> ((s, d) => Ann.labelPurity(s, d)),
+    "q_new_vs_repeat" -> ((s, d) => Relational.newVsRepeat(s, d)),
+    "emb_hubness" -> ((s, d) => Ann.hubness(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1008,6 +1010,8 @@ object SparkEntry {
       "cdc_value_drift" -> Monitoring.valueDriftSql,
       "q_runs_test" -> Relational.runsTestSql,
       "emb_label_purity" -> Ann.labelPuritySql(),
+      "q_new_vs_repeat" -> Relational.newVsRepeatSql,
+      "emb_hubness" -> Ann.hubnessSql(),
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1575,6 +1575,46 @@ object Relational {
               lit(1e-300)))))
   }
 
+  /** Daily new-vs-repeat order mix — the acquisition/retention split
+    * every commerce dashboard leads with: per day, how many orders came
+    * from customers placing their FIRST order vs returning ones. A
+    * falling new share with flat volume means the business is coasting
+    * on its installed base; read next to [[Events]]' cohort retention
+    * (events-side) — this is the orders-side twin.
+    *
+    * Scale shape: first-order day is a per-customer MIN (map-side
+    * combined, |customers| keys), attached back with one equi-join on
+    * the same key (AQE broadcasts it when it fits), and the rollup is a
+    * ≤|days|-key aggregation with exact integer counts. */
+  def newVsRepeat(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), date_trunc("day", col("o_orderdate")).as("day"))
+    val first = orders.groupBy("o_custkey").agg(min(col("day")).as("first_day"))
+    orders.join(first, Seq("o_custkey"))
+      .groupBy("day")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_repeat"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .withColumn("repeat_share",
+        col("n_repeat").cast("double") / col("n_orders").cast("double"))
+      .orderBy("day")
+  }
+
+  val newVsRepeatSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, date_trunc('day', o_orderdate) AS day FROM orders),
+      |f AS (SELECT o_custkey, min(day) AS first_day FROM o GROUP BY 1)
+      |SELECT day, count(*) AS n_orders,
+      |       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat,
+      |       count(DISTINCT o.o_custkey) AS n_customers,
+      |       CAST(sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS repeat_share
+      |FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |GROUP BY day ORDER BY day""".stripMargin
+
   val runsTestSql: String =
     """WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n

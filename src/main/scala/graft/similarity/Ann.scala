@@ -2578,6 +2578,114 @@ object Ann {
        |FROM ranked WHERE rank <= $k
        |GROUP BY label ORDER BY label""".stripMargin
 
+  /** kNN-graph hubness audit (Radovanović et al., "Hubs in Space", JMLR
+    * 2010) — the curse-of-dimensionality diagnostic: in high intrinsic
+    * dimension a few "hub" vectors appear in a disproportionate share of
+    * other vectors' k-NN lists while "anti-hubs" appear in none. Hubs
+    * distort ANN recall (they crowd out true neighbors) and semantic
+    * dedup (they over-merge); a fat hub tail says distance concentration
+    * is biting and cosine rankings carry less information. Reports the
+    * in-degree envelope of the k=3 graph: mean/variance, max, hub count
+    * and edge share (deg ≥ 2k — the standard threshold), anti-hub share.
+    *
+    * Determinism: every statistic derives from exact integer sums
+    * (Σdeg, Σdeg², conditional counts) through fixed-order double
+    * ratios — no float accumulation order anywhere. Σdeg² stays in
+    * BIGINT: deg ≤ n and Σdeg = k·n, and a bucket flooded enough to
+    * push it further trips [[lshOccupancy]] first.
+    *
+    * Scale shape: the same bucket-bounded kNN-graph build as
+    * [[labelPurity]] (never all-pairs), in-degree one count-by-key,
+    * the zero-degree completion a left join on vec_id, the fold a
+    * single-row aggregate. */
+  def hubness(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val nb = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("n_id"))
+    val edges = emb.join(nb, Seq("bucket"))
+      .where(col("n_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("n_id"),
+        cosine(spark, "embedding", "ne").as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+    val indeg = edges.groupBy(col("n_id").as("vec_id"))
+      .agg(count(lit(1)).as("deg"))
+    val degs = Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(indeg, Seq("vec_id"), "left")
+      .select(coalesce(col("deg"), lit(0L)).as("deg"))
+    val mean = col("n_edges").cast("double") / col("n_vectors").cast("double")
+    degs.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(col("deg")).as("n_edges"),
+      max(col("deg")).as("max_indeg"),
+      sum(col("deg") * col("deg")).as("s2"),
+      sum(when(col("deg") >= 2L * k, 1L).otherwise(0L)).as("n_hubs"),
+      sum(when(col("deg") >= 2L * k, col("deg")).otherwise(0L)).as("hub_edges"),
+      sum(when(col("deg") === 0L, 1L).otherwise(0L)).as("n_antihubs"))
+      .select(col("n_vectors"), col("n_edges"), col("max_indeg"),
+        when(col("n_vectors") > 0L, mean).as("mean_indeg"),
+        when(col("n_vectors") > 0L,
+          col("s2").cast("double") / col("n_vectors").cast("double")
+            - mean * mean).as("var_indeg"),
+        col("n_hubs"),
+        when(col("n_vectors") > 0L,
+          col("n_hubs").cast("double") / col("n_vectors").cast("double"))
+          .as("hub_share"),
+        when(col("n_edges") > 0L,
+          col("hub_edges").cast("double") / col("n_edges").cast("double"))
+          .as("hub_edge_share"),
+        col("n_antihubs"),
+        when(col("n_vectors") > 0L,
+          col("n_antihubs").cast("double") / col("n_vectors").cast("double"))
+          .as("antihub_share"))
+  }
+
+  def hubnessSql(k: Int = 3): String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS n_id,
+       |         ${cosineSql("a.embedding", "b.embedding")} AS cosine
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, n_id,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, n_id) AS rank
+       |  FROM scored),
+       |indeg AS (
+       |  SELECT n_id AS vec_id, count(*) AS deg FROM ranked WHERE rank <= $k GROUP BY 1),
+       |degs AS (
+       |  SELECT CAST(coalesce(i.deg, 0) AS BIGINT) AS deg
+       |  FROM embeddings e LEFT JOIN indeg i ON e.vec_id = i.vec_id),
+       |f AS (
+       |  SELECT count(*) AS n_vectors,
+       |         CAST(sum(deg) AS BIGINT) AS n_edges,
+       |         max(deg) AS max_indeg,
+       |         CAST(sum(deg * deg) AS BIGINT) AS s2,
+       |         CAST(sum(CASE WHEN deg >= ${2 * k} THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs,
+       |         CAST(sum(CASE WHEN deg >= ${2 * k} THEN deg ELSE 0 END) AS BIGINT) AS hub_edges,
+       |         CAST(sum(CASE WHEN deg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs
+       |  FROM degs)
+       |SELECT n_vectors, n_edges, max_indeg,
+       |       CASE WHEN n_vectors > 0
+       |            THEN CAST(n_edges AS DOUBLE) / CAST(n_vectors AS DOUBLE) END AS mean_indeg,
+       |       CASE WHEN n_vectors > 0
+       |            THEN CAST(s2 AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+       |                 - (CAST(n_edges AS DOUBLE) / CAST(n_vectors AS DOUBLE))
+       |                 * (CAST(n_edges AS DOUBLE) / CAST(n_vectors AS DOUBLE)) END AS var_indeg,
+       |       n_hubs,
+       |       CASE WHEN n_vectors > 0
+       |            THEN CAST(n_hubs AS DOUBLE) / CAST(n_vectors AS DOUBLE) END AS hub_share,
+       |       CASE WHEN n_edges > 0
+       |            THEN CAST(hub_edges AS DOUBLE) / CAST(n_edges AS DOUBLE) END AS hub_edge_share,
+       |       n_antihubs,
+       |       CASE WHEN n_vectors > 0
+       |            THEN CAST(n_antihubs AS DOUBLE) / CAST(n_vectors AS DOUBLE) END AS antihub_share
+       |FROM f""".stripMargin
+
   /** Binary-quantized (1-bit-per-dimension) Hamming top-k — the last
     * rung of the storage ladder (PQ = 4 bits/dim-group, SQ8 = 8
     * bits/dim, binary = 1 bit/dim, 32:1 over float32): each vector

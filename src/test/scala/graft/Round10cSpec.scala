@@ -230,6 +230,47 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("new vs repeat: splits partition orders, first days are new, shares reproduce") {
+    val rows = Relational.newVsRepeat(spark, dir).collect()
+    assert(rows.nonEmpty)
+    var totNew = 0L
+    rows.foreach { r =>
+      val (n, nw, rp, cust) = (r.getAs[Long]("n_orders"), r.getAs[Long]("n_new"),
+        r.getAs[Long]("n_repeat"), r.getAs[Long]("n_customers"))
+      assert(nw + rp == n, "new + repeat partition the day's orders")
+      assert(cust <= n && cust >= 1)
+      assert(math.abs(r.getAs[Double]("repeat_share") - rp.toDouble / n) < 1e-12)
+      totNew += nw
+    }
+    // n_new counts first-DAY orders: a customer with two orders on their
+    // first day contributes two. Brute-force that from the raw table.
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), date_trunc("day", col("o_orderdate")).as("day"))
+    val bruteNew = o.groupBy("o_custkey").agg(min(col("day")).as("fd"))
+      .join(o, Seq("o_custkey")).where(col("day") === col("fd")).count()
+    assert(totNew == bruteNew, s"first-day orders $totNew vs brute $bruteNew")
+    assert(totNew >= o.select("o_custkey").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_orders")).sum
+      == Tables.load(spark, dir, "orders").count())
+  }
+
+  test("hubness: edge totals match the graph, hub/antihub partitions bounded") {
+    val r = Ann.hubness(spark, dir).collect().head
+    val (nv, ne) = (r.getAs[Long]("n_vectors"), r.getAs[Long]("n_edges"))
+    assert(nv == Tables.load(spark, dir, "embeddings").count())
+    assert(ne <= 3L * nv, "at most k=3 out-edges per vector")
+    assert(r.getAs[Long]("max_indeg") <= nv - 1)
+    assert(r.getAs[Long]("n_hubs") + r.getAs[Long]("n_antihubs") <= nv)
+    assert(math.abs(r.getAs[Double]("mean_indeg") - ne.toDouble / nv) < 1e-12)
+    assert(r.getAs[Double]("var_indeg") >= 0.0)
+    val hs = r.getAs[Double]("hub_share")
+    assert(hs >= 0.0 && hs <= 1.0)
+    assert(r.getAs[Double]("antihub_share") >= 0.0)
+    assert(r.getAs[Double]("hub_edge_share") >= hs * 6.0 * nv / (3.0 * nv) - 1e-12
+      || r.getAs[Long]("n_hubs") == 0L,
+      "hubs hold >= 2k edges each, so their edge share >= 2 * hub count / n")
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
