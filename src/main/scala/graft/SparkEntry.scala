@@ -191,6 +191,8 @@ object SparkEntry {
     "cdc_audit_facets" -> ((s, d) => Monitoring.auditFacets(s, d)),
     "cdc_dml_mix_trend" -> ((s, d) => Monitoring.dmlMixTrend(s, d)),
     "mm_audio_silence" -> ((s, d) => Binary.audioSilence(s, d)),
+    "mm_audio_clipping" -> ((s, d) => Binary.audioClipping(s, d)),
+    "text_redundancy_curve" -> ((s, d) => TextFunctions.redundancyCurve(s, d)),
     "cdc_event_size_pcts" -> ((s, d) => Monitoring.eventSizePercentiles(s, d)),
     "cdc_hot_key_share" -> ((s, d) => Monitoring.hotKeyShare(s, d)),
     "q_cumulative_uniques" -> ((s, d) => Relational.cumulativeUniques(s, d)),
@@ -989,6 +991,8 @@ object SparkEntry {
       "cdc_audit_facets" -> Monitoring.auditFacetsSql,
       "cdc_dml_mix_trend" -> Monitoring.dmlMixTrendSql,
       "mm_audio_silence" -> Binary.audioSilenceSql(),
+      "mm_audio_clipping" -> Binary.audioClippingSql(),
+      "text_redundancy_curve" -> TextFunctions.redundancyCurveSql,
       "cdc_event_size_pcts" -> Monitoring.eventSizePercentilesSql(),
       "cdc_hot_key_share" -> Monitoring.hotKeyShareSql,
       "q_cumulative_uniques" -> Relational.cumulativeUniquesSql,

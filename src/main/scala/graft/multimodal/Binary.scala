@@ -333,6 +333,113 @@ object Binary {
       |       CAST(zc AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val audioClippingSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_clipped", LongType, nullable = false),
+    StructField("n_clip_runs", LongType, nullable = false),
+    StructField("longest_clip_run", LongType, nullable = false),
+    StructField("max_abs", LongType, nullable = false)))
+
+  /** Clipping detection — the other end of the amplitude QA from
+    * [[audioSilence]]: per clip, how many samples sit at/near the
+    * ±full-scale rail (|s| ≥ 32256, within 512 of int16 max), how many
+    * CONTIGUOUS clipped runs there are and the longest one (a lone
+    * railed sample is inaudible; a run is the flat-topped waveform a
+    * limiter or a broken gain stage leaves), plus the clip's absolute
+    * peak. Speech pipelines drop or attenuate clips with long runs
+    * before feature extraction. Same real WAV round trip as
+    * [[audioStats]]; the oracle recomputes the run structure closed-form
+    * with gaps-and-islands over the synth formula, so any decode
+    * disagreement breaks the hash.
+    *
+    * Scale shape: per-clip codec work; serial load for the same
+    * synchronized-AudioSystem-registry reason as [[audioDecode]]. Zero
+    * shuffles before the output sort. */
+  def audioClipping(spark: SparkSession, dir: String, rail: Int = 32256): DataFrame = {
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioClippingSchema)
+    val decoded = ids.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        var nClipped = 0L; var nRuns = 0L; var longest = 0L; var run = 0L
+        var maxAbs = 0L
+        var j = 0
+        while (j < m) {
+          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
+          val a = math.abs(s.toLong)
+          if (a > maxAbs) maxAbs = a
+          if (a >= rail) {
+            nClipped += 1; run += 1
+            if (run == 1L) nRuns += 1
+            if (run > longest) longest = run
+          } else run = 0
+          j += 1
+        }
+        Row(id, m.toLong, nClipped, nRuns, longest, maxAbs)
+      }
+    }(enc)
+    decoded
+      .withColumn("clipped_share",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def audioClippingSql(rail: Int = 32256): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, doc_id % 480 + 160 AS n FROM documents),
+       |s AS (SELECT doc_id, n,
+       |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i FROM d),
+       |v AS (SELECT doc_id, n, i,
+       |             abs((doc_id * 31 + i * 17) % 65536 - 32768) AS a
+       |      FROM s),
+       |c AS (SELECT doc_id, n, i, a, a >= $rail AS clipped FROM v),
+       |isl AS (
+       |  SELECT doc_id, i, clipped,
+       |         i - row_number() OVER (PARTITION BY doc_id, clipped ORDER BY i) AS grp
+       |  FROM c),
+       |runs AS (
+       |  SELECT doc_id, count(*) AS run_len
+       |  FROM isl WHERE clipped GROUP BY doc_id, grp),
+       |agg AS (
+       |  SELECT doc_id,
+       |         CAST(max(n) AS BIGINT) AS n_samples,
+       |         CAST(sum(CASE WHEN clipped THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |         CAST(max(a) AS BIGINT) AS max_abs
+       |  FROM c GROUP BY doc_id),
+       |rr AS (
+       |  SELECT doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_clip_runs,
+       |         CAST(max(run_len) AS BIGINT) AS longest_clip_run
+       |  FROM runs GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_samples, a.n_clipped,
+       |       coalesce(rr.n_clip_runs, 0) AS n_clip_runs,
+       |       coalesce(rr.longest_clip_run, 0) AS longest_clip_run,
+       |       a.max_abs,
+       |       CAST(a.n_clipped AS DOUBLE) / CAST(a.n_samples AS DOUBLE) AS clipped_share
+       |FROM agg a LEFT JOIN rr ON a.doc_id = rr.doc_id
+       |ORDER BY a.doc_id""".stripMargin
+
   private val audioSilenceSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_samples", LongType, nullable = false),

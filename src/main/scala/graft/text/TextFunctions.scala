@@ -802,6 +802,63 @@ object TextFunctions {
       |       CAST(sum(n_dup) AS BIGINT) AS n_dup_grams
       |FROM per_doc GROUP BY dup_bin ORDER BY dup_bin""".stripMargin
 
+  /** Per-source gram-redundancy curve — the compressibility proxy a
+    * pretraining filter reads to catch boilerplate sources WITHOUT
+    * running a compressor: for gram sizes n ∈ {1, 2, 4, 8}, the
+    * distinct-over-total n-gram ratio (generalized type-token ratio)
+    * and its complement. Natural prose keeps a high distinct share even
+    * at n = 8; template/boilerplate corpora collapse (the same 8-grams
+    * repeat), so `redundancy` rising steeply with n is the machine-
+    * generated / scraped-nav signature — the corpus-level reading of
+    * Gopher's repetition rules ([[gopherRules]] is the per-doc twin).
+    *
+    * Scale shape: ONE documents scan — the 4-point gram-size spine is a
+    * literal array exploded against each doc, then one gram fan-out
+    * whose shuffle carries 8-byte digests, not gram strings (collisions
+    * shared with the oracle by construction); the rollup is a two-phase
+    * distinct-count on ≤|sources|×4 keys. */
+  def redundancyCurve(spark: SparkSession, dir: String): DataFrame = {
+    // spread: same scan-stage serialization guard as [[novelty]]
+    val docs = Tables.spread(Tables.load(spark, dir, "documents"))
+    val base = docs
+      .select(col("source"), split(normText(col("text")), " ").as("w"))
+      .select(col("source"), col("w"),
+        explode(array(lit(1), lit(2), lit(4), lit(8))).as("n"))
+      .where(size(col("w")) >= col("n"))
+      .select(col("source"), col("n"),
+        explode(transform(
+          sequence(lit(1), size(col("w")) - col("n") + 1),
+          i => concat_ws(" ", slice(col("w"), i, col("n"))))).as("g"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    base.groupBy("source", "n")
+      .agg(count(lit(1)).as("n_grams"), countDistinct(col("gh")).as("n_distinct"))
+      .withColumn("ttr",
+        col("n_distinct").cast("double") / col("n_grams").cast("double"))
+      .withColumn("redundancy", lit(1.0) - col("ttr"))
+      .orderBy("source", "n")
+  }
+
+  val redundancyCurveSql: String =
+    """WITH nv(n) AS (VALUES (1), (2), (4), (8)),
+      |d AS (
+      |  SELECT source,
+      |         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, n,
+      |         CAST('0x' || substr(md5(array_to_string(w[i:i+n-1], ' ')), 1, 15) AS BIGINT) AS gh
+      |  FROM (
+      |    SELECT source, n, w,
+      |           unnest(generate_series(1, CAST(len(w) - n + 1 AS INTEGER))) AS i
+      |    FROM d CROSS JOIN nv WHERE len(w) >= n))
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |       count(*) AS n_grams,
+      |       count(DISTINCT gh) AS n_distinct,
+      |       CAST(count(DISTINCT gh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ttr,
+      |       1.0 - CAST(count(DISTINCT gh) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS redundancy
+      |FROM g GROUP BY source, n ORDER BY source, n""".stripMargin
+
   /** Per-source character diversity: Simpson index 1 − Σ p² over the
     * source's character distribution, plus distinct-character counts.
     * Gibberish (flat distribution, index → 1) and template spam

@@ -271,6 +271,50 @@ class Round10cSpec extends AnyFunSuite {
       "hubs hold >= 2k edges each, so their edge share >= 2 * hub count / n")
   }
 
+  test("audio clipping: run structure matches a driver-side synth replay") {
+    val rows = graft.multimodal.Binary.audioClipping(spark, dir).collect()
+    assert(rows.length == Tables.load(spark, dir, "documents").count())
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n = (id % 480 + 160).toInt
+      // replay the synth formula on the driver
+      var nClipped = 0L; var nRuns = 0L; var longest = 0L; var run = 0L; var maxAbs = 0L
+      (0 until n).foreach { i =>
+        val a = math.abs((id * 31 + i * 17) % 65536 - 32768)
+        if (a > maxAbs) maxAbs = a
+        if (a >= 32256) {
+          nClipped += 1; run += 1
+          if (run == 1L) nRuns += 1
+          if (run > longest) longest = run
+        } else run = 0
+      }
+      assert(r.getAs[Long]("n_samples") == n.toLong)
+      assert(r.getAs[Long]("n_clipped") == nClipped)
+      assert(r.getAs[Long]("n_clip_runs") == nRuns)
+      assert(r.getAs[Long]("longest_clip_run") == longest)
+      assert(r.getAs[Long]("max_abs") == maxAbs)
+      assert(math.abs(r.getAs[Double]("clipped_share") - nClipped.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("redundancy curve: distinct bounded by total, gram totals shrink with n") {
+    val rows = TextFunctions.redundancyCurve(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("n")).sorted.toSeq == Seq(1L, 2L, 4L, 8L))
+      rs.foreach { r =>
+        val (tot, dist) = (r.getAs[Long]("n_grams"), r.getAs[Long]("n_distinct"))
+        assert(dist >= 1L && dist <= tot)
+        assert(math.abs(r.getAs[Double]("ttr") - dist.toDouble / tot) < 1e-12)
+        assert(math.abs(r.getAs[Double]("ttr") + r.getAs[Double]("redundancy") - 1.0) < 1e-12)
+      }
+      val byN = rs.map(r => r.getAs[Long]("n") -> r.getAs[Long]("n_grams")).toMap
+      assert(byN(1L) > byN(2L) && byN(2L) > byN(4L) && byN(4L) > byN(8L),
+        "total gram count strictly shrinks as gram size grows")
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
