@@ -216,6 +216,8 @@ object SparkEntry {
     "emb_label_purity" -> ((s, d) => Ann.labelPurity(s, d)),
     "q_new_vs_repeat" -> ((s, d) => Relational.newVsRepeat(s, d)),
     "emb_hubness" -> ((s, d) => Ann.hubness(s, d)),
+    "q_priority_shipping" -> ((s, d) => Relational.priorityShipping(s, d)),
+    "cdc_table_staleness" -> ((s, d) => Monitoring.tableStaleness(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1016,6 +1018,8 @@ object SparkEntry {
       "emb_label_purity" -> Ann.labelPuritySql(),
       "q_new_vs_repeat" -> Relational.newVsRepeatSql,
       "emb_hubness" -> Ann.hubnessSql(),
+      "q_priority_shipping" -> Relational.priorityShippingSql,
+      "cdc_table_staleness" -> Monitoring.tableStalenessSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

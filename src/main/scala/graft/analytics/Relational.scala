@@ -1524,6 +1524,58 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Order-to-ship latency by priority — the TPC-H Q12-flavored fulfil-
+    * ment audit the schema supports (no commit/receipt dates in this
+    * export): per order priority, how long lines actually took to ship
+    * and what share blew the 90-day service bar. If URGENT ships no
+    * faster than LOW, the priority field is decorative — a real
+    * operations finding. Exact integer day-diffs summed exactly; the
+    * mean is one fixed-order double ratio.
+    *
+    * Scale shape: the canonical fact-to-fact equi-join (lineitem ⋈
+    * orders on the order key — co-partitioned shuffle join, AQE-
+    * splittable), then a ≤|priorities|-key rollup with map-side
+    * combine. */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("delay_days"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("delay_days")).as("sum_delay"),
+        max(col("delay_days")).as("max_delay_days"),
+        min(col("delay_days")).as("min_delay_days"),
+        sum(when(col("delay_days") > 90L, 1L).otherwise(0L)).as("n_late"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        (col("sum_delay").cast("double") / col("n_lines").cast("double"))
+          .as("avg_delay_days"),
+        col("min_delay_days"), col("max_delay_days"), col("n_late"),
+        (col("n_late").cast("double") / col("n_lines").cast("double"))
+          .as("late_share"))
+      .orderBy("o_orderpriority")
+  }
+
+  val priorityShippingSql: String =
+    """WITH j AS (
+      |  SELECT o.o_orderpriority,
+      |         date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS delay_days
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT o_orderpriority, count(*) AS n_lines,
+      |       CAST(sum(delay_days) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_delay_days,
+      |       CAST(min(delay_days) AS BIGINT) AS min_delay_days,
+      |       CAST(max(delay_days) AS BIGINT) AS max_delay_days,
+      |       CAST(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |       CAST(sum(CASE WHEN delay_days > 90 THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS late_share
+      |FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Wald–Wolfowitz runs test over daily order volume — the time-series
     * randomness audit read next to [[benfordAudit]]'s digit screen: too
     * FEW runs of above/below-median days means trending or batching

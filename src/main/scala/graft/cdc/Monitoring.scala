@@ -371,6 +371,83 @@ object Monitoring {
       |       CASE WHEN freshest_lag_ms <= 3600000 THEN 'active' ELSE 'stale' END AS status
       |FROM g ORDER BY table_name""".stripMargin
 
+  /** Cadence-relative table staleness — the dynamic complement to
+    * [[statusBoard]]'s fixed one-hour rule: a 1-event-per-day table is
+    * not stale after two silent hours, a 1-per-second table very much
+    * is. Per routed table, the silence since its last event (against
+    * the stream's high-water mark) scored against the table's OWN
+    * historical cadence: `staleness_score` = silence over mean
+    * inter-event gap, and `status` = overdue exactly when the current
+    * silence already exceeds the longest gap the table has ever shown
+    * (an observation outside its whole history — alert-worthy without
+    * any tuned threshold).
+    *
+    * Determinism: every quantity derives from exact epoch-ms integers;
+    * the two double ratios use identical expression trees in both
+    * engines. The max-gap window orders by ms only — tie order cannot
+    * change the sorted-difference multiset, so the max is well-defined.
+    *
+    * Scale shape: one scan; the gap window partitions on table_name;
+    * the rollup is ≤|tables| keys; the high-water mark is a broadcast
+    * 1-row join. */
+  def tableStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type").as("table_name"),
+        unix_millis(col("ts")).as("ms"))
+    val hwm = ev.agg(max(col("ms")).as("hwm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("table_name").orderBy("ms")
+    val perTable = ev
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .groupBy("table_name")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ms")).as("first_ms"),
+        max(col("ms")).as("last_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+    val meanGap = (col("last_ms") - col("first_ms")).cast("double") /
+      (col("n_events") - 1L).cast("double")
+    perTable.crossJoin(broadcast(hwm))
+      .withColumn("silence_ms", col("hwm") - col("last_ms"))
+      .select(col("table_name"), col("n_events"), col("last_ms"),
+        col("silence_ms"), col("max_gap_ms"),
+        when(col("n_events") >= 2L, meanGap).as("mean_gap_ms"),
+        when(col("n_events") >= 2L && col("last_ms") > col("first_ms"),
+          col("silence_ms").cast("double") / meanGap).as("staleness_score"),
+        when(col("n_events") < 2L, lit("unknown"))
+          .when(col("silence_ms") > col("max_gap_ms"), lit("overdue"))
+          .otherwise(lit("ok")).as("status"))
+      .orderBy("table_name")
+  }
+
+  val tableStalenessSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS table_name, epoch_ms(ts) AS ms FROM events),
+      |hwm AS (SELECT max(ms) AS hwm FROM ev),
+      |g AS (
+      |  SELECT table_name, ms,
+      |         ms - lag(ms) OVER (PARTITION BY table_name ORDER BY ms) AS gap_ms
+      |  FROM ev),
+      |agg AS (
+      |  SELECT table_name, count(*) AS n_events,
+      |         min(ms) AS first_ms, max(ms) AS last_ms,
+      |         max(gap_ms) AS max_gap_ms
+      |  FROM g GROUP BY table_name)
+      |SELECT table_name, n_events, last_ms,
+      |       hwm - last_ms AS silence_ms,
+      |       max_gap_ms,
+      |       CASE WHEN n_events >= 2
+      |            THEN CAST(last_ms - first_ms AS DOUBLE) / CAST(n_events - 1 AS DOUBLE)
+      |       END AS mean_gap_ms,
+      |       CASE WHEN n_events >= 2 AND last_ms > first_ms
+      |            THEN CAST(hwm - last_ms AS DOUBLE)
+      |                 / (CAST(last_ms - first_ms AS DOUBLE) / CAST(n_events - 1 AS DOUBLE))
+      |       END AS staleness_score,
+      |       CASE WHEN n_events < 2 THEN 'unknown'
+      |            WHEN hwm - last_ms > max_gap_ms THEN 'overdue'
+      |            ELSE 'ok' END AS status
+      |FROM agg CROSS JOIN hwm ORDER BY table_name""".stripMargin
+
   /** Heartbeat / silence detection: per key cohort, the distribution of
     * inter-event gaps in event-time order, and how many exceeded the
     * silence threshold — the liveness signal a connector heartbeat table

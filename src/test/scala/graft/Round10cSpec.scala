@@ -315,6 +315,40 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("priority shipping: line totals match the join, delay bounds ordered, shares reproduce") {
+    val rows = Relational.priorityShipping(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum
+      == Tables.load(spark, dir, "lineitem").count(),
+      "every lineitem lands in exactly one priority bucket")
+    rows.foreach { r =>
+      val (mn, mx) = (r.getAs[Long]("min_delay_days"), r.getAs[Long]("max_delay_days"))
+      val avg = r.getAs[Double]("avg_delay_days")
+      assert(mn <= avg && avg <= mx)
+      val (late, n) = (r.getAs[Long]("n_late"), r.getAs[Long]("n_lines"))
+      assert(late <= n)
+      assert(math.abs(r.getAs[Double]("late_share") - late.toDouble / n) < 1e-12)
+    }
+  }
+
+  test("table staleness: silence nonneg, hwm holder is ok, score reproduces from the parts") {
+    val rows = Monitoring.tableStaleness(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("silence_ms") == 0L), "some table holds the hwm")
+    rows.foreach { r =>
+      val sil = r.getAs[Long]("silence_ms")
+      assert(sil >= 0L)
+      val st = r.getAs[String]("status")
+      if (r.getAs[Long]("n_events") < 2L) assert(st == "unknown")
+      else {
+        assert(st == (if (sil > r.getAs[Long]("max_gap_ms")) "overdue" else "ok"))
+        val mean = r.getAs[Double]("mean_gap_ms")
+        assert(mean > 0.0)
+        assert(math.abs(r.getAs[Double]("staleness_score") - sil.toDouble / mean) < 1e-9)
+      }
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
