@@ -218,6 +218,8 @@ object SparkEntry {
     "emb_hubness" -> ((s, d) => Ann.hubness(s, d)),
     "q_priority_shipping" -> ((s, d) => Relational.priorityShipping(s, d)),
     "cdc_table_staleness" -> ((s, d) => Monitoring.tableStaleness(s, d)),
+    "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
+    "q_revenue_concentration" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1020,6 +1022,8 @@ object SparkEntry {
       "emb_hubness" -> Ann.hubnessSql(),
       "q_priority_shipping" -> Relational.priorityShippingSql,
       "cdc_table_staleness" -> Monitoring.tableStalenessSql,
+      "q_rolling_retention" -> Relational.rollingRetentionSql,
+      "q_revenue_concentration" -> Relational.revenueConcentrationSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1524,6 +1524,121 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** 7-day rolling retention — the product-health curve next to cohort
+    * retention's fixed grid: of the users active on day d, what share
+    * came back within the next 7 days? Cohort retention tracks signup
+    * classes; this tracks the WHOLE active base day over day, the
+    * metric that moves first when an experience degrades. The stream's
+    * final week is right-censored (no future to return in) — the curve
+    * honestly falls there rather than inventing a correction, and the
+    * oracle agrees.
+    *
+    * Scale shape: one distinct (user, day) pass (map-side combined),
+    * a user-partitioned lead window (never global), and a ≤|days|-key
+    * rollup of exact integer counts. */
+  def rollingRetention(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day")
+    val active = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    active
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .withColumn("returned",
+        when(col("next_day").isNotNull &&
+          datediff(col("next_day").cast("date"), col("day").cast("date")) <= 7,
+          1L).otherwise(0L))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"), sum(col("returned")).as("n_returned"))
+      .withColumn("retention_7d",
+        col("n_returned").cast("double") / col("n_active").cast("double"))
+      .orderBy("day")
+  }
+
+  val rollingRetentionSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |n AS (
+      |  SELECT user_id, day,
+      |         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      |  FROM a)
+      |SELECT day, count(*) AS n_active,
+      |       CAST(sum(CASE WHEN next_day IS NOT NULL
+      |                      AND date_diff('day', CAST(day AS DATE), CAST(next_day AS DATE)) <= 7
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      |       CAST(sum(CASE WHEN next_day IS NOT NULL
+      |                      AND date_diff('day', CAST(day AS DATE), CAST(next_day AS DATE)) <= 7
+      |                     THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS retention_7d
+      |FROM n GROUP BY day ORDER BY day""".stripMargin
+
+  /** Revenue-concentration curve at order-of-magnitude resolution — the
+    * scale-correct Lorenz/Pareto reading ("do 1% of customers hold 40%
+    * of revenue?"): per-customer lifetime revenue bucketed by its DIGIT
+    * COUNT (integer-part formatting is engine-identical — the same trick
+    * as the Benford screen; no libm log anywhere), then customer and
+    * revenue shares per bucket with cumulative-from-the-top shares. A
+    * true per-customer rank curve needs a global sort over |customers|;
+    * the digit histogram answers the concentration question with a
+    * ≤~10-row table and no unbounded window.
+    *
+    * Scale shape: per-customer revenue is a map-side-combined DECIMAL
+    * sum; the histogram is a ≤|digit-buckets|-key rollup; the
+    * cumulative window runs over that bounded table. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.load(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("revenue"))
+      .select(col("revenue"),
+        length(floor(col("revenue")).cast("long").cast("string")).cast("long")
+          .as("digits"))
+    val hist = perCust.groupBy("digits")
+      .agg(count(lit(1)).as("n_customers"), sum(col("revenue")).as("rev"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .orderBy(col("digits").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist
+      .withColumn("cum_cust", sum(col("n_customers")).over(wTop))
+      .withColumn("cum_rev", sum(col("rev")).over(wTop))
+      .withColumn("tot_cust", sum(col("n_customers")).over(tot))
+      .withColumn("tot_rev", sum(col("rev")).over(tot))
+      .select(col("digits"), col("n_customers"),
+        col("rev").cast("double").as("bucket_revenue"),
+        (col("n_customers").cast("double") / col("tot_cust").cast("double"))
+          .as("cust_share"),
+        (col("rev").cast("double") / col("tot_rev").cast("double"))
+          .as("revenue_share"),
+        (col("cum_cust").cast("double") / col("tot_cust").cast("double"))
+          .as("cum_cust_share_from_top"),
+        (col("cum_rev").cast("double") / col("tot_rev").cast("double"))
+          .as("cum_revenue_share_from_top"))
+      .orderBy(col("digits").desc)
+  }
+
+  val revenueConcentrationSql: String =
+    """WITH pc AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      |  FROM orders GROUP BY 1),
+      |d AS (
+      |  SELECT revenue,
+      |         CAST(len(CAST(CAST(floor(revenue) AS BIGINT) AS VARCHAR)) AS BIGINT) AS digits
+      |  FROM pc),
+      |h AS (
+      |  SELECT digits, count(*) AS n_customers, sum(revenue) AS rev
+      |  FROM d GROUP BY digits)
+      |SELECT digits, n_customers,
+      |       CAST(rev AS DOUBLE) AS bucket_revenue,
+      |       CAST(n_customers AS DOUBLE) / CAST(sum(n_customers) OVER () AS DOUBLE) AS cust_share,
+      |       CAST(rev AS DOUBLE) / CAST(sum(rev) OVER () AS DOUBLE) AS revenue_share,
+      |       CAST(sum(n_customers) OVER (ORDER BY digits DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(n_customers) OVER () AS DOUBLE) AS cum_cust_share_from_top,
+      |       CAST(sum(rev) OVER (ORDER BY digits DESC
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(rev) OVER () AS DOUBLE) AS cum_revenue_share_from_top
+      |FROM h ORDER BY digits DESC""".stripMargin
+
   /** Order-to-ship latency by priority — the TPC-H Q12-flavored fulfil-
     * ment audit the schema supports (no commit/receipt dates in this
     * export): per order priority, how long lines actually took to ship

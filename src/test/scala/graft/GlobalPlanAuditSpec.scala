@@ -63,7 +63,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "q_streaks",
       // runs test: median rank + lag windows over the <= |days|-row daily
       // aggregate
-      "q_runs_test")
+      "q_runs_test",
+      // concentration curve: cumulative windows over the <= ~10-row
+      // digit-bucket histogram
+      "q_revenue_concentration")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -349,6 +349,38 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling retention: active counts match distinct user-days, censored tail at zero") {
+    val rows = Relational.rollingRetention(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val totalActive = Tables.load(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().count()
+    assert(rows.map(_.getAs[Long]("n_active")).sum == totalActive)
+    rows.foreach { r =>
+      val (a, ret) = (r.getAs[Long]("n_active"), r.getAs[Long]("n_returned"))
+      assert(ret <= a)
+      assert(math.abs(r.getAs[Double]("retention_7d") - ret.toDouble / a) < 1e-12)
+    }
+    // the final day is fully right-censored: nobody can return after the stream ends
+    assert(rows.last.getAs[Long]("n_returned") == 0L)
+  }
+
+  test("revenue concentration: shares sum to 1, cumulatives monotone from the top") {
+    val rows = Relational.revenueConcentration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("cust_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-9)
+    // rows come ordered digits DESC; cumulative shares are monotone nondecreasing
+    val cumC = rows.map(_.getAs[Double]("cum_cust_share_from_top"))
+    val cumR = rows.map(_.getAs[Double]("cum_revenue_share_from_top"))
+    assert(cumC.zip(cumC.tail).forall { case (a, b) => b >= a - 1e-12 })
+    assert(cumR.zip(cumR.tail).forall { case (a, b) => b >= a - 1e-12 })
+    assert(math.abs(cumC.last - 1.0) < 1e-9 && math.abs(cumR.last - 1.0) < 1e-9)
+    // concentration: the top bucket's revenue share must exceed its customer share
+    assert(rows.head.getAs[Double]("revenue_share")
+      >= rows.head.getAs[Double]("cust_share") - 1e-12)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
