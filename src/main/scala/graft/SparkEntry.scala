@@ -220,6 +220,8 @@ object SparkEntry {
     "cdc_table_staleness" -> ((s, d) => Monitoring.tableStaleness(s, d)),
     "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
     "q_revenue_concentration" -> ((s, d) => Relational.revenueConcentration(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q_discount_mix" -> ((s, d) => Relational.discountMix(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1024,6 +1026,8 @@ object SparkEntry {
       "cdc_table_staleness" -> Monitoring.tableStalenessSql,
       "q_rolling_retention" -> Relational.rollingRetentionSql,
       "q_revenue_concentration" -> Relational.revenueConcentrationSql,
+      "q6_forecast_revenue" -> Relational.q6ForecastRevenueSql,
+      "q_discount_mix" -> Relational.discountMixSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

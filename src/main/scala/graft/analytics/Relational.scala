@@ -1524,6 +1524,87 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** TPC-H Q6 twin — the forecast-revenue-change query, the classic
+    * "how much margin would we recover by eliminating mid-range
+    * discounts on small orders" single-scan aggregate, windowed to this
+    * export's 1996 ship year. The one-row answer is Σ price·discount
+    * over the filtered slice — every predicate pushes to the parquet
+    * scan and the whole query is one map-side-combined fold with zero
+    * shuffles of data rows.
+    *
+    * Exactness: price and discount are CAST TO DECIMAL before the
+    * multiply and the sum (double accumulation is partition-order
+    * dependent); the single output is the final double cast. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(8,2)")).cast("double")
+        .as("forecast_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS forecast_revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Per-discount-level pricing panel — the elasticity view Q6 samples
+    * one slice of: for every discount percent actually offered, the
+    * line volume, the average quantity (does a deeper discount move
+    * more units?), the gross line revenue, and the discount dollars
+    * given away with their share of gross. Flat avg_qty across levels
+    * means discounting buys nothing — the full-distribution answer.
+    *
+    * Scale shape: one scan, one ≤|discount-levels|-key (≤11 here)
+    * map-side-combined aggregation; the level key is the
+    * integer-rounded percent, exact on both engines. All money sums
+    * DECIMAL-exact, doubles only in final ratios. */
+  def discountMix(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .select(
+        round(col("l_discount") * 100.0, 0).cast("long").as("discount_pct"),
+        col("l_quantity").cast("decimal(12,2)").as("qty"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        (col("l_extendedprice").cast("decimal(18,2)")
+          * col("l_discount").cast("decimal(8,2)")).as("disc_amt"))
+      .groupBy("discount_pct")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("qty")).as("sum_qty"),
+        sum(col("price")).as("gross"),
+        sum(col("disc_amt")).as("disc_given"))
+      .select(col("discount_pct"), col("n_lines"),
+        (col("sum_qty").cast("double") / col("n_lines").cast("double"))
+          .as("avg_qty"),
+        col("gross").cast("double").as("gross_revenue"),
+        col("disc_given").cast("double").as("discount_given"),
+        (col("disc_given").cast("double") / col("gross").cast("double"))
+          .as("discount_share"))
+      .orderBy("discount_pct")
+  }
+
+  val discountMixSql: String =
+    """WITH b AS (
+      |  SELECT CAST(round(l_discount * 100.0, 0) AS BIGINT) AS discount_pct,
+      |         CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(8,2)) AS disc_amt
+      |  FROM lineitem)
+      |SELECT discount_pct, count(*) AS n_lines,
+      |       CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_qty,
+      |       CAST(sum(price) AS DOUBLE) AS gross_revenue,
+      |       CAST(sum(disc_amt) AS DOUBLE) AS discount_given,
+      |       CAST(sum(disc_amt) AS DOUBLE) / CAST(sum(price) AS DOUBLE) AS discount_share
+      |FROM b GROUP BY discount_pct ORDER BY discount_pct""".stripMargin
+
   /** 7-day rolling retention — the product-health curve next to cohort
     * retention's fixed grid: of the users active on day d, what share
     * came back within the next 7 days? Cohort retention tracks signup

@@ -381,6 +381,34 @@ class Round10cSpec extends AnyFunSuite {
       >= rows.head.getAs[Double]("cust_share") - 1e-12)
   }
 
+  test("q6: one row, the sum reproduces from an independent filter path") {
+    val r = Relational.q6ForecastRevenue(spark, dir).collect().head
+    val n = r.getAs[Long]("n_lines")
+    val brute = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31 23:59:59"))
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24.0)
+      .count()
+    assert(n == brute)
+    assert(n > 0, "the 1996 window must select something at sf0.01")
+    assert(r.getAs[Double]("forecast_revenue") > 0.0)
+  }
+
+  test("discount mix: levels partition the table, shares within gross") {
+    val rows = Relational.discountMix(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 11)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum
+      == Tables.load(spark, dir, "lineitem").count())
+    rows.foreach { r =>
+      val pct = r.getAs[Long]("discount_pct")
+      assert(pct >= 0L && pct <= 10L)
+      val share = r.getAs[Double]("discount_share")
+      assert(share >= 0.0 && share <= 0.11, "discount dollars bounded by the level")
+      assert(math.abs(share - pct / 100.0) < 0.006,
+        "share of gross tracks the level itself")
+      assert(r.getAs[Double]("avg_qty") >= 1.0 && r.getAs[Double]("avg_qty") <= 50.0)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
