@@ -222,6 +222,8 @@ object SparkEntry {
     "q_revenue_concentration" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
     "q_discount_mix" -> ((s, d) => Relational.discountMix(s, d)),
+    "q_basket_size_hist" -> ((s, d) => Relational.basketSizeHist(s, d)),
+    "cdc_load_calendar" -> ((s, d) => Monitoring.loadCalendar(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1028,6 +1030,8 @@ object SparkEntry {
       "q_revenue_concentration" -> Relational.revenueConcentrationSql,
       "q6_forecast_revenue" -> Relational.q6ForecastRevenueSql,
       "q_discount_mix" -> Relational.discountMixSql,
+      "q_basket_size_hist" -> Relational.basketSizeHistSql,
+      "cdc_load_calendar" -> Monitoring.loadCalendarSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

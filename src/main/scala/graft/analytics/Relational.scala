@@ -1524,6 +1524,41 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Lines-per-order histogram — the fact-table fan-out profile every
+    * join planner wants before sizing a lineitem-side shuffle: how many
+    * orders have 1 line, 2 lines, …, and what share of ALL LINES the
+    * big-basket tail carries (skew lives in the line share, not the
+    * order share). Read next to [[Monitoring.partitionSkew]] — same
+    * question, order-key domain.
+    *
+    * Scale shape: per-order counts are one map-side-combined
+    * aggregation on the order key; the histogram is ≤|max-basket|
+    * keys and the share windows run over that bounded table. */
+  def basketSizeHist(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("lines"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    per.groupBy("lines")
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn("n_lines", col("lines") * col("n_orders"))
+      .withColumn("order_share",
+        col("n_orders").cast("double") / sum(col("n_orders")).over(tot).cast("double"))
+      .withColumn("line_share",
+        col("n_lines").cast("double") / sum(col("n_lines")).over(tot).cast("double"))
+      .orderBy("lines")
+  }
+
+  val basketSizeHistSql: String =
+    """WITH per AS (
+      |  SELECT l_orderkey, count(*) AS lines FROM lineitem GROUP BY 1),
+      |h AS (
+      |  SELECT lines, count(*) AS n_orders, lines * count(*) AS n_lines
+      |  FROM per GROUP BY lines)
+      |SELECT lines, n_orders, CAST(n_lines AS BIGINT) AS n_lines,
+      |       CAST(n_orders AS DOUBLE) / CAST(sum(n_orders) OVER () AS DOUBLE) AS order_share,
+      |       CAST(n_lines AS DOUBLE) / CAST(sum(n_lines) OVER () AS DOUBLE) AS line_share
+      |FROM h ORDER BY lines""".stripMargin
+
   /** TPC-H Q6 twin — the forecast-revenue-change query, the classic
     * "how much margin would we recover by eliminating mid-range
     * discounts on small orders" single-scan aggregate, windowed to this

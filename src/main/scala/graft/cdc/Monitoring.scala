@@ -371,6 +371,41 @@ object Monitoring {
       |       CASE WHEN freshest_lag_ms <= 3600000 THEN 'active' ELSE 'stale' END AS status
       |FROM g ORDER BY table_name""".stripMargin
 
+  /** Ingest load calendar — the dow×hour heat grid capacity planning
+    * reads before scheduling snapshots, compaction, or maintenance
+    * windows: event volume per (ISO weekday, hour) cell with its share
+    * of total traffic and the peak-hour flag per weekday. Schedule the
+    * heavy batch work in the cells this table shows dark.
+    *
+    * Scale shape: one scan, one ≤168-key map-side-combined aggregation;
+    * the share/peak windows run over that bounded grid. */
+  def loadCalendar(spark: SparkSession, dir: String): DataFrame = {
+    val grid = graft.Tables.load(spark, dir, "events")
+      .groupBy(
+        (expr("weekday(ts)") + 1).cast("long").as("isodow"),
+        hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val perDow = org.apache.spark.sql.expressions.Window.partitionBy("isodow")
+    grid
+      .withColumn("share",
+        col("n_events").cast("double") / sum(col("n_events")).over(tot).cast("double"))
+      .withColumn("is_peak_hour",
+        col("n_events") === max(col("n_events")).over(perDow))
+      .orderBy("isodow", "hour")
+  }
+
+  val loadCalendarSql: String =
+    """WITH g AS (
+      |  SELECT CAST(isodow(ts) AS BIGINT) AS isodow,
+      |         CAST(hour(ts) AS BIGINT) AS hour,
+      |         count(*) AS n_events
+      |  FROM events GROUP BY 1, 2)
+      |SELECT isodow, hour, n_events,
+      |       CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER () AS DOUBLE) AS share,
+      |       n_events = max(n_events) OVER (PARTITION BY isodow) AS is_peak_hour
+      |FROM g ORDER BY isodow, hour""".stripMargin
+
   /** Cadence-relative table staleness — the dynamic complement to
     * [[statusBoard]]'s fixed one-hour rule: a 1-event-per-day table is
     * not stale after two silent hours, a 1-per-second table very much

@@ -66,7 +66,11 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "q_runs_test",
       // concentration curve: cumulative windows over the <= ~10-row
       // digit-bucket histogram
-      "q_revenue_concentration")
+      "q_revenue_concentration",
+      // share windows over the <= |max-basket|-row histogram
+      "q_basket_size_hist",
+      // share/peak windows over the <= 168-cell dow x hour grid
+      "cdc_load_calendar")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec

@@ -409,6 +409,38 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("basket hist: orders and lines both fully accounted, shares sum to 1") {
+    val rows = Relational.basketSizeHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val li = Tables.load(spark, dir, "lineitem")
+    assert(rows.map(_.getAs[Long]("n_orders")).sum
+      == li.select("l_orderkey").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_lines")).sum == li.count())
+    assert(math.abs(rows.map(_.getAs[Double]("order_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("line_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_lines") == r.getAs[Long]("lines") * r.getAs[Long]("n_orders"))
+    }
+  }
+
+  test("load calendar: bounded grid, shares sum to 1, exactly one peak run per dow") {
+    val rows = Monitoring.loadCalendar(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 168)
+    rows.foreach { r =>
+      val (d, h) = (r.getAs[Long]("isodow"), r.getAs[Long]("hour"))
+      assert(d >= 1L && d <= 7L && h >= 0L && h <= 23L)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(rows.map(_.getAs[Long]("n_events")).sum
+      == Tables.load(spark, dir, "events").count())
+    rows.groupBy(_.getAs[Long]("isodow")).foreach { case (_, rs) =>
+      val peaks = rs.filter(_.getAs[Boolean]("is_peak_hour"))
+      assert(peaks.nonEmpty, "every weekday has a peak cell")
+      val mx = rs.map(_.getAs[Long]("n_events")).max
+      assert(peaks.forall(_.getAs[Long]("n_events") == mx))
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
