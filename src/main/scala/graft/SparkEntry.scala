@@ -224,6 +224,8 @@ object SparkEntry {
     "q_discount_mix" -> ((s, d) => Relational.discountMix(s, d)),
     "q_basket_size_hist" -> ((s, d) => Relational.basketSizeHist(s, d)),
     "cdc_load_calendar" -> ((s, d) => Monitoring.loadCalendar(s, d)),
+    "q_product_growth" -> ((s, d) => Relational.productGrowth(s, d)),
+    "pipe_length_cut_curve" -> ((s, d) => TextFunctions.lengthCutCurve(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1032,6 +1034,8 @@ object SparkEntry {
       "q_discount_mix" -> Relational.discountMixSql,
       "q_basket_size_hist" -> Relational.basketSizeHistSql,
       "cdc_load_calendar" -> Monitoring.loadCalendarSql,
+      "q_product_growth" -> Relational.productGrowthSql(),
+      "pipe_length_cut_curve" -> TextFunctions.lengthCutCurveSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1524,6 +1524,69 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Top product movers — per part, DECIMAL-exact revenue in the first
+    * vs second half of the order-date span (exact-ms midpoint split, the
+    * [[Monitoring.valueDrift]] convention) and the growth between them;
+    * page = the 20 largest absolute swings. The merchandising "what
+    * changed" view; growth is NULL (not ∞) for parts that only sell in
+    * the second half.
+    *
+    * Scale shape: lineitem ⋈ orders on the order key (co-partitioned
+    * shuffle), the midpoint a broadcast 1-row aggregate, per-part
+    * conditional DECIMAL sums in ONE hash aggregate (no union of two
+    * filtered passes), and the page collapses to TakeOrderedAndProject —
+    * ordering on the exact decimal delta with the part key as the tie
+    * break, so the page is deterministic. */
+  def productGrowth(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), unix_millis(col("o_orderdate")).as("ms"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice").cast("decimal(18,2)").as("rev"))
+    val mid = o.agg(expr("(min(ms) + max(ms)) DIV 2").as("mid"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(mid))
+      .groupBy("l_partkey")
+      .agg(
+        sum(when(col("ms") < col("mid"), col("rev"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)"))).as("early_d"),
+        sum(when(col("ms") >= col("mid"), col("rev"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)"))).as("late_d"))
+      .withColumn("delta_d", col("late_d") - col("early_d"))
+      .orderBy(abs(col("delta_d")).desc, col("l_partkey"))
+      .limit(k)
+      .select(col("l_partkey"),
+        col("early_d").cast("double").as("early_revenue"),
+        col("late_d").cast("double").as("late_revenue"),
+        col("delta_d").cast("double").as("delta"),
+        when(col("early_d") > 0,
+          (col("late_d") - col("early_d")).cast("double")
+            / col("early_d").cast("double")).as("growth"))
+  }
+
+  def productGrowthSql(k: Int = 20): String =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, epoch_ms(o_orderdate) AS ms FROM orders),
+       |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM o),
+       |per AS (
+       |  SELECT l.l_partkey,
+       |         sum(CASE WHEN o.ms < mid.mid THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS early_d,
+       |         sum(CASE WHEN o.ms >= mid.mid THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS late_d
+       |  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey CROSS JOIN mid
+       |  GROUP BY l.l_partkey),
+       |page AS (
+       |  SELECT * FROM per ORDER BY abs(late_d - early_d) DESC, l_partkey LIMIT $k)
+       |SELECT l_partkey,
+       |       CAST(early_d AS DOUBLE) AS early_revenue,
+       |       CAST(late_d AS DOUBLE) AS late_revenue,
+       |       CAST(late_d - early_d AS DOUBLE) AS delta,
+       |       CASE WHEN early_d > 0
+       |            THEN CAST(late_d - early_d AS DOUBLE) / CAST(early_d AS DOUBLE)
+       |       END AS growth
+       |FROM page""".stripMargin
+
   /** Lines-per-order histogram — the fact-table fan-out profile every
     * join planner wants before sizing a lineitem-side shuffle: how many
     * orders have 1 line, 2 lines, …, and what share of ALL LINES the

@@ -802,6 +802,59 @@ object TextFunctions {
       |       CAST(sum(n_dup) AS BIGINT) AS n_dup_grams
       |FROM per_doc GROUP BY dup_bin ORDER BY dup_bin""".stripMargin
 
+  /** Length-cut tuning curve — what each candidate minimum-length
+    * filter would actually remove, per source: for min-length cuts of
+    * {16, 32, 64, 128, 256} words, the documents AND tokens dropped
+    * with their shares. The doc share overstates the damage (short docs
+    * carry few tokens); the token share is the number that matters for
+    * corpus size — the same doc-vs-token distinction the dedup
+    * waterfall reports. Read before setting the corpus-filter length
+    * gate ([[corpusFilter]] applies one; this prices all of them).
+    *
+    * Scale shape: ONE scan — the 5-point cut spine is a literal array
+    * exploded per doc after the (cheap) token count; the rollup is a
+    * ≤|sources|×5-key map-side-combined aggregation of exact integers. */
+  def lengthCutCurve(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(normText(col("text")), " ")).cast("long").as("nw"))
+      .select(col("source"), col("nw"),
+        explode(array(lit(16L), lit(32L), lit(64L), lit(128L), lit(256L)))
+          .as("min_len"))
+      .groupBy("source", "min_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nw") < col("min_len"), 1L).otherwise(0L)).as("docs_removed"),
+        sum(col("nw")).as("n_tokens"),
+        sum(when(col("nw") < col("min_len"), col("nw")).otherwise(0L))
+          .as("tokens_removed"))
+      .select(col("source"), col("min_len"), col("n_docs"), col("docs_removed"),
+        (col("docs_removed").cast("double") / col("n_docs").cast("double"))
+          .as("doc_share_removed"),
+        col("n_tokens"), col("tokens_removed"),
+        (col("tokens_removed").cast("double") / col("n_tokens").cast("double"))
+          .as("token_share_removed"))
+      .orderBy("source", "min_len")
+  }
+
+  val lengthCutCurveSql: String =
+    """WITH cuts(min_len) AS (VALUES (16), (32), (64), (128), (256)),
+      |d AS (
+      |  SELECT source,
+      |         CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS nw
+      |  FROM documents)
+      |SELECT source, CAST(min_len AS BIGINT) AS min_len,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN nw < min_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+      |       CAST(sum(CASE WHEN nw < min_len THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / CAST(count(*) AS DOUBLE) AS doc_share_removed,
+      |       CAST(sum(nw) AS BIGINT) AS n_tokens,
+      |       CAST(sum(CASE WHEN nw < min_len THEN nw ELSE 0 END) AS BIGINT) AS tokens_removed,
+      |       CAST(sum(CASE WHEN nw < min_len THEN nw ELSE 0 END) AS DOUBLE)
+      |         / CAST(sum(nw) AS DOUBLE) AS token_share_removed
+      |FROM d CROSS JOIN cuts
+      |GROUP BY source, min_len ORDER BY source, min_len""".stripMargin
+
   /** Per-source gram-redundancy curve — the compressibility proxy a
     * pretraining filter reads to catch boilerplate sources WITHOUT
     * running a compressor: for gram sizes n ∈ {1, 2, 4, 8}, the

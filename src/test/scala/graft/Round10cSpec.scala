@@ -441,6 +441,47 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("product growth: page sorted by absolute swing, halves reconcile, growth reproduces") {
+    val rows = Relational.productGrowth(spark, dir).collect()
+    assert(rows.length == 20)
+    val deltas = rows.map(r => math.abs(r.getAs[Double]("delta")))
+    assert(deltas.zip(deltas.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "page ordered by absolute delta descending")
+    rows.foreach { r =>
+      val (e, l, d) = (r.getAs[Double]("early_revenue"), r.getAs[Double]("late_revenue"),
+        r.getAs[Double]("delta"))
+      assert(math.abs(d - (l - e)) < 1e-6)
+      if (e > 0) assert(math.abs(r.getAs[Double]("growth") - (l - e) / e) < 1e-9)
+      else assert(r.isNullAt(r.fieldIndex("growth")))
+    }
+  }
+
+  test("length cut curve: monotone in the cut, doc and token shares consistent") {
+    val rows = TextFunctions.lengthCutCurve(spark, dir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    assert(bySource.nonEmpty)
+    bySource.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("min_len")).sorted.toSeq
+        == Seq(16L, 32L, 64L, 128L, 256L))
+      // n_docs and n_tokens identical across cuts (same base corpus)
+      assert(rs.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+      assert(rs.map(_.getAs[Long]("n_tokens")).distinct.length == 1)
+      val sorted = rs.sortBy(_.getAs[Long]("min_len"))
+      val dr = sorted.map(_.getAs[Long]("docs_removed"))
+      val tr = sorted.map(_.getAs[Long]("tokens_removed"))
+      assert(dr.zip(dr.tail).forall { case (a, b) => b >= a },
+        "a higher cut removes at least as many docs")
+      assert(tr.zip(tr.tail).forall { case (a, b) => b >= a })
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("docs_removed") <= r.getAs[Long]("n_docs"))
+        assert(r.getAs[Long]("tokens_removed") <= r.getAs[Long]("n_tokens"))
+        // removed docs are short: tokens_removed < min_len * docs_removed
+        assert(r.getAs[Long]("tokens_removed")
+          <= r.getAs[Long]("min_len") * r.getAs[Long]("docs_removed"))
+      }
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
