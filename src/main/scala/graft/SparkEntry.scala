@@ -226,6 +226,8 @@ object SparkEntry {
     "cdc_load_calendar" -> ((s, d) => Monitoring.loadCalendar(s, d)),
     "q_product_growth" -> ((s, d) => Relational.productGrowth(s, d)),
     "pipe_length_cut_curve" -> ((s, d) => TextFunctions.lengthCutCurve(s, d)),
+    "q_value_migration" -> ((s, d) => Relational.valueMigration(s, d)),
+    "mm_image_colorfulness" -> ((s, d) => Binary.imageColorfulness(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1036,6 +1038,8 @@ object SparkEntry {
       "cdc_load_calendar" -> Monitoring.loadCalendarSql,
       "q_product_growth" -> Relational.productGrowthSql(),
       "pipe_length_cut_curve" -> TextFunctions.lengthCutCurveSql,
+      "q_value_migration" -> Relational.valueMigrationSql,
+      "mm_image_colorfulness" -> Binary.imageColorfulnessSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1524,6 +1524,78 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Customer value-migration matrix — is the base upgrading or
+    * churning? Each customer's DECIMAL-exact revenue in the first vs
+    * second half of the order-date span (exact-ms midpoint), both
+    * halves bucketed by revenue DIGIT COUNT (the [[revenueConcentration]]
+    * trick — engine-identical integer formatting, no quantile sort),
+    * bucket 0 = no orders in that half; the output is the ≤~10×10
+    * transition matrix with counts and shares. Mass below the diagonal
+    * is downgrade/churn, above is growth, the (0, j) row is
+    * acquisition and the (i, 0) column is loss.
+    *
+    * Scale shape: one per-customer conditional aggregation (map-side
+    * combined, both halves in ONE pass), the midpoint a broadcast
+    * 1-row aggregate, the matrix a ≤~100-key rollup with its share
+    * window over that bounded table. */
+  def valueMigration(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), unix_millis(col("o_orderdate")).as("ms"),
+        col("o_totalprice").cast("decimal(18,2)").as("rev"))
+    val mid = o.agg(expr("(min(ms) + max(ms)) DIV 2").as("mid"))
+    def bucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c <= 0, 0L)
+        .otherwise(length(floor(c).cast("long").cast("string")).cast("long"))
+    val per = o.crossJoin(broadcast(mid))
+      .groupBy("o_custkey")
+      .agg(
+        sum(when(col("ms") < col("mid"), col("rev"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)"))).as("early_d"),
+        sum(when(col("ms") >= col("mid"), col("rev"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)"))).as("late_d"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    per
+      .select(bucket(col("early_d")).as("early_bucket"),
+        bucket(col("late_d")).as("late_bucket"))
+      .groupBy("early_bucket", "late_bucket")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("share",
+        col("n_customers").cast("double")
+          / sum(col("n_customers")).over(tot).cast("double"))
+      .withColumn("direction",
+        when(col("late_bucket") > col("early_bucket"), lit("up"))
+          .when(col("late_bucket") < col("early_bucket"), lit("down"))
+          .otherwise(lit("flat")))
+      .orderBy("early_bucket", "late_bucket")
+  }
+
+  val valueMigrationSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, epoch_ms(o_orderdate) AS ms,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS rev
+      |  FROM orders),
+      |mid AS (SELECT (min(ms) + max(ms)) // 2 AS mid FROM o),
+      |per AS (
+      |  SELECT o_custkey,
+      |         sum(CASE WHEN ms < mid THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS early_d,
+      |         sum(CASE WHEN ms >= mid THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS late_d
+      |  FROM o CROSS JOIN mid GROUP BY o_custkey),
+      |b AS (
+      |  SELECT CASE WHEN early_d <= 0 THEN 0
+      |              ELSE CAST(len(CAST(CAST(floor(early_d) AS BIGINT) AS VARCHAR)) AS BIGINT)
+      |         END AS early_bucket,
+      |         CASE WHEN late_d <= 0 THEN 0
+      |              ELSE CAST(len(CAST(CAST(floor(late_d) AS BIGINT) AS VARCHAR)) AS BIGINT)
+      |         END AS late_bucket
+      |  FROM per)
+      |SELECT early_bucket, late_bucket, count(*) AS n_customers,
+      |       CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS share,
+      |       CASE WHEN late_bucket > early_bucket THEN 'up'
+      |            WHEN late_bucket < early_bucket THEN 'down'
+      |            ELSE 'flat' END AS direction
+      |FROM b GROUP BY early_bucket, late_bucket
+      |ORDER BY early_bucket, late_bucket""".stripMargin
+
   /** Top product movers — per part, DECIMAL-exact revenue in the first
     * vs second half of the order-date span (exact-ms midpoint split, the
     * [[Monitoring.valueDrift]] convention) and the growth between them;

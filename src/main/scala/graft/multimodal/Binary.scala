@@ -150,6 +150,127 @@ object Binary {
        |       CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_red
        |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val colorfulnessSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("s_rg", LongType, nullable = false),
+    StructField("s_rg2", LongType, nullable = false),
+    StructField("s_t", LongType, nullable = false),
+    StructField("s_t2", LongType, nullable = false)))
+
+  /** Hasler–Süsstrunk colorfulness ("Measuring colourfulness in natural
+    * images", SPIE 2003) — the vision-corpus quality gate that drops
+    * washed-out / near-grayscale images before training: per image the
+    * opponent channels rg = R−G and yb = (R+G)/2 − B are reduced to
+    * mean/σ and combined as C = √(σ²_rg+σ²_yb) + 0.3·√(μ²_rg+μ²_yb).
+    * Low C = gray/flat (scan artifacts, broken decodes); the metric is
+    * the standard cheap stand-in for "does this image carry color
+    * signal".
+    *
+    * Exactness: the decode loop accumulates INTEGER opponent sums
+    * (Σrg, Σrg², Σt, Σt² with t = R+G−2B, so yb = t/2 stays in the
+    * integer domain until the final double ratios); the oracle
+    * recomputes the same integer sums closed-form from the synth
+    * formula — a codec disagreement of even one pixel breaks the hash.
+    * Variances are clamped at zero before the sqrt on both engines.
+    *
+    * Scale shape: per-image codec work over the real PNG round trip
+    * (same spread + ImageIO-cache-off regime as [[imageDecode]]); zero
+    * shuffles before the output sort. */
+  def imageColorfulness(spark: SparkSession, dir: String): DataFrame = {
+    val ids = spreadForCodec(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(colorfulnessSchema)
+    val decoded = ids.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val img = pixelImage(id)
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        require(dec != null, s"undecodable PNG for doc $id")
+        var sRg = 0L; var sRg2 = 0L; var sT = 0L; var sT2 = 0L
+        var xx = 0
+        while (xx < dec.getWidth) {
+          var yy = 0
+          while (yy < dec.getHeight) {
+            val p = dec.getRGB(xx, yy)
+            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+            val rg = (r - g).toLong
+            val t = (r + g - 2 * b).toLong
+            sRg += rg; sRg2 += rg * rg; sT += t; sT2 += t * t
+            yy += 1
+          }
+          xx += 1
+        }
+        Row(id, dec.getWidth.toLong * dec.getHeight, sRg, sRg2, sT, sT2)
+      }
+    }(enc)
+    val n = col("n_pixels").cast("double")
+    val meanRg = col("s_rg").cast("double") / n
+    val meanYb = col("s_t").cast("double") / (lit(2.0) * n)
+    val varRg = greatest(col("s_rg2").cast("double") / n - meanRg * meanRg, lit(0.0))
+    val varYb = greatest(
+      (col("s_t2").cast("double") / n
+        - (col("s_t").cast("double") / n) * (col("s_t").cast("double") / n))
+        / lit(4.0), lit(0.0))
+    decoded
+      .select(col("doc_id"), col("n_pixels"),
+        meanRg.as("mean_rg"), meanYb.as("mean_yb"),
+        sqrt(varRg).as("std_rg"), sqrt(varYb).as("std_yb"),
+        (sqrt(varRg + varYb)
+          + lit(0.3) * sqrt(meanRg * meanRg + meanYb * meanYb))
+          .as("colorfulness"))
+      .orderBy("doc_id")
+  }
+
+  val imageColorfulnessSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 13 + 8 AS h,
+      |         doc_id % 256 AS c
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, c,
+      |              unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, c, x,
+      |              unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |ch AS (
+      |  SELECT doc_id, w, h,
+      |         (c + 2 * x + 3 * y) % 256 AS r,
+      |         (5 * x + 7 * y) % 256 AS g,
+      |         (3 * c + x + 2 * y) % 256 AS b
+      |  FROM px),
+      |sums AS (
+      |  SELECT doc_id,
+      |         CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+      |         CAST(sum(r - g) AS BIGINT) AS s_rg,
+      |         CAST(sum((r - g) * (r - g)) AS BIGINT) AS s_rg2,
+      |         CAST(sum(r + g - 2 * b) AS BIGINT) AS s_t,
+      |         CAST(sum((r + g - 2 * b) * (r + g - 2 * b)) AS BIGINT) AS s_t2
+      |  FROM ch GROUP BY doc_id)
+      |SELECT doc_id, n_pixels,
+      |       CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE) AS mean_rg,
+      |       CAST(s_t AS DOUBLE) / (2.0 * CAST(n_pixels AS DOUBLE)) AS mean_yb,
+      |       sqrt(greatest(CAST(s_rg2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+      |              - (CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |              * (CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE)), 0.0)) AS std_rg,
+      |       sqrt(greatest((CAST(s_t2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+      |              - (CAST(s_t AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |              * (CAST(s_t AS DOUBLE) / CAST(n_pixels AS DOUBLE))) / 4.0, 0.0)) AS std_yb,
+      |       sqrt(greatest(CAST(s_rg2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+      |              - (CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |              * (CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE)), 0.0)
+      |            + greatest((CAST(s_t2 AS DOUBLE) / CAST(n_pixels AS DOUBLE)
+      |              - (CAST(s_t AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |              * (CAST(s_t AS DOUBLE) / CAST(n_pixels AS DOUBLE))) / 4.0, 0.0))
+      |         + 0.3 * sqrt((CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |              * (CAST(s_rg AS DOUBLE) / CAST(n_pixels AS DOUBLE))
+      |              + (CAST(s_t AS DOUBLE) / (2.0 * CAST(n_pixels AS DOUBLE)))
+      |              * (CAST(s_t AS DOUBLE) / (2.0 * CAST(n_pixels AS DOUBLE)))) AS colorfulness
+      |FROM sums ORDER BY doc_id""".stripMargin
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

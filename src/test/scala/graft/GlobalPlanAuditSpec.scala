@@ -69,6 +69,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "q_revenue_concentration",
       // share windows over the <= |max-basket|-row histogram
       "q_basket_size_hist",
+      // share window over the <= ~10x10-cell migration matrix
+      "q_value_migration",
       // share/peak windows over the <= 168-cell dow x hour grid
       "cdc_load_calendar")
 

@@ -482,6 +482,47 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("value migration: every customer in one cell, directions consistent, shares sum to 1") {
+    val rows = Relational.valueMigration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_customers")).sum
+      == Tables.load(spark, dir, "orders").select("o_custkey").distinct().count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val (e, l) = (r.getAs[Long]("early_bucket"), r.getAs[Long]("late_bucket"))
+      assert(e >= 0L && l >= 0L)
+      val expected = if (l > e) "up" else if (l < e) "down" else "flat"
+      assert(r.getAs[String]("direction") == expected)
+    }
+  }
+
+  test("colorfulness: driver-side synth replay matches the decoded metric exactly") {
+    val rows = graft.multimodal.Binary.imageColorfulness(spark, dir).collect()
+    assert(rows.length == Tables.load(spark, dir, "documents").count())
+    rows.take(40).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (w, h, c) = ((id % 16 + 8).toInt, (id % 13 + 8).toInt, (id % 256).toInt)
+      var sRg = 0L; var sRg2 = 0L; var sT = 0L; var sT2 = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val rr = (c + 2 * x + 3 * y) % 256
+        val gg = (5 * x + 7 * y) % 256
+        val bb = (3 * c + x + 2 * y) % 256
+        val rg = (rr - gg).toLong; val t = (rr + gg - 2 * bb).toLong
+        sRg += rg; sRg2 += rg * rg; sT += t; sT2 += t * t
+      }
+      val n = (w * h).toDouble
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      assert(math.abs(r.getAs[Double]("mean_rg") - sRg / n) < 1e-12)
+      assert(math.abs(r.getAs[Double]("mean_yb") - sT / (2.0 * n)) < 1e-12)
+      val varRg = math.max(sRg2 / n - (sRg / n) * (sRg / n), 0.0)
+      val varYb = math.max((sT2 / n - (sT / n) * (sT / n)) / 4.0, 0.0)
+      val cf = math.sqrt(varRg + varYb) +
+        0.3 * math.sqrt((sRg / n) * (sRg / n) + (sT / (2.0 * n)) * (sT / (2.0 * n)))
+      assert(math.abs(r.getAs[Double]("colorfulness") - cf) < 1e-9)
+      assert(r.getAs[Double]("colorfulness") >= 0.0)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
