@@ -142,6 +142,24 @@ object ScaleSmoke {
       graft.text.TextFunctions.termDocFreqOf(bigDocs, 20).count()
     }
 
+    t("gram TTR curve (redundancy shape, 4 sizes)", nDocs) {
+      // text_redundancy_curve shape: ONE scan, the 4-point gram-size
+      // spine exploded per doc, shuffle carries 8-byte digests, two-phase
+      // distinct count on <= |sources| x 4 keys
+      bigDocs
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("w"), explode(array(lit(1), lit(2), lit(4), lit(8))).as("n"))
+        .where(size(col("w")) >= col("n"))
+        .select(col("n"),
+          explode(transform(sequence(lit(1), size(col("w")) - col("n") + 1),
+            i => concat_ws(" ", slice(col("w"), i, col("n"))))).as("g"))
+        .select(col("n"),
+          conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+        .groupBy("n")
+        .agg(count(lit(1)).as("total"), count_distinct(col("gh")).as("dist"))
+        .count()
+    }
+
     t("AVI decode (mm_video_decode shape)", nDocs) {
       // per-clip codec work in mapPartitions behind the spread guard:
       // build container -> parse RIFF -> decode every DIB frame; zero
@@ -253,6 +271,30 @@ object ScaleSmoke {
       // scoring against a broadcast codebook, map-side plain-min argmin
       graft.similarity.Ann.pqMSweepOf(spark, bigEmb).count()
     }
+    t("kNN graph in-degree (hubness shape, 16-bit buckets)", nEmb) {
+      // emb_hubness / emb_label_purity ALL-NODES graph at corpus scale:
+      // the documented scale knob is widening the bucket code so the
+      // per-bucket population (and the n^2/2^bits candidate count) stays
+      // bounded — 16 hyperplanes here vs 8 at oracle scale. Ranking
+      // windows partition on vec_id; in-degree is one count-by-key.
+      val code16 = (0 until 16).map { k =>
+        when(element_at(col("embedding"), 1 + 4 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = bigEmb.withColumn("bucket", code16)
+      val nb = coded.select(col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("c").desc, col("n_id"))
+      coded.join(nb, Seq("bucket"))
+        .where(col("n_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("n_id"), expr("graft_cosine(embedding, ne)").as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .groupBy("n_id").agg(count(lit(1)).as("deg"))
+        .agg(count(lit(1)).as("n"), sum(col("deg")).as("edges"))
+        .count()
+    }
+
     t("knn bucket join", nEmb) {
       // ann_knn_join shape: bucket-equality join bounds candidates to
       // |corpus|/256 per query; ranking windows partition on the join key

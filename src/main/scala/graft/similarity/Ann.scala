@@ -2597,7 +2597,10 @@ object Ann {
     * Scale shape: the same bucket-bounded kNN-graph build as
     * [[labelPurity]] (never all-pairs), in-degree one count-by-key,
     * the zero-degree completion a left join on vec_id, the fold a
-    * single-row aggregate. */
+    * single-row aggregate. The all-nodes candidate count is n²/2^bits —
+    * at corpus scale widen the sign code (16+ hyperplanes, the
+    * ScaleSmoke line) so per-bucket populations stay bounded, or run
+    * the same in-degree algebra over the [[nnDescentRound]] graph. */
   def hubness(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
       .withColumn("bucket", signCode(col("embedding")))
