@@ -228,6 +228,8 @@ object SparkEntry {
     "pipe_length_cut_curve" -> ((s, d) => TextFunctions.lengthCutCurve(s, d)),
     "q_value_migration" -> ((s, d) => Relational.valueMigration(s, d)),
     "mm_image_colorfulness" -> ((s, d) => Binary.imageColorfulness(s, d)),
+    "pipe_context_fit" -> ((s, d) => TextFunctions.contextFit(s, d)),
+    "cdc_uptime_report" -> ((s, d) => Monitoring.uptimeReport(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1040,6 +1042,8 @@ object SparkEntry {
       "pipe_length_cut_curve" -> TextFunctions.lengthCutCurveSql,
       "q_value_migration" -> Relational.valueMigrationSql,
       "mm_image_colorfulness" -> Binary.imageColorfulnessSql,
+      "pipe_context_fit" -> TextFunctions.contextFitSql,
+      "cdc_uptime_report" -> Monitoring.uptimeReportSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -371,6 +371,56 @@ object Monitoring {
       |       CASE WHEN freshest_lag_ms <= 3600000 THEN 'active' ELSE 'stale' END AS status
       |FROM g ORDER BY table_name""".stripMargin
 
+  /** Per-table uptime report — the SLA-percentage reading of liveness
+    * ([[tableStaleness]] answers "is it stale NOW"; this answers "what
+    * fraction of the stream's life was it flowing"): per table, the
+    * distinct active minutes over the GLOBAL stream span (so tables are
+    * comparable), the uptime share, and an availability grade on the
+    * standard 99/95/90 ladder. A table can be currently fresh yet have
+    * terrible uptime (bursty connector) — both views are needed.
+    *
+    * Scale shape: one scan, a per-(table, minute) distinct reduced
+    * map-side, a ≤|tables|-key rollup, and the global span attached as
+    * a broadcast 1-row aggregate. */
+  def uptimeReport(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.load(spark, dir, "events")
+      .select(col("event_type").as("table_name"),
+        // Column `/` is double division — DIV keeps the minute integral
+        expr("unix_millis(ts) DIV 60000").as("minute"))
+    val span = ev.agg(
+      (max(col("minute")) - min(col("minute")) + 1L).as("span_minutes"))
+    val per = ev.select("table_name", "minute").distinct()
+      .groupBy("table_name")
+      .agg(count(lit(1)).as("active_minutes"))
+    per.crossJoin(broadcast(span))
+      .withColumn("uptime_share",
+        col("active_minutes").cast("double") / col("span_minutes").cast("double"))
+      .withColumn("grade",
+        when(col("uptime_share") >= 0.99, lit("three_nines_ish"))
+          .when(col("uptime_share") >= 0.95, lit("ok"))
+          .when(col("uptime_share") >= 0.90, lit("degraded"))
+          .otherwise(lit("poor")))
+      .select("table_name", "active_minutes", "span_minutes", "uptime_share", "grade")
+      .orderBy("table_name")
+  }
+
+  val uptimeReportSql: String =
+    """WITH ev AS (
+      |  SELECT event_type AS table_name, epoch_ms(ts) // 60000 AS minute
+      |  FROM events),
+      |span AS (
+      |  SELECT max(minute) - min(minute) + 1 AS span_minutes FROM ev),
+      |per AS (
+      |  SELECT table_name, count(*) AS active_minutes
+      |  FROM (SELECT DISTINCT table_name, minute FROM ev) GROUP BY table_name)
+      |SELECT table_name, active_minutes, span_minutes,
+      |       CAST(active_minutes AS DOUBLE) / CAST(span_minutes AS DOUBLE) AS uptime_share,
+      |       CASE WHEN CAST(active_minutes AS DOUBLE) / CAST(span_minutes AS DOUBLE) >= 0.99 THEN 'three_nines_ish'
+      |            WHEN CAST(active_minutes AS DOUBLE) / CAST(span_minutes AS DOUBLE) >= 0.95 THEN 'ok'
+      |            WHEN CAST(active_minutes AS DOUBLE) / CAST(span_minutes AS DOUBLE) >= 0.90 THEN 'degraded'
+      |            ELSE 'poor' END AS grade
+      |FROM per CROSS JOIN span ORDER BY table_name""".stripMargin
+
   /** Ingest load calendar — the dow×hour heat grid capacity planning
     * reads before scheduling snapshots, compaction, or maintenance
     * windows: event volume per (ISO weekday, hour) cell with its share

@@ -855,6 +855,56 @@ object TextFunctions {
       |FROM d CROSS JOIN cuts
       |GROUP BY source, min_len ORDER BY source, min_len""".stripMargin
 
+  /** Context-length fit — the truncation-waste side of the length
+    * story ([[lengthCutCurve]] prices the SHORT tail; this prices the
+    * LONG one): for candidate training context lengths {512, 2048,
+    * 8192, 32768} tokens, how many documents exceed the window and how
+    * many tokens fall off the end if each document is truncated to one
+    * window. High waste at the chosen context argues for chunking
+    * ([[chunkDocuments]]) or packing ([[packSequences]]) instead of
+    * truncation — this table is the decision input.
+    *
+    * Scale shape: ONE scan — token count per doc, then the 4-point
+    * context spine exploded per doc; the rollup is a ≤4-key map-side-
+    * combined aggregation of exact integers. */
+  def contextFit(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "documents")
+      .select(size(split(normText(col("text")), " ")).cast("long").as("nw"))
+      .select(col("nw"),
+        explode(array(lit(512L), lit(2048L), lit(8192L), lit(32768L)))
+          .as("context_len"))
+      .groupBy("context_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nw") > col("context_len"), 1L).otherwise(0L)).as("docs_over"),
+        sum(col("nw")).as("n_tokens"),
+        sum(greatest(col("nw") - col("context_len"), lit(0L))).as("tokens_truncated"))
+      .select(col("context_len"), col("n_docs"), col("docs_over"),
+        (lit(1.0) - col("docs_over").cast("double") / col("n_docs").cast("double"))
+          .as("doc_fit_share"),
+        col("n_tokens"), col("tokens_truncated"),
+        (col("tokens_truncated").cast("double") / col("n_tokens").cast("double"))
+          .as("token_waste_share"))
+      .orderBy("context_len")
+  }
+
+  val contextFitSql: String =
+    """WITH ctx(context_len) AS (VALUES (512), (2048), (8192), (32768)),
+      |d AS (
+      |  SELECT CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS nw
+      |  FROM documents)
+      |SELECT CAST(context_len AS BIGINT) AS context_len,
+      |       count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN nw > context_len THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+      |       1.0 - CAST(sum(CASE WHEN nw > context_len THEN 1 ELSE 0 END) AS DOUBLE)
+      |               / CAST(count(*) AS DOUBLE) AS doc_fit_share,
+      |       CAST(sum(nw) AS BIGINT) AS n_tokens,
+      |       CAST(sum(greatest(nw - context_len, 0)) AS BIGINT) AS tokens_truncated,
+      |       CAST(sum(greatest(nw - context_len, 0)) AS DOUBLE)
+      |         / CAST(sum(nw) AS DOUBLE) AS token_waste_share
+      |FROM d CROSS JOIN ctx
+      |GROUP BY context_len ORDER BY context_len""".stripMargin
+
   /** Per-source gram-redundancy curve — the compressibility proxy a
     * pretraining filter reads to catch boilerplate sources WITHOUT
     * running a compressor: for gram sizes n ∈ {1, 2, 4, 8}, the

@@ -523,6 +523,41 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("context fit: waste shrinks as the window grows, totals constant") {
+    val rows = TextFunctions.contextFit(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("context_len")).toSeq == Seq(512L, 2048L, 8192L, 32768L))
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n_tokens")).distinct.length == 1)
+    val waste = rows.map(_.getAs[Long]("tokens_truncated"))
+    assert(waste.zip(waste.tail).forall { case (a, b) => b <= a },
+      "a longer window truncates no more than a shorter one")
+    val fit = rows.map(_.getAs[Double]("doc_fit_share"))
+    assert(fit.zip(fit.tail).forall { case (a, b) => b >= a - 1e-12 })
+    rows.foreach { r =>
+      // truncated tokens only come from over-window docs, each keeping context_len
+      assert(r.getAs[Long]("tokens_truncated")
+        <= r.getAs[Long]("n_tokens") - r.getAs[Long]("docs_over") * 0L)
+      if (r.getAs[Long]("docs_over") == 0L)
+        assert(r.getAs[Long]("tokens_truncated") == 0L)
+    }
+  }
+
+  test("uptime report: active minutes bounded by span, grades match the ladder") {
+    val rows = Monitoring.uptimeReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, s) = (r.getAs[Long]("active_minutes"), r.getAs[Long]("span_minutes"))
+      assert(a >= 1L && a <= s)
+      val u = r.getAs[Double]("uptime_share")
+      assert(math.abs(u - a.toDouble / s) < 1e-12)
+      val expected = if (u >= 0.99) "three_nines_ish" else if (u >= 0.95) "ok"
+        else if (u >= 0.90) "degraded" else "poor"
+      assert(r.getAs[String]("grade") == expected)
+    }
+    // all tables share one global span
+    assert(rows.map(_.getAs[Long]("span_minutes")).distinct.length == 1)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
