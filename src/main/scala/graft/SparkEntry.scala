@@ -230,6 +230,8 @@ object SparkEntry {
     "mm_image_colorfulness" -> ((s, d) => Binary.imageColorfulness(s, d)),
     "pipe_context_fit" -> ((s, d) => TextFunctions.contextFit(s, d)),
     "cdc_uptime_report" -> ((s, d) => Monitoring.uptimeReport(s, d)),
+    "emb_norm_length_corr" -> ((s, d) => Ann.normLengthCorr(s, d)),
+    "q_part_supplier_breadth" -> ((s, d) => Relational.partSupplierBreadth(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1044,6 +1046,8 @@ object SparkEntry {
       "mm_image_colorfulness" -> Binary.imageColorfulnessSql,
       "pipe_context_fit" -> TextFunctions.contextFitSql,
       "cdc_uptime_report" -> Monitoring.uptimeReportSql,
+      "emb_norm_length_corr" -> Ann.normLengthCorrSql,
+      "q_part_supplier_breadth" -> Relational.partSupplierBreadthSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1524,6 +1524,36 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Supplier-breadth histogram — sourcing concentration from observed
+    * sales: per part, how many DISTINCT suppliers actually shipped it,
+    * rolled to a breadth histogram. The single-sourced bucket is the
+    * supply-chain risk register; a fat multi-source tail means the
+    * catalog's supplier redundancy is real, not nominal.
+    *
+    * Scale shape: one (part, supplier) distinct pass (map-side
+    * combined), a per-part count, then a ≤|max-breadth|-key histogram
+    * with its share window over that bounded table. */
+  def partSupplierBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_suppliers"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    per.groupBy("n_suppliers")
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("part_share",
+        col("n_parts").cast("double") / sum(col("n_parts")).over(tot).cast("double"))
+      .orderBy("n_suppliers")
+  }
+
+  val partSupplierBreadthSql: String =
+    """WITH per AS (
+      |  SELECT l_partkey, count(*) AS n_suppliers
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |  GROUP BY l_partkey)
+      |SELECT n_suppliers, count(*) AS n_parts,
+      |       CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS part_share
+      |FROM per GROUP BY n_suppliers ORDER BY n_suppliers""".stripMargin
+
   /** Customer value-migration matrix — is the base upgrading or
     * churning? Each customer's DECIMAL-exact revenue in the first vs
     * second half of the order-date span (exact-ms midpoint), both

@@ -99,6 +99,84 @@ object Ann {
        |       min(norm) AS min_norm, max(norm) AS max_norm
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** Norm–length correlation — the embedding-artifact screen for the
+    * best-known encoder bug: unnormalized exports where vector NORM
+    * encodes document LENGTH, so cosine-ranked retrieval and semantic
+    * dedup silently prefer long documents. Joins each vector to its
+    * document (vec_id ≡ doc_id, the [[semanticJoin]] identity) and
+    * reports the Pearson correlation between ‖v‖ and the token count.
+    * |r| near 0 is healthy; large |r| means normalize before indexing.
+    *
+    * Exactness: Pearson r is affine-invariant, so the norm is quantized
+    * to floor(‖v‖·2²⁰) and ALL five moment sums (Σx, Σy, Σx², Σy²,
+    * Σxy) accumulate as DECIMAL-cast integers — order-independent and
+    * bit-identical across engines; r is then fixed-order double math
+    * over the exact sums, NULL when either variance degenerates.
+    *
+    * Scale shape: one equi-join on the id key (AQE-splittable), one
+    * single-row aggregate; nothing else. */
+  def normLengthCorr(spark: SparkSession, dir: String): DataFrame = {
+    val q20 = 1048576.0
+    val emb = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        floor(sqrt(dotFold(col("embedding"), col("embedding"))) * q20)
+          .cast("long").as("x"))
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(graft.text.TextFunctions.normText(col("text")), " "))
+          .cast("long").as("y"))
+    val j = emb.join(docs, col("vec_id") === col("doc_id"))
+    val d38 = "decimal(38,0)"
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"),
+      sum((col("y") * col("y")).cast(d38)).as("syy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    agg.select(col("n").as("n_docs"),
+      (col("sx").cast("double") / (nD * lit(q20))).as("mean_norm"),
+      (col("sy").cast("double") / nD).as("mean_tokens"),
+      when(vx > 0.0 && vy > 0.0, cov / (sqrt(vx) * sqrt(vy))).as("norm_length_corr"))
+  }
+
+  val normLengthCorrSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         CAST(floor(sqrt(${dotFoldSql("embedding", "embedding")}) * 1048576.0) AS BIGINT) AS x
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS y
+       |  FROM documents),
+       |s AS (
+       |  SELECT count(*) AS n,
+       |         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+       |         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+       |         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+       |         sum(CAST(y * y AS DECIMAL(38,0))) AS syy,
+       |         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy
+       |  FROM e JOIN d ON vec_id = doc_id)
+       |SELECT n AS n_docs,
+       |       CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0) AS mean_norm,
+       |       CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_tokens,
+       |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+       |             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+       |            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       |       END AS norm_length_corr
+       |FROM s""".stripMargin
+
   /** Exact cosine top-k against the vec_id=0 query vector. */
   def bruteForceTopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")

@@ -71,6 +71,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "q_basket_size_hist",
       // share window over the <= ~10x10-cell migration matrix
       "q_value_migration",
+      // share window over the <= |max-breadth|-row histogram
+      "q_part_supplier_breadth",
       // share/peak windows over the <= 168-cell dow x hour grid
       "cdc_load_calendar")
 

@@ -558,6 +558,28 @@ class Round10cSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("span_minutes")).distinct.length == 1)
   }
 
+  test("norm-length corr: r in [-1,1], means reproduce, join covers the id intersection") {
+    val r = Ann.normLengthCorr(spark, dir).collect().head
+    val n = r.getAs[Long]("n_docs")
+    val expected = Tables.load(spark, dir, "embeddings").select("vec_id")
+      .join(Tables.load(spark, dir, "documents").select("doc_id"),
+        col("vec_id") === col("doc_id")).count()
+    assert(n == expected && n > 0)
+    val corr = r.getAs[Double]("norm_length_corr")
+    assert(corr >= -1.0 - 1e-12 && corr <= 1.0 + 1e-12)
+    assert(r.getAs[Double]("mean_norm") > 0.0)
+    assert(r.getAs[Double]("mean_tokens") > 0.0)
+  }
+
+  test("supplier breadth: parts fully partitioned, shares sum to 1") {
+    val rows = Relational.partSupplierBreadth(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_parts")).sum
+      == Tables.load(spark, dir, "lineitem").select("l_partkey").distinct().count())
+    assert(math.abs(rows.map(_.getAs[Double]("part_share")).sum - 1.0) < 1e-9)
+    rows.foreach(r => assert(r.getAs[Long]("n_suppliers") >= 1L))
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
