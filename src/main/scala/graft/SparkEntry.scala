@@ -232,6 +232,8 @@ object SparkEntry {
     "cdc_uptime_report" -> ((s, d) => Monitoring.uptimeReport(s, d)),
     "emb_norm_length_corr" -> ((s, d) => Ann.normLengthCorr(s, d)),
     "q_part_supplier_breadth" -> ((s, d) => Relational.partSupplierBreadth(s, d)),
+    "q_supplier_hhi" -> ((s, d) => Relational.supplierHhi(s, d)),
+    "pipe_mix_balance" -> ((s, d) => TextFunctions.mixBalance(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1048,6 +1050,8 @@ object SparkEntry {
       "cdc_uptime_report" -> Monitoring.uptimeReportSql,
       "emb_norm_length_corr" -> Ann.normLengthCorrSql,
       "q_part_supplier_breadth" -> Relational.partSupplierBreadthSql,
+      "q_supplier_hhi" -> Relational.supplierHhiSql,
+      "pipe_mix_balance" -> TextFunctions.mixBalanceSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

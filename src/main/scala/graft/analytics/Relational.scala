@@ -1554,6 +1554,84 @@ object Relational {
       |       CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS part_share
       |FROM per GROUP BY n_suppliers ORDER BY n_suppliers""".stripMargin
 
+  /** Supplier revenue concentration per nation — the Herfindahl–
+    * Hirschman index (HHI) the sourcing desk reads before a supplier
+    * outage drill: per nation, how concentrated is shipped revenue
+    * across its suppliers? hhi → 1 means one supplier owns the nation;
+    * effective_suppliers = 1/hhi is the "as if equal" supplier count;
+    * top_share prices the single-point-of-failure directly.
+    *
+    * Exactness: per-supplier revenue is the DECIMAL-exact
+    * Σ price·(1−discount), rescaled to INTEGER 1e-4 units before the
+    * square (integer-valued DECIMAL(38,0) is the one decimal shape
+    * whose →DOUBLE cast rounds identically on both engines; a
+    * scale-bearing decimal double-rounds through DuckDB's int128/10^s
+    * path and drifts an ulp). The 1e4 factors cancel inside HHI and
+    * top_share; total_revenue divides once by 1e4 in the double
+    * domain, fixed order on both sides.
+    *
+    * Scale shape: one lineitem groupBy(suppkey) with map-side combine
+    * (the only big shuffle), a supplier-dim equi-join AQE resolves
+    * (broadcast at dim scale), broadcast 25-row nation, ≤|nations|
+    * rollup. No window, no sort beyond the 25-row output. */
+  def supplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(BigDecimal(1)).cast("decimal(12,2)")
+    val perSupp = Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (one - col("l_discount").cast("decimal(12,2)"))).as("rev"))
+      .groupBy("l_suppkey")
+      .agg((sum(col("rev")).cast("decimal(18,4)") * lit(10000))
+        .cast("decimal(19,0)").as("srev_i"))
+    val sup = Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val rolled = perSupp
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("srev_i")).cast("decimal(38,0)").as("total_i"),
+        sum(col("srev_i") * col("srev_i")).cast("decimal(38,0)").as("ssq_i"),
+        max(col("srev_i")).as("max_i"))
+    val totD = col("total_i").cast("double")
+    val ssqD = col("ssq_i").cast("double")
+    rolled.select(
+      col("n_name").as("nation"),
+      col("n_suppliers"),
+      (totD / lit(10000.0)).as("total_revenue"),
+      (ssqD / (totD * totD)).as("hhi"),
+      (lit(1.0) / (ssqD / (totD * totD))).as("effective_suppliers"),
+      (col("max_i").cast("double") / totD).as("top_share"))
+      .orderBy("nation")
+  }
+
+  val supplierHhiSql: String =
+    """WITH per AS (
+      |  SELECT l_suppkey,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) * 10000 AS DECIMAL(19,0)) AS srev_i
+      |  FROM lineitem GROUP BY l_suppkey),
+      |r AS (
+      |  SELECT n_name AS nation, count(*) AS n_suppliers,
+      |         CAST(sum(srev_i) AS DECIMAL(38,0)) AS total_i,
+      |         CAST(sum(srev_i * srev_i) AS DECIMAL(38,0)) AS ssq_i,
+      |         max(srev_i) AS max_i
+      |  FROM per
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY n_name)
+      |SELECT nation, n_suppliers,
+      |       CAST(total_i AS DOUBLE) / 10000.0 AS total_revenue,
+      |       CAST(ssq_i AS DOUBLE)
+      |         / (CAST(total_i AS DOUBLE) * CAST(total_i AS DOUBLE)) AS hhi,
+      |       1.0 / (CAST(ssq_i AS DOUBLE)
+      |         / (CAST(total_i AS DOUBLE) * CAST(total_i AS DOUBLE))) AS effective_suppliers,
+      |       CAST(max_i AS DOUBLE) / CAST(total_i AS DOUBLE) AS top_share
+      |FROM r ORDER BY nation""".stripMargin
+
   /** Customer value-migration matrix — is the base upgrading or
     * churning? Each customer's DECIMAL-exact revenue in the first vs
     * second half of the order-date span (exact-ms midpoint), both

@@ -1693,6 +1693,95 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Training-mix balance — the one-look concentration summary over
+    * each mix axis (source, lang): HHI (Σ share²), effective group
+    * count 1/HHI ("as if equal"), and the top group's share, computed
+    * over BOTH docs and tokens — a mix can look balanced by document
+    * count while one source owns the token mass. The decision input
+    * for [[temperatureMix]]/[[mixAnneal]]: effective_groups far below
+    * n_groups says flatten before training.
+    *
+    * Exactness: group counts and token sums are integers; Σc² and the
+    * squared totals stay in DECIMAL(38,0) (counts cast to decimal
+    * BEFORE the square — long·long wraps at ~3e9-doc groups, real at
+    * corpus scale); each HHI is ONE fixed-order double division, and
+    * effective_groups is textually 1/that-same-expression on both
+    * engines.
+    *
+    * Scale shape: one scan with the axis spine exploded per doc (2×
+    * rows pre-agg, map-side combined to ≤|sources|+|langs| keys), then
+    * a 2-row fold. No window, no join. */
+  def mixBalance(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val doubled = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .select(explode(array(
+        struct(lit("lang").as("axis"), col("lang").as("k")),
+        struct(lit("source").as("axis"), col("source").as("k")))).as("a"),
+        col("n_tokens"))
+      .select(col("a.axis").as("axis"), col("a.k").as("k"), col("n_tokens"))
+    val per = doubled.groupBy("axis", "k")
+      .agg(count(lit(1)).as("c"), sum(col("n_tokens")).as("t"))
+    val rolled = per.groupBy("axis")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("c").cast(d19)).cast(d38).as("nd"),
+        sum(col("c").cast(d19) * col("c").cast(d19)).cast(d38).as("cd2"),
+        max(col("c")).as("cmax"),
+        sum(col("t").cast(d19)).cast(d38).as("nt"),
+        sum(col("t").cast(d19) * col("t").cast(d19)).cast(d38).as("td2"),
+        max(col("t")).as("tmax"))
+    val ndD = col("nd").cast("double")
+    val ntD = col("nt").cast("double")
+    val docHhi = col("cd2").cast("double") / (ndD * ndD)
+    val tokHhi = col("td2").cast("double") / (ntD * ntD)
+    rolled.select(
+      col("axis"), col("n_groups"),
+      col("nd").cast("long").as("n_docs"),
+      docHhi.as("doc_hhi"),
+      (lit(1.0) / docHhi).as("doc_effective_groups"),
+      (col("cmax").cast("double") / ndD).as("doc_top_share"),
+      col("nt").cast("long").as("total_tokens"),
+      tokHhi.as("token_hhi"),
+      (lit(1.0) / tokHhi).as("token_effective_groups"),
+      (col("tmax").cast("double") / ntD).as("token_top_share"))
+      .orderBy("axis")
+  }
+
+  val mixBalanceSql: String =
+    """WITH b AS (
+      |  SELECT source, lang,
+      |         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |u AS (
+      |  SELECT 'source' AS axis, source AS k, n_tokens FROM b
+      |  UNION ALL
+      |  SELECT 'lang' AS axis, lang AS k, n_tokens FROM b),
+      |per AS (
+      |  SELECT axis, k, count(*) AS c, sum(n_tokens) AS t
+      |  FROM u GROUP BY axis, k),
+      |r AS (
+      |  SELECT axis, count(*) AS n_groups,
+      |         CAST(sum(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS nd,
+      |         CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS cd2,
+      |         max(c) AS cmax,
+      |         CAST(sum(CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS nt,
+      |         CAST(sum(CAST(t AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS td2,
+      |         max(t) AS tmax
+      |  FROM per GROUP BY axis)
+      |SELECT axis, n_groups,
+      |       CAST(nd AS BIGINT) AS n_docs,
+      |       CAST(cd2 AS DOUBLE) / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE)) AS doc_hhi,
+      |       1.0 / (CAST(cd2 AS DOUBLE) / (CAST(nd AS DOUBLE) * CAST(nd AS DOUBLE))) AS doc_effective_groups,
+      |       CAST(cmax AS DOUBLE) / CAST(nd AS DOUBLE) AS doc_top_share,
+      |       CAST(nt AS BIGINT) AS total_tokens,
+      |       CAST(td2 AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)) AS token_hhi,
+      |       1.0 / (CAST(td2 AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))) AS token_effective_groups,
+      |       CAST(tmax AS DOUBLE) / CAST(nt AS DOUBLE) AS token_top_share
+      |FROM r ORDER BY axis""".stripMargin
+
   /** Power-of-two document-length histogram — the context-window
     * planning table: documents bucketed by floor(log2(tokens)) so an
     * operator can read off directly how much of the corpus fits a 2k /

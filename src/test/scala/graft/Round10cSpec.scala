@@ -580,6 +580,47 @@ class Round10cSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_suppliers") >= 1L))
   }
 
+  test("supplier hhi: all shipping suppliers partitioned, hhi bounds, effective <= n") {
+    val rows = Relational.supplierHhi(spark, dir).collect()
+    val nations = Tables.load(spark, dir, "lineitem").select("l_suppkey").distinct()
+      .join(Tables.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select("s_nationkey").distinct().count()
+    assert(rows.length == nations && rows.nonEmpty)
+    val shippers = Tables.load(spark, dir, "lineitem")
+      .select("l_suppkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_suppliers")).sum == shippers)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_suppliers").toDouble
+      val hhi = r.getAs[Double]("hhi")
+      val eff = r.getAs[Double]("effective_suppliers")
+      val top = r.getAs[Double]("top_share")
+      assert(hhi >= 1.0 / n - 1e-12 && hhi <= 1.0 + 1e-12)
+      assert(eff <= n + 1e-9 && eff >= 1.0 - 1e-9)
+      assert(top >= 1.0 / n - 1e-12 && top <= 1.0 + 1e-12)
+      assert(r.getAs[Double]("total_revenue") > 0.0)
+    }
+  }
+
+  test("mix balance: both axes cover the corpus, hhi/effective/top-share bounds hold") {
+    val rows = TextFunctions.mixBalance(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("axis")).sorted.toSeq == Seq("lang", "source"))
+    val nDocs = Tables.load(spark, dir, "documents").count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      val g = r.getAs[Long]("n_groups").toDouble
+      for ((h, e, t) <- Seq(
+        (r.getAs[Double]("doc_hhi"), r.getAs[Double]("doc_effective_groups"),
+          r.getAs[Double]("doc_top_share")),
+        (r.getAs[Double]("token_hhi"), r.getAs[Double]("token_effective_groups"),
+          r.getAs[Double]("token_top_share")))) {
+        assert(h >= 1.0 / g - 1e-12 && h <= 1.0 + 1e-12)
+        assert(e >= 1.0 - 1e-9 && e <= g + 1e-9)
+        assert(t >= 1.0 / g - 1e-12 && t <= 1.0 + 1e-12)
+      }
+      assert(r.getAs[Long]("total_tokens") > 0L)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
