@@ -234,6 +234,8 @@ object SparkEntry {
     "q_part_supplier_breadth" -> ((s, d) => Relational.partSupplierBreadth(s, d)),
     "q_supplier_hhi" -> ((s, d) => Relational.supplierHhi(s, d)),
     "pipe_mix_balance" -> ((s, d) => TextFunctions.mixBalance(s, d)),
+    "emb_twonn_ratio" -> ((s, d) => Ann.twonnRatio(s, d)),
+    "mm_video_motion" -> ((s, d) => Video.videoMotion(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1052,6 +1054,8 @@ object SparkEntry {
       "q_part_supplier_breadth" -> Relational.partSupplierBreadthSql,
       "q_supplier_hhi" -> Relational.supplierHhiSql,
       "pipe_mix_balance" -> TextFunctions.mixBalanceSql,
+      "emb_twonn_ratio" -> Ann.twonnRatioSql,
+      "mm_video_motion" -> Video.videoMotionSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

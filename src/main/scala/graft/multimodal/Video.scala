@@ -722,6 +722,96 @@ object Video {
       |       CAST(sum(sad) AS DOUBLE) / CAST((n - 1) * npx AS DOUBLE) AS mean_sad_per_px
       |FROM fs GROUP BY doc_id, n, sp, npx ORDER BY doc_id""".stripMargin
 
+  /** Corpus motion profile — the frame-sampling-rate decision table: the
+    * distribution of per-clip motion (mean SAD per pixel between
+    * consecutive DECODED frames, the [[sceneDetect]] magnitude rather
+    * than its cut count), bucketed at 1/16-SAD granularity. A mass of
+    * near-zero buckets says sparse frame sampling loses nothing; a fat
+    * high-motion tail prices denser sampling or per-scene keyframes.
+    *
+    * Exactness: per-clip SAD totals and pixel-pair counts are exact
+    * integers off the lossless DIB round trip; the bucket is the pure
+    * INTEGER division (16·sad) DIV ((frames−1)·pixels), and each
+    * bucket's mean is one fixed-order double ratio of exact sums.
+    *
+    * Scale shape: per-clip codec work in mapPartitions (spread-guarded),
+    * one ≤~6k-key aggregation (the bucket domain is bounded by the
+    * 3-channel circular byte distance: mean SAD/px ≤ 384, so bucket ≤
+    * 6144), share/cumulative windows over that bounded table. */
+  def videoMotion(spark: SparkSession, dir: String): DataFrame = {
+    val per = sceneDetectOf(Tables.spread(
+      Tables.load(spark, dir, "documents").select(col("doc_id"))))
+    val npx = ((col("doc_id") % 8 + 5) * (col("doc_id") % 5 + 6)).cast("long")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("motion_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .select(col("sad_total"),
+        ((col("n_frames").cast("long") - 1L) * npx).as("px_pairs"))
+      .select(col("sad_total"), col("px_pairs"),
+        expr("(16 * sad_total) DIV px_pairs").as("motion_bucket"))
+      .groupBy("motion_bucket")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("sad_total")).cast("long").as("sad_total"),
+        sum(col("px_pairs")).cast("long").as("px_pairs"))
+      .withColumn("clip_share",
+        col("n_clips").cast("double") / sum(col("n_clips")).over(tot).cast("double"))
+      .withColumn("cum_clip_share",
+        sum(col("n_clips")).over(cum).cast("double")
+          / sum(col("n_clips")).over(tot).cast("double"))
+      .select(col("motion_bucket"),
+        (col("motion_bucket").cast("double") / 16.0).as("motion_lo"),
+        col("n_clips"), col("clip_share"), col("cum_clip_share"),
+        col("sad_total"), col("px_pairs"),
+        (col("sad_total").cast("double") / col("px_pairs").cast("double"))
+          .as("mean_sad_per_px"))
+      .orderBy("motion_bucket")
+  }
+
+  val videoMotionSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 + 5 AS w, doc_id % 5 + 6 AS h,
+      |         doc_id % 6 + 2 AS n, doc_id % 40 AS cc, doc_id % 3 + 2 AS sp
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h, n, cc, sp,
+      |              unnest(generate_series(1, CAST(n - 1 AS INTEGER))) AS f FROM d),
+      |xs AS (SELECT *, unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM fr),
+      |px AS (SELECT *, unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |dd AS (
+      |  SELECT doc_id, n, w * h AS npx, f,
+      |         abs((cc + 2*x + 3*y + 11*f + 61*(f // sp)) % 256
+      |           - (cc + 2*x + 3*y + 11*(f-1) + 61*((f-1) // sp)) % 256) AS ar,
+      |         abs((5*x + 7*y + 13*f + 83*(f // sp)) % 256
+      |           - (5*x + 7*y + 13*(f-1) + 83*((f-1) // sp)) % 256) AS ag,
+      |         abs((3*cc + x + 2*y + 7*f + 47*(f // sp)) % 256
+      |           - (3*cc + x + 2*y + 7*(f-1) + 47*((f-1) // sp)) % 256) AS abl
+      |  FROM px),
+      |clip AS (
+      |  SELECT doc_id, n, npx,
+      |         sum(least(ar, 256 - ar) + least(ag, 256 - ag) + least(abl, 256 - abl)) AS sad_total
+      |  FROM dd GROUP BY doc_id, n, npx),
+      |b AS (
+      |  SELECT CAST(sad_total AS BIGINT) AS sad_total,
+      |         CAST((n - 1) * npx AS BIGINT) AS px_pairs,
+      |         (16 * CAST(sad_total AS BIGINT)) // CAST((n - 1) * npx AS BIGINT) AS motion_bucket
+      |  FROM clip),
+      |h AS (
+      |  SELECT motion_bucket, count(*) AS n_clips,
+      |         CAST(sum(sad_total) AS BIGINT) AS sad_total,
+      |         CAST(sum(px_pairs) AS BIGINT) AS px_pairs
+      |  FROM b GROUP BY motion_bucket)
+      |SELECT motion_bucket,
+      |       CAST(motion_bucket AS DOUBLE) / 16.0 AS motion_lo,
+      |       n_clips,
+      |       CAST(n_clips AS DOUBLE) / CAST(sum(n_clips) OVER () AS DOUBLE) AS clip_share,
+      |       CAST(sum(n_clips) OVER (ORDER BY motion_bucket
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(n_clips) OVER () AS DOUBLE) AS cum_clip_share,
+      |       sad_total, px_pairs,
+      |       CAST(sad_total AS DOUBLE) / CAST(px_pairs AS DOUBLE) AS mean_sad_per_px
+      |FROM h ORDER BY motion_bucket""".stripMargin
+
   private val videoResizeSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("src_w", IntegerType, nullable = false),

@@ -2767,6 +2767,101 @@ object Ann {
        |            THEN CAST(n_antihubs AS DOUBLE) / CAST(n_vectors AS DOUBLE) END AS antihub_share
        |FROM f""".stripMargin
 
+  /** TwoNN nearest-neighbor ratio distribution — the intrinsic-dimension
+    * screen (Facco et al., Scientific Reports 2017): per vector the
+    * ratio d₂²/d₁² of its two nearest neighbors, bucketed at 1/16
+    * granularity into a bounded histogram with cumulative shares. Ratios
+    * piling up near 1 mean high intrinsic dimension (distance
+    * concentration — ANN recall and cosine dedup both degrade); a wide
+    * ratio spread means low-dimensional structure ANN indexes can
+    * exploit. The downstream TwoNN ID estimate is ln2/ln(median μ) —
+    * left to the caller so this table stays libm-free. Bucket −1 counts
+    * vectors whose nearest neighbor is an EXACT duplicate (d₁ = 0, the
+    * [[exactDup]] population — infinite ratio, excluded from the grid).
+    *
+    * Exactness: pair distances are the codegen'd index-ordered
+    * `graft_l2sq` fold (bit-identical in DuckDB's list_reduce form);
+    * the bucket floor((d₂/d₁)·16) is the same two IEEE ops on both
+    * engines; shares are ratios of exact counts.
+    *
+    * Scale shape: candidates bounded to sign-LSH buckets (never
+    * all-pairs; widen the code at corpus scale as in [[hubness]]),
+    * ranking window partitioned on vec_id, then a ≤513-key histogram
+    * with its windows over that bounded table. */
+  def twonnRatio(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val nb = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d").asc, col("n_id"))
+    val ranked = emb.join(nb, Seq("bucket"))
+      .where(col("n_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("n_id"),
+        expr("graft_l2sq(embedding, ne)").as("d"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+    val per = ranked.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_nb"),
+        min(when(col("rn") === 1, col("d"))).as("d1"),
+        min(when(col("rn") === 2, col("d"))).as("d2"))
+      .where(col("n_nb") === 2)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("ratio_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    per
+      .select(when(col("d1") === 0.0, lit(-1L))
+        .otherwise(least(floor(col("d2") / col("d1") * 16.0), lit(511.0))
+          .cast("long")).as("ratio_bucket"))
+      .groupBy("ratio_bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share",
+        col("n_vecs").cast("double") / sum(col("n_vecs")).over(tot).cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_vecs")).over(cum).cast("double")
+          / sum(col("n_vecs")).over(tot).cast("double"))
+      .select(col("ratio_bucket"),
+        when(col("ratio_bucket") >= 0L,
+          col("ratio_bucket").cast("double") / 16.0).as("ratio_sq_lo"),
+        col("n_vecs"), col("share"), col("cum_share"))
+      .orderBy("ratio_bucket")
+  }
+
+  val twonnRatioSql: String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT a.vec_id, b.vec_id AS n_id,
+       |         ${l2Sql("a.embedding", "b.embedding")} AS d
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT vec_id, d,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, n_id) AS rn
+       |  FROM scored),
+       |per AS (
+       |  SELECT vec_id, count(*) AS n_nb,
+       |         min(CASE WHEN rn = 1 THEN d END) AS d1,
+       |         min(CASE WHEN rn = 2 THEN d END) AS d2
+       |  FROM ranked WHERE rn <= 2 GROUP BY vec_id),
+       |b AS (
+       |  SELECT CASE WHEN d1 = 0.0 THEN CAST(-1 AS BIGINT)
+       |              ELSE CAST(least(floor(d2 / d1 * 16.0), 511.0) AS BIGINT)
+       |         END AS ratio_bucket
+       |  FROM per WHERE n_nb = 2),
+       |h AS (SELECT ratio_bucket, count(*) AS n_vecs FROM b GROUP BY ratio_bucket)
+       |SELECT ratio_bucket,
+       |       CASE WHEN ratio_bucket >= 0
+       |            THEN CAST(ratio_bucket AS DOUBLE) / 16.0 END AS ratio_sq_lo,
+       |       n_vecs,
+       |       CAST(n_vecs AS DOUBLE) / CAST(sum(n_vecs) OVER () AS DOUBLE) AS share,
+       |       CAST(sum(n_vecs) OVER (ORDER BY ratio_bucket
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(sum(n_vecs) OVER () AS DOUBLE) AS cum_share
+       |FROM h ORDER BY ratio_bucket""".stripMargin
+
   /** Binary-quantized (1-bit-per-dimension) Hamming top-k — the last
     * rung of the storage ladder (PQ = 4 bits/dim-group, SQ8 = 8
     * bits/dim, binary = 1 bit/dim, 32:1 over float32): each vector

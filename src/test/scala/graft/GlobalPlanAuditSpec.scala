@@ -73,6 +73,11 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "q_value_migration",
       // share window over the <= |max-breadth|-row histogram
       "q_part_supplier_breadth",
+      // share/cumulative windows over the <= 513-bucket ratio histogram
+      "emb_twonn_ratio",
+      // share/cumulative windows over the <= ~6k-bucket motion histogram
+      // (bounded by the 3-channel circular byte distance: SAD/px <= 384)
+      "mm_video_motion",
       // share/peak windows over the <= 168-cell dow x hour grid
       "cdc_load_calendar")
 

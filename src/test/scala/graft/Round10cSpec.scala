@@ -4,6 +4,7 @@ import graft.analytics.Relational
 import graft.cdc.Monitoring
 import graft.dedup.Dedup
 import graft.similarity.Ann
+import graft.multimodal.Video
 import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -618,6 +619,42 @@ class Round10cSpec extends AnyFunSuite {
         assert(t >= 1.0 / g - 1e-12 && t <= 1.0 + 1e-12)
       }
       assert(r.getAs[Long]("total_tokens") > 0L)
+    }
+  }
+
+  test("twonn ratio: buckets partition evaluated vectors, cum share ends at 1, grid bounded") {
+    val rows = Ann.twonnRatio(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    var cum = 0.0
+    rows.foreach { r =>
+      val b = r.getAs[Long]("ratio_bucket")
+      assert(b >= -1L && b <= 511L)
+      if (b >= 0L) {
+        // d2 >= d1 means every finite ratio bucket is >= 16
+        assert(b >= 16L)
+        assert(math.abs(r.getAs[Double]("ratio_sq_lo") - b / 16.0) < 1e-12)
+      } else assert(r.isNullAt(r.fieldIndex("ratio_sq_lo")))
+      assert(r.getAs[Double]("cum_share") >= cum)
+      cum = r.getAs[Double]("cum_share")
+    }
+  }
+
+  test("video motion: buckets partition the corpus, per-bucket mean sits inside the bucket") {
+    val rows = Video.videoMotion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_clips")).sum
+      == Tables.load(spark, dir, "documents").count())
+    assert(math.abs(rows.map(_.getAs[Double]("clip_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("motion_bucket")
+      assert(b >= 0L && b <= 6144L)
+      val m = r.getAs[Double]("mean_sad_per_px")
+      // the aggregate mean can cross bucket edges (clips weight unevenly),
+      // but it must stay inside the overall bucket envelope
+      assert(m >= 0.0 && m <= 384.0)
+      assert(r.getAs[Long]("sad_total") >= 0L && r.getAs[Long]("px_pairs") > 0L)
     }
   }
 
