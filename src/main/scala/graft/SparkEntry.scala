@@ -236,6 +236,8 @@ object SparkEntry {
     "pipe_mix_balance" -> ((s, d) => TextFunctions.mixBalance(s, d)),
     "emb_twonn_ratio" -> ((s, d) => Ann.twonnRatio(s, d)),
     "mm_video_motion" -> ((s, d) => Video.videoMotion(s, d)),
+    "dedup_bloom_fpr" -> ((s, d) => Dedup.bloomFpr(s, d)),
+    "cdc_cold_keys" -> ((s, d) => Monitoring.coldKeys(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1056,6 +1058,8 @@ object SparkEntry {
       "pipe_mix_balance" -> TextFunctions.mixBalanceSql,
       "emb_twonn_ratio" -> Ann.twonnRatioSql,
       "mm_video_motion" -> Video.videoMotionSql,
+      "dedup_bloom_fpr" -> Dedup.bloomFprSql,
+      "cdc_cold_keys" -> Monitoring.coldKeysSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1942,6 +1942,80 @@ object Monitoring {
       .orderBy("severity")
   }
 
+  /** Cold-key census — the state-eviction sizing table for the stateful
+    * streaming twins: keys bucketed by inactivity age (now = the stream
+    * high-water mark), with the key share a TTL at each horizon would
+    * evict and the event share those keys carry (the replay cost if the
+    * TTL is wrong). [[tableActivity]] answers table-level staleness;
+    * this is the key-level answer a mapGroupsWithState TTL actually
+    * needs. Fixed 5-horizon contract, zero-filled, so dashboards can
+    * pin columns.
+    *
+    * Scale shape: one per-key aggregation (map-side combined), a 1-row
+    * broadcast high-water mark, a ≤5-key rollup joined to the literal
+    * spine, and a 1-row broadcast total. No windows. */
+  def coldKeys(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spine = Seq(
+      (1L, "lt_1h"), (2L, "1h_to_6h"), (3L, "6h_to_24h"),
+      (4L, "1d_to_7d"), (5L, "gte_7d")).toDF("bucket_seq", "age_bucket")
+    val per = graft.Tables.load(spark, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .groupBy("user_id")
+      .agg(max(col("ms")).as("last_ms"), count(lit(1)).as("n_events"))
+    val hwm = per.agg(max(col("last_ms")).as("hwm"))
+    val bucketed = per.crossJoin(broadcast(hwm))
+      .select((col("hwm") - col("last_ms")).as("age_ms"), col("n_events"))
+      .select(
+        when(col("age_ms") < 3600000L, 1L)
+          .when(col("age_ms") < 21600000L, 2L)
+          .when(col("age_ms") < 86400000L, 3L)
+          .when(col("age_ms") < 604800000L, 4L)
+          .otherwise(5L).as("bucket_seq"),
+        col("n_events"))
+      .groupBy("bucket_seq")
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_events")).as("n_events"))
+    val totals = per.agg(count(lit(1)).as("tot_keys"),
+      sum(col("n_events")).as("tot_events"))
+    spine.join(bucketed, Seq("bucket_seq"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket_seq"), col("age_bucket"),
+        coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+        (coalesce(col("n_keys"), lit(0L)).cast("double")
+          / col("tot_keys").cast("double")).as("key_share"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        (coalesce(col("n_events"), lit(0L)).cast("double")
+          / col("tot_events").cast("double")).as("event_share"))
+      .orderBy("bucket_seq")
+  }
+
+  val coldKeysSql: String =
+    """WITH per AS (
+      |  SELECT user_id, max(epoch_ms(ts)) AS last_ms, count(*) AS n_events
+      |  FROM events GROUP BY user_id),
+      |h AS (SELECT max(last_ms) AS hwm FROM per),
+      |b AS (
+      |  SELECT CASE WHEN hwm - last_ms < 3600000 THEN 1
+      |              WHEN hwm - last_ms < 21600000 THEN 2
+      |              WHEN hwm - last_ms < 86400000 THEN 3
+      |              WHEN hwm - last_ms < 604800000 THEN 4
+      |              ELSE 5 END AS bucket_seq,
+      |         n_events
+      |  FROM per, h),
+      |g AS (SELECT bucket_seq, count(*) AS n_keys, sum(n_events) AS n_events
+      |      FROM b GROUP BY bucket_seq),
+      |tot AS (SELECT count(*) AS tot_keys, sum(n_events) AS tot_events FROM per),
+      |spine AS (
+      |  SELECT * FROM (VALUES (1, 'lt_1h'), (2, '1h_to_6h'), (3, '6h_to_24h'),
+      |                        (4, '1d_to_7d'), (5, 'gte_7d')) AS s(bucket_seq, age_bucket))
+      |SELECT CAST(s.bucket_seq AS BIGINT) AS bucket_seq, s.age_bucket,
+      |       CAST(coalesce(g.n_keys, 0) AS BIGINT) AS n_keys,
+      |       CAST(coalesce(g.n_keys, 0) AS DOUBLE) / CAST(tot_keys AS DOUBLE) AS key_share,
+      |       CAST(coalesce(g.n_events, 0) AS BIGINT) AS n_events,
+      |       CAST(coalesce(g.n_events, 0) AS DOUBLE) / CAST(tot_events AS DOUBLE) AS event_share
+      |FROM spine s LEFT JOIN g ON s.bucket_seq = g.bucket_seq, tot
+      |ORDER BY s.bucket_seq""".stripMargin
+
   /** Daily DML-mix trend — the op-mix drift monitor over the change
     * stream: per day, insert/update/delete counts and shares (the
     * changelog convention: signup→c, error→d, else→u), plus the

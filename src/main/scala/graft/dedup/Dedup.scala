@@ -84,6 +84,72 @@ object Dedup {
       .where(col("n_copies") > 1)
       .orderBy("sig")
 
+  /** Bloom-prefilter sizing table — the admission-path optimization the
+    * incremental dedup family runs BEFORE its band-key shuffle: a
+    * broadcastable m-bit / k-hash Bloom set over the corpus signatures
+    * lets a fresh batch drop definite non-members map-side, so only
+    * possible duplicates pay the index join. This op builds that set
+    * (m = 2¹⁶, k = 4, positions from independent md5 slices — the
+    * digest convention the whole dedup family shares with the oracle),
+    * reports its fill ratio, and MEASURES the false-positive rate
+    * against a derived guaranteed-non-member probe set (md5(t‖":probe"))
+    * next to the fill⁴ theory value — the go/no-go number for turning
+    * the prefilter on.
+    *
+    * Scale shape: one explode to 4 positions/doc, a distinct on the
+    * ≤2¹⁶-row bit-set (broadcastable by construction), the probe join
+    * against that bounded set, and single-row folds. Never touches a
+    * doc×doc pair. */
+  def bloomFpr(spark: SparkSession, dir: String): DataFrame = {
+    val m = 65536L
+    val base = corpusSerial(spark, dir).withColumn("t", normText(col("text")))
+    def slots(sigCol: Column): Column = array((0 until 4).map(j =>
+      conv(substring(sigCol, 1 + 8 * j, 8), 16, 10).cast("long") % m): _*)
+    val setBits = base.select(explode(slots(md5(col("t")))).as("pos")).distinct()
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val nSet = setBits.agg(count(lit(1)).as("n_set_bits"))
+    val probeHits = base
+      .select(col("doc_id"), explode(slots(md5(concat(col("t"), lit(":probe"))))).as("pos"))
+      .join(setBits.withColumnRenamed("pos", "spos"), col("pos") === col("spos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+    val nFp = probeHits.where(col("hits") === 4L)
+      .agg(count(lit(1)).as("n_false_positives"))
+    val fill = col("n_set_bits").cast("double") / lit(m.toDouble)
+    nDocs.crossJoin(broadcast(nSet)).crossJoin(broadcast(nFp))
+      .select(col("n_docs"), lit(m).as("m_bits"), lit(4L).as("k_hashes"),
+        col("n_set_bits"), fill.as("fill_ratio"),
+        (fill * fill * fill * fill).as("expected_fpr"),
+        col("n_docs").as("n_probes"), col("n_false_positives"),
+        (col("n_false_positives").cast("double") / col("n_docs").cast("double"))
+          .as("measured_fpr"))
+  }
+
+  val bloomFprSql: String =
+    s"""$corpusSql,
+       |b AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |cpos AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(t), 1 + 8 * j, 8) AS BIGINT) % 65536 AS pos
+       |  FROM b, (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |ppos AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(t || ':probe'), 1 + 8 * j, 8) AS BIGINT) % 65536 AS pos
+       |  FROM b, (SELECT unnest([0, 1, 2, 3]) AS j)),
+       |hits AS (
+       |  SELECT p.doc_id, count(*) AS hits
+       |  FROM ppos p JOIN cpos c ON p.pos = c.pos GROUP BY p.doc_id),
+       |f AS (
+       |  SELECT (SELECT count(*) FROM b) AS n_docs,
+       |         (SELECT count(*) FROM cpos) AS n_set_bits,
+       |         (SELECT count(*) FROM hits WHERE hits = 4) AS n_false_positives)
+       |SELECT n_docs, CAST(65536 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+       |       n_set_bits,
+       |       CAST(n_set_bits AS DOUBLE) / 65536.0 AS fill_ratio,
+       |       (CAST(n_set_bits AS DOUBLE) / 65536.0) * (CAST(n_set_bits AS DOUBLE) / 65536.0)
+       |         * (CAST(n_set_bits AS DOUBLE) / 65536.0) * (CAST(n_set_bits AS DOUBLE) / 65536.0)
+       |         AS expected_fpr,
+       |       n_docs AS n_probes, n_false_positives,
+       |       CAST(n_false_positives AS DOUBLE) / CAST(n_docs AS DOUBLE) AS measured_fpr
+       |FROM f""".stripMargin
+
   /** Chunk-level duplication histogram: split each normalized document
     * into fixed 200-char windows, hash every window, and count how many
     * chunks occur k times corpus-wide — the statistic behind chunk-level

@@ -658,6 +658,33 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom fpr: fill/fpr bounds, probe count matches corpus, brute-force fp cross-check") {
+    val r = Dedup.bloomFpr(spark, dir).collect().head
+    val n = r.getAs[Long]("n_docs")
+    assert(n > 0 && r.getAs[Long]("n_probes") == n)
+    val set = r.getAs[Long]("n_set_bits")
+    assert(set > 0 && set <= math.min(4L * n, 65536L))
+    val fill = r.getAs[Double]("fill_ratio")
+    assert(math.abs(fill - set.toDouble / 65536.0) < 1e-15)
+    val fp = r.getAs[Long]("n_false_positives")
+    assert(fp >= 0 && fp <= n)
+    assert(math.abs(r.getAs[Double]("measured_fpr") - fp.toDouble / n.toDouble) < 1e-15)
+    assert(r.getAs[Double]("expected_fpr") >= 0.0 && r.getAs[Double]("expected_fpr") <= 1.0)
+  }
+
+  test("cold keys: fixed 5-bucket contract, keys and events both partition the stream") {
+    val rows = Monitoring.coldKeys(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getAs[Long]("bucket_seq")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val ev = Tables.load(spark, dir, "events")
+    assert(rows.map(_.getAs[Long]("n_keys")).sum == ev.select("user_id").distinct().count())
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    assert(math.abs(rows.map(_.getAs[Double]("key_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-9)
+    // the hwm key itself has age 0: the freshest bucket can never be empty
+    assert(rows.head.getAs[Long]("n_keys") > 0L)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
