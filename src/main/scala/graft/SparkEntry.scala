@@ -238,6 +238,8 @@ object SparkEntry {
     "mm_video_motion" -> ((s, d) => Video.videoMotion(s, d)),
     "dedup_bloom_fpr" -> ((s, d) => Dedup.bloomFpr(s, d)),
     "cdc_cold_keys" -> ((s, d) => Monitoring.coldKeys(s, d)),
+    "mm_image_blur" -> ((s, d) => Binary.imageBlur(s, d)),
+    "text_simpson_diversity" -> ((s, d) => TextFunctions.simpsonDiversity(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1060,6 +1062,8 @@ object SparkEntry {
       "mm_video_motion" -> Video.videoMotionSql,
       "dedup_bloom_fpr" -> Dedup.bloomFprSql,
       "cdc_cold_keys" -> Monitoring.coldKeysSql,
+      "mm_image_blur" -> Binary.imageBlurSql,
+      "text_simpson_diversity" -> TextFunctions.simpsonDiversitySql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -271,6 +271,115 @@ object Binary {
       |              * (CAST(s_t AS DOUBLE) / (2.0 * CAST(n_pixels AS DOUBLE)))) AS colorfulness
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val blurSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_interior", LongType, nullable = false),
+    StructField("s_lap", LongType, nullable = false),
+    StructField("s_lap2", LongType, nullable = false)))
+
+  /** Variance-of-Laplacian blur gate — the standard focus/sharpness
+    * screen a vision-corpus pipeline runs before training (the OpenCV
+    * `Laplacian().var()` recipe): per image, the 4-neighbour Laplacian
+    * of the integer intensity L = R+G+B over INTERIOR pixels of the
+    * really-decoded PNG, reduced to exact integer moment sums; a
+    * washed-out or defocused image has near-zero Laplacian variance.
+    * Complements [[imageColorfulness]] (color axis) with the focus axis.
+    *
+    * Exactness: intensity, Laplacian, and both moment sums stay in the
+    * integer domain through the lossless PNG round trip; the oracle
+    * recomputes them closed-form from the synth pixel formula, so a
+    * one-pixel codec drift breaks the hash. Mean/variance are fixed-
+    * order double ratios, variance clamped at zero; the `sharp` flag is
+    * the same double compare on both engines.
+    *
+    * Scale shape: per-image codec work in mapPartitions (spread +
+    * ImageIO-cache-off regime), zero shuffles before the output sort. */
+  def imageBlur(spark: SparkSession, dir: String): DataFrame = {
+    val ids = spreadForCodec(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(blurSchema)
+    val decoded = ids.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val img = pixelImage(id)
+        buf.reset()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val dec = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        require(dec != null, s"undecodable PNG for doc $id")
+        val w = dec.getWidth; val h = dec.getHeight
+        val lum = Array.ofDim[Int](w * h)
+        var xx = 0
+        while (xx < w) {
+          var yy = 0
+          while (yy < h) {
+            val p = dec.getRGB(xx, yy)
+            lum(yy * w + xx) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            yy += 1
+          }
+          xx += 1
+        }
+        var sL = 0L; var sL2 = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val lap = (4 * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1)
+              - lum((y - 1) * w + x) - lum((y + 1) * w + x)).toLong
+            sL += lap; sL2 += lap * lap
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, (w - 2).toLong * (h - 2), sL, sL2)
+      }
+    }(enc)
+    val n = col("n_interior").cast("double")
+    val mean = col("s_lap").cast("double") / n
+    val varL = greatest(col("s_lap2").cast("double") / n - mean * mean, lit(0.0))
+    decoded
+      .select(col("doc_id"), col("n_interior"),
+        mean.as("mean_laplacian"), varL.as("var_laplacian"),
+        (varL >= 500.0).as("sharp"))
+      .orderBy("doc_id")
+  }
+
+  val imageBlurSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 13 + 8 AS h,
+      |         doc_id % 256 AS c
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, c,
+      |              unnest(generate_series(1, CAST(w - 2 AS INTEGER))) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, c, x,
+      |              unnest(generate_series(1, CAST(h - 2 AS INTEGER))) AS y FROM xs),
+      |lp AS (
+      |  SELECT doc_id, w, h,
+      |         4 * ((c + 2*x + 3*y) % 256 + (5*x + 7*y) % 256 + (3*c + x + 2*y) % 256)
+      |         - ((c + 2*(x-1) + 3*y) % 256 + (5*(x-1) + 7*y) % 256 + (3*c + (x-1) + 2*y) % 256)
+      |         - ((c + 2*(x+1) + 3*y) % 256 + (5*(x+1) + 7*y) % 256 + (3*c + (x+1) + 2*y) % 256)
+      |         - ((c + 2*x + 3*(y-1)) % 256 + (5*x + 7*(y-1)) % 256 + (3*c + x + 2*(y-1)) % 256)
+      |         - ((c + 2*x + 3*(y+1)) % 256 + (5*x + 7*(y+1)) % 256 + (3*c + x + 2*(y+1)) % 256)
+      |           AS lap
+      |  FROM px),
+      |sums AS (
+      |  SELECT doc_id,
+      |         CAST((max(w) - 2) * (max(h) - 2) AS BIGINT) AS n_interior,
+      |         CAST(sum(lap) AS BIGINT) AS s_lap,
+      |         CAST(sum(lap * lap) AS BIGINT) AS s_lap2
+      |  FROM lp GROUP BY doc_id)
+      |SELECT doc_id, n_interior,
+      |       CAST(s_lap AS DOUBLE) / CAST(n_interior AS DOUBLE) AS mean_laplacian,
+      |       greatest(CAST(s_lap2 AS DOUBLE) / CAST(n_interior AS DOUBLE)
+      |           - (CAST(s_lap AS DOUBLE) / CAST(n_interior AS DOUBLE))
+      |           * (CAST(s_lap AS DOUBLE) / CAST(n_interior AS DOUBLE)), 0.0) AS var_laplacian,
+      |       greatest(CAST(s_lap2 AS DOUBLE) / CAST(n_interior AS DOUBLE)
+      |           - (CAST(s_lap AS DOUBLE) / CAST(n_interior AS DOUBLE))
+      |           * (CAST(s_lap AS DOUBLE) / CAST(n_interior AS DOUBLE)), 0.0) >= 500.0 AS sharp
+      |FROM sums ORDER BY doc_id""".stripMargin
+
   private val audioSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),

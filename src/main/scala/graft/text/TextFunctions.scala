@@ -1693,6 +1693,79 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Simpson lexical-concentration profile — the log-free diversity
+    * axis per source: the unbiased Simpson index λ = Σc(c−1)/(N(N−1))
+    * (the probability two tokens drawn WITHOUT replacement are the same
+    * term — Simpson 1949), the effective vocabulary N²/Σc² (inverse of
+    * the biased index: the "as if uniform" term count), the top-term
+    * share, and the plain type-token ratio. A template-y or boilerplate
+    * source shows high λ / tiny effective vocabulary long before its
+    * TTR looks unusual; entropy would need a log, λ needs only exact
+    * integer sums.
+    *
+    * Exactness: term counts are integers; Σc², Σc(c−1) and N(N−1)
+    * accumulate as DECIMAL(38,0) (counts cast before the multiply);
+    * every output ratio is fixed-order double math over those exact
+    * sums, bit-identical across engines.
+    *
+    * Scale shape: one token explode, one (source, term) map-side-
+    * combined aggregation (the only big shuffle), one ≤|sources|
+    * rollup. No windows, no joins. */
+  def simpsonDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val terms = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("c"))
+    val rolled = terms.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("c").cast(d19)).cast(d38).as("nt"),
+        sum(col("c").cast(d19) * col("c").cast(d19)).cast(d38).as("c2"),
+        sum(col("c").cast(d19) * (col("c").cast(d19) - 1)).cast(d38).as("cc1"),
+        max(col("c")).as("cmax"))
+    val ntD = col("nt").cast("double")
+    rolled.select(
+      col("source"),
+      col("nt").cast("long").as("n_tokens"),
+      col("n_terms"),
+      when(col("nt") > 1,
+        col("cc1").cast("double") / (ntD * (ntD - lit(1.0))))
+        .as("simpson_lambda"),
+      (lit(1.0) / (col("c2").cast("double") / (ntD * ntD)))
+        .as("effective_vocab"),
+      (col("cmax").cast("double") / ntD).as("top_term_share"),
+      (col("n_terms").cast("double") / ntD).as("ttr"))
+      .orderBy("source")
+  }
+
+  val simpsonDiversitySql: String =
+    """WITH t AS (
+      |  SELECT source,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |per AS (SELECT source, term, count(*) AS c FROM t GROUP BY source, term),
+      |r AS (
+      |  SELECT source, count(*) AS n_terms,
+      |         CAST(sum(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS nt,
+      |         CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS c2,
+      |         CAST(sum(CAST(c AS DECIMAL(19,0)) * (CAST(c AS DECIMAL(19,0)) - 1)) AS DECIMAL(38,0)) AS cc1,
+      |         max(c) AS cmax
+      |  FROM per GROUP BY source)
+      |SELECT source,
+      |       CAST(nt AS BIGINT) AS n_tokens,
+      |       n_terms,
+      |       CASE WHEN nt > 1
+      |            THEN CAST(cc1 AS DOUBLE) / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0))
+      |       END AS simpson_lambda,
+      |       1.0 / (CAST(c2 AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+      |         AS effective_vocab,
+      |       CAST(cmax AS DOUBLE) / CAST(nt AS DOUBLE) AS top_term_share,
+      |       CAST(n_terms AS DOUBLE) / CAST(nt AS DOUBLE) AS ttr
+      |FROM r ORDER BY source""".stripMargin
+
   /** Training-mix balance — the one-look concentration summary over
     * each mix axis (source, lang): HHI (Σ share²), effective group
     * count 1/HHI ("as if equal"), and the top group's share, computed

@@ -4,7 +4,7 @@ import graft.analytics.Relational
 import graft.cdc.Monitoring
 import graft.dedup.Dedup
 import graft.similarity.Ann
-import graft.multimodal.Video
+import graft.multimodal.{Binary, Video}
 import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -683,6 +683,46 @@ class Round10cSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-9)
     // the hwm key itself has age 0: the freshest bucket can never be empty
     assert(rows.head.getAs[Long]("n_keys") > 0L)
+  }
+
+  test("image blur: covers the corpus, interior geometry from the id, brute-force one image") {
+    val rows = Binary.imageBlur(spark, dir).collect()
+    assert(rows.length == Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_interior") == (id % 16 + 6) * (id % 13 + 6))
+      assert(r.getAs[Double]("var_laplacian") >= 0.0)
+      assert(r.getAs[Boolean]("sharp") == (r.getAs[Double]("var_laplacian") >= 500.0))
+    }
+    // brute-force the Laplacian moments for one image straight off the formula
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 7L).get
+    val (w, h, c) = ((7 % 16 + 8), (7 % 13 + 8), 7 % 256)
+    def lum(x: Int, y: Int): Long =
+      ((c + 2 * x + 3 * y) % 256 + (5 * x + 7 * y) % 256 + (3 * c + x + 2 * y) % 256).toLong
+    var s = 0L; var s2 = 0L
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val lap = 4 * lum(x, y) - lum(x - 1, y) - lum(x + 1, y) - lum(x, y - 1) - lum(x, y + 1)
+      s += lap; s2 += lap * lap
+    }
+    val n = ((w - 2) * (h - 2)).toDouble
+    assert(math.abs(r0.getAs[Double]("mean_laplacian") - s / n) < 1e-12)
+    assert(math.abs(r0.getAs[Double]("var_laplacian") - math.max(s2 / n - (s / n) * (s / n), 0.0)) < 1e-9)
+  }
+
+  test("simpson diversity: bounds hold per source, uniform-draw identity on a tiny corpus") {
+    val rows = TextFunctions.simpsonDiversity(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens").toDouble
+      val v = r.getAs[Long]("n_terms").toDouble
+      assert(v >= 1.0 && v <= n)
+      val lam = r.getAs[Double]("simpson_lambda")
+      assert(lam >= 0.0 && lam <= 1.0 + 1e-12)
+      assert(r.getAs[Double]("effective_vocab") >= 1.0 - 1e-9
+        && r.getAs[Double]("effective_vocab") <= v + 1e-9)
+      assert(r.getAs[Double]("top_term_share") >= 1.0 / v - 1e-12)
+      assert(math.abs(r.getAs[Double]("ttr") - v / n) < 1e-12)
+    }
   }
 
   test("value drift: halves partition every topic, drift reproduces from the halves") {
