@@ -240,6 +240,8 @@ object SparkEntry {
     "cdc_cold_keys" -> ((s, d) => Monitoring.coldKeys(s, d)),
     "mm_image_blur" -> ((s, d) => Binary.imageBlur(s, d)),
     "text_simpson_diversity" -> ((s, d) => TextFunctions.simpsonDiversity(s, d)),
+    "q_trade_matrix" -> ((s, d) => Relational.tradeMatrix(s, d)),
+    "cdc_arrival_jitter" -> ((s, d) => Monitoring.arrivalJitter(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1064,6 +1066,8 @@ object SparkEntry {
       "cdc_cold_keys" -> Monitoring.coldKeysSql,
       "mm_image_blur" -> Binary.imageBlurSql,
       "text_simpson_diversity" -> TextFunctions.simpsonDiversitySql,
+      "q_trade_matrix" -> Relational.tradeMatrixSql,
+      "cdc_arrival_jitter" -> Monitoring.arrivalJitterSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1632,6 +1632,75 @@ object Relational {
       |       CAST(max_i AS DOUBLE) / CAST(total_i AS DOUBLE) AS top_share
       |FROM r ORDER BY nation""".stripMargin
 
+  /** Cross-nation trade matrix — the full (supplier nation → customer
+    * nation) revenue flow table that TPC-H Q7 samples two cells of:
+    * every pair's line count, DECIMAL-exact revenue, share of world
+    * trade, and the intra-nation flag. The row a tariff/latency/region
+    * placement decision actually reads: which lanes carry the volume,
+    * and how much of the flow never crosses a border.
+    *
+    * Exactness: revenue rescaled to INTEGER 1e-4 units (the
+    * [[supplierHhi]] convention — integer-valued DECIMAL(38,0) casts to
+    * DOUBLE identically on both engines); shares are one fixed-order
+    * double division against a broadcast world total.
+    *
+    * Scale shape: ONE big join (lineitem ⋈ orders on orderkey,
+    * AQE-resolved), broadcast customer/supplier/nation dims, a
+    * ≤|nations|²-key aggregation, and a 1-row broadcast total — no
+    * windows. */
+  def tradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(BigDecimal(1)).cast("decimal(12,2)")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (one - col("l_discount").cast("decimal(12,2)"))).as("rev"))
+    val o = Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.load(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val natS = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val natC = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val cells = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(col("rev")).cast("decimal(34,4)") * lit(10000))
+          .cast("decimal(38,0)").as("rev_i"))
+    val tot = cells.agg(sum(col("rev_i")).cast("decimal(38,0)").as("tot_i"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("supp_nation"), col("cust_nation"), col("n_lines"),
+        (col("rev_i").cast("double") / lit(10000.0)).as("revenue"),
+        (col("rev_i").cast("double") / col("tot_i").cast("double")).as("revenue_share"),
+        (col("supp_nation") === col("cust_nation")).as("intra_nation"))
+      .orderBy("supp_nation", "cust_nation")
+  }
+
+  val tradeMatrixSql: String =
+    """WITH cells AS (
+      |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |         count(*) AS n_lines,
+      |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(34,4))
+      |              * 10000 AS DECIMAL(38,0)) AS rev_i
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  GROUP BY sn.n_name, cn.n_name),
+      |t AS (SELECT CAST(sum(rev_i) AS DECIMAL(38,0)) AS tot_i FROM cells)
+      |SELECT supp_nation, cust_nation, n_lines,
+      |       CAST(rev_i AS DOUBLE) / 10000.0 AS revenue,
+      |       CAST(rev_i AS DOUBLE) / CAST(tot_i AS DOUBLE) AS revenue_share,
+      |       supp_nation = cust_nation AS intra_nation
+      |FROM cells, t ORDER BY supp_nation, cust_nation""".stripMargin
+
   /** Customer value-migration matrix — is the base upgrading or
     * churning? Each customer's DECIMAL-exact revenue in the first vs
     * second half of the order-date span (exact-ms midpoint), both

@@ -1942,6 +1942,77 @@ object Monitoring {
       .orderBy("severity")
   }
 
+  /** Inter-arrival jitter — the burstiness index per topic: the
+    * coefficient of variation of inter-event gaps (CV = σ/μ; a Poisson
+    * arrival process sits at CV ≈ 1, a steady heartbeat near 0, batchy
+    * replication well above 1). [[burstDetect]] z-scores minute COUNTS
+    * against the stream's own mean; this measures the gap process
+    * itself — the number a micro-batch trigger and a consumer prefetch
+    * are actually sized against.
+    *
+    * Exactness: gaps are integer milliseconds off the (ts, offset)
+    * event order; Σg and Σg² accumulate as DECIMAL(38,0); mean, σ
+    * (variance clamped at zero) and CV are fixed-order double math over
+    * those exact sums.
+    *
+    * Scale shape: one lag window PARTITIONED on topic (never global),
+    * one ≤|topics|-key rollup. */
+  def arrivalJitter(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("topic").orderBy("ms", "offset")
+    val gaps = graft.Tables.load(spark, dir, "events")
+      .select(concat(lit("graft.public."), col("event_type")).as("topic"),
+        unix_millis(col("ts")).as("ms"), col("event_id").as("offset"))
+      .withColumn("gap", col("ms") - lag(col("ms"), 1).over(w))
+      .where(col("gap").isNotNull)
+    val rolled = gaps.groupBy("topic")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(d38)).cast(d38).as("sg"),
+        sum(col("gap").cast(d38) * col("gap").cast(d38)).cast(d38).as("sg2"),
+        max(col("gap")).as("max_gap_ms"),
+        sum(when(col("gap") === 0L, 1L).otherwise(0L)).as("n_simultaneous"))
+    val nD = col("n_gaps").cast("double")
+    val mean = col("sg").cast("double") / nD
+    val varG = greatest(col("sg2").cast("double") / nD - mean * mean, lit(0.0))
+    rolled.select(col("topic"), col("n_gaps"),
+      mean.as("mean_gap_ms"),
+      sqrt(varG).as("std_gap_ms"),
+      when(mean > 0.0, sqrt(varG) / mean).as("cv"),
+      col("max_gap_ms"), col("n_simultaneous"),
+      (col("n_simultaneous").cast("double") / nD).as("simultaneous_share"))
+      .orderBy("topic")
+  }
+
+  val arrivalJitterSql: String =
+    """WITH e AS (
+      |  SELECT 'graft.public.' || event_type AS topic, epoch_ms(ts) AS ms, event_id AS "offset"
+      |  FROM events),
+      |g AS (
+      |  SELECT topic, ms - lag(ms, 1) OVER (PARTITION BY topic ORDER BY ms, "offset") AS gap
+      |  FROM e),
+      |r AS (
+      |  SELECT topic, count(*) AS n_gaps,
+      |         CAST(sum(CAST(gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg,
+      |         CAST(sum(CAST(gap AS DECIMAL(38,0)) * CAST(gap AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sg2,
+      |         max(gap) AS max_gap_ms,
+      |         CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_simultaneous
+      |  FROM g WHERE gap IS NOT NULL GROUP BY topic)
+      |SELECT topic, n_gaps,
+      |       CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_ms,
+      |       sqrt(greatest(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |              - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |              * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0)) AS std_gap_ms,
+      |       CASE WHEN CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) > 0.0
+      |            THEN sqrt(greatest(CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+      |                   - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |                   * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 0.0))
+      |                 / (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |       END AS cv,
+      |       max_gap_ms, n_simultaneous,
+      |       CAST(n_simultaneous AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS simultaneous_share
+      |FROM r ORDER BY topic""".stripMargin
+
   /** Cold-key census — the state-eviction sizing table for the stateful
     * streaming twins: keys bucketed by inactivity age (now = the stream
     * high-water mark), with the key share a TTL at each horizon would

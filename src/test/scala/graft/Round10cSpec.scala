@@ -725,6 +725,40 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("trade matrix: lines partition lineitem, shares sum to 1, intra flag consistent") {
+    val rows = Relational.tradeMatrix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum
+      == Tables.load(spark, dir, "lineitem").count())
+    assert(math.abs(rows.map(_.getAs[Double]("revenue_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("intra_nation")
+        == (r.getAs[String]("supp_nation") == r.getAs[String]("cust_nation")))
+      assert(r.getAs[Double]("revenue") > 0.0)
+    }
+  }
+
+  test("arrival jitter: gap count and mean reproduce from the span, cv nonnegative") {
+    val rows = Monitoring.arrivalJitter(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.load(spark, dir, "events")
+      .select(concat(lit("graft.public."), col("event_type")).as("topic"),
+        unix_millis(col("ts")).as("ms"))
+    val perTopic = ev.groupBy("topic")
+      .agg(count(lit(1)).as("n"), min("ms").as("lo"), max("ms").as("hi"))
+      .collect().map(r => r.getAs[String]("topic") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    rows.foreach { r =>
+      val (n, lo, hi) = perTopic(r.getAs[String]("topic"))
+      assert(r.getAs[Long]("n_gaps") == n - 1)
+      // gaps telescope: sum of gaps = span, so mean = span / (n-1)
+      assert(math.abs(r.getAs[Double]("mean_gap_ms") - (hi - lo).toDouble / (n - 1)) < 1e-9)
+      assert(r.getAs[Double]("std_gap_ms") >= 0.0)
+      assert(r.getAs[Double]("cv") >= 0.0)
+      assert(r.getAs[Long]("max_gap_ms") >= 0L)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
