@@ -242,6 +242,7 @@ object SparkEntry {
     "text_simpson_diversity" -> ((s, d) => TextFunctions.simpsonDiversity(s, d)),
     "q_trade_matrix" -> ((s, d) => Relational.tradeMatrix(s, d)),
     "cdc_arrival_jitter" -> ((s, d) => Monitoring.arrivalJitter(s, d)),
+    "text_word_length_hist" -> ((s, d) => TextFunctions.wordLengthHist(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1068,6 +1069,7 @@ object SparkEntry {
       "text_simpson_diversity" -> TextFunctions.simpsonDiversitySql,
       "q_trade_matrix" -> Relational.tradeMatrixSql,
       "cdc_arrival_jitter" -> Monitoring.arrivalJitterSql,
+      "text_word_length_hist" -> TextFunctions.wordLengthHistSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1693,6 +1693,52 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Word-length histogram per language — the char-level signal that
+    * drives tokenizer/vocab choices (agglutinative-looking exports need
+    * different BPE merges than analytic ones) and catches mislabeled or
+    * machine-garbled languages as a shifted length profile. Per (lang,
+    * word length): token count, within-language share, and cumulative
+    * share; lengths capped at 32 (the tail bucket) so the output stays
+    * a ≤|langs|·33 grid.
+    *
+    * Scale shape: one token explode into a (lang, length) map-side-
+    * combined aggregation; share/cumulative windows partition on lang
+    * over the bounded grid. */
+  def wordLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+      .orderBy("word_len")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .select(col("lang"), least(length(col("term")), lit(32)).as("word_len"))
+      .groupBy("lang", "word_len")
+      .agg(count(lit(1)).as("n_tokens"))
+      .withColumn("share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(byLang).cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_tokens")).over(cum).cast("double")
+          / sum(col("n_tokens")).over(byLang).cast("double"))
+      .orderBy("lang", "word_len")
+  }
+
+  val wordLengthHistSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, least(length(term), 32) AS word_len, count(*) AS n_tokens
+      |  FROM t GROUP BY lang, least(length(term), 32))
+      |SELECT lang, word_len, n_tokens,
+      |       CAST(n_tokens AS DOUBLE)
+      |         / CAST(sum(n_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS share,
+      |       CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY word_len
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(n_tokens) OVER (PARTITION BY lang) AS DOUBLE) AS cum_share
+      |FROM g ORDER BY lang, word_len""".stripMargin
+
   /** Simpson lexical-concentration profile — the log-free diversity
     * axis per source: the unbiased Simpson index λ = Σc(c−1)/(N(N−1))
     * (the probability two tokens drawn WITHOUT replacement are the same

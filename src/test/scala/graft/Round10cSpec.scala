@@ -759,6 +759,23 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("word length hist: per-lang shares sum to 1, cumulative monotone, tail capped") {
+    val rows = TextFunctions.wordLengthHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+      val sorted = rs.sortBy(_.getAs[Int]("word_len"))
+      assert(math.abs(sorted.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+      var cum = 0.0
+      sorted.foreach { r =>
+        assert(r.getAs[Int]("word_len") >= 1 && r.getAs[Int]("word_len") <= 32)
+        assert(r.getAs[Double]("cum_share") >= cum)
+        cum = r.getAs[Double]("cum_share")
+      }
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
