@@ -243,6 +243,8 @@ object SparkEntry {
     "q_trade_matrix" -> ((s, d) => Relational.tradeMatrix(s, d)),
     "cdc_arrival_jitter" -> ((s, d) => Monitoring.arrivalJitter(s, d)),
     "text_word_length_hist" -> ((s, d) => TextFunctions.wordLengthHist(s, d)),
+    "mm_phash_hamming_hist" -> ((s, d) => Binary.phashHammingHist(s, d)),
+    "pipe_quality_length_grid" -> ((s, d) => TextFunctions.qualityLengthGrid(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1070,6 +1072,8 @@ object SparkEntry {
       "q_trade_matrix" -> Relational.tradeMatrixSql,
       "cdc_arrival_jitter" -> Monitoring.arrivalJitterSql,
       "text_word_length_hist" -> TextFunctions.wordLengthHistSql,
+      "mm_phash_hamming_hist" -> Binary.phashHammingHistSql,
+      "pipe_quality_length_grid" -> TextFunctions.qualityLengthGridSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

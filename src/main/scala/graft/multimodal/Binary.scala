@@ -879,13 +879,25 @@ object Binary {
     * render from their source id's pixel function, so their decoded
     * pixels — and therefore hashes — are identical. Output mirrors
     * [[frameDedup]]: cross-document hash groups, hash-groupBy shape. */
-  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+  def imagePhash(spark: SparkSession, dir: String): DataFrame =
+    phashes(spark, dir)
+      .groupBy("phash")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("canonical_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy("phash")
+
+  /** Per-image 56-bit block-mean perceptual hash over the augmented
+    * (base + injected-copy) id set — the shared codec core of
+    * [[imagePhash]] and [[phashHammingHist]]. */
+  private[graft] def phashes(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.load(spark, dir, "documents").select(col("doc_id"))
     val ids = spreadForCodec(base.unionAll(
       base.where(col("doc_id") % 9 === 0)
         .select((col("doc_id") + 300000L).as("doc_id"))))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(phashSchema)
-    val hashed = ids.mapPartitions { rows =>
+    ids.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false) // see imageDecode
       val buf = new java.io.ByteArrayOutputStream(8192)
       rows.map { row =>
@@ -929,14 +941,97 @@ object Binary {
         Row(docId, hash)
       }
     }(enc)
-    hashed
-      .groupBy("phash")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("canonical_doc"))
-      .where(col("n_docs") > 1)
-      .orderBy("phash")
   }
+
+  /** Hamming-distance histogram over banded pHash candidates — the
+    * near-duplicate-image threshold tuner, the vision twin of
+    * `dedup_simhash_dist_hist`: the 56-bit hash splits into 4×14-bit
+    * bands (pigeonhole: any pair within Hamming ≤ 3 shares a band),
+    * candidate pairs come only from band collisions, and the full-hash
+    * distance distribution is bucketed 0–6 individually then 07_15 /
+    * 16_plus. Read BEFORE picking the phash dedup radius: the low-rung
+    * mass is what a threshold admits, the reject mass is verify cost
+    * the banding let through.
+    *
+    * Scale shape: reuses the [[phashes]] codec core; pairs are
+    * band-bounded (never all-pairs), distinct-deduped, then a ≤9-key
+    * histogram with a 1-row broadcast total. */
+  def phashHammingHist(spark: SparkSession, dir: String): DataFrame = {
+    val h = phashes(spark, dir)
+    val banded = h.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("phash"), 14 * b).bitwiseAND(lit(16383L)).as("band_val"))): _*))
+        .as("bnd"))
+      .select(col("doc_id"), col("phash"),
+        col("bnd.band_id").as("band_id"), col("bnd.band_val").as("band_val"))
+    val pairs = banded.as("a").join(banded.as("b"),
+      col("a.band_id") === col("b.band_id")
+        && col("a.band_val") === col("b.band_val")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash").as("pa"), col("b.phash").as("pb"))
+      .distinct()
+    val hist = pairs
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .select(
+        when(col("hamming") <= 6, lpad(col("hamming").cast("string"), 2, "0"))
+          .when(col("hamming") <= 15, lit("07_15"))
+          .otherwise(lit("16_plus")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+    hist.crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("total"))))
+      .select(col("bucket"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("total").cast("double")).as("share"))
+      .orderBy("bucket")
+  }
+
+  val phashHammingHistSql: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL SELECT doc_id + 300000 FROM documents WHERE doc_id % 9 = 0),
+      |d AS (
+      |  SELECT doc_id, (doc_id % 300000) % 16 + 8 AS w,
+      |         (doc_id % 300000) % 13 + 8 AS h,
+      |         (doc_id % 300000) % 256 AS c
+      |  FROM ids),
+      |xs AS (SELECT doc_id, w, h, c,
+      |              unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM d),
+      |px AS (SELECT doc_id, w, h, c, x,
+      |              unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |blocks AS (
+      |  SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+      |         CAST(sum((c + 2 * x + 3 * y) % 256 + (5 * x + 7 * y) % 256
+      |                  + (3 * c + x + 2 * y) % 256) AS BIGINT) AS s,
+      |         count(*) AS n
+      |  FROM px GROUP BY doc_id, (y * 8) // h, (x * 8) // w),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |         CASE WHEN b.s * a.n > a.s * b.n
+      |              THEN CAST(1 AS BIGINT) << (a.by * 7 + a.bx) ELSE CAST(0 AS BIGINT) END AS bit
+      |  FROM blocks a JOIN blocks b
+      |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+      |  WHERE a.bx < 7),
+      |hashes AS (
+      |  SELECT doc_id, CAST(sum(bit) AS BIGINT) AS phash
+      |  FROM bits GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, phash, j AS band_id, (phash >> (14 * j)) & 16383 AS band_val
+      |  FROM hashes, (SELECT unnest([0, 1, 2, 3]) AS j)),
+      |pairs AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.phash AS pa, b.phash AS pb
+      |  FROM banded a JOIN banded b
+      |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+      |bucketed AS (
+      |  SELECT CASE WHEN bit_count(xor(pa, pb)) <= 6
+      |              THEN lpad(CAST(bit_count(xor(pa, pb)) AS VARCHAR), 2, '0')
+      |              WHEN bit_count(xor(pa, pb)) <= 15 THEN '07_15'
+      |              ELSE '16_plus' END AS bucket
+      |  FROM pairs),
+      |hist AS (SELECT bucket, count(*) AS n_pairs FROM bucketed GROUP BY bucket),
+      |tot AS (SELECT sum(n_pairs) AS total FROM hist)
+      |SELECT bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+      |       CAST(n_pairs AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      |FROM hist, tot ORDER BY bucket""".stripMargin
 
   val imagePhashSql: String =
     """WITH ids AS (

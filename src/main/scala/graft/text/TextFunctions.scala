@@ -1693,6 +1693,90 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Quality × length joint grid — the gate-correlation table: corpus
+    * counts over (quality tier × token-length bucket) cells with each
+    * cell's independence LIFT (observed share ÷ row-share·col-share).
+    * The question it answers before stacking a quality gate on a length
+    * filter: are the two gates independent (lift ≈ 1 everywhere), or
+    * does the quality cut silently fall on long documents (lift ≫ 1 in
+    * the low×long cells) so the stacked filters over-remove one stratum?
+    *
+    * Exactness: counts are integers; shares and lift are fixed-order
+    * double ratios over a 1-row broadcast total. Empty documents are
+    * pinned to the low tier by an explicit guard on BOTH engines (the
+    * score's 0/0 would otherwise go NaN, and the engines disagree on
+    * NaN comparisons).
+    *
+    * Scale shape: one scan into a ≤15-cell aggregation; row/col/total
+    * windows run over that bounded grid only. */
+  def qualityLengthGrid(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(trim(col("text")), "\\s+")).cast("long")
+    val score = qualityScoreCol
+    val tier = when(length(col("text")) === 0, lit("low"))
+      .when(score >= 1.5, lit("high"))
+      .when(score >= 0.5, lit("mid"))
+      .otherwise(lit("low"))
+    val lenB = when(nTok < 64L, lit("a_lt_64"))
+      .when(nTok < 256L, lit("b_64_255"))
+      .when(nTok < 1024L, lit("c_256_1023"))
+      .when(nTok < 4096L, lit("d_1024_4095"))
+      .otherwise(lit("e_gte_4096"))
+    val cells = Tables.load(spark, dir, "documents")
+      .select(tier.as("quality_tier"), lenB.as("length_bucket"), nTok.as("n_tokens"))
+      .groupBy("quality_tier", "length_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rowW = org.apache.spark.sql.expressions.Window.partitionBy("quality_tier")
+    val colW = org.apache.spark.sql.expressions.Window.partitionBy("length_bucket")
+    cells
+      .withColumn("tot_docs", sum(col("n_docs")).over(tot))
+      .withColumn("row_docs", sum(col("n_docs")).over(rowW))
+      .withColumn("col_docs", sum(col("n_docs")).over(colW))
+      .select(col("quality_tier"), col("length_bucket"),
+        col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("tot_docs").cast("double")).as("doc_share"),
+        ((col("n_docs").cast("double") * col("tot_docs").cast("double"))
+          / (col("row_docs").cast("double") * col("col_docs").cast("double"))).as("lift"))
+      .orderBy("quality_tier", "length_bucket")
+  }
+
+  def qualityLengthGridSql: String =
+    s"""WITH f AS (
+       |  SELECT CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |         string_split_regex(lower(trim(text)), '\\s+') AS words,
+       |         CAST(length(text) AS DOUBLE) AS nchars,
+       |         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS npunct
+       |  FROM documents),
+       |g AS (
+       |  SELECT n_tokens, nchars, npunct,
+       |         CAST(len(words) AS DOUBLE) AS nwords,
+       |         CAST(len(list_filter(words, w -> w IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS nstop
+       |  FROM f),
+       |t AS (
+       |  SELECT CASE WHEN nchars = 0 THEN 'low'
+       |              WHEN (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+       |                   CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END >= 1.5 THEN 'high'
+       |              WHEN (nstop / nwords) * 2.0 - (npunct / nchars) * 0.5 +
+       |                   CASE WHEN nwords >= 10.0 THEN 1.0 ELSE 0.0 END >= 0.5 THEN 'mid'
+       |              ELSE 'low' END AS quality_tier,
+       |         CASE WHEN n_tokens < 64 THEN 'a_lt_64'
+       |              WHEN n_tokens < 256 THEN 'b_64_255'
+       |              WHEN n_tokens < 1024 THEN 'c_256_1023'
+       |              WHEN n_tokens < 4096 THEN 'd_1024_4095'
+       |              ELSE 'e_gte_4096' END AS length_bucket,
+       |         n_tokens
+       |  FROM g),
+       |cells AS (
+       |  SELECT quality_tier, length_bucket, count(*) AS n_docs,
+       |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+       |  FROM t GROUP BY quality_tier, length_bucket)
+       |SELECT quality_tier, length_bucket, n_docs, n_tokens,
+       |       CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+       |       (CAST(n_docs AS DOUBLE) * CAST(sum(n_docs) OVER () AS DOUBLE))
+       |         / (CAST(sum(n_docs) OVER (PARTITION BY quality_tier) AS DOUBLE)
+       |            * CAST(sum(n_docs) OVER (PARTITION BY length_bucket) AS DOUBLE)) AS lift
+       |FROM cells ORDER BY quality_tier, length_bucket""".stripMargin
+
   /** Word-length histogram per language — the char-level signal that
     * drives tokenizer/vocab choices (agglutinative-looking exports need
     * different BPE merges than analytic ones) and catches mislabeled or

@@ -776,6 +776,35 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("phash hamming hist: exact-dup mass at rung 0, shares sum to 1, buckets legal") {
+    val rows = Binary.phashHammingHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    val legal = ((0 to 6).map(i => f"$i%02d") ++ Seq("07_15", "16_plus")).toSet
+    rows.foreach(r => assert(legal.contains(r.getAs[String]("bucket"))))
+    // injected +300k copies hash identically -> rung 0 must carry pairs
+    val zero = rows.find(_.getAs[String]("bucket") == "00")
+    assert(zero.exists(_.getAs[Long]("n_pairs") > 0L))
+  }
+
+  test("quality-length grid: cells partition the corpus, lift consistent with shares") {
+    val rows = TextFunctions.qualityLengthGrid(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum
+      == Tables.load(spark, dir, "documents").count())
+    assert(math.abs(rows.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-9)
+    val tot = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val byTier = rows.groupBy(_.getAs[String]("quality_tier"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_docs")).sum.toDouble }
+    val byLen = rows.groupBy(_.getAs[String]("length_bucket"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("n_docs")).sum.toDouble }
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("n_docs") * tot /
+        (byTier(r.getAs[String]("quality_tier")) * byLen(r.getAs[String]("length_bucket")))
+      assert(math.abs(r.getAs[Double]("lift") - expect) < 1e-9)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
