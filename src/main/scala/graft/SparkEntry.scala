@@ -245,6 +245,8 @@ object SparkEntry {
     "text_word_length_hist" -> ((s, d) => TextFunctions.wordLengthHist(s, d)),
     "mm_phash_hamming_hist" -> ((s, d) => Binary.phashHammingHist(s, d)),
     "pipe_quality_length_grid" -> ((s, d) => TextFunctions.qualityLengthGrid(s, d)),
+    "emb_anisotropy" -> ((s, d) => Ann.anisotropy(s, d)),
+    "q_orders_per_customer_hist" -> ((s, d) => Relational.ordersPerCustomerHist(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1074,6 +1076,8 @@ object SparkEntry {
       "text_word_length_hist" -> TextFunctions.wordLengthHistSql,
       "mm_phash_hamming_hist" -> Binary.phashHammingHistSql,
       "pipe_quality_length_grid" -> TextFunctions.qualityLengthGridSql,
+      "emb_anisotropy" -> Ann.anisotropySql,
+      "q_orders_per_customer_hist" -> Relational.ordersPerCustomerHistSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

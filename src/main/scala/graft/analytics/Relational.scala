@@ -1632,6 +1632,50 @@ object Relational {
       |       CAST(max_i AS DOUBLE) / CAST(total_i AS DOUBLE) AS top_share
       |FROM r ORDER BY nation""".stripMargin
 
+  /** Orders-per-customer fan-out histogram — the customer-axis twin of
+    * [[basketSizeHist]] and the profile that sizes any per-customer
+    * state (RFM, retention, sessionization): per order count the
+    * customer count with share and cumulative share, INCLUDING the
+    * zero bucket (registered customers who never ordered — the left
+    * join the count-of-counts would silently drop).
+    *
+    * Scale shape: one per-customer map-side-combined count, a left join
+    * from the customer dim to keep the zero bucket, a ≤|max-orders|-key
+    * histogram with its windows over that bounded table. */
+  def ordersPerCustomerHist(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("n_orders")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "customer").select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders")
+      .agg(count(lit(1)).as("n_customers"))
+      .withColumn("customer_share",
+        col("n_customers").cast("double") / sum(col("n_customers")).over(tot).cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_customers")).over(cum).cast("double")
+          / sum(col("n_customers")).over(tot).cast("double"))
+      .orderBy("n_orders")
+  }
+
+  val ordersPerCustomerHistSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+      |b AS (
+      |  SELECT coalesce(n, 0) AS n_orders
+      |  FROM customer LEFT JOIN per ON c_custkey = o_custkey),
+      |h AS (SELECT n_orders, count(*) AS n_customers FROM b GROUP BY n_orders)
+      |SELECT CAST(n_orders AS BIGINT) AS n_orders, n_customers,
+      |       CAST(n_customers AS DOUBLE) / CAST(sum(n_customers) OVER () AS DOUBLE) AS customer_share,
+      |       CAST(sum(n_customers) OVER (ORDER BY n_orders
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(n_customers) OVER () AS DOUBLE) AS cum_share
+      |FROM h ORDER BY n_orders""".stripMargin
+
   /** Cross-nation trade matrix — the full (supplier nation → customer
     * nation) revenue flow table that TPC-H Q7 samples two cells of:
     * every pair's line count, DECIMAL-exact revenue, share of world

@@ -2767,6 +2767,85 @@ object Ann {
        |            THEN CAST(n_antihubs AS DOUBLE) / CAST(n_vectors AS DOUBLE) END AS antihub_share
        |FROM f""".stripMargin
 
+  /** Embedding anisotropy — the Ethayarajh-style cone check: the EXACT
+    * mean pairwise cosine over ALL n·(n−1) vector pairs, computed with
+    * ZERO pair enumeration via the norm-of-sum identity
+    * mean cos = (‖Σu‖² − Σ‖u‖²) / (n(n−1)) over unit vectors u. A mean
+    * near 0 is an isotropic export; a large positive mean says the
+    * vectors live in a narrow cone — cosine thresholds stop separating
+    * and every dedup/ANN radius in the registry needs re-tuning. Also
+    * reports the centroid norm (the cone axis length) and the quantized
+    * self-similarity (≈1, the quantization sanity line).
+    *
+    * Exactness: unit coordinates quantize to floor(u·2²⁰) so Σu per
+    * dimension, its square, and Σ‖u‖² are all integer-exact DECIMAL
+    * sums; the outputs are fixed-order double ratios on the 2⁴⁰ basis —
+    * deterministic and engine-identical (documented as exact over the
+    * quantized grid).
+    *
+    * Scale shape: one per-dimension aggregation (|dims| keys) and a
+    * single-row fold — O(n·d) with no joins, no windows, no pairs. */
+  def anisotropy(spark: SparkSession, dir: String): DataFrame = {
+    val q20 = 1048576.0
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val nz = Tables.load(spark, dir, "embeddings")
+      .select(col("embedding"),
+        sqrt(dotFold(col("embedding"), col("embedding"))).as("norm"))
+      .where(col("norm") > 0.0)
+    val perDim = nz
+      .select(col("norm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") / col("norm") * q20).cast("long").as("uq"))
+      .groupBy("pos")
+      .agg(
+        sum(col("uq").cast(d19)).cast(d19).as("su"),
+        sum((col("uq") * col("uq")).cast(d38)).cast(d38).as("sq2"))
+    val folded = perDim.agg(
+      sum((col("su") * col("su")).cast(d38)).cast(d38).as("s2sum"),
+      sum(col("sq2")).cast(d38).as("qn"))
+    val n = nz.agg(count(lit(1)).as("n_vectors"))
+    val nD = col("n_vectors").cast("double")
+    n.crossJoin(broadcast(folded))
+      .select(col("n_vectors"),
+        ((col("s2sum").cast("double") - col("qn").cast("double"))
+          / (nD * (nD - lit(1.0)) * lit(1099511627776.0)))
+          .as("mean_pairwise_cosine"),
+        (sqrt(col("s2sum").cast("double")) / (nD * lit(1048576.0)))
+          .as("centroid_norm"),
+        (col("qn").cast("double") / (nD * lit(1099511627776.0)))
+          .as("mean_self_similarity"))
+  }
+
+  val anisotropySql: String =
+    s"""WITH nz AS (
+       |  SELECT embedding, sqrt(${dotFoldSql("embedding", "embedding")}) AS norm
+       |  FROM embeddings
+       |  WHERE sqrt(${dotFoldSql("embedding", "embedding")}) > 0.0),
+       |longf AS (
+       |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) / norm * 1048576.0) AS BIGINT) AS uq
+       |  FROM nz),
+       |perdim AS (
+       |  SELECT pos,
+       |         CAST(sum(CAST(uq AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS su,
+       |         CAST(sum(CAST(uq * uq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq2
+       |  FROM longf GROUP BY pos),
+       |s AS (
+       |  SELECT CAST(sum(CAST(su * su AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2sum,
+       |         CAST(sum(sq2) AS DECIMAL(38,0)) AS qn
+       |  FROM perdim),
+       |f AS (SELECT count(*) AS n_vectors FROM nz)
+       |SELECT n_vectors,
+       |       (CAST(s2sum AS DOUBLE) - CAST(qn AS DOUBLE))
+       |         / (CAST(n_vectors AS DOUBLE) * (CAST(n_vectors AS DOUBLE) - 1.0)
+       |            * 1099511627776.0) AS mean_pairwise_cosine,
+       |       sqrt(CAST(s2sum AS DOUBLE))
+       |         / (CAST(n_vectors AS DOUBLE) * 1048576.0) AS centroid_norm,
+       |       CAST(qn AS DOUBLE)
+       |         / (CAST(n_vectors AS DOUBLE) * 1099511627776.0) AS mean_self_similarity
+       |FROM f, s""".stripMargin
+
   /** TwoNN nearest-neighbor ratio distribution — the intrinsic-dimension
     * screen (Facco et al., Scientific Reports 2017): per vector the
     * ratio d₂²/d₁² of its two nearest neighbors, bucketed at 1/16

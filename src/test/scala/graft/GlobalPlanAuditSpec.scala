@@ -77,6 +77,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "emb_twonn_ratio",
       // total/row/col windows over the <= 15-cell quality x length grid
       "pipe_quality_length_grid",
+      // share/cumulative windows over the <= |max-orders|-row count-of-counts
+      "q_orders_per_customer_hist",
       // share/cumulative windows over the <= ~6k-bucket motion histogram
       // (bounded by the 3-channel circular byte distance: SAD/px <= 384)
       "mm_video_motion",
