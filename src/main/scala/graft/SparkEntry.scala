@@ -247,6 +247,8 @@ object SparkEntry {
     "pipe_quality_length_grid" -> ((s, d) => TextFunctions.qualityLengthGrid(s, d)),
     "emb_anisotropy" -> ((s, d) => Ann.anisotropy(s, d)),
     "q_orders_per_customer_hist" -> ((s, d) => Relational.ordersPerCustomerHist(s, d)),
+    "text_vocab_coverage_curve" -> ((s, d) => TextFunctions.vocabCoverageCurve(s, d)),
+    "ann_filtered_topk" -> ((s, d) => Ann.filteredTopK(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1078,6 +1080,8 @@ object SparkEntry {
       "pipe_quality_length_grid" -> TextFunctions.qualityLengthGridSql,
       "emb_anisotropy" -> Ann.anisotropySql,
       "q_orders_per_customer_hist" -> Relational.ordersPerCustomerHistSql,
+      "text_vocab_coverage_curve" -> TextFunctions.vocabCoverageCurveSql,
+      "ann_filtered_topk" -> Ann.filteredTopKSql(),
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

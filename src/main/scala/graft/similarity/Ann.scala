@@ -196,6 +196,58 @@ object Ann {
        |WHERE vec_id <> 0
        |ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin
 
+  /** Filtered (predicate-constrained) top-k — the "vector search WHERE
+    * label = x" shape every production vector store exposes: exact
+    * cosine top-k against the query vector restricted to one metadata
+    * label, with the result annotated by its UNFILTERED global rank so
+    * the caller can see how deep the filtered answer reaches into the
+    * global ranking (rank ≫ k means the predicate is starving recall
+    * and a label-partitioned index would pay for itself).
+    *
+    * Scale shape: the label predicate is pushed INTO the parquet scan
+    * (pre-filter, not post-filter — at a 1/|labels| selectivity the
+    * scan does |labels|× less distance work); the global-rank
+    * annotation joins only the k result rows back against a scored
+    * scan, and both branches end in TakeOrderedAndProject. */
+  def filteredTopK(spark: SparkSession, dir: String, label: Int = 1, k: Int = 10): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val filtered = emb.where(col("vec_id") =!= 0 && col("label") === label)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"), cosine(spark, "embedding", "qe").as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+    // global rank of each filtered hit: 1 + the number of strictly better
+    // unfiltered candidates (ties broken on vec_id, same order as topk)
+    val scoredAll = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("g_id"), cosine(spark, "embedding", "qe").as("g_cos"))
+    // right-outer with the k-row page as the BROADCAST side: the scored
+    // corpus streams, the bounded page replicates — never the reverse
+    scoredAll.join(broadcast(filtered),
+      col("g_cos") > col("cosine")
+        || (col("g_cos") === col("cosine") && col("g_id") < col("vec_id")), "right")
+      .groupBy("vec_id", "label", "cosine")
+      .agg((count(col("g_id")) + 1L).as("global_rank"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+  }
+
+  def filteredTopKSql(label: Int = 1, k: Int = 10): String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |f AS (
+       |  SELECT vec_id, label, ${cosineSql("embedding", "qe")} AS cosine
+       |  FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> 0 AND label = $label
+       |  ORDER BY cosine DESC, vec_id LIMIT $k),
+       |s AS (
+       |  SELECT vec_id AS g_id, ${cosineSql("embedding", "qe")} AS g_cos
+       |  FROM embeddings CROSS JOIN q WHERE vec_id <> 0)
+       |SELECT f.vec_id, f.label, f.cosine,
+       |       CAST(count(s.g_id) + 1 AS BIGINT) AS global_rank
+       |FROM f LEFT JOIN s
+       |  ON s.g_cos > f.cosine OR (s.g_cos = f.cosine AND s.g_id < f.vec_id)
+       |GROUP BY f.vec_id, f.label, f.cosine
+       |ORDER BY f.cosine DESC, f.vec_id""".stripMargin
+
   /** Radius (range) search: every vector whose cosine against the query
     * vector meets the threshold — the "find all near misses" complement
     * of top-k. Same single-scan shape as [[bruteForceTopK]]: the query

@@ -1693,6 +1693,71 @@ object TextFunctions {
       .orderBy("source")
   }
 
+  /** Vocabulary coverage curve — the vocab-size decision table: for each
+    * candidate vocabulary size k ∈ {100, 1k, 10k, 100k}, the share of
+    * corpus TOKENS the k most frequent terms cover (the number that
+    * prices OOV/byte-fallback rates before committing a tokenizer).
+    * Computed SCALE-CORRECTLY through the count-of-counts distribution
+    * — the [[graft.cdc.Monitoring.hotKeyShare]] trick: term counts
+    * collapse to (occurrences → n_terms) rows bounded by the DISTINCT
+    * count values, the cumulative tail is read off that table with the
+    * boundary level fractionally attributed, and no billion-term global
+    * rank ever exists.
+    *
+    * Scale shape: one term aggregation (map-side combined), one
+    * count-of-counts aggregation, tiny windows over the bounded
+    * count-of-counts rows, a broadcast 4-row k spine. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perTerm = Tables.load(spark, dir, "documents")
+      .select(explode(split(normText(col("text")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val coc = perTerm.groupBy("cnt").agg(count(lit(1)).as("n_terms"))
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val cum = coc
+      .withColumn("terms_above", coalesce(sum(col("n_terms")).over(wPrev), lit(0L)))
+      .withColumn("vocab_size", sum(col("n_terms")).over(wAll))
+      .withColumn("n_tokens", sum(col("cnt") * col("n_terms")).over(wAll))
+    val ks = Seq(100L, 1000L, 10000L, 100000L).toDF("k")
+    cum.crossJoin(broadcast(ks))
+      .where(col("terms_above") < col("k"))
+      .withColumn("take_here", least(col("n_terms"), col("k") - col("terms_above")))
+      .groupBy("k")
+      .agg(max(col("vocab_size")).as("vocab_size"),
+        max(col("n_tokens")).as("n_tokens"),
+        sum(col("take_here") * col("cnt")).as("covered_tokens"))
+      .select(col("k").as("vocab_k"), col("vocab_size"), col("n_tokens"),
+        col("covered_tokens"),
+        (col("covered_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage_share"))
+      .orderBy("vocab_k")
+  }
+
+  val vocabCoverageCurveSql: String =
+    """WITH t AS (
+      |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      |  FROM documents),
+      |per AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+      |coc AS (SELECT cnt, count(*) AS n_terms FROM per GROUP BY cnt),
+      |cum AS (
+      |  SELECT cnt, n_terms,
+      |         coalesce(sum(n_terms) OVER (ORDER BY cnt DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS terms_above,
+      |         sum(n_terms) OVER () AS vocab_size,
+      |         sum(cnt * n_terms) OVER () AS n_tokens
+      |  FROM coc),
+      |ks AS (SELECT unnest([100, 1000, 10000, 100000]) AS k)
+      |SELECT CAST(k AS BIGINT) AS vocab_k,
+      |       CAST(max(vocab_size) AS BIGINT) AS vocab_size,
+      |       CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+      |       CAST(sum(least(n_terms, k - terms_above) * cnt) AS BIGINT) AS covered_tokens,
+      |       CAST(sum(least(n_terms, k - terms_above) * cnt) AS DOUBLE)
+      |         / CAST(max(n_tokens) AS DOUBLE) AS coverage_share
+      |FROM cum, ks WHERE terms_above < k
+      |GROUP BY k ORDER BY vocab_k""".stripMargin
+
   /** Quality × length joint grid — the gate-correlation table: corpus
     * counts over (quality tier × token-length bucket) cells with each
     * cell's independence LIFT (observed share ÷ row-share·col-share).

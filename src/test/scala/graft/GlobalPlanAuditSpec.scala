@@ -79,6 +79,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "pipe_quality_length_grid",
       // share/cumulative windows over the <= |max-orders|-row count-of-counts
       "q_orders_per_customer_hist",
+      // cumulative-tail windows over the count-of-counts rows (bounded by
+      // DISTINCT term-count values, the hotKeyShare trick), never the vocab
+      "text_vocab_coverage_curve",
       // share/cumulative windows over the <= ~6k-bucket motion histogram
       // (bounded by the 3-channel circular byte distance: SAD/px <= 384)
       "mm_video_motion",

@@ -850,6 +850,44 @@ class Round10cSpec extends AnyFunSuite {
     assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
   }
 
+  test("vocab coverage: monotone in k, bounded by 1, brute-force cross-check at k=100") {
+    val curve = TextFunctions.vocabCoverageCurve(spark, dir).collect()
+    assert(curve.map(_.getAs[Long]("vocab_k")).toSeq == Seq(100L, 1000L, 10000L, 100000L))
+    var prev = 0.0
+    curve.foreach { r =>
+      val c = r.getAs[Double]("coverage_share")
+      assert(c >= prev - 1e-12 && c <= 1.0 + 1e-12)
+      prev = c
+      assert(r.getAs[Long]("covered_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // brute force k=100: top-100 term counts by (count desc) — boundary ties
+    // are attributed fractionally by count LEVEL, so compare against the
+    // level-wise computation, not an arbitrary tie order
+    val counts = Tables.load(spark, dir, "documents")
+      .select(explode(split(graft.text.TextFunctions.normText(col("text")), " ")).as("t"))
+      .groupBy("t").count().collect().map(_.getAs[Long]("count")).sorted.reverse
+    val total = counts.sum.toDouble
+    val byLevel = counts.groupBy(identity).map { case (c, a) => (c, a.length.toLong) }
+      .toSeq.sortBy(-_._1)
+    var taken = 0L; var covered = 0L
+    byLevel.foreach { case (c, n) =>
+      if (taken < 100L) { val take = math.min(n, 100L - taken); covered += take * c; taken += take }
+    }
+    assert(math.abs(curve.head.getAs[Double]("coverage_share") - covered / total) < 1e-12)
+  }
+
+  test("filtered topk: all hits carry the label, global rank >= filtered rank") {
+    val rows = Ann.filteredTopK(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Int]("label") == 1)
+      assert(r.getAs[Long]("global_rank") >= i + 1L)
+    }
+    // cosines are sorted desc and the global ranks strictly increase with them
+    val ranks = rows.map(_.getAs[Long]("global_rank"))
+    assert(ranks.sorted.toSeq == ranks.toSeq)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
