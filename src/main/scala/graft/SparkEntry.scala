@@ -249,6 +249,8 @@ object SparkEntry {
     "q_orders_per_customer_hist" -> ((s, d) => Relational.ordersPerCustomerHist(s, d)),
     "text_vocab_coverage_curve" -> ((s, d) => TextFunctions.vocabCoverageCurve(s, d)),
     "ann_filtered_topk" -> ((s, d) => Ann.filteredTopK(s, d)),
+    "q_trade_balance" -> ((s, d) => Relational.tradeBalance(s, d)),
+    "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
     "cdc_load_order" -> ((s, d) => Discovery.loadOrder(s, d)),
@@ -1082,6 +1084,8 @@ object SparkEntry {
       "q_orders_per_customer_hist" -> Relational.ordersPerCustomerHistSql,
       "text_vocab_coverage_curve" -> TextFunctions.vocabCoverageCurveSql,
       "ann_filtered_topk" -> Ann.filteredTopKSql(),
+      "q_trade_balance" -> Relational.tradeBalanceSql,
+      "emb_norm_hist" -> Ann.normHistSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,
       "cdc_load_order" -> Discovery.loadOrderSql,

@@ -1745,6 +1745,100 @@ object Relational {
       |       supp_nation = cust_nation AS intra_nation
       |FROM cells, t ORDER BY supp_nation, cust_nation""".stripMargin
 
+  /** Trade balance per nation — the row-wise summary of
+    * [[tradeMatrix]]: gross cross-border exports and imports (intra-
+    * nation flow carved out separately), the DECIMAL-exact net
+    * position, and the export/import ratio. Below-zero net is a net
+    * importer; the ratio prices how lopsided each nation's lanes are.
+    *
+    * Exactness: the same integer 1e-4-unit revenue convention as
+    * [[tradeMatrix]]/[[supplierHhi]]; net is an integer subtraction,
+    * doubles appear only in the final /1e4 and ratio projections.
+    *
+    * Scale shape: the same single big join, reduced to the ≤|nations|²
+    * cell table, then two conditional ≤|nations| rollups folded in one
+    * pass — no windows, no second fact scan. */
+  def tradeBalance(spark: SparkSession, dir: String): DataFrame = {
+    val one = lit(BigDecimal(1)).cast("decimal(12,2)")
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (one - col("l_discount").cast("decimal(12,2)"))).as("rev"))
+    val o = Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.load(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val natS = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val natC = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val cells = li
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .groupBy("supp_nation", "cust_nation")
+      .agg((sum(col("rev")).cast("decimal(34,4)") * lit(10000))
+        .cast("decimal(38,0)").as("rev_i"))
+    val zero = lit(BigDecimal(0)).cast("decimal(38,0)")
+    val sides = cells.select(col("supp_nation").as("nation"),
+        when(col("supp_nation") =!= col("cust_nation"), col("rev_i")).otherwise(zero).as("export_i"),
+        zero.as("import_i"),
+        when(col("supp_nation") === col("cust_nation"), col("rev_i")).otherwise(zero).as("intra_i"))
+      .unionAll(cells.where(col("supp_nation") =!= col("cust_nation"))
+        .select(col("cust_nation").as("nation"), zero.as("export_i"),
+          col("rev_i").as("import_i"), zero.as("intra_i")))
+    sides.groupBy("nation")
+      .agg(sum(col("export_i")).cast("decimal(38,0)").as("ex_i"),
+        sum(col("import_i")).cast("decimal(38,0)").as("im_i"),
+        sum(col("intra_i")).cast("decimal(38,0)").as("in_i"))
+      .select(col("nation"),
+        (col("ex_i").cast("double") / lit(10000.0)).as("exports"),
+        (col("im_i").cast("double") / lit(10000.0)).as("imports"),
+        (col("in_i").cast("double") / lit(10000.0)).as("intra_trade"),
+        ((col("ex_i") - col("im_i")).cast("double") / lit(10000.0)).as("net_revenue"),
+        when(col("im_i") > zero,
+          col("ex_i").cast("double") / col("im_i").cast("double")).as("export_import_ratio"))
+      .orderBy("nation")
+  }
+
+  val tradeBalanceSql: String =
+    """WITH cells AS (
+      |  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(34,4))
+      |              * 10000 AS DECIMAL(38,0)) AS rev_i
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+      |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+      |  GROUP BY sn.n_name, cn.n_name),
+      |sides AS (
+      |  SELECT supp_nation AS nation,
+      |         CASE WHEN supp_nation <> cust_nation THEN rev_i ELSE CAST(0 AS DECIMAL(38,0)) END AS export_i,
+      |         CAST(0 AS DECIMAL(38,0)) AS import_i,
+      |         CASE WHEN supp_nation = cust_nation THEN rev_i ELSE CAST(0 AS DECIMAL(38,0)) END AS intra_i
+      |  FROM cells
+      |  UNION ALL
+      |  SELECT cust_nation, CAST(0 AS DECIMAL(38,0)), rev_i, CAST(0 AS DECIMAL(38,0))
+      |  FROM cells WHERE supp_nation <> cust_nation),
+      |r AS (
+      |  SELECT nation,
+      |         CAST(sum(export_i) AS DECIMAL(38,0)) AS ex_i,
+      |         CAST(sum(import_i) AS DECIMAL(38,0)) AS im_i,
+      |         CAST(sum(intra_i) AS DECIMAL(38,0)) AS in_i
+      |  FROM sides GROUP BY nation)
+      |SELECT nation,
+      |       CAST(ex_i AS DOUBLE) / 10000.0 AS exports,
+      |       CAST(im_i AS DOUBLE) / 10000.0 AS imports,
+      |       CAST(in_i AS DOUBLE) / 10000.0 AS intra_trade,
+      |       CAST(ex_i - im_i AS DOUBLE) / 10000.0 AS net_revenue,
+      |       CASE WHEN im_i > 0 THEN CAST(ex_i AS DOUBLE) / CAST(im_i AS DOUBLE) END
+      |         AS export_import_ratio
+      |FROM r ORDER BY nation""".stripMargin
+
   /** Customer value-migration matrix — is the base upgrading or
     * churning? Each customer's DECIMAL-exact revenue in the first vs
     * second half of the order-date span (exact-ms midpoint), both

@@ -99,6 +99,54 @@ object Ann {
        |       min(norm) AS min_norm, max(norm) AS max_norm
        |FROM n GROUP BY label ORDER BY label""".stripMargin
 
+  /** Norm distribution histogram — the normalize-or-not decision detail
+    * under [[normStats]]'s min/max envelope: vector norms bucketed at
+    * 1/16 granularity (capped at the 1024 tail bucket) with shares and
+    * cumulative shares. A clean unit-normalized export is one spike at
+    * bucket 16; two modes mean two encoder versions are mixed in the
+    * same table — the failure [[centroidDrift]] only catches per label.
+    *
+    * Exactness: the bucket is floor(norm·16) over the same index-
+    * ordered norm fold every cosine in this module uses — identical
+    * IEEE ops on both engines; shares are ratios of exact counts.
+    *
+    * Scale shape: one scan into a ≤1025-key aggregation; windows only
+    * over that bounded histogram. */
+  def normHist(spark: SparkSession, dir: String): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("norm_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "embeddings")
+      .select(sqrt(dotFold(col("embedding"), col("embedding"))).as("norm"))
+      .select(least(floor(col("norm") * 16.0), lit(1024.0)).cast("long").as("norm_bucket"))
+      .groupBy("norm_bucket")
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("share",
+        col("n_vecs").cast("double") / sum(col("n_vecs")).over(tot).cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_vecs")).over(cum).cast("double")
+          / sum(col("n_vecs")).over(tot).cast("double"))
+      .select(col("norm_bucket"),
+        (col("norm_bucket").cast("double") / 16.0).as("norm_lo"),
+        col("n_vecs"), col("share"), col("cum_share"))
+      .orderBy("norm_bucket")
+  }
+
+  val normHistSql: String =
+    s"""WITH n AS (
+       |  SELECT CAST(least(floor(sqrt(${dotFoldSql("embedding", "embedding")}) * 16.0), 1024.0) AS BIGINT) AS norm_bucket
+       |  FROM embeddings),
+       |h AS (SELECT norm_bucket, count(*) AS n_vecs FROM n GROUP BY norm_bucket)
+       |SELECT norm_bucket,
+       |       CAST(norm_bucket AS DOUBLE) / 16.0 AS norm_lo,
+       |       n_vecs,
+       |       CAST(n_vecs AS DOUBLE) / CAST(sum(n_vecs) OVER () AS DOUBLE) AS share,
+       |       CAST(sum(n_vecs) OVER (ORDER BY norm_bucket
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(sum(n_vecs) OVER () AS DOUBLE) AS cum_share
+       |FROM h ORDER BY norm_bucket""".stripMargin
+
   /** Norm–length correlation — the embedding-artifact screen for the
     * best-known encoder bug: unnormalized exports where vector NORM
     * encodes document LENGTH, so cosine-ranked retrieval and semantic

@@ -75,6 +75,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "q_part_supplier_breadth",
       // share/cumulative windows over the <= 513-bucket ratio histogram
       "emb_twonn_ratio",
+      // share/cumulative windows over the <= 1025-bucket norm histogram
+      "emb_norm_hist",
       // total/row/col windows over the <= 15-cell quality x length grid
       "pipe_quality_length_grid",
       // share/cumulative windows over the <= |max-orders|-row count-of-counts

@@ -888,6 +888,36 @@ class Round10cSpec extends AnyFunSuite {
     assert(ranks.sorted.toSeq == ranks.toSeq)
   }
 
+  test("trade balance: world exports equal world imports, intra matches the matrix diagonal") {
+    val rows = Relational.tradeBalance(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ex = rows.map(_.getAs[Double]("exports")).sum
+    val im = rows.map(_.getAs[Double]("imports")).sum
+    assert(math.abs(ex - im) < 1e-6, "every cross-border sale is someone's purchase")
+    val matrix = Relational.tradeMatrix(spark, dir).collect()
+    val diag = matrix.filter(_.getAs[Boolean]("intra_nation"))
+      .map(_.getAs[Double]("revenue")).sum
+    assert(math.abs(rows.map(_.getAs[Double]("intra_trade")).sum - diag) < 1e-6)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("net_revenue")
+        - (r.getAs[Double]("exports") - r.getAs[Double]("imports"))) < 1e-6)
+    }
+  }
+
+  test("norm hist: vectors partitioned, buckets capped, cumulative ends at 1") {
+    val rows = Ann.normHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum
+      == Tables.load(spark, dir, "embeddings").count())
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("norm_bucket")
+      assert(b >= 0L && b <= 1024L)
+      assert(math.abs(r.getAs[Double]("norm_lo") - b / 16.0) < 1e-12)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
