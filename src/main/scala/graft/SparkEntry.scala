@@ -250,6 +250,8 @@ object SparkEntry {
     "text_vocab_coverage_curve" -> ((s, d) => TextFunctions.vocabCoverageCurve(s, d)),
     "ann_filtered_topk" -> ((s, d) => Ann.filteredTopK(s, d)),
     "q_trade_balance" -> ((s, d) => Relational.tradeBalance(s, d)),
+    "q_dow_anova" -> ((s, d) => Relational.dowAnova(s, d)),
+    "mm_image_aspect_hist" -> ((s, d) => Binary.imageAspectHist(s, d)),
     "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
     "cdc_size_estimate" -> ((s, d) => Discovery.sizeEstimate(s, d)),
@@ -1085,6 +1087,8 @@ object SparkEntry {
       "text_vocab_coverage_curve" -> TextFunctions.vocabCoverageCurveSql,
       "ann_filtered_topk" -> Ann.filteredTopKSql(),
       "q_trade_balance" -> Relational.tradeBalanceSql,
+      "q_dow_anova" -> Relational.dowAnovaSql,
+      "mm_image_aspect_hist" -> Binary.imageAspectHistSql,
       "emb_norm_hist" -> Ann.normHistSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,
       "cdc_size_estimate" -> Discovery.sizeEstimateSql,

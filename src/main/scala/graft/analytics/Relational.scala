@@ -1745,6 +1745,98 @@ object Relational {
       |       supp_nation = cust_nation AS intra_nation
       |FROM cells, t ORDER BY supp_nation, cust_nation""".stripMargin
 
+  /** Weekly-seasonality strength — the one-number ANOVA gate under
+    * [[dowSeasonality]]'s per-day table: daily order counts grouped by
+    * ISO day-of-week, decomposed into between-group vs total variance
+    * (η² = SSB/SST over calendar days). η² near 0 says the weekly
+    * pattern in the seasonality table is noise — don't build a
+    * dow-partitioned forecast on it; η² near 1 says day-of-week alone
+    * explains the volume, so capacity planning can key on it.
+    *
+    * Exactness: daily counts are integers; every Σc and Σc² (global
+    * and per-dow) accumulates as DECIMAL(38,0); SSB/SST and η² are
+    * fixed-order double math over those exact sums, NULL on a
+    * degenerate (constant) series.
+    *
+    * Scale shape: one ≤|days|-key count (map-side combined), a ≤7-key
+    * conditional rollup, a single-row fold. No windows. */
+  def dowAnova(spark: SparkSession, dir: String): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val d38 = "decimal(38,0)"
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select((expr("weekday(day)") + 1).cast("long").as("isodow"), col("c"))
+    // ONE aggregation with 7 FIXED conditional columns: a Σ over per-dow
+    // double terms would be shuffle-order-dependent; pinned columns make
+    // every later double op a fixed textual expression on both engines
+    val aggs =
+      Seq(count(lit(1)).as("n_days"),
+        sum(col("c").cast(d19)).cast(d38).as("st"),
+        sum(col("c").cast(d19) * col("c").cast(d19)).cast(d38).as("st2")) ++
+      (1 to 7).flatMap(d => Seq(
+        sum(when(col("isodow") === d, col("c").cast(d19))
+          .otherwise(lit(0).cast(d19))).cast(d38).as(s"s$d"),
+        sum(when(col("isodow") === d, 1L).otherwise(0L)).as(s"n$d")))
+    val folded = daily.agg(aggs.head, aggs.tail: _*)
+    def term(d: Int) = when(col(s"n$d") > 0L,
+      col(s"s$d").cast("double") * col(s"s$d").cast("double")
+        / col(s"n$d").cast("double")).otherwise(lit(0.0))
+    def mean(d: Int) = when(col(s"n$d") > 0L,
+      col(s"s$d").cast("double") / col(s"n$d").cast("double"))
+    val ssbRaw = (1 to 7).map(term).reduce(_ + _)
+    val peakMean = greatest((1 to 7).map(mean): _*)
+    val peakDow = (1 to 7).foldRight(lit(null).cast("long")) { (d, rest) =>
+      when(mean(d) === peakMean, lit(d.toLong)).otherwise(rest)
+    }
+    val nD = col("n_days").cast("double")
+    val grand = col("st").cast("double") * col("st").cast("double") / nD
+    val sst = col("st2").cast("double") - grand
+    folded.select(
+      col("n_days"),
+      (1 to 7).map(d => when(col(s"n$d") > 0L, 1L).otherwise(0L)).reduce(_ + _).as("n_dows"),
+      (col("st").cast("double") / nD).as("mean_daily_orders"),
+      when(sst > 0.0, (ssbRaw - grand) / sst).as("eta_sq_dow"),
+      peakDow.as("peak_isodow"),
+      peakMean.as("peak_mean_daily_orders"))
+  }
+
+  val dowAnovaSql: String = {
+    val condCols = (1 to 7).map(d =>
+      s"""CAST(sum(CASE WHEN isodow = $d THEN CAST(c AS DECIMAL(19,0))
+         |              ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s$d,
+         |CAST(sum(CASE WHEN isodow = $d THEN 1 ELSE 0 END) AS BIGINT) AS n$d""".stripMargin)
+      .mkString(",\n")
+    def term(d: Int) =
+      s"CASE WHEN n$d > 0 THEN CAST(s$d AS DOUBLE) * CAST(s$d AS DOUBLE) / CAST(n$d AS DOUBLE) ELSE 0.0 END"
+    def mean(d: Int) =
+      s"CASE WHEN n$d > 0 THEN CAST(s$d AS DOUBLE) / CAST(n$d AS DOUBLE) END"
+    val ssbRaw = (1 to 7).map(term).mkString(" + ")
+    val peakMean = s"greatest(${(1 to 7).map(mean).mkString(", ")})"
+    val peakDow = (1 to 7).reverse.foldLeft("CAST(NULL AS BIGINT)") { (rest, d) =>
+      s"CASE WHEN ${mean(d)} = $peakMean THEN CAST($d AS BIGINT) ELSE $rest END"
+    }
+    val grand = "CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT o_orderdate AS day, count(*) AS c FROM orders GROUP BY o_orderdate),
+       |dw AS (SELECT isodow(day) AS isodow, c FROM daily),
+       |f AS (
+       |  SELECT count(*) AS n_days,
+       |         CAST(sum(CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st,
+       |         CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS st2,
+       |$condCols
+       |  FROM dw)
+       |SELECT n_days,
+       |       ${(1 to 7).map(d => s"CASE WHEN n$d > 0 THEN 1 ELSE 0 END").mkString(" + ")} AS n_dows,
+       |       CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_daily_orders,
+       |       CASE WHEN CAST(st2 AS DOUBLE) - $grand > 0.0
+       |            THEN (($ssbRaw) - $grand) / (CAST(st2 AS DOUBLE) - $grand)
+       |       END AS eta_sq_dow,
+       |       $peakDow AS peak_isodow,
+       |       $peakMean AS peak_mean_daily_orders
+       |FROM f""".stripMargin
+  }
+
   /** Trade balance per nation — the row-wise summary of
     * [[tradeMatrix]]: gross cross-border exports and imports (intra-
     * nation flow carved out separately), the DECIMAL-exact net

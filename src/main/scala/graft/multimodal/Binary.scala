@@ -271,6 +271,57 @@ object Binary {
       |              * (CAST(s_t AS DOUBLE) / (2.0 * CAST(n_pixels AS DOUBLE)))) AS colorfulness
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  /** Aspect-ratio × resolution histogram over DECODED dimensions — the
+    * batch-shape planning table a vision loader reads before fixing its
+    * resize/bucketing strategy (aspect-bucketed batching avoids padding
+    * waste; NaViT-style packing needs exactly this profile): per
+    * 1/16-quantized aspect bucket the image count, share, pixel mass,
+    * and the dimension envelope. Dims come off the REAL decode, not the
+    * id formula — a codec that lies about geometry breaks the hash.
+    *
+    * Scale shape: per-image codec work in mapPartitions, one ≤~few-
+    * hundred-key aggregation (aspect spans [8/20, 23/8] → buckets 6–46),
+    * a share window over that bounded table. */
+  def imageAspectHist(spark: SparkSession, dir: String): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    imageDecode(spark, dir)
+      .select(col("width"), col("height"), col("n_pixels"),
+        expr("(CAST(width AS BIGINT) * 16) DIV height").as("aspect_bucket"))
+      .groupBy("aspect_bucket")
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("n_pixels")).as("total_pixels"),
+        min(col("width")).as("min_width"), max(col("width")).as("max_width"),
+        min(col("height")).as("min_height"), max(col("height")).as("max_height"))
+      .withColumn("image_share",
+        col("n_images").cast("double") / sum(col("n_images")).over(tot).cast("double"))
+      .select(col("aspect_bucket"),
+        (col("aspect_bucket").cast("double") / 16.0).as("aspect_lo"),
+        col("n_images"), col("image_share"), col("total_pixels"),
+        col("min_width"), col("max_width"), col("min_height"), col("max_height"))
+      .orderBy("aspect_bucket")
+  }
+
+  val imageAspectHistSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 16 + 8 AS w, doc_id % 13 + 8 AS h
+      |  FROM documents),
+      |b AS (
+      |  SELECT w, h, w * h AS n_pixels, (w * 16) // h AS aspect_bucket FROM d),
+      |g AS (
+      |  SELECT aspect_bucket, count(*) AS n_images,
+      |         CAST(sum(n_pixels) AS BIGINT) AS total_pixels,
+      |         min(w) AS min_width, max(w) AS max_width,
+      |         min(h) AS min_height, max(h) AS max_height
+      |  FROM b GROUP BY aspect_bucket)
+      |SELECT aspect_bucket,
+      |       CAST(aspect_bucket AS DOUBLE) / 16.0 AS aspect_lo,
+      |       n_images,
+      |       CAST(n_images AS DOUBLE) / CAST(sum(n_images) OVER () AS DOUBLE) AS image_share,
+      |       total_pixels,
+      |       CAST(min_width AS INTEGER) AS min_width, CAST(max_width AS INTEGER) AS max_width,
+      |       CAST(min_height AS INTEGER) AS min_height, CAST(max_height AS INTEGER) AS max_height
+      |FROM g ORDER BY aspect_bucket""".stripMargin
+
   private val blurSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_interior", LongType, nullable = false),

@@ -77,6 +77,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "emb_twonn_ratio",
       // share/cumulative windows over the <= 1025-bucket norm histogram
       "emb_norm_hist",
+      // share window over the <= 41-bucket decoded-aspect histogram
+      "mm_image_aspect_hist",
       // total/row/col windows over the <= 15-cell quality x length grid
       "pipe_quality_length_grid",
       // share/cumulative windows over the <= |max-orders|-row count-of-counts

@@ -918,6 +918,45 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("dow anova: eta^2 in [0,1], brute-force cross-check of the decomposition") {
+    val r = Relational.dowAnova(spark, dir).collect().head
+    val eta = r.getAs[Double]("eta_sq_dow")
+    assert(eta >= -1e-9 && eta <= 1.0 + 1e-9)
+    assert(r.getAs[Long]("n_dows") >= 1L && r.getAs[Long]("n_dows") <= 7L)
+    // brute force on the driver
+    val daily = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_orderdate")).count()
+      .select((expr("weekday(o_orderdate)") + 1).as("d"), col("count"))
+      .collect().map(x => (x.getAs[Int]("d"), x.getAs[Long]("count")))
+    val n = daily.length.toDouble
+    val mean = daily.map(_._2).sum / n
+    val sst = daily.map(x => (x._2 - mean) * (x._2 - mean)).sum
+    val ssb = daily.groupBy(_._1).values.map { g =>
+      val m = g.map(_._2).sum.toDouble / g.length
+      g.length * (m - mean) * (m - mean)
+    }.sum
+    assert(math.abs(eta - ssb / sst) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mean_daily_orders") - mean) < 1e-9)
+    val peaks = daily.groupBy(_._1).map { case (d, g) => d -> g.map(_._2).sum.toDouble / g.length }
+    val best = peaks.maxBy(p => (p._2, -p._1))
+    assert(r.getAs[Long]("peak_isodow") == best._1.toLong)
+  }
+
+  test("image aspect hist: images partitioned, bucket reproduces decoded geometry") {
+    val rows = Binary.imageAspectHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_images")).sum
+      == Tables.load(spark, dir, "documents").count())
+    assert(math.abs(rows.map(_.getAs[Double]("image_share")).sum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("aspect_bucket")
+      // geometry domain: w in [8,23], h in [8,20] -> bucket in [6, 46]
+      assert(b >= 6L && b <= 46L)
+      assert(r.getAs[Int]("min_width") >= 8 && r.getAs[Int]("max_width") <= 23)
+      assert(r.getAs[Int]("min_height") >= 8 && r.getAs[Int]("max_height") <= 20)
+    }
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
