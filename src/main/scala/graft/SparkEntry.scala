@@ -251,6 +251,7 @@ object SparkEntry {
     "ann_filtered_topk" -> ((s, d) => Ann.filteredTopK(s, d)),
     "q_trade_balance" -> ((s, d) => Relational.tradeBalance(s, d)),
     "q_dow_anova" -> ((s, d) => Relational.dowAnova(s, d)),
+    "cdc_volume_percentiles" -> ((s, d) => Monitoring.volumePercentiles(s, d)),
     "mm_image_aspect_hist" -> ((s, d) => Binary.imageAspectHist(s, d)),
     "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
@@ -1088,6 +1089,7 @@ object SparkEntry {
       "ann_filtered_topk" -> Ann.filteredTopKSql(),
       "q_trade_balance" -> Relational.tradeBalanceSql,
       "q_dow_anova" -> Relational.dowAnovaSql,
+      "cdc_volume_percentiles" -> Monitoring.volumePercentilesSql,
       "mm_image_aspect_hist" -> Binary.imageAspectHistSql,
       "emb_norm_hist" -> Ann.normHistSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,

@@ -1942,6 +1942,68 @@ object Monitoring {
       .orderBy("severity")
   }
 
+  /** Per-minute volume percentiles — the burst-headroom sizing table:
+    * exact p50/p90/p99/max of per-minute event counts plus the
+    * peak-to-median ratio (the factor a capacity plan must hold above
+    * steady state; [[burstDetect]] finds WHEN bursts happen, this
+    * prices HOW MUCH headroom they need). Percentiles are EXACT
+    * rank = ⌈p·n⌉ order statistics read off the count-of-counts
+    * distribution — minute-count rows collapse to (volume → n_minutes)
+    * pairs bounded by the DISTINCT volume values, so no global sort of
+    * the minute table ever exists (the [[hotKeyShare]] trick on the
+    * time axis).
+    *
+    * Scale shape: one ≤|minutes|-key aggregation (map-side combined),
+    * one count-of-counts aggregation, a cumulative window over the
+    * bounded count-of-counts rows. */
+  def volumePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val perMin = graft.Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("c"))
+    val coc = perMin.groupBy("c").agg(count(lit(1)).as("n_minutes"))
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val cum = coc
+      .withColumn("cum_minutes", sum(col("n_minutes")).over(wPrev))
+      .withColumn("n", sum(col("n_minutes")).over(wAll))
+      .withColumn("max_c", max(col("c")).over(wAll))
+    def pct(p: Double, name: String) =
+      min(when(col("cum_minutes") >= ceil(col("n").cast("double") * p), col("c"))).as(name)
+    cum.agg(
+      max(col("n")).as("n_minutes"),
+      pct(0.50, "p50_per_minute"),
+      pct(0.90, "p90_per_minute"),
+      pct(0.99, "p99_per_minute"),
+      max(col("max_c")).as("max_per_minute"))
+      .select(col("n_minutes"), col("p50_per_minute"), col("p90_per_minute"),
+        col("p99_per_minute"), col("max_per_minute"),
+        (col("max_per_minute").cast("double") / col("p50_per_minute").cast("double"))
+          .as("peak_to_median"))
+  }
+
+  val volumePercentilesSql: String =
+    """WITH per AS (
+      |  SELECT date_trunc('minute', ts) AS minute, count(*) AS c
+      |  FROM events GROUP BY date_trunc('minute', ts)),
+      |coc AS (SELECT c, count(*) AS n_minutes FROM per GROUP BY c),
+      |cum AS (
+      |  SELECT c, n_minutes,
+      |         sum(n_minutes) OVER (ORDER BY c
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_minutes,
+      |         sum(n_minutes) OVER () AS n,
+      |         max(c) OVER () AS max_c
+      |  FROM coc)
+      |SELECT CAST(max(n) AS BIGINT) AS n_minutes,
+      |       min(CASE WHEN cum_minutes >= ceil(CAST(n AS DOUBLE) * 0.5) THEN c END) AS p50_per_minute,
+      |       min(CASE WHEN cum_minutes >= ceil(CAST(n AS DOUBLE) * 0.9) THEN c END) AS p90_per_minute,
+      |       min(CASE WHEN cum_minutes >= ceil(CAST(n AS DOUBLE) * 0.99) THEN c END) AS p99_per_minute,
+      |       CAST(max(max_c) AS BIGINT) AS max_per_minute,
+      |       CAST(max(max_c) AS DOUBLE)
+      |         / CAST(min(CASE WHEN cum_minutes >= ceil(CAST(n AS DOUBLE) * 0.5) THEN c END) AS DOUBLE)
+      |         AS peak_to_median
+      |FROM cum""".stripMargin
+
   /** Inter-arrival jitter — the burstiness index per topic: the
     * coefficient of variation of inter-event gaps (CV = σ/μ; a Poisson
     * arrival process sits at CV ≈ 1, a steady heartbeat near 0, batchy

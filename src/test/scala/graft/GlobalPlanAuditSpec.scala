@@ -86,6 +86,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       // cumulative-tail windows over the count-of-counts rows (bounded by
       // DISTINCT term-count values, the hotKeyShare trick), never the vocab
       "text_vocab_coverage_curve",
+      // cumulative window over the count-of-counts of per-minute volumes
+      // (bounded by DISTINCT volume values), never the minute table
+      "cdc_volume_percentiles",
       // share/cumulative windows over the <= ~6k-bucket motion histogram
       // (bounded by the 3-channel circular byte distance: SAD/px <= 384)
       "mm_video_motion",

@@ -957,6 +957,21 @@ class Round10cSpec extends AnyFunSuite {
     }
   }
 
+  test("volume percentiles: exact order statistics match a driver-side sort") {
+    val r = Monitoring.volumePercentiles(spark, dir).collect().head
+    val counts = Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("minute", col("ts"))).count()
+      .collect().map(_.getAs[Long]("count")).sorted
+    val n = counts.length
+    assert(r.getAs[Long]("n_minutes") == n)
+    def pct(p: Double): Long = counts(math.ceil(n * p).toInt - 1)
+    assert(r.getAs[Long]("p50_per_minute") == pct(0.50))
+    assert(r.getAs[Long]("p90_per_minute") == pct(0.90))
+    assert(r.getAs[Long]("p99_per_minute") == pct(0.99))
+    assert(r.getAs[Long]("max_per_minute") == counts.last)
+    assert(r.getAs[Double]("peak_to_median") >= 1.0 - 1e-12)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
