@@ -295,6 +295,48 @@ object ScaleSmoke {
         .count()
     }
 
+    t("anisotropy fold (norm-of-sum identity)", nEmb) {
+      // emb_anisotropy at corpus scale: O(n·d), no pairs — cost must be a
+      // flat per-row constant (explode + one |dims|-key aggregation)
+      val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      bigEmb
+        .select(col("embedding"),
+          sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")).as("norm"))
+        .where(col("norm") > 0.0)
+        .select(col("norm"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          floor(col("x").cast("double") / col("norm") * 1048576.0).cast("long").as("uq"))
+        .groupBy("pos")
+        .agg(sum(col("uq").cast(d19)).cast(d19).as("su"),
+          sum((col("uq") * col("uq")).cast(d38)).cast(d38).as("sq2"))
+        .agg(sum((col("su") * col("su")).cast(d38)).as("s2"), sum(col("sq2")).as("qn"))
+        .count()
+    }
+    t("TwoNN d2/d1 ratio (16-bit buckets)", nEmb) {
+      // emb_twonn_ratio at corpus scale: same widened-bucket knob as the
+      // hubness line — candidates bounded per bucket, window per vec_id
+      val code16 = (0 until 16).map { k =>
+        when(element_at(col("embedding"), 1 + 4 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val coded = bigEmb.withColumn("bucket", code16)
+      val nb = coded.select(col("vec_id").as("n_id"),
+        col("embedding").as("ne"), col("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("d").asc, col("n_id"))
+      coded.join(nb, Seq("bucket"))
+        .where(col("n_id") =!= col("vec_id"))
+        .select(col("vec_id"), col("n_id"), expr("graft_l2sq(embedding, ne)").as("d"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_nb"),
+          min(when(col("rn") === 1, col("d"))).as("d1"),
+          min(when(col("rn") === 2, col("d"))).as("d2"))
+        .where(col("n_nb") === 2)
+        .count()
+    }
+
     t("knn bucket join", nEmb) {
       // ann_knn_join shape: bucket-equality join bounds candidates to
       // |corpus|/256 per query; ranking windows partition on the join key
