@@ -252,6 +252,8 @@ object SparkEntry {
     "q_trade_balance" -> ((s, d) => Relational.tradeBalance(s, d)),
     "q_dow_anova" -> ((s, d) => Relational.dowAnova(s, d)),
     "cdc_volume_percentiles" -> ((s, d) => Monitoring.volumePercentiles(s, d)),
+    "dedup_band_config_sweep" -> ((s, d) => Dedup.bandConfigSweep(s, d)),
+    "mm_audio_crest" -> ((s, d) => Binary.audioCrest(s, d)),
     "mm_image_aspect_hist" -> ((s, d) => Binary.imageAspectHist(s, d)),
     "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
     "cdc_sync_stats" -> ((s, d) => Monitoring.syncStats(s, d)),
@@ -1090,6 +1092,8 @@ object SparkEntry {
       "q_trade_balance" -> Relational.tradeBalanceSql,
       "q_dow_anova" -> Relational.dowAnovaSql,
       "cdc_volume_percentiles" -> Monitoring.volumePercentilesSql,
+      "dedup_band_config_sweep" -> Dedup.bandConfigSweepSql,
+      "mm_audio_crest" -> Binary.audioCrestSql,
       "mm_image_aspect_hist" -> Binary.imageAspectHistSql,
       "emb_norm_hist" -> Ann.normHistSql,
       "cdc_sync_stats" -> Monitoring.syncStatsSql,

@@ -406,6 +406,104 @@ object Dedup {
        |FROM verified WHERE CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) >= 0.6
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Measured banding-config sweep — the empirical side of
+    * [[lshTune]]'s analytic S-curves: the SAME 16-permutation signature
+    * re-banded as (b×r) ∈ {2×8, 4×4, 8×2, 16×1}, reporting per config
+    * the MEASURED candidate-pair count, the documents touched, and the
+    * bucket occupancy envelope. lshTune says what each config SHOULD
+    * admit at a given Jaccard; this says what it DOES admit on this
+    * corpus — the gap between the two is the real shingle-correlation
+    * signal no analytic curve shows. r=1 (16 single-hash bands) is the
+    * flood end: its candidate count is the price of maximum recall.
+    *
+    * Scale shape: ONE explode of all 30 band structs over the memoized
+    * signature table (never a per-config union re-evaluating the
+    * signature subtree), candidates from band-bucket equality self-joins
+    * only, pair-deduped per config, ≤4-row output. */
+  def bandConfigSweep(spark: SparkSession, dir: String): DataFrame = {
+    val configs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+    val structs = configs.flatMap { case (b, r) =>
+      (0 until b).map { bi =>
+        val key = coalesce(md5(concat_ws(",",
+          (0 until r).map(ri => col(s"sig${bi * r + ri}").cast("string")): _*)), lit(""))
+        struct(lit(b).as("cfg_b"), lit(r).as("cfg_r"),
+          lit(bi).as("band_id"), key.as("band_key"))
+      }
+    }
+    val banded = signatures(spark, dir)
+      .select(col("doc_id"), explode(array(structs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.cfg_b").as("cfg_b"), col("bk.cfg_r").as("cfg_r"),
+        col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    val occ = banded.groupBy("cfg_b", "band_id", "band_key")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy("cfg_b")
+      .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket_size"))
+    val l = banded.select(col("cfg_b"), col("band_id"), col("band_key"),
+      col("doc_id").as("id_a"))
+    val rr = banded.select(col("cfg_b"), col("band_id"), col("band_key"),
+      col("doc_id").as("id_b"))
+    val pairs = l.join(rr, Seq("cfg_b", "band_id", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select("cfg_b", "id_a", "id_b").distinct()
+    val stats = pairs.groupBy("cfg_b").agg(count(lit(1)).as("n_candidate_pairs"))
+    val touched = pairs
+      .select(col("cfg_b"), explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .groupBy("cfg_b").agg(count(lit(1)).as("n_docs_in_pairs"))
+    val cfgDf = {
+      import spark.implicits._
+      configs.toDF("cfg_b", "cfg_r")
+    }
+    cfgDf.join(stats, Seq("cfg_b"), "left")
+      .join(touched, Seq("cfg_b"), "left")
+      .join(occ, Seq("cfg_b"), "left")
+      .select(col("cfg_b"), col("cfg_r"),
+        coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
+        coalesce(col("n_docs_in_pairs"), lit(0L)).as("n_docs_in_pairs"),
+        col("n_buckets"), col("max_bucket_size"))
+      .orderBy("cfg_b")
+  }
+
+  def bandConfigSweepSql: String = {
+    val bandSelects = Seq((2, 8), (4, 4), (8, 2), (16, 1)).flatMap { case (b, r) =>
+      (0 until b).map { bi =>
+        val cat = (0 until r).map(ri => s"CAST(sig${bi * r + ri} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $b AS cfg_b, $r AS cfg_r, $bi AS band_id, md5($cat) AS band_key FROM sigs"
+      }
+    }.mkString("\n  UNION ALL ")
+    s"""$sigsCte,
+       |banded AS (
+       |  $bandSelects),
+       |occ AS (
+       |  SELECT cfg_b, count(*) AS n_buckets, max(sz) AS max_bucket_size
+       |  FROM (SELECT cfg_b, band_id, band_key, count(*) AS sz
+       |        FROM banded GROUP BY cfg_b, band_id, band_key)
+       |  GROUP BY cfg_b),
+       |pairs AS (
+       |  SELECT DISTINCT a.cfg_b, a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.cfg_b = b.cfg_b AND a.band_id = b.band_id AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |stats AS (SELECT cfg_b, count(*) AS n_pairs FROM pairs GROUP BY cfg_b),
+       |touched AS (
+       |  SELECT cfg_b, count(*) AS n_docs FROM (
+       |    SELECT DISTINCT cfg_b, id_a AS id FROM pairs
+       |    UNION SELECT DISTINCT cfg_b, id_b FROM pairs)
+       |  GROUP BY cfg_b),
+       |cfgs AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS c(cfg_b, cfg_r))
+       |SELECT CAST(c.cfg_b AS INTEGER) AS cfg_b, CAST(c.cfg_r AS INTEGER) AS cfg_r,
+       |       CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_candidate_pairs,
+       |       CAST(coalesce(t.n_docs, 0) AS BIGINT) AS n_docs_in_pairs,
+       |       CAST(o.n_buckets AS BIGINT) AS n_buckets,
+       |       CAST(o.max_bucket_size AS BIGINT) AS max_bucket_size
+       |FROM cfgs c
+       |LEFT JOIN stats s ON c.cfg_b = s.cfg_b
+       |LEFT JOIN touched t ON c.cfg_b = t.cfg_b
+       |LEFT JOIN occ o ON c.cfg_b = o.cfg_b
+       |ORDER BY c.cfg_b""".stripMargin
+  }
+
   /** Shingle-containment dedup: |A∩B| / min(|A|,|B|) — catches
     * sub-document duplication (one document truncating or embedding
     * another) that symmetric Jaccard under-scores: a 20%-length prefix

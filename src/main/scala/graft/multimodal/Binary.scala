@@ -614,6 +614,92 @@ object Binary {
       |       CAST(zc AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
       |FROM sums ORDER BY doc_id""".stripMargin
 
+  private val audioCrestSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+
+  /** Crest factor (peak-to-RMS dynamic range) over the REAL WAV round
+    * trip — the loudness-war / dead-air QA axis between
+    * [[audioClipping]] (rail hits) and [[audioSilence]] (quiet runs): a
+    * crest near 1 is a square-wave-compressed or constant signal, a
+    * large crest a spiky one; speech sits ~3–6. Also the
+    * over-compression screen a TTS/ASR corpus gate runs.
+    *
+    * Exactness: peak and Σs² are exact integers off the decoded PCM
+    * (16-bit samples: s² ≤ 2³⁰, Σ over ≤640 samples fits long with
+    * room at any clip length the container allows); RMS and crest are
+    * fixed-order double math, the oracle recomputes closed-form.
+    *
+    * Scale shape: serial codec partitions (AudioSystem's synchronized
+    * registry — the measured [[audioDecode]] policy), zero shuffles
+    * before the output sort. */
+  def audioCrest(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioCrestSchema)
+    val decoded = ids.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val id = row.getLong(0)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        var peak = 0L; var sq = 0L
+        var j = 0
+        while (j < m) {
+          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
+          val a = math.abs(s.toLong)
+          if (a > peak) peak = a
+          sq += s.toLong * s.toLong
+          j += 1
+        }
+        Row(id, m.toLong, peak, sq)
+      }
+    }(enc)
+    val rms = sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double"))
+    decoded
+      .select(col("doc_id"), col("n_samples"), col("peak_abs"), col("sum_sq"),
+        rms.as("rms"),
+        when(rms > 0.0, col("peak_abs").cast("double") / rms).as("crest_factor"))
+      .orderBy("doc_id")
+  }
+
+  val audioCrestSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 480 + 160 AS n FROM documents),
+      |s AS (SELECT doc_id, n,
+      |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i FROM d),
+      |v AS (SELECT doc_id, n, (doc_id * 31 + i * 17) % 65536 - 32768 AS smp FROM s),
+      |g AS (
+      |  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_samples,
+      |         CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+      |         CAST(sum(smp * smp) AS BIGINT) AS sum_sq
+      |  FROM v GROUP BY doc_id)
+      |SELECT doc_id, n_samples, peak_abs, sum_sq,
+      |       sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+      |       CASE WHEN sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) > 0.0
+      |            THEN CAST(peak_abs AS DOUBLE)
+      |                 / sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))
+      |       END AS crest_factor
+      |FROM g ORDER BY doc_id""".stripMargin
+
   private val audioClippingSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("n_samples", LongType, nullable = false),

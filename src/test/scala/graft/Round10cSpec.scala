@@ -972,6 +972,41 @@ class Round10cSpec extends AnyFunSuite {
     assert(r.getAs[Double]("peak_to_median") >= 1.0 - 1e-12)
   }
 
+  test("band config sweep: recall ladder ordered, 4x4 matches the family's candidate build") {
+    val rows = Dedup.bandConfigSweep(spark, dir).collect()
+    assert(rows.map(r => (r.getAs[Int]("cfg_b"), r.getAs[Int]("cfg_r"))).toSeq
+      == Seq((2, 8), (4, 4), (8, 2), (16, 1)))
+    // more, narrower bands admit at least as many candidates (any pair
+    // colliding on an r=8 band collides on both its r=4 halves, etc.)
+    val pairs = rows.map(_.getAs[Long]("n_candidate_pairs"))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b },
+      s"candidate count must be non-decreasing along the recall ladder: ${pairs.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") >= 1L)
+      assert(r.getAs[Long]("max_bucket_size") >= 1L)
+      assert(r.getAs[Long]("n_docs_in_pairs") <= 2L * r.getAs[Long]("n_candidate_pairs"))
+    }
+    // injected exact copies collide in EVERY config: zero pairs impossible
+    assert(pairs.head > 0L)
+  }
+
+  test("audio crest: covers the corpus, crest bounds hold, one clip brute-forced") {
+    val rows = Binary.audioCrest(spark, dir).collect()
+    assert(rows.length == Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      val crest = r.getAs[Double]("crest_factor")
+      assert(crest >= 1.0 - 1e-9, "peak >= rms always")
+      assert(r.getAs[Long]("peak_abs") <= 32768L)
+      assert(r.getAs[Double]("rms") > 0.0)
+    }
+    val r7 = rows.find(_.getAs[Long]("doc_id") == 7L).get
+    val n = (7 % 480 + 160)
+    val samples = (0 until n).map(i => (7L * 31 + i * 17) % 65536 - 32768)
+    assert(r7.getAs[Long]("n_samples") == n.toLong)
+    assert(r7.getAs[Long]("peak_abs") == samples.map(math.abs).max)
+    assert(r7.getAs[Long]("sum_sq") == samples.map(s => s * s).sum)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
