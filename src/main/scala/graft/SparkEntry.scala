@@ -253,6 +253,8 @@ object SparkEntry {
     "q_dow_anova" -> ((s, d) => Relational.dowAnova(s, d)),
     "cdc_volume_percentiles" -> ((s, d) => Monitoring.volumePercentiles(s, d)),
     "dedup_band_config_sweep" -> ((s, d) => Dedup.bandConfigSweep(s, d)),
+    "cdc_partition_watermark_skew" -> ((s, d) => Monitoring.partitionWatermarkSkew(s, d)),
+    "q_ship_delay_hist" -> ((s, d) => Relational.shipDelayHist(s, d)),
     "mm_audio_crest" -> ((s, d) => Binary.audioCrest(s, d)),
     "mm_image_aspect_hist" -> ((s, d) => Binary.imageAspectHist(s, d)),
     "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
@@ -1093,6 +1095,8 @@ object SparkEntry {
       "q_dow_anova" -> Relational.dowAnovaSql,
       "cdc_volume_percentiles" -> Monitoring.volumePercentilesSql,
       "dedup_band_config_sweep" -> Dedup.bandConfigSweepSql,
+      "cdc_partition_watermark_skew" -> Monitoring.partitionWatermarkSkewSql(),
+      "q_ship_delay_hist" -> Relational.shipDelayHistSql,
       "mm_audio_crest" -> Binary.audioCrestSql,
       "mm_image_aspect_hist" -> Binary.imageAspectHistSql,
       "emb_norm_hist" -> Ann.normHistSql,

@@ -1745,6 +1745,53 @@ object Relational {
       |       supp_nation = cust_nation AS intra_nation
       |FROM cells, t ORDER BY supp_nation, cust_nation""".stripMargin
 
+  /** Ship-delay histogram — the full distribution behind
+    * [[priorityShipping]]'s per-priority means: days from order to
+    * line shipment, bucketed day by day with shares, cumulative shares,
+    * and the 90-day SLA flag the priority rollup uses. The SLA
+    * conversation needs the shape — a fat tail just past the threshold
+    * argues for expediting a few lanes, a uniform spread for repricing
+    * the promise itself.
+    *
+    * Scale shape: the lineitem ⋈ orders equi-join (AQE-resolved, the
+    * q5/q10 shape), an integer datediff, a ≤|day-range|-key histogram
+    * with its windows over that bounded table. */
+  def shipDelayHist(spark: SparkSession, dir: String): DataFrame = {
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("delay_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(col("l_shipdate").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long").as("delay_days"))
+      .groupBy("delay_days")
+      .agg(count(lit(1)).as("n_lines"))
+      .withColumn("line_share",
+        col("n_lines").cast("double") / sum(col("n_lines")).over(tot).cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_lines")).over(cum).cast("double")
+          / sum(col("n_lines")).over(tot).cast("double"))
+      .withColumn("within_sla", col("delay_days") <= 90L)
+      .orderBy("delay_days")
+  }
+
+  val shipDelayHistSql: String =
+    """WITH d AS (
+      |  SELECT CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS BIGINT) AS delay_days
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |h AS (SELECT delay_days, count(*) AS n_lines FROM d GROUP BY delay_days)
+      |SELECT delay_days, n_lines,
+      |       CAST(n_lines AS DOUBLE) / CAST(sum(n_lines) OVER () AS DOUBLE) AS line_share,
+      |       CAST(sum(n_lines) OVER (ORDER BY delay_days
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / CAST(sum(n_lines) OVER () AS DOUBLE) AS cum_share,
+      |       delay_days <= 90 AS within_sla
+      |FROM h ORDER BY delay_days""".stripMargin
+
   /** Weekly-seasonality strength — the one-number ANOVA gate under
     * [[dowSeasonality]]'s per-day table: daily order counts grouped by
     * ISO day-of-week, decomposed into between-group vs total variance

@@ -1942,6 +1942,46 @@ object Monitoring {
       .orderBy("severity")
   }
 
+  /** Per-partition watermark skew — the straggler detector for event-time
+    * processing: a global watermark advances at the pace of the SLOWEST
+    * partition, so one stalled partition silently freezes every windowed
+    * aggregate downstream. Per hash partition (the key-mod layout the
+    * sink twins use): its local high-water mark, the lag behind the
+    * global hwm, its event count, and the straggler flag (lag beyond the
+    * p99-ish 60 s budget). [[partitionSkew]] prices VOLUME imbalance;
+    * this prices TIME imbalance — the one that actually stalls
+    * watermarks.
+    *
+    * Scale shape: one ≤|partitions|-key aggregation (map-side combined),
+    * a 1-row broadcast global hwm. No windows. */
+  def partitionWatermarkSkew(spark: SparkSession, dir: String, partitions: Int = 32,
+      budgetMs: Long = 60000L): DataFrame = {
+    val per = graft.Tables.load(spark, dir, "events")
+      .select(pmod(col("user_id"), lit(partitions.toLong)).as("partition"),
+        unix_millis(col("ts")).as("ms"))
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_events"), max(col("ms")).as("local_hwm_ms"))
+    val hwm = per.agg(max(col("local_hwm_ms")).as("global_hwm_ms"))
+    per.crossJoin(broadcast(hwm))
+      .select(col("partition"), col("n_events"),
+        timestamp_millis(col("local_hwm_ms")).as("local_hwm"),
+        (col("global_hwm_ms") - col("local_hwm_ms")).as("watermark_lag_ms"),
+        (col("global_hwm_ms") - col("local_hwm_ms") > budgetMs).as("straggler"))
+      .orderBy("partition")
+  }
+
+  def partitionWatermarkSkewSql(partitions: Int = 32, budgetMs: Long = 60000L): String =
+    s"""WITH per AS (
+       |  SELECT user_id % $partitions AS partition, count(*) AS n_events,
+       |         max(epoch_ms(ts)) AS local_hwm_ms
+       |  FROM events GROUP BY user_id % $partitions),
+       |h AS (SELECT max(local_hwm_ms) AS global_hwm_ms FROM per)
+       |SELECT CAST(partition AS BIGINT) AS partition, n_events,
+       |       epoch_ms(local_hwm_ms) AS local_hwm,
+       |       CAST(global_hwm_ms - local_hwm_ms AS BIGINT) AS watermark_lag_ms,
+       |       global_hwm_ms - local_hwm_ms > $budgetMs AS straggler
+       |FROM per, h ORDER BY partition""".stripMargin
+
   /** Per-minute volume percentiles — the burst-headroom sizing table:
     * exact p50/p90/p99/max of per-minute event counts plus the
     * peak-to-median ratio (the factor a capacity plan must hold above

@@ -89,6 +89,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       // cumulative window over the count-of-counts of per-minute volumes
       // (bounded by DISTINCT volume values), never the minute table
       "cdc_volume_percentiles",
+      // share/cumulative windows over the day-range delay histogram
+      // (bounded by calendar span, not data volume)
+      "q_ship_delay_hist",
       // share/cumulative windows over the <= ~6k-bucket motion histogram
       // (bounded by the 3-channel circular byte distance: SAD/px <= 384)
       "mm_video_motion",

@@ -1007,6 +1007,31 @@ class Round10cSpec extends AnyFunSuite {
     assert(r7.getAs[Long]("sum_sq") == samples.map(s => s * s).sum)
   }
 
+  test("partition watermark skew: one partition leads with zero lag, lags nonnegative") {
+    val rows = Monitoring.partitionWatermarkSkew(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    assert(rows.map(_.getAs[Long]("watermark_lag_ms")).min == 0L,
+      "the partition holding the global hwm has zero lag")
+    val ev = Tables.load(spark, dir, "events")
+    assert(rows.map(_.getAs[Long]("n_events")).sum == ev.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("watermark_lag_ms") >= 0L)
+      assert(r.getAs[Boolean]("straggler")
+        == (r.getAs[Long]("watermark_lag_ms") > 60000L))
+    }
+  }
+
+  test("ship delay hist: lines partitioned, within-sla flag consistent with the bucket") {
+    val rows = Relational.shipDelayHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_lines")).sum
+      == Tables.load(spark, dir, "lineitem").count())
+    assert(math.abs(rows.map(_.getAs[Double]("line_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_sla")
+      == (r.getAs[Long]("delay_days") <= 90L)))
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
