@@ -255,6 +255,8 @@ object SparkEntry {
     "dedup_band_config_sweep" -> ((s, d) => Dedup.bandConfigSweep(s, d)),
     "cdc_partition_watermark_skew" -> ((s, d) => Monitoring.partitionWatermarkSkew(s, d)),
     "q_ship_delay_hist" -> ((s, d) => Relational.shipDelayHist(s, d)),
+    "q_repeat_purchase_rate" -> ((s, d) => Relational.repeatPurchaseRate(s, d)),
+    "mm_video_luma_range" -> ((s, d) => Video.videoLumaRange(s, d)),
     "mm_audio_crest" -> ((s, d) => Binary.audioCrest(s, d)),
     "mm_image_aspect_hist" -> ((s, d) => Binary.imageAspectHist(s, d)),
     "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
@@ -1097,6 +1099,8 @@ object SparkEntry {
       "dedup_band_config_sweep" -> Dedup.bandConfigSweepSql,
       "cdc_partition_watermark_skew" -> Monitoring.partitionWatermarkSkewSql(),
       "q_ship_delay_hist" -> Relational.shipDelayHistSql,
+      "q_repeat_purchase_rate" -> Relational.repeatPurchaseRateSql(),
+      "mm_video_luma_range" -> Video.videoLumaRangeSql,
       "mm_audio_crest" -> Binary.audioCrestSql,
       "mm_image_aspect_hist" -> Binary.imageAspectHistSql,
       "emb_norm_hist" -> Ann.normHistSql,

@@ -1745,6 +1745,57 @@ object Relational {
       |       supp_nation = cust_nation AS intra_nation
       |FROM cells, t ORDER BY supp_nation, cust_nation""".stripMargin
 
+  /** Repeat-purchase rate per part — the retention metric on the
+    * product axis (the customer axis lives in [[rfm]]/[[newVsRepeat]]):
+    * per part, the buyers who ordered it in MORE THAN ONE distinct
+    * order, the repeat rate, and orders per buyer — rolled to the
+    * top-20 repeat-rate parts above a 5-buyer support floor
+    * (deterministic page: rate desc, then part key). Consumables
+    * surface at the top, one-off purchases at zero.
+    *
+    * Scale shape: lineitem ⋈ orders on the order key (AQE-resolved),
+    * a (part, customer) map-side distinct-order count, a per-part
+    * rollup, TakeOrderedAndProject page. */
+  def repeatPurchaseRate(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val perBuyer = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("o_custkey"), col("o_orderkey")).distinct()
+      .groupBy("l_partkey", "o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    perBuyer.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("n_orders") > 1L, 1L).otherwise(0L)).as("n_repeat_buyers"),
+        sum(col("n_orders")).as("n_orders"))
+      .where(col("n_buyers") >= 5L)
+      .select(col("l_partkey"), col("n_buyers"), col("n_repeat_buyers"),
+        (col("n_repeat_buyers").cast("double") / col("n_buyers").cast("double"))
+          .as("repeat_rate"),
+        (col("n_orders").cast("double") / col("n_buyers").cast("double"))
+          .as("orders_per_buyer"))
+      .orderBy(col("repeat_rate").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  def repeatPurchaseRateSql(k: Int = 20): String =
+    s"""WITH pb AS (
+       |  SELECT l_partkey, o_custkey, count(*) AS n_orders
+       |  FROM (SELECT DISTINCT l_partkey, o_custkey, o_orderkey
+       |        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |  GROUP BY l_partkey, o_custkey),
+       |p AS (
+       |  SELECT l_partkey, count(*) AS n_buyers,
+       |         CAST(sum(CASE WHEN n_orders > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_buyers,
+       |         CAST(sum(n_orders) AS BIGINT) AS n_orders
+       |  FROM pb GROUP BY l_partkey)
+       |SELECT l_partkey, n_buyers, n_repeat_buyers,
+       |       CAST(n_repeat_buyers AS DOUBLE) / CAST(n_buyers AS DOUBLE) AS repeat_rate,
+       |       CAST(n_orders AS DOUBLE) / CAST(n_buyers AS DOUBLE) AS orders_per_buyer
+       |FROM p WHERE n_buyers >= 5
+       |ORDER BY repeat_rate DESC, l_partkey LIMIT $k""".stripMargin
+
   /** Ship-delay histogram — the full distribution behind
     * [[priorityShipping]]'s per-priority means: days from order to
     * line shipment, bucketed day by day with shares, cumulative shares,

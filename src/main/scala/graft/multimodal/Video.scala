@@ -722,6 +722,80 @@ object Video {
       |       CAST(sum(sad) AS DOUBLE) / CAST((n - 1) * npx AS DOUBLE) AS mean_sad_per_px
       |FROM fs GROUP BY doc_id, n, sp, npx ORDER BY doc_id""".stripMargin
 
+  private val lumaRangeSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_pixels", LongType, nullable = false),
+    StructField("min_frame_sum", LongType, nullable = false),
+    StructField("max_frame_sum", LongType, nullable = false)))
+
+  /** Static/dead-clip detector — per clip the envelope of per-frame
+    * intensity sums over the DECODED frames: a near-zero range means a
+    * frozen encoder, a stuck camera, or a transcode that dropped to a
+    * still — clips [[sceneDetect]] scores as zero-motion AND
+    * [[videoMotion]] buckets at zero, but this op prices directly with
+    * a flag (range < 4 intensity units/pixel). Intensity per frame is
+    * the exact integer Σ(R+G+B); the range-per-pixel is one double
+    * ratio; the oracle recomputes everything closed-form.
+    *
+    * Scale shape: per-clip codec work in mapPartitions (spread-guarded),
+    * zero shuffles before the output sort. */
+  def videoLumaRange(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.spread(
+      Tables.load(spark, dir, "documents").select(col("doc_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(lumaRangeSchema)
+    val decoded = ids.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val p = parseAvi(buildAviDib(id))
+        require(p.handler == "DIB " && p.biCompression == 0L,
+          s"clip $id: unexpected codec ${p.handler}/${p.biCompression}")
+        var minS = Long.MaxValue; var maxS = Long.MinValue
+        p.frames.foreach { case (_, data) =>
+          val (r, g, b) = dibSums(p.width, p.height, data)
+          val t = r + g + b
+          if (t < minS) minS = t
+          if (t > maxS) maxS = t
+        }
+        Row(id, p.nFrames, p.width.toLong * p.height, minS, maxS)
+      }
+    }(enc)
+    decoded
+      .withColumn("range_per_px",
+        (col("max_frame_sum") - col("min_frame_sum")).cast("double")
+          / col("n_pixels").cast("double"))
+      .withColumn("static_clip",
+        col("max_frame_sum") - col("min_frame_sum") < lit(4L) * col("n_pixels"))
+      .orderBy("doc_id")
+  }
+
+  val videoLumaRangeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 8 + 5 AS w, doc_id % 5 + 6 AS h,
+      |         doc_id % 6 + 2 AS n, doc_id % 40 AS cc
+      |  FROM documents),
+      |fr AS (SELECT doc_id, w, h, n, cc,
+      |              unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS f FROM d),
+      |xs AS (SELECT *, unnest(generate_series(0, CAST(w - 1 AS INTEGER))) AS x FROM fr),
+      |px AS (SELECT *, unnest(generate_series(0, CAST(h - 1 AS INTEGER))) AS y FROM xs),
+      |fsums AS (
+      |  SELECT doc_id, w, h, n, f,
+      |         sum((cc + 2 * x + 3 * y + 11 * f) % 256
+      |             + (5 * x + 7 * y + 13 * f) % 256
+      |             + (3 * cc + x + 2 * y + 7 * f) % 256) AS tsum
+      |  FROM px GROUP BY doc_id, w, h, n, f),
+      |c AS (
+      |  SELECT doc_id, CAST(max(n) AS INTEGER) AS n_frames,
+      |         CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+      |         CAST(min(tsum) AS BIGINT) AS min_frame_sum,
+      |         CAST(max(tsum) AS BIGINT) AS max_frame_sum
+      |  FROM fsums GROUP BY doc_id)
+      |SELECT doc_id, n_frames, n_pixels, min_frame_sum, max_frame_sum,
+      |       CAST(max_frame_sum - min_frame_sum AS DOUBLE)
+      |         / CAST(n_pixels AS DOUBLE) AS range_per_px,
+      |       max_frame_sum - min_frame_sum < 4 * n_pixels AS static_clip
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Corpus motion profile — the frame-sampling-rate decision table: the
     * distribution of per-clip motion (mean SAD per pixel between
     * consecutive DECODED frames, the [[sceneDetect]] magnitude rather

@@ -1032,6 +1032,44 @@ class Round10cSpec extends AnyFunSuite {
       == (r.getAs[Long]("delay_days") <= 90L)))
   }
 
+  test("repeat purchase: rates bounded, support floor holds, page ordered desc") {
+    val rows = Relational.repeatPurchaseRate(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val rates = rows.map(_.getAs[Double]("repeat_rate"))
+    assert(rates.zip(rates.tail).forall { case (a, b) => a >= b }, "descending page")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buyers") >= 5L)
+      assert(r.getAs[Long]("n_repeat_buyers") <= r.getAs[Long]("n_buyers"))
+      val rate = r.getAs[Double]("repeat_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("orders_per_buyer") >= 1.0 - 1e-12)
+    }
+  }
+
+  test("video luma range: covers the corpus, envelope sane, one clip brute-forced") {
+    val rows = Video.videoLumaRange(spark, dir).collect()
+    assert(rows.length == Tables.load(spark, dir, "documents").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_frame_sum") >= r.getAs[Long]("min_frame_sum"))
+      assert(r.getAs[Double]("range_per_px") >= 0.0)
+      assert(r.getAs[Boolean]("static_clip")
+        == (r.getAs[Long]("max_frame_sum") - r.getAs[Long]("min_frame_sum")
+          < 4L * r.getAs[Long]("n_pixels")))
+    }
+    // brute-force clip 3 straight off the pixel function
+    val id = 3L
+    val (w, h, n, cc) = ((id % 8 + 5).toInt, (id % 5 + 6).toInt, (id % 6 + 2).toInt, (id % 40).toInt)
+    val sums = (0 until n).map { f =>
+      (for (x <- 0 until w; y <- 0 until h) yield
+        ((cc + 2 * x + 3 * y + 11 * f) % 256 + (5 * x + 7 * y + 13 * f) % 256
+          + (3 * cc + x + 2 * y + 7 * f) % 256).toLong).sum
+    }
+    val r3 = rows.find(_.getAs[Long]("doc_id") == id).get
+    assert(r3.getAs[Long]("min_frame_sum") == sums.min)
+    assert(r3.getAs[Long]("max_frame_sum") == sums.max)
+    assert(r3.getAs[Int]("n_frames") == n)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
