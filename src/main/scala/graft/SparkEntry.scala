@@ -257,6 +257,7 @@ object SparkEntry {
     "q_ship_delay_hist" -> ((s, d) => Relational.shipDelayHist(s, d)),
     "q_repeat_purchase_rate" -> ((s, d) => Relational.repeatPurchaseRate(s, d)),
     "mm_video_luma_range" -> ((s, d) => Video.videoLumaRange(s, d)),
+    "emb_pair_sim_hist" -> ((s, d) => Ann.pairSimHist(s, d)),
     "mm_audio_crest" -> ((s, d) => Binary.audioCrest(s, d)),
     "mm_image_aspect_hist" -> ((s, d) => Binary.imageAspectHist(s, d)),
     "emb_norm_hist" -> ((s, d) => Ann.normHist(s, d)),
@@ -1101,6 +1102,7 @@ object SparkEntry {
       "q_ship_delay_hist" -> Relational.shipDelayHistSql,
       "q_repeat_purchase_rate" -> Relational.repeatPurchaseRateSql(),
       "mm_video_luma_range" -> Video.videoLumaRangeSql,
+      "emb_pair_sim_hist" -> Ann.pairSimHistSql,
       "mm_audio_crest" -> Binary.audioCrestSql,
       "mm_image_aspect_hist" -> Binary.imageAspectHistSql,
       "emb_norm_hist" -> Ann.normHistSql,

@@ -342,7 +342,7 @@ object Ann {
        |ORDER BY cosine DESC, doc_id""".stripMargin
 
   /** 8-bit sign-hyperplane bucket code over dims 1,9,…,57 (1-based). */
-  private def signCode(emb: Column): Column =
+  private[graft] def signCode(emb: Column): Column =
     (0 until 8).map { k =>
       when(element_at(emb, 1 + 8 * k) >= 0f, lit(1L << k)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -2866,6 +2866,68 @@ object Ann {
        |       CASE WHEN n_vectors > 0
        |            THEN CAST(n_antihubs AS DOUBLE) / CAST(n_vectors AS DOUBLE) END AS antihub_share
        |FROM f""".stripMargin
+
+  /** Candidate-pair cosine histogram — the threshold-setting
+    * distribution for the embedding dedup/search radius (the vector-
+    * space twin of `dedup_threshold_curve`'s Jaccard axis): all
+    * sign-LSH bucket candidate pairs scored with the codegen'd cosine
+    * and bucketed at 0.05 granularity (floor(cos·20), clamped to
+    * [−20, 20]) with shares and cumulative shares. Read the knee before
+    * picking the [[dedup.Dedup.semantic]] radius: mass above a
+    * candidate threshold is what it admits, the plateau below is what
+    * banding let through for nothing. [[anisotropy]] gives the exact
+    * all-pairs MEAN; this shows the candidate-visible SHAPE.
+    *
+    * Scale shape: pairs bounded to sign buckets (never all-pairs,
+    * the [[hubness]]/[[twonnRatio]] scale knob applies), one ≤41-key
+    * histogram with windows over that bounded table. */
+  def pairSimHist(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .withColumn("bucket", signCode(col("embedding")))
+    val nb = emb.select(col("vec_id").as("n_id"), col("embedding").as("ne"),
+      col("bucket"))
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    val cum = org.apache.spark.sql.expressions.Window.partitionBy()
+      .orderBy("cos_bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    emb.join(nb, Seq("bucket"))
+      .where(col("vec_id") < col("n_id"))
+      .select(expr("graft_cosine(embedding, ne)").as("c"))
+      .select(greatest(least(floor(col("c") * 20.0), lit(20.0)), lit(-20.0))
+        .cast("long").as("cos_bucket"))
+      .groupBy("cos_bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("share",
+        col("n_pairs").cast("double") / sum(col("n_pairs")).over(tot).cast("double"))
+      .withColumn("cum_share",
+        sum(col("n_pairs")).over(cum).cast("double")
+          / sum(col("n_pairs")).over(tot).cast("double"))
+      .select(col("cos_bucket"),
+        (col("cos_bucket").cast("double") / 20.0).as("cosine_lo"),
+        col("n_pairs"), col("share"), col("cum_share"))
+      .orderBy("cos_bucket")
+  }
+
+  val pairSimHistSql: String =
+    s"""WITH coded AS (
+       |  SELECT vec_id, embedding, ${signCodeSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT ${cosineSql("a.embedding", "b.embedding")} AS c
+       |  FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |b AS (
+       |  SELECT CAST(greatest(least(floor(c * 20.0), 20.0), -20.0) AS BIGINT) AS cos_bucket
+       |  FROM scored),
+       |h AS (SELECT cos_bucket, count(*) AS n_pairs FROM b GROUP BY cos_bucket)
+       |SELECT cos_bucket,
+       |       CAST(cos_bucket AS DOUBLE) / 20.0 AS cosine_lo,
+       |       n_pairs,
+       |       CAST(n_pairs AS DOUBLE) / CAST(sum(n_pairs) OVER () AS DOUBLE) AS share,
+       |       CAST(sum(n_pairs) OVER (ORDER BY cos_bucket
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |         / CAST(sum(n_pairs) OVER () AS DOUBLE) AS cum_share
+       |FROM h ORDER BY cos_bucket""".stripMargin
 
   /** Embedding anisotropy — the Ethayarajh-style cone check: the EXACT
     * mean pairwise cosine over ALL n·(n−1) vector pairs, computed with

@@ -77,6 +77,8 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "emb_twonn_ratio",
       // share/cumulative windows over the <= 1025-bucket norm histogram
       "emb_norm_hist",
+      // share/cumulative windows over the <= 41-bucket cosine histogram
+      "emb_pair_sim_hist",
       // share window over the <= 41-bucket decoded-aspect histogram
       "mm_image_aspect_hist",
       // total/row/col windows over the <= 15-cell quality x length grid

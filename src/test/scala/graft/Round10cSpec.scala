@@ -1070,6 +1070,25 @@ class Round10cSpec extends AnyFunSuite {
     assert(r3.getAs[Int]("n_frames") == n)
   }
 
+  test("pair sim hist: buckets in clamp range, shares sum to 1, pair count matches buckets") {
+    val rows = Ann.pairSimHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getAs[Double]("cum_share") - 1.0) < 1e-12)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("cos_bucket")
+      assert(b >= -20L && b <= 20L)
+      assert(math.abs(r.getAs[Double]("cosine_lo") - b / 20.0) < 1e-12)
+    }
+    // total pairs equals the bucket-bounded candidate count
+    val emb = Tables.load(spark, dir, "embeddings")
+    val coded = emb.select(col("vec_id"),
+      graft.similarity.Ann.signCode(col("embedding")).as("bucket"))
+    val expected = coded.groupBy("bucket").count()
+      .agg(sum(expr("count * (count - 1) DIV 2"))).collect().head.getLong(0)
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == expected)
+  }
+
   test("value drift: halves partition every topic, drift reproduces from the halves") {
     val rows = Monitoring.valueDrift(spark, dir).collect()
     assert(rows.nonEmpty)
