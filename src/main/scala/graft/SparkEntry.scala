@@ -221,6 +221,21 @@ object SparkEntry {
     "q_rolling_retention" -> ((s, d) => Relational.rollingRetention(s, d)),
     "q_revenue_concentration" -> ((s, d) => Relational.revenueConcentration(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Relational.q6ForecastRevenue(s, d)),
+    "q4_priority_late" -> ((s, d) => Relational.q4PriorityLate(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.q8MarketShare(s, d)),
+    "q14_promo_share" -> ((s, d) => Relational.q14PromoShare(s, d)),
+    "q17_small_qty" -> ((s, d) => Relational.q17SmallQty(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q16_supplier_variety" -> ((s, d) => Relational.q16SupplierVariety(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q19_disjunctive" -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q9_product_profit" -> ((s, d) => Relational.q9ProductProfit(s, d)),
+    "q21_late_supplier" -> ((s, d) => Relational.q21LateSupplier(s, d)),
+    "q22_idle_balance" -> ((s, d) => Relational.q22IdleBalance(s, d)),
+    "q2_min_cost_supplier" -> ((s, d) => Relational.q2MinCostSupplier(s, d)),
+    "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(s, d)),
+    "q12_late_priority_mix" -> ((s, d) => Relational.q12LatePriorityMix(s, d)),
+    "q20_excess_supply" -> ((s, d) => Relational.q20ExcessSupply(s, d)),
     "q_discount_mix" -> ((s, d) => Relational.discountMix(s, d)),
     "q_basket_size_hist" -> ((s, d) => Relational.basketSizeHist(s, d)),
     "cdc_load_calendar" -> ((s, d) => Monitoring.loadCalendar(s, d)),
@@ -1066,6 +1081,21 @@ object SparkEntry {
       "q_rolling_retention" -> Relational.rollingRetentionSql,
       "q_revenue_concentration" -> Relational.revenueConcentrationSql,
       "q6_forecast_revenue" -> Relational.q6ForecastRevenueSql,
+      "q4_priority_late" -> Relational.q4PriorityLateSql,
+      "q8_market_share" -> Relational.q8MarketShareSql,
+      "q14_promo_share" -> Relational.q14PromoShareSql,
+      "q17_small_qty" -> Relational.q17SmallQtySql,
+      "q15_top_supplier" -> Relational.q15TopSupplierSql,
+      "q16_supplier_variety" -> Relational.q16SupplierVarietySql,
+      "q18_large_orders" -> Relational.q18LargeOrdersSql,
+      "q19_disjunctive" -> Relational.q19DisjunctiveSql,
+      "q9_product_profit" -> Relational.q9ProductProfitSql,
+      "q21_late_supplier" -> Relational.q21LateSupplierSql,
+      "q22_idle_balance" -> Relational.q22IdleBalanceSql,
+      "q2_min_cost_supplier" -> Relational.q2MinCostSupplierSql,
+      "q11_important_parts" -> Relational.q11ImportantPartsSql,
+      "q12_late_priority_mix" -> Relational.q12LatePriorityMixSql,
+      "q20_excess_supply" -> Relational.q20ExcessSupplySql,
       "q_discount_mix" -> Relational.discountMixSql,
       "q_basket_size_hist" -> Relational.basketSizeHistSql,
       "cdc_load_calendar" -> Monitoring.loadCalendarSql,

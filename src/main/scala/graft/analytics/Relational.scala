@@ -2592,4 +2592,689 @@ object Relational {
       |       abs(CAST(coalesce(c.n, 0) AS DOUBLE) / CAST(t.n_total AS DOUBLE) - e.expected) AS deviation
       |FROM expected e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
       |ORDER BY digit""".stripMargin
+
+  /** TPC-H Q4 twin — order-priority checking: how many orders per
+    * priority tier, placed in 1996 Q1, had at least one line item that
+    * shipped more than 80 days after the order date (this export has no
+    * commit/receipt dates, so lateness is ship-vs-order). The shape is
+    * the classic decorrelated EXISTS: a LEFT SEMI join from the
+    * (selectively filtered) orders side into lineitem on the order key
+    * with the lateness predicate in the join condition, then a
+    * ≤5-key hash aggregation.
+    *
+    * Scale shape: the quarter filter pushes to the orders scan; the
+    * semi join shuffles both sides on the order key ONCE (no
+    * duplication — semi joins emit each order at most once, so the
+    * count needs no DISTINCT); the priority rollup is ≤5 keys,
+    * map-side combined. */
+  def q4PriorityLate(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+             col("o_orderdate") < lit("1996-04-01").cast("timestamp_ntz"))
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 80 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PriorityLateSql: String =
+    """SELECT o_orderpriority, count(*) AS n_late_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 80 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q8 twin — national market share: of all STANDARD-part revenue
+    * sold into ASIA, what share was supplied by NATION_2, per order
+    * year. The numerator/denominator are ONE conditional aggregation
+    * (no self-join): volume summed exactly in decimal, the NATION_2
+    * slice via a conditional sum, the share a single double division
+    * of the two exact sums.
+    *
+    * Scale shape: part/supplier/nation/region are broadcast (part is
+    * filtered to one type first); customer joins pre-filtered to the
+    * ASIA nations via a broadcast semi; the only data-row shuffles are
+    * the lineitem⋈orders key shuffle and the final ≤|years| rollup. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part").where(col("p_type") === "STANDARD")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region").where(col("r_name") === "ASIA")
+    val asiaNations = nation
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("asia_nkey"))
+    val customer = Tables.load(spark, dir, "customer")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("asia_nkey"), "left_semi")
+    val supplier = Tables.load(spark, dir, "supplier")
+    val suppNation = nation
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    lineitemWithDec(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .withColumn("vol", col("price_d") * (lit(1) - col("disc_d")))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("vol"))
+          .otherwise(lit(BigDecimal(0)).cast(DecimalType(12, 2))))
+          .cast(DecimalType(30, 4)).cast("double").as("nation_volume"),
+        sum(col("vol")).cast(DecimalType(30, 4)).cast("double").as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy("o_year")
+  }
+
+  val q8MarketShareSql: String =
+    """WITH v AS (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |         n2.n_name AS supp_nation,
+      |         CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE p_type = 'STANDARD' AND r_name = 'ASIA')
+      |SELECT o_year,
+      |       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+      |                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(30,4)) AS DOUBLE) AS nation_volume,
+      |       CAST(CAST(sum(vol) AS DECIMAL(30,4)) AS DOUBLE) AS total_volume,
+      |       CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+      |                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(30,4)) AS DOUBLE)
+      |         / CAST(CAST(sum(vol) AS DECIMAL(30,4)) AS DOUBLE) AS mkt_share
+      |FROM v GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q14 twin — promotion effect: per 1997 ship month, the share
+    * of gross discounted revenue carried by PROMO-type parts. One
+    * conditional aggregation over the month key; the part side is a
+    * broadcast of only (partkey, is_promo).
+    *
+    * Scale shape: the ship-year filter pushes to the lineitem scan;
+    * part is broadcast pruned to two columns; one ≤12-key rollup. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    lineitemWithDec(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .withColumn("vol", col("price_d") * (lit(1) - col("disc_d")))
+      .groupBy(month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg(
+        sum(when(col("is_promo"), col("vol"))
+          .otherwise(lit(BigDecimal(0)).cast(DecimalType(12, 2))))
+          .cast(DecimalType(30, 4)).cast("double").as("promo_revenue"),
+        sum(col("vol")).cast(DecimalType(30, 4)).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        lit(100.0) * col("promo_revenue") / col("total_revenue"))
+      .orderBy("ship_month")
+  }
+
+  val q14PromoShareSql: String =
+    """WITH v AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+      |         p_type = 'PROMO' AS is_promo,
+      |         CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2))) AS vol
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01')
+      |SELECT ship_month,
+      |       CAST(CAST(sum(CASE WHEN is_promo THEN vol
+      |                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(30,4)) AS DOUBLE) AS promo_revenue,
+      |       CAST(CAST(sum(vol) AS DECIMAL(30,4)) AS DOUBLE) AS total_revenue,
+      |       100.0 * CAST(CAST(sum(CASE WHEN is_promo THEN vol
+      |                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DECIMAL(30,4)) AS DOUBLE)
+      |         / CAST(CAST(sum(vol) AS DECIMAL(30,4)) AS DOUBLE) AS promo_share
+      |FROM v GROUP BY ship_month ORDER BY ship_month""".stripMargin
+
+  /** TPC-H Q17 twin — small-quantity-order revenue: the average yearly
+    * revenue that would be lost if Brand#12 orders below 20% of their
+    * part's average order quantity were no longer filled. The
+    * correlated per-part average is decorrelated into a per-part
+    * aggregate re-joined to the same filtered slice; the 0.2·avg
+    * threshold is evaluated OVERFLOW- and ROUNDING-free as
+    * qty·cnt·5 < Σqty (both sides exact decimal/integer — no float
+    * division whose rounding could flip a boundary row on one engine).
+    *
+    * Scale shape: the brand filter broadcasts (≤|parts of one brand|);
+    * the per-part aggregate and the re-join shuffle on the part key
+    * (AQE broadcasts the ≤80-row aggregate); one scalar fold at the
+    * end. */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.load(spark, dir, "part")
+      .where(col("p_brand") === "Brand#12").select(col("p_partkey"))
+    val li = lineitemWithDec(spark, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("qty_d")).as("sum_qty"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .where(col("qty_d") * col("cnt") * lit(5) < col("sum_qty"))
+      .agg(
+        (sum(col("price_d")).cast(DecimalType(30, 4)).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_small_lines"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty_d,
+      |         CAST(l_extendedprice AS DECIMAL(12,2)) AS price_d
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#12'),
+      |pp AS (
+      |  SELECT l_partkey AS pk, count(*) AS cnt, sum(qty_d) AS sum_qty
+      |  FROM li GROUP BY 1)
+      |SELECT CAST(CAST(sum(price_d) AS DECIMAL(30,4)) AS DOUBLE) / 7.0 AS avg_yearly,
+      |       count(*) AS n_small_lines
+      |FROM li JOIN pp ON l_partkey = pk
+      |WHERE qty_d * cnt * 5 < sum_qty""".stripMargin
+
+  /** TPC-H Q15 twin — top supplier(s): the supplier(s) with the maximum
+    * discounted revenue over 1997 Q1, ties kept (the reference view +
+    * scalar-subquery formulation). The max is a 1-row broadcast back
+    * over the per-supplier aggregate; revenue equality compares the
+    * SAME exact-decimal sum cast to double on both engines, so the
+    * boundary cannot flip.
+    *
+    * Scale shape: quarter filter pushed to the scan; one ≤|suppliers|
+    * aggregation; the max re-join is a broadcast of one row. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = lineitemWithDec(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1997-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("price_d") * (lit(1) - col("disc_d")))
+        .cast(DecimalType(30, 4)).cast("double").as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("total_revenue") === col("max_revenue"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                        * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q16 twin — parts/supplier relationship: how many distinct
+    * suppliers shipped each (brand, type, size) combination, over a
+    * size subset and excluding one brand (this export has no partsupp
+    * table, so the relationship is read off shipped line items — same
+    * question, observed rather than catalogued).
+    *
+    * Scale shape: the part filter broadcasts; the distinct-supplier
+    * count is a two-level hash aggregation (partial distinct on
+    * (brand,type,size,suppkey), then count) — Spark plans exactly
+    * that from countDistinct; no row-level window anywhere. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Seq(1, 5, 9, 13, 17, 21, 25, 29)
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(sizes: _*))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SupplierVarietySql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q18 twin — large-volume customers: orders whose total
+    * quantity across all lines exceeds 300 units, with the customer
+    * who placed them. The HAVING filter runs on the per-order
+    * aggregate BEFORE the customer join, so only the ~dozens of
+    * qualifying orders ever join.
+    *
+    * Scale shape: one per-order aggregation (map-side combined), the
+    * >300 filter cuts it to a handful of rows, then two broadcast-able
+    * joins (orders by key, customer by key) and a top-100. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = lineitemWithDec(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("qty_d")).as("sum_qty_d"))
+      .where(col("sum_qty_d") > lit(BigDecimal(300)).cast(DecimalType(12, 2)))
+      .withColumn("total_qty", col("sum_qty_d").cast("double"))
+      .drop("sum_qty_d")
+    big
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18LargeOrdersSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+      |FROM big JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19 twin — discounted revenue under a three-branch
+    * disjunctive (brand, size-range, quantity-range) predicate — the
+    * classic "OR across join columns" plan test: the per-branch
+    * conjuncts stay in one filter after the broadcast part join, and
+    * the common l_partkey = p_partkey conjunct is what the join keys
+    * on (Catalyst extracts it; a naive engine cross-joins).
+    *
+    * Scale shape: part broadcast pruned to (key, brand, size); one
+    * scan, one filter, one scalar fold — no shuffle of data rows. */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val branch1 = col("p_brand") === "Brand#11" &&
+      col("p_size").between(1, 5) && col("qty_d").between(1, 11)
+    val branch2 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 10) && col("qty_d").between(10, 20)
+    val branch3 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(1, 15) && col("qty_d").between(20, 30)
+    lineitemWithDec(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .where(branch1 || branch2 || branch3)
+      .agg(
+        sum(col("price_d") * (lit(1) - col("disc_d")))
+          .cast(DecimalType(30, 4)).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DECIMAL(30,4)) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+      |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+      |       AND CAST(l_quantity AS DECIMAL(12,2)) BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q9 twin — product-type profit by nation and year: for parts
+    * whose name contains "gear", the per-(supplier-nation, order-year)
+    * profit, with supply cost modelled as 60% of the part's retail
+    * price (this export has no partsupp.ps_supplycost — the cost model
+    * is a declared constant, not a lookup). All money math is exact
+    * decimal up to the final double cast: revenue at scale 4, cost at
+    * scale 6 (0.60 multiplier), so the subtraction is exact on both
+    * engines.
+    *
+    * Scale shape: the name filter prunes part before broadcast;
+    * supplier/nation broadcast; one lineitem⋈orders key shuffle and a
+    * ≤|nations×years| rollup. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_name").contains("gear"))
+      .select(col("p_partkey"), dec(col("p_retailprice")).as("retail_d"))
+    val supplier = Tables.load(spark, dir, "supplier")
+    val nation = Tables.load(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name").as("nation"))
+    lineitemWithDec(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("amount",
+        (col("price_d") * (lit(1) - col("disc_d"))).cast(DecimalType(30, 6))
+          - (col("retail_d") * col("qty_d")).cast(DecimalType(30, 4))
+              * lit(BigDecimal("0.60")).cast(DecimalType(4, 2)))
+      .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(col("amount")).cast(DecimalType(32, 6)).cast("double").as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProductProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |       CAST(CAST(sum(
+      |         CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |              * (1 - CAST(l_discount AS DECIMAL(12,2))) AS DECIMAL(30,6))
+      |         - CAST(CAST(p_retailprice AS DECIMAL(12,2))
+      |                * CAST(l_quantity AS DECIMAL(12,2)) AS DECIMAL(30,4))
+      |             * CAST(0.60 AS DECIMAL(4,2))) AS DECIMAL(32,6)) AS DOUBLE) AS sum_profit,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE contains(p_name, 'gear')
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2 DESC""".stripMargin
+
+  /** TPC-H Q21 twin — suppliers who kept orders waiting: NATION_0
+    * suppliers that shipped >100 days after the order date on a
+    * multi-supplier order where NO other supplier was late (lateness is
+    * ship-vs-order in this export — no commit/receipt dates). The
+    * EXISTS becomes a LEFT SEMI on (same order, different supplier),
+    * the NOT EXISTS a LEFT ANTI against the late-lines set.
+    *
+    * Scale shape: the nation filter prunes the base through a
+    * broadcast semi; all three legs shuffle on the ORDER key only
+    * (co-partitioned — AQE will reuse the exchange); the rollup is
+    * ≤|suppliers| keys. */
+  def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val nationSupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .where(col("n_name") === "NATION_0")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val withOrd = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val late = withOrd
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+    val others = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ao"), col("l_suppkey").as("as_"))
+    late
+      .join(broadcast(nationSupp), col("ls") === col("s_suppkey"))
+      .join(others, col("ao") === col("lo") && col("as_") =!= col("ls"), "left_semi")
+      .join(late.select(col("lo").as("xo"), col("ls").as("xs")),
+        col("xo") === col("lo") && col("xs") =!= col("ls"), "left_anti")
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21LateSupplierSql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_0'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 100 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** TPC-H Q22 twin — global sales opportunity: per nation, the
+    * above-average-balance customers who have placed NO order in the
+    * export's final span (o_orderdate ≥ 2000-01-01) — lapsed capital.
+    * The average is over positive balances only (the reference's
+    * acctbal > 0.00 inner filter); this export has no phone country
+    * codes, so the cohort key is the customer's nation.
+    *
+    * Scale shape: the positive-balance average is a 1-row broadcast;
+    * the "no recent order" is a LEFT ANTI on the customer key against
+    * the date-filtered orders (filter pushed to the orders scan);
+    * ≤|nations| rollup. Balance sums are exact decimal to the final
+    * double. */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables.load(spark, dir, "customer")
+      .withColumn("bal_d", dec(col("c_acctbal")))
+    val avgBal = customer.where(col("c_acctbal") > 0.0)
+      .agg((sum(col("bal_d")).cast("double") / count(lit(1))).as("avg_bal"))
+    val recent = Tables.load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp_ntz"))
+      .select(col("o_custkey"))
+    customer
+      .crossJoin(broadcast(avgBal))
+      .where(col("bal_d").cast("double") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal_d")).cast(DecimalType(30, 2)).cast("double").as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  val q22IdleBalanceSql: String =
+    """SELECT n_name,
+      |       count(*) AS n_custs,
+      |       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) >
+      |      (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+      |       FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** TPC-H Q2 twin — minimum-cost supplier: for each LARGE small-size
+    * part, the EUROPE supplier(s) offering it at the lowest observed
+    * cost, ranked by supplier balance. This export has no partsupp
+    * catalogue, so "offer cost" is observed: the minimum line price a
+    * supplier ever shipped that part at. The correlated min-cost
+    * subquery decorrelates into a per-part aggregate re-joined on
+    * exact-decimal equality (min of DECIMAL(12,2) — identical on both
+    * engines, the boundary cannot flip).
+    *
+    * Scale shape: the part slice and the EUROPE supplier set broadcast;
+    * the (part, supplier) cost table shuffles once on its own key; the
+    * per-part min re-join shuffles the ≤|parts-in-slice| aggregate
+    * (AQE broadcasts it); output is a top-100. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"))
+    val region = Tables.load(spark, dir, "region").where(col("r_name") === "EUROPE")
+    val nation = Tables.load(spark, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val supplier = Tables.load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+    val cost = lineitemWithDec(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey").as("sk"))),
+        col("l_suppkey") === col("sk"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(col("price_d")).as("cost_d"))
+    val minCost = cost.groupBy(col("pk").as("mpk"))
+      .agg(min(col("cost_d")).as("min_cost"))
+    cost
+      .join(minCost, col("pk") === col("mpk") && col("cost_d") === col("min_cost"))
+      .join(broadcast(supplier), col("sk") === col("s_suppkey"))
+      .join(broadcast(part), col("pk") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_d").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH cost AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |         min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost_d
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_type = 'LARGE' AND p_size <= 10 AND r_name = 'EUROPE'
+      |  GROUP BY 1, 2),
+      |mc AS (SELECT pk AS mpk, min(cost_d) AS min_cost FROM cost GROUP BY 1)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |       CAST(cost_d AS DOUBLE) AS cost
+      |FROM cost
+      |JOIN mc ON pk = mpk AND cost_d = min_cost
+      |JOIN supplier ON sk = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON pk = p_partkey
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 twin — important parts: the parts carrying more than
+    * 0.1% of the total observed supplied value from NATION_7's
+    * suppliers (no partsupp in this export — "supplied value" is the
+    * revenue those suppliers shipped per part). The Q11 threshold
+    * scalar subquery is a 1-row broadcast; the fraction compare is
+    * evaluated EXACTLY as value·1000 > total (integer-scaled decimal
+    * multiply, no float division to flip a boundary part).
+    *
+    * Scale shape: the national supplier set broadcasts (semi); one
+    * per-part aggregation (map-side combined); the total is a 1-row
+    * broadcast back; ordered output with a partkey tiebreak so the
+    * double-valued sort is total. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val natSupp = Tables.load(spark, dir, "supplier")
+      .join(broadcast(Tables.load(spark, dir, "nation")
+          .where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = lineitemWithDec(spark, dir)
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(col("price_d")).cast(DecimalType(30, 2)).as("value_d"))
+    val total = perPart.agg(sum(col("value_d")).cast(DecimalType(32, 2)).as("total"))
+    perPart.crossJoin(broadcast(total))
+      .where(col("value_d") * lit(1000) > col("total"))
+      .select(col("p_partkey"), col("value_d").cast("double").as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey AS p_partkey,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS value_d
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_7'
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(sum(value_d) AS DECIMAL(32,2)) AS total FROM v)
+      |SELECT p_partkey, CAST(value_d AS DOUBLE) AS value
+      |FROM v CROSS JOIN t
+      |WHERE value_d * 1000 > total
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q12 twin — late-shipment priority mix: per return flag (the
+    * line-side channel axis this export has; no l_shipmode), among
+    * lines shipped more than 90 days after the order date, how many
+    * came from URGENT/HIGH-priority orders vs the rest — Q12's exact
+    * shape (order⋈line join, conditional priority-class counts,
+    * tiny-key rollup) with lateness ship-vs-order.
+    *
+    * Scale shape: one lineitem⋈orders key shuffle (only (orderkey,
+    * orderdate, priority) on the orders side), then a ≤3-key
+    * map-side-combined conditional rollup. */
+  def q12LatePriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12LatePriorityMixSql: String =
+    """SELECT l_returnflag,
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS high_line_count,
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q20 twin — dominant suppliers of a part family: suppliers
+    * who shipped more than HALF of a *bolt*-part's total 1997 volume
+    * single-handedly (the promotion-candidate read Q20 asks of
+    * availqty; this export observes shipped quantity instead). The
+    * half-share test is exact: 2·qty_sp > qty_p in integer-scaled
+    * decimal — no float division.
+    *
+    * Scale shape: the name-filtered part set broadcasts; the
+    * (supplier, part) and per-part aggregates shuffle on the part key
+    * (co-partitioned — one exchange feeds both via AQE reuse); the
+    * supplier attach is a broadcast; DISTINCT collapses ≤|suppliers|
+    * rows. */
+  def q20ExcessSupply(spark: SparkSession, dir: String): DataFrame = {
+    val boltParts = Tables.load(spark, dir, "part")
+      .where(col("p_name").contains("bolt")).select(col("p_partkey"))
+    val li97 = lineitemWithDec(spark, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(broadcast(boltParts), col("l_partkey") === col("p_partkey"))
+    val perSuppPart = li97.groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(col("qty_d")).cast(DecimalType(30, 2)).as("qty_sp"))
+    val perPart = perSuppPart.groupBy(col("pk").as("ppk"))
+      .agg(sum(col("qty_sp")).cast(DecimalType(32, 2)).as("qty_p"))
+    perSuppPart
+      .join(perPart, col("pk") === col("ppk"))
+      .where(col("qty_sp") * lit(2) > col("qty_p"))
+      .join(broadcast(Tables.load(spark, dir, "supplier")), col("sk") === col("s_suppkey"))
+      .join(broadcast(Tables.load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name")).distinct()
+      .orderBy("s_suppkey")
+  }
+
+  val q20ExcessSupplySql: String =
+    """WITH q AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(30,2)) AS qty_sp
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE contains(p_name, 'bolt')
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2),
+      |p AS (SELECT pk AS ppk, CAST(sum(qty_sp) AS DECIMAL(32,2)) AS qty_p
+      |      FROM q GROUP BY 1)
+      |SELECT DISTINCT s_suppkey, s_name, n_name
+      |FROM q
+      |JOIN p ON pk = ppk
+      |JOIN supplier ON sk = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE qty_sp * 2 > qty_p
+      |ORDER BY s_suppkey""".stripMargin
 }
