@@ -3217,10 +3217,10 @@ object Relational {
 
   val q12LatePriorityMixSql: String =
     """SELECT l_returnflag,
-      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |                THEN 1 ELSE 0 END) AS high_line_count,
-      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-      |                THEN 0 ELSE 1 END) AS low_line_count
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
       |GROUP BY l_returnflag

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.text.TextFunctions
 import graft.text.TextFunctions.normText
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -409,17 +410,25 @@ object Dedup {
   /** Measured banding-config sweep — the empirical side of
     * [[lshTune]]'s analytic S-curves: the SAME 16-permutation signature
     * re-banded as (b×r) ∈ {2×8, 4×4, 8×2, 16×1}, reporting per config
-    * the MEASURED candidate-pair count, the documents touched, and the
+    * the MEASURED candidate workload the banding would EMIT (Σ C(sz,2)
+    * over bucket occupancies — one verification per colliding band, the
+    * number an LSH verify stage actually pays before any cross-band pair
+    * dedup), the documents living in ≥2-occupancy buckets, and the
     * bucket occupancy envelope. lshTune says what each config SHOULD
     * admit at a given Jaccard; this says what it DOES admit on this
     * corpus — the gap between the two is the real shingle-correlation
     * signal no analytic curve shows. r=1 (16 single-hash bands) is the
-    * flood end: its candidate count is the price of maximum recall.
+    * flood end: its emitted count is the price of maximum recall.
     *
     * Scale shape: ONE explode of all 30 band structs over the memoized
     * signature table (never a per-config union re-evaluating the
-    * signature subtree), candidates from band-bucket equality self-joins
-    * only, pair-deduped per config, ≤4-row output. */
+    * signature subtree), then pure occupancy arithmetic — the emitted
+    * count is the CLOSED FORM Σ sz·(sz−1)/2 over the bucket-size table,
+    * never a materialized pair self-join (the earlier pair-DISTINCT
+    * version grew quadratically in the r=1 flood buckets: 15.1 s at
+    * sf0.1 and unboundedly worse at 100 TB; this form is linear in the
+    * banded rows). Docs-in-buckets reuses the same (cfg, band, key)
+    * exchange via a window count. ≤4-row output. */
   def bandConfigSweep(spark: SparkSession, dir: String): DataFrame = {
     val configs = Seq((2, 8), (4, 4), (8, 2), (16, 1))
     val structs = configs.flatMap { case (b, r) =>
@@ -436,30 +445,27 @@ object Dedup {
         col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
     val occ = banded.groupBy("cfg_b", "band_id", "band_key")
       .agg(count(lit(1)).as("sz"))
-      .groupBy("cfg_b")
-      .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket_size"))
-    val l = banded.select(col("cfg_b"), col("band_id"), col("band_key"),
-      col("doc_id").as("id_a"))
-    val rr = banded.select(col("cfg_b"), col("band_id"), col("band_key"),
-      col("doc_id").as("id_b"))
-    val pairs = l.join(rr, Seq("cfg_b", "band_id", "band_key"))
-      .where(col("id_a") < col("id_b"))
-      .select("cfg_b", "id_a", "id_b").distinct()
-    val stats = pairs.groupBy("cfg_b").agg(count(lit(1)).as("n_candidate_pairs"))
-    val touched = pairs
-      .select(col("cfg_b"), explode(array(col("id_a"), col("id_b"))).as("id"))
-      .distinct()
-      .groupBy("cfg_b").agg(count(lit(1)).as("n_docs_in_pairs"))
+    val stats = occ.groupBy("cfg_b").agg(
+      count(lit(1)).as("n_buckets"),
+      max(col("sz")).as("max_bucket_size"),
+      sum(expr("sz * (sz - 1) DIV 2")).as("n_emitted_pairs"))
+    // a doc is "in play" iff any of its buckets holds a second doc; the
+    // window count shares the banded exchange partitioning with occ
+    val w = Window.partitionBy("cfg_b", "band_id", "band_key")
+    val touched = banded
+      .withColumn("sz", count(lit(1)).over(w))
+      .where(col("sz") >= 2)
+      .select("cfg_b", "doc_id").distinct()
+      .groupBy("cfg_b").agg(count(lit(1)).as("n_docs_in_buckets"))
     val cfgDf = {
       import spark.implicits._
       configs.toDF("cfg_b", "cfg_r")
     }
     cfgDf.join(stats, Seq("cfg_b"), "left")
       .join(touched, Seq("cfg_b"), "left")
-      .join(occ, Seq("cfg_b"), "left")
       .select(col("cfg_b"), col("cfg_r"),
-        coalesce(col("n_candidate_pairs"), lit(0L)).as("n_candidate_pairs"),
-        coalesce(col("n_docs_in_pairs"), lit(0L)).as("n_docs_in_pairs"),
+        coalesce(col("n_emitted_pairs"), lit(0L)).as("n_emitted_pairs"),
+        coalesce(col("n_docs_in_buckets"), lit(0L)).as("n_docs_in_buckets"),
         col("n_buckets"), col("max_bucket_size"))
       .orderBy("cfg_b")
   }
@@ -475,32 +481,28 @@ object Dedup {
     s"""$sigsCte,
        |banded AS (
        |  $bandSelects),
-       |occ AS (
-       |  SELECT cfg_b, count(*) AS n_buckets, max(sz) AS max_bucket_size
-       |  FROM (SELECT cfg_b, band_id, band_key, count(*) AS sz
-       |        FROM banded GROUP BY cfg_b, band_id, band_key)
-       |  GROUP BY cfg_b),
-       |pairs AS (
-       |  SELECT DISTINCT a.cfg_b, a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded a JOIN banded b
-       |    ON a.cfg_b = b.cfg_b AND a.band_id = b.band_id AND a.band_key = b.band_key
-       |  WHERE a.doc_id < b.doc_id),
-       |stats AS (SELECT cfg_b, count(*) AS n_pairs FROM pairs GROUP BY cfg_b),
+       |occ_b AS (
+       |  SELECT cfg_b, band_id, band_key, count(*) AS sz
+       |  FROM banded GROUP BY cfg_b, band_id, band_key),
+       |stats AS (
+       |  SELECT cfg_b, count(*) AS n_buckets, max(sz) AS max_bucket_size,
+       |         sum(sz * (sz - 1) // 2) AS n_pairs
+       |  FROM occ_b GROUP BY cfg_b),
        |touched AS (
-       |  SELECT cfg_b, count(*) AS n_docs FROM (
-       |    SELECT DISTINCT cfg_b, id_a AS id FROM pairs
-       |    UNION SELECT DISTINCT cfg_b, id_b FROM pairs)
-       |  GROUP BY cfg_b),
+       |  SELECT b.cfg_b, count(DISTINCT b.doc_id) AS n_docs
+       |  FROM banded b JOIN occ_b o
+       |    ON b.cfg_b = o.cfg_b AND b.band_id = o.band_id AND b.band_key = o.band_key
+       |  WHERE o.sz >= 2
+       |  GROUP BY b.cfg_b),
        |cfgs AS (SELECT * FROM (VALUES (2, 8), (4, 4), (8, 2), (16, 1)) AS c(cfg_b, cfg_r))
        |SELECT CAST(c.cfg_b AS INTEGER) AS cfg_b, CAST(c.cfg_r AS INTEGER) AS cfg_r,
-       |       CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_candidate_pairs,
-       |       CAST(coalesce(t.n_docs, 0) AS BIGINT) AS n_docs_in_pairs,
-       |       CAST(o.n_buckets AS BIGINT) AS n_buckets,
-       |       CAST(o.max_bucket_size AS BIGINT) AS max_bucket_size
+       |       CAST(coalesce(s.n_pairs, 0) AS BIGINT) AS n_emitted_pairs,
+       |       CAST(coalesce(t.n_docs, 0) AS BIGINT) AS n_docs_in_buckets,
+       |       CAST(s.n_buckets AS BIGINT) AS n_buckets,
+       |       CAST(s.max_bucket_size AS BIGINT) AS max_bucket_size
        |FROM cfgs c
        |LEFT JOIN stats s ON c.cfg_b = s.cfg_b
        |LEFT JOIN touched t ON c.cfg_b = t.cfg_b
-       |LEFT JOIN occ o ON c.cfg_b = o.cfg_b
        |ORDER BY c.cfg_b""".stripMargin
   }
 
@@ -522,39 +524,70 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
       .orderBy("id_a", "id_b")
 
-  /** Verified pairs over single-signature candidates, memoized like
-    * [[verifiedPairs]] (the containment family's shared build). */
+  /** Verified pairs over EXACT prefix-filter candidates (the containment
+    * family's shared build), memoized like [[verifiedPairs]].
+    *
+    * Blocking is the set-similarity-join prefix filter (Chaudhuri et al.
+    * SSJoin ICDE'06; Bayardo et al. WWW'07), not LSH: containment ≥ 0.9
+    * means the smaller set B shares ≥ ⌈0.9·|B|⌉ shingles with A, so at
+    * most |B| − ⌈0.9·|B|⌉ of B's shingles are non-shared — by pigeonhole
+    * ANY ⌊|B|/10⌋ + 1 of B's shingles must contain a shared one. Probing
+    * each doc's (global-rarest-first) prefix against the full inverted
+    * index is therefore LOSSLESS: unlike minhash banding, no qualifying
+    * pair can be missed, and the operator's output is exactly the
+    * brute-force containment join. The ceiling is integer arithmetic
+    * ((9n+9) DIV 10 — no float ceil to diverge between engines), and the
+    * prefix order (document frequency, then digest) is deterministic.
+    *
+    * Scale shape: tokens explode linearly (|corpus|·|doc| rows); df is
+    * one map-side-combined count; the prefix cut is a per-doc window over
+    * the doc's own tokens; candidates come from a token-key equi-join of
+    * the ~|doc|/10-token probe side against the index — rarest-first
+    * ordering keeps probe-token postings short, so candidate volume
+    * tracks the true duplicate mass instead of the quadratic bucket
+    * flood the earlier single-signature banding paid (14.2M candidate
+    * pairs over 6170 sf0.1 docs — 75% of ALL pairs — and a 62-80 s
+    * verify; this form verifies only what the prefix filter admits). */
   private val containPairsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private[graft] def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     memo(containPairsCache, spark, dir) {
-      val sigs = signatures(spark, dir)
-      val banded = sigs.select(col("doc_id"), explode(array((0 until 16).map(i =>
-          struct(lit(i).as("band_id"), col(s"sig$i").cast("string").as("band_key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
-      val left = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
-      val right = banded.select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
-      val candIds = left.join(right, Seq("band_id", "band_key"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
+      val digests = normCorpus(spark, dir).select(col("doc_id"),
+        array_distinct(transform(shingleCol(col("t")),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("shingles"))
+      val toks = digests.select(col("doc_id"), size(col("shingles")).as("n"),
+        explode(col("shingles")).as("tok"))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy("df", "tok")
+      val prefix = toks.join(dfreq, "tok")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + lit(1))
+        .select(col("doc_id"), col("tok"))
+      val index = toks.select(col("doc_id").as("id_x"), col("tok"))
+      val candIds = prefix.join(index, "tok")
+        .where(col("doc_id") =!= col("id_x"))
+        .select(least(col("doc_id"), col("id_x")).as("id_a"),
+          greatest(col("doc_id"), col("id_x")).as("id_b"))
         .dropDuplicates("id_a", "id_b")
       exactVerify(spark, dir, candIds)
     }
 
-  def containmentSql: String = {
-    val bandSelects = (0 until 16).map { i =>
-      s"SELECT doc_id, shingles, $i AS band_id, CAST(sig$i AS VARCHAR) AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
-    s"""$sigsCte,
-       |banded AS (
-       |  $bandSelects),
-       |$candsVerifyCte
-       |SELECT id_a, id_b, n_common, n_a, n_b,
-       |       CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) AS containment
-       |FROM verified
-       |WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
+  /** Oracle: brute-force all-pairs containment — legitimate ONLY because
+    * the prefix filter is lossless, so the filtered brute-force output IS
+    * the operator's output (the old banded oracle shared LSH's false
+    * negatives with the Spark side; this one shares nothing). */
+  def containmentSql: String =
+    s"""$sigsCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(len(list_intersect(a.hsh, b.hsh)) AS BIGINT) AS n_common,
+       |       CAST(len(a.hsh) AS BIGINT) AS n_a,
+       |       CAST(len(b.hsh) AS BIGINT) AS n_b,
+       |       CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+       |         / CAST(least(len(a.hsh), len(b.hsh)) AS DOUBLE) AS containment
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.hsh, b.hsh)) AS DOUBLE)
+       |        / CAST(least(len(a.hsh), len(b.hsh)) AS DOUBLE) >= 0.9
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** Near-dup clustering: connected components over the verified minhash
     * pairs via min-label propagation (3 rounds — enough for the ≤3-hop
@@ -1076,9 +1109,6 @@ object Dedup {
       val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_id, md5($cat) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL ")
-    val band1 = (0 until 16).map { i =>
-      s"SELECT doc_id, $i AS band_id, CAST(sig$i AS VARCHAR) AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
     val lsteps = (1 to 3).map { k =>
       val prev = s"wl${k - 1}"
       s"""wl$k AS (
@@ -1122,17 +1152,11 @@ object Dedup {
        |  SELECT wl3.doc_id FROM wl3 JOIN wsizes s ON wl3.label = s.canonical_id
        |  WHERE s.cluster_size > 1 AND wl3.doc_id <> wl3.label
        |    AND wl3.doc_id NOT IN (SELECT doc_id FROM removed1)),
-       |wband1 AS (
-       |  $band1),
-       |wcands1 AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM wband1 a JOIN wband1 b ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |  WHERE a.doc_id < b.doc_id),
        |wver1 AS (
-       |  SELECT c.id_a, c.id_b,
-       |         len(list_intersect(sa.hsh, sb.hsh)) AS n_common,
-       |         len(sa.hsh) AS n_a, len(sb.hsh) AS n_b
-       |  FROM wcands1 c JOIN sh sa ON c.id_a = sa.doc_id JOIN sh sb ON c.id_b = sb.doc_id),
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         len(list_intersect(a.hsh, b.hsh)) AS n_common,
+       |         len(a.hsh) AS n_a, len(b.hsh) AS n_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
        |removed3 AS (
        |  SELECT DISTINCT CASE WHEN n_a < n_b THEN id_a
        |                       WHEN n_b < n_a THEN id_b ELSE id_b END AS doc_id

@@ -972,22 +972,39 @@ class Round10cSpec extends AnyFunSuite {
     assert(r.getAs[Double]("peak_to_median") >= 1.0 - 1e-12)
   }
 
-  test("band config sweep: recall ladder ordered, 4x4 matches the family's candidate build") {
+  test("band config sweep: recall ladder ordered, closed form matches brute occupancy") {
     val rows = Dedup.bandConfigSweep(spark, dir).collect()
     assert(rows.map(r => (r.getAs[Int]("cfg_b"), r.getAs[Int]("cfg_r"))).toSeq
       == Seq((2, 8), (4, 4), (8, 2), (16, 1)))
-    // more, narrower bands admit at least as many candidates (any pair
-    // colliding on an r=8 band collides on both its r=4 halves, etc.)
-    val pairs = rows.map(_.getAs[Long]("n_candidate_pairs"))
+    // more, narrower bands emit at least as many candidates (any pair
+    // colliding on an r=8 band collides on both its r=4 halves, so each
+    // r=8 collision contributes >=2 r=4 collisions, etc.)
+    val pairs = rows.map(_.getAs[Long]("n_emitted_pairs"))
     assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b },
-      s"candidate count must be non-decreasing along the recall ladder: ${pairs.toSeq}")
+      s"emitted count must be non-decreasing along the recall ladder: ${pairs.toSeq}")
     rows.foreach { r =>
       assert(r.getAs[Long]("n_buckets") >= 1L)
       assert(r.getAs[Long]("max_bucket_size") >= 1L)
-      assert(r.getAs[Long]("n_docs_in_pairs") <= 2L * r.getAs[Long]("n_candidate_pairs"))
+      // each size-sz bucket covers sz docs and emits sz(sz-1)/2 >= sz/2 pairs
+      assert(r.getAs[Long]("n_docs_in_buckets") <= 2L * r.getAs[Long]("n_emitted_pairs"))
     }
     // injected exact copies collide in EVERY config: zero pairs impossible
     assert(pairs.head > 0L)
+    // brute-force the 4x4 row's closed form off the raw signature table:
+    // group its 4 band keys, sum C(sz,2) over buckets
+    val sigs = Dedup.signatures(spark, dir).collect()
+    val bySig = sigs.map { r =>
+      (0 until 4).map(b => (b, (0 until 4).map(i => r.getAs[Long](s"sig${b * 4 + i}")).toList)) ->
+        r.getAs[Long]("doc_id")
+    }
+    val buckets = bySig.flatMap { case (bands, id) => bands.map(bk => bk -> id) }
+      .groupBy(_._1).map { case (_, g) => g.length.toLong }
+    val expEmit = buckets.map(sz => sz * (sz - 1) / 2).sum
+    val r44 = rows.find(_.getAs[Int]("cfg_b") == 4).get
+    assert(r44.getAs[Long]("n_emitted_pairs") == expEmit,
+      s"closed-form emitted pairs ${r44.getAs[Long]("n_emitted_pairs")} != brute $expEmit")
+    assert(r44.getAs[Long]("n_buckets") == buckets.size.toLong)
+    assert(r44.getAs[Long]("max_bucket_size") == buckets.max)
   }
 
   test("audio crest: covers the corpus, crest bounds hold, one clip brute-forced") {
