@@ -236,6 +236,7 @@ object SparkEntry {
     "q11_important_parts" -> ((s, d) => Relational.q11ImportantParts(s, d)),
     "q12_late_priority_mix" -> ((s, d) => Relational.q12LatePriorityMix(s, d)),
     "q20_excess_supply" -> ((s, d) => Relational.q20ExcessSupply(s, d)),
+    "q13_customer_distribution" -> ((s, d) => Relational.q13CustomerDistribution(s, d)),
     "q_discount_mix" -> ((s, d) => Relational.discountMix(s, d)),
     "q_basket_size_hist" -> ((s, d) => Relational.basketSizeHist(s, d)),
     "cdc_load_calendar" -> ((s, d) => Monitoring.loadCalendar(s, d)),
@@ -1095,6 +1096,7 @@ object SparkEntry {
       "q2_min_cost_supplier" -> Relational.q2MinCostSupplierSql,
       "q11_important_parts" -> Relational.q11ImportantPartsSql,
       "q12_late_priority_mix" -> Relational.q12LatePriorityMixSql,
+      "q13_customer_distribution" -> Relational.q13CustomerDistributionSql,
       "q20_excess_supply" -> Relational.q20ExcessSupplySql,
       "q_discount_mix" -> Relational.discountMixSql,
       "q_basket_size_hist" -> Relational.basketSizeHistSql,

@@ -1676,6 +1676,40 @@ object Relational {
       |         / CAST(sum(n_customers) OVER () AS DOUBLE) AS cum_share
       |FROM h ORDER BY n_orders""".stripMargin
 
+  /** TPC-H Q13 twin — customer order-count distribution: per qualifying
+    * order count (LOW-priority orders excluded — the filtered-count
+    * axis Q13 gets from its NOT LIKE '%special%requests%' comment
+    * predicate; this export has no o_comment) the number of customers,
+    * INCLUDING the zero bucket via the customer-dim left join, output
+    * in Q13's (custdist DESC, c_count DESC) order. The unfiltered
+    * histogram with shares lives in [[ordersPerCustomerHist]]; this is
+    * the literal Q13 rollup completing the Q1–Q22 twin ladder.
+    *
+    * Scale shape: filter pushed to the orders scan, one per-customer
+    * map-side-combined count, the AQE-broadcastable left join from the
+    * customer dim, a ≤|max-orders|-key histogram, no windows. */
+  def q13CustomerDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") =!= "5-LOW")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    Tables.load(spark, dir, "customer").select(col("c_custkey"))
+      .join(per, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13CustomerDistributionSql: String =
+    """WITH per AS (
+      |  SELECT o_custkey, count(*) AS n FROM orders
+      |  WHERE o_orderpriority <> '5-LOW'
+      |  GROUP BY o_custkey)
+      |SELECT CAST(coalesce(n, 0) AS BIGINT) AS c_count,
+      |       count(*) AS custdist
+      |FROM customer LEFT JOIN per ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Cross-nation trade matrix — the full (supplier nation → customer
     * nation) revenue flow table that TPC-H Q7 samples two cells of:
     * every pair's line count, DECIMAL-exact revenue, share of world

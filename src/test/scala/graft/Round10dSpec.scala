@@ -52,23 +52,26 @@ class Round10dSpec extends AnyFunSuite {
     }
   }
 
-  test("q17: threshold semantics match a float-division formulation on this data") {
+  test("q17: threshold semantics match an independent exact-integer formulation") {
     val row = Relational.q17SmallQty(spark, dir).collect().head
     val n = row.getAs[Long]("n_small_lines")
-    // independent formulation: avg via float division with a wide epsilon
-    // guard — on data where no line sits within 1e-9 of the boundary the
-    // two formulations must agree
+    // independent EXACT formulation: qty < 0.2·avg ⇔ qty·cnt·5 < Σqty in
+    // exact decimal (quantities are integer-valued in this export) — no
+    // float division, so a boundary-adjacent row can never flip the test
+    // on a regenerated or rescaled corpus
     val brandParts = Tables.load(spark, dir, "part")
       .where(col("p_brand") === "Brand#12").select("p_partkey")
     val li = Tables.load(spark, dir, "lineitem")
       .join(brandParts, col("l_partkey") === col("p_partkey"))
-      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .select(col("l_partkey"),
+        col("l_quantity").cast("decimal(20,2)").as("qty_d"))
     val perPart = li.groupBy(col("l_partkey").as("pk"))
-      .agg(avg(col("l_quantity")).as("avg_qty"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("qty_d")).cast("decimal(30,2)").as("sum_qty"))
     val brute = li.join(perPart, col("l_partkey") === col("pk"))
-      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .where(col("qty_d") * col("cnt") * lit(5) < col("sum_qty"))
       .count()
-    assert(n == brute, s"exact-decimal threshold ($n) == float threshold ($brute)")
+    assert(n == brute, s"exact-decimal threshold ($n) == independent exact formulation ($brute)")
   }
 
   test("q15: every returned supplier revenue equals the global max; ties all present") {

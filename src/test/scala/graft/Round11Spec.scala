@@ -1,0 +1,143 @@
+package graft
+
+import graft.analytics.Relational
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 additions: the SURVEY §2 ↔ registry bijection made permanent,
+  * plus independent cross-checks for the TPC-H twins that landed after the
+  * round-10 snapshot (Q2, Q11, Q12, Q13, Q20).
+  */
+class Round11Spec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+
+  test("SURVEY §2 and the query registry stay a bijection") {
+    // Parse the §2 checklist: every `- ☑ `name`` line whose name is a
+    // plain lowercase snake identifier. ScalaTest-only families carry
+    // reserved prefixes (stream_*, graft_* native functions) or
+    // class-shaped names (capitalized) and are exempt from needing an
+    // oracle-checked registry entry; everything else must be registered,
+    // and every registered query must be listed.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val names = "(?m)^- ☑ `([A-Za-z0-9_]+)`".r
+      .findAllMatchIn(survey).map(_.group(1)).toSet
+    val registry = SparkEntry.queries.keySet
+    val unlisted = registry -- names
+    assert(unlisted.isEmpty,
+      s"registry queries missing from SURVEY §2: ${unlisted.toSeq.sorted}")
+    val exempt = (n: String) =>
+      n.startsWith("stream_") || n.startsWith("graft_") || n.exists(_.isUpper)
+    val unregistered = names.filterNot(exempt) -- registry
+    assert(unregistered.isEmpty,
+      s"SURVEY §2 names with no registry entry: ${unregistered.toSeq.sorted}")
+    // every registered query must also carry an oracle
+    val noOracle = registry -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries without oracleSql: ${noOracle.toSeq.sorted}")
+  }
+
+  test("q2: every row carries its part's minimum cost; ranking key ordered") {
+    val rows = Relational.q2MinCostSupplier(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // brute force the per-part min over the same slice, independently
+    val part = Tables.load(spark, dir, "part")
+      .where(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey")
+    val eur = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.load(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .where(col("r_name") === "EUROPE").select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val minByPart = Tables.load(spark, dir, "lineitem")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .where(col("l_suppkey").isin(eur.toSeq: _*))
+      .groupBy("l_partkey")
+      .agg(min(col("l_extendedprice").cast("decimal(12,2)")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1).doubleValue()).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(math.abs(r.getAs[Double]("cost") - minByPart(pk)) < 1e-9,
+        s"part $pk returned cost is the brute min")
+    }
+    val bals = rows.map(_.getAs[Double]("s_acctbal"))
+    assert(bals.zip(bals.tail).forall { case (a, b) => a >= b }, "balance-desc page")
+  }
+
+  test("q11: threshold holds exactly and no qualifying part is missing") {
+    val rows = Relational.q11ImportantParts(spark, dir).collect()
+    // brute force: per-part NATION_7 revenue and the grand total
+    val suppN7 = Tables.load(spark, dir, "supplier")
+      .join(Tables.load(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .where(col("n_name") === "NATION_7").select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val perPart = Tables.load(spark, dir, "lineitem")
+      .where(col("l_suppkey").isin(suppN7.toSeq: _*))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(12,2)")).cast("decimal(30,2)").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val total = perPart.values.map(BigDecimal(_)).sum
+    val expect = perPart.filter { case (_, v) => BigDecimal(v) * 1000 > total }.keySet
+    assert(rows.map(_.getAs[Long]("p_partkey")).toSet == expect,
+      "returned part set == brute-force threshold set")
+  }
+
+  test("q12: high+low counts partition the late lines; priority classes honest") {
+    val rows = Relational.q12LatePriorityMix(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val late = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val totals = late.groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val high = late.where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val f = r.getAs[String]("l_returnflag")
+      val (h, l) = (r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count"))
+      assert(h + l == totals(f), s"flag $f: high+low partitions the late lines")
+      assert(h == high.getOrElse(f, 0L), s"flag $f: high count brute-checked")
+    }
+  }
+
+  test("q13: zero bucket is the never-ordered customers; histogram covers the dim") {
+    val rows = Relational.q13CustomerDistribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.load(spark, dir, "customer").count()
+    assert(rows.map(_.getAs[Long]("custdist")).sum == nCust,
+      "every customer lands in exactly one bucket")
+    val qualifying = Tables.load(spark, dir, "orders")
+      .where(col("o_orderpriority") =!= "5-LOW")
+      .select("o_custkey").distinct().count()
+    val zero = rows.find(_.getAs[Long]("c_count") == 0L)
+      .map(_.getAs[Long]("custdist")).getOrElse(0L)
+    assert(zero == nCust - qualifying, "zero bucket == customers with no qualifying order")
+    val keys = rows.map(r => (r.getAs[Long]("custdist"), r.getAs[Long]("c_count")))
+    assert(keys.zip(keys.tail).forall { case ((d1, c1), (d2, c2)) =>
+      d1 > d2 || (d1 == d2 && c1 > c2) }, "Q13 (custdist desc, c_count desc) order")
+  }
+
+  test("q20: returned suppliers are exactly those dominating some bolt part") {
+    val rows = Relational.q20ExcessSupply(spark, dir).collect()
+    val bolt = Tables.load(spark, dir, "part")
+      .where(col("p_name").contains("bolt")).select("p_partkey")
+    val li = Tables.load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .join(bolt, col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("decimal(12,2)").as("q"))
+      .collect()
+    val byPartSupp = li.groupBy(r => (r.getLong(0), r.getLong(1)))
+      .map { case (k, g) => k -> g.map(r => BigDecimal(r.getDecimal(2))).sum }
+    val byPart = byPartSupp.groupBy(_._1._1).map { case (p, g) => p -> g.values.sum }
+    val expect = byPartSupp.collect {
+      case ((p, s), q) if q * 2 > byPart(p) => s
+    }.toSet
+    assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == expect,
+      "supplier set == brute-force half-share set")
+  }
+}
