@@ -393,6 +393,134 @@ object Discovery {
           .sortBy(-_.testedSeq).take(math.max(limit, 0)).toSeq
       }
   }
+
+  /** The seven built-in roles the reference serves when its roles table
+    * is empty or missing (api.py:11973 `_builtin_roles` / GET /roles) —
+    * ids here are the stable role names instead of fresh UUIDs so the
+    * listing is reproducible (the reference mints a new uuid per call,
+    * which even its own clients cannot depend on). */
+  val builtinRoles: Seq[RoleRecord] = Seq(
+    RoleRecord("admin", "admin", "Full platform access"),
+    RoleRecord("super_admin", "super_admin", "Platform owner"),
+    RoleRecord("org_admin", "org_admin", "Organization admin"),
+    RoleRecord("data_engineer", "data_engineer", "Create pipelines, CDC"),
+    RoleRecord("operator", "operator", "Run pipelines, monitor"),
+    RoleRecord("viewer", "viewer", "Read-only"),
+    RoleRecord("user", "user", "Basic user"))
+
+  /** User-admin directory — the reference's user/role/invitation family
+    * (api.py:11189 GET /users OFFSET listing, :11973 GET /roles with the
+    * built-in fallback, :12052 POST /invitations) as catalog-shaped
+    * driver state like [[TestHistory]]: an instance-scoped store (spec
+    * isolation), a monotone sequence in place of wall clocks and
+    * `secrets.token_urlsafe` (same ordering/uniqueness role, clock- and
+    * RNG-free so specs are reproducible). Faithful endpoint semantics:
+    * `listUsers` pages with offset/limit in insertion order (the
+    * reference's unordered `offset().limit()` over the session-scoped
+    * table IS insertion order on its test fixtures); invitation role
+    * falls back to `viewer` off the endpoint's whitelist; an email
+    * without '@' or an already-active user rejects; a fresh invitee
+    * materializes as a PENDING inactive user with the email's local part
+    * as full name and superuser iff admin/super_admin — api.py's exact
+    * branch ladder. This is directory metadata (thousands of rows, not
+    * 100 TB): driver-side state is the right shape, as with the pipeline
+    * registry. */
+  final class UserDirectory {
+    private val users = scala.collection.mutable.LinkedHashMap.empty[String, UserRecord]
+    private val invitations = scala.collection.mutable.ArrayBuffer.empty[InvitationRecord]
+    private val roles = scala.collection.mutable.ArrayBuffer.empty[RoleRecord]
+    private var seq = 0L
+    private def nextSeq(): Long = { seq += 1; seq }
+
+    val validRoles: Set[String] =
+      Set("user", "operator", "viewer", "admin", "super_admin", "org_admin", "data_engineer")
+
+    /** Register an active user directly (the POST /users path, minus
+      * password hashing — auth is out of scope per SURVEY §1). Rejects a
+      * duplicate email like the endpoint's UNIQUE-constraint branch. */
+    def createUser(email: String, fullName: String, roleName: String): Either[String, UserRecord] =
+      synchronized {
+        val e = email.trim.toLowerCase
+        if (e.isEmpty || !e.contains("@")) Left("Invalid email")
+        else if (users.values.exists(_.email == e)) Left("User with this email already exists")
+        else {
+          val u = UserRecord(s"u-${nextSeq()}", e, fullName, roleName,
+            isActive = true, isSuperuser = roleName == "admin" || roleName == "super_admin",
+            status = "ACTIVE", createdSeq = seq)
+          users(u.id) = u
+          Right(u)
+        }
+      }
+
+    /** GET /users — offset/limit page in insertion order. */
+    def listUsers(skip: Int = 0, limit: Int = 100): Seq[UserRecord] =
+      synchronized { users.values.slice(skip, skip + math.max(limit, 0)).toSeq }
+
+    /** GET /users/{id} — None is the endpoint's 404. */
+    def getUser(id: String): Option[UserRecord] = synchronized { users.get(id) }
+
+    /** GET /roles — stored roles, or the built-in seven when none exist
+      * (the endpoint's empty-or-missing-table fallback). */
+    def listRoles(): Seq[RoleRecord] =
+      synchronized { if (roles.nonEmpty) roles.toSeq else builtinRoles }
+
+    def addRole(name: String, description: String): RoleRecord = synchronized {
+      val r = RoleRecord(s"r-${nextSeq()}", name, description)
+      roles += r
+      r
+    }
+
+    /** POST /invitations — the endpoint's branch ladder: role whitelist
+      * with viewer fallback, email validation, active-user rejection,
+      * PENDING user materialization for a fresh invitee, 7-day expiry
+      * (seq units here). */
+    def createInvitation(email: String, role: String, invitedBy: String,
+        workspaceId: Option[String] = None): Either[String, InvitationRecord] =
+      synchronized {
+        val effRole = if (validRoles(role)) role else "viewer"
+        val e = email.trim.toLowerCase
+        if (e.isEmpty || !e.contains("@")) Left("Invalid email")
+        else {
+          val existing = users.values.find(_.email == e)
+          if (existing.exists(_.isActive)) Left("User already exists and is active")
+          else {
+            if (existing.isEmpty) {
+              val u = UserRecord(s"u-${nextSeq()}", e, e.split("@")(0), effRole,
+                isActive = false,
+                isSuperuser = effRole == "admin" || effRole == "super_admin",
+                status = "PENDING", createdSeq = seq)
+              users(u.id) = u
+            }
+            val inv = InvitationRecord(s"i-${nextSeq()}", e, invitedBy,
+              token = s"tok-$seq", expiresSeq = seq + 7, status = "PENDING",
+              roleName = effRole, workspaceId = workspaceId)
+            invitations += inv
+            Right(inv)
+          }
+        }
+      }
+
+    /** Bulk import (the user-import endpoint above the role list):
+      * per email, an invitation is attempted; duplicates of ACTIVE users
+      * are counted as skips, invalid emails as errors — the endpoint's
+      * imported/skipped_duplicates/errors/invitation_tokens quad. */
+    def importUsers(emails: Seq[String], role: String, invitedBy: String): UserImportResult =
+      synchronized {
+        val results = emails.map(e => e -> createInvitation(e, role, invitedBy))
+        UserImportResult(
+          imported = results.count(_._2.isRight),
+          skippedDuplicates = results.count(_._2.left.exists(_.contains("already exists"))),
+          // a duplicate is a SKIP, not an error — the endpoint separates them
+          errors = results.collect {
+            case (e, Left(err)) if !err.contains("already exists") => s"$e: $err"
+          },
+          invitationTokens = results.collect { case (_, Right(inv)) => inv.token })
+      }
+
+    /** Pending invitations, newest-first (the invitation listing). */
+    def listInvitations(limit: Int = 100): Seq[InvitationRecord] =
+      synchronized { invitations.sortBy(i => -i.expiresSeq).take(math.max(limit, 0)).toSeq }
+  }
 }
 
 /** Row shape of [[Discovery.connectionTest]] — the reference's test
@@ -421,3 +549,23 @@ case class TableSelectionDetail(name: String, exists: Boolean,
 case class TableSelectionResult(valid: Boolean, errors: Seq[String],
                                 warnings: Seq[String],
                                 tableDetails: Seq[TableSelectionDetail])
+
+/** Row shape of the reference's UserResponse (api.py:11189) minus the
+  * wall-clock created/updated stamps (monotone `createdSeq` keeps the
+  * ordering role, reproducibly). */
+case class UserRecord(id: String, email: String, fullName: String,
+                      roleName: String, isActive: Boolean,
+                      isSuperuser: Boolean, status: String, createdSeq: Long)
+
+/** Row shape of RoleResponse (api.py:11973). */
+case class RoleRecord(id: String, name: String, description: String)
+
+/** Row shape of InvitationResponse (api.py:12052) with the random token
+  * and wall-clock expiry replaced by sequence-derived values. */
+case class InvitationRecord(id: String, email: String, invitedBy: String,
+                            token: String, expiresSeq: Long, status: String,
+                            roleName: String, workspaceId: Option[String])
+
+/** The user-import endpoint's imported/skipped/errors/tokens quad. */
+case class UserImportResult(imported: Int, skippedDuplicates: Int,
+                            errors: Seq[String], invitationTokens: Seq[String])

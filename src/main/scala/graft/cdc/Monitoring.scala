@@ -1770,6 +1770,68 @@ object Monitoring {
        |ORDER BY started_at DESC, run_id DESC""".stripMargin
   }
 
+  /** Keyset ("seek") page of the replication-events browse — the 100 TB
+    * deep-page path [[eventBrowse]]'s docstring pins against the
+    * reference's OFFSET pagination (api.py:8715): the client hands back
+    * the last row's (started_at, run_id) cursor and the next page is
+    * `WHERE (started_at, run_id) < cursor ORDER BY ... DESC LIMIT n`.
+    * Because the cursor is a LITERAL (the client echoes it), the row-value
+    * comparison lands in the parquet scan's PushedFilters — every page is
+    * one bounded, pruned read (time-partitioned layout → partition
+    * pruning), where OFFSET re-reads an ever-growing `skip+limit` prefix.
+    * No trailing-window clamp here: the cursor itself bounds the page —
+    * the client walked from the top, so the window was applied on page 1.
+    *
+    * Same run-row derivation and output columns as [[eventBrowse]]; the
+    * two share the (started_at DESC, run_id DESC) ordering key, which is
+    * what makes the cursor total (ts ties broken by id).
+    *
+    * Scale shape: pushed scan → one TakeOrderedAndProject. Nothing
+    * shuffles; page cost is O(limit + scanned-partition) regardless of
+    * page depth. PlanShapeSpec pins the cursor predicate in
+    * PushedFilters. */
+  def eventBrowseSeek(
+      spark: SparkSession, dir: String,
+      cursorTs: String = "2024-01-29 12:00:00",
+      cursorId: Long = 1000000L, limit: Int = 100): DataFrame = {
+    val effLimit = math.min(limit, 1000)
+    val cts = lit(cursorTs).cast("timestamp")
+    graft.Tables.load(spark, dir, "events")
+      .where(col("ts") < cts ||
+        (col("ts") === cts && col("event_id") < lit(cursorId)))
+      .select(
+        col("event_id").as("run_id"),
+        col("ts").as("started_at"),
+        concat(lit("pl-"), (col("user_id") % 4).cast("string")).as("pipeline_id"),
+        concat(lit("public."), col("event_type")).as("table_name"),
+        when(col("event_type") === "signup", "insert")
+          .when(col("event_type") === "error", "delete")
+          .otherwise("update").as("event_type"),
+        when(col("event_type") === "error", "failed").otherwise("success").as("status"),
+        greatest(lit(1L), floor(col("value") * 100).cast("long")).as("latency_ms"))
+      .orderBy(col("started_at").desc, col("run_id").desc)
+      .limit(effLimit)
+  }
+
+  def eventBrowseSeekSql(
+      cursorTs: String = "2024-01-29 12:00:00",
+      cursorId: Long = 1000000L, limit: Int = 100): String = {
+    val effLimit = math.min(limit, 1000)
+    s"""SELECT event_id AS run_id, ts AS started_at,
+       |       'pl-' || CAST(user_id % 4 AS VARCHAR) AS pipeline_id,
+       |       'public.' || event_type AS table_name,
+       |       CASE event_type WHEN 'signup' THEN 'insert'
+       |                       WHEN 'error' THEN 'delete'
+       |                       ELSE 'update' END AS event_type,
+       |       CASE WHEN event_type = 'error' THEN 'failed' ELSE 'success' END AS status,
+       |       greatest(1, CAST(floor(value * 100) AS BIGINT)) AS latency_ms
+       |FROM events
+       |WHERE ts < TIMESTAMP '$cursorTs'
+       |   OR (ts = TIMESTAMP '$cursorTs' AND event_id < $cursorId)
+       |ORDER BY started_at DESC, run_id DESC
+       |LIMIT $effLimit""".stripMargin
+  }
+
   /** User-action audit-log listing — the reference's `/api/v1/audit-logs`
     * (api.py:13507 get_audit_logs): one page of user-action audit rows
     * with the endpoint's exact guardrails — `limit` clamped to [1, 100]

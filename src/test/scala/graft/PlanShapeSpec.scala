@@ -27,6 +27,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("event browse seek: the keyset cursor predicate reaches the scan") {
+    // formatted mode: the simple plan string truncates scan metadata, so
+    // PushedFilters is only visible here
+    val p = SparkEntry.queries("cdc_event_browse_seek")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the row-value cursor (ts, event_id) < (literal, literal) must land
+    // in PushedFilters — that is the whole point of keyset over OFFSET
+    assert(p.contains("PushedFilters: [Or(LessThan(ts,"), s"cursor not pushed:\n$p")
+    assert(p.contains("LessThan(event_id,1000000)"), "id tiebreak not pushed")
+    assert(p.contains("TakeOrderedAndProject"), "page must be one TakeOrdered pass")
+    assert(!p.contains("Exchange hashpartitioning"), "seek page must not shuffle")
+  }
+
   test("q1 keeps pushdown, pruning, and partial aggregation") {
     val p = planOf("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

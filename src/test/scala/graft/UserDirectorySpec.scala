@@ -1,0 +1,94 @@
+package graft
+
+import graft.cdc.{Discovery, UserRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Endpoint-semantics checks for Discovery.UserDirectory — the user /
+  * role / invitation family (api.py:11189 GET /users, :11973 GET /roles,
+  * :12052 POST /invitations) as catalog-shaped driver state.
+  */
+class UserDirectorySpec extends AnyFunSuite {
+
+  private def seeded(): Discovery.UserDirectory = {
+    val d = new Discovery.UserDirectory
+    (1 to 25).foreach(i => d.createUser(s"user$i@example.com", s"User $i", "user"))
+    d
+  }
+
+  test("listUsers pages with offset/limit in insertion order") {
+    val d = seeded()
+    val page = d.listUsers(skip = 10, limit = 5)
+    assert(page.map(_.email) == (11 to 15).map(i => s"user$i@example.com"))
+    assert(d.listUsers(skip = 0, limit = 100).length == 25)
+    assert(d.listUsers(skip = 25, limit = 10).isEmpty, "page past the end is empty")
+  }
+
+  test("createUser rejects duplicates and bad emails; getUser finds by id") {
+    val d = new Discovery.UserDirectory
+    val u = d.createUser("A@Example.COM", "A", "admin").toOption.get
+    assert(u.email == "a@example.com", "email normalized to lowercase")
+    assert(u.isSuperuser, "admin role implies superuser")
+    assert(d.createUser("a@example.com", "A2", "user").isLeft, "duplicate email rejected")
+    assert(d.createUser("not-an-email", "X", "user").isLeft)
+    assert(d.getUser(u.id).contains(u))
+    assert(d.getUser("u-999").isEmpty, "the endpoint's 404")
+  }
+
+  test("listRoles falls back to the built-in seven until a role is stored") {
+    val d = new Discovery.UserDirectory
+    assert(d.listRoles().map(_.name) == Seq("admin", "super_admin", "org_admin",
+      "data_engineer", "operator", "viewer", "user"))
+    d.addRole("custom", "Custom role")
+    assert(d.listRoles().map(_.name) == Seq("custom"),
+      "stored roles replace the built-in fallback entirely, as the endpoint does")
+  }
+
+  test("invitation ladder: whitelist fallback, active-user rejection, PENDING materialization") {
+    val d = new Discovery.UserDirectory
+    d.createUser("active@example.com", "A", "user")
+    assert(d.createInvitation("active@example.com", "user", "u-0").isLeft,
+      "active user cannot be re-invited")
+    assert(d.createInvitation("bad-email", "user", "u-0").isLeft)
+    val inv = d.createInvitation("New@Example.com", "not-a-role", "u-0").toOption.get
+    assert(inv.roleName == "viewer", "unknown role falls back to viewer")
+    assert(inv.status == "PENDING")
+    assert(inv.expiresSeq > 0)
+    val pending = d.listUsers().find(_.email == "new@example.com").get
+    assert(!pending.isActive && pending.status == "PENDING")
+    assert(pending.fullName == "new",
+      "full name is the local part of the NORMALIZED email (the endpoint lowercases first)")
+    // re-inviting a PENDING (inactive) user is allowed and does NOT duplicate the user
+    val inv2 = d.createInvitation("new@example.com", "operator", "u-0").toOption.get
+    assert(inv2.roleName == "operator")
+    assert(d.listUsers().count(_.email == "new@example.com") == 1)
+  }
+
+  test("superuser only for admin/super_admin invitees") {
+    val d = new Discovery.UserDirectory
+    d.createInvitation("a@x.com", "admin", "u-0")
+    d.createInvitation("b@x.com", "operator", "u-0")
+    val byEmail = d.listUsers().map(u => u.email -> u).toMap
+    assert(byEmail("a@x.com").isSuperuser)
+    assert(!byEmail("b@x.com").isSuperuser)
+  }
+
+  test("importUsers counts imported/skipped/errors and returns tokens") {
+    val d = new Discovery.UserDirectory
+    d.createUser("dup@x.com", "D", "user")
+    val r = d.importUsers(Seq("one@x.com", "dup@x.com", "bad", "two@x.com"), "viewer", "u-0")
+    assert(r.imported == 2)
+    assert(r.skippedDuplicates == 1)
+    assert(r.errors.length == 1 && r.errors.head.startsWith("bad:"))
+    assert(r.invitationTokens.length == 2)
+    assert(r.invitationTokens.distinct.length == 2, "tokens unique")
+  }
+
+  test("listInvitations returns newest-first") {
+    val d = new Discovery.UserDirectory
+    (1 to 5).foreach(i => d.createInvitation(s"p$i@x.com", "viewer", "u-0"))
+    val inv = d.listInvitations(limit = 3)
+    assert(inv.length == 3)
+    assert(inv.map(_.expiresSeq) == inv.map(_.expiresSeq).sorted.reverse)
+    assert(inv.head.email == "p5@x.com")
+  }
+}
