@@ -883,9 +883,13 @@ object Dedup {
     * Recall is exact by the pigeonhole argument above; the spec
     * brute-force-checks it on the small corpus. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val fpNames = (0 until simhashBlocks).map(b => s"fp$b")
+    // fused native XOR+popcount (graft.functions.Hamming64) — one
+    // intrinsic per block instead of two chained expressions; oracle
+    // stays bit_count(xor(...)), outputs bit-identical by construction
     val hammingExpr = fpNames.map { n =>
-      bit_count(col(n + "_a").bitwiseXOR(col(n + "_b")))
+      expr(s"graft_hamming64(${n}_a, ${n}_b)")
     }.reduce(_ + _).cast("long")
     simhashCandidates(simhashFingerprints(spark, dir))
       .withColumn("hamming", hammingExpr)
@@ -1003,9 +1007,10 @@ object Dedup {
     * the same candidate build as `dedup_simhash`; one extra aggregation
     * on ≤9 bucket rows. */
   def simhashDistanceHist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val fpNames = (0 until simhashBlocks).map(b => s"fp$b")
     val hammingExpr = fpNames.map { n =>
-      bit_count(col(n + "_a").bitwiseXOR(col(n + "_b")))
+      expr(s"graft_hamming64(${n}_a, ${n}_b)")
     }.reduce(_ + _).cast("long")
     val hist = simhashCandidates(simhashFingerprints(spark, dir))
       .withColumn("hamming", hammingExpr)

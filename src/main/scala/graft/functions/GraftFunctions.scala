@@ -36,6 +36,14 @@ object GraftFunctions {
     DoubleBits(children.head)
   }
 
+  private[functions] val hammingInfo = new ExpressionInfo(
+    classOf[Hamming64].getName, null, "graft_hamming64")
+
+  private[functions] val hammingBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_hamming64 requires exactly 2 arguments")
+    Hamming64(children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
@@ -43,6 +51,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_l2sq"), l2Info, l2Builder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dbits"), dbitsInfo, dbitsBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_hamming64"), hammingInfo, hammingBuilder)
   }
 }
 
@@ -52,5 +62,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"), GraftFunctions.cosineInfo, GraftFunctions.cosineBuilder))
     ext.injectFunction((FunctionIdentifier("graft_l2sq"), GraftFunctions.l2Info, GraftFunctions.l2Builder))
     ext.injectFunction((FunctionIdentifier("graft_dbits"), GraftFunctions.dbitsInfo, GraftFunctions.dbitsBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_hamming64"), GraftFunctions.hammingInfo, GraftFunctions.hammingBuilder))
   }
 }

@@ -1094,6 +1094,7 @@ object Binary {
     * band-bounded (never all-pairs), distinct-deduped, then a ≤9-key
     * histogram with a 1-row broadcast total. */
   def phashHammingHist(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val h = phashes(spark, dir)
     val banded = h.select(col("doc_id"), col("phash"),
       explode(array((0 until 4).map(b =>
@@ -1110,7 +1111,7 @@ object Binary {
         col("a.phash").as("pa"), col("b.phash").as("pb"))
       .distinct()
     val hist = pairs
-      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .withColumn("hamming", expr("graft_hamming64(pa, pb)").cast("long"))
       .select(
         when(col("hamming") <= 6, lpad(col("hamming").cast("string"), 2, "0"))
           .when(col("hamming") <= 15, lit("07_15"))

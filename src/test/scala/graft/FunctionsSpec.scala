@@ -75,4 +75,35 @@ class FunctionsSpec extends AnyFunSuite {
     val byBits = d.sortBy(_.getAs[Long]("bits")).map(_.getAs[Long]("vec_id"))
     assert(byVal.sameElements(byBits))
   }
+  test("graft_hamming64 is bit-identical to bit_count(xor) on random longs") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // deterministic pseudo-random 64-bit pairs incl. sign-bit and edge cases
+    val rng = new scala.util.Random(42)
+    val pairs = Seq((0L, 0L), (-1L, 0L), (-1L, -1L), (Long.MinValue, Long.MaxValue)) ++
+      Seq.fill(500)((rng.nextLong(), rng.nextLong()))
+    val df = pairs.toDF("a", "b")
+    val mism = df.select(
+        expr("graft_hamming64(a, b)").as("native"),
+        bit_count(col("a").bitwiseXOR(col("b"))).as("builtin"),
+        col("a"), col("b"))
+      .where(col("native") =!= col("builtin")).count()
+    assert(mism === 0)
+    // JVM ground truth on a sample
+    val r = df.limit(50).select(col("a"), col("b"), expr("graft_hamming64(a, b)").as("h"))
+      .collect()
+    r.foreach(row => assert(row.getAs[Int]("h") ==
+      java.lang.Long.bitCount(row.getLong(0) ^ row.getLong(1))))
+  }
+
+  test("graft_hamming64 rejects non-long arguments") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1, 2L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(expr("graft_hamming64(a, b)")).collect()
+    }
+    assert(e.getMessage.contains("graft_hamming64") || e.getMessage.contains("long"))
+  }
+
 }
