@@ -355,6 +355,109 @@ object ScaleSmoke {
         .where(col("rn") <= 3)
         .count()
     }
+
+    // ── TPC-H twin fact-join shapes at ×factor ──────────────────────────
+    // lineitem and orders inflate together with disjoint order-key spaces
+    // per replica (same offset on both sides, so the join key stays
+    // consistent); part/supplier keys stay shared — more orders over the
+    // same dimensions, which is what a real scale-up looks like.
+    val li = Tables.spread(Tables.load(spark, dir, "lineitem"))
+    val ord = Tables.spread(Tables.load(spark, dir, "orders"))
+    val bigLi = li.crossJoin(reps).select(
+      (col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+      col("l_extendedprice"), col("l_shipdate"))
+    val bigOrd = ord.crossJoin(reps).select(
+      (col("o_orderkey") + col("rep") * 100000000L).as("o_orderkey"),
+      col("o_orderdate"), col("o_orderpriority"))
+    val nLi = li.count() * factor
+
+    t("q18 large orders (HAVING before join)", nLi) {
+      // the per-order cut runs on the aggregate BEFORE any join, so only
+      // qualifying orders ever reach the orders attach
+      val qualifying = bigLi.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast("decimal(20,2)")).as("total_qty"))
+        .where(col("total_qty") > 300)
+      qualifying.join(bigOrd, col("l_orderkey") === col("o_orderkey"))
+        .orderBy(col("total_qty").desc, col("l_orderkey")).limit(100).count()
+    }
+
+    t("q9 profit rollup (broadcast part filter + one key shuffle)", nLi) {
+      val gearParts = Tables.load(spark, dir, "part")
+        .where(col("p_name").contains("gear")).select("p_partkey")
+      bigLi.join(broadcast(gearParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(bigOrd, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"), (col("l_suppkey") % 25).as("nk"))
+        .agg(sum(col("l_extendedprice").cast("decimal(20,2)")).as("rev"))
+        .count()
+    }
+
+    t("q21 late supplier (three legs on one orderkey exchange)", nLi) {
+      // EXISTS → LEFT SEMI (other supplier, same order), NOT EXISTS →
+      // LEFT ANTI (other supplier late) — all three legs shuffle on the
+      // order key only, AQE reuses the exchange. The one-nation supplier
+      // cut (suppkey%25 as the nation proxy — the real operator broadcast-
+      // semis the NATION_0 supplier dim) shrinks the probe leg 25× BEFORE
+      // the joins, exactly as q21LateSupplier does; the anti leg stays
+      // UNFILTERED (any nation's supplier exonerates), as in the operator.
+      val withOrd = bigLi.join(bigOrd, col("l_orderkey") === col("o_orderkey"))
+      val lateAll = withOrd.where(
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val lateNat = lateAll.where(col("sk") % 25 === 0)
+      val others = bigLi.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      lateNat
+        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(lateAll.select(col("ok").as("ok3"), col("sk").as("sk3")),
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .groupBy("sk").agg(count(lit(1)).as("n_waits"))
+        .count()
+    }
+
+    // ── dedup blocking growth (sub-quadratic proofs) ────────────────────
+    // containment prefix-filter candidates at corpus ×1 vs ×2: the rarest-
+    // first prefix keeps candidate growth near-linear where the old
+    // single-signature banding grew with the square of the hot bucket.
+    // Replicas are TOKEN-suffixed (every word carries its replica id, the
+    // substring-case convention) so replicas share no shingles: the
+    // whole-text-suffix bigDocs would make each doc a TRUE 0.97-containment
+    // copy of its siblings — quadratic true-pair mass by construction,
+    // which measures the corpus, not the blocking.
+    {
+      import graft.text.TextFunctions.normText
+      def candCount(d: DataFrame): Long = {
+        val digests = d.select(col("doc_id"),
+          array_distinct(transform(
+            array_distinct(transform(
+              sequence(lit(1), greatest(length(col("t")) - 4, lit(1)), lit(3)),
+              i => col("t").substr(i, lit(5)))),
+            s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+        val toks = digests.select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("tok"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "tok")
+        val prefix = toks.join(dfreq, "tok")
+          .withColumn("rk", row_number().over(w))
+          .where(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + lit(1))
+          .select(col("doc_id"), col("tok"))
+        prefix.join(toks.select(col("doc_id").as("id_x"), col("tok")), "tok")
+          .where(col("doc_id") =!= col("id_x"))
+          .select(least(col("doc_id"), col("id_x")).as("id_a"),
+            greatest(col("doc_id"), col("id_x")).as("id_b"))
+          .dropDuplicates("id_a", "id_b").count()
+      }
+      val distinctDocs = docs
+        .crossJoin(spark.range(docFactor).select(col("id").as("rep")))
+        .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"), concat(lit("$1r"), col("rep"))).as("text"))
+      val half = distinctDocs.where(col("doc_id") < 10000000L * (docFactor / 2))
+        .select(col("doc_id"), normText(col("text")).as("t"))
+      val full = distinctDocs.select(col("doc_id"), normText(col("text")).as("t"))
+      val (nHalf, nFull) = (half.count(), nDocs)
+      val (cHalf, cFull) = (candCount(half), candCount(full))
+      println(f"== containment prefix-filter candidates: $cHalf%d @ $nHalf%d docs -> $cFull%d @ $nFull%d docs (growth ${cFull.toDouble / cHalf}%.2f at corpus x${nFull.toDouble / nHalf}%.2f)")
+    }
     spark.stop()
   }
 }
