@@ -270,6 +270,8 @@ object SparkEntry {
     "q_dow_anova" -> ((s, d) => Relational.dowAnova(s, d)),
     "cdc_volume_percentiles" -> ((s, d) => Monitoring.volumePercentiles(s, d)),
     "dedup_band_config_sweep" -> ((s, d) => Dedup.bandConfigSweep(s, d)),
+    "dedup_shingle_df_hist" -> ((s, d) => Dedup.shingleDfHist(s, d)),
+    "dedup_blocking_health" -> ((s, d) => Dedup.blockingHealth(s, d)),
     "cdc_partition_watermark_skew" -> ((s, d) => Monitoring.partitionWatermarkSkew(s, d)),
     "q_ship_delay_hist" -> ((s, d) => Relational.shipDelayHist(s, d)),
     "q_repeat_purchase_rate" -> ((s, d) => Relational.repeatPurchaseRate(s, d)),
@@ -1132,6 +1134,8 @@ object SparkEntry {
       "q_dow_anova" -> Relational.dowAnovaSql,
       "cdc_volume_percentiles" -> Monitoring.volumePercentilesSql,
       "dedup_band_config_sweep" -> Dedup.bandConfigSweepSql,
+      "dedup_shingle_df_hist" -> Dedup.shingleDfHistSql,
+      "dedup_blocking_health" -> Dedup.blockingHealthSql,
       "cdc_partition_watermark_skew" -> Monitoring.partitionWatermarkSkewSql(),
       "q_ship_delay_hist" -> Relational.shipDelayHistSql,
       "q_repeat_purchase_rate" -> Relational.repeatPurchaseRateSql(),

@@ -572,6 +572,135 @@ object Dedup {
       exactVerify(spark, dir, candIds)
     }
 
+  /** Shingle document-frequency histogram — the corpus property that
+    * decides exact-blocking density (SCALE_r11's guidance made
+    * measurable): per df order-of-magnitude (digit count of df — the
+    * engine-identical integer-formatting bucket trick) the distinct
+    * shingle count, total posting mass Σdf, and each mass share. A corpus
+    * whose mass sits in the 3+-digit buckets has a CLOSED vocabulary —
+    * rarest-first prefixes will still probe hot postings, so route
+    * containment to the approximate band path or lengthen the blocking
+    * shingle; mass in the 1-digit bucket means the prefix filter is
+    * output-sensitive and near-linear.
+    *
+    * Scale shape: one linear token explode, a map-side-combined df count,
+    * a ≤~10-key digit rollup; shares against a 1-row broadcast total. */
+  def shingleDfHist(spark: SparkSession, dir: String): DataFrame = {
+    val toks = normCorpus(spark, dir).select(col("doc_id"),
+        explode(array_distinct(transform(shingleCol(col("t")),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val hist = dfreq
+      .select(length(col("df").cast("string")).cast("long").as("df_digits"), col("df"))
+      .groupBy("df_digits")
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("posting_mass"))
+    hist.crossJoin(broadcast(hist.agg(
+        sum(col("n_shingles")).as("tot_sh"), sum(col("posting_mass")).as("tot_mass"))))
+      .select(col("df_digits"), col("n_shingles"), col("posting_mass"),
+        (col("n_shingles").cast("double") / col("tot_sh").cast("double")).as("shingle_share"),
+        (col("posting_mass").cast("double") / col("tot_mass").cast("double")).as("mass_share"))
+      .orderBy("df_digits")
+  }
+
+  def shingleDfHistSql: String =
+    s"""$sigsCte,
+       |toks AS (SELECT doc_id, unnest(hsh) AS tok FROM sh),
+       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+       |hist AS (
+       |  SELECT CAST(length(CAST(df AS VARCHAR)) AS BIGINT) AS df_digits,
+       |         count(*) AS n_shingles,
+       |         CAST(sum(df) AS BIGINT) AS posting_mass
+       |  FROM dfreq GROUP BY 1),
+       |tot AS (SELECT sum(n_shingles) AS tot_sh, sum(posting_mass) AS tot_mass FROM hist)
+       |SELECT df_digits, n_shingles, posting_mass,
+       |       CAST(n_shingles AS DOUBLE) / CAST(tot_sh AS DOUBLE) AS shingle_share,
+       |       CAST(posting_mass AS DOUBLE) / CAST(tot_mass AS DOUBLE) AS mass_share
+       |FROM hist, tot ORDER BY df_digits""".stripMargin
+
+  /** Blocking-scheme decision panel — the three candidate generators the
+    * dedup family can block with, priced on THIS corpus in one pass each:
+    * per scheme the key count, the hottest key's occupancy, and the
+    * candidate workload it would emit (closed forms — Σ df−1 probe hits
+    * for the prefix filter, Σ sz·(sz−1)/2 per bucket for the bandings;
+    * never a materialized pair join). Read next to [[shingleDfHist]]
+    * before a dedup campaign: prefix_filter is exact (lossless for
+    * containment ≥0.9), band_4x4 is the ~Jaccard-0.6 recall curve,
+    * band_16x1 the high-recall flood — the cheapest scheme whose recall
+    * contract fits wins.
+    *
+    * Scale shape: three linear explodes over memoized builds, each
+    * collapsed by a map-side-combined aggregation; 3-row output. */
+  def blockingHealth(spark: SparkSession, dir: String): DataFrame = {
+    val digests = normCorpus(spark, dir).select(col("doc_id"),
+      array_distinct(transform(shingleCol(col("t")),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+    val toks = digests.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    val pfx = toks.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + lit(1))
+    val prefixRow = pfx.agg(
+      countDistinct(col("tok")).as("n_keys"),
+      max(col("df")).as("max_occupancy"),
+      sum(col("df") - 1).as("n_emitted"))
+      .select(lit("prefix_filter").as("scheme"), col("n_keys"),
+        col("max_occupancy"), col("n_emitted"))
+    def bandRow(name: String, banded: DataFrame, keys: Seq[String]): DataFrame =
+      banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_keys"), max(col("sz")).as("max_occupancy"),
+          sum(expr("sz * (sz - 1) DIV 2")).as("n_emitted"))
+        .select(lit(name).as("scheme"), col("n_keys"),
+          col("max_occupancy"), col("n_emitted"))
+    val sigs = signatures(spark, dir)
+    val b4 = bandsFromSigs(sigs)
+    val b1 = sigs.select(col("doc_id"), explode(array((0 until 16).map(i =>
+        struct(lit(i).as("band_id"), col(s"sig$i").cast("string").as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    prefixRow
+      .unionAll(bandRow("band_4x4", b4, Seq("band_id", "band_key")))
+      .unionAll(bandRow("band_16x1", b1, Seq("band_id", "band_key")))
+      .orderBy("scheme")
+  }
+
+  def blockingHealthSql: String = {
+    val band4 = (0 until 4).map { b =>
+      val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_id, md5($cat) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val band1 = (0 until 16).map { i =>
+      s"SELECT doc_id, $i AS band_id, CAST(sig$i AS VARCHAR) AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""$sigsCte,
+       |toks AS (SELECT doc_id, len(hsh) AS n, unnest(hsh) AS tok FROM sh),
+       |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+       |pfx AS (
+       |  SELECT doc_id, tok, df FROM (
+       |    SELECT t.doc_id, t.tok, d.df, t.n,
+       |           row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rk
+       |    FROM toks t JOIN dfreq d USING (tok))
+       |  WHERE rk <= n - (9 * n + 9) // 10 + 1),
+       |wb4 AS ($band4),
+       |wb1 AS ($band1),
+       |rows_out AS (
+       |  SELECT 'prefix_filter' AS scheme,
+       |         CAST(count(DISTINCT tok) AS BIGINT) AS n_keys,
+       |         CAST(max(df) AS BIGINT) AS max_occupancy,
+       |         CAST(sum(df - 1) AS BIGINT) AS n_emitted
+       |  FROM pfx
+       |  UNION ALL
+       |  SELECT 'band_4x4', CAST(count(*) AS BIGINT), CAST(max(sz) AS BIGINT),
+       |         CAST(sum(sz * (sz - 1) // 2) AS BIGINT)
+       |  FROM (SELECT band_id, band_key, count(*) AS sz FROM wb4 GROUP BY 1, 2)
+       |  UNION ALL
+       |  SELECT 'band_16x1', CAST(count(*) AS BIGINT), CAST(max(sz) AS BIGINT),
+       |         CAST(sum(sz * (sz - 1) // 2) AS BIGINT)
+       |  FROM (SELECT band_id, band_key, count(*) AS sz FROM wb1 GROUP BY 1, 2))
+       |SELECT scheme, n_keys, max_occupancy, n_emitted
+       |FROM rows_out ORDER BY scheme""".stripMargin
+  }
+
   /** Oracle: brute-force all-pairs containment — legitimate ONLY because
     * the prefix filter is lossless, so the filtered brute-force output IS
     * the operator's output (the old banded oracle shared LSH's false

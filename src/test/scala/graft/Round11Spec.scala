@@ -140,4 +140,46 @@ class Round11Spec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("s_suppkey")).toSet == expect,
       "supplier set == brute-force half-share set")
   }
+  test("shingle df hist: shingle counts and posting mass brute-checked, shares sum to 1") {
+    val rows = graft.dedup.Dedup.shingleDfHist(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_.getAs[Double]("shingle_share")).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.map(_.getAs[Double]("mass_share")).sum - 1.0) < 1e-9)
+    // brute-force df off the raw corpus digests
+    val toks = graft.dedup.Dedup.normCorpus(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          array_distinct(transform(
+            sequence(lit(1), greatest(length(col("t")) - 4, lit(1)), lit(3)),
+            i => col("t").substr(i, lit(5)))),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("tok"))
+      .collect().map(r => r.getLong(1))
+    val df = toks.groupBy(identity).map { case (_, g) => g.length.toLong }
+    val byDigits = df.groupBy(d => d.toString.length.toLong)
+    rows.foreach { r =>
+      val dd = r.getAs[Long]("df_digits")
+      assert(r.getAs[Long]("n_shingles") == byDigits(dd).size.toLong)
+      assert(r.getAs[Long]("posting_mass") == byDigits(dd).sum)
+    }
+  }
+
+  test("blocking health: three schemes, prefix emitted matches the probe-hit sum") {
+    val rows = graft.dedup.Dedup.blockingHealth(spark, dir).collect()
+      .map(r => r.getAs[String]("scheme") -> r).toMap
+    assert(rows.keySet == Set("prefix_filter", "band_4x4", "band_16x1"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_keys") >= 1L)
+      assert(r.getAs[Long]("max_occupancy") >= 1L)
+      assert(r.getAs[Long]("n_emitted") >= 0L)
+    }
+    // the 16x1 flood emits at least as much as the 4x4 banding (any 4x4
+    // bucket collision implies 4 single-sig collisions of its rows)
+    assert(rows("band_16x1").getAs[Long]("n_emitted")
+      >= rows("band_4x4").getAs[Long]("n_emitted"))
+    // prefix emitted >= distinct verified candidates the containment build
+    // admits (multiplicity can only add)
+    val verified = graft.dedup.Dedup.containmentPairs(spark, dir).count()
+    assert(rows("prefix_filter").getAs[Long]("n_emitted") >= verified)
+  }
+
 }
