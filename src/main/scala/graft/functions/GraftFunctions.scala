@@ -44,6 +44,14 @@ object GraftFunctions {
     Hamming64(children.head, children(1))
   }
 
+  private[functions] val sortedCommonInfo = new ExpressionInfo(
+    classOf[SortedCommonCount64].getName, null, "graft_sorted_common64")
+
+  private[functions] val sortedCommonBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_sorted_common64 requires exactly 2 arguments")
+    SortedCommonCount64(children.head, children(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
@@ -53,6 +61,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_dbits"), dbitsInfo, dbitsBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_hamming64"), hammingInfo, hammingBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sorted_common64"), sortedCommonInfo, sortedCommonBuilder)
   }
 }
 
@@ -63,5 +73,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_l2sq"), GraftFunctions.l2Info, GraftFunctions.l2Builder))
     ext.injectFunction((FunctionIdentifier("graft_dbits"), GraftFunctions.dbitsInfo, GraftFunctions.dbitsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_hamming64"), GraftFunctions.hammingInfo, GraftFunctions.hammingBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_sorted_common64"), GraftFunctions.sortedCommonInfo, GraftFunctions.sortedCommonBuilder))
   }
 }

@@ -106,4 +106,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_hamming64") || e.getMessage.contains("long"))
   }
 
+  test("graft_sorted_common64 matches size(array_intersect) on sorted distinct arrays") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = Seq.fill(300) {
+      val a = Seq.fill(rng.nextInt(40))(rng.nextLong() % 1000).distinct.sorted
+      val b = Seq.fill(rng.nextInt(40))(rng.nextLong() % 1000).distinct.sorted
+      (a, b)
+    } ++ Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val df = rows.toDF("a", "b")
+    val mism = df.select(
+        expr("graft_sorted_common64(a, b)").as("native"),
+        size(array_intersect(col("a"), col("b"))).as("builtin"))
+      .where(col("native") =!= col("builtin")).count()
+    assert(mism === 0)
+  }
+
 }
