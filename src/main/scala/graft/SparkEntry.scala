@@ -188,6 +188,7 @@ object SparkEntry {
     "cdc_log_levels" -> ((s, d) => Monitoring.logLevels(s, d)),
     "cdc_event_browse" -> ((s, d) => Monitoring.eventBrowse(s, d)),
     "cdc_event_browse_seek" -> ((s, d) => Monitoring.eventBrowseSeek(s, d)),
+    "cdc_audit_browse_seek" -> ((s, d) => Monitoring.auditBrowseSeek(s, d)),
     "cdc_audit_browse" -> ((s, d) => Monitoring.auditBrowse(s, d)),
     "cdc_audit_facets" -> ((s, d) => Monitoring.auditFacets(s, d)),
     "cdc_dml_mix_trend" -> ((s, d) => Monitoring.dmlMixTrend(s, d)),
@@ -1052,6 +1053,7 @@ object SparkEntry {
       "cdc_log_levels" -> Monitoring.logLevelsSql,
       "cdc_event_browse" -> Monitoring.eventBrowseSql(),
       "cdc_event_browse_seek" -> Monitoring.eventBrowseSeekSql(),
+      "cdc_audit_browse_seek" -> Monitoring.auditBrowseSeekSql(),
       "cdc_audit_browse" -> Monitoring.auditBrowseSql(),
       "cdc_audit_facets" -> Monitoring.auditFacetsSql,
       "cdc_dml_mix_trend" -> Monitoring.dmlMixTrendSql,

@@ -1923,6 +1923,89 @@ object Monitoring {
        |ORDER BY created_at DESC, id DESC""".stripMargin
   }
 
+  /** Keyset ("seek") page of the audit-log listing — the deep-page path
+    * [[auditBrowse]]'s docstring pins, mirroring [[eventBrowseSeek]]: the
+    * client echoes the last row's (created_at, id) cursor and the page is
+    * the literal row-value predicate + one TakeOrderedAndProject; the
+    * equality facet filters (action / resource_type) ride along in the
+    * same pushed conjunction. No pre-pagination `total` here — that is
+    * the OFFSET endpoint's contract; a seek client keeps the page-1
+    * total.
+    *
+    * Scale shape: pushed scan (cursor + facet equality on scan columns)
+    * → TakeOrderedAndProject, zero shuffles, page cost independent of
+    * depth. */
+  def auditBrowseSeek(
+      spark: SparkSession, dir: String,
+      resourceType: Option[String] = Some("pipeline"),
+      cursorTs: String = "2024-01-20 00:00:00",
+      cursorId: Long = 1000000L, limit: Int = 20): DataFrame = {
+    val effLimit = math.max(1, math.min(limit, 100))
+    val cts = lit(cursorTs).cast("timestamp")
+    val base = graft.Tables.load(spark, dir, "events")
+      .where(col("ts") < cts ||
+        (col("ts") === cts && col("event_id") < lit(cursorId)))
+    // resource_type = 'pipeline' ⇔ event_type = 'purchase' under the
+    // derivation map: push the EQUIVALENT source predicate to the scan
+    val srcFiltered = resourceType.fold(base) { r =>
+      val src = Map("user" -> "signup", "pipeline" -> "purchase",
+        "connector" -> "click", "table" -> "view").get(r)
+      src.fold(base.where(!col("event_type").isin("signup", "purchase", "click", "view")))(
+        e => base.where(col("event_type") === e))
+    }
+    srcFiltered
+      .select(
+        col("event_id").as("id"),
+        col("user_id"),
+        when(col("event_type") === "signup", "create")
+          .when(col("event_type") === "purchase", "update")
+          .when(col("event_type") === "click", "execute")
+          .when(col("event_type") === "view", "read")
+          .otherwise("delete").as("action"),
+        when(col("event_type") === "signup", "user")
+          .when(col("event_type") === "purchase", "pipeline")
+          .when(col("event_type") === "click", "connector")
+          .when(col("event_type") === "view", "table")
+          .otherwise("system").as("resource_type"),
+        col("user_id").cast("string").as("resource_id"),
+        col("ts").as("created_at"))
+      .orderBy(col("created_at").desc, col("id").desc)
+      .limit(effLimit)
+  }
+
+  def auditBrowseSeekSql(
+      resourceType: Option[String] = Some("pipeline"),
+      cursorTs: String = "2024-01-20 00:00:00",
+      cursorId: Long = 1000000L, limit: Int = 20): String = {
+    val effLimit = math.max(1, math.min(limit, 100))
+    val srcPred = resourceType.map {
+      case "user" => "AND event_type = 'signup'"
+      case "pipeline" => "AND event_type = 'purchase'"
+      case "connector" => "AND event_type = 'click'"
+      case "table" => "AND event_type = 'view'"
+      case _ => "AND event_type NOT IN ('signup','purchase','click','view')"
+    }.getOrElse("")
+    s"""SELECT event_id AS id, user_id,
+       |       CASE event_type WHEN 'signup' THEN 'create'
+       |                       WHEN 'purchase' THEN 'update'
+       |                       WHEN 'click' THEN 'execute'
+       |                       WHEN 'view' THEN 'read'
+       |                       ELSE 'delete' END AS action,
+       |       CASE event_type WHEN 'signup' THEN 'user'
+       |                       WHEN 'purchase' THEN 'pipeline'
+       |                       WHEN 'click' THEN 'connector'
+       |                       WHEN 'view' THEN 'table'
+       |                       ELSE 'system' END AS resource_type,
+       |       CAST(user_id AS VARCHAR) AS resource_id,
+       |       ts AS created_at
+       |FROM events
+       |WHERE (ts < TIMESTAMP '$cursorTs'
+       |       OR (ts = TIMESTAMP '$cursorTs' AND event_id < $cursorId))
+       |  $srcPred
+       |ORDER BY created_at DESC, id DESC
+       |LIMIT $effLimit""".stripMargin
+  }
+
   /** Audit-log filter facets — `/api/v1/audit-logs/filters`
     * (api.py:13425): the distinct `action` and `resource_type` values the
     * UI offers as filter options, each list sorted — here as one tidy

@@ -40,6 +40,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), "seek page must not shuffle")
   }
 
+  test("audit browse seek: cursor AND facet predicate reach the scan") {
+    val p = SparkEntry.queries("cdc_audit_browse_seek")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("EqualTo(event_type,purchase)"), "facet not pushed as source predicate")
+    assert(p.contains("Or(LessThan(ts,"), "cursor not pushed")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange hashpartitioning"), "seek page must not shuffle")
+  }
+
   test("q1 keeps pushdown, pruning, and partial aggregation") {
     val p = planOf("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
