@@ -189,6 +189,7 @@ object SparkEntry {
     "cdc_event_browse" -> ((s, d) => Monitoring.eventBrowse(s, d)),
     "cdc_event_browse_seek" -> ((s, d) => Monitoring.eventBrowseSeek(s, d)),
     "cdc_audit_browse_seek" -> ((s, d) => Monitoring.auditBrowseSeek(s, d)),
+    "cdc_salt_advisor" -> ((s, d) => Monitoring.saltAdvisor(s, d)),
     "cdc_audit_browse" -> ((s, d) => Monitoring.auditBrowse(s, d)),
     "cdc_audit_facets" -> ((s, d) => Monitoring.auditFacets(s, d)),
     "cdc_dml_mix_trend" -> ((s, d) => Monitoring.dmlMixTrend(s, d)),
@@ -1054,6 +1055,7 @@ object SparkEntry {
       "cdc_event_browse" -> Monitoring.eventBrowseSql(),
       "cdc_event_browse_seek" -> Monitoring.eventBrowseSeekSql(),
       "cdc_audit_browse_seek" -> Monitoring.auditBrowseSeekSql(),
+      "cdc_salt_advisor" -> Monitoring.saltAdvisorSql(),
       "cdc_audit_browse" -> Monitoring.auditBrowseSql(),
       "cdc_audit_facets" -> Monitoring.auditFacetsSql,
       "cdc_dml_mix_trend" -> Monitoring.dmlMixTrendSql,

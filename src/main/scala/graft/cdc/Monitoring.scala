@@ -2475,6 +2475,86 @@ object Monitoring {
        |       hwm_ms - last_ms > $idleMs AS idle
        |FROM h ORDER BY topic""".stripMargin
 
+  /** Salting advisor — the pre-materialize decision panel (the
+    * [[graft.dedup.Dedup.blockingHealth]] pattern for the changelog
+    * apply path): from the per-key change-count distribution, the exact
+    * numbers that decide between `cdc_materialize_latest` and its salted
+    * variant — key/event totals, mean and EXACT p99/max events-per-key
+    * (read off the count-of-counts cumulative, never a global sort of
+    * per-key rows), the max/mean skew ratio, and the recommended salt
+    * factor ⌈max/target⌉ clamped to [1, 32] (integer ceiling — no float
+    * boundary), where `target` is the per-task row budget a shuffle
+    * partition should carry. recommended_salt = 1 means the plain
+    * materializer is fine; > 1 is the salt count to pass.
+    *
+    * Scale shape: one map-side-combined per-key count, collapsed to
+    * count-of-counts (bounded by distinct COUNT VALUES, not |keys|),
+    * windows over that tiny table only, 1-row output. */
+  def saltAdvisor(spark: SparkSession, dir: String,
+                  targetPerTask: Long = 10000L): DataFrame = {
+    val perKey = Cdc.changelog(spark, dir).groupBy("pk").agg(count(lit(1)).as("cnt"))
+    val coc = perKey.groupBy("cnt").agg(count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("cnt")
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val ranked = coc
+      .withColumn("cum_keys", sum(col("n_keys")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("total_keys", sum(col("n_keys")).over(tot))
+      .withColumn("total_events", sum(col("cnt") * col("n_keys")).over(tot))
+    val p99 = ranked
+      .where(col("cum_keys") >=
+        ceil(col("total_keys").cast("double") * 0.99).cast("long"))
+      .agg(min(col("cnt")).as("p99_events_per_key"))
+    ranked
+      .agg(max(col("total_keys")).as("n_keys"),
+        max(col("total_events")).as("n_events"),
+        max(col("cnt")).as("max_events_per_key"))
+      .crossJoin(broadcast(p99))
+      .withColumn("mean_events_per_key",
+        col("n_events").cast("double") / col("n_keys").cast("double"))
+      .withColumn("skew_ratio",
+        col("max_events_per_key").cast("double") / col("mean_events_per_key"))
+      .withColumn("recommended_salt",
+        least(greatest(
+          expr(s"(max_events_per_key + ${targetPerTask - 1}L) DIV ${targetPerTask}L"),
+          lit(1L)), lit(32L)))
+      .select(col("n_keys"), col("n_events"), col("mean_events_per_key"),
+        col("p99_events_per_key"), col("max_events_per_key"),
+        col("skew_ratio"), col("recommended_salt"),
+        (col("recommended_salt") > 1L).as("needs_salting"))
+  }
+
+  def saltAdvisorSql(targetPerTask: Long = 10000L): String =
+    s"""${Cdc.changelogSql},
+       |per_key AS (SELECT pk, count(*) AS cnt FROM changelog GROUP BY pk),
+       |coc AS (SELECT cnt, count(*) AS n_keys FROM per_key GROUP BY cnt),
+       |r AS (
+       |  SELECT cnt, n_keys,
+       |         sum(n_keys) OVER (ORDER BY cnt
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_keys,
+       |         sum(n_keys) OVER () AS total_keys,
+       |         sum(cnt * n_keys) OVER () AS total_events
+       |  FROM coc),
+       |p AS (
+       |  SELECT min(cnt) AS p99_events_per_key FROM r
+       |  WHERE cum_keys >= CAST(ceil(CAST(total_keys AS DOUBLE) * 0.99) AS BIGINT)),
+       |s AS (
+       |  SELECT CAST(max(total_keys) AS BIGINT) AS n_keys,
+       |         CAST(max(total_events) AS BIGINT) AS n_events,
+       |         CAST(max(cnt) AS BIGINT) AS max_events_per_key
+       |  FROM r)
+       |SELECT n_keys, n_events,
+       |       CAST(n_events AS DOUBLE) / CAST(n_keys AS DOUBLE) AS mean_events_per_key,
+       |       CAST(p99_events_per_key AS BIGINT) AS p99_events_per_key,
+       |       max_events_per_key,
+       |       CAST(max_events_per_key AS DOUBLE)
+       |         / (CAST(n_events AS DOUBLE) / CAST(n_keys AS DOUBLE)) AS skew_ratio,
+       |       least(greatest((max_events_per_key + ${targetPerTask - 1}) // $targetPerTask, 1), 32)
+       |         AS recommended_salt,
+       |       least(greatest((max_events_per_key + ${targetPerTask - 1}) // $targetPerTask, 1), 32) > 1
+       |         AS needs_salting
+       |FROM s, p""".stripMargin
+
   /** Hot-key concentration — how much of the change volume the top 1% of
     * keys carry. Computed SCALE-CORRECTLY through the count-of-counts
     * distribution: per-key counts collapse to (events_per_key →

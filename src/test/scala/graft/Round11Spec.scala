@@ -182,4 +182,19 @@ class Round11Spec extends AnyFunSuite {
     assert(rows("prefix_filter").getAs[Long]("n_emitted") >= verified)
   }
 
+  test("salt advisor: quantiles and salt brute-checked off raw per-key counts") {
+    val r = graft.cdc.Monitoring.saltAdvisor(spark, dir).collect().head
+    val counts = graft.cdc.Cdc.changelog(spark, dir)
+      .groupBy("pk").count().collect().map(_.getLong(1)).sorted
+    assert(r.getAs[Long]("n_keys") == counts.length.toLong)
+    assert(r.getAs[Long]("n_events") == counts.sum)
+    assert(r.getAs[Long]("max_events_per_key") == counts.last)
+    // exact p99: smallest count with cumulative keys >= ceil(0.99 n)
+    val rank = math.ceil(counts.length * 0.99).toInt
+    assert(r.getAs[Long]("p99_events_per_key") == counts(rank - 1))
+    val expSalt = math.min(32L, math.max(1L, (counts.last + 9999L) / 10000L))
+    assert(r.getAs[Long]("recommended_salt") == expSalt)
+    assert(r.getAs[Boolean]("needs_salting") == (expSalt > 1L))
+  }
+
 }
