@@ -190,6 +190,7 @@ object SparkEntry {
     "cdc_event_browse_seek" -> ((s, d) => Monitoring.eventBrowseSeek(s, d)),
     "cdc_audit_browse_seek" -> ((s, d) => Monitoring.auditBrowseSeek(s, d)),
     "cdc_salt_advisor" -> ((s, d) => Monitoring.saltAdvisor(s, d)),
+    "mm_audio_fp_dedup" -> ((s, d) => Binary.audioFingerprintDedup(s, d)),
     "cdc_audit_browse" -> ((s, d) => Monitoring.auditBrowse(s, d)),
     "cdc_audit_facets" -> ((s, d) => Monitoring.auditFacets(s, d)),
     "cdc_dml_mix_trend" -> ((s, d) => Monitoring.dmlMixTrend(s, d)),
@@ -1056,6 +1057,7 @@ object SparkEntry {
       "cdc_event_browse_seek" -> Monitoring.eventBrowseSeekSql(),
       "cdc_audit_browse_seek" -> Monitoring.auditBrowseSeekSql(),
       "cdc_salt_advisor" -> Monitoring.saltAdvisorSql(),
+      "mm_audio_fp_dedup" -> Binary.audioFingerprintDedupSql,
       "cdc_audit_browse" -> Monitoring.auditBrowseSql(),
       "cdc_audit_facets" -> Monitoring.auditFacetsSql,
       "cdc_dml_mix_trend" -> Monitoring.dmlMixTrendSql,

@@ -1360,4 +1360,149 @@ object Binary {
       |       max(n_bytes) AS max_bytes, count(DISTINCT magic_hex) AS n_magics,
       |       CAST(sum(n_bytes) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bytes
       |FROM b GROUP BY modality ORDER BY modality""".stripMargin
+  private val audioFpSchema = StructType(Seq(
+    StructField("clip_id", LongType, nullable = false),
+    StructField("fp", LongType, nullable = false)))
+
+  /** Audio energy-envelope fingerprint dedup — the [[phashHammingHist]]
+    * idea on the AUDIO axis: each clip's decoded PCM (REAL WAV round
+    * trip, as in [[audioCrest]]) is reduced to a 60-bit fingerprint — 15
+    * equal time windows (sample i → window (i·15) DIV n, balanced with
+    * no bound arithmetic; 15 not 16 so the top nibble stops at bit 59
+    * and the fingerprint stays positive in BOTH engines' signed-64
+    * arithmetic), per-window Σ|s| exact-integer energy, quantized to
+    * 4 bits relative to the clip's loudest window ((e·15) DIV emax,
+    * integer division) — and near-duplicate clips are
+    * found at fingerprint Hamming ≤ 3 through 4×16-bit band blocking
+    * (pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so recall is
+    * EXACT at the threshold). The corpus is the clips ∪ exact re-uploads
+    * (clip_id%9==0 → +3M, same source PCM) so the operator has true
+    * positives to find, mirroring the text-dedup corpus convention.
+    *
+    * The envelope fingerprint is the classic cheap audio near-dup key
+    * (loudness profile survives re-encoding and small edits; a spectral
+    * fingerprint needs an FFT this container doesn't ship) — and the
+    * Hamming verify reuses the native [[graft.functions.Hamming64]].
+    *
+    * Scale shape: serial codec partitions (the measured [[audioDecode]]
+    * policy), fingerprints are 8 bytes/clip, banding emits 4 rows/clip,
+    * candidates only from band-bucket equality, native-codegen verify,
+    * output ≤ |near-dups|. */
+  def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
+    val clips = ids.select(col("doc_id").as("clip_id"), col("doc_id").as("src_id"))
+      .unionAll(ids.where(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 3000000L).as("clip_id"), col("doc_id").as("src_id")))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioFpSchema)
+    val fps = clips.mapPartitions { rows =>
+      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val buf = new java.io.ByteArrayOutputStream(8192)
+      rows.map { row =>
+        val clipId = row.getLong(0)
+        val id = row.getLong(1)
+        val n = (id % 480 + 160).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        buf.reset()
+        val in = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
+        val dec = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(buf.toByteArray))
+        val bytes = dec.readAllBytes()
+        val m = bytes.length / 2
+        val e = new Array[Long](15)
+        var j = 0
+        while (j < m) {
+          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
+          e((j * 15) / m) += math.abs(s.toLong)
+          j += 1
+        }
+        var emax = 0L
+        var k = 0
+        while (k < 15) { if (e(k) > emax) emax = e(k); k += 1 }
+        var fp = 0L
+        k = 0
+        while (k < 15) {
+          val nib = if (emax == 0L) 0L else e(k) * 15L / emax
+          fp |= nib << (4 * k)
+          k += 1
+        }
+        Row(clipId, fp)
+      }
+    }(enc).cache() // 8 bytes/clip; the serial codec pass must run ONCE,
+                   // not once per downstream consumer (4 reads below)
+    // Fingerprint-CLASS algebra: identical fingerprints collapse to one
+    // class row before any join, so the band self-join runs over
+    // |distinct fps| (a synthetic corpus with flat envelopes collapses
+    // hundreds of clips per class), and member expansion afterwards is
+    // pure output mass. Within-class pairs are Hamming 0 by definition.
+    val classes = fps.groupBy("fp").agg(count(lit(1)).as("sz"))
+    val bandedC = classes.select(col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          shiftright(col("fp"), 16 * b).bitwiseAND(lit(65535L)).as("band_val"))): _*)).as("bnd"))
+      .select(col("fp"), col("bnd.band_id").as("band_id"), col("bnd.band_val").as("band_val"))
+    val classPairs = bandedC.as("a").join(bandedC.as("b"),
+        col("a.band_id") === col("b.band_id")
+          && col("a.band_val") === col("b.band_val")
+          && col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", expr("graft_hamming64(fp_a, fp_b)").cast("long"))
+      .where(col("hamming") <= 3)
+    val m1 = fps.select(col("fp").as("fp_a"), col("clip_id").as("ca"))
+    val m2 = fps.select(col("fp").as("fp_b"), col("clip_id").as("cb"))
+    val cross = classPairs.join(m1, "fp_a").join(m2, "fp_b")
+      .select(least(col("ca"), col("cb")).as("id_a"),
+        greatest(col("ca"), col("cb")).as("id_b"), col("hamming"))
+    val within = fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.clip_id") < col("y.clip_id"))
+      .select(col("x.clip_id").as("id_a"), col("y.clip_id").as("id_b"),
+        lit(0L).as("hamming"))
+    cross.unionAll(within)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  val audioFingerprintDedupSql: String =
+    """WITH clips AS (
+      |  SELECT doc_id AS clip_id, doc_id AS src_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 9 = 0),
+      |d AS (SELECT clip_id, src_id, src_id % 480 + 160 AS n FROM clips),
+      |s AS (SELECT clip_id, n,
+      |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i,
+      |             src_id
+      |      FROM d),
+      |v AS (SELECT clip_id, n, i, (src_id * 31 + i * 17) % 65536 - 32768 AS smp FROM s),
+      |w AS (
+      |  SELECT clip_id, (i * 15) // n AS k, sum(abs(smp)) AS e
+      |  FROM v GROUP BY clip_id, (i * 15) // n),
+      |mx AS (SELECT clip_id, max(e) AS emax FROM w GROUP BY clip_id),
+      |fp AS (
+      |  SELECT w.clip_id,
+      |         CAST(sum((CASE WHEN emax = 0 THEN 0 ELSE e * 15 // emax END)
+      |                   * (1::BIGINT << (4 * CAST(k AS INTEGER)))) AS BIGINT) AS fp
+      |  FROM w JOIN mx ON w.clip_id = mx.clip_id
+      |  GROUP BY w.clip_id),
+      |banded AS (
+      |  SELECT clip_id, fp, b AS band_id, (fp >> (16 * CAST(b AS INTEGER))) & 65535 AS band_val
+      |  FROM fp, unnest(generate_series(0, 3)) AS t(b)),
+      |pairs AS (
+      |  SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b, a.fp AS fp_a, b.fp AS fp_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.clip_id < b.clip_id)
+      |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+      |FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
 }
