@@ -98,7 +98,11 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       // (bounded by the 3-channel circular byte distance: SAD/px <= 384)
       "mm_video_motion",
       // share/peak windows over the <= 168-cell dow x hour grid
-      "cdc_load_calendar")
+      "cdc_load_calendar",
+      // cumulative/total windows over the per-key count-of-counts rows
+      // (bounded by DISTINCT count values, the hotKeyShare trick), never
+      // the per-key table
+      "cdc_salt_advisor")
 
   test("unpartitioned windows only ever run over bounded (pre-aggregated) inputs") {
     import org.apache.spark.sql.execution.window.WindowExec
