@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, Discovery, Materialize, Monitoring, Quality}
-import graft.analytics.Relational
+import graft.analytics.{Relational, Sketches}
 import graft.text.TextFunctions
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -185,6 +185,7 @@ object SparkEntry {
     "cdc_slot_retention" -> ((s, d) => Monitoring.slotRetention(s, d)),
     "cdc_checkpoint_browse" -> ((s, d) => Monitoring.checkpointBrowse(s, d)),
     "cdc_log_browse" -> ((s, d) => Monitoring.logBrowse(s, d)),
+    "cdc_log_browse_seek" -> ((s, d) => Monitoring.logBrowseSeek(s, d)),
     "cdc_log_levels" -> ((s, d) => Monitoring.logLevels(s, d)),
     "cdc_event_browse" -> ((s, d) => Monitoring.eventBrowse(s, d)),
     "cdc_event_browse_seek" -> ((s, d) => Monitoring.eventBrowseSeek(s, d)),
@@ -378,6 +379,14 @@ object SparkEntry {
     "mm_frame_stats" -> ((s, d) => Video.frameStats(s, d)),
     "q_corr_ols" -> ((s, d) => Relational.corrOls(s, d)),
     "q_mad" -> ((s, d) => Relational.madByFlag(s, d)),
+    // sketch twins of the two exact-percentile hot spots — the 100 TB
+    // drop-ins their exact docstrings promise, registered first-class.
+    // No oracleSql: approx_percentile's rank pick is engine-specific
+    // (driver records the rows-only check); the accuracy contracts vs
+    // the exact twins are pinned in SketchesSpec.
+    "q_mad_approx" -> ((s, d) => Sketches.approxMad(s, d)),
+    "cdc_lag_percentiles_approx" ->
+      ((s, d) => Sketches.approxLagPercentiles(Cdc.changelog(s, d))),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
@@ -1052,6 +1061,7 @@ object SparkEntry {
       "cdc_slot_retention" -> Monitoring.slotRetentionSql(),
       "cdc_checkpoint_browse" -> Monitoring.checkpointBrowseSql,
       "cdc_log_browse" -> Monitoring.logBrowseSql(),
+      "cdc_log_browse_seek" -> Monitoring.logBrowseSeekSql(),
       "cdc_log_levels" -> Monitoring.logLevelsSql,
       "cdc_event_browse" -> Monitoring.eventBrowseSql(),
       "cdc_event_browse_seek" -> Monitoring.eventBrowseSeekSql(),

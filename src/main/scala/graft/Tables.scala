@@ -45,7 +45,14 @@ object Tables {
     // no graft operator relies on — the explode itself already drops
     // empty arrays.
     "spark.sql.optimizer.excludedRules" ->
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    // graft_max_by (ObjectHashAggregate) keeps one tiny (ord, value) row
+    // per group, so the collect_list-guarding default of 128 in-memory
+    // groups would push the latest-row materializers straight back to the
+    // sort-based path this aggregate exists to avoid. 2M groups × ~100 B
+    // ≈ 200 MB per task worst case — bounded; beyond that the sort-based
+    // fallback still protects memory.
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2000000")
 
   /** Tables whose operators do real per-row compute (JSON parse, shingle
     * fan-out, codecs, vector folds) — [[load]] applies the [[spread]]

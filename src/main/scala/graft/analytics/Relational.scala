@@ -365,17 +365,20 @@ object Relational {
     * customers changed priority between them and the exact-decimal net
     * spend drift (last minus first order value).
     *
-    * Scale shape: one per-customer aggregation (struct extrema combine
+    * Scale shape: one per-customer HASH aggregation (graft_min_by /
+    * graft_max_by argmax, ObjectHashAggregate — partials combine
     * map-side), a co-partitioned key join to customer, and a ≤|segments|
     * rollup — no per-customer ordering window anywhere. */
   def firstLast(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
     val customer = Tables.load(spark, dir, "customer")
-    val ev = struct(col("o_orderdate"), col("o_orderkey"),
-      col("o_orderpriority").as("prio"), dec(col("o_totalprice")).as("price"))
+    val ev = struct(col("o_orderpriority").as("prio"), dec(col("o_totalprice")).as("price"))
+    val ord = struct(col("o_orderdate"), col("o_orderkey"))
     val perCust = orders
       .groupBy("o_custkey")
-      .agg(count(lit(1)).as("n_orders"), min(ev).as("f"), max(ev).as("l"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.GraftFunctions.minByCol(orders, ev, ord).as("f"),
+        graft.functions.GraftFunctions.maxByCol(orders, ev, ord).as("l"))
       .select(col("o_custkey"), col("n_orders"),
         col("f.prio").as("first_prio"), col("l.prio").as("last_prio"),
         (col("l.price") - col("f.price")).as("drift_d"))
@@ -421,9 +424,9 @@ object Relational {
     * argmax via struct-max — no window, no shuffle beyond the group
     * keys.
     *
-    * Tie policy note: max(struct(cnt, value)) breaks count ties toward
-    * the LARGER value on both engines — pinned here so replication
-    * between engines can diff the result byte-for-byte. */
+    * Tie policy note: the struct(cnt, value) ordering key breaks count
+    * ties toward the LARGER value on both engines — pinned here so
+    * replication between engines can diff the result byte-for-byte. */
   def modeReturnflag(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem").select(col("l_orderkey"), col("l_returnflag"))
     val o = Tables.load(spark, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
@@ -433,7 +436,9 @@ object Relational {
     val totals = cells.groupBy("o_orderpriority").agg(sum(col("cnt")).as("n_rows"))
     cells
       .groupBy("o_orderpriority")
-      .agg(max(struct(col("cnt"), col("l_returnflag"))).as("m"))
+      .agg(graft.functions.GraftFunctions.maxByCol(cells,
+        struct(col("cnt"), col("l_returnflag")),
+        struct(col("cnt"), col("l_returnflag"))).as("m"))
       .join(totals, "o_orderpriority")
       .select(
         col("o_orderpriority"),

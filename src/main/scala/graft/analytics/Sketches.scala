@@ -137,4 +137,54 @@ object Sketches {
       .agg(count(lit(1)).as("n_probes"), sum(col("found")).as("n_found"))
       .orderBy(col("expected").desc)
   }
+
+  /** Sketch form of [[Relational.madByFlag]] (`q_mad`) — the 100 TB
+    * drop-in its docstring promises, as a first-class registry entry
+    * (`q_mad_approx`). Same two-pass shape, but both percentile passes
+    * run on `approx_percentile` (GK summaries): the shuffle carries
+    * fixed-size sketches instead of every value, so no group ever
+    * needs its full value set resident. No DuckDB oracle: the sketch's
+    * picked rank is engine-specific (driver records the rows-only
+    * check); the accuracy contract vs the exact operator is pinned in
+    * SketchesSpec (rank error ≤ 1/accuracy). */
+  def approxMad(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val med = li.groupBy("l_returnflag")
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col("med")).as("median_price"),
+        expr(s"approx_percentile(abs(l_extendedprice - med), 0.5, $accuracy)").as("mad"))
+      .withColumn("rel_mad", col("mad") / col("median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Sketch form of [[graft.cdc.Monitoring.lagPercentiles]]
+    * (`cdc_lag_percentiles_approx`): per-cohort lag quantiles via
+    * `approx_percentile` — ONE hash aggregation, no rank window at all.
+    * The exact operator's per-cohort rank window is scale-correct only
+    * while a cohort fits one partition; the sketch path merges map-side
+    * partials and never materializes a cohort's lag set anywhere. No
+    * DuckDB oracle (engine-specific rank pick); accuracy contract in
+    * SketchesSpec. */
+  def approxLagPercentiles(changelog: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val hwm = changelog.agg(max(col("ts")).as("hwm"))
+    changelog
+      .crossJoin(broadcast(hwm))
+      .select((col("pk") % 10).as("cohort"),
+        (unix_millis(col("hwm")) - unix_millis(col("ts"))).as("lag_ms"))
+      .groupBy("cohort")
+      .agg(
+        expr(s"approx_percentile(lag_ms, array(0.5, 0.9, 0.99), $accuracy)").as("qs"),
+        max(col("lag_ms")).as("max_ms"))
+      .select(col("cohort"),
+        element_at(col("qs"), 1).as("p50_ms"),
+        element_at(col("qs"), 2).as("p90_ms"),
+        element_at(col("qs"), 3).as("p99_ms"),
+        col("max_ms"))
+      .orderBy("cohort")
+  }
 }

@@ -520,6 +520,66 @@ object Discovery {
     /** Pending invitations, newest-first (the invitation listing). */
     def listInvitations(limit: Int = 100): Seq[InvitationRecord] =
       synchronized { invitations.sortBy(i => -i.expiresSeq).take(math.max(limit, 0)).toSeq }
+
+    /** The reference's password-strength ladder (api.py:10789
+      * validate_password_strength), verbatim branch order: required →
+      * length 8..128 → upper → lower → digit → special. Left = the
+      * endpoint's 400 detail. */
+    private def validatePasswordStrength(password: String): Either[String, Unit] = {
+      val special = "!@#$%^&*()_+-=[]{}|;:,.<>?"
+      if (password == null || password.isEmpty) Left("Password is required")
+      else if (password.length < 8) Left("Password must be at least 8 characters long")
+      else if (password.length > 128) Left("Password must be less than 128 characters")
+      else if (!password.exists(_.isUpper)) Left("Password must contain at least one uppercase letter")
+      else if (!password.exists(_.isLower)) Left("Password must contain at least one lowercase letter")
+      else if (!password.exists(_.isDigit)) Left("Password must contain at least one digit")
+      else if (!password.exists(special.contains(_)))
+        Left("Password must contain at least one special character (!@#$%^&*()_+-=[]{}|;:,.<>?)")
+      else Right(())
+    }
+
+    /** POST /invitations/accept (api.py:12087) — token redemption, the
+      * exact branch ladder: unknown token → 404 "Invalid or expired
+      * invitation token"; non-PENDING → 400 "already used or expired";
+      * past expiry → invitation FLIPS to EXPIRED (a state write, not just
+      * an error) then 400 "Invitation has expired"; missing user row →
+      * 404; weak password → its specific strength message. On success the
+      * user activates (ACTIVE, full name from the request or the email's
+      * local part), the invitation flips to ACCEPTED, and the activated
+      * user is returned. JWT issuance is auth plumbing (out of scope per
+      * SURVEY §1); the directory-state transitions are the semantics. */
+    def acceptInvitation(token: String, password: String,
+        fullName: Option[String] = None): Either[String, UserRecord] =
+      synchronized {
+        invitations.zipWithIndex.find(_._1.token == token.trim) match {
+          case None => Left("Invalid or expired invitation token")
+          case Some((inv, idx)) =>
+            if (inv.status != "PENDING") Left("Invitation already used or expired")
+            else if (inv.expiresSeq < seq) {
+              invitations(idx) = inv.copy(status = "EXPIRED")
+              Left("Invitation has expired")
+            } else users.values.find(_.email == inv.email) match {
+              case None => Left("User record not found")
+              case Some(user) =>
+                validatePasswordStrength(password) match {
+                  case Left(msg) => Left(msg)
+                  case Right(()) =>
+                    val name = fullName.map(_.trim).filter(_.nonEmpty)
+                      .orElse(Option(user.fullName).filter(_.nonEmpty))
+                      .getOrElse(inv.email.split("@")(0))
+                    val activated = user.copy(fullName = name,
+                      isActive = true, status = "ACTIVE")
+                    users(user.id) = activated
+                    invitations(idx) = inv.copy(status = "ACCEPTED")
+                    Right(activated)
+                }
+            }
+        }
+      }
+
+    /** Test hook: advance the monotone sequence (stands in for wall-clock
+      * passage so expiry branches are reachable in specs). */
+    private[graft] def advanceSeq(n: Long): Unit = synchronized { seq += n }
   }
 }
 

@@ -1,7 +1,7 @@
 package graft.cdc
 
 import graft.dec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,11 +11,21 @@ import org.apache.spark.sql.functions._
   * delete.enabled) and its full-load snapshot copy
   * (reference: backend/ingestion/transfer.py:193-1150).
   *
-  * Scale notes: [[latestSnapshot]] is a hash aggregation (struct max),
-  * NOT a row_number window — partial aggregation runs map-side and AQE can
-  * split skewed keys, so one shuffle by PK is all it costs at 100 TB.
+  * Scale notes: [[latestSnapshot]] is a HASH aggregation — graft_max_by
+  * ([[graft.functions.MaxByHash]]) plans through ObjectHashAggregate, so
+  * partial aggregation runs map-side and AQE can split skewed keys; one
+  * shuffle by PK is all it costs at 100 TB. (The previous
+  * `max(struct(...))` shape planned SortAggregate: struct aggregation
+  * buffers are not UnsafeRow-mutable, so HashAggregateExec refused it and
+  * every task sorted its whole partition by PK first.)
   */
 object Materialize {
+
+  /** `graft_max_by(payload, ord)` — latest-row argmax, hash-aggregable.
+    * Registration is idempotent; every public operator entry point calls
+    * it so DataFrames from any session resolve the function. */
+  private def latestBy(df: DataFrame, payload: Column, ord: Column): Column =
+    graft.functions.GraftFunctions.maxByCol(df, payload, ord)
 
   /** Current-state snapshot: last change per PK wins; a final delete drops
     * the row. Equivalent SQL: row_number() OVER (PARTITION BY pk ORDER BY
@@ -24,10 +34,9 @@ object Materialize {
     changelog
       .groupBy(col("pk").as("user_id"))
       .agg(
-        // single-struct max with ordering fields first: lexicographic max
-        // == (ts, seq)-latest row, and it stays in codegen (max_by with a
-        // struct ordering key runs interpreted and measured ~3x slower)
-        max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"),
+        latestBy(changelog,
+          struct(col("op"), col("value"), col("ts")),
+          struct(col("ts"), col("seq"))).as("last"),
         count(lit(1)).as("n_changes"))
       .where(col("last.op") =!= "d")
       .select(
@@ -59,7 +68,9 @@ object Materialize {
     changelog
       .groupBy(col("pk").as("user_id"))
       .agg(
-        max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"),
+        latestBy(changelog,
+          struct(col("op"), col("value"), col("ts")),
+          struct(col("ts"), col("seq"))).as("last"),
         sum(col("weight")).as("n_changes"),
         // per-key applied watermark: lets the incremental sink drop
         // micro-batch replays (seq ≤ max_seq) instead of re-counting them
@@ -81,10 +92,12 @@ object Materialize {
       orderCols: Seq[String],
       opCol: String,
       payloadCols: Seq[String]): DataFrame = {
-    val lastStruct = struct((orderCols.map(col) :+ col(opCol)) ++ payloadCols.map(col): _*)
+    val payload = struct((col(opCol) +: payloadCols.map(col)) ++ orderCols.map(col): _*)
     changelog
       .groupBy(keyCols.map(col): _*)
-      .agg(max(lastStruct).as("last"), count(lit(1)).as("n_changes"))
+      .agg(
+        latestBy(changelog, payload, struct(orderCols.map(col): _*)).as("last"),
+        count(lit(1)).as("n_changes"))
       .where(col(s"last.$opCol") =!= "d")
       .select(keyCols.map(col) ++ payloadCols.map(c => col(s"last.$c").as(c)) ++
         orderCols.map(c => col(s"last.$c").as(c)) :+ col("n_changes"): _*)
@@ -122,11 +135,14 @@ object Materialize {
     changelog
       .groupBy(col("pk"), pmod(col("seq"), lit(salt)).as("salt"))
       .agg(
-        max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"),
+        latestBy(changelog,
+          struct(col("op"), col("value"), col("ts"), col("seq")),
+          struct(col("ts"), col("seq"))).as("last"),
         count(lit(1)).as("n"))
       .groupBy(col("pk").as("user_id"))
       .agg(
-        max(col("last")).as("last"),   // ordering fields lead the struct
+        latestBy(changelog, col("last"),
+          struct(col("last.ts"), col("last.seq"))).as("last"),
         sum(col("n")).as("n_changes"))
       .where(col("last.op") =!= "d")
       .select(
@@ -147,11 +163,15 @@ object Materialize {
       .where(col("rn") <= 2)
       .groupBy(col("pk").as("user_id"))
       .agg(
-        max(when(col("rn") === 1, col("op"))).as("last_op"),
+        // the delete test as an INT aggregate, not max(op): a string
+        // buffer slot is not UnsafeRow-mutable and would push this
+        // whole-changelog aggregation onto SortAggregate. rn = 1 is
+        // unique per key, so the max IS that row's predicate value.
+        max(when(col("rn") === 1, (col("op") === "d").cast("int"))).as("last_is_delete"),
         max(when(col("rn") === 1, dec(col("value"), 18, 2))).as("cur_d"),
         max(when(col("rn") === 2, dec(col("value"), 18, 2))).as("prev_d"),
         max(when(col("rn") === 1, col("ts"))).as("updated_at"))
-      .where(col("last_op") =!= "d")
+      .where(col("last_is_delete") === 0)
       .select(
         col("user_id"),
         col("cur_d").cast("double").as("current_value"),
@@ -185,7 +205,9 @@ object Materialize {
       .withColumn("site", site)
       .groupBy(col("pk").as("user_id"))
       .agg(
-        max(struct(col("ts"), col("seq"), col("op"), col("value"), col("site"))).as("last"),
+        latestBy(changelog,
+          struct(col("op"), col("value"), col("site"), col("ts")),
+          struct(col("ts"), col("seq"))).as("last"),
         countDistinct(col("site")).as("sites_touched"))
       .where(col("last.op") =!= "d")
       .select(
@@ -245,11 +267,27 @@ object Materialize {
     * apply once. The 10% redelivery is simulated deterministically. */
   def dedupReplay(changelog: DataFrame): DataFrame = {
     val redelivered = changelog.where(col("seq") % 10 === 0)
+    // min over the CLASS RANK, not the class string: a string-valued
+    // min/max buffer is not UnsafeRow-mutable and forces the per-seq
+    // aggregation (over the full delivery stream) onto SortAggregate.
+    // Ranks follow the normalized class names' alphabetical order, so the
+    // decode below computes exactly min(normalizeOp(op)).
+    val opRank = when(col("op") === "d", 0)
+      .when(col("op").isin("c", "r"), 1)
+      .when(col("op") === "t", 2)
+      .when(col("op") === "u", 4)
+      .otherwise(3)
     changelog.unionAll(redelivered)
       .groupBy(col("seq"))
       .agg(
         count(lit(1)).as("deliveries"),
-        min(Cdc.normalizeOp(col("op"))).as("event_class"))
+        min(opRank).as("class_rank"))
+      .withColumn("event_class",
+        when(col("class_rank") === 0, "delete")
+          .when(col("class_rank") === 1, "insert")
+          .when(col("class_rank") === 2, "truncate")
+          .when(col("class_rank") === 4, "update")
+          .otherwise("unknown"))
       .groupBy(col("event_class"))
       .agg(
         count(lit(1)).as("unique_events"),
@@ -281,7 +319,9 @@ object Materialize {
   private def lastChangePerKey(changelog: DataFrame): DataFrame =
     changelog
       .groupBy(col("pk"))
-      .agg(max(struct(col("ts"), col("seq"), col("op"), col("value"))).as("last"))
+      .agg(latestBy(changelog,
+        struct(col("op"), col("value"), col("ts"), col("seq")),
+        struct(col("ts"), col("seq"))).as("last"))
       .select(col("pk"), col("last.op").as("op"), col("last.value").as("value"),
         col("last.ts").as("ts"), col("last.seq").as("seq"))
 

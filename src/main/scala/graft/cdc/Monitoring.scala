@@ -1602,7 +1602,7 @@ object Monitoring {
       spark: SparkSession, dir: String,
       level: String = "DEBUG", search: String = "7",
       limit: Int = 50, horizonMs: Long = 7L * 86400000L): DataFrame = {
-    val cappedLimit = math.min(limit, 50) // the endpoint's cap (api.py:10260)
+    val cappedLimit = math.max(1, math.min(limit, 50)) // the endpoint's cap (api.py:10260)
     val logs = graft.Tables.load(spark, dir, "events")
       .select(
         col("event_id"), col("ts"),
@@ -1659,9 +1659,77 @@ object Monitoring {
        |  WHERE level = '${sqlQuote(level)}'
        |    AND (lower(message) LIKE '%${likeEscape(search.toLowerCase)}%' ESCAPE '\\'
        |         OR lower(logger) LIKE '%${likeEscape(search.toLowerCase)}%' ESCAPE '\\')
-       |  ORDER BY ts DESC, event_id DESC LIMIT ${math.min(limit, 50)})
+       |  ORDER BY ts DESC, event_id DESC LIMIT ${math.max(1, math.min(limit, 50))})
        |CROSS JOIN total
        |ORDER BY ts DESC, event_id DESC""".stripMargin
+
+  /** Keyset ("seek") page of the application-log browse — the 100 TB
+    * deep-page twin of [[logBrowse]], closing the seek ladder (events and
+    * audit logs got theirs in r11): the client echoes the last row's
+    * (ts, event_id) cursor, and the page is one bounded pruned read.
+    *
+    * The LEVEL facet is REWRITTEN onto the source column before the
+    * scan: log level is derived (`error`→ERROR, `signup/purchase`→INFO,
+    * else DEBUG), so filtering the derived column would evaluate the CASE
+    * on every row post-scan. Inverting the derivation per level gives an
+    * event_type predicate parquet can push (equality / IN / NOT-IN reach
+    * PushedFilters; dictionary + stats prune whole row groups). No
+    * trailing-horizon clamp: the cursor bounds the page — the horizon was
+    * applied on page 1 of the walk, exactly as in [[eventBrowseSeek]].
+    *
+    * Scale shape: pushed cursor + facet → one TakeOrderedAndProject,
+    * zero shuffles; page cost is O(limit + scanned-partition) at any
+    * depth. PlanShapeSpec pins both predicates in PushedFilters. */
+  def logBrowseSeek(
+      spark: SparkSession, dir: String,
+      level: String = "DEBUG",
+      cursorTs: String = "2024-01-29 12:00:00",
+      cursorId: Long = 1000000L, limit: Int = 50): DataFrame = {
+    val effLimit = math.max(1, math.min(limit, 50))
+    val cts = lit(cursorTs).cast("timestamp")
+    // the level→event_type derivation, inverted into a pushable predicate
+    val facet = level match {
+      case "ERROR" => col("event_type") === "error"
+      case "INFO"  => col("event_type").isin("signup", "purchase")
+      case _       => !col("event_type").isin("error", "signup", "purchase")
+    }
+    graft.Tables.load(spark, dir, "events")
+      .where(facet && (col("ts") < cts ||
+        (col("ts") === cts && col("event_id") < lit(cursorId))))
+      .select(
+        col("event_id"), col("ts"),
+        when(col("event_type") === "error", "ERROR")
+          .when(col("event_type").isin("signup", "purchase"), "INFO")
+          .otherwise("DEBUG").as("level"),
+        concat(lit("graft."), col("event_type")).as("logger"),
+        col("props").as("message"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(effLimit)
+  }
+
+  def logBrowseSeekSql(
+      level: String = "DEBUG",
+      cursorTs: String = "2024-01-29 12:00:00",
+      cursorId: Long = 1000000L, limit: Int = 50): String = {
+    val effLimit = math.max(1, math.min(limit, 50))
+    val facet = level match {
+      case "ERROR" => "event_type = 'error'"
+      case "INFO"  => "event_type IN ('signup', 'purchase')"
+      case _       => "event_type NOT IN ('error', 'signup', 'purchase')"
+    }
+    s"""SELECT event_id, ts,
+       |       CASE WHEN event_type = 'error' THEN 'ERROR'
+       |            WHEN event_type IN ('signup', 'purchase') THEN 'INFO'
+       |            ELSE 'DEBUG' END AS level,
+       |       'graft.' || event_type AS logger,
+       |       props AS message
+       |FROM events
+       |WHERE $facet
+       |  AND (ts < TIMESTAMP '$cursorTs'
+       |       OR (ts = TIMESTAMP '$cursorTs' AND event_id < $cursorId))
+       |ORDER BY ts DESC, event_id DESC
+       |LIMIT $effLimit""".stripMargin
+  }
 
   /** Replication-events browse — the dashboard's most-hit raw listing
     * (api.py:8715 get_replication_events): one page of CDC run events,
@@ -1699,7 +1767,7 @@ object Monitoring {
       pipelineId: Option[String] = None, tableName: Option[String] = None,
       todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
       horizonMs: Long = 7L * 86400000L): DataFrame = {
-    val effLimit = math.min(limit, 1000)
+    val effLimit = math.max(1, math.min(limit, 1000))
     val runs = graft.Tables.load(spark, dir, "events")
       .select(
         col("event_id").as("run_id"),
@@ -1738,7 +1806,7 @@ object Monitoring {
       pipelineId: Option[String] = None, tableName: Option[String] = None,
       todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
       horizonMs: Long = 7L * 86400000L): String = {
-    val effLimit = math.min(limit, 1000)
+    val effLimit = math.max(1, math.min(limit, 1000))
     val pipePred = pipelineId.map(p => s"AND pipeline_id = '${sqlQuote(p)}'").getOrElse("")
     val window =
       if (todayOnly)
@@ -1794,7 +1862,7 @@ object Monitoring {
       spark: SparkSession, dir: String,
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 100): DataFrame = {
-    val effLimit = math.min(limit, 1000)
+    val effLimit = math.max(1, math.min(limit, 1000))
     val cts = lit(cursorTs).cast("timestamp")
     graft.Tables.load(spark, dir, "events")
       .where(col("ts") < cts ||
@@ -1816,7 +1884,7 @@ object Monitoring {
   def eventBrowseSeekSql(
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 100): String = {
-    val effLimit = math.min(limit, 1000)
+    val effLimit = math.max(1, math.min(limit, 1000))
     s"""SELECT event_id AS run_id, ts AS started_at,
        |       'pl-' || CAST(user_id % 4 AS VARCHAR) AS pipeline_id,
        |       'public.' || event_type AS table_name,

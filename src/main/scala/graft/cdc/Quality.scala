@@ -24,7 +24,11 @@ object Quality {
     // computed independently of the materializer it validates.
     val expectedLive = changelog
       .groupBy(col("pk"))
-      .agg(max_by(col("op"), struct(col("ts"), col("seq"))).as("last_op"))
+      // graft_max_by, not built-in max_by: string-valued MaxBy is not
+      // UnsafeRow-mutable, so the built-in plans a grouped SortAggregate
+      // over the raw changelog (GlobalPlanAuditSpec's SortAggregate sweep)
+      .agg(graft.functions.GraftFunctions.maxByCol(changelog,
+        col("op"), struct(col("ts"), col("seq"))).as("last_op"))
       .where(col("last_op") =!= "d")
       .agg(count(lit(1)).as("n"))
       .select(lit("events_keys").as("table_name"), col("n").as("source_rows"))
@@ -169,7 +173,10 @@ object Quality {
     val changelog = Cdc.changelog(spark, dir)
     val erasure = changelog
       .groupBy(col("pk"))
-      .agg(max_by(col("op"), struct(col("ts"), col("seq"))).as("last_op"))
+      // graft_max_by keeps this on the hash-aggregate path (see
+      // rowcountValidate) — the erasure list scans the full changelog
+      .agg(graft.functions.GraftFunctions.maxByCol(changelog,
+        col("op"), struct(col("ts"), col("seq"))).as("last_op"))
       .where(col("last_op") === "d")
       .select(col("pk"))
     val historyTouched = changelog.join(broadcast(erasure), "pk")

@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
 
 /** Registration for graft's native Catalyst expressions.
   *
@@ -52,7 +53,27 @@ object GraftFunctions {
     SortedCommonCount64(children.head, children(1))
   }
 
+  private[functions] val maxByInfo = new ExpressionInfo(
+    classOf[MaxByHash].getName, null, "graft_max_by")
+
+  private[functions] val maxByBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_max_by requires exactly 2 arguments")
+    MaxByHash(children.head, children(1))
+  }
+
+  private[functions] val minByInfo = new ExpressionInfo(
+    classOf[MaxByHash].getName, null, "graft_min_by")
+
+  private[functions] val minByBuilder: Seq[Expression] => Expression = { children =>
+    require(children.length == 2, "graft_min_by requires exactly 2 arguments")
+    MaxByHash(children.head, children(1), reverse = true)
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_max_by"), maxByInfo, maxByBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_min_by"), minByInfo, minByBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
     spark.sessionState.functionRegistry.registerFunction(
@@ -64,6 +85,19 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sorted_common64"), sortedCommonInfo, sortedCommonBuilder)
   }
+
+  /** Column-API argmax/argmin over [[MaxByHash]] — takes the consuming
+    * DataFrame so registration lands on the session the plan resolves
+    * against (registration is idempotent). */
+  def maxByCol(df: DataFrame, value: Column, ord: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_max_by", value, ord)
+  }
+
+  def minByCol(df: DataFrame, value: Column, ord: Column): Column = {
+    register(df.sparkSession)
+    call_function("graft_min_by", value, ord)
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
@@ -74,5 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dbits"), GraftFunctions.dbitsInfo, GraftFunctions.dbitsBuilder))
     ext.injectFunction((FunctionIdentifier("graft_hamming64"), GraftFunctions.hammingInfo, GraftFunctions.hammingBuilder))
     ext.injectFunction((FunctionIdentifier("graft_sorted_common64"), GraftFunctions.sortedCommonInfo, GraftFunctions.sortedCommonBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_max_by"), GraftFunctions.maxByInfo, GraftFunctions.maxByBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_min_by"), GraftFunctions.minByInfo, GraftFunctions.minByBuilder))
   }
 }

@@ -39,6 +39,19 @@ case class SortedCommonCount64(left: Expression, right: Expression)
       s"graft_sorted_common64 requires two array<bigint> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
+  // getLong on a null slot silently reads 0 and would skew the count, so
+  // when the input SCHEMA admits null elements (most computed arrays do,
+  // even when no null ever occurs) the loop null-checks each slot and
+  // fails loudly. Schemas proven null-free skip the branch entirely.
+  private def mayHaveNulls: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
+
+  private def nullElement(): Nothing =
+    throw new IllegalArgumentException(
+      "graft_sorted_common64: null array element — inputs must be " +
+        "null-free ascending-sorted long arrays")
+
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_common64"
 
@@ -47,7 +60,9 @@ case class SortedCommonCount64(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     val nx = x.numElements(); val ny = y.numElements()
+    val checkNulls = mayHaveNulls
     while (i < nx && j < ny) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(j))) nullElement()
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -62,11 +77,19 @@ case class SortedCommonCount64(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      val nullCheck = if (mayHaveNulls)
+        s"""if ($a.isNullAt($i) || $b.isNullAt($j)) {
+           |    throw new IllegalArgumentException(
+           |      "graft_sorted_common64: null array element — inputs must be " +
+           |      "null-free ascending-sorted long arrays");
+           |  }""".stripMargin
+      else ""
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |while ($i < $nx && $j < $ny) {
+         |  $nullCheck
          |  final long $xv = $a.getLong($i);
          |  final long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }

@@ -1376,8 +1376,10 @@ object Binary {
     * found at fingerprint Hamming ≤ 3 through 4×16-bit band blocking
     * (pigeonhole: ≤3 flipped bits cannot touch all 4 bands, so recall is
     * EXACT at the threshold). The corpus is the clips ∪ exact re-uploads
-    * (clip_id%9==0 → +3M, same source PCM) so the operator has true
-    * positives to find, mirroring the text-dedup corpus convention.
+    * (clip_id%9==0 → id + max(doc_id)+1, same source PCM — the offset is
+    * corpus-derived so re-upload ids can never collide with real ids) so
+    * the operator has true positives to find, mirroring the text-dedup
+    * corpus convention.
     *
     * The envelope fingerprint is the classic cheap audio near-dup key
     * (loudness profile survives re-encoding and small edits; a spectral
@@ -1391,9 +1393,13 @@ object Binary {
   def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
+    // Re-upload ids live above max(doc_id), derived from the corpus itself
+    // (a fixed constant would collide once the corpus outgrows it); the
+    // one-row offset broadcasts, so the union costs no extra shuffle.
+    val off = ids.agg((max(col("doc_id")) + 1L).as("off"))
     val clips = ids.select(col("doc_id").as("clip_id"), col("doc_id").as("src_id"))
-      .unionAll(ids.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 3000000L).as("clip_id"), col("doc_id").as("src_id")))
+      .unionAll(ids.where(col("doc_id") % 9 === 0).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("clip_id"), col("doc_id").as("src_id")))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioFpSchema)
     val fps = clips.mapPartitions { rows =>
       import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
@@ -1474,10 +1480,11 @@ object Binary {
   }
 
   val audioFingerprintDedupSql: String =
-    """WITH clips AS (
+    """WITH off AS (SELECT max(doc_id) + 1 AS off FROM documents),
+      |clips AS (
       |  SELECT doc_id AS clip_id, doc_id AS src_id FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 3000000, doc_id FROM documents WHERE doc_id % 9 = 0),
+      |  SELECT doc_id + off, doc_id FROM documents CROSS JOIN off WHERE doc_id % 9 = 0),
       |d AS (SELECT clip_id, src_id, src_id % 480 + 160 AS n FROM clips),
       |s AS (SELECT clip_id, n,
       |             unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS i,

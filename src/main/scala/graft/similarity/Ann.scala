@@ -531,8 +531,9 @@ object Ann {
       .agg(sum(col("dq")).as("d2q"))
     val assigned = dist
       .groupBy("vec_id", "old_label")
-      .agg(min(struct(col("d2q"), col("cand_label"))).as("m"))
-      .select(col("vec_id"), col("old_label"), col("m.cand_label").as("new_label"))
+      .agg(GraftFunctions.minByCol(dist, col("cand_label"),
+        struct(col("d2q"), col("cand_label"))).as("m"))
+      .select(col("vec_id"), col("old_label"), col("m").as("new_label"))
     val newC = long.join(assigned.select(col("vec_id"), col("new_label")), "vec_id")
       .groupBy(col("new_label").as("label"), col("pos"))
       .agg(qMean(col("x").cast("double")).as("c2"))
@@ -636,8 +637,9 @@ object Ann {
           floor((col("x") - col("c")) * (col("x") - col("c")) * Q)
             .cast("long").cast(DecimalType(38, 0)))
         .groupBy("vec_id", "cand_label").agg(sum(col("dq")).as("d2q"))
-        .groupBy("vec_id").agg(min(struct(col("d2q"), col("cand_label"))).as("m"))
-        .select(col("vec_id"), col("m.cand_label").as("label"))
+        .groupBy("vec_id").agg(GraftFunctions.minByCol(long, col("cand_label"),
+          struct(col("d2q"), col("cand_label"))).as("m"))
+        .select(col("vec_id"), col("m").as("label"))
     // Every round's assignment and centroid table is REFERENCED at least
     // twice (stats for round r, inputs of round r+1). Without truncation
     // the unrolled plan re-derives each prior round per reference — the
@@ -1834,7 +1836,8 @@ object Ann {
     pairs
       .groupBy(col("la").as("label"))
       .agg(
-        min(struct(col("dist"), col("lb"))).as("m"),
+        GraftFunctions.minByCol(pairs, struct(col("dist"), col("lb")),
+          struct(col("dist"), col("lb"))).as("m"),
         count(lit(1)).as("n_others"),
         // quantized-exact mean: a plain avg() sums doubles in partition
         // order — the one nondeterminism this file exists to avoid

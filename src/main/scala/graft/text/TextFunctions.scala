@@ -2242,7 +2242,8 @@ object TextFunctions {
       count(lit(1)).as("n_sources"),
       (sum(col("gapq")).cast("double") / Q / 2.0).as("tv_distance"),
       max(col("gap")).as("max_gap"),
-      max(struct(col("gapq"), col("source"))).getField("source").as("max_gap_source"))
+      graft.functions.GraftFunctions.maxByCol(mix,
+        col("source"), struct(col("gapq"), col("source"))).as("max_gap_source"))
   }
 
   def mixDriftSql: String =

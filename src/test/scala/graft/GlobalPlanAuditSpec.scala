@@ -130,6 +130,47 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
         "either partition the window or justify boundedness in the allowlist")
   }
 
+  /** Queries allowed to plan a GROUPED SortAggregate, each because the
+    * aggregate's input is already bounded (pre-aggregated far below data
+    * volume), so the per-partition sort it implies is over a handful of
+    * rows — never the raw corpus/changelog. Grouped SortAggregate over
+    * unbounded input is the shape this audit exists to kill: it sorts
+    * every partition by the grouping key where a hash shape
+    * (HashAggregate, or graft_max_by/graft_min_by via
+    * ObjectHashAggregate for argmax/latest-row) would not. UNGROUPED
+    * SortAggregate is ignored: with no grouping keys it requires no child
+    * ordering — it is a fold, not a sort. */
+  private val boundedSortAggregateAllowlist: Set[String] =
+    if (sys.env.contains("GRAFT_AUDIT_ALL")) Set.empty
+    else Set.empty
+
+  test("grouped SortAggregates only ever run over bounded (pre-aggregated) inputs") {
+    import org.apache.spark.sql.execution.aggregate.SortAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def groupedSortAggs(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case s: SortAggregateExec if s.groupingExpressions.nonEmpty => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children ++ other.subqueries
+      }
+      self + kids.map(groupedSortAggs).sum
+    }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (boundedSortAggregateAllowlist(name)) None
+      else {
+        val n = groupedSortAggs(fn(spark, dir).queryExecution.executedPlan)
+        if (n > 0) Some(s"$name ($n)") else None
+      }
+    }
+    assert(offenders.isEmpty,
+      s"grouped SortAggregates in: ${offenders.mkString(", ")} — " +
+        "hash-aggregate the shape (graft_max_by/graft_min_by for argmax) " +
+        "or justify input boundedness in the allowlist")
+  }
+
   test("every nested-loop join broadcasts a bounded side (scalar aggregate, limit, or literal spine)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RDDScanExec, TakeOrderedAndProjectExec}

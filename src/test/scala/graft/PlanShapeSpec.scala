@@ -49,6 +49,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"), "seek page must not shuffle")
   }
 
+  test("log browse seek: cursor AND level facet reach the scan") {
+    val p = SparkEntry.queries("cdc_log_browse_seek")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    // the DEBUG level facet rewrites to a NOT-IN on the source column
+    assert(p.contains("Not(In(event_type"), "level facet not pushed as source predicate")
+    assert(p.contains("Or(LessThan(ts,"), "cursor not pushed")
+    assert(p.contains("LessThan(event_id,1000000)"), "id tiebreak not pushed")
+    assert(p.contains("TakeOrderedAndProject"), "page must be one TakeOrdered pass")
+    assert(!p.contains("Exchange hashpartitioning"), "seek page must not shuffle")
+  }
+
   test("q1 keeps pushdown, pruning, and partial aggregation") {
     val p = planOf("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

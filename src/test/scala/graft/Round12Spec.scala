@@ -1,0 +1,130 @@
+package graft
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 additions: the hash-aggregable argmax ([[graft.functions.MaxByHash]])
+  * that replaces `max(struct(...))` in the latest-row materializers, and the
+  * plan-shape contract that motivated it (ObjectHashAggregate, never a
+  * grouped SortAggregate).
+  */
+class Round12Spec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+  import spark.implicits._
+
+  private def changelog = Seq(
+    // (pk, ts, seq, op, value)
+    (1L, 10L, 1L, "c", "a"),
+    (1L, 20L, 2L, "u", "b"),
+    (1L, 20L, 3L, "u", "c"), // ts tie broken by seq
+    (2L, 10L, 4L, "c", "x"),
+    (2L, 30L, 5L, "d", "y"),
+    (3L, 5L, 6L, "c", "only")
+  ).toDF("pk", "ts", "seq", "op", "value")
+
+  test("graft_max_by picks the row with the greatest ordering key (ties by seq)") {
+    val df = changelog
+    val out = df.groupBy("pk")
+      .agg(GraftFunctions.maxByCol(df,
+        struct(col("op"), col("value")), struct(col("ts"), col("seq"))).as("last"))
+      .select(col("pk"), col("last.op").as("op"), col("last.value").as("value"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(out == Map(1L -> ("u", "c"), 2L -> ("d", "y"), 3L -> ("c", "only")))
+  }
+
+  test("graft_min_by is the reverse ordering") {
+    val df = changelog
+    val out = df.groupBy("pk")
+      .agg(GraftFunctions.minByCol(df, col("value"), struct(col("ts"), col("seq"))).as("first"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "x", 3L -> "only"))
+  }
+
+  test("graft_max_by skips null ordering keys; all-null group yields null") {
+    val df = Seq[(Long, java.lang.Long, String)](
+      (1L, null, "skipme"), (1L, 5L, "keep"), (2L, null, "gone"))
+      .toDF("pk", "ts", "value")
+    val out = df.groupBy("pk")
+      .agg(GraftFunctions.maxByCol(df, col("value"), col("ts")).as("v"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> Some("keep"), 2L -> None))
+  }
+
+  test("graft_max_by partials merge across partitions (serialize round trip)") {
+    // 4 input partitions force partial buffers through serialize/merge;
+    // the result must equal the single-pass answer.
+    val df = changelog.repartition(4)
+    val out = df.groupBy("pk")
+      .agg(GraftFunctions.maxByCol(df, col("value"), struct(col("ts"), col("seq"))).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "c", 2L -> "y", 3L -> "only"))
+  }
+
+  test("graft_max_by agrees with max(struct(ord, value)) on the changelog tables") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id").as("pk"), col("ts"), col("event_id").as("seq"),
+        col("event_type").as("value"))
+    val viaStruct = ev.groupBy("pk")
+      .agg(max(struct(col("ts"), col("seq"), col("value"))).as("m"))
+      .select(col("pk"), col("m.value").as("v"))
+    val viaMaxBy = ev.groupBy("pk")
+      .agg(GraftFunctions.maxByCol(ev, col("value"), struct(col("ts"), col("seq"))).as("v"))
+    assert(viaStruct.exceptAll(viaMaxBy).isEmpty && viaMaxBy.exceptAll(viaStruct).isEmpty)
+  }
+
+  test("latest-row materializers plan ObjectHashAggregate, never grouped SortAggregate") {
+    def aggs(p: org.apache.spark.sql.execution.SparkPlan): (Int, Int) = {
+      val self = p match {
+        case _: ObjectHashAggregateExec => (1, 0)
+        case s: SortAggregateExec if s.groupingExpressions.nonEmpty => (0, 1)
+        case _ => (0, 0)
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+        case other => other.children
+      }
+      kids.map(aggs).foldLeft(self) { case ((a, b), (c, d)) => (a + c, b + d) }
+    }
+    for (name <- Seq("cdc_materialize_latest", "cdc_materialize_composite",
+        "cdc_materialize_salted", "cdc_conflict_resolve", "q_first_last", "q_mode")) {
+      val (oha, sa) = aggs(SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan)
+      assert(sa == 0, s"$name plans a grouped SortAggregate")
+      assert(oha > 0, s"$name should plan ObjectHashAggregate for the argmax")
+    }
+  }
+
+  test("audio re-upload clip ids never collide with real doc ids") {
+    val rows = graft.multimodal.Binary.audioFingerprintDedup(spark, dir)
+      .select("id_a", "id_b").collect()
+    val maxDoc = Tables.load(spark, dir, "documents")
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val ids = rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val reuploads = ids.filter(_ > maxDoc)
+    assert(reuploads.nonEmpty, "corpus should contain re-uploads above max(doc_id)")
+    assert(reuploads.forall(id => (id - maxDoc - 1) % 9 == 0 && (id - maxDoc - 1) <= maxDoc),
+      "re-upload ids are exactly doc_id + max(doc_id)+1 for doc_id % 9 == 0")
+  }
+
+  test("browse limits clamp below 1 instead of throwing") {
+    import graft.cdc.Monitoring
+    // limit <= 0 used to reach DataFrame.limit(negative) and throw
+    assert(Monitoring.eventBrowseSeek(spark, dir, limit = 0).count() == 1L)
+    assert(Monitoring.eventBrowse(spark, dir, limit = -5).count() <= 1L)
+  }
+
+  test("graft_sorted_common64 rejects null elements instead of undercounting") {
+    val df = Seq((Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L)))
+      .toDF("a", "b")
+    GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      df.select(call_function("graft_sorted_common64", col("a"), col("b"))).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: rootMessages(e.getCause))
+    assert(rootMessages(ex).exists(m => m != null && m.contains("null array element")))
+  }
+}

@@ -70,4 +70,38 @@ class SketchesSpec extends AnyFunSuite {
       assert(math.abs(a.toDouble - e) / e < 0.06, s"source $src: approx $a vs exact $e")
     }
   }
+
+  test("q_mad_approx tracks the exact MAD within 2% relative error") {
+    def byFlag(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Double]("median_price"), r.getAs[Double]("mad")))).toMap
+    val exact = byFlag(Relational.madByFlag(spark, dir))
+    val approx = byFlag(Sketches.approxMad(spark, dir))
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (an, amed, amad)) =>
+      val (en, emed, emad) = exact(k)
+      assert(an === en, s"group $k: row counts are exact on both paths")
+      assert(math.abs(amed - emed) / emed < 0.02, s"group $k: median $amed vs $emed")
+      assert(math.abs(amad - emad) / emad < 0.02, s"group $k: MAD $amad vs $emad")
+    }
+  }
+
+  test("cdc_lag_percentiles_approx tracks the exact lag quantiles within 2%") {
+    val cl = graft.cdc.Cdc.changelog(spark, dir)
+    def byCohort(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("cohort") ->
+        ((r.getAs[Long]("p50_ms"), r.getAs[Long]("p90_ms"),
+          r.getAs[Long]("p99_ms"), r.getAs[Long]("max_ms")))).toMap
+    val exact = byCohort(graft.cdc.Monitoring.lagPercentiles(cl))
+    val approx = byCohort(Sketches.approxLagPercentiles(cl))
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (c, (a50, a90, a99, amax)) =>
+      val (e50, e90, e99, emax) = exact(c)
+      assert(amax === emax, s"cohort $c: max is exact on both paths")
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e).toDouble / math.max(e, 1L) < 0.02,
+          s"cohort $c: approx $a vs exact $e")
+      }
+    }
+  }
 }

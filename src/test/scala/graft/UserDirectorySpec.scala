@@ -91,4 +91,42 @@ class UserDirectorySpec extends AnyFunSuite {
     assert(inv.map(_.expiresSeq) == inv.map(_.expiresSeq).sorted.reverse)
     assert(inv.head.email == "p5@x.com")
   }
+
+  test("acceptInvitation: the api.py:12087 branch ladder in order") {
+    val d = new Discovery.UserDirectory
+    val inv = d.createInvitation("new@x.com", "operator", "u-0").toOption.get
+    // unknown token → the 404 detail
+    assert(d.acceptInvitation("tok-nope", "Aa1!aaaa") == Left("Invalid or expired invitation token"))
+    // weak passwords → each strength message, invitation still PENDING
+    assert(d.acceptInvitation(inv.token, "") == Left("Password is required"))
+    assert(d.acceptInvitation(inv.token, "Aa1!a") == Left("Password must be at least 8 characters long"))
+    assert(d.acceptInvitation(inv.token, "aa1!aaaa") == Left("Password must contain at least one uppercase letter"))
+    assert(d.acceptInvitation(inv.token, "AA1!AAAA") == Left("Password must contain at least one lowercase letter"))
+    assert(d.acceptInvitation(inv.token, "Aaa!aaaa") == Left("Password must contain at least one digit"))
+    assert(d.acceptInvitation(inv.token, "Aa1aaaaa").left.exists(_.startsWith("Password must contain at least one special")))
+    assert(d.listInvitations().find(_.token == inv.token).get.status == "PENDING")
+    // success: user activates, invitation flips to ACCEPTED
+    val u = d.acceptInvitation(inv.token, "Aa1!aaaa", Some("New Name")).toOption.get
+    assert(u.isActive && u.status == "ACTIVE" && u.fullName == "New Name")
+    assert(d.listInvitations().find(_.token == inv.token).get.status == "ACCEPTED")
+    // replay → "already used or expired"
+    assert(d.acceptInvitation(inv.token, "Aa1!aaaa") == Left("Invitation already used or expired"))
+  }
+
+  test("acceptInvitation: expiry flips the invitation to EXPIRED (a state write)") {
+    val d = new Discovery.UserDirectory
+    val inv = d.createInvitation("late@x.com", "viewer", "u-0").toOption.get
+    d.advanceSeq(8) // past the 7-unit expiry window
+    assert(d.acceptInvitation(inv.token, "Aa1!aaaa") == Left("Invitation has expired"))
+    assert(d.listInvitations().find(_.token == inv.token).get.status == "EXPIRED")
+    // the user stays PENDING — expiry never activates anyone
+    assert(d.listUsers().find(_.email == "late@x.com").exists(u => !u.isActive))
+  }
+
+  test("acceptInvitation: full-name fallback is the email's local part") {
+    val d = new Discovery.UserDirectory
+    val inv = d.createInvitation("fallback@x.com", "viewer", "u-0").toOption.get
+    val u = d.acceptInvitation(inv.token, "Aa1!aaaa").toOption.get
+    assert(u.fullName == "fallback")
+  }
 }
