@@ -458,6 +458,44 @@ object ScaleSmoke {
       val (cHalf, cFull) = (candCount(half), candCount(full))
       println(f"== containment prefix-filter candidates: $cHalf%d @ $nHalf%d docs -> $cFull%d @ $nFull%d docs (growth ${cFull.toDouble / cHalf}%.2f at corpus x${nFull.toDouble / nHalf}%.2f)")
     }
+
+    // ── containment AUTO-SWITCH on a closed-vocabulary corpus (×10) ─────
+    // Word-shuffled replicas share the k=5 shingle vocabulary (intra-word
+    // 5-grams recur in every replica) WITHOUT being true containment dups
+    // (stride-3 shingles mostly span the shuffled word boundaries, so
+    // pairwise containment sits far below 0.9) — candidate volume measures
+    // the BLOCKING, not true-pair mass. k=5 df scales with replica count,
+    // so the exact prefix filter's priced workload crosses the 2048/doc
+    // budget somewhere between ×1 and ×10 and containmentBlockingScheme
+    // must escalate; 10-char shingles are per-replica-unique (open
+    // vocabulary), so the k=10 path it escalates TO stays bounded. The
+    // k5 closed-form hits line shows the flood the switch avoided.
+    {
+      import graft.dedup.Dedup
+      import graft.text.TextFunctions.normText
+      def shuffled(reps: Int): DataFrame =
+        docs.limit(1200)
+          .crossJoin(spark.range(reps).select(col("id").as("rep")))
+          .select((col("doc_id") * 1000L + col("rep")).as("doc_id"),
+            concat_ws(" ", transform(
+              array_sort(transform(split(normText(col("text")), " "),
+                w => struct(md5(concat(w, col("rep").cast("string"))).as("k"), w.as("w")))),
+              s => s.getField("w"))).as("t"))
+      for ((reps, tag) <- Seq((2, "x1"), (20, "x10"))) {
+        val c = shuffled(reps).cache()
+        val n = c.count()
+        val k5Hits = Dedup.prefixWorkloadHitsOf(c, 5)
+        val scheme = Dedup.containmentSchemeOf(c)
+        val cands = scheme match {
+          case "prefix_filter" => Dedup.prefixCandidateIdsOf(c, 5).count()
+          case "prefix_k10"    => Dedup.prefixCandidateIdsOf(c, 10).count()
+          case other           => sys.error(s"unexpected scheme $other on this corpus")
+        }
+        println(s"== containment auto-switch [$tag]: docs=$n k5_closed_form_hits=$k5Hits " +
+          s"chosen=$scheme candidates=$cands (per-doc ${cands / math.max(n, 1)})")
+        c.unpersist()
+      }
+    }
     spark.stop()
   }
 }

@@ -2559,8 +2559,17 @@ object Monitoring {
     * count-of-counts (bounded by distinct COUNT VALUES, not |keys|),
     * windows over that tiny table only, 1-row output. */
   def saltAdvisor(spark: SparkSession, dir: String,
-                  targetPerTask: Long = 10000L): DataFrame = {
-    val perKey = Cdc.changelog(spark, dir).groupBy("pk").agg(count(lit(1)).as("cnt"))
+                  targetPerTask: Long = 10000L): DataFrame =
+    saltAdvisorFromPerKey(
+      Cdc.changelog(spark, dir).groupBy("pk").agg(count(lit(1)).as("cnt")),
+      targetPerTask)
+
+  /** The advisor's decision tail over an arbitrary (pk, cnt) per-key
+    * count table — shared with the streaming twin
+    * ([[graft.streaming.StreamSaltAdvisor]]) so the two can never
+    * diverge on the panel math. */
+  private[graft] def saltAdvisorFromPerKey(
+      perKey: DataFrame, targetPerTask: Long = 10000L): DataFrame = {
     val coc = perKey.groupBy("cnt").agg(count(lit(1)).as("n_keys"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("cnt")
     val tot = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))

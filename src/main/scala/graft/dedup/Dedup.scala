@@ -220,10 +220,16 @@ object Dedup {
   }: _*)
 
   /** Distinct 5-char shingles (stride 3) of the normalized text. */
-  private def shingleCol(norm: Column): Column =
+  private def shingleCol(norm: Column): Column = shingleColK(norm, 5)
+
+  /** Distinct k-char shingles (stride 3) — k = 5 is the family default;
+    * the containment auto-blocking escalates to k = 10 on measured-dense
+    * corpora (longer shingles open up a closed vocabulary, collapsing
+    * per-shingle df). */
+  private def shingleColK(norm: Column, k: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(norm) - 4, lit(1)), lit(3)),
-      i => norm.substr(i, lit(5))))
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1)), lit(3)),
+      i => norm.substr(i, lit(k))))
 
   /** Base shingle hash: first 60 bits of md5, reduced mod P — identical to
     * DuckDB's CAST('0x'||substr(md5(s),1,15) AS BIGINT) % P. */
@@ -295,6 +301,20 @@ object Dedup {
     "norm_corpus" -> ((s, d) => normCorpus(s, d)),
     "minhash_signatures" -> ((s, d) => signatures(s, d)),
     "verified_pairs" -> ((s, d) => verifiedPairs(s, d)),
+    // containment stage probes (r11 verdict: builder 6.3 s vs driver
+    // 18.4 s on the same code — attribute divergence to a STAGE, not a
+    // machine). Each probe computes the pipeline PREFIX up to its stage,
+    // uncached, so consecutive line deltas are per-stage costs:
+    //   s0 scheme pricing → s1 token explode + df count → s2 prefix cut
+    //   → s3 candidate join+positional filter → containment_pairs adds
+    //   the exact shingle verify.
+    "containment_s0_scheme" -> ((s, d) => {
+      val scheme = containmentBlockingScheme(s, d)
+      s.sql(s"SELECT '$scheme' AS scheme")
+    }),
+    "containment_s1_dfreq" -> ((s, d) => containmentDfreq(s, d)),
+    "containment_s2_prefix" -> ((s, d) => containmentPrefixTable(s, d)),
+    "containment_s3_candidates" -> ((s, d) => containmentCandidates(s, d)),
     "containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "clusters" -> ((s, d) => cluster(s, d)),
     "simhash_fingerprints" -> ((s, d) => simhashFingerprints(s, d)),
@@ -515,11 +535,14 @@ object Dedup {
     * another) that symmetric Jaccard under-scores: a 20%-length prefix
     * copy has Jaccard ≈ 0.2 but containment ≈ 1.0.
     *
-    * Candidates come from SINGLE-signature bands (16 bands × 1 row), not
-    * the symmetric 4×4 banding: a J=0.2 pair hits a 4-row band with
-    * probability ≈ 0.6% (it would almost never become a candidate), but
-    * hits some single signature with 1−(1−J)^16 ≈ 97% — the blocking the
-    * stated purpose actually needs, at the cost of larger buckets. */
+    * Candidates come from the DATA-CHOSEN blocking scheme
+    * ([[containmentBlockingScheme]]): the exact SSJoin prefix filter when
+    * its closed-form workload is within budget on this corpus (the
+    * driver-gated default — lossless, output = the brute-force
+    * containment join), escalating to k=10 blocking shingles and finally
+    * 16×1 single-signature bands (1−(1−J)^16 ≈ 97 % recall at the J≈0.2
+    * of a 20 %-prefix copy) on measured-dense corpora where any k=5
+    * blocking goes quadratic. */
   def containment(spark: SparkSession, dir: String, threshold: Double = 0.9): DataFrame =
     containmentPairs(spark, dir)
       .withColumn("containment",
@@ -554,10 +577,131 @@ object Dedup {
     * verify; this form verifies only what the prefix filter admits). */
   private val containPairsCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val containSchemeCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  /** Closed-form prefix-filter workload: Σ (df − 1) over every doc's
+    * pigeonhole-prefix tokens of the k-shingle universe — the probe-hit
+    * row count the prefix equi-join would produce, priced from ONE linear
+    * pass (token explode + map-side df count + per-doc window), never a
+    * materialized pair join. */
+  private def prefixWorkloadHits(spark: SparkSession, dir: String, k: Int): Long =
+    prefixWorkloadHitsOf(normCorpus(spark, dir), k)
+
+  private[graft] def prefixWorkloadHitsOf(corpus: DataFrame, k: Int): Long = {
+    val digests = corpus.select(col("doc_id"),
+      array_distinct(transform(shingleColK(col("t"), k),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+    val toks = digests.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    toks.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - expr(s"(9 * n + 9) DIV 10") + lit(1))
+      .agg(coalesce(sum(col("df") - 1), lit(0L)).as("hits"))
+      .collect()(0).getLong(0)
+  }
+
+  /** Data-chosen containment blocking (the [[blockingHealth]] decision
+    * wired in): price the k=5 prefix filter's closed-form probe workload
+    * on THIS corpus against `budgetPerDoc`; within budget → the EXACT
+    * prefix path (lossless — the driver-gated default on every test
+    * corpus: measured 74 hits/doc at sf0.01, 911 at sf0.1 vs the 2048
+    * budget). Over budget — a closed-vocabulary corpus where every
+    * shingle's df scales with the corpus and ANY k=5 blocking goes
+    * ~quadratic (SCALE_r11: 117× candidates at ×10 docs) — escalate to
+    * k=10 blocking shingles (longer shingles open the vocabulary:
+    * measured 36× fewer probe hits on the same corpora; recall is no
+    * longer pigeonhole-guaranteed but truncation/embedding duplication
+    * shares long contiguous runs, so contiguous near-dups keep colliding;
+    * the verify stays exact on the k=5 universe). If even k=10 floods,
+    * fall back to single-signature 16×1 minhash banding (recall
+    * 1−(1−J)^16 ≈ 97 % at the J≈0.2 of a 20 %-prefix copy — the
+    * approximate floor, never a quadratic one). */
+  private[graft] def containmentBlockingScheme(
+      spark: SparkSession, dir: String, budgetPerDoc: Long = 2048): String =
+    containSchemeCache.getOrElseUpdate((spark, dir),
+      containmentSchemeOf(normCorpus(spark, dir), budgetPerDoc))
+
+  /** The decision itself on an arbitrary normalized corpus (doc_id, t) —
+    * ScaleSmoke drives this on synthetic closed-vocabulary corpora. */
+  private[graft] def containmentSchemeOf(corpus: DataFrame, budgetPerDoc: Long = 2048): String = {
+    val nDocs = math.max(corpus.count(), 1L)
+    if (prefixWorkloadHitsOf(corpus, 5) / nDocs <= budgetPerDoc) "prefix_filter"
+    else if (prefixWorkloadHitsOf(corpus, 10) / nDocs <= budgetPerDoc) "prefix_k10"
+    else "band_16x1"
+  }
+
   private[graft] def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     memo(containPairsCache, spark, dir) {
-      val digests = normCorpus(spark, dir).select(col("doc_id"),
-        array_distinct(transform(shingleCol(col("t")),
+      containmentBlockingScheme(spark, dir) match {
+        case "prefix_filter" => exactVerify(spark, dir, prefixCandidateIds(spark, dir, 5))
+        case "prefix_k10"    => exactVerify(spark, dir, prefixCandidateIds(spark, dir, 10))
+        case _               => exactVerify(spark, dir, bandCandidateIds16x1(spark, dir))
+      }
+    }
+
+  /** Stage probe: the k=5 shingle-digest df table (token explode + one
+    * map-side-combined count) — stage s1 of the containment build. */
+  private[graft] def containmentDfreq(spark: SparkSession, dir: String): DataFrame =
+    normCorpus(spark, dir).select(col("doc_id"),
+        explode(array_distinct(transform(shingleCol(col("t")),
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+
+  /** Stage probe: each doc's pigeonhole-prefix token rows (df join +
+    * per-doc rank window + cut) — stage s2 of the containment build. */
+  private[graft] def containmentPrefixTable(spark: SparkSession, dir: String): DataFrame = {
+    val digests = normCorpus(spark, dir).select(col("doc_id"),
+      array_distinct(transform(shingleCol(col("t")),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+    val toks = digests.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    toks.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("n") - expr("(9 * n + 9) DIV 10") + lit(1))
+  }
+
+  /** Stage probe: the candidate id pairs of whichever blocking scheme the
+    * data chose — stage s3; [[containmentPairs]] adds only the verify. */
+  private[graft] def containmentCandidates(spark: SparkSession, dir: String): DataFrame =
+    containmentBlockingScheme(spark, dir) match {
+      case "prefix_filter" => prefixCandidateIds(spark, dir, 5)
+      case "prefix_k10"    => prefixCandidateIds(spark, dir, 10)
+      case _               => bandCandidateIds16x1(spark, dir)
+    }
+
+  /** Single-signature (16 bands × 1 row) candidate ids — the approximate
+    * blocking floor of the containment auto-switch. */
+  private def bandCandidateIds16x1(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val b1 = sigs.select(col("doc_id"), explode(array((0 until 16).map(i =>
+        struct(lit(i).as("band_id"), col(s"sig$i").as("band_key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
+    val left = b1.select(col("band_id"), col("band_key"), col("doc_id").as("id_a"))
+    val right = b1.select(col("band_id"), col("band_key"), col("doc_id").as("id_b"))
+    left.join(right, Seq("band_id", "band_key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Prefix-filter candidate ids over the k-shingle universe, with the
+    * PPJoin positional filter. For k = 5 this is the lossless SSJoin
+    * blocking (pigeonhole over the same universe the verify counts); for
+    * k = 10 the same machinery blocks on the longer-shingle universe
+    * (its own pigeonhole prefix + positional bound on k=10 containment),
+    * chosen by [[containmentBlockingScheme]] only on corpora where k = 5
+    * floods. */
+  private def prefixCandidateIds(spark: SparkSession, dir: String, k: Int): DataFrame =
+    prefixCandidateIdsOf(normCorpus(spark, dir), k)
+
+  private[graft] def prefixCandidateIdsOf(corpus: DataFrame, k: Int): DataFrame = {
+      val digests = corpus.select(col("doc_id"),
+        array_distinct(transform(shingleColK(col("t"), k),
           s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("shingles"))
       val toks = digests.select(col("doc_id"), size(col("shingles")).as("n"),
         explode(col("shingles")).as("tok"))
@@ -607,8 +751,8 @@ object Dedup {
         .where(lit(1) + least(col("n_a") - col("i"), col("n_b") - col("j"))
           >= expr("(9 * least(n_a, n_b) + 9) DIV 10"))
         .select(col("id_a"), col("id_b"))
-      exactVerify(spark, dir, candIds)
-    }
+      candIds
+  }
 
   /** Shingle document-frequency histogram — the corpus property that
     * decides exact-blocking density (SCALE_r11's guidance made
@@ -757,38 +901,29 @@ object Dedup {
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Near-dup clustering: connected components over the verified minhash
-    * pairs via min-label propagation (3 rounds — enough for the ≤3-hop
-    * clusters LSH produces; the general case iterates to fixpoint). The
-    * canonical survivor per cluster is its minimum doc id — the "keep one
-    * copy" step of a dedup pipeline. */
-  def cluster(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    * pairs via min-label propagation RUN TO FIXPOINT (the r11 default of
+    * exactly 3 rounds silently under-merged any >3-hop chain — common in
+    * crawl data where each scrape drifts a little; now a chain of any
+    * diameter converges, a diameter > maxRounds graph FAILS loudly, and
+    * the oracle is the same fixpoint via a recursive CTE). The canonical
+    * survivor per cluster is its minimum doc id — the "keep one copy"
+    * step of a dedup pipeline. [[clusterLargeStar]] remains the
+    * O(log n)-round 100 TB path for high-diameter graphs; this per-round
+    * O(diameter) form stays the default because LSH graphs are
+    * small-diameter and each round here is one tiny broadcast join. */
+  def cluster(spark: SparkSession, dir: String, maxRounds: Int = 25): DataFrame = {
     val pairs = verifiedPairs(spark, dir)
       .where(col("jaccard") >= 0.6).select(col("id_a"), col("id_b"))
     val edges = pairs
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val ids = normCorpus(spark, dir).select(col("doc_id"))
-    var labels = ids.withColumn("label", col("doc_id"))
-    for (_ <- 1 to rounds) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
-        .groupBy(col("id_a").as("doc_id"))
-        .agg(min(col("label")).as("nbr_label"))
-      labels = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // deliberately NOT cached per round: measured 1 s/3-rounds slower
-      // with per-round cache (materialization barriers beat the recompute
-      // of three tiny AQE-broadcast joins). At 100 TB node counts, switch
-      // to checkpoint-per-round — there the recompute dominates instead.
-    }
     // bounded memo, not a bare cache: referenced twice below AND by
     // pipe_dedup_keep_best's second cluster() call; a raw .cache() here
     // leaked one cached plan per invocation per dir (memo only admits the
-    // default-rounds build — a custom rounds value builds uncached)
-    labels =
-      if (rounds == 3) memo(labelsCache, spark, dir)(labels)
-      else labels.cache()
+    // default-rounds build — a custom maxRounds value builds uncached)
+    val labels =
+      if (maxRounds == 25) memo(labelsCache, spark, dir)(propagateLabels(ids, edges, maxRounds))
+      else propagateLabels(ids, edges, maxRounds).cache()
     val sizes = labels.groupBy(col("label").as("canonical_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("label").as("canonical_id"))
@@ -798,21 +933,49 @@ object Dedup {
       .orderBy("canonical_id", "doc_id")
   }
 
-  /** Shared CTE chain ending in `l3(doc_id, label)` + `sizes(canonical_id,
-    * cluster_size)` — 3 unrolled label-propagation rounds, mirroring the
-    * Spark loop. Reused by [[clusterSql]] and [[keepBestSql]]. */
-  private def clusterCte: String = {
-    val steps = (1 to 3).map { k =>
-      val prev = s"l${k - 1}"
-      s"""l$k AS (
-         |  SELECT p.doc_id,
-         |         least(p.label, coalesce(m.nbr_label, p.label)) AS label
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT e.id_a AS doc_id, min(q.label) AS nbr_label
-         |    FROM edges e JOIN $prev q ON e.id_b = q.doc_id
-         |    GROUP BY e.id_a) m ON p.doc_id = m.doc_id)"""
-        .stripMargin
-    }.mkString(",\n")
+  /** Min-label propagation to FIXPOINT over an arbitrary symmetric edge
+    * list — the engine behind [[cluster]], exposed so specs can feed
+    * adversarial shapes (long chains). Per round: one key-partitioned
+    * neighbor-min aggregation + a left join back, labels checkpointed per
+    * round (truncates the unrolled lineage); convergence = zero labels
+    * moved, checked off the SAME checkpointed round table the next round
+    * reads (no extra pass). Refuses (require) rather than returning a
+    * silently under-merged labeling when maxRounds < component diameter. */
+  private[graft] def propagateLabels(
+      ids: DataFrame, edges: DataFrame, maxRounds: Int = 25): DataFrame = {
+    var labels = ids.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(eager = true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val joined = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          coalesce(col("nbr_label"), col("label")).as("cand"))
+        .localCheckpoint(eager = true)
+      converged = joined.where(col("cand") < col("label")).isEmpty
+      labels = joined.select(col("doc_id"),
+        least(col("label"), col("cand")).as("label"))
+      round += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxRounds rounds — " +
+        "component diameter exceeds maxRounds; raise it or use clusterLargeStar")
+    labels
+  }
+
+  /** Shared CTE chain ending in `lbl(doc_id, label)` + `sizes(canonical_id,
+    * cluster_size)` — label propagation to FIXPOINT via a recursive CTE
+    * (`reach` enumerates every (doc, reachable doc-id) pair, the min is
+    * the component minimum), mirroring the Spark loop's fixpoint
+    * semantics for ANY component diameter. Callers must wrap the final
+    * statement in [[withRecursive]]. Reused by [[clusterSql]],
+    * [[keepBestSql]] and [[componentStatsSql]]. */
+  private def clusterCte: String =
     s"""$minhashPairsCte,
        |pairs AS (
        |  SELECT id_a, id_b FROM verified
@@ -820,19 +983,28 @@ object Dedup {
        |edges AS (
        |  SELECT id_a, id_b FROM pairs
        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
-       |l0 AS (SELECT doc_id, doc_id AS label FROM corpus),
-       |$steps,
+       |reach AS (
+       |  SELECT doc_id, doc_id AS label FROM corpus
+       |  UNION
+       |  SELECT e.id_a AS doc_id, r.label
+       |  FROM reach r JOIN edges e ON e.id_b = r.doc_id),
+       |lbl AS (SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
        |sizes AS (
-       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM l3 GROUP BY label)"""
+       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM lbl GROUP BY label)"""
       .stripMargin
-  }
 
-  def clusterSql: String =
+  /** DuckDB requires the RECURSIVE keyword on the WHOLE with-list when any
+    * member is recursive; non-recursive members are unaffected. */
+  private def withRecursive(sql: String): String =
+    if (sql.startsWith("WITH RECURSIVE")) sql
+    else sql.replaceFirst("^WITH ", "WITH RECURSIVE ")
+
+  def clusterSql: String = withRecursive(
     s"""$clusterCte
-       |SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
-       |FROM l3 JOIN sizes s ON l3.label = s.canonical_id
+       |SELECT lbl.doc_id, lbl.label AS canonical_id, s.cluster_size
+       |FROM lbl JOIN sizes s ON lbl.label = s.canonical_id
        |WHERE s.cluster_size > 1
-       |ORDER BY canonical_id, doc_id""".stripMargin
+       |ORDER BY canonical_id, doc_id""".stripMargin)
 
   /** Cluster-representative selection: among each near-dup cluster's
     * members, KEEP the highest-quality document (quality-score argmax,
@@ -861,11 +1033,11 @@ object Dedup {
       .orderBy("canonical_id")
   }
 
-  def keepBestSql: String =
+  def keepBestSql: String = withRecursive(
     s"""$clusterCte,
        |members AS (
-       |  SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
-       |  FROM l3 JOIN sizes s ON l3.label = s.canonical_id
+       |  SELECT lbl.doc_id, lbl.label AS canonical_id, s.cluster_size
+       |  FROM lbl JOIN sizes s ON lbl.label = s.canonical_id
        |  WHERE s.cluster_size > 1),
        |qf AS (
        |  SELECT doc_id,
@@ -893,7 +1065,7 @@ object Dedup {
        |       min(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
        |       min(CASE WHEN rk = 1 THEN quality_score END) AS kept_score,
        |       CAST(max(cluster_size) AS BIGINT) - 1 AS n_dropped
-       |FROM ranked GROUP BY canonical_id ORDER BY canonical_id""".stripMargin
+       |FROM ranked GROUP BY canonical_id ORDER BY canonical_id""".stripMargin)
 
   /** MinHash estimator accuracy: for every LSH-verified candidate pair,
     * the Jaccard ESTIMATE from signature agreement (matching permutations
@@ -1276,22 +1448,11 @@ object Dedup {
       .orderBy("stage")
   }
 
-  def dedupWaterfallSql: String = {
+  def dedupWaterfallSql: String = withRecursive {
     val band4 = (0 until 4).map { b =>
       val cat = (0 until 4).map(r => s"CAST(sig${b * 4 + r} AS VARCHAR)").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_id, md5($cat) AS band_key FROM sigs"
     }.mkString("\n  UNION ALL ")
-    val lsteps = (1 to 3).map { k =>
-      val prev = s"wl${k - 1}"
-      s"""wl$k AS (
-         |  SELECT p.doc_id,
-         |         least(p.label, coalesce(m.nbr_label, p.label)) AS label
-         |  FROM $prev p LEFT JOIN (
-         |    SELECT e.id_a AS doc_id, min(q.label) AS nbr_label
-         |    FROM wedges e JOIN $prev q ON e.id_b = q.doc_id
-         |    GROUP BY e.id_a) m ON p.doc_id = m.doc_id)"""
-        .stripMargin
-    }.mkString(",\n")
     s"""$sigsCte,
        |lens AS (SELECT doc_id, length(t) AS n_chars FROM norm),
        |ex AS (SELECT doc_id, md5(t) AS sig FROM norm),
@@ -1316,26 +1477,34 @@ object Dedup {
        |wedges AS (
        |  SELECT id_a, id_b FROM wpairs
        |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM wpairs),
-       |wl0 AS (SELECT doc_id, doc_id AS label FROM corpus),
-       |$lsteps,
+       |wreach AS (
+       |  SELECT doc_id, doc_id AS label FROM corpus
+       |  UNION
+       |  SELECT e.id_a AS doc_id, r.label
+       |  FROM wreach r JOIN wedges e ON e.id_b = r.doc_id),
+       |wlbl AS (SELECT doc_id, min(label) AS label FROM wreach GROUP BY doc_id),
        |wsizes AS (
-       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM wl3 GROUP BY label),
+       |  SELECT label AS canonical_id, count(*) AS cluster_size FROM wlbl GROUP BY label),
        |removed2 AS (
-       |  SELECT wl3.doc_id FROM wl3 JOIN wsizes s ON wl3.label = s.canonical_id
-       |  WHERE s.cluster_size > 1 AND wl3.doc_id <> wl3.label
-       |    AND wl3.doc_id NOT IN (SELECT doc_id FROM removed1)),
+       |  SELECT wlbl.doc_id FROM wlbl JOIN wsizes s ON wlbl.label = s.canonical_id
+       |  WHERE s.cluster_size > 1 AND wlbl.doc_id <> wlbl.label
+       |    AND wlbl.doc_id NOT IN (SELECT doc_id FROM removed1)),
        |wver1 AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |         len(list_intersect(a.hsh, b.hsh)) AS n_common,
        |         len(a.hsh) AS n_a, len(b.hsh) AS n_b
        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-       |removed3 AS (
+       |removed3raw AS (
        |  SELECT DISTINCT CASE WHEN n_a < n_b THEN id_a
        |                       WHEN n_b < n_a THEN id_b ELSE id_b END AS doc_id
        |  FROM wver1
-       |  WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9
-       |  EXCEPT SELECT doc_id FROM removed1
-       |  EXCEPT SELECT doc_id FROM removed2),
+       |  WHERE CAST(n_common AS DOUBLE) / CAST(least(n_a, n_b) AS DOUBLE) >= 0.9),
+       |removed3 AS (
+       |  -- NOT IN, not EXCEPT: DuckDB's WITH RECURSIVE parser rejects
+       |  -- non-UNION setops anywhere in the with-list
+       |  SELECT doc_id FROM removed3raw
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM removed1)
+       |    AND doc_id NOT IN (SELECT doc_id FROM removed2)),
        |tot AS (SELECT count(*) AS total FROM corpus),
        |s1 AS (SELECT count(*) AS n1, coalesce(CAST(sum(n_chars) AS BIGINT), 0) AS c1
        |       FROM removed1 JOIN lens USING (doc_id)),
@@ -2012,11 +2181,11 @@ object Dedup {
       .orderBy("cluster_size")
   }
 
-  def componentStatsSql: String =
+  def componentStatsSql: String = withRecursive(
     s"""$clusterCte,
        |members AS (
-       |  SELECT l3.doc_id, l3.label AS canonical_id, s.cluster_size
-       |  FROM l3 JOIN sizes s ON l3.label = s.canonical_id
+       |  SELECT lbl.doc_id, lbl.label AS canonical_id, s.cluster_size
+       |  FROM lbl JOIN sizes s ON lbl.label = s.canonical_id
        |  WHERE s.cluster_size > 1),
        |lens AS (SELECT doc_id, length(text) AS n_chars FROM corpus)
        |SELECT m.cluster_size,
@@ -2025,7 +2194,7 @@ object Dedup {
        |       count(*) - count(DISTINCT m.canonical_id) AS n_redundant_docs,
        |       CAST(sum(CASE WHEN m.doc_id <> m.canonical_id THEN l.n_chars ELSE 0 END) AS BIGINT) AS reclaim_chars
        |FROM members m JOIN lens l ON m.doc_id = l.doc_id
-       |GROUP BY m.cluster_size ORDER BY m.cluster_size""".stripMargin
+       |GROUP BY m.cluster_size ORDER BY m.cluster_size""".stripMargin)
 
   /** Exact duplicate-SUBSTRING spans — the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" semantics (arXiv

@@ -544,8 +544,12 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("every query has a matching oracle or is explicitly rows-only") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // every declared operator currently carries a full oracle
-    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+    // the approx-sketch twins are the only declared rows-only entries
+    // (approx_percentile's rank pick is engine-specific — accuracy
+    // contracts vs the exact twins live in SketchesSpec); everything
+    // else carries a full DuckDB oracle
+    val rowsOnly = Set("q_mad_approx", "cdc_lag_percentiles_approx")
+    assert(SparkEntry.queries.keySet -- rowsOnly === SparkEntry.oracleSql.keySet)
   }
 
   test("flagship entry returns rows") {

@@ -116,6 +116,69 @@ class Round12Spec extends AnyFunSuite {
     assert(Monitoring.eventBrowse(spark, dir, limit = -5).count() <= 1L)
   }
 
+  test("containment blocking is data-chosen: exact prefix on the native corpora") {
+    // the oracle (brute-force containment join) is valid only on the
+    // lossless path — this pin guarantees the driver-gated corpora
+    // always price within budget and stay exact
+    assert(graft.dedup.Dedup.containmentBlockingScheme(spark, dir) == "prefix_filter")
+  }
+
+  test("containment blocking escalates off the k5 prefix filter on a closed-vocab corpus") {
+    // 40 docs × 25 word-shuffled replicas over a 30-word vocabulary:
+    // every k=5 shingle's df scales with the replica count, so the k=5
+    // prefix workload crosses any reasonable per-doc budget, while the
+    // chosen path's candidates stay bounded.
+    val vocab = (0 until 30).map(i => s"w${i}x${i % 7}abc")
+    val base = (0 until 40).map { d =>
+      (d.toLong, (0 until 40).map(j => vocab((d * 13 + j * 7) % 30)).mkString(" "))
+    }
+    val corpus = base.toDF("doc_id", "text")
+      .crossJoin(spark.range(25).select(col("id").as("rep")))
+      .select((col("doc_id") * 1000 + col("rep")).as("doc_id"),
+        concat_ws(" ", transform(
+          array_sort(transform(split(col("text"), " "),
+            w => struct(md5(concat(w, col("rep").cast("string"))).as("k"), w.as("w")))),
+          s => s.getField("w"))).as("t"))
+      .cache()
+    val n = corpus.count()
+    val k5Hits = graft.dedup.Dedup.prefixWorkloadHitsOf(corpus, 5)
+    assert(k5Hits / n > 2048, s"corpus must flood the k5 budget (got ${k5Hits / n}/doc)")
+    val scheme = graft.dedup.Dedup.containmentSchemeOf(corpus)
+    assert(scheme != "prefix_filter", s"must escalate off the flooding k5 path (chose $scheme)")
+    if (scheme == "prefix_k10") {
+      val cands = graft.dedup.Dedup.prefixCandidateIdsOf(corpus, 10).count()
+      assert(cands < k5Hits / 4,
+        s"escalated path must be far below the k5 flood ($cands vs $k5Hits)")
+    }
+    corpus.unpersist()
+  }
+
+  test("default cluster path converges on a 5-hop chain (fixpoint, not 3 rounds)") {
+    // chain 10-11-12-13-14-15: diameter 5 — the r11 3-round default
+    // under-merged this shape silently; the fixpoint default must put
+    // all six nodes under label 10
+    val edges0 = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L))
+      .toDF("id_a", "id_b")
+    val edges = edges0.unionAll(edges0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val ids = (10L to 15L).toDF("doc_id")
+    val labels = graft.dedup.Dedup.propagateLabels(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (10L to 15L).map(_ -> 10L).toMap)
+    // and a diameter > maxRounds graph fails LOUDLY instead of under-merging
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainEdges = chain.unionAll(chain.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val chainIds = (0L to 30L).toDF("doc_id")
+    intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.propagateLabels(chainIds, chainEdges, maxRounds = 3)
+    }
+    // fixpoint on random graphs agrees with the union-find-verified
+    // large-star twin through the REGISTERED operators
+    val a = SparkEntry.queries("dedup_cluster")(spark, dir)
+    val b = SparkEntry.queries("dedup_cluster_lss")(spark, dir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "dedup_cluster (fixpoint propagation) must equal dedup_cluster_lss (large-star)")
+  }
+
   test("graft_sorted_common64 rejects null elements instead of undercounting") {
     val df = Seq((Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, 2L, 3L)))
       .toDF("a", "b")
