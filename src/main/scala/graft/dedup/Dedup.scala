@@ -54,6 +54,15 @@ object Dedup {
     * parallelize (measured: dedup_exact 0.23 s serial vs 0.56 s spread at
     * sf0.1). At production split counts the two are the same plan minus
     * one exchange. */
+  /** Injection id invariant: copies live at +1M and truncations at +2M,
+    * and several operators recover the original id as `doc_id % 1M` /
+    * classify originals as `doc_id < 1M` — all of it sound ONLY while
+    * max(documents.doc_id) < 1,000,000. Round12Spec pins that bound on
+    * every test scale (the audio fingerprint dedup hit exactly this
+    * collision class with its old +3M constant and now derives its
+    * offset from max(doc_id); here the constant is load-bearing in the
+    * `% 1M` recovery algebra of both engines, so it is pinned instead —
+    * a corpus past 1M docs must regenerate these offsets). */
   def corpusSerial(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"), col("text"))
     val exact = docs.where(col("doc_id") % 7 === 0)

@@ -68,6 +68,10 @@ class ContainmentPropertySpec extends AnyFunSuite {
       (9000L, (0 until 40).map(k => vocab(k % vocab.length)).mkString(" ")),
       (9001L, (0 until 12).map(k => vocab(k % vocab.length)).mkString(" ")))
     val dir = writeCorpus(docs)
+    // the losslessness property holds on the EXACT path — these corpora
+    // must price within the auto-switch budget (they do: tiny corpus, so
+    // df is bounded by |docs|); if this pin ever fires, the budget moved
+    assert(graft.dedup.Dedup.containmentBlockingScheme(spark, dir) == "prefix_filter")
     val got = graft.dedup.Dedup.containment(spark, dir).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val want = bruteforce(docs)
@@ -82,5 +86,40 @@ class ContainmentPropertySpec extends AnyFunSuite {
   test("lossless with heavy duplication pressure (many exact/near copies)") {
     // ids dense in %7/%11 so the injection creates many true pairs
     run(seed = 5, nDocs = 66)
+  }
+
+  test("escalated k10 blocking keeps every exact-copy and truncation pair") {
+    // A corpus that FLOODS the k5 budget (word-shuffled replicas over a
+    // tiny vocabulary — every 5-gram's df scales with the replica count)
+    // so the auto-switch must leave the exact path. The k10 path's recall
+    // contract is heuristic-but-directed: contiguous duplication (exact
+    // copies, truncations — the containment workload) shares long runs,
+    // so 10-char blocking shingles still collide. This spec pins exactly
+    // that: every injected exact/truncation pair survives the escalated
+    // blocking, and (the verify being exact) nothing false is invented.
+    val rng = new scala.util.Random(123)
+    val vocab = Vector.tabulate(30)(i => s"w${i}x${i % 7}abc")
+    val base = (0 until 40).map { d =>
+      d -> Seq.tabulate(40)(j => vocab((d * 13 + j * 7) % 30))
+    }
+    val docs: Seq[(Long, String)] = for {
+      (d, words) <- base
+      rep <- 0 until 25
+    } yield ((d * 1000 + rep).toLong, rng.shuffle(words).mkString(" "))
+    val dir = writeCorpus(docs)
+    val scheme = graft.dedup.Dedup.containmentBlockingScheme(spark, dir)
+    assert(scheme != "prefix_filter", s"corpus must escalate (chose $scheme)")
+    val got = graft.dedup.Dedup.containment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val want = bruteforce(docs)
+    // exact verify admits no false positives regardless of blocking
+    assert((got -- want).isEmpty, s"invented pairs: ${(got -- want).take(5)}")
+    // recall on the contiguous-duplication pairs: every pair involving an
+    // injected copy (%7 exact at +1M, %11 truncation at +2M) must survive
+    val contiguous = want.filter { case (a, b) => b >= 1000000L }
+    assert(contiguous.nonEmpty, "injection must create true pairs")
+    val lost = contiguous -- got
+    assert(lost.isEmpty,
+      s"escalated blocking lost contiguous-dup pairs: ${lost.take(5)}")
   }
 }
