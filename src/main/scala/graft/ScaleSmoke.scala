@@ -45,14 +45,22 @@ object ScaleSmoke {
     // checksum forces the window (a bare count would let Catalyst prune it)
     t("scd2", nEv)(Materialize.scd2(bigChangelog)
       .agg(count(unix_millis(col("valid_to"))).as("n")).collect()(0).getLong(0))
+    // all replicas map onto the SAME keys: ~120 keys × factor×1000 changes
+    val skewed = ev.crossJoin(reps).select(
+      Cdc.opFromEventType(col("event_type")).as("op"),
+      col("user_id").as("pk"), col("ts"),
+      (col("event_id") + col("rep") * 10000000L).as("seq"),
+      col("value"), col("props"))
     t("hot-key skew materialize", nEv) {
-      // all replicas map onto the SAME keys: ~120 keys × factor×1000 changes
-      val skewed = ev.crossJoin(reps).select(
-        Cdc.opFromEventType(col("event_type")).as("op"),
-        col("user_id").as("pk"), col("ts"),
-        (col("event_id") + col("rep") * 10000000L).as("seq"),
-        col("value"), col("props"))
       Materialize.latestSnapshotSalted(skewed).count()
+    }
+    // the salt's win case measured against its insurance premium: the
+    // UNSALTED materializer on the same hot-key changelog funnels every
+    // hot key's rows through one reducer (map-side partials blunt it at
+    // this scale; at 1000-executor scale the salted two-phase shape is
+    // what keeps the hottest key off a single straggler task)
+    t("hot-key skew materialize (unsalted baseline)", nEv) {
+      Materialize.latestSnapshot(skewed).count()
     }
 
     val docFactor = math.max(factor / 2, 2)

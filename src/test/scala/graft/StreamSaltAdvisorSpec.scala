@@ -63,6 +63,22 @@ class StreamSaltAdvisorSpec extends AnyFunSuite {
     assertRowsEqual(streamed.head, prefix.head)
   }
 
+  test("end-to-end over the wire: final panel equals the batch advisor") {
+    val base = java.nio.file.Files.createTempDirectory("salt-adv-e2e").toString
+    val c = Config(wirePath = s"$base/wire", statePath = s"$base/state",
+      checkpointPath = s"$base/ckpt")
+    graft.sources.WireSource.publish(spark, dir, c.wirePath)
+    val q = StreamSaltAdvisor.start(spark, c)
+    q.processAllAvailable()
+    q.stop()
+    val rows = StreamSaltAdvisor.panel(spark, c).collect()
+    val lastBatch = rows.map(_.getAs[Long]("batch_id")).max
+    val streamed = rows.filter(_.getAs[Long]("batch_id") == lastBatch)
+    val batch = Monitoring.saltAdvisor(spark, dir).collect()
+    assert(streamed.length == 1 && batch.length == 1)
+    assertRowsEqual(streamed.head, batch.head)
+  }
+
   test("at-least-once replay of a batch does not double-count") {
     val c = cfg()
     val cl = Cdc.changelog(spark, dir).select(col("pk"), col("seq"))
