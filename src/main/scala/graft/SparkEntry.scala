@@ -317,6 +317,8 @@ object SparkEntry {
     // skew path through the same oracle: provably equal to the plain form
     "cdc_materialize_salted" -> ((s, d) =>
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
+    "cdc_materialize_advised" -> ((s, d) =>
+      Materialize.latestSnapshotAdvised(Cdc.changelog(s, d)).orderBy("user_id")),
     "cdc_burst_detect" -> ((s, d) => Monitoring.burstDetect(Cdc.changelog(s, d))),
     "cdc_robust_anomaly" -> ((s, d) => Monitoring.robustAnomaly(Cdc.changelog(s, d))),
     "cdc_lag_sla" -> ((s, d) => Monitoring.lagSla(Cdc.changelog(s, d))),
@@ -1192,6 +1194,17 @@ object SparkEntry {
       // same oracle as cdc_materialize_latest: the salted two-phase
       // aggregation must be bit-identical to the plain one
       "cdc_materialize_salted" ->
+        s"""$cl, ranked AS (
+           |  SELECT pk, op, value, ts,
+           |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,
+           |         count(*) OVER (PARTITION BY pk) AS n_changes
+           |  FROM changelog)
+           |SELECT pk AS user_id, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value, ts AS updated_at, n_changes
+           |FROM ranked WHERE rn = 1 AND op <> 'd' ORDER BY user_id""".stripMargin,
+      // advisor-wired apply: the result is provably salt-independent, so
+      // the oracle is the same window form regardless of which topology
+      // the advisor picked on this corpus
+      "cdc_materialize_advised" ->
         s"""$cl, ranked AS (
            |  SELECT pk, op, value, ts,
            |         row_number() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn,

@@ -27,6 +27,33 @@ object Materialize {
   private def latestBy(df: DataFrame, payload: Column, ord: Column): Column =
     graft.functions.GraftFunctions.maxByCol(df, payload, ord)
 
+  /** Advisor-wired materializer — the salt-advisor decision panel
+    * ([[Monitoring.saltAdvisor]]'s `recommended_salt` formula) connected
+    * to the apply topology it exists to choose, the same
+    * panels-get-wired pattern as the containment blocking switch:
+    * ONE bounded aggregation prices the hottest key
+    * (max events-per-key, map-side combined — the panel input), the
+    * advisor's ⌈max/targetPerTask⌉ clamp picks the salt, and the apply
+    * runs [[latestSnapshot]] (salt 1 — no skew worth paying for; the
+    * uniform test corpora land here) or [[latestSnapshotSalted]] with
+    * exactly that salt. Result is provably salt-independent (both
+    * operators materialize the identical last-writer-wins state), so
+    * the oracle is the plain window form.
+    *
+    * Scale shape: the pricing pass is one per-key count collapsed to a
+    * 1-row max — strictly cheaper than the apply it steers; at 100 TB it
+    * is the difference between paying the two-phase shuffle always
+    * (SCALE_r12: pure premium on uniform keys) and paying it exactly
+    * when a straggler would otherwise exist. */
+  def latestSnapshotAdvised(changelog: DataFrame, targetPerTask: Long = 10000L): DataFrame = {
+    val maxPerKey = changelog.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
+      .agg(max(col("cnt")).as("m")).collect()(0).getLong(0)
+    // the advisor's exact clamp (Monitoring.saltAdvisor recommended_salt)
+    val salt = math.min(32L, math.max(1L, (maxPerKey + targetPerTask - 1) / targetPerTask)).toInt
+    if (salt <= 1) latestSnapshot(changelog)
+    else latestSnapshotSalted(changelog, salt)
+  }
+
   /** Current-state snapshot: last change per PK wins; a final delete drops
     * the row. Equivalent SQL: row_number() OVER (PARTITION BY pk ORDER BY
     * ts DESC, seq DESC) = 1 AND op <> 'd'. */

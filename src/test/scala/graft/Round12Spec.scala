@@ -185,6 +185,33 @@ class Round12Spec extends AnyFunSuite {
       "dedup_cluster (fixpoint propagation) must equal dedup_cluster_lss (large-star)")
   }
 
+  test("advised materializer: salt 1 on the uniform corpus, salted on hot keys") {
+    import graft.cdc.{Cdc, Materialize}
+    // uniform corpus: ~10 events/key, far under targetPerTask → the
+    // advisor picks salt 1 and the plan IS the plain materializer's
+    val cl = Cdc.changelog(spark, dir)
+    val advised = Materialize.latestSnapshotAdvised(cl)
+    val plain = Materialize.latestSnapshot(cl)
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#_")
+    assert(shape(advised) == shape(plain),
+      "uniform corpus must take the unsalted topology")
+    // hot-key changelog: one key absorbs 25k changes → salt fires, and
+    // the salted result still equals the plain materializer exactly
+    val hot = spark.range(25000).select(
+      lit("u").as("op"), lit(1L).as("pk"),
+      timestamp_millis(lit(1700000000000L) + col("id")).as("ts"),
+      col("id").as("seq"), (col("id") % 97).cast("double").as("value"))
+    val hotAdvised = Materialize.latestSnapshotAdvised(hot, targetPerTask = 1000L)
+    val hotPlain = Materialize.latestSnapshot(hot)
+    def shape2(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#_")
+    assert(shape2(hotAdvised) != shape2(hotPlain),
+      "hot-key changelog must take the salted topology")
+    assert(hotAdvised.exceptAll(hotPlain).isEmpty && hotPlain.exceptAll(hotAdvised).isEmpty,
+      "the advised topology must not change the materialized state")
+  }
+
   test("dedup corpus injection offsets cannot collide with real doc ids") {
     // the +1M/+2M injection constants (and the `% 1M` original-id
     // recovery several operators and oracles share) are sound only
