@@ -763,6 +763,75 @@ object Dedup {
       candIds
   }
 
+  /** Paragraph-level exact dedup — the RefinedWeb/CCNet training-data
+    * pass that document-level dedup cannot express: a document SURVIVES
+    * but its repeated paragraphs are charged for removal (boilerplate
+    * headers, quoted reposts, template blocks). Paragraph = consecutive
+    * `wordsPerPara`-word chunk of the normalized text (the corpus is
+    * word-soup with no paragraph marks; fixed word windows are the
+    * deterministic stand-in both engines compute identically); first
+    * occurrence corpus-wide wins — ordered by (doc_id, paragraph index),
+    * packed into ONE long so the argmin is a plain hash-aggregable
+    * min(long), never a struct-min SortAggregate. Output: per affected
+    * doc, paragraph counts, the duplicated share, and the characters a
+    * paragraph-level rewrite would remove.
+    *
+    * Scale shape: one linear chunk explode (|corpus| rows at ~1/12 word
+    * density), one map-side-combined min per digest, an equi-join back
+    * on the digest, a per-doc rollup. No windows, no all-pairs anywhere —
+    * the same budget as exact doc-level dedup. */
+  def paragraphDedup(spark: SparkSession, dir: String, wordsPerPara: Int = 12): DataFrame = {
+    val words = normCorpus(spark, dir).select(col("doc_id"), split(col("t"), " ").as("ws"))
+    val chunks = words.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(ws) - 1) DIV $wordsPerPara").cast("int")),
+          i => concat_ws(" ", slice(col("ws"), i * wordsPerPara + 1, lit(wordsPerPara))))))
+      .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
+    val digests = chunks.select(col("doc_id"), col("para_idx"),
+      length(col("para")).cast("long").as("n_chars"), md5(col("para")).as("sig"))
+    val packed = col("doc_id") * lit(1000000L) + col("para_idx")
+    val firsts = digests.groupBy("sig").agg(min(packed).as("first_packed"))
+    digests.join(firsts, "sig")
+      .withColumn("is_dup", packed =!= col("first_packed"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paragraphs"),
+        sum(col("is_dup").cast("long")).as("n_dup_paragraphs"),
+        sum(when(col("is_dup"), col("n_chars")).otherwise(lit(0L))).as("chars_removed"))
+      .withColumn("dup_share",
+        col("n_dup_paragraphs").cast("double") / col("n_paragraphs").cast("double"))
+      .where(col("n_dup_paragraphs") > 0)
+      .select("doc_id", "n_paragraphs", "n_dup_paragraphs", "dup_share", "chars_removed")
+      .orderBy("doc_id")
+  }
+
+  def paragraphDedupSql: String =
+    s"""$corpusSql,
+       |pnorm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |pws AS (SELECT doc_id, string_split(t, ' ') AS w FROM pnorm),
+       |paras AS (
+       |  SELECT doc_id, i AS para_idx,
+       |         array_to_string(w[i*12+1 : i*12+12], ' ') AS para
+       |  FROM pws, unnest(generate_series(0, CAST((len(w)-1) // 12 AS INTEGER))) AS g(i)),
+       |pd AS (
+       |  SELECT doc_id, para_idx, CAST(length(para) AS BIGINT) AS n_chars, md5(para) AS sig
+       |  FROM paras),
+       |pf AS (SELECT sig, min(doc_id * 1000000 + para_idx) AS first_packed FROM pd GROUP BY sig)
+       |SELECT pd.doc_id,
+       |       count(*) AS n_paragraphs,
+       |       CAST(sum(CASE WHEN pd.doc_id * 1000000 + pd.para_idx <> pf.first_packed
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paragraphs,
+       |       CAST(sum(CASE WHEN pd.doc_id * 1000000 + pd.para_idx <> pf.first_packed
+       |                     THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_share,
+       |       CAST(sum(CASE WHEN pd.doc_id * 1000000 + pd.para_idx <> pf.first_packed
+       |                     THEN pd.n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+       |FROM pd JOIN pf USING (sig)
+       |GROUP BY pd.doc_id
+       |HAVING sum(CASE WHEN pd.doc_id * 1000000 + pd.para_idx <> pf.first_packed
+       |               THEN 1 ELSE 0 END) > 0
+       |ORDER BY pd.doc_id""".stripMargin
+
   /** Shingle document-frequency histogram — the corpus property that
     * decides exact-blocking density (SCALE_r11's guidance made
     * measurable): per df order-of-magnitude (digit count of df — the

@@ -212,6 +212,25 @@ class Round12Spec extends AnyFunSuite {
       "the advised topology must not change the materialized state")
   }
 
+  test("paragraph dedup: injected exact copies are fully duplicated") {
+    // the %7 exact-copy injection (doc_id + 1M, identical text) repeats
+    // every paragraph of its base doc, so the copy must appear with
+    // dup_share == 1.0; bases that appear before their copy never do
+    val rows = graft.dedup.Dedup.paragraphDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_dup_paragraphs"), r.getAs[Long]("n_paragraphs"),
+          r.getAs[Double]("dup_share"))).toMap
+    val copies = Tables.load(spark, dir, "documents")
+      .where(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0) + 1000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      val (dup, n, share) = rows.getOrElse(id,
+        fail(s"exact copy $id missing from the paragraph-dedup report"))
+      assert(dup == n && share == 1.0, s"copy $id must be fully duplicated")
+    }
+  }
+
   test("dedup corpus injection offsets cannot collide with real doc ids") {
     // the +1M/+2M injection constants (and the `% 1M` original-id
     // recovery several operators and oracles share) are sound only
