@@ -130,6 +130,7 @@ object SparkEntry {
     "dedup_exact_prefix" -> ((s, d) => Dedup.exactPrefix(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.substringDup(s, d)),
     "dedup_paragraph" -> ((s, d) => Dedup.paragraphDedup(s, d)),
+    "dedup_paragraph_rewrite" -> ((s, d) => Dedup.paragraphRewrite(s, d)),
     "dedup_chunk_hist" -> ((s, d) => Dedup.chunkDupHist(s, d)),
     "text_novelty" -> ((s, d) => TextFunctions.novelty(s, d)),
     "text_dup_gram_share" -> ((s, d) => TextFunctions.dupGramShare(s, d)),
@@ -1006,6 +1007,7 @@ object SparkEntry {
       "dedup_exact_prefix" -> Dedup.exactPrefixSql(),
       "dedup_substring" -> Dedup.substringDupSql(),
       "dedup_paragraph" -> Dedup.paragraphDedupSql,
+      "dedup_paragraph_rewrite" -> Dedup.paragraphRewriteSql,
       "dedup_chunk_hist" -> Dedup.chunkDupHistSql,
       "text_novelty" -> TextFunctions.noveltySql,
       "text_dup_gram_share" -> TextFunctions.dupGramShareSql,

@@ -832,6 +832,67 @@ object Dedup {
        |               THEN 1 ELSE 0 END) > 0
        |ORDER BY pd.doc_id""".stripMargin
 
+  /** The rewrite leg of [[paragraphDedup]] — the actionable output a
+    * training pipeline actually writes: for every AFFECTED document (at
+    * least one duplicated paragraph) the reconstructed kept text, with
+    * kept paragraphs re-joined in their original order. Bounded by the
+    * duplicate population, never the corpus; the ordered reassembly is
+    * an array_sort over per-doc collected (idx, para) structs — an
+    * ObjectHashAggregate (collect shape), sorting only within one doc's
+    * ≤~50 paragraphs, never a partition. */
+  def paragraphRewrite(spark: SparkSession, dir: String, wordsPerPara: Int = 12): DataFrame = {
+    val words = normCorpus(spark, dir).select(col("doc_id"), split(col("t"), " ").as("ws"))
+    val chunks = words.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), expr(s"(size(ws) - 1) DIV $wordsPerPara").cast("int")),
+          i => concat_ws(" ", slice(col("ws"), i * wordsPerPara + 1, lit(wordsPerPara))))))
+      .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
+    val digests = chunks.withColumn("sig", md5(col("para")))
+    val packed = col("doc_id") * lit(1000000L) + col("para_idx")
+    val firsts = digests.groupBy("sig").agg(min(packed).as("first_packed"))
+    val flagged = digests.join(firsts, "sig")
+      .withColumn("is_dup", packed =!= col("first_packed"))
+    val affected = flagged.groupBy("doc_id")
+      .agg(sum(col("is_dup").cast("long")).as("n_dup"))
+      .where(col("n_dup") > 0).select("doc_id")
+    flagged.join(affected, "doc_id")
+      .where(!col("is_dup"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("para_idx"), col("para"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(array_sort(col("kept")), k => k.getField("para"))).as("text_kept"))
+      .withColumn("n_chars_kept", length(col("text_kept")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  def paragraphRewriteSql: String =
+    s"""$corpusSql,
+       |pnorm AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |pws AS (SELECT doc_id, string_split(t, ' ') AS w FROM pnorm),
+       |paras AS (
+       |  SELECT doc_id, i AS para_idx,
+       |         array_to_string(w[i*12+1 : i*12+12], ' ') AS para
+       |  FROM pws, unnest(generate_series(0, CAST((len(w)-1) // 12 AS INTEGER))) AS g(i)),
+       |pd AS (SELECT doc_id, para_idx, para, md5(para) AS sig FROM paras),
+       |pf AS (SELECT sig, min(doc_id * 1000000 + para_idx) AS first_packed FROM pd GROUP BY sig),
+       |flagged AS (
+       |  SELECT pd.doc_id, pd.para_idx, pd.para,
+       |         pd.doc_id * 1000000 + pd.para_idx <> pf.first_packed AS is_dup
+       |  FROM pd JOIN pf USING (sig)),
+       |affected AS (
+       |  SELECT doc_id FROM flagged GROUP BY doc_id
+       |  HAVING sum(CASE WHEN is_dup THEN 1 ELSE 0 END) > 0)
+       |SELECT f.doc_id,
+       |       count(*) AS n_kept,
+       |       string_agg(f.para, ' ' ORDER BY f.para_idx) AS text_kept,
+       |       CAST(length(string_agg(f.para, ' ' ORDER BY f.para_idx)) AS BIGINT) AS n_chars_kept
+       |FROM flagged f JOIN affected a USING (doc_id)
+       |WHERE NOT f.is_dup
+       |GROUP BY f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
   /** Shingle document-frequency histogram — the corpus property that
     * decides exact-blocking density (SCALE_r11's guidance made
     * measurable): per df order-of-magnitude (digit count of df — the
