@@ -34,7 +34,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "emb_anisotropy", "emb_pca_power", "ann_ivf_topk", "ann_pq_topk",
     "ann_kmeans_refine", "dedup_minhash_accuracy",
     // multimodal: codec reductions
-    "mm_image_stats", "mm_audio_stats")
+    "mm_image_stats", "mm_audio_stats",
+    // r12 additions: packed-argmin paragraph dedup + the advised apply
+    "dedup_paragraph", "dedup_paragraph_rewrite", "cdc_materialize_advised")
 
   private def fingerprint(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq
