@@ -31,6 +31,14 @@ object InvarianceSweep {
     def sweep(partitions: String, aqe: String): Map[String, String] = {
       spark.conf.set("spark.sql.shuffle.partitions", partitions)
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      // Evict every cached/memoized build before the layout runs — the
+      // dedup family memoizes .cache()'d intermediates per (session, dir),
+      // and without this the later layouts would merely RE-READ blocks
+      // materialized under the first layout, making their invariance
+      // vacuous. With the eviction, every query re-executes its full plan
+      // under this layout's confs.
+      graft.dedup.Dedup.clearMemos(spark)
+      spark.catalog.clearCache()
       names.map(n => n -> fingerprint(n)).toMap
     }
     val base = sweep("4", "true")
@@ -47,7 +55,8 @@ object InvarianceSweep {
       }
     }
     println(s"== invariance sweep: ${names.length} queries, $bad layout-sensitive, " +
-      s"${base.values.count(_.startsWith("ERROR"))} errored")
+      s"${base.values.count(_.startsWith("ERROR"))} errored " +
+      "(caches+memos evicted before every layout: all queries genuinely re-executed per layout)")
     spark.stop()
   }
 }

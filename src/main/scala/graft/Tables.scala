@@ -51,8 +51,33 @@ object Tables {
     // groups would push the latest-row materializers straight back to the
     // sort-based path this aggregate exists to avoid. 2M groups × ~100 B
     // ≈ 200 MB per task worst case — bounded; beyond that the sort-based
-    // fallback still protects memory.
+    // fallback still protects memory. This sizing assumes FIXED-SIZE
+    // buffers: plans that hold UNBOUNDED per-group collect buffers
+    // (kept-paragraph lists, per-key history chains) must NOT run under
+    // it — they opt back into a sized guard via [[collectAggGuard]],
+    // which rebinds the terminal plan onto a per-query session clone.
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "2000000")
+
+  /** Per-query memory guard for collect-shaped ObjectHashAggregates.
+    *
+    * The session-wide fallback threshold above is sized for graft_max_by's
+    * ~100 B fixed buffers; a collect_list whose per-group payload is a
+    * document's kept paragraphs or a key's full change history would, at
+    * 2M in-flight groups, hold gigabytes in one task's hash map before the
+    * engine's sort-based (spilling) fallback ever engaged. This helper
+    * rebinds `df` onto a session clone whose threshold is re-sized for
+    * those shapes: 65,536 groups × the ~1 KB payloads observed in the
+    * guarded queries ≈ 64 MB per task before spill — bounded at any data
+    * scale, while still far above the per-task group counts the local
+    * corpora produce (so the guarded queries' plans and timings are
+    * unchanged at test SFs; the clamp only exists for the 100 TB case).
+    *
+    * The clone copies the parent's runtime conf at call time, so harness
+    * layout overrides (shuffle partitions, AQE) set just before query
+    * construction carry through — the invariance sweep stays meaningful. */
+  def collectAggGuard(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.SessionBridge.rebindWithConf(df,
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
 
   /** Tables whose operators do real per-row compute (JSON parse, shingle
     * fan-out, codecs, vector folds) — [[load]] applies the [[spread]]

@@ -459,6 +459,49 @@ object Discovery {
     /** GET /users/{id} — None is the endpoint's 404. */
     def getUser(id: String): Option[UserRecord] = synchronized { users.get(id) }
 
+    /** PUT /users/{user_id} (api.py:11303) — admin field-wise patch, the
+      * endpoint's exact branch ladder: 404 for an unknown id; a role
+      * outside the whitelist is a 400 `Invalid role. Must be one of: …`
+      * (REJECTED — unlike the invitation path's silent viewer fallback);
+      * a non-empty password runs the strength ladder and its specific
+      * message wins; role updates re-derive `is_superuser` (admin /
+      * super_admin). All-or-nothing: a failed validation persists NOTHING
+      * (the endpoint raises before `db.commit()`, rolling back earlier
+      * field writes), and role validation precedes password validation,
+      * so when both are bad the role message is the one returned. */
+    def updateUser(userId: String,
+        fullName: Option[String] = None, roleName: Option[String] = None,
+        isActive: Option[Boolean] = None, status: Option[String] = None,
+        password: Option[String] = None): Either[String, UserRecord] =
+      synchronized {
+        users.get(userId) match {
+          case None => Left("User not found")
+          case Some(u0) =>
+            if (roleName.exists(!validRoles(_)))
+              Left("Invalid role. Must be one of: " +
+                "user, operator, viewer, admin, super_admin, org_admin, data_engineer")
+            else password.filter(_.nonEmpty).map(validatePasswordStrength) match {
+              case Some(Left(msg)) => Left(msg)
+              case _ =>
+                var u = u0
+                fullName.foreach(n => u = u.copy(fullName = n))
+                roleName.foreach(r => u = u.copy(roleName = r,
+                  isSuperuser = r == "admin" || r == "super_admin"))
+                isActive.foreach(a => u = u.copy(isActive = a))
+                status.foreach(s => u = u.copy(status = s))
+                users(userId) = u
+                Right(u)
+            }
+        }
+      }
+
+    /** DELETE /users/{user_id} (api.py:11523) — a HARD delete (the
+      * endpoint calls `db.delete(user)`, not a deactivate), 404 ladder
+      * first. Returns the removed record — the id/email/full_name/role
+      * quad the endpoint captures for its audit log before deletion. */
+    def deleteUser(userId: String): Either[String, UserRecord] =
+      synchronized { users.remove(userId).toRight("User not found") }
+
     /** GET /roles — stored roles, or the built-in seven when none exist
       * (the endpoint's empty-or-missing-table fallback). */
     def listRoles(): Seq[RoleRecord] =
@@ -517,9 +560,20 @@ object Discovery {
           invitationTokens = results.collect { case (_, Right(inv)) => inv.token })
       }
 
-    /** Pending invitations, newest-first (the invitation listing). */
-    def listInvitations(limit: Int = 100): Seq[InvitationRecord] =
-      synchronized { invitations.sortBy(i => -i.expiresSeq).take(math.max(limit, 0)).toSeq }
+    /** GET /invitations (api.py:12052) — newest-first listing with the
+      * endpoint's full parameter set: optional exact-match `statusFilter`
+      * applied first, then `skip` offset, then `limit` — the SQLAlchemy
+      * `order_by(created_at.desc()).filter(status).offset(skip)
+      * .limit(limit)` chain. Newest-first here is descending expiresSeq
+      * (expiry = creation + 7 in seq units, so the order is identical to
+      * created_at DESC). */
+    def listInvitations(limit: Int = 100, skip: Int = 0,
+        statusFilter: Option[String] = None): Seq[InvitationRecord] =
+      synchronized {
+        val ordered = invitations.sortBy(i => -i.expiresSeq)
+        val filtered = statusFilter.fold(ordered.toSeq)(s => ordered.filter(_.status == s).toSeq)
+        filtered.slice(math.max(skip, 0), math.max(skip, 0) + math.max(limit, 0))
+      }
 
     /** The reference's password-strength ladder (api.py:10789
       * validate_password_strength), verbatim branch order: required →

@@ -46,8 +46,11 @@ object Materialize {
     * (SCALE_r12: pure premium on uniform keys) and paying it exactly
     * when a straggler would otherwise exist. */
   def latestSnapshotAdvised(changelog: DataFrame, targetPerTask: Long = 10000L): DataFrame = {
+    // coalesce: an empty changelog has a null max — degenerate case is
+    // salt 1 (latestSnapshot of nothing = nothing), matching latestSnapshot's
+    // own empty-input behavior instead of NPE-ing at plan construction
     val maxPerKey = changelog.groupBy(col("pk")).agg(count(lit(1)).as("cnt"))
-      .agg(max(col("cnt")).as("m")).collect()(0).getLong(0)
+      .agg(coalesce(max(col("cnt")), lit(0L)).as("m")).collect()(0).getLong(0)
     // the advisor's exact clamp (Monitoring.saltAdvisor recommended_salt)
     val salt = math.min(32L, math.max(1L, (maxPerKey + targetPerTask - 1) / targetPerTask)).toInt
     if (salt <= 1) latestSnapshot(changelog)

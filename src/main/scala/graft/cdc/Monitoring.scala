@@ -884,7 +884,10 @@ object Monitoring {
   def auditChain(changelog: DataFrame): DataFrame = {
     val payload = concat_ws(":",
       col("op"), dec(col("value"), 18, 2).cast("string"), col("seq").cast("string"))
-    changelog
+    // collectAggGuard: the per-key history list is an UNBOUNDED collect
+    // buffer — restore a sized spill threshold for this plan only (the
+    // session-wide raise assumes fixed-size argmax buffers).
+    graft.Tables.collectAggGuard(changelog
       .select(col("pk"), unix_millis(col("ts")).as("t"), col("seq"), payload.as("payload"))
       .groupBy(col("pk").as("user_id"))
       .agg(
@@ -895,7 +898,7 @@ object Monitoring {
             x => x.getField("payload")),
           lit("graft-chain-seed"),
           (acc, x) => md5(concat(acc, x))).as("chain_hash"))
-      .orderBy("user_id")
+      .orderBy("user_id"))
   }
 
   def auditChainSql(changelogSql: String): String =
@@ -1602,7 +1605,7 @@ object Monitoring {
       spark: SparkSession, dir: String,
       level: String = "DEBUG", search: String = "7",
       limit: Int = 50, horizonMs: Long = 7L * 86400000L): DataFrame = {
-    val cappedLimit = math.max(1, math.min(limit, 50)) // the endpoint's cap (api.py:10260)
+    val cappedLimit = math.max(0, math.min(limit, 50)) // the endpoint's cap (api.py:10260)
     val logs = graft.Tables.load(spark, dir, "events")
       .select(
         col("event_id"), col("ts"),
@@ -1659,7 +1662,7 @@ object Monitoring {
        |  WHERE level = '${sqlQuote(level)}'
        |    AND (lower(message) LIKE '%${likeEscape(search.toLowerCase)}%' ESCAPE '\\'
        |         OR lower(logger) LIKE '%${likeEscape(search.toLowerCase)}%' ESCAPE '\\')
-       |  ORDER BY ts DESC, event_id DESC LIMIT ${math.max(1, math.min(limit, 50))})
+       |  ORDER BY ts DESC, event_id DESC LIMIT ${math.max(0, math.min(limit, 50))})
        |CROSS JOIN total
        |ORDER BY ts DESC, event_id DESC""".stripMargin
 
@@ -1685,7 +1688,7 @@ object Monitoring {
       level: String = "DEBUG",
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 50): DataFrame = {
-    val effLimit = math.max(1, math.min(limit, 50))
+    val effLimit = math.max(0, math.min(limit, 50))
     val cts = lit(cursorTs).cast("timestamp")
     // the level→event_type derivation, inverted into a pushable predicate
     val facet = level match {
@@ -1711,7 +1714,7 @@ object Monitoring {
       level: String = "DEBUG",
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 50): String = {
-    val effLimit = math.max(1, math.min(limit, 50))
+    val effLimit = math.max(0, math.min(limit, 50))
     val facet = level match {
       case "ERROR" => "event_type = 'error'"
       case "INFO"  => "event_type IN ('signup', 'purchase')"
@@ -1767,7 +1770,7 @@ object Monitoring {
       pipelineId: Option[String] = None, tableName: Option[String] = None,
       todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
       horizonMs: Long = 7L * 86400000L): DataFrame = {
-    val effLimit = math.max(1, math.min(limit, 1000))
+    val effLimit = math.max(0, math.min(limit, 1000))
     val runs = graft.Tables.load(spark, dir, "events")
       .select(
         col("event_id").as("run_id"),
@@ -1806,7 +1809,7 @@ object Monitoring {
       pipelineId: Option[String] = None, tableName: Option[String] = None,
       todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
       horizonMs: Long = 7L * 86400000L): String = {
-    val effLimit = math.max(1, math.min(limit, 1000))
+    val effLimit = math.max(0, math.min(limit, 1000))
     val pipePred = pipelineId.map(p => s"AND pipeline_id = '${sqlQuote(p)}'").getOrElse("")
     val window =
       if (todayOnly)
@@ -1862,7 +1865,7 @@ object Monitoring {
       spark: SparkSession, dir: String,
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 100): DataFrame = {
-    val effLimit = math.max(1, math.min(limit, 1000))
+    val effLimit = math.max(0, math.min(limit, 1000))
     val cts = lit(cursorTs).cast("timestamp")
     graft.Tables.load(spark, dir, "events")
       .where(col("ts") < cts ||
@@ -1884,7 +1887,7 @@ object Monitoring {
   def eventBrowseSeekSql(
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 100): String = {
-    val effLimit = math.max(1, math.min(limit, 1000))
+    val effLimit = math.max(0, math.min(limit, 1000))
     s"""SELECT event_id AS run_id, ts AS started_at,
        |       'pl-' || CAST(user_id % 4 AS VARCHAR) AS pipeline_id,
        |       'public.' || event_type AS table_name,
@@ -1926,7 +1929,7 @@ object Monitoring {
       spark: SparkSession, dir: String,
       action: Option[String] = None, resourceType: Option[String] = Some("pipeline"),
       skip: Int = 20, limit: Int = 20): DataFrame = {
-    val effLimit = math.max(1, math.min(limit, 100))
+    val effLimit = math.max(0, math.min(limit, 100))
     val logs = graft.Tables.load(spark, dir, "events")
       .select(
         col("event_id").as("id"),
@@ -1960,7 +1963,7 @@ object Monitoring {
   def auditBrowseSql(
       action: Option[String] = None, resourceType: Option[String] = Some("pipeline"),
       skip: Int = 20, limit: Int = 20): String = {
-    val effLimit = math.max(1, math.min(limit, 100))
+    val effLimit = math.max(0, math.min(limit, 100))
     val preds = Seq(
       action.map(a => s"action = '${sqlQuote(a)}'"),
       resourceType.map(r => s"resource_type = '${sqlQuote(r)}'")).flatten
@@ -2008,7 +2011,7 @@ object Monitoring {
       resourceType: Option[String] = Some("pipeline"),
       cursorTs: String = "2024-01-20 00:00:00",
       cursorId: Long = 1000000L, limit: Int = 20): DataFrame = {
-    val effLimit = math.max(1, math.min(limit, 100))
+    val effLimit = math.max(0, math.min(limit, 100))
     val cts = lit(cursorTs).cast("timestamp")
     val base = graft.Tables.load(spark, dir, "events")
       .where(col("ts") < cts ||
@@ -2045,7 +2048,7 @@ object Monitoring {
       resourceType: Option[String] = Some("pipeline"),
       cursorTs: String = "2024-01-20 00:00:00",
       cursorId: Long = 1000000L, limit: Int = 20): String = {
-    val effLimit = math.max(1, math.min(limit, 100))
+    val effLimit = math.max(0, math.min(limit, 100))
     val srcPred = resourceType.map {
       case "user" => "AND event_type = 'signup'"
       case "pipeline" => "AND event_type = 'purchase'"

@@ -273,6 +273,20 @@ object Dedup {
       }
     })
 
+  /** Drop (and unpersist) every memoized build for `spark` — for harnesses
+    * that re-run the registry under a changed execution layout (shuffle
+    * partitions / AQE) on ONE session. Without this, the dedup family's
+    * cached normCorpus/signatures/pairs materialize once under the first
+    * layout and are merely re-read afterwards, so a layout-invariance
+    * sweep would be vacuous for exactly these queries
+    * (InvarianceSweep calls this between layouts). */
+  private[graft] def clearMemos(spark: SparkSession): Unit =
+    Seq(normCache, pairsCache, labelsCache, simhashFpCache, ngramBaseCache,
+      sigCache, containPairsCache).foreach { c =>
+      c.keys.filter(_._1 eq spark)
+        .foreach(k => c.remove(k).foreach(_.unpersist()))
+    }
+
   /** MinHash + LSH: 16-permutation signature, 4 bands × 4 rows, candidate
     * pairs from band-bucket self-join, exact Jaccard verify on candidates
     * only. Output: near-dup pairs with Jaccard ≥ 0.6. */
@@ -855,15 +869,20 @@ object Dedup {
     val affected = flagged.groupBy("doc_id")
       .agg(sum(col("is_dup").cast("long")).as("n_dup"))
       .where(col("n_dup") > 0).select("doc_id")
-    flagged.join(affected, "doc_id")
-      .where(!col("is_dup"))
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("para_idx"), col("para"))).as("kept"))
-      .select(col("doc_id"),
-        size(col("kept")).cast("long").as("n_kept"),
-        concat_ws(" ", transform(array_sort(col("kept")), k => k.getField("para"))).as("text_kept"))
-      .withColumn("n_chars_kept", length(col("text_kept")).cast("long"))
-      .orderBy("doc_id")
+    // collectAggGuard: the kept-paragraph lists are UNBOUNDED per-group
+    // buffers (a whole document each) — re-size the hash-agg spill
+    // threshold for this plan only; the session-wide raise is sized for
+    // fixed-size argmax buffers.
+    graft.Tables.collectAggGuard(
+      flagged.join(affected, "doc_id")
+        .where(!col("is_dup"))
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("para_idx"), col("para"))).as("kept"))
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("n_kept"),
+          concat_ws(" ", transform(array_sort(col("kept")), k => k.getField("para"))).as("text_kept"))
+        .withColumn("n_chars_kept", length(col("text_kept")).cast("long"))
+        .orderBy("doc_id"))
   }
 
   def paragraphRewriteSql: String =
@@ -1100,6 +1119,20 @@ object Dedup {
       labels = joined.select(col("doc_id"),
         least(col("label"), col("cand")).as("label"))
       round += 1
+    }
+    if (!converged) {
+      // The loop's convergence flag trails by one round: a component whose
+      // diameter EQUALS maxRounds moves labels on the final round (flagging
+      // non-convergence) yet has reached fixpoint. One extra check — a
+      // neighbor-min pass with no label update — confirms or refutes that
+      // before refusing, so the require matches the docstring's
+      // "diameter > maxRounds" bound exactly.
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "id_b"), "id_b")
+        .groupBy(col("id_a").as("doc_id"))
+        .agg(min(col("label")).as("nbr_label"))
+      converged = labels.join(nbrMin, Seq("doc_id"), "left")
+        .where(coalesce(col("nbr_label"), col("label")) < col("label")).isEmpty
     }
     require(converged,
       s"label propagation did not converge in $maxRounds rounds — " +

@@ -115,11 +115,14 @@ class Round12Spec extends AnyFunSuite {
       "re-upload ids are exactly doc_id + max(doc_id)+1 for doc_id % 9 == 0")
   }
 
-  test("browse limits clamp below 1 instead of throwing") {
+  test("browse limits clamp at 0 (empty page, reference semantics) instead of throwing") {
     import graft.cdc.Monitoring
-    // limit <= 0 used to reach DataFrame.limit(negative) and throw
-    assert(Monitoring.eventBrowseSeek(spark, dir, limit = 0).count() == 1L)
-    assert(Monitoring.eventBrowse(spark, dir, limit = -5).count() <= 1L)
+    // limit <= 0 used to reach DataFrame.limit(negative) and throw; the
+    // reference endpoint's plain min(limit, cap) makes limit=0 an EMPTY
+    // page (api.py:10260), so the clamp floor is 0, not 1
+    assert(Monitoring.eventBrowseSeek(spark, dir, limit = 0).count() == 0L)
+    assert(Monitoring.eventBrowse(spark, dir, limit = -5).count() == 0L)
+    assert(Monitoring.logBrowse(spark, dir, limit = 0).count() == 0L)
   }
 
   test("containment blocking is data-chosen: exact prefix on the native corpora") {

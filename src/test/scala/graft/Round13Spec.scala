@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 hardening: degenerate-input and boundary behavior flagged by
+  * the r12 advisory — empty-changelog advisor, exact-diameter label
+  * propagation — plus the per-query conf scoping bridge
+  * ([[Tables.collectAggGuard]]) that re-sizes the ObjectHashAggregate
+  * spill guard for unbounded collect buffers without touching the shared
+  * session.
+  */
+class Round13Spec extends AnyFunSuite {
+  import TestSpark.{spark, dir}
+  import spark.implicits._
+
+  test("latestSnapshotAdvised returns an empty snapshot on an empty changelog (no NPE)") {
+    val empty = Seq.empty[(Long, Long, Long, String, String)]
+      .toDF("pk", "ts", "seq", "op", "value")
+    assert(graft.cdc.Materialize.latestSnapshotAdvised(empty).count() == 0L,
+      "the advisor's max(cnt) is null on empty input — must degrade to salt 1, not throw")
+  }
+
+  test("propagateLabels converges when component diameter EQUALS maxRounds") {
+    // a 1-2-3-4-5-6 chain: label 1 reaches node 6 on round 5 (diameter 5).
+    // The loop's movement flag trails by one round, so maxRounds = 5 used
+    // to throw despite the labeling being at fixpoint; the post-loop
+    // confirmation check must accept it.
+    val ids = (1L to 6L).toDF("doc_id")
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (undirected ++ undirected.map(_.swap)).toDF("id_a", "id_b")
+    val labels = graft.dedup.Dedup.propagateLabels(ids, edges, maxRounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 6L).map(_ -> 1L).toMap)
+    // one short of the diameter is genuinely unconverged — still refuses
+    assertThrows[IllegalArgumentException] {
+      graft.dedup.Dedup.propagateLabels(ids, edges, maxRounds = 4).collect()
+    }
+  }
+
+  test("collectAggGuard scopes the fallback threshold to one query's session clone") {
+    val guarded = Tables.collectAggGuard(
+      Tables.load(spark, dir, "events").groupBy("user_id")
+        .agg(collect_list(col("event_type")).as("evs"))
+        .select(col("user_id"), size(col("evs")).as("n")))
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    assert(guarded.sparkSession ne spark, "the plan is rebound onto a clone")
+    assert(guarded.sparkSession.conf.get(key) == "65536",
+      "the clone carries the collect-shape spill guard")
+    assert(spark.conf.get(key) == "2000000",
+      "the shared session keeps the argmax-sized raise")
+    // and the rebind is transparent to results
+    val direct = Tables.load(spark, dir, "events").groupBy("user_id")
+      .agg(size(collect_list(col("event_type"))).as("n"))
+    assert(guarded.orderBy("user_id").collect().toSeq ==
+      direct.orderBy("user_id").collect().toSeq)
+  }
+
+  test("guarded queries (paragraphRewrite, auditChain) execute under the clone and stay correct") {
+    val pr = graft.dedup.Dedup.paragraphRewrite(spark, dir)
+    assert(pr.sparkSession ne spark)
+    assert(pr.count() >= 0L) // executes without error under the clone
+    val ac = graft.cdc.Monitoring.auditChain(graft.cdc.Cdc.changelog(spark, dir))
+    assert(ac.sparkSession ne spark)
+    val row = ac.limit(1).collect()
+    assert(row.nonEmpty && row(0).getString(2).length == 32, "md5 chain hash present")
+  }
+}

@@ -129,4 +129,65 @@ class UserDirectorySpec extends AnyFunSuite {
     val u = d.acceptInvitation(inv.token, "Aa1!aaaa").toOption.get
     assert(u.fullName == "fallback")
   }
+
+  test("listInvitations: newest-first with status_filter, skip and limit (api.py:12052)") {
+    val d = new Discovery.UserDirectory
+    val invs = (1 to 6).map(i => d.createInvitation(s"p$i@x.com", "viewer", "u-0").toOption.get)
+    // redeem one so two statuses exist
+    d.acceptInvitation(invs(2).token, "Aa1!aaaa")
+    val all = d.listInvitations()
+    assert(all.map(_.email) == (6 to 1 by -1).map(i => s"p$i@x.com"),
+      "created_at DESC — newest first")
+    assert(d.listInvitations(skip = 2).map(_.email) ==
+      (4 to 1 by -1).map(i => s"p$i@x.com"), "skip offsets AFTER the ordering")
+    assert(d.listInvitations(limit = 2, skip = 1).map(_.email) == Seq("p5@x.com", "p4@x.com"))
+    val pending = d.listInvitations(statusFilter = Some("PENDING"))
+    assert(pending.length == 5 && !pending.exists(_.email == "p3@x.com"),
+      "exact-match status filter applies before pagination")
+    assert(d.listInvitations(statusFilter = Some("ACCEPTED")).map(_.email) == Seq("p3@x.com"))
+    assert(d.listInvitations(statusFilter = Some("nope")).isEmpty)
+  }
+
+  test("updateUser: 404 ladder, role whitelist REJECTS (no viewer fallback), superuser re-derived") {
+    val d = new Discovery.UserDirectory
+    val u = d.createUser("up@x.com", "Up", "user").toOption.get
+    assert(d.updateUser("u-999", fullName = Some("X")) == Left("User not found"))
+    val bad = d.updateUser(u.id, roleName = Some("not-a-role"), fullName = Some("Changed"))
+    assert(bad.left.exists(_.startsWith("Invalid role. Must be one of:")),
+      "update REJECTS bad roles where the invitation path silently falls back to viewer")
+    assert(d.getUser(u.id).get.fullName == "Up",
+      "failed validation persists NOTHING (the endpoint raises before commit)")
+    val promoted = d.updateUser(u.id, roleName = Some("super_admin")).toOption.get
+    assert(promoted.isSuperuser, "is_superuser re-derived from the new role")
+    val demoted = d.updateUser(u.id, roleName = Some("viewer")).toOption.get
+    assert(!demoted.isSuperuser)
+  }
+
+  test("updateUser: password strength ladder applies, role error wins over password error") {
+    val d = new Discovery.UserDirectory
+    val u = d.createUser("pw@x.com", "Pw", "user").toOption.get
+    assert(d.updateUser(u.id, password = Some("short")) ==
+      Left("Password must be at least 8 characters long"))
+    assert(d.updateUser(u.id, roleName = Some("bogus"), password = Some("short"))
+      .left.exists(_.startsWith("Invalid role")),
+      "the endpoint validates role before password — its message wins")
+    assert(d.updateUser(u.id, password = Some("")).isRight,
+      "empty password is falsy in the endpoint — skipped, not validated")
+    val deactivated = d.updateUser(u.id,
+      isActive = Some(false), status = Some("SUSPENDED")).toOption.get
+    assert(!deactivated.isActive && deactivated.status == "SUSPENDED")
+  }
+
+  test("deleteUser: hard delete with 404 ladder (api.py:11523)") {
+    val d = new Discovery.UserDirectory
+    val u = d.createUser("gone@x.com", "Gone", "user").toOption.get
+    assert(d.deleteUser("u-999") == Left("User not found"))
+    val removed = d.deleteUser(u.id).toOption.get
+    assert(removed.email == "gone@x.com",
+      "the removed record is returned — the endpoint's audit old_value")
+    assert(d.getUser(u.id).isEmpty, "a HARD delete — the row is gone, not deactivated")
+    assert(d.deleteUser(u.id) == Left("User not found"), "second delete hits the 404")
+    assert(d.createUser("gone@x.com", "Again", "user").isRight,
+      "the email is reusable after a hard delete (no tombstone)")
+  }
 }
