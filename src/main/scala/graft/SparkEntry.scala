@@ -391,6 +391,13 @@ object SparkEntry {
     "q_mad_approx" -> ((s, d) => Sketches.approxMad(s, d)),
     "cdc_lag_percentiles_approx" ->
       ((s, d) => Sketches.approxLagPercentiles(Cdc.changelog(s, d))),
+    // r13: the remaining exact-percentile operators' documented drop-ins,
+    // same rows-only + SketchesSpec-contract pattern
+    "emb_dim_quantiles_approx" -> ((s, d) => Sketches.approxDimQuantiles(s, d)),
+    "cdc_event_size_pcts_approx" ->
+      ((s, d) => Sketches.approxEventSizePercentiles(s, d)),
+    "cdc_watermark_advise_approx" ->
+      ((s, d) => Sketches.approxWatermarkAdvise(Cdc.changelog(s, d))),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),

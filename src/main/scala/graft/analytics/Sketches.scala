@@ -170,6 +170,87 @@ object Sketches {
     * partials and never materializes a cohort's lag set anywhere. No
     * DuckDB oracle (engine-specific rank pick); accuracy contract in
     * SketchesSpec. */
+  /** Sketch form of [[graft.similarity.Ann.dimQuantiles]]
+    * (`emb_dim_quantiles_approx`) — the 100 TB drop-in its docstring
+    * promises, registered first-class. The exact operator's interpolated
+    * percentile needs every dimension's full value set resident in one
+    * place; here each of the d groups carries ONE fixed-size GK summary
+    * merged map-side, so the shuffle is d sketches regardless of corpus
+    * size. Same output contract (n, p01, p50, p99, clip_range). No DuckDB
+    * oracle (the sketch's rank pick is engine-specific — rows-only
+    * check); the accuracy contract vs the exact operator is pinned in
+    * SketchesSpec. */
+  def approxDimQuantiles(spark: SparkSession, dir: String, accuracy: Int = 10000): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(x, array(0.01, 0.5, 0.99), $accuracy)").as("qs"))
+      .select(col("dim"), col("n"),
+        element_at(col("qs"), 1).as("p01"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p99"))
+      .withColumn("clip_range", col("p99") - col("p01"))
+      .orderBy("dim")
+
+  /** Sketch form of [[graft.cdc.Monitoring.eventSizePercentiles]]
+    * (`cdc_event_size_pcts_approx`) — the per-topic rank window the exact
+    * operator pays (a full per-topic sort) replaced by ONE hash
+    * aggregation whose state is a fixed-size sketch per topic: no topic's
+    * byte set is ever resident anywhere, and partials merge map-side. The
+    * output contract matches the exact gauge (n/min/p50/p90/p99/max per
+    * topic). Rows-only check (engine-specific rank pick); accuracy
+    * contract in SketchesSpec. */
+  def approxEventSizePercentiles(spark: SparkSession, dir: String,
+      overhead: Int = 64, accuracy: Int = 10000): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(concat(lit("graft.public."), col("event_type")).as("topic"),
+        (length(col("props")).cast("long") + overhead).as("msg_bytes"))
+      .groupBy("topic")
+      .agg(
+        count(lit(1)).as("n_messages"),
+        min(col("msg_bytes")).as("min_bytes"),
+        expr(s"approx_percentile(msg_bytes, array(0.5, 0.9, 0.99), $accuracy)").as("qs"),
+        max(col("msg_bytes")).as("max_bytes"))
+      .select(col("topic"), col("n_messages"), col("min_bytes"),
+        element_at(col("qs"), 1).as("p50_bytes"),
+        element_at(col("qs"), 2).as("p90_bytes"),
+        element_at(col("qs"), 3).as("p99_bytes"),
+        col("max_bytes"))
+      .orderBy("topic")
+
+  /** Sketch form of [[graft.cdc.Monitoring.watermarkAdvise]]
+    * (`cdc_watermark_advise_approx`). The lateness derivation keeps the
+    * exact operator's key-partitioned running-hwm window (already
+    * scale-correct — state per key is one max), but the percentile CORE —
+    * a GLOBAL exact percentile, which at 100 TB means every event's
+    * lateness resident for one ordering — becomes one approx_percentile
+    * sketch merged map-side. Same output contract including the
+    * p99-rounded-up-to-the-minute advised watermark. Rows-only check;
+    * accuracy contract in SketchesSpec (the advised watermark itself must
+    * agree with the exact form's up to one 60 s rounding step). */
+  def approxWatermarkAdvise(changelog: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("seq")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    changelog
+      .select(col("pk"), col("seq"), unix_millis(col("ts")).as("ms"))
+      .withColumn("late_ms",
+        greatest(lit(0L), coalesce(max(col("ms")).over(w) - col("ms"), lit(0L))))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("late_ms") > 0, 1)).as("n_late"),
+        expr(s"approx_percentile(late_ms, array(0.5, 0.95, 0.99), $accuracy)").as("qs"))
+      .select(col("n_events"), col("n_late"),
+        element_at(col("qs"), 1).cast("double").as("p50_ms"),
+        element_at(col("qs"), 2).cast("double").as("p95_ms"),
+        element_at(col("qs"), 3).cast("double").as("p99_ms"))
+      .withColumn("advised_watermark_ms",
+        (ceil(col("p99_ms") / 60000.0) * 60000).cast("long"))
+  }
+
   def approxLagPercentiles(changelog: DataFrame, accuracy: Int = 10000): DataFrame = {
     val hwm = changelog.agg(max(col("ts")).as("hwm"))
     changelog

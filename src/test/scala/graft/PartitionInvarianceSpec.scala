@@ -36,7 +36,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // multimodal: codec reductions
     "mm_image_stats", "mm_audio_stats",
     // r12 additions: packed-argmin paragraph dedup + the advised apply
-    "dedup_paragraph", "dedup_paragraph_rewrite", "cdc_materialize_advised")
+    "dedup_paragraph", "dedup_paragraph_rewrite", "cdc_materialize_advised",
+    // r13 additions: the sketch twins — a GK summary's merge tree changes
+    // with the layout, so these pin that Spark's QuantileSummaries
+    // compaction is deterministic under it
+    "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
+    "cdc_watermark_advise_approx")
 
   private def fingerprint(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq

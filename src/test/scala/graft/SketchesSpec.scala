@@ -104,4 +104,73 @@ class SketchesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("emb_dim_quantiles_approx lands inside the exact rank envelope p ± 0.005") {
+    import org.apache.spark.sql.functions._
+    // The right contract for a value-PICKING sketch vs an INTERPOLATING
+    // exact percentile is rank-based, not value-based: approx_percentile
+    // guarantees rank error ≤ n/accuracy (≪ half a percentile point
+    // here), and the pick-vs-interpolate representation gap moves the
+    // result by at most one order statistic — so every sketched quantile
+    // must lie within the exact [p−0.005, p+0.005] envelope. A fixed
+    // value tolerance would instead measure the local SPARSITY of the
+    // sample's tail, which is a property of sf0.001, not of the sketch.
+    val env = graft.Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      .groupBy("dim")
+      .agg(expr("percentile(x, array(0.005, 0.015, 0.45, 0.55, 0.985, 0.995))").as("e"))
+      .collect()
+      .map(r => r.getAs[Long]("dim") -> r.getSeq[Double](1)).toMap
+    val exactN = graft.similarity.Ann.dimQuantiles(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Long]("n")).toMap
+    val approx = Sketches.approxDimQuantiles(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p01"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p99")))).toMap
+    assert(approx.keySet === env.keySet)
+    approx.foreach { case (d, (an, a01, a50, a99)) =>
+      assert(an === exactN(d), s"dim $d: row counts are exact on both paths")
+      val e = env(d)
+      Seq(("p01", a01, e(0), e(1)), ("p50", a50, e(2), e(3)), ("p99", a99, e(4), e(5)))
+        .foreach { case (name, a, lo, hi) =>
+          assert(a >= lo && a <= hi, s"dim $d $name: $a outside exact envelope [$lo, $hi]")
+        }
+    }
+  }
+
+  test("cdc_event_size_pcts_approx tracks the exact per-topic byte quantiles within 2%") {
+    def byTopic(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("topic") ->
+        ((r.getAs[Long]("n_messages"), r.getAs[Long]("min_bytes"), r.getAs[Long]("p50_bytes"),
+          r.getAs[Long]("p90_bytes"), r.getAs[Long]("p99_bytes"), r.getAs[Long]("max_bytes")))).toMap
+    val exact = byTopic(graft.cdc.Monitoring.eventSizePercentiles(spark, dir))
+    val approx = byTopic(Sketches.approxEventSizePercentiles(spark, dir))
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (t, (an, amin, a50, a90, a99, amax)) =>
+      val (en, emin, e50, e90, e99, emax) = exact(t)
+      assert(an === en && amin === emin && amax === emax,
+        s"topic $t: count/min/max are exact on both paths")
+      Seq((a50, e50), (a90, e90), (a99, e99)).foreach { case (a, e) =>
+        assert(math.abs(a - e).toDouble / math.max(e, 1L) < 0.02,
+          s"topic $t: approx $a vs exact $e")
+      }
+    }
+  }
+
+  test("cdc_watermark_advise_approx agrees with the exact advisor within one rounding step") {
+    val cl = graft.cdc.Cdc.changelog(spark, dir)
+    val e = graft.cdc.Monitoring.watermarkAdvise(cl).collect()(0)
+    val a = Sketches.approxWatermarkAdvise(cl).collect()(0)
+    assert(a.getAs[Long]("n_events") === e.getAs[Long]("n_events"))
+    assert(a.getAs[Long]("n_late") === e.getAs[Long]("n_late"),
+      "the lateness derivation is identical — only the percentile core is sketched")
+    Seq("p50_ms", "p95_ms", "p99_ms").foreach { c =>
+      val (av, ev) = (a.getAs[Double](c), e.getAs[Double](c))
+      assert(math.abs(av - ev) / math.max(ev, 1.0) < 0.02, s"$c: approx $av vs exact $ev")
+    }
+    val (aw, ew) = (a.getAs[Long]("advised_watermark_ms"), e.getAs[Long]("advised_watermark_ms"))
+    assert(math.abs(aw - ew) <= 60000L,
+      s"advised watermark $aw vs $ew — the ceil-to-minute grid may shift by at most one step")
+  }
 }
