@@ -78,6 +78,27 @@ object Bench {
     }.toMap
     def r3(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Ratio vs the FROZEN baseline (BASELINE.md / BASELINE_QUERIES.json,
+    // set end of r12): sum of this run's medians over the baseline's
+    // query set divided by the frozen sum — the comparable-subset number,
+    // immune to registry growth. Parsed with a flat-JSON regex (the file
+    // is {"queries": {"name": num, ...}}); absent file → no ratio.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
+    val baseline: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(baselinePath)), java.nio.charset.StandardCharsets.UTF_8)
+        val body = txt.substring(txt.indexOf("\"queries\""))
+        "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val common = baseline.keySet.intersect(results.keySet)
+    val baselineRatio: Option[Double] =
+      if (common.isEmpty) None
+      else Some(common.toSeq.map(results).sum / common.toSeq.map(baseline).sum)
+    val baselineJson = baselineRatio
+      .map(r => s""","baseline_ratio":${r3(r)},"baseline_common":${common.size}""")
+      .getOrElse("")
     // Full per-query record → file. Per-pass raws are kept alongside the
     // median so a cold-cache pass 1 (memoized corpus builds being paid by
     // whichever query touches them first) is distinguishable from a query
@@ -93,7 +114,7 @@ object Bench {
       s"""{
          |  "metric": "total", "value": ${r3(total)}, "unit": "sec",
          |  "sf": "$sfDir", "cpus": $cpus, "passes": $passes,
-         |  "n_queries": ${results.size}, "n_failed": ${failed.length},
+         |  "n_queries": ${results.size}, "n_failed": ${failed.length}$baselineJson,
          |  "failed": ${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |  "shared_total": ${r3(sharedTotal)},
          |  "shared": {
@@ -118,7 +139,7 @@ object Bench {
       "mm_frame_sample", "pipe_chunk_documents", "pipe_interleave")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"shared_total":${r3(sharedTotal)},"full":"$fullPath","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.length},"shared_total":${r3(sharedTotal)}$baselineJson,"full":"$fullPath","queries":$qs,"sf":"$sfDir"}"""
     require(line.length < 1900, s"bench line too long: ${line.length}")
     println(line)
     spark.stop()
