@@ -699,8 +699,12 @@ object Dedup {
 
   /** Single-signature (16 bands × 1 row) candidate ids — the approximate
     * blocking floor of the containment auto-switch. */
-  private def bandCandidateIds16x1(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir)
+  private def bandCandidateIds16x1(spark: SparkSession, dir: String): DataFrame =
+    bandCandidateIds16x1Of(signatures(spark, dir))
+
+  /** [[bandCandidateIds16x1]] over an arbitrary signature table — exposed
+    * so scale smokes can price the banding floor on synthetic corpora. */
+  private[graft] def bandCandidateIds16x1Of(sigs: DataFrame): DataFrame = {
     val b1 = sigs.select(col("doc_id"), explode(array((0 until 16).map(i =>
         struct(lit(i).as("band_id"), col(s"sig$i").as("band_key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band_id").as("band_id"), col("bk.band_key").as("band_key"))
@@ -711,6 +715,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** Signature table over an arbitrary (doc_id, t) corpus — the
+    * scale-smoke twin of [[signatures]] (no memo, no cache). */
+  private[graft] def signaturesOf(corpus: DataFrame): DataFrame =
+    sigsOf(corpus.select(col("doc_id"), shingleCol(col("t")).as("shingles")))
 
   /** Prefix-filter candidate ids over the k-shingle universe, with the
     * PPJoin positional filter. For k = 5 this is the lossless SSJoin
