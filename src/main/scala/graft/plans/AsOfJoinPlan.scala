@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, GraftPlanBridge, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Ascending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, FalseLiteral, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Native as-of join — the custom-operator ladder's last rung (logical
@@ -61,7 +63,7 @@ final case class AsOfJoinExec(
     leftKey: Attribute,
     leftTime: Attribute,
     rightKey: Attribute,
-    rightTime: Attribute) extends BinaryExecNode {
+    rightTime: Attribute) extends BinaryExecNode with CodegenSupport {
 
   private def rightKept: Seq[Attribute] =
     right.output.filterNot(_.exprId == rightKey.exprId)
@@ -129,6 +131,116 @@ final case class AsOfJoinExec(
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
     copy(left = newLeft, right = newRight)
+
+  // ── whole-stage codegen (the SortMergeJoinExec two-input pattern) ────
+  //
+  // The merge compiles into the stage's generated processNext(): the
+  // two-pointer loop reads both sorted inputs as iterators, holds ONE
+  // candidate row, and feeds output columns to the parent's consume() as
+  // plain Java locals — no JoinedRow, no per-row UnsafeProjection, no
+  // iterator-of-iterators virtual dispatch. doExecute() above remains the
+  // interpreted fallback (spark.sql.codegen.wholeStage=false, or codegen
+  // compile failure).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    Seq(left.execute(), right.execute())
+
+  // emitted column values alias the current left row / retained candidate
+  // row buffers, which advance with the loop — a buffering parent must
+  // copy (same contract as SortMergeJoinExec)
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator", "asofLeftInput",
+      v => s"$v = inputs[0];", forceInline = true)
+    val rightInput = ctx.addMutableState("scala.collection.Iterator", "asofRightInput",
+      v => s"$v = inputs[1];", forceInline = true)
+    val rightHead = ctx.addMutableState("InternalRow", "asofRightHead", forceInline = true)
+    val candRow = ctx.addMutableState("InternalRow", "asofCandRow", forceInline = true)
+    val candKey = ctx.addMutableState("long", "asofCandKey", forceInline = true)
+    val hasCand = ctx.addMutableState("boolean", "asofHasCand", forceInline = true)
+
+    val lKeyIdx = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTimeIdx = left.output.indexWhere(_.exprId == leftTime.exprId)
+    val rKeyIdx = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTimeIdx = right.output.indexWhere(_.exprId == rightTime.exprId)
+    // candRow retains the FULL right row — kept columns index by their
+    // position in the right child's output
+    val keptIdx = right.output.zipWithIndex.collect {
+      case (a, i) if a.exprId != rightKey.exprId => i
+    }
+
+    val leftRow = ctx.freshName("asofLeftRow")
+    val lk = ctx.freshName("asofLk")
+    val lt = ctx.freshName("asofLt")
+    val advancing = ctx.freshName("asofAdvancing")
+    val rk = ctx.freshName("asofRk")
+    val rt = ctx.freshName("asofRt")
+
+    // left columns: plain reads off the current left row (null-checked
+    // only where the attribute is nullable)
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      val value = ctx.freshName("asofLVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getV = CodeGenerator.getValue(leftRow, a.dataType, i.toString)
+      if (a.nullable) {
+        val isNull = ctx.freshName("asofLNull")
+        ExprCode(
+          code"""
+            |boolean $isNull = $leftRow.isNullAt($i);
+            |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getV);
+          """.stripMargin,
+          JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+      } else {
+        ExprCode(code"$jt $value = $getV;",
+          FalseLiteral, JavaCode.variable(value, a.dataType))
+      }
+    }
+    // right kept columns: null-extend when no candidate matched (output
+    // marks them nullable regardless of the child's nullability)
+    val rightVars = rightKept.zip(keptIdx).map { case (a, j) =>
+      val isNull = ctx.freshName("asofRNull")
+      val value = ctx.freshName("asofRVal")
+      val jt = CodeGenerator.javaType(a.dataType)
+      val getV = CodeGenerator.getValue(candRow, a.dataType, j.toString)
+      ExprCode(
+        code"""
+          |boolean $isNull = !$hasCand || $candRow.isNullAt($j);
+          |$jt $value = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getV);
+        """.stripMargin,
+        JavaCode.isNullVariable(isNull), JavaCode.variable(value, a.dataType))
+    }
+
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  long $lk = $leftRow.getLong($lKeyIdx);
+       |  long $lt = $leftRow.getLong($lTimeIdx);
+       |  if ($hasCand && $candKey != $lk) { $hasCand = false; $candRow = null; }
+       |  boolean $advancing = true;
+       |  while ($advancing && ($rightHead != null || $rightInput.hasNext())) {
+       |    if ($rightHead == null) { $rightHead = (InternalRow) $rightInput.next(); }
+       |    long $rk = $rightHead.getLong($rKeyIdx);
+       |    long $rt = $rightHead.getLong($rTimeIdx);
+       |    if ($rk < $lk || ($rk == $lk && $rt <= $lt)) {
+       |      if ($rk == $lk) {
+       |        $candRow = (InternalRow) $rightHead.copy();
+       |        $candKey = $lk;
+       |        $hasCand = true;
+       |      }
+       |      $rightHead = null;
+       |    } else {
+       |      $advancing = false;
+       |    }
+       |  }
+       |  ${leftVars.map(_.code.toString).mkString("\n")}
+       |  ${rightVars.map(_.code.toString).mkString("\n")}
+       |  ${consume(ctx, (leftVars ++ rightVars).map(_.copy(code =
+              org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock)))}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
+  }
 }
 
 object AsOf {

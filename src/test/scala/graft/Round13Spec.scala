@@ -56,6 +56,39 @@ class Round13Spec extends AnyFunSuite {
       direct.orderBy("user_id").collect().toSeq)
   }
 
+  test("native as-of join compiles into whole-stage codegen (no silent fallback)") {
+    val df = SparkEntry.queries("q_asof_join_native")(spark, dir)
+    df.collect() // AQE materializes codegen stages only in the FINAL plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l => l.contains("AsOfJoin") && l.contains("*(")),
+      s"AsOfJoinExec must sit INSIDE a WholeStageCodegen stage (the '*(n)' prefix):\n$plan")
+    // fallback=false turns a generated-code compile failure into a hard
+    // error instead of a silent interpreted retry — executing under it
+    // proves the stage actually compiled
+    val old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val native = SparkEntry.queries("q_asof_join_native")(spark, dir)
+        .collect().map(_.toString).sorted
+      val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(native.nonEmpty && native.sameElements(composed),
+        "codegen'd merge must agree bit-for-bit with the composed form")
+    } finally spark.conf.set("spark.sql.codegen.fallback", old)
+  }
+
+  test("native as-of join interpreted fallback still agrees (codegen off)") {
+    val old = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val native = SparkEntry.queries("q_asof_join_native")(spark, dir)
+        .collect().map(_.toString).sorted
+      val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+        .collect().map(_.toString).sorted
+      assert(native.nonEmpty && native.sameElements(composed))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
+  }
+
   test("guarded queries (paragraphRewrite, auditChain) execute under the clone and stay correct") {
     val pr = graft.dedup.Dedup.paragraphRewrite(spark, dir)
     assert(pr.sparkSession ne spark)
