@@ -548,7 +548,9 @@ class OperatorsSpec extends AnyFunSuite {
     // (approx_percentile's rank pick is engine-specific — accuracy
     // contracts vs the exact twins live in SketchesSpec); everything
     // else carries a full DuckDB oracle
-    val rowsOnly = Set("q_mad_approx", "cdc_lag_percentiles_approx")
+    val rowsOnly = Set("q_mad_approx", "cdc_lag_percentiles_approx",
+      "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
+      "cdc_watermark_advise_approx")
     assert(SparkEntry.queries.keySet -- rowsOnly === SparkEntry.oracleSql.keySet)
   }
 

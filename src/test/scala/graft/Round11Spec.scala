@@ -36,7 +36,9 @@ class Round11Spec extends AnyFunSuite {
     // engine-specific (no SQL-expressible oracle; the driver records a
     // rows-only check) and their accuracy contracts vs the exact twins
     // live in SketchesSpec.
-    val approxExempt = Set("q_mad_approx", "cdc_lag_percentiles_approx")
+    val approxExempt = Set("q_mad_approx", "cdc_lag_percentiles_approx",
+      "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
+      "cdc_watermark_advise_approx")
     val noOracle = registry -- SparkEntry.oracleSql.keySet -- approxExempt
     assert(noOracle.isEmpty, s"queries without oracleSql: ${noOracle.toSeq.sorted}")
   }
