@@ -72,12 +72,29 @@ object Tables {
     * corpora produce (so the guarded queries' plans and timings are
     * unchanged at test SFs; the clamp only exists for the 100 TB case).
     *
-    * The clone copies the parent's runtime conf at call time, so harness
-    * layout overrides (shuffle partitions, AQE) set just before query
-    * construction carry through — the invariance sweep stays meaningful. */
-  def collectAggGuard(df: DataFrame): DataFrame =
-    org.apache.spark.sql.graftbridge.SessionBridge.rebindWithConf(df,
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
+    * The clone is MEMOIZED per parent session (cloneSession costs real
+    * session-state work — measured ~0.3 s of the paragraph-rewrite
+    * median when cloned per call), and every call re-mirrors the
+    * parent's CURRENT runtime conf onto it before re-applying the guard,
+    * so harness layout overrides (shuffle partitions, AQE) set after the
+    * clone was born still carry through — the invariance sweep stays
+    * meaningful. Only the session is memoized, never data: plans built
+    * on the clone re-execute fully, and the shared CacheManager means
+    * catalog.clearCache() on the parent clears the clone's view too. */
+  def collectAggGuard(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.SessionBridge
+    val parent = df.sparkSession
+    val clone = guardSessions.computeIfAbsent(parent, p => SessionBridge.cloneSession(p))
+    parent.conf.getAll.foreach { case (k, v) =>
+      if (!clone.conf.getOption(k).contains(v))
+        scala.util.Try(clone.conf.set(k, v)) // static/non-settable confs: keep the clone's
+    }
+    clone.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+    SessionBridge.rebind(clone, df)
+  }
+
+  private val guardSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
 
   /** Tables whose operators do real per-row compute (JSON parse, shingle
     * fan-out, codecs, vector folds) — [[load]] applies the [[spread]]

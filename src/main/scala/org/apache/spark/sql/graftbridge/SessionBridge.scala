@@ -30,4 +30,15 @@ object SessionBridge {
     confs.foreach { case (k, v) => clone.conf.set(k, v) }
     Dataset.ofRows(clone, cdf.queryExecution.logical)
   }
+
+  /** Clone `spark` (same SparkContext, shared state — including the
+    * shared CacheManager — copied session state). */
+  def cloneSession(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession =
+    spark.asInstanceOf[SparkSession].cloneSession()
+
+  /** Rebind `df`'s logical plan onto `target` (re-analyzed there). */
+  def rebind(target: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[Dataset[Row]]
+    Dataset.ofRows(target.asInstanceOf[SparkSession], cdf.queryExecution.logical)
+  }
 }

@@ -56,6 +56,19 @@ class Round13Spec extends AnyFunSuite {
       direct.orderBy("user_id").collect().toSeq)
   }
 
+  test("collectAggGuard's memoized clone re-mirrors the parent's layout confs per call") {
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "5")
+      val guarded = Tables.collectAggGuard(
+        Tables.load(spark, dir, "events").groupBy("user_id")
+          .agg(count(lit(1)).as("n")))
+      assert(guarded.sparkSession.conf.get("spark.sql.shuffle.partitions") == "5",
+        "a layout override set AFTER the clone was born must reach the guarded plan " +
+          "(otherwise the invariance sweep is vacuous for guarded queries)")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
   test("native as-of join compiles into whole-stage codegen (no silent fallback)") {
     val df = SparkEntry.queries("q_asof_join_native")(spark, dir)
     df.collect() // AQE materializes codegen stages only in the FINAL plan
