@@ -316,6 +316,8 @@ object SparkEntry {
     "q10_returns" -> ((s, d) => Relational.q10Returns(s, d)),
     "mm_frame_dedup" -> ((s, d) => Video.frameDedup(s, d)),
     "pipe_contamination" -> ((s, d) => Dedup.contamination(s, d)),
+    "pipe_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
+    "emb_matryoshka_recall" -> ((s, d) => Ann.matryoshkaRecall(s, d)),
     // skew path through the same oracle: provably equal to the plain form
     "cdc_materialize_salted" -> ((s, d) =>
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
@@ -1202,6 +1204,8 @@ object SparkEntry {
       "q10_returns" -> Relational.q10ReturnsSql,
       "mm_frame_dedup" -> Video.frameDedupSql,
       "pipe_contamination" -> Dedup.contaminationSql,
+      "pipe_decontaminate" -> Dedup.decontaminateSql(),
+      "emb_matryoshka_recall" -> Ann.matryoshkaRecallSql(),
       // same oracle as cdc_materialize_latest: the salted two-phase
       // aggregation must be bit-identical to the plain one
       "cdc_materialize_salted" ->

@@ -2082,16 +2082,18 @@ object Dedup {
     * (train, bench) count is |overlapping pairs| rows. Output is one row
     * per benchmark doc (left join), so "no contamination" is visible as
     * zeros, not absence. */
+  /** Distinct 8-word-gram digests of a word array — shared by the n-gram
+    * contamination detector and its decontaminate apply leg. */
+  private def grams8Col(w: Column): Column =
+    // empty-guard: sequence(1, 0) would auto-descend, not return empty
+    when(size(w) >= 8,
+      array_distinct(transform(sequence(lit(1), size(w) - 7),
+        i => conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15), 16, 10)
+          .cast("long"))))
+      .otherwise(array().cast("array<long>"))
+
   def contaminationNgram(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
-    val grams8 = {
-      val w = col("w")
-      // empty-guard: sequence(1, 0) would auto-descend, not return empty
-      when(size(w) >= 8,
-        array_distinct(transform(sequence(lit(1), size(w) - 7),
-          i => conv(substring(md5(concat_ws(" ", slice(w, i, lit(8)))), 1, 15), 16, 10)
-            .cast("long"))))
-        .otherwise(array().cast("array<long>"))
-    }
+    val grams8 = grams8Col(col("w"))
     val base = normCorpus(spark, dir)
       .select(col("doc_id"), split(col("t"), " ").as("w"))
       .select(col("doc_id"), grams8.as("grams"))
@@ -2150,6 +2152,106 @@ object Dedup {
        |FROM (SELECT doc_id AS bench_id FROM base WHERE doc_id % 50 = 0 AND doc_id < 1000000) b
        |LEFT JOIN flagged f USING (bench_id)
        |ORDER BY bench_id""".stripMargin
+
+  /** Decontamination APPLY leg — the actionable output the detection
+    * panels ([[contamination]] exact-hash, [[contaminationNgram]] 8-gram
+    * overlap) exist to drive: drop from the training split every doc
+    * flagged by EITHER detector (exact digest match with a benchmark
+    * doc, or ≥ `minShared` shared 8-grams), and report the per-source
+    * retention a dataset card needs — docs kept/dropped, kept token
+    * volume, drop share. The same detect→apply pairing as
+    * paragraphDedup→paragraphRewrite. Sources are recovered through the
+    * injected-corpus id algebra (orig = doc_id mod 1M).
+    *
+    * Scale shape: both flag sets are bounded by the benchmark side
+    * (|corpus|/50); the union is a distinct on doc ids, the apply is ONE
+    * left join from the training corpus to the drop set (AQE broadcasts
+    * a small drop set), the rollup keys on |sources|. Never a
+    * train×train comparison anywhere. */
+  def decontaminate(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    val norm = normCorpus(spark, dir)
+    val isBench = col("doc_id") % 50 === 0 && col("doc_id") < 1000000L
+    // exact-hash hits (the contamination() detector's flag set)
+    val sigs = norm.select(col("doc_id"), md5(col("t")).as("sig"))
+    val benchSigs = sigs.where(isBench).select("sig")
+    val exactHits = sigs.where(!isBench).join(benchSigs, "sig").select("doc_id")
+    // 8-gram overlap hits (the contaminationNgram() detector's flag set)
+    val base = norm
+      .select(col("doc_id"), split(col("t"), " ").as("w"))
+      .select(col("doc_id"), grams8Col(col("w")).as("grams"))
+    val benchGrams = base.where(isBench)
+      .select(col("doc_id").as("bench_id"), explode(col("grams")).as("g"))
+    val trainGrams = base.where(!isBench)
+      .select(col("doc_id").as("train_id"), explode(col("grams")).as("g"))
+    val ngramHits = trainGrams.join(broadcast(benchGrams), "g")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .select(col("train_id").as("doc_id"))
+    val dropIds = exactHits.unionByName(ngramHits).distinct()
+      .withColumn("dropped", lit(1L))
+    val sources = Tables.load(spark, dir, "documents")
+      .select(col("doc_id").as("orig_id"), col("source"))
+    val train = norm.where(!isBench)
+      .select(col("doc_id"), (col("doc_id") % 1000000L).as("orig_id"),
+        size(split(col("t"), " ")).cast("long").as("n_tokens"))
+      .join(sources, "orig_id")
+    train.join(dropIds, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_train"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        count(when(col("dropped").isNull, 1)).as("n_kept"),
+        sum(when(col("dropped").isNull, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .withColumn("drop_share",
+        col("n_dropped").cast("double") / col("n_train").cast("double"))
+      .orderBy("source")
+  }
+
+  def decontaminateSql(minShared: Int = 3): String =
+    s"""$corpusSql,
+       |norm2 AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM corpus),
+       |sigs AS (SELECT doc_id, md5(t) AS sig FROM norm2),
+       |bench_sigs AS (
+       |  SELECT sig FROM sigs WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |exact_hits AS (
+       |  SELECT DISTINCT s.doc_id FROM sigs s JOIN bench_sigs b USING (sig)
+       |  WHERE NOT (s.doc_id % 50 = 0 AND s.doc_id < 1000000)),
+       |words AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm2),
+       |base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(w) >= 8
+       |              THEN list_distinct([CAST('0x' || substr(md5(array_to_string(w[i:i+7], ' ')), 1, 15) AS BIGINT)
+       |                                  for i in range(1, len(w) - 7 + 1)])
+       |              ELSE [] END AS grams
+       |  FROM words),
+       |bench_g AS (
+       |  SELECT doc_id AS bench_id, unnest(grams) AS g FROM base
+       |  WHERE doc_id % 50 = 0 AND doc_id < 1000000),
+       |train_g AS (
+       |  SELECT doc_id AS train_id, unnest(grams) AS g FROM base
+       |  WHERE NOT (doc_id % 50 = 0 AND doc_id < 1000000)),
+       |ngram_hits AS (
+       |  SELECT DISTINCT train_id AS doc_id
+       |  FROM (SELECT train_id, bench_id, count(*) AS n_shared
+       |        FROM train_g JOIN bench_g USING (g) GROUP BY train_id, bench_id)
+       |  WHERE n_shared >= $minShared),
+       |drop_ids AS (
+       |  SELECT doc_id FROM exact_hits UNION SELECT doc_id FROM ngram_hits),
+       |train AS (
+       |  SELECT n.doc_id, d.source, len(string_split(n.t, ' ')) AS n_tokens
+       |  FROM norm2 n JOIN documents d ON n.doc_id % 1000000 = d.doc_id
+       |  WHERE NOT (n.doc_id % 50 = 0 AND n.doc_id < 1000000))
+       |SELECT t.source,
+       |       count(*) AS n_train,
+       |       CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |       count(CASE WHEN x.doc_id IS NULL THEN 1 END) AS n_kept,
+       |       CAST(sum(CASE WHEN x.doc_id IS NULL THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS drop_share
+       |FROM train t LEFT JOIN drop_ids x ON t.doc_id = x.doc_id
+       |GROUP BY t.source ORDER BY t.source""".stripMargin
 
   /** Cross-source duplication matrix: verified near-dup pairs (Jaccard
     * ≥ 0.6, the [[minhashLsh]] population) labeled with BOTH documents'

@@ -1015,6 +1015,70 @@ object Ann {
        |         / CAST(sum(in_brute) AS DOUBLE) AS recall_at_k
        |FROM flags""".stripMargin
 
+  /** Matryoshka (prefix-truncation) retrieval curve — recall@k of
+    * brute-force search over the embedding's FIRST d/den dimensions
+    * (den ∈ {4, 2, 1}) against the full-dimension top-k. The question a
+    * modern embedding pipeline asks of an MRL-trained model (Kusupati et
+    * al., "Matryoshka Representation Learning", NeurIPS 2022): how many
+    * prefix dimensions does retrieval actually need? Serving the d/4
+    * prefix costs a quarter of every dot product AND of the index's
+    * memory, so this curve prices the cheapest prefix that clears a
+    * recall target — the same read as [[probeSweep]], on the storage
+    * axis instead of the probe axis.
+    *
+    * Scale shape: each level is one broadcast-query scan over a SLICED
+    * column + TakeOrderedAndProject (k rows) — never a corpus-wide rank
+    * window; the recall join handles ≤ 4k rows total. The den=1 row is a
+    * built-in sanity check (recall 1.0 by construction). */
+  def matryoshkaRecall(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val full = bruteForceTopK(spark, dir, k).select(col("vec_id"), lit(1L).as("in_full"))
+    val levels = Seq(4, 2, 1)
+    val perLevel = levels.map { den =>
+      val trunc = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          expr(s"graft_cosine(slice(embedding, 1, size(embedding) DIV $den), " +
+            s"slice(qe, 1, size(qe) DIV $den))").as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(k)
+      trunc.join(full, Seq("vec_id"), "left")
+        .agg(count(lit(1)).as("n_retrieved"),
+          sum(coalesce(col("in_full"), lit(0L))).as("n_common"))
+        .select(lit(den.toLong).as("prefix_den"), col("n_retrieved"), col("n_common"),
+          (col("n_common").cast("double") / lit(k.toDouble)).as("recall_at_k"))
+    }
+    perLevel.reduce(_.unionAll(_)).orderBy(col("prefix_den").desc)
+  }
+
+  def matryoshkaRecallSql(k: Int = 10): String = {
+    def level(den: Int): String = {
+      val e = s"embedding[1:len(embedding)//$den]"
+      val qq = s"qe[1:len(qe)//$den]"
+      s"""lv$den AS (
+         |  SELECT vec_id FROM embeddings CROSS JOIN q
+         |  WHERE vec_id <> 0
+         |  ORDER BY ${cosineSql(e, qq)} DESC, vec_id LIMIT $k),
+         |r$den AS (
+         |  SELECT CAST($den AS BIGINT) AS prefix_den,
+         |         count(*) AS n_retrieved,
+         |         CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+         |         CAST(sum(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / $k AS recall_at_k
+         |  FROM lv$den l LEFT JOIN full_k f ON l.vec_id = f.vec_id)""".stripMargin
+    }
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |full_k AS (
+       |  SELECT vec_id FROM embeddings CROSS JOIN q
+       |  WHERE vec_id <> 0
+       |  ORDER BY ${cosineSql("embedding", "qe")} DESC, vec_id LIMIT $k),
+       |${level(4)},
+       |${level(2)},
+       |${level(1)}
+       |SELECT * FROM r4 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r1
+       |ORDER BY prefix_den DESC""".stripMargin
+  }
+
   /** Probe-count tuning sweep: recall@k of multi-probe sign-LSH at 1, 3,
     * 5, and 9 probes (query bucket + the first p−1 Hamming-1 flips)
     * against the exact brute-force top-k — the curve an operator reads

@@ -41,7 +41,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // with the layout, so these pin that Spark's QuantileSummaries
     // compaction is deterministic under it
     "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
-    "cdc_watermark_advise_approx")
+    "cdc_watermark_advise_approx",
+    // r13 additions: sliced-vector cosine top-k + two-detector union apply
+    "emb_matryoshka_recall", "pipe_decontaminate")
 
   private def fingerprint(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq

@@ -56,6 +56,40 @@ class Round13Spec extends AnyFunSuite {
       direct.orderBy("user_id").collect().toSeq)
   }
 
+  test("matryoshka recall: full-dim row is exactly 1.0, truncated rows are valid recalls") {
+    val rows = graft.similarity.Ann.matryoshkaRecall(spark, dir).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("prefix_den")).toSeq == Seq(4L, 2L, 1L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_retrieved") == 10L, "each level returns a full top-k page")
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_common") == math.round(rec * 10))
+    }
+    val full = rows.find(_.getAs[Long]("prefix_den") == 1L).get
+    assert(full.getAs[Double]("recall_at_k") == 1.0,
+      "the untruncated level IS the ground truth — recall 1.0 by construction")
+  }
+
+  test("decontaminate: per-source partition is exact, drops cover the exact-hash detector") {
+    val rows = graft.dedup.Dedup.decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == r.getAs[Long]("n_train"),
+        s"source ${r.getString(0)}: kept + dropped must partition the training split")
+      assert(r.getAs[Double]("drop_share") ==
+        r.getAs[Long]("n_dropped").toDouble / r.getAs[Long]("n_train"))
+    }
+    // the drop set is the UNION of both detectors, so it can never be
+    // smaller than the exact-hash detector's own count
+    val totalDropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val exact = graft.dedup.Dedup.contamination(spark, dir).collect()(0)
+    assert(totalDropped >= exact.getAs[Long]("n_contaminated"),
+      "union of detectors must cover the exact-hash flag set")
+    assert(rows.map(_.getAs[Long]("n_train")).sum == exact.getAs[Long]("n_train"),
+      "per-source totals must re-add to the detector's train count")
+  }
+
   test("collectAggGuard's memoized clone re-mirrors the parent's layout confs per call") {
     val old = spark.conf.get("spark.sql.shuffle.partitions")
     try {
