@@ -318,6 +318,7 @@ object SparkEntry {
     "pipe_contamination" -> ((s, d) => Dedup.contamination(s, d)),
     "pipe_decontaminate" -> ((s, d) => Dedup.decontaminate(s, d)),
     "emb_matryoshka_recall" -> ((s, d) => Ann.matryoshkaRecall(s, d)),
+    "emb_whitening_effect" -> ((s, d) => Ann.whiteningEffect(s, d)),
     // skew path through the same oracle: provably equal to the plain form
     "cdc_materialize_salted" -> ((s, d) =>
       Materialize.latestSnapshotSalted(Cdc.changelog(s, d)).orderBy("user_id")),
@@ -1206,6 +1207,7 @@ object SparkEntry {
       "pipe_contamination" -> Dedup.contaminationSql,
       "pipe_decontaminate" -> Dedup.decontaminateSql(),
       "emb_matryoshka_recall" -> Ann.matryoshkaRecallSql(),
+      "emb_whitening_effect" -> Ann.whiteningEffectSql,
       // same oracle as cdc_materialize_latest: the salted two-phase
       // aggregation must be bit-identical to the plain one
       "cdc_materialize_salted" ->

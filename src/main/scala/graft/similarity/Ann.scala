@@ -3014,6 +3014,136 @@ object Ann {
     *
     * Scale shape: one per-dimension aggregation (|dims| keys) and a
     * single-row fold — O(n·d) with no joins, no windows, no pairs. */
+  /** Whitening effect — [[anisotropy]] re-measured after per-dimension
+    * standardization (x − μ)/σ, the cheapest isotropy fix an embedding
+    * pipeline applies before cosine retrieval (Su et al., "Whitening
+    * Sentence Representations", 2021 — the diagonal special case). One
+    * row: the corpus's mean pairwise cosine RAW vs WHITENED; a large
+    * drop = the anisotropy was mostly per-dimension offset/scale and the
+    * cheap fix suffices; a small drop = rotation (full ZCA/PCA) would be
+    * needed.
+    *
+    * Scale shape: the per-dim (μ, σ) table is d rows (exact decimal sums
+    * over 2²⁰-quantized coords), folded into ONE broadcast row of
+    * arrays; standardization is a per-row transform against that
+    * broadcast; both cosine means use the norm-of-sum identity — exact
+    * over ALL n(n−1) pairs with ZERO pair enumeration, O(n·d) total,
+    * same as [[anisotropy]]. Every cross-row float sum is quantized →
+    * layout-invariant. */
+  def whiteningEffect(spark: SparkSession, dir: String): DataFrame = {
+    val q20 = 1048576.0
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val emb = Tables.load(spark, dir, "embeddings")
+    // per-dim stats over 2^20-quantized raw coords: exact integer sums,
+    // μ and σ then exact-integer-derived doubles (deterministic)
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"), floor(col("x").cast("double") * q20).cast("long").as("xq"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq").cast(d19)).cast(d19).as("s1"),
+        sum((col("xq") * col("xq")).cast(d38)).cast(d38).as("s2"))
+      .select(col("pos"),
+        (col("s1").cast("double") / col("n") / q20).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("n") / (q20 * q20)
+            - pow(col("s1").cast("double") / col("n") / q20, 2.0),
+          lit(0.0))).as("sigma"))
+    // ONE broadcast row of (mu[d], sigma[d]) arrays, index-ordered
+    val statsRow = stats
+      .agg(sort_array(collect_list(struct(col("pos"), col("mu"), col("sigma")))).as("st"))
+      .select(transform(col("st"), s => s.getField("mu")).as("mu"),
+        transform(col("st"), s => s.getField("sigma")).as("sigma"))
+    // standardized coords: (x − μ_j)/σ_j, constant dims (σ = 0) → 0
+    val white = emb.crossJoin(broadcast(statsRow))
+      .select(transform(sequence(lit(1), size(col("embedding"))),
+        i => when(element_at(col("sigma"), i) > 0.0,
+          (element_at(col("embedding"), i).cast("double") - element_at(col("mu"), i))
+            / element_at(col("sigma"), i)).otherwise(lit(0.0))).as("w"))
+    def mpc(vecs: DataFrame, vcol: String): DataFrame = {
+      val nz = vecs
+        .select(col(vcol).as("v"), sqrt(dotFold(col(vcol), col(vcol))).as("norm"))
+        .where(col("norm") > 0.0)
+      val perDim = nz
+        .select(col("norm"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          floor(col("x").cast("double") / col("norm") * q20).cast("long").as("uq"))
+        .groupBy("pos")
+        .agg(sum(col("uq").cast(d19)).cast(d19).as("su"),
+          sum((col("uq") * col("uq")).cast(d38)).cast(d38).as("sq2"))
+      val folded = perDim.agg(
+        sum((col("su") * col("su")).cast(d38)).cast(d38).as("s2sum"),
+        sum(col("sq2")).cast(d38).as("qn"))
+      val n = nz.agg(count(lit(1)).as("n_vectors"))
+      val nD = col("n_vectors").cast("double")
+      n.crossJoin(broadcast(folded))
+        .select(col("n_vectors"),
+          ((col("s2sum").cast("double") - col("qn").cast("double"))
+            / (nD * (nD - lit(1.0)) * lit(1099511627776.0))).as("mpc"))
+    }
+    val raw = mpc(emb, "embedding")
+      .select(col("n_vectors"), col("mpc").as("mpc_raw"))
+    val whitened = mpc(white, "w")
+      .select(col("mpc").as("mpc_whitened"))
+    raw.crossJoin(broadcast(whitened))
+      .withColumn("isotropy_gain", col("mpc_raw") - col("mpc_whitened"))
+  }
+
+  val whiteningEffectSql: String = {
+    def mpcSql(src: String, vcol: String, outName: String): String =
+      s"""nz_$outName AS (
+         |  SELECT $vcol AS v, sqrt(${dotFoldSql(vcol, vcol)}) AS norm FROM $src
+         |  WHERE sqrt(${dotFoldSql(vcol, vcol)}) > 0.0),
+         |longf_$outName AS (
+         |  SELECT unnest(generate_series(0, len(v) - 1)) AS pos,
+         |         CAST(floor(CAST(unnest(v) AS DOUBLE) / norm * 1048576.0) AS BIGINT) AS uq
+         |  FROM nz_$outName),
+         |perdim_$outName AS (
+         |  SELECT pos,
+         |         CAST(sum(CAST(uq AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS su,
+         |         CAST(sum(CAST(uq * uq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq2
+         |  FROM longf_$outName GROUP BY pos),
+         |agg_$outName AS (
+         |  SELECT (SELECT count(*) FROM nz_$outName) AS nv,
+         |         CAST(sum(CAST(su * su AS DECIMAL(38,0))) AS DOUBLE) AS s2sum,
+         |         CAST(sum(sq2) AS DOUBLE) AS qn
+         |  FROM perdim_$outName),
+         |$outName AS (
+         |  SELECT nv AS n_vectors,
+         |         (s2sum - qn) / (CAST(nv AS DOUBLE) * (CAST(nv AS DOUBLE) - 1.0)
+         |           * 1099511627776.0) AS mpc
+         |  FROM agg_$outName)""".stripMargin
+    s"""WITH qraw AS (
+       |  SELECT unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       |         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1048576.0) AS BIGINT) AS xq
+       |  FROM embeddings),
+       |dstats AS (
+       |  SELECT pos, count(*) AS n,
+       |         CAST(sum(CAST(xq AS DECIMAL(19,0))) AS DECIMAL(19,0)) AS s1,
+       |         CAST(sum(CAST(xq * xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+       |  FROM qraw GROUP BY pos),
+       |dims AS (
+       |  SELECT pos,
+       |         CAST(s1 AS DOUBLE) / n / 1048576.0 AS mu,
+       |         sqrt(greatest(CAST(s2 AS DOUBLE) / n / 1099511627776.0
+       |           - pow(CAST(s1 AS DOUBLE) / n / 1048576.0, 2.0), 0.0)) AS sigma
+       |  FROM dstats),
+       |srow AS (
+       |  SELECT list(mu ORDER BY pos) AS mu, list(sigma ORDER BY pos) AS sigma FROM dims),
+       |whitened_vecs AS (
+       |  SELECT list_transform(generate_series(1, len(embedding)),
+       |           i -> CASE WHEN srow.sigma[i] > 0.0
+       |                     THEN (CAST(embedding[i] AS DOUBLE) - srow.mu[i]) / srow.sigma[i]
+       |                     ELSE 0.0 END) AS w
+       |  FROM embeddings, srow),
+       |${mpcSql("embeddings", "embedding", "raws")},
+       |${mpcSql("whitened_vecs", "w", "whites")}
+       |SELECT r.n_vectors, r.mpc AS mpc_raw, w.mpc AS mpc_whitened,
+       |       r.mpc - w.mpc AS isotropy_gain
+       |FROM raws r CROSS JOIN whites w""".stripMargin
+  }
+
   def anisotropy(spark: SparkSession, dir: String): DataFrame = {
     val q20 = 1048576.0
     val d19 = DecimalType(19, 0)

@@ -43,7 +43,7 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
     "cdc_watermark_advise_approx",
     // r13 additions: sliced-vector cosine top-k + two-detector union apply
-    "emb_matryoshka_recall", "pipe_decontaminate")
+    "emb_matryoshka_recall", "pipe_decontaminate", "emb_whitening_effect")
 
   private def fingerprint(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, dir).collect().map(_.toString).sorted.toSeq

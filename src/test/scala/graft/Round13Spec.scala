@@ -71,6 +71,23 @@ class Round13Spec extends AnyFunSuite {
       "the untruncated level IS the ground truth — recall 1.0 by construction")
   }
 
+  test("whitening effect: whitened corpus is near-isotropic, raw anisotropy reproduced") {
+    val r = graft.similarity.Ann.whiteningEffect(spark, dir).collect()(0)
+    val aniso = graft.similarity.Ann.anisotropy(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_vectors") == aniso.getAs[Long]("n_vectors"))
+    assert(math.abs(r.getAs[Double]("mpc_raw") -
+      aniso.getAs[Double]("mean_pairwise_cosine")) < 1e-12,
+      "the raw leg IS the anisotropy operator's measurement")
+    // per-dim standardization centers every dimension, so the whitened
+    // centroid is ~0 and the mean pairwise cosine collapses toward
+    // -1/(n-1) (the exact value for any centered cloud)
+    val n = r.getAs[Long]("n_vectors").toDouble
+    assert(math.abs(r.getAs[Double]("mpc_whitened") + 1.0 / (n - 1.0)) < 0.02,
+      s"whitened mpc ${r.getAs[Double]("mpc_whitened")} should sit near ${-1.0 / (n - 1.0)}")
+    assert(r.getAs[Double]("isotropy_gain") ==
+      r.getAs[Double]("mpc_raw") - r.getAs[Double]("mpc_whitened"))
+  }
+
   test("decontaminate: per-source partition is exact, drops cover the exact-hash detector") {
     val rows = graft.dedup.Dedup.decontaminate(spark, dir).collect()
     assert(rows.nonEmpty)
