@@ -53,6 +53,14 @@ object GraftFunctions {
     SortedCommonCount64(children.head, children(1))
   }
 
+  private[functions] val norm2Info = new ExpressionInfo(
+    classOf[Norm2].getName, null, "graft_norm2")
+
+  private[functions] val norm2Builder: Seq[Expression] => Expression = { children =>
+    require(children.length == 1, "graft_norm2 requires exactly 1 argument")
+    Norm2(children.head)
+  }
+
   private[functions] val maxByInfo = new ExpressionInfo(
     classOf[MaxByHash].getName, null, "graft_max_by")
 
@@ -84,6 +92,8 @@ object GraftFunctions {
       FunctionIdentifier("graft_hamming64"), hammingInfo, hammingBuilder)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sorted_common64"), sortedCommonInfo, sortedCommonBuilder)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_norm2"), norm2Info, norm2Builder)
   }
 
   /** Column-API argmax/argmin over [[MaxByHash]] — takes the consuming
@@ -110,5 +120,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sorted_common64"), GraftFunctions.sortedCommonInfo, GraftFunctions.sortedCommonBuilder))
     ext.injectFunction((FunctionIdentifier("graft_max_by"), GraftFunctions.maxByInfo, GraftFunctions.maxByBuilder))
     ext.injectFunction((FunctionIdentifier("graft_min_by"), GraftFunctions.minByInfo, GraftFunctions.minByBuilder))
+    ext.injectFunction((FunctionIdentifier("graft_norm2"), GraftFunctions.norm2Info, GraftFunctions.norm2Builder))
   }
 }

@@ -65,6 +65,14 @@ object Ann {
     expr(s"graft_cosine($a, $b)")
   }
 
+  /** Codegen'd Σx² (graft_norm2) — bit-identical to dotFold(c, c) (same
+    * index-ordered accumulation), one generated loop instead of an
+    * interpreted HOF tree (~1.5 ms/row at d = 64 interpreted). */
+  private def norm2(spark: SparkSession, c: String): Column = {
+    GraftFunctions.register(spark)
+    expr(s"graft_norm2($c)")
+  }
+
   private def cosineSql(a: String, b: String): String =
     s"${dotFoldSql(a, b)} / (sqrt(${dotFoldSql(a, a)}) * sqrt(${dotFoldSql(b, b)}))"
 
@@ -79,7 +87,7 @@ object Ann {
   def normStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     emb
-      .select(col("label"), sqrt(dotFold(col("embedding"), col("embedding"))).as("norm"))
+      .select(col("label"), sqrt(norm2(spark, "embedding")).as("norm"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
@@ -118,7 +126,7 @@ object Ann {
       .orderBy("norm_bucket")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     Tables.load(spark, dir, "embeddings")
-      .select(sqrt(dotFold(col("embedding"), col("embedding"))).as("norm"))
+      .select(sqrt(norm2(spark, "embedding")).as("norm"))
       .select(least(floor(col("norm") * 16.0), lit(1024.0)).cast("long").as("norm_bucket"))
       .groupBy("norm_bucket")
       .agg(count(lit(1)).as("n_vecs"))
@@ -167,7 +175,7 @@ object Ann {
     val q20 = 1048576.0
     val emb = Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"),
-        floor(sqrt(dotFold(col("embedding"), col("embedding"))) * q20)
+        floor(sqrt(norm2(spark, "embedding")) * q20)
           .cast("long").as("x"))
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -3035,15 +3043,35 @@ object Ann {
     val d19 = DecimalType(19, 0)
     val d38 = DecimalType(38, 0)
     val emb = Tables.load(spark, dir, "embeddings")
-    // per-dim stats over 2^20-quantized raw coords: exact integer sums,
-    // μ and σ then exact-integer-derived doubles (deterministic)
-    val stats = emb
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("pos"), floor(col("x").cast("double") * q20).cast("long").as("xq"))
+    // ONE explode serves both raw-side measurements: per-dim raw moments
+    // (→ μ, σ over ALL vectors) and per-dim unit-coordinate sums (→ the
+    // raw mean-pairwise-cosine identity, over nonzero-norm vectors) —
+    // at scale this halves the raw-side passes and the stage count.
+    // All cross-row sums are exact integers over 2^20-quantized coords.
+    GraftFunctions.register(spark)
+    val sharedPerDim = emb
+      // graft_norm2: the codegen'd Σx² (same index-ordered accumulation
+      // as the portable fold — bit-identical); the interpreted HOF fold
+      // measures ~1.5 ms/row at d=64 and dominated this operator
+      .select(sqrt(expr("graft_norm2(embedding)")).as("norm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        floor(col("x").cast("double") * q20).cast("long").as("xq"),
+        when(col("norm") > 0.0,
+          floor(col("x").cast("double") / col("norm") * q20).cast("long")).as("uq"))
       .groupBy("pos")
-      .agg(count(lit(1)).as("n"),
+      .agg(
+        count(lit(1)).as("n"),
         sum(col("xq").cast(d19)).cast(d19).as("s1"),
-        sum((col("xq") * col("xq")).cast(d38)).cast(d38).as("s2"))
+        sum((col("xq") * col("xq")).cast(d38)).cast(d38).as("s2"),
+        count(col("uq")).as("cnt_nz"),
+        sum(col("uq").cast(d19)).cast(d19).as("su"),
+        sum((col("uq") * col("uq")).cast(d38)).cast(d38).as("sq2"))
+      // d rows, consumed by TWO branches (the μ/σ broadcast and the raw
+      // identity) — checkpoint so the n·d explode pass runs once, the
+      // per-round-state precedent of the kmeans loops
+      .localCheckpoint(true)
+    val stats = sharedPerDim
       .select(col("pos"),
         (col("s1").cast("double") / col("n") / q20).as("mu"),
         sqrt(greatest(
@@ -3055,35 +3083,50 @@ object Ann {
       .agg(sort_array(collect_list(struct(col("pos"), col("mu"), col("sigma")))).as("st"))
       .select(transform(col("st"), s => s.getField("mu")).as("mu"),
         transform(col("st"), s => s.getField("sigma")).as("sigma"))
-    // standardized coords: (x − μ_j)/σ_j, constant dims (σ = 0) → 0
-    val white = emb.crossJoin(broadcast(statsRow))
+    // standardized coords: (x − μ_j)/σ_j, constant dims (σ = 0) → 0.
+    // spread: the transform is an interpreted higher-order expression
+    // (HOFs don't codegen), and downstream projection collapse would
+    // otherwise re-evaluate it once in the norm fold, once in the filter
+    // and once in the explode — the exchange materializes `w` exactly
+    // once per row (measured ~2× on the whitened leg)
+    val white = graft.Tables.spread(emb.crossJoin(broadcast(statsRow))
       .select(transform(sequence(lit(1), size(col("embedding"))),
         i => when(element_at(col("sigma"), i) > 0.0,
           (element_at(col("embedding"), i).cast("double") - element_at(col("mu"), i))
-            / element_at(col("sigma"), i)).otherwise(lit(0.0))).as("w"))
+            / element_at(col("sigma"), i)).otherwise(lit(0.0))).as("w")))
     def mpc(vecs: DataFrame, vcol: String): DataFrame = {
       val nz = vecs
-        .select(col(vcol).as("v"), sqrt(dotFold(col(vcol), col(vcol))).as("norm"))
+        .select(col(vcol).as("v"), sqrt(expr(s"graft_norm2($vcol)")).as("norm"))
         .where(col("norm") > 0.0)
       val perDim = nz
         .select(col("norm"), posexplode(col("v")).as(Seq("pos", "x")))
         .select(col("pos"),
           floor(col("x").cast("double") / col("norm") * q20).cast("long").as("uq"))
         .groupBy("pos")
-        .agg(sum(col("uq").cast(d19)).cast(d19).as("su"),
+        // cnt rides along so the vector count needs NO second execution
+        // of the upstream pipeline (every pos carries all n vectors —
+        // arrays are uniformly d-long and the norm filter is per-vector)
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("uq").cast(d19)).cast(d19).as("su"),
           sum((col("uq") * col("uq")).cast(d38)).cast(d38).as("sq2"))
-      val folded = perDim.agg(
+      val nD = col("n_vectors").cast("double")
+      perDim.agg(
+        max(col("cnt")).as("n_vectors"),
         sum((col("su") * col("su")).cast(d38)).cast(d38).as("s2sum"),
         sum(col("sq2")).cast(d38).as("qn"))
-      val n = nz.agg(count(lit(1)).as("n_vectors"))
-      val nD = col("n_vectors").cast("double")
-      n.crossJoin(broadcast(folded))
         .select(col("n_vectors"),
           ((col("s2sum").cast("double") - col("qn").cast("double"))
             / (nD * (nD - lit(1.0)) * lit(1099511627776.0))).as("mpc"))
     }
-    val raw = mpc(emb, "embedding")
-      .select(col("n_vectors"), col("mpc").as("mpc_raw"))
+    // raw mean pairwise cosine straight off the shared per-dim sums
+    val nD = col("n_vectors").cast("double")
+    val raw = sharedPerDim.agg(
+      max(col("cnt_nz")).as("n_vectors"),
+      sum((col("su") * col("su")).cast(d38)).cast(d38).as("s2sum"),
+      sum(col("sq2")).cast(d38).as("qn"))
+      .select(col("n_vectors"),
+        ((col("s2sum").cast("double") - col("qn").cast("double"))
+          / (nD * (nD - lit(1.0)) * lit(1099511627776.0))).as("mpc_raw"))
     val whitened = mpc(white, "w")
       .select(col("mpc").as("mpc_whitened"))
     raw.crossJoin(broadcast(whitened))
@@ -3150,7 +3193,7 @@ object Ann {
     val d38 = DecimalType(38, 0)
     val nz = Tables.load(spark, dir, "embeddings")
       .select(col("embedding"),
-        sqrt(dotFold(col("embedding"), col("embedding"))).as("norm"))
+        sqrt(norm2(spark, "embedding")).as("norm"))
       .where(col("norm") > 0.0)
     val perDim = nz
       .select(col("norm"), posexplode(col("embedding")).as(Seq("pos", "x")))

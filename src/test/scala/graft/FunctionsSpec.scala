@@ -47,6 +47,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(self.forall(_.getDouble(0) === 0.0))
   }
 
+  test("native graft_norm2 is bit-identical to the portable fold, on float AND double arrays") {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    def folded(c: org.apache.spark.sql.Column) = aggregate(
+      transform(sequence(lit(1), size(c)),
+        i => element_at(c, i).cast("double") * element_at(c, i).cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    // float input (the stored embedding column)
+    val f = emb.select(expr("graft_norm2(embedding)").as("native"),
+      folded(col("embedding")).as("folded"))
+    assert(f.where(col("native") =!= col("folded")).count() === 0)
+    // double input (a computed vector, the whitening path's shape)
+    val d = emb.select(transform(col("embedding"), x => x.cast("double") * 2.0).as("w"))
+      .select(expr("graft_norm2(w)").as("native"), folded(col("w")).as("folded"))
+    assert(d.where(col("native") =!= col("folded")).count() === 0)
+    // wrong element type rejected
+    intercept[Exception] {
+      emb.select(expr("graft_norm2(array(vec_id))")).collect()
+    }
+  }
+
   test("graft_cosine rejects wrong argument types") {
     GraftFunctions.register(spark)
     Tables.load(spark, dir, "embeddings").createOrReplaceTempView("emb_v")
