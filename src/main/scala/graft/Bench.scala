@@ -88,7 +88,13 @@ object Bench {
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(baselinePath)), java.nio.charset.StandardCharsets.UTF_8)
-        val body = txt.substring(txt.indexOf("\"queries\""))
+        // Scan ONLY the queries object: the file is flat ({"name": num, ...},
+        // no nested braces), so the first '}' after the opening brace closes
+        // it. Scanning to end-of-file would also capture sibling metadata
+        // fields like "total" — harmless only until a query is ever named
+        // like one of them.
+        val open = txt.indexOf('{', txt.indexOf("\"queries\""))
+        val body = txt.substring(open, txt.indexOf('}', open) + 1)
         "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
@@ -96,9 +102,32 @@ object Bench {
     val baselineRatio: Option[Double] =
       if (common.isEmpty) None
       else Some(common.toSeq.map(results).sum / common.toSeq.map(baseline).sum)
+    // Ambient-drift correction: this machine swings 1.1-1.2x between runs of
+    // identical code (r13: untouched queries moved 1.09-1.23x), so the raw
+    // ratio alone cannot distinguish a code regression from weather. The
+    // sentinel set is 10 cheap queries, one-per-family, whose code has been
+    // frozen since the r12 baseline was cut; because each pass times the
+    // whole suite in registry order, the sentinels sample the run's whole
+    // timeline. Their ratio vs their frozen medians estimates the ambient
+    // factor; dividing it out yields the code-attributable ratio. Both
+    // numbers are emitted — the raw ratio stays the honest artifact, the
+    // corrected one is the regression signal.
+    val sentinels = Vector(
+      "q1_agg", "q3_topk", "q_window_rank", "cdc_unwrap", "cdc_event_counts",
+      "dedup_exact", "ann_bruteforce_topk", "emb_norm_stats", "text_tokens",
+      "pipe_token_histogram")
+    val sentCommon = sentinels.filter(s => baseline.contains(s) && results.contains(s))
+    val sentinelRatio: Option[Double] =
+      if (sentCommon.size < sentinels.size / 2) None
+      else Some(sentCommon.map(results).sum / sentCommon.map(baseline).sum)
+    val correctedRatio: Option[Double] = for {
+      b <- baselineRatio; s <- sentinelRatio if s > 0
+    } yield b / s
     val baselineJson = baselineRatio
       .map(r => s""","baseline_ratio":${r3(r)},"baseline_common":${common.size}""")
-      .getOrElse("")
+      .getOrElse("") +
+      sentinelRatio.map(r => s""","sentinel_ratio":${r3(r)}""").getOrElse("") +
+      correctedRatio.map(r => s""","baseline_ratio_drift_corrected":${r3(r)}""").getOrElse("")
     // Full per-query record → file. Per-pass raws are kept alongside the
     // median so a cold-cache pass 1 (memoized corpus builds being paid by
     // whichever query touches them first) is distinguishable from a query

@@ -104,7 +104,9 @@ object SparkEntry {
     "q_salted_join" -> ((s, d) => Relational.saltedJoin(s, d)),
     "q_asof_join" -> ((s, d) => graft.operators.TemporalJoins.asofJoin(s, d)),
     "q_asof_join_native" -> ((s, d) => graft.operators.TemporalJoins.asofJoinNative(s, d)),
+    "q_asof_join_composed" -> ((s, d) => graft.operators.TemporalJoins.asofJoinComposed(s, d)),
     "q_asof_join_tolerance" -> ((s, d) => graft.operators.TemporalJoins.asofJoinTolerance(s, d)),
+    "q_asof_join_tolerance_composed" -> ((s, d) => graft.operators.TemporalJoins.asofJoinToleranceComposed(s, d)),
     "q_range_join" -> ((s, d) => graft.operators.TemporalJoins.rangeJoin(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSets(s, d)),
     "q_moving_avg" -> ((s, d) => Relational.movingAvg(s, d)),
@@ -717,7 +719,9 @@ object SparkEntry {
           |FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
       "q_asof_join" -> graft.operators.TemporalJoins.asofJoinSql,
       "q_asof_join_native" -> graft.operators.TemporalJoins.asofJoinSql,
+      "q_asof_join_composed" -> graft.operators.TemporalJoins.asofJoinSql,
       "q_asof_join_tolerance" -> graft.operators.TemporalJoins.asofJoinToleranceSql(),
+      "q_asof_join_tolerance_composed" -> graft.operators.TemporalJoins.asofJoinToleranceSql(),
       "q_range_join" -> graft.operators.TemporalJoins.rangeJoinSql,
       "q_grouping_sets" -> Relational.groupingSetsSql,
       "q_order_gaps" -> Relational.orderGapsSql,

@@ -571,7 +571,11 @@ object Discovery {
         statusFilter: Option[String] = None): Seq[InvitationRecord] =
       synchronized {
         val ordered = invitations.sortBy(i => -i.expiresSeq)
-        val filtered = statusFilter.fold(ordered.toSeq)(s => ordered.filter(_.status == s).toSeq)
+        // the endpoint guards with Python truthiness (`if status_filter:`),
+        // so an EMPTY-string filter is a no-op there — mirror it, instead
+        // of filtering to invitations whose status is literally ""
+        val filtered = statusFilter.filter(_.nonEmpty)
+          .fold(ordered.toSeq)(s => ordered.filter(_.status == s).toSeq)
         filtered.slice(math.max(skip, 0), math.max(skip, 0) + math.max(limit, 0))
       }
 
@@ -635,6 +639,166 @@ object Discovery {
       * passage so expiry branches are reachable in specs). */
     private[graft] def advanceSeq(n: Long): Unit = synchronized { seq += n }
   }
+
+  /** Connection-catalog lifecycle — the reference's connection CRUD family
+    * (api.py:1239 POST, :1447 GET list, :1555 GET by id, :1665 PUT,
+    * :1883 DELETE) as catalog-shaped driver state like [[UserDirectory]]:
+    * instance-scoped store, monotone sequence replacing uuid4/utcnow (same
+    * uniqueness/ordering role, reproducible in specs). Closes the last
+    * catalog-shaped endpoint family without a twin (r13 verdict item 2).
+    *
+    * Faithful endpoint semantics, including the quirks:
+    * - every read/update/delete filters `deleted_at IS NULL` first — a
+    *   soft-deleted connection 404s everywhere and drops out of listings;
+    * - missing database_type is the 400 with the supported-types detail,
+    *   on BOTH create and update;
+    * - Snowflake pulls the account from additional_config.account (falling
+    *   back to host) and defaults port 443; S3 defaults host
+    *   s3.amazonaws.com and port 443 — Python-truthiness on both (an
+    *   empty-string host and port 0 count as missing);
+    * - POST's final fallback is `host or "s3.amazonaws.com"` for EVERY
+    *   database type (the reference comment claims "empty string for
+    *   others" but the code says otherwise — mirrored as-is), while PUT
+    *   falls back to `""`; POST defaults port 443 for s3/snowflake else
+    *   3306, PUT always 3306;
+    * - DELETE guards in-use: pipelines referencing the connection as
+    *   source OR target block deletion with the count in the message;
+    * - `hard_delete=true` removes the row; soft delete stamps deleted_at
+    *   and flips is_active false;
+    * - responses mask the password as `***` (stored verbatim).
+    *
+    * Directory metadata (dozens of rows, not 100 TB): driver-side state is
+    * the right shape, as with [[UserDirectory]] and the pipeline registry. */
+  final class ConnectionDirectory {
+    private val store =
+      scala.collection.mutable.LinkedHashMap.empty[String, ConnectionRecord]
+    private val pipelines =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    private var seq = 0L
+    private def nextSeq(): Long = { seq += 1; seq }
+
+    private val typeDetail = "database_type is required. Supported types: " +
+      "postgresql, mysql, sqlserver, oracle, mongodb, snowflake, s3, as400, db2"
+
+    private def mask(c: ConnectionRecord): ConnectionRecord = c.copy(password = "***")
+
+    /** The snowflake/S3 host+port derivation shared VERBATIM by the POST
+      * and PUT endpoints (the branch runs before their differing final
+      * fallbacks). Python truthiness throughout: "" and 0 are missing. */
+    private def deriveHostPort(d: ConnectionUpsert, dbType: String): (Option[String], Option[Int]) = {
+      var host = d.host.filter(_.nonEmpty)
+      var port = d.port.filter(_ != 0)
+      if (dbType == "snowflake") {
+        d.additionalConfig.get("account").filter(_.nonEmpty).orElse(host)
+          .foreach(a => host = Some(a))
+        if (port.isEmpty) port = Some(443)
+      } else if (dbType == "s3" || dbType == "aws_s3") {
+        if (host.isEmpty) host = Some("s3.amazonaws.com")
+        if (port.isEmpty) port = Some(443)
+      }
+      (host, port)
+    }
+
+    /** POST /connections (api.py:1239). */
+    def createConnection(data: ConnectionUpsert): Either[String, ConnectionRecord] =
+      synchronized {
+        data.databaseType.filter(_.nonEmpty) match {
+          case None => Left(typeDetail)
+          case Some(dt) =>
+            val dbType = dt.toLowerCase
+            val (host, port) = deriveHostPort(data, dbType)
+            val c = ConnectionRecord(
+              id = s"c-${nextSeq()}",
+              name = data.name,
+              connectionType =
+                Option(data.connectionType).filter(_.nonEmpty).getOrElse("source"),
+              databaseType = dt,
+              // the POST quirk: ANY falsy host falls back to the S3 default
+              host = host.getOrElse("s3.amazonaws.com"),
+              port = port.getOrElse(
+                if (dbType == "s3" || dbType == "aws_s3" || dbType == "snowflake") 443
+                else 3306),
+              database = data.database, username = data.username,
+              password = data.password, schemaName = data.schemaName,
+              additionalConfig = data.additionalConfig,
+              isActive = true, lastTestStatus = None,
+              createdSeq = seq, updatedSeq = seq, deletedSeq = None)
+            store(c.id) = c
+            Right(mask(c))
+        }
+      }
+
+    /** GET /connections (api.py:1447) — soft-deleted rows excluded, then
+      * the optional is_active filter; insertion order (the reference's
+      * unordered `query.all()` over its fixtures). */
+    def listConnections(activeOnly: Boolean = false): Seq[ConnectionRecord] =
+      synchronized {
+        store.values.filter(_.deletedSeq.isEmpty)
+          .filter(c => !activeOnly || c.isActive).map(mask).toSeq
+      }
+
+    /** GET /connections/{id} (api.py:1555) — None is the endpoint's 404
+      * (soft-deleted rows 404 too, same filter). */
+    def getConnection(id: String): Option[ConnectionRecord] =
+      synchronized { store.get(id).filter(_.deletedSeq.isEmpty).map(mask) }
+
+    /** PUT /connections/{id} (api.py:1665) — full-record replace, the
+      * endpoint's branch ladder: 404 for unknown/soft-deleted, 400 for a
+      * missing database_type, the shared snowflake/S3 derivation, then
+      * PUT's own fallbacks (host `""`, port 3306). All-or-nothing: a
+      * validation failure persists nothing. */
+    def updateConnection(id: String, data: ConnectionUpsert): Either[String, ConnectionRecord] =
+      synchronized {
+        store.get(id).filter(_.deletedSeq.isEmpty) match {
+          case None => Left(s"Connection not found: $id")
+          case Some(c0) =>
+            data.databaseType.filter(_.nonEmpty) match {
+              case None => Left(typeDetail)
+              case Some(dt) =>
+                val dbType = dt.toLowerCase
+                val (host, port) = deriveHostPort(data, dbType)
+                val c = c0.copy(
+                  name = data.name, connectionType = data.connectionType,
+                  databaseType = dt,
+                  host = host.getOrElse(""), port = port.getOrElse(3306),
+                  database = data.database, username = data.username,
+                  password = data.password, schemaName = data.schemaName,
+                  additionalConfig = data.additionalConfig,
+                  updatedSeq = nextSeq())
+                store(id) = c
+                Right(mask(c))
+            }
+        }
+      }
+
+    /** Register a pipeline's connection references — the rows the DELETE
+      * endpoint's in-use guard counts (source OR target). */
+    def registerPipeline(pipelineId: String,
+        sourceConnectionId: String, targetConnectionId: String): Unit =
+      synchronized { pipelines += ((pipelineId, sourceConnectionId, targetConnectionId)) }
+
+    /** DELETE /connections/{id} (api.py:1883) — the branch ladder: 404 for
+      * unknown/soft-deleted; in-use guard (ANY pipeline referencing the
+      * connection as source or target blocks with the count — the
+      * reference counts all pipeline rows, with no active-only filter);
+      * then hard delete removes the row, soft delete stamps deleted_at and
+      * deactivates (listings exclude it from then on). */
+    def deleteConnection(id: String, hardDelete: Boolean = false): Either[String, ConnectionDeleteResult] =
+      synchronized {
+        store.get(id).filter(_.deletedSeq.isEmpty) match {
+          case None => Left(s"Connection not found: $id")
+          case Some(c) =>
+            val inUse = pipelines.count(p => p._2 == id || p._3 == id)
+            if (inUse > 0)
+              Left(s"Cannot delete connection: $inUse pipeline(s) are using this connection")
+            else {
+              if (hardDelete) store.remove(id)
+              else store(id) = c.copy(deletedSeq = Some(nextSeq()), isActive = false)
+              Right(ConnectionDeleteResult(s"Connection $id deleted", hardDelete))
+            }
+        }
+      }
+  }
 }
 
 /** Row shape of [[Discovery.connectionTest]] — the reference's test
@@ -683,3 +847,35 @@ case class InvitationRecord(id: String, email: String, invitedBy: String,
 /** The user-import endpoint's imported/skipped/errors/tokens quad. */
 case class UserImportResult(imported: Int, skippedDuplicates: Int,
                             errors: Seq[String], invitationTokens: Seq[String])
+
+/** Request shape of the reference's ConnectionCreate model (api.py:775),
+  * shared by POST and PUT exactly as the endpoints share it. Defaults
+  * mirror the Pydantic fields (name/database/username/password default
+  * empty, connection_type defaults "source", the rest optional). */
+case class ConnectionUpsert(name: String = "",
+                            connectionType: String = "source",
+                            databaseType: Option[String] = None,
+                            host: Option[String] = None,
+                            port: Option[Int] = None,
+                            database: String = "",
+                            username: String = "",
+                            password: String = "",
+                            schemaName: Option[String] = None,
+                            additionalConfig: Map[String, String] = Map.empty)
+
+/** Row shape of the connection CRUD responses (api.py:1239/1447/1555/1665)
+  * with uuid4/utcnow replaced by the monotone sequence
+  * (created/updated/deleted seq keep the ordering and null-vs-set roles).
+  * `password` is masked `***` on every directory read; `deletedSeq`
+  * non-empty marks a soft-deleted row (excluded from reads). */
+case class ConnectionRecord(id: String, name: String, connectionType: String,
+                            databaseType: String, host: String, port: Int,
+                            database: String, username: String,
+                            password: String, schemaName: Option[String],
+                            additionalConfig: Map[String, String],
+                            isActive: Boolean, lastTestStatus: Option[String],
+                            createdSeq: Long, updatedSeq: Long,
+                            deletedSeq: Option[Long])
+
+/** The DELETE endpoint's message/hard_delete response pair. */
+case class ConnectionDeleteResult(message: String, hardDelete: Boolean)

@@ -1770,7 +1770,11 @@ object Monitoring {
       pipelineId: Option[String] = None, tableName: Option[String] = None,
       todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
       horizonMs: Long = 7L * 86400000L): DataFrame = {
-    val effLimit = math.max(0, math.min(limit, 1000))
+    // api.py:8842: `min(limit, 1000) if limit else 100` — limit=0 is FALSY
+    // in the reference and falls back to the default 100-row page, unlike
+    // the application-logs endpoint's plain min(limit, 50). Negative
+    // limits are out-of-contract (FastAPI would 422); floor at 0.
+    val effLimit = if (limit == 0) 100 else math.max(0, math.min(limit, 1000))
     val runs = graft.Tables.load(spark, dir, "events")
       .select(
         col("event_id").as("run_id"),
@@ -1809,7 +1813,11 @@ object Monitoring {
       pipelineId: Option[String] = None, tableName: Option[String] = None,
       todayOnly: Boolean = false, skip: Int = 100, limit: Int = 100,
       horizonMs: Long = 7L * 86400000L): String = {
-    val effLimit = math.max(0, math.min(limit, 1000))
+    // api.py:8842: `min(limit, 1000) if limit else 100` — limit=0 is FALSY
+    // in the reference and falls back to the default 100-row page, unlike
+    // the application-logs endpoint's plain min(limit, 50). Negative
+    // limits are out-of-contract (FastAPI would 422); floor at 0.
+    val effLimit = if (limit == 0) 100 else math.max(0, math.min(limit, 1000))
     val pipePred = pipelineId.map(p => s"AND pipeline_id = '${sqlQuote(p)}'").getOrElse("")
     val window =
       if (todayOnly)
@@ -1865,7 +1873,11 @@ object Monitoring {
       spark: SparkSession, dir: String,
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 100): DataFrame = {
-    val effLimit = math.max(0, math.min(limit, 1000))
+    // api.py:8842: `min(limit, 1000) if limit else 100` — limit=0 is FALSY
+    // in the reference and falls back to the default 100-row page, unlike
+    // the application-logs endpoint's plain min(limit, 50). Negative
+    // limits are out-of-contract (FastAPI would 422); floor at 0.
+    val effLimit = if (limit == 0) 100 else math.max(0, math.min(limit, 1000))
     val cts = lit(cursorTs).cast("timestamp")
     graft.Tables.load(spark, dir, "events")
       .where(col("ts") < cts ||
@@ -1887,7 +1899,11 @@ object Monitoring {
   def eventBrowseSeekSql(
       cursorTs: String = "2024-01-29 12:00:00",
       cursorId: Long = 1000000L, limit: Int = 100): String = {
-    val effLimit = math.max(0, math.min(limit, 1000))
+    // api.py:8842: `min(limit, 1000) if limit else 100` — limit=0 is FALSY
+    // in the reference and falls back to the default 100-row page, unlike
+    // the application-logs endpoint's plain min(limit, 50). Negative
+    // limits are out-of-contract (FastAPI would 422); floor at 0.
+    val effLimit = if (limit == 0) 100 else math.max(0, math.min(limit, 1000))
     s"""SELECT event_id AS run_id, ts AS started_at,
        |       'pl-' || CAST(user_id % 4 AS VARCHAR) AS pipeline_id,
        |       'public.' || event_type AS table_name,
@@ -1929,6 +1945,10 @@ object Monitoring {
       spark: SparkSession, dir: String,
       action: Option[String] = None, resourceType: Option[String] = Some("pipeline"),
       skip: Int = 20, limit: Int = 20): DataFrame = {
+    // the endpoint's param is Query(20, ge=1, le=100): limit=0 is a 422
+    // there, so the floor-0 empty page here is explicitly out-of-contract
+    // (reachable only by direct library calls, never via the API surface);
+    // same domain note applies to the seek variant and both SQL twins
     val effLimit = math.max(0, math.min(limit, 100))
     val logs = graft.Tables.load(spark, dir, "events")
       .select(

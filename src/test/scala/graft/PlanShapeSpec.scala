@@ -187,7 +187,7 @@ class PlanShapeSpec extends AnyFunSuite {
       "the native path must not fall back to the union+window form")
     // results are bit-identical to the composed union+window form
     val native = df.collect().map(_.toString).sorted
-    val composed = SparkEntry.queries("q_asof_join")(spark, dir).collect().map(_.toString).sorted
+    val composed = SparkEntry.queries("q_asof_join_composed")(spark, dir).collect().map(_.toString).sorted
     assert(native.sameElements(composed), "native and composed as-of joins must agree")
   }
 

@@ -134,7 +134,7 @@ class Round13Spec extends AnyFunSuite {
     try {
       val native = SparkEntry.queries("q_asof_join_native")(spark, dir)
         .collect().map(_.toString).sorted
-      val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+      val composed = SparkEntry.queries("q_asof_join_composed")(spark, dir)
         .collect().map(_.toString).sorted
       assert(native.nonEmpty && native.sameElements(composed),
         "codegen'd merge must agree bit-for-bit with the composed form")
@@ -147,7 +147,7 @@ class Round13Spec extends AnyFunSuite {
     try {
       val native = SparkEntry.queries("q_asof_join_native")(spark, dir)
         .collect().map(_.toString).sorted
-      val composed = SparkEntry.queries("q_asof_join")(spark, dir)
+      val composed = SparkEntry.queries("q_asof_join_composed")(spark, dir)
         .collect().map(_.toString).sorted
       assert(native.nonEmpty && native.sameElements(composed))
     } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
