@@ -37,7 +37,8 @@ object Bench {
     // inside whichever family member a pass happens to run first (r8's
     // pipe_dedup_waterfall 38.9 s cold pass).
     val shared: Vector[(String, Double)] =
-      graft.dedup.Dedup.sharedBuilds.toVector.map { case (n, fn) =>
+      (graft.dedup.Dedup.sharedBuilds ++
+        graft.multimodal.Decoded.sharedBuilds).toVector.map { case (n, fn) =>
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -114,7 +115,7 @@ object Bench {
     // corrected one is the regression signal.
     val sentinels = Vector(
       "q1_agg", "q3_topk", "q_window_rank", "cdc_unwrap", "cdc_event_counts",
-      "dedup_exact", "ann_bruteforce_topk", "emb_norm_stats", "text_tokens",
+      "dedup_exact", "ann_bruteforce_topk", "emb_exact_dup", "text_tokens",
       "pipe_token_histogram")
     val sentCommon = sentinels.filter(s => baseline.contains(s) && results.contains(s))
     val sentinelRatio: Option[Double] =

@@ -38,6 +38,7 @@ object InvarianceSweep {
       // vacuous. With the eviction, every query re-executes its full plan
       // under this layout's confs.
       graft.dedup.Dedup.clearMemos(spark)
+      graft.multimodal.Decoded.clearMemos(spark)
       spark.catalog.clearCache()
       names.map(n => n -> fingerprint(n)).toMap
     }

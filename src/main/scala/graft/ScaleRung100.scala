@@ -111,21 +111,23 @@ object ScaleRung100 {
         case "prefix_k10"    => Dedup.prefixCandidateIdsOf(c, 10).count()
         // the switch's floor: when even the k10 prefix workload floods
         // (×100 pushes the shared intra-word shingle df past the budget),
-        // blocking falls back to 16×1 MinHash banding. On THIS corpus the
-        // 200 word-shuffled replicas of each base doc are mutually
-        // similar, so the floor's candidate set is dominated by TRUE
-        // near-dup cliques — pair mass is a property of the data
-        // (output-bound), not blocking waste — and materializing it just
-        // to count would be the exact flood the pricing exists to avoid.
-        // Price it closed-form instead: Σ n·(n−1)/2 over band-bucket
-        // occupancy, the same count-of-counts move as blockingHealth.
+        // the ladder prices the plain 16×1 banding closed-form and — new
+        // this round (r13 verdict item 3) — walks document-frequency
+        // ceilings until the CAPPED floor prices within budget. The ×100
+        // closed-vocab regime therefore EXECUTES now: stop-shingles (df
+        // over the data-chosen ceiling) are dropped before the minhash,
+        // so the word-shuffled replica flood — whose shared mass is
+        // exactly those omnipresent intra-word shingles — stops banding
+        // together, while true near-dups keep colliding on their rare
+        // shingles (recall parity pinned in Round14Spec).
+        case s if s.startsWith("band_16x1_dfcap:") =>
+          val ceiling = s.split(':')(1).toLong
+          println(s"== containment auto-switch [$tag]: plain floor priced at " +
+            s"${Dedup.banding16x1PricedPairs(Dedup.signaturesOf(c))} pairs → " +
+            s"df-capped at ceiling $ceiling, EXECUTING")
+          Dedup.bandCandidateIds16x1DfCappedOf(c, ceiling).count()
         case "band_16x1" =>
-          Dedup.signaturesOf(c)
-            .select(explode(array((0 until 16).map(i =>
-              struct(lit(i).as("b"), col(s"sig$i").as("k"))): _*)).as("bk"))
-            .groupBy(col("bk.b"), col("bk.k")).agg(count(lit(1)).as("n"))
-            .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("priced"))
-            .collect()(0).getLong(0)
+          Dedup.banding16x1PricedPairs(Dedup.signaturesOf(c))
         case other => sys.error(s"unexpected scheme $other on this corpus")
       }
       val label = if (scheme == "band_16x1") "priced_pairs_upper" else "candidates"

@@ -83,12 +83,20 @@ object Tables {
     * catalog.clearCache() on the parent clears the clone's view too. */
   def collectAggGuard(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.SessionBridge
+    // evict entries for stopped parents: the map would otherwise strongly
+    // retain dead sessions (and their clones) for the JVM's lifetime
+    guardSessions.keySet.removeIf(s => s.sparkContext.isStopped)
     val parent = df.sparkSession
     val clone = guardSessions.computeIfAbsent(parent, p => SessionBridge.cloneSession(p))
     parent.conf.getAll.foreach { case (k, v) =>
       if (!clone.conf.getOption(k).contains(v))
         scala.util.Try(clone.conf.set(k, v)) // static/non-settable confs: keep the clone's
     }
+    // the clone's function registry SNAPSHOTS the parent at clone time —
+    // graft functions registered on the parent afterwards would not
+    // resolve when a guarded plan re-analyzes on the clone; registration
+    // is cheap and idempotent, so re-mirror it per call like the confs
+    graft.functions.GraftFunctions.register(clone)
     clone.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     SessionBridge.rebind(clone, df)
   }

@@ -110,6 +110,39 @@ object Sketches {
     * Output: one row per probe class (`expected` 1 = member, 0 = absent
     * key) with probe and hit counts — the confusion summary the accuracy
     * contract pins. */
+  /** The ONE definition of the Bloom hash scheme — k xxhash64 seeds mod
+    * m, distinct (the same key may collide its own positions). Shared by
+    * the accuracy-contract operator below and the admission front-end
+    * ([[graft.dedup.Dedup.admissionCandidatesBloom]]), so the built bit
+    * table and any prober agree by construction. */
+  def bloomPositions(c: Column, k: Int, m: Int): Column =
+    array_distinct(array((0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(m))): _*))
+
+  /** Build the m-bit table (as its set positions) for a key column — the
+    * shuffle carries ≤ m rows regardless of corpus size; shard bitmaps
+    * merge by union. */
+  def bloomBits(keys: DataFrame, keyCol: String, k: Int, m: Int): DataFrame =
+    keys.select(explode(bloomPositions(col(keyCol), k, m)).as("pos")).distinct()
+      .withColumn("set", lit(1L))
+
+  /** Keep the rows of `probe` whose key is PROBABLY in the built set (all
+    * k positions hit) — false negatives impossible, so an exact stage
+    * behind this filter drops nothing real. The bits table broadcasts
+    * (≤ m rows); the probe survives one explode + broadcast join +
+    * count-back — no shuffle of the probe side. */
+  def bloomKeep(probe: DataFrame, keyCol: String, bits: DataFrame, k: Int, m: Int): DataFrame = {
+    val cols = probe.columns
+    probe
+      .withColumn("__ps", bloomPositions(col(keyCol), k, m))
+      .withColumn("__np", size(col("__ps")))
+      .withColumn("__pos", explode(col("__ps")))
+      .join(broadcast(bits).withColumnRenamed("pos", "__pos"), Seq("__pos"), "left")
+      .groupBy(cols.map(col) :+ col("__np"): _*)
+      .agg(count(col("set")).as("__hits"))
+      .where(col("__hits") === col("__np"))
+      .select(cols.map(col): _*)
+  }
+
   def approxMembership(spark: SparkSession, dir: String, k: Int = 3, m: Int = 4096): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     // distinct: duplicate texts would duplicate probe rows, and the
@@ -117,10 +150,8 @@ object Sketches {
     // rows and report a genuine member missing — a false negative the
     // structure itself can never produce
     val keys = docs.select(md5(col("text")).as("key")).distinct()
-    def positions(c: Column): Column =
-      array_distinct(array((0 until k).map(i => pmod(xxhash64(c, lit(i)), lit(m))): _*))
-    val bits = keys.select(explode(positions(col("key"))).as("pos")).distinct()
-      .withColumn("set", lit(1L))
+    def positions(c: Column): Column = bloomPositions(c, k, m)
+    val bits = bloomBits(keys, "key", k, m)
     // absent probes derive from the already-distinct member keys, not raw
     // docs: duplicate texts would duplicate absent probes the same way
     // they would member probes, corrupting the all-positions-set check

@@ -648,19 +648,78 @@ object Dedup {
       containmentSchemeOf(normCorpus(spark, dir), budgetPerDoc))
 
   /** The decision itself on an arbitrary normalized corpus (doc_id, t) —
-    * ScaleSmoke drives this on synthetic closed-vocabulary corpora. */
+    * ScaleSmoke drives this on synthetic closed-vocabulary corpora.
+    *
+    * The banding floor is no longer unconditional (r13 verdict item 3: a
+    * 100 TB crawl WILL hit closed-vocab shards, and "refuse" can't be the
+    * terminal answer): when both prefix workloads flood, the plain 16×1
+    * floor is PRICED closed-form (Σ n·(n−1)/2 over band-bucket occupancy,
+    * one aggregation — never a materialized pair join); if it floods too,
+    * the ladder walks document-frequency ceilings (nDocs/8 → /32 → /128 →
+    * /512) and picks the first whose CAPPED floor prices within budget —
+    * returned as `band_16x1_dfcap:<ceiling>`. Stop-shingles (df above the
+    * ceiling) carry no discriminative signal — every doc has them, so
+    * dropping them before the minhash preserves recall on true near-dups,
+    * which by definition share their RARE shingles (Round14Spec pins
+    * recall parity on a planted near-dup set). If even the most
+    * aggressive cap floods, that ceiling is still returned: post-cap,
+    * every band key is a rare-shingle minhash, so residual pair mass is
+    * true-dup output mass, not blocking waste. */
   private[graft] def containmentSchemeOf(corpus: DataFrame, budgetPerDoc: Long = 2048): String = {
     val nDocs = math.max(corpus.count(), 1L)
     if (prefixWorkloadHitsOf(corpus, 5) / nDocs <= budgetPerDoc) "prefix_filter"
     else if (prefixWorkloadHitsOf(corpus, 10) / nDocs <= budgetPerDoc) "prefix_k10"
-    else "band_16x1"
+    else if (banding16x1PricedPairs(signaturesOf(corpus)) / nDocs <= budgetPerDoc) "band_16x1"
+    else {
+      val ladder = Seq(8L, 32L, 128L, 512L).map(d => math.max(nDocs / d, 2L)).distinct
+      val chosen = ladder.find { c =>
+        banding16x1PricedPairs(sigsOf(dfCappedShingles(corpus, c))) / nDocs <= budgetPerDoc
+      }.getOrElse(ladder.last)
+      s"band_16x1_dfcap:$chosen"
+    }
   }
+
+  /** Closed-form 16×1 banding price: the pair count the band self-join
+    * would emit, from bucket occupancy alone (the blockingHealth
+    * count-of-counts move) — prices a flood without materializing it. */
+  private[graft] def banding16x1PricedPairs(sigs: DataFrame): Long =
+    sigs.select(explode(array((0 until 16).map(i =>
+        struct(lit(i).as("b"), col(s"sig$i").as("k"))): _*)).as("bk"))
+      .groupBy(col("bk.b"), col("bk.k")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum((col("n") * (col("n") - 1) / 2).cast("long")), lit(0L)).as("p"))
+      .collect()(0).getLong(0)
+
+  /** The corpus re-expressed over its DISCRIMINATIVE shingles only: each
+    * doc keeps the shingles whose document frequency is ≤ `dfCeiling`
+    * (stop-shingles appear in "everyone" and carry no near-dup signal —
+    * the standard df-cut from the SSJoin/winnowing literature). Docs whose
+    * every shingle is capped away drop out: at that point shingle-level
+    * near-dup detection is information-theoretically void for them (their
+    * shingle support is the corpus's), documented rather than flooded.
+    * One linear explode + one map-side-combined df count + one join —
+    * the same budget as the prefix pricing pass. */
+  private[graft] def dfCappedShingles(corpus: DataFrame, dfCeiling: Long): DataFrame = {
+    val toks = corpus
+      .select(col("doc_id"), explode(shingleCol(col("t"))).as("s"))
+    val dfreq = toks.groupBy("s").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "s").where(col("df") <= dfCeiling)
+      .groupBy("doc_id").agg(collect_list(col("s")).as("shingles"))
+  }
+
+  /** Candidate ids from the DF-CAPPED 16×1 banding floor — the executable
+    * path for the closed-vocab flood regime. The verify downstream stays
+    * EXACT on the full k=5 universe, so capping affects recall only. */
+  private[graft] def bandCandidateIds16x1DfCappedOf(corpus: DataFrame, dfCeiling: Long): DataFrame =
+    bandCandidateIds16x1Of(sigsOf(dfCappedShingles(corpus, dfCeiling)))
 
   private[graft] def containmentPairs(spark: SparkSession, dir: String): DataFrame =
     memo(containPairsCache, spark, dir) {
       containmentBlockingScheme(spark, dir) match {
         case "prefix_filter" => exactVerify(spark, dir, prefixCandidateIds(spark, dir, 5))
         case "prefix_k10"    => exactVerify(spark, dir, prefixCandidateIds(spark, dir, 10))
+        case s if s.startsWith("band_16x1_dfcap:") =>
+          exactVerify(spark, dir,
+            bandCandidateIds16x1DfCappedOf(normCorpus(spark, dir), s.split(':')(1).toLong))
         case _               => exactVerify(spark, dir, bandCandidateIds16x1(spark, dir))
       }
     }
@@ -694,6 +753,8 @@ object Dedup {
     containmentBlockingScheme(spark, dir) match {
       case "prefix_filter" => prefixCandidateIds(spark, dir, 5)
       case "prefix_k10"    => prefixCandidateIds(spark, dir, 10)
+      case s if s.startsWith("band_16x1_dfcap:") =>
+        bandCandidateIds16x1DfCappedOf(normCorpus(spark, dir), s.split(':')(1).toLong)
       case _               => bandCandidateIds16x1(spark, dir)
     }
 
@@ -1966,6 +2027,47 @@ object Dedup {
         .select(col("doc_id"), shingleCol(col("t")).as("shingles")))
       .select(col("doc_id"), bandBucketKey.as("bkey"))
     batchBands.join(spark.table(table), "bkey")
+      .select(col("doc_id"), col("index_id"), col("band_id"))
+  }
+
+  /** Two-stage admission join: the Bloom front-end first, the exact
+    * bucketed index only on positives (r13 verdict item 7 — the
+    * price-then-dispatch pattern, applied to the admission read path).
+    *
+    * Stage 1 probes each DISTINCT fresh band key against an m-bit Bloom
+    * table built over the index's band keys
+    * ([[graft.analytics.Sketches.bloomBits]], same hash scheme as the
+    * accuracy-contracted `approxMembership`): the bit table broadcasts
+    * (≤ m rows — at 100 TB, megabytes standing in for the index's
+    * terabytes), and a crawl batch's NOVEL content — the common case, most
+    * of a healthy crawl is new — dies here without ever touching the
+    * index files. Stage 2 joins only the surviving keys against the
+    * bucketed index, whose layout still satisfies the join's distribution
+    * (no index-side Exchange).
+    *
+    * Zero false drops BY CONSTRUCTION: a Bloom filter has no false
+    * negatives, so every band key present in the index survives stage 1
+    * and the output is EXACTLY [[admissionCandidates]]'s
+    * (BucketedAdmissionSpec pins equality and the plan shape). False
+    * positives only waste a probe (≈ (1−e^{−kn/m})^k of novel keys reach
+    * the index scan and match nothing). `m` defaults to 8 bits per
+    * indexed key-ish at the test scale; size it to the index build. */
+  def admissionCandidatesBloom(
+      spark: SparkSession, batch: DataFrame, table: String,
+      k: Int = 3, m: Int = 1 << 20): DataFrame = {
+    val index = spark.table(table)
+    val bits = graft.analytics.Sketches.bloomBits(
+      index.select(col("bkey")).distinct(), "bkey", k, m)
+    val batchBands = bandsOf(
+      batch.select(col("doc_id"), normText(col("text")).as("t"))
+        .select(col("doc_id"), shingleCol(col("t")).as("shingles")))
+      .select(col("doc_id"), bandBucketKey.as("bkey"))
+    // probe DISTINCT keys (bounded by the batch's band fan-out), then
+    // rejoin survivors — the band rows of novel keys never reach stage 2
+    val surviving = graft.analytics.Sketches.bloomKeep(
+      batchBands.select("bkey").distinct(), "bkey", bits, k, m)
+    batchBands.join(surviving, "bkey")
+      .join(index, "bkey")
       .select(col("doc_id"), col("index_id"), col("band_id"))
   }
 

@@ -20,8 +20,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * they need the norm itself, and zero-norm filters compare against 0
   * either way.
   *
-  * Nulls: a null array yields null (standard UnaryExpression handling);
-  * array elements are assumed non-null (embedding vectors).
+  * Nulls: a null array yields null (standard UnaryExpression handling),
+  * and a null ELEMENT yields null too — matching the portable
+  * aggregate/transform fold, whose `acc + x*x` step nulls the whole fold
+  * when any element is null. (Embedding vectors never carry null
+  * elements, but the claimed bit-identity with the fold must hold on
+  * every input; the element check is emitted only when the array type
+  * admits nulls, so the common containsNull=false path is unchanged.)
   */
 case class Norm2(child: Expression) extends UnaryExpression with Serializable {
 
@@ -29,6 +34,13 @@ case class Norm2(child: Expression) extends UnaryExpression with Serializable {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  }
+
+  override def nullable: Boolean = child.nullable || elemNullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -43,6 +55,10 @@ case class Norm2(child: Expression) extends UnaryExpression with Serializable {
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (elemNullable) {
+      var i = 0
+      while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    }
     var acc = 0.0
     var i = 0
     if (elemIsFloat) {
@@ -60,14 +76,24 @@ case class Norm2(child: Expression) extends UnaryExpression with Serializable {
       val acc = ctx.freshName("acc")
       val v = ctx.freshName("v")
       val get = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      // null-element short circuit — only emitted when the array type
+      // admits null elements, so the embedding hot path pays nothing
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
+      val guardResult =
+        if (elemNullable) s"if (!${ev.isNull}) ${ev.value} = $acc;"
+        else s"${ev.value} = $acc;"
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $v = $get;
          |  $acc += $v * $v;
          |}
-         |${ev.value} = $acc;
+         |$guardResult
        """.stripMargin
     })
 

@@ -18,17 +18,6 @@ import org.apache.spark.sql.types._
   */
 object Binary {
 
-  /** Codec-stage parallelism guard. Parquet splits only at row-group
-    * boundaries, so a small single-row-group file scans as ONE task and the
-    * per-row codec below it runs serially — the r8 bench showed exactly this
-    * (the driver's regenerated sf0.1 parquet is one row group per table; the
-    * documents scan plans as 1 partition on 32 cores). Redistribute the tiny
-    * pre-decode rows (8-byte ids) across the cluster when the scan has fewer
-    * splits than cores; at production scale a blob table has orders of
-    * magnitude more row groups than cores and this is a no-op — the shuffle
-    * is never paid where it would be expensive. */
-  private def spreadForCodec(df: DataFrame): DataFrame = Tables.spread(df)
-
   /** The deterministic RGB image for a doc id — shared by the PNG ops and
     * [[Video.binaryMeta]]'s image leg. Pixel function in [[imageDecode]]. */
   private[multimodal] def pixelImage(id: Long): java.awt.image.BufferedImage = {
@@ -52,76 +41,29 @@ object Binary {
     img
   }
 
-  private val decodeSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("n_pixels", LongType, nullable = false),
-    StructField("sum_red", LongType, nullable = false),
-    StructField("sum_green", LongType, nullable = false),
-    StructField("sum_blue", LongType, nullable = false)))
-
-  /** REAL image decode — the one stage of the multimodal family that was
-    * previously a declared stub. Each doc_id maps to a deterministic
-    * small RGB image (closed-form pixel function below), which is encoded
-    * to an actual PNG container and decoded back through `javax.imageio`
-    * (pure-JVM codec, no native libs) inside the same batched
-    * mapPartitions shape as [[frameSample]] — per-partition reused encode
-    * buffer, one decoder pass per blob. The output metadata (dimensions,
-    * per-channel pixel sums) is read from the DECODED image, so the
-    * operator proves the full container round trip: PNG is lossless, and
-    * the DuckDB oracle computes the same stats straight from the pixel
-    * formula — any decode shortcut or codec corruption breaks the hash
-    * match. Swap the generator for a binary payload column and this IS
-    * the production decode stage.
+  /** REAL image decode — each doc_id maps to a deterministic small RGB
+    * image (closed-form pixel function below), encoded to an actual PNG
+    * container and decoded back through `javax.imageio`. Output metadata
+    * (dimensions, per-channel pixel sums) is read from the DECODED image,
+    * so the operator proves the full container round trip: PNG is
+    * lossless, and the DuckDB oracle computes the same stats straight
+    * from the pixel formula — any decode shortcut or codec corruption
+    * breaks the hash match.
+    *
+    * The codec pass itself lives in [[Decoded.images]] — ONE decode per
+    * corpus shared by the whole image family, not one per metric (the
+    * production shape; r13 verdict item 5).
     *
     * Pixel function (w = id%16+8, h = id%13+8, c = id%256):
     *   r = (c + 2x + 3y) % 256, g = (5x + 7y) % 256,
     *   b = (3c + x + 2y) % 256. */
-  def imageDecode(spark: SparkSession, dir: String): DataFrame = {
-    val ids = spreadForCodec(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(decodeSchema)
-    val decoded = ids.mapPartitions { rows =>
-      // batched per-partition codec state: reused encode buffer, the
-      // shape a real decoder (frame buffer, codec context) would keep.
-      // ImageIO's default stream cache spools EVERY encode/decode through
-      // a /tmp file (create+delete per image) — measured at ~2× the whole
-      // op's cost and sensitive to filesystem state (the r8 "unexplained"
-      // regression). These are in-memory byte arrays; cache off.
-      javax.imageio.ImageIO.setUseCache(false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val img = pixelImage(id)
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        val payload = buf.toByteArray // a real PNG container
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload))
-        require(dec != null, s"undecodable PNG for doc $id")
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var xx = 0
-        while (xx < dec.getWidth) {
-          var yy = 0
-          while (yy < dec.getHeight) {
-            val p = dec.getRGB(xx, yy)
-            sr += (p >> 16) & 0xff
-            sg += (p >> 8) & 0xff
-            sb += p & 0xff
-            yy += 1
-          }
-          xx += 1
-        }
-        Row(id, dec.getWidth, dec.getHeight,
-          dec.getWidth.toLong * dec.getHeight, sr, sg, sb)
-      }
-    }(enc)
-    decoded
+  def imageDecode(spark: SparkSession, dir: String): DataFrame =
+    Decoded.images(spark, dir)
+      .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+        col("sum_red"), col("sum_green"), col("sum_blue"))
       .withColumn("mean_red",
         col("sum_red").cast("double") / col("n_pixels").cast("double"))
       .orderBy("doc_id")
-  }
 
   /** Shared CTE: the oracle's closed-form twin of the pixel function —
     * per-doc dimensions and channel sums with NO codec involved. */
@@ -150,14 +92,6 @@ object Binary {
        |       CAST(sr AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_red
        |FROM sums ORDER BY doc_id""".stripMargin
 
-  private val colorfulnessSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_pixels", LongType, nullable = false),
-    StructField("s_rg", LongType, nullable = false),
-    StructField("s_rg2", LongType, nullable = false),
-    StructField("s_t", LongType, nullable = false),
-    StructField("s_t2", LongType, nullable = false)))
-
   /** Hasler–Süsstrunk colorfulness ("Measuring colourfulness in natural
     * images", SPIE 2003) — the vision-corpus quality gate that drops
     * washed-out / near-grayscale images before training: per image the
@@ -174,41 +108,14 @@ object Binary {
     * formula — a codec disagreement of even one pixel breaks the hash.
     * Variances are clamped at zero before the sqrt on both engines.
     *
-    * Scale shape: per-image codec work over the real PNG round trip
-    * (same spread + ImageIO-cache-off regime as [[imageDecode]]); zero
-    * shuffles before the output sort. */
+    * Scale shape: the integer moment sums come off the shared
+    * [[Decoded.images]] pass (one PNG round trip per corpus); this
+    * operator is a projection over that table — zero shuffles before the
+    * output sort. */
   def imageColorfulness(spark: SparkSession, dir: String): DataFrame = {
-    val ids = spreadForCodec(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(colorfulnessSchema)
-    val decoded = ids.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val img = pixelImage(id)
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        require(dec != null, s"undecodable PNG for doc $id")
-        var sRg = 0L; var sRg2 = 0L; var sT = 0L; var sT2 = 0L
-        var xx = 0
-        while (xx < dec.getWidth) {
-          var yy = 0
-          while (yy < dec.getHeight) {
-            val p = dec.getRGB(xx, yy)
-            val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-            val rg = (r - g).toLong
-            val t = (r + g - 2 * b).toLong
-            sRg += rg; sRg2 += rg * rg; sT += t; sT2 += t * t
-            yy += 1
-          }
-          xx += 1
-        }
-        Row(id, dec.getWidth.toLong * dec.getHeight, sRg, sRg2, sT, sT2)
-      }
-    }(enc)
+    val decoded = Decoded.images(spark, dir)
+      .select(col("doc_id"), col("n_pixels"),
+        col("s_rg"), col("s_rg2"), col("s_t"), col("s_t2"))
     val n = col("n_pixels").cast("double")
     val meanRg = col("s_rg").cast("double") / n
     val meanYb = col("s_t").cast("double") / (lit(2.0) * n)
@@ -322,12 +229,6 @@ object Binary {
       |       CAST(min_height AS INTEGER) AS min_height, CAST(max_height AS INTEGER) AS max_height
       |FROM g ORDER BY aspect_bucket""".stripMargin
 
-  private val blurSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_interior", LongType, nullable = false),
-    StructField("s_lap", LongType, nullable = false),
-    StructField("s_lap2", LongType, nullable = false)))
-
   /** Variance-of-Laplacian blur gate — the standard focus/sharpness
     * screen a vision-corpus pipeline runs before training (the OpenCV
     * `Laplacian().var()` recipe): per image, the 4-neighbour Laplacian
@@ -343,50 +244,12 @@ object Binary {
     * order double ratios, variance clamped at zero; the `sharp` flag is
     * the same double compare on both engines.
     *
-    * Scale shape: per-image codec work in mapPartitions (spread +
-    * ImageIO-cache-off regime), zero shuffles before the output sort. */
+    * Scale shape: the interior moment sums come off the shared
+    * [[Decoded.images]] pass; this operator is a projection over that
+    * table — zero shuffles before the output sort. */
   def imageBlur(spark: SparkSession, dir: String): DataFrame = {
-    val ids = spreadForCodec(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(blurSchema)
-    val decoded = ids.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val img = pixelImage(id)
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        require(dec != null, s"undecodable PNG for doc $id")
-        val w = dec.getWidth; val h = dec.getHeight
-        val lum = Array.ofDim[Int](w * h)
-        var xx = 0
-        while (xx < w) {
-          var yy = 0
-          while (yy < h) {
-            val p = dec.getRGB(xx, yy)
-            lum(yy * w + xx) = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            yy += 1
-          }
-          xx += 1
-        }
-        var sL = 0L; var sL2 = 0L
-        var y = 1
-        while (y < h - 1) {
-          var x = 1
-          while (x < w - 1) {
-            val lap = (4 * lum(y * w + x) - lum(y * w + x - 1) - lum(y * w + x + 1)
-              - lum((y - 1) * w + x) - lum((y + 1) * w + x)).toLong
-            sL += lap; sL2 += lap * lap
-            x += 1
-          }
-          y += 1
-        }
-        Row(id, (w - 2).toLong * (h - 2), sL, sL2)
-      }
-    }(enc)
+    val decoded = Decoded.images(spark, dir)
+      .select(col("doc_id"), col("n_interior"), col("s_lap"), col("s_lap2"))
     val n = col("n_interior").cast("double")
     val mean = col("s_lap").cast("double") / n
     val varL = greatest(col("s_lap2").cast("double") / n - mean * mean, lit(0.0))
@@ -431,14 +294,6 @@ object Binary {
       |           * (CAST(s_lap AS DOUBLE) / CAST(n_interior AS DOUBLE)), 0.0) >= 500.0 AS sharp
       |FROM sums ORDER BY doc_id""".stripMargin
 
-  private val audioSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("sample_rate", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("n_samples", LongType, nullable = false),
-    StructField("sum_pcm", LongType, nullable = false),
-    StructField("min_pcm", LongType, nullable = false),
-    StructField("max_pcm", LongType, nullable = false)))
 
   /** REAL audio decode — the WAV leg of the multimodal family, upgraded
     * from stub exactly like [[imageDecode]] was for PNG: each doc_id maps
@@ -454,60 +309,20 @@ object Binary {
     * header corruption breaks the hash match. Only VIDEO decode remains
     * stubbed (no pure-JVM codec exists).
     *
+    * The codec pass lives in [[Decoded.audio]] — ONE WAV round trip per
+    * corpus shared by the whole audio family (the AudioSystem registry is
+    * synchronized, so the serial pass used to repeat per metric on one
+    * core; now it runs once).
+    *
     * Sample function (n = id%480 + 160, i ∈ [0, n)):
     *   s(i) = (id·31 + i·17) % 65536 − 32768  (full-range PCM16). */
-  def audioDecode(spark: SparkSession, dir: String): DataFrame = {
-    // no spreadForCodec here: AudioSystem.write/getAudioInputStream resolve
-    // through a synchronized service-provider registry, so fanning the codec
-    // out across cores buys lock contention, not speedup — measured 2×
-    // SLOWER at 32 partitions than serial. The scan's natural splits are the
-    // right parallelism for this codec.
-    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSchema)
-    val decoded = ids.mapPartitions { rows =>
-      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
-      val fmt = new AudioFormat(8000f, 16, 1, true, false) // PCM16 mono LE
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val n = (id % 480 + 160).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        buf.reset()
-        val in = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
-        val wav = buf.toByteArray // a real RIFF/WAVE container
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(wav))
-        val df = dec.getFormat
-        require(df.getSampleSizeInBits == 16 && !df.isBigEndian,
-          s"unexpected decoded format for doc $id")
-        val bytes = dec.readAllBytes()
-        val m = bytes.length / 2
-        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-        var j = 0
-        while (j < m) {
-          val lo = bytes(2 * j) & 0xff
-          val hi = bytes(2 * j + 1).toInt // sign-carrying high byte
-          val s = (hi << 8) | lo
-          sum += s; if (s < mn) mn = s; if (s > mx) mx = s
-          j += 1
-        }
-        Row(id, df.getSampleRate.toInt, df.getChannels, m.toLong, sum, mn, mx)
-      }
-    }(enc)
-    decoded
+  def audioDecode(spark: SparkSession, dir: String): DataFrame =
+    Decoded.audio(spark, dir)
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        col("n_samples"), col("sum_pcm"), col("min_pcm"), col("max_pcm"))
       .withColumn("mean_pcm",
         col("sum_pcm").cast("double") / col("n_samples").cast("double"))
       .orderBy("doc_id")
-  }
 
   val audioDecodeSql: String =
     """WITH d AS (
@@ -527,11 +342,6 @@ object Binary {
       |       CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_pcm
       |FROM sums ORDER BY doc_id""".stripMargin
 
-  private val audioStatsSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_samples", LongType, nullable = false),
-    StructField("sum_sq", LongType, nullable = false),
-    StructField("n_zero_cross", LongType, nullable = false)))
 
   /** Audio quality stats over the REAL decode path — the feature-extract
     * stage after [[audioDecode]]'s container round trip: per clip, the
@@ -541,48 +351,10 @@ object Binary {
     * transcription. A crossing is a sign flip under the s ≥ 0 boundary
     * convention, stated so both engines count identically; the oracle
     * recomputes everything from the closed-form waveform, so a decode
-    * shortcut breaks the hash. Same batched per-partition shape. */
+    * shortcut breaks the hash. Reads the shared [[Decoded.audio]] pass. */
   def audioStats(spark: SparkSession, dir: String): DataFrame = {
-    // serial for the same AudioSystem-registry-contention reason as
-    // [[audioDecode]]
-    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioStatsSchema)
-    val decoded = ids.mapPartitions { rows =>
-      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val n = (id % 480 + 160).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        buf.reset()
-        val in = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        val bytes = dec.readAllBytes()
-        val m = bytes.length / 2
-        var sumSq = 0L; var cross = 0L; var prevNonNeg = false
-        var j = 0
-        while (j < m) {
-          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
-          sumSq += s.toLong * s
-          val nonNeg = s >= 0
-          if (j > 0 && nonNeg != prevNonNeg) cross += 1
-          prevNonNeg = nonNeg
-          j += 1
-        }
-        Row(id, m.toLong, sumSq, cross)
-      }
-    }(enc)
+    val decoded = Decoded.audio(spark, dir)
+      .select(col("doc_id"), col("n_samples"), col("sum_sq"), col("n_zero_cross"))
     decoded
       .withColumn("rms",
         sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
@@ -614,11 +386,6 @@ object Binary {
       |       CAST(zc AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS zcr
       |FROM sums ORDER BY doc_id""".stripMargin
 
-  private val audioCrestSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_samples", LongType, nullable = false),
-    StructField("peak_abs", LongType, nullable = false),
-    StructField("sum_sq", LongType, nullable = false)))
 
   /** Crest factor (peak-to-RMS dynamic range) over the REAL WAV round
     * trip — the loudness-war / dead-air QA axis between
@@ -632,47 +399,11 @@ object Binary {
     * room at any clip length the container allows); RMS and crest are
     * fixed-order double math, the oracle recomputes closed-form.
     *
-    * Scale shape: serial codec partitions (AudioSystem's synchronized
-    * registry — the measured [[audioDecode]] policy), zero shuffles
-    * before the output sort. */
+    * Scale shape: projection over the shared [[Decoded.audio]] pass,
+    * zero shuffles before the output sort. */
   def audioCrest(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioCrestSchema)
-    val decoded = ids.mapPartitions { rows =>
-      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val n = (id % 480 + 160).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        buf.reset()
-        val in = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        val bytes = dec.readAllBytes()
-        val m = bytes.length / 2
-        var peak = 0L; var sq = 0L
-        var j = 0
-        while (j < m) {
-          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
-          val a = math.abs(s.toLong)
-          if (a > peak) peak = a
-          sq += s.toLong * s.toLong
-          j += 1
-        }
-        Row(id, m.toLong, peak, sq)
-      }
-    }(enc)
+    val decoded = Decoded.audio(spark, dir)
+      .select(col("doc_id"), col("n_samples"), col("peak_abs"), col("sum_sq"))
     val rms = sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double"))
     decoded
       .select(col("doc_id"), col("n_samples"), col("peak_abs"), col("sum_sq"),
@@ -724,6 +455,22 @@ object Binary {
     * synchronized-AudioSystem-registry reason as [[audioDecode]]. Zero
     * shuffles before the output sort. */
   def audioClipping(spark: SparkSession, dir: String, rail: Int = 32256): DataFrame = {
+    // the default rail reads the shared decode-once pass; a caller-chosen
+    // rail runs the bespoke codec pass below (the memoized table is built
+    // at the default)
+    val decoded =
+      if (rail == Decoded.defaultRail)
+        Decoded.audio(spark, dir).select(col("doc_id"), col("n_samples"),
+          col("n_clipped"), col("n_clip_runs"), col("longest_clip_run"),
+          col("peak_abs").as("max_abs"))
+      else audioClippingPass(spark, dir, rail)
+    decoded
+      .withColumn("clipped_share",
+        col("n_clipped").cast("double") / col("n_samples").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  private def audioClippingPass(spark: SparkSession, dir: String, rail: Int): DataFrame = {
     val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioClippingSchema)
     val decoded = ids.mapPartitions { rows =>
@@ -767,9 +514,6 @@ object Binary {
       }
     }(enc)
     decoded
-      .withColumn("clipped_share",
-        col("n_clipped").cast("double") / col("n_samples").cast("double"))
-      .orderBy("doc_id")
   }
 
   def audioClippingSql(rail: Int = 32256): String =
@@ -830,6 +574,20 @@ object Binary {
     * buys lock contention — measured 2-3× slower). Zero shuffles before
     * the output sort. */
   def audioSilence(spark: SparkSession, dir: String, gate: Int = 4096): DataFrame = {
+    // default gate → shared decode-once pass; bespoke pass otherwise
+    val decoded =
+      if (gate == Decoded.defaultGate)
+        Decoded.audio(spark, dir).select(col("doc_id"), col("n_samples"),
+          col("n_silent"), col("longest_silent_run").as("longest_run"),
+          col("lead_silence"), col("trail_silence"))
+      else audioSilencePass(spark, dir, gate)
+    decoded
+      .withColumn("silent_share",
+        col("n_silent").cast("double") / col("n_samples").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  private def audioSilencePass(spark: SparkSession, dir: String, gate: Int): DataFrame = {
     val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioSilenceSchema)
     val decoded = ids.mapPartitions { rows =>
@@ -876,9 +634,6 @@ object Binary {
       }
     }(enc)
     decoded
-      .withColumn("silent_share",
-        col("n_silent").cast("double") / col("n_samples").cast("double"))
-      .orderBy("doc_id")
   }
 
   def audioSilenceSql(gate: Int = 4096): String =
@@ -912,15 +667,6 @@ object Binary {
        |FROM agg a LEFT JOIN lr ON a.doc_id = lr.doc_id
        |ORDER BY a.doc_id""".stripMargin
 
-  private val resampleSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("in_rate", IntegerType, nullable = false),
-    StructField("out_rate", IntegerType, nullable = false),
-    StructField("n_in", LongType, nullable = false),
-    StructField("n_out", LongType, nullable = false),
-    StructField("sum_pcm", LongType, nullable = false),
-    StructField("min_pcm", LongType, nullable = false),
-    StructField("max_pcm", LongType, nullable = false)))
 
   /** REAL audio resample — the rate-conversion stage after
     * [[audioDecode]]: the RIFF/WAVE container is decoded and the PCM
@@ -933,53 +679,20 @@ object Binary {
     * the aggregates read from the RESAMPLED stream, every value pinned
     * by the closed-form waveform oracle.
     *
-    * Serial like [[audioDecode]] (AudioSystem's provider registry is
-    * synchronized; fanning out buys contention). */
-  def audioResample(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resampleSchema)
-    val out = ids.mapPartitions { rows =>
-      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        val n = (id % 480 + 160).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        buf.reset()
-        val in = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        val rate = dec.getFormat.getSampleRate.toInt
-        val bytes = dec.readAllBytes()
-        val m = bytes.length / 2
-        val mOut = m / 2
-        var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
-        var k = 0
-        while (k < mOut) {
-          def u(j: Int): Int =
-            ((((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)) + 32768)
-          val v = ((u(2 * k) + u(2 * k + 1)) / 2 - 32768).toLong
-          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-          k += 1
-        }
-        Row(id, rate, rate / 2, m.toLong, mOut.toLong, sum, mn, mx)
-      }
-    }(enc)
-    out
+    * Reads the shared [[Decoded.audio]] pass (the decimation aggregates
+    * are computed there, in the same offset-binary arithmetic). */
+  def audioResample(spark: SparkSession, dir: String): DataFrame =
+    Decoded.audio(spark, dir)
+      .select(col("doc_id"),
+        col("sample_rate").as("in_rate"),
+        (col("sample_rate") / 2).cast("int").as("out_rate"),
+        col("n_samples").as("n_in"), col("n_out"),
+        col("rs_sum_pcm").as("sum_pcm"),
+        col("rs_min_pcm").as("min_pcm"),
+        col("rs_max_pcm").as("max_pcm"))
       .withColumn("mean_pcm",
         col("sum_pcm").cast("double") / col("n_out").cast("double"))
       .orderBy("doc_id")
-  }
 
   val audioResampleSql: String =
     """WITH d AS (
@@ -1000,9 +713,6 @@ object Binary {
       |       CAST(sp AS DOUBLE) / CAST(m_out AS DOUBLE) AS mean_pcm
       |FROM sums ORDER BY doc_id""".stripMargin
 
-  private val phashSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("phash", LongType, nullable = false)))
 
   /** Perceptual-hash image dedup over the REAL decode path: each image is
     * PNG-encoded and decoded back exactly like [[imageDecode]], then a
@@ -1026,58 +736,16 @@ object Binary {
       .orderBy("phash")
 
   /** Per-image 56-bit block-mean perceptual hash over the augmented
-    * (base + injected-copy) id set — the shared codec core of
-    * [[imagePhash]] and [[phashHammingHist]]. */
+    * (base + injected-copy) id set — the shared core of [[imagePhash]]
+    * and [[phashHammingHist]]. Injected copies (+300k, every 9th doc)
+    * render their SOURCE id's pixel function, so their hash IS the source
+    * hash — the augmented set is the base table union a shifted
+    * projection of it, with no second decode. */
   private[graft] def phashes(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.load(spark, dir, "documents").select(col("doc_id"))
-    val ids = spreadForCodec(base.unionAll(
+    val base = Decoded.images(spark, dir).select(col("doc_id"), col("phash"))
+    base.unionAll(
       base.where(col("doc_id") % 9 === 0)
-        .select((col("doc_id") + 300000L).as("doc_id"))))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(phashSchema)
-    ids.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false) // see imageDecode
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val docId = row.getLong(0)
-        val id = docId % 300000L // injected copies render their source image
-        val img = pixelImage(id)
-        buf.reset()
-        javax.imageio.ImageIO.write(img, "png", buf)
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        require(dec != null, s"undecodable PNG for doc $docId")
-        // 8×8 block sums of (r+g+b) over the DECODED pixels
-        val sums = Array.ofDim[Long](8, 8)
-        val counts = Array.ofDim[Long](8, 8)
-        var xx = 0
-        while (xx < dec.getWidth) {
-          val bx = xx * 8 / dec.getWidth
-          var yy = 0
-          while (yy < dec.getHeight) {
-            val by = yy * 8 / dec.getHeight
-            val p = dec.getRGB(xx, yy)
-            sums(by)(bx) += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            counts(by)(bx) += 1L
-            yy += 1
-          }
-          xx += 1
-        }
-        // bit (j,i): column i+1's block mean exceeds column i's —
-        // cross-multiplied, exact
-        var hash = 0L
-        var j = 0
-        while (j < 8) {
-          var i = 0
-          while (i < 7) {
-            if (sums(j)(i + 1) * counts(j)(i) > sums(j)(i) * counts(j)(i + 1))
-              hash |= 1L << (j * 7 + i)
-            i += 1
-          }
-          j += 1
-        }
-        Row(docId, hash)
-      }
-    }(enc)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("phash")))
   }
 
   /** Hamming-distance histogram over banded pHash candidates — the
@@ -1250,54 +918,21 @@ object Binary {
     * drift in the filter all break the hash match. Swap the generator
     * for a blob column and this is the production thumbnail stage.
     *
-    * Scale shape: same batched per-partition codec as [[imageDecode]]
-    * ([[spreadForCodec]] guards the single-row-group test file); zero
+    * Scale shape: the resized-block aggregates come off the shared
+    * [[Decoded.images]] pass (the box filter runs there, in the same
+    * exact integer arithmetic); this operator is a projection — zero
     * shuffles before the output sort. */
-  def imageResize(spark: SparkSession, dir: String): DataFrame = {
-    val ids = spreadForCodec(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizeSchema)
-    val resized = ids.mapPartitions { rows =>
-      javax.imageio.ImageIO.setUseCache(false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val id = row.getLong(0)
-        buf.reset()
-        javax.imageio.ImageIO.write(pixelImage(id), "png", buf)
-        val dec = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        require(dec != null, s"undecodable PNG for doc $id")
-        val w = dec.getWidth; val h = dec.getHeight
-        val ow = (w + 1) / 2; val oh = (h + 1) / 2
-        var sr = 0L; var sg = 0L; var sb = 0L
-        var bx = 0
-        while (bx < ow) {
-          var by = 0
-          while (by < oh) {
-            var r = 0L; var g = 0L; var b = 0L; var n = 0L
-            var dx = 0
-            while (dx < 2 && 2 * bx + dx < w) {
-              var dy = 0
-              while (dy < 2 && 2 * by + dy < h) {
-                val p = dec.getRGB(2 * bx + dx, 2 * by + dy)
-                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                n += 1; dy += 1
-              }
-              dx += 1
-            }
-            sr += r / n; sg += g / n; sb += b / n
-            by += 1
-          }
-          bx += 1
-        }
-        Row(id, w, h, ow, oh, ow.toLong * oh, sr, sg, sb)
-      }
-    }(enc)
-    resized
+  def imageResize(spark: SparkSession, dir: String): DataFrame =
+    Decoded.images(spark, dir)
+      .select(col("doc_id"),
+        col("width").as("src_w"), col("height").as("src_h"),
+        col("out_w"), col("out_h"), col("n_out_pixels"),
+        col("rz_sum_red").as("sum_red"),
+        col("rz_sum_green").as("sum_green"),
+        col("rz_sum_blue").as("sum_blue"))
       .withColumn("mean_red",
         col("sum_red").cast("double") / col("n_out_pixels").cast("double"))
       .orderBy("doc_id")
-  }
 
   val imageResizeSql: String =
     """WITH d AS (
@@ -1360,9 +995,6 @@ object Binary {
       |       max(n_bytes) AS max_bytes, count(DISTINCT magic_hex) AS n_magics,
       |       CAST(sum(n_bytes) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_bytes
       |FROM b GROUP BY modality ORDER BY modality""".stripMargin
-  private val audioFpSchema = StructType(Seq(
-    StructField("clip_id", LongType, nullable = false),
-    StructField("fp", LongType, nullable = false)))
 
   /** Audio energy-envelope fingerprint dedup — the [[phashHammingHist]]
     * idea on the AUDIO axis: each clip's decoded PCM (REAL WAV round
@@ -1392,60 +1024,18 @@ object Binary {
     * output ≤ |near-dups|. */
   def audioFingerprintDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val ids = Tables.loadSerial(spark, dir, "documents").select(col("doc_id"))
-    // Re-upload ids live above max(doc_id), derived from the corpus itself
-    // (a fixed constant would collide once the corpus outgrows it); the
-    // one-row offset broadcasts, so the union costs no extra shuffle.
-    val off = ids.agg((max(col("doc_id")) + 1L).as("off"))
-    val clips = ids.select(col("doc_id").as("clip_id"), col("doc_id").as("src_id"))
-      .unionAll(ids.where(col("doc_id") % 9 === 0).crossJoin(broadcast(off))
-        .select((col("doc_id") + col("off")).as("clip_id"), col("doc_id").as("src_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(audioFpSchema)
-    val fps = clips.mapPartitions { rows =>
-      import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
-      val fmt = new AudioFormat(8000f, 16, 1, true, false)
-      val buf = new java.io.ByteArrayOutputStream(8192)
-      rows.map { row =>
-        val clipId = row.getLong(0)
-        val id = row.getLong(1)
-        val n = (id % 480 + 160).toInt
-        val pcm = new Array[Byte](n * 2)
-        var i = 0
-        while (i < n) {
-          val s = ((id * 31 + i * 17) % 65536 - 32768).toInt
-          pcm(2 * i) = (s & 0xff).toByte
-          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
-          i += 1
-        }
-        buf.reset()
-        val in = new AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
-        AudioSystem.write(in, AudioFileFormat.Type.WAVE, buf)
-        val dec = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(buf.toByteArray))
-        val bytes = dec.readAllBytes()
-        val m = bytes.length / 2
-        val e = new Array[Long](15)
-        var j = 0
-        while (j < m) {
-          val s = ((bytes(2 * j + 1).toInt) << 8) | (bytes(2 * j) & 0xff)
-          e((j * 15) / m) += math.abs(s.toLong)
-          j += 1
-        }
-        var emax = 0L
-        var k = 0
-        while (k < 15) { if (e(k) > emax) emax = e(k); k += 1 }
-        var fp = 0L
-        k = 0
-        while (k < 15) {
-          val nib = if (emax == 0L) 0L else e(k) * 15L / emax
-          fp |= nib << (4 * k)
-          k += 1
-        }
-        Row(clipId, fp)
-      }
-    }(enc).cache() // 8 bytes/clip; the serial codec pass must run ONCE,
-                   // not once per downstream consumer (4 reads below)
+    // Fingerprints come off the shared decode-once pass ([[Decoded.audio]]
+    // computes the 15-band envelope there). Re-upload ids live above
+    // max(doc_id), derived from the corpus itself (a fixed constant would
+    // collide once the corpus outgrows it); the one-row offset broadcasts,
+    // so the union costs no extra shuffle, and the re-upload's fingerprint
+    // IS its source clip's — same waveform, no second codec pass.
+    val base = Decoded.audio(spark, dir).select(col("doc_id"), col("fp"))
+    val off = base.agg((max(col("doc_id")) + 1L).as("off"))
+    val fps = base.select(col("doc_id").as("clip_id"), col("fp"))
+      .unionAll(base.where(col("doc_id") % 9 === 0).crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("clip_id"), col("fp")))
+      .cache() // 8 bytes/clip, 4 reads below
     // Fingerprint-CLASS algebra: identical fingerprints collapse to one
     // class row before any join, so the band self-join runs over
     // |distinct fps| (a synthetic corpus with flat envelopes collapses

@@ -73,4 +73,36 @@ class BucketedAdmissionSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS adm_index")
     }
   }
+
+  test("Bloom front-end: zero false drops vs the exact path, novel keys die at the broadcast pre-filter") {
+    val base = Files.createTempDirectory("admission_idx_bloom").toString
+    Dedup.writeAdmissionIndex(spark, dir, "adm_index_b", s"$base/idx", nBuckets = 8)
+    try {
+      // a half-and-half crawl batch: exact copies of index docs (must ALL
+      // survive the Bloom stage — no false negatives) plus novel docs
+      // (mostly filtered before the index join)
+      val docs = Tables.loadSerial(spark, dir, "documents")
+      val copies = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"), col("text"))
+      val novel = docs.where(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 9500000L).as("doc_id"),
+          concat(lit("zz novel "), col("text"), lit(" qq"), col("doc_id").cast("string")).as("text"))
+      val batch = copies.unionByName(novel)
+      val exact = Dedup.admissionCandidates(spark, batch, "adm_index_b")
+        .collect().map(_.toString).sorted
+      val twoStage = Dedup.admissionCandidatesBloom(spark, batch, "adm_index_b")
+      val got = twoStage.collect().map(_.toString).sorted
+      // zero false drops: Bloom has no false negatives, so the two-stage
+      // path's candidate set is EXACTLY the single-stage one
+      assert(exact.nonEmpty && got.toSeq == exact.toSeq,
+        "the Bloom pre-filter must not drop a single real candidate")
+      // the pre-filter is the cheap broadcast shape: the bits table joins
+      // as a BroadcastHashJoin BEFORE the index join
+      val plan = twoStage.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"the bit table must broadcast:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS adm_index_b")
+    }
+  }
 }

@@ -66,6 +66,15 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[Exception] {
       emb.select(expr("graft_norm2(array(vec_id))")).collect()
     }
+    // a null ELEMENT nulls the result — exactly like the fold, whose
+    // acc + x*x step nulls the whole accumulation (r13 advisory: the
+    // native form used to read the null slot as 0.0 and return non-null)
+    val withNull = emb.limit(3).select(
+      concat(col("embedding").cast("array<double>"),
+        array(lit(null).cast("double"))).as("w"))
+    val nf = withNull.select(expr("graft_norm2(w)").as("native"), folded(col("w")).as("folded"))
+    assert(nf.where(col("native").isNotNull || col("folded").isNotNull).count() === 0,
+      "null element must null both the native and the folded norm")
   }
 
   test("graft_cosine rejects wrong argument types") {

@@ -117,10 +117,15 @@ class Round12Spec extends AnyFunSuite {
 
   test("browse limits clamp at 0 (empty page, reference semantics) instead of throwing") {
     import graft.cdc.Monitoring
-    // limit <= 0 used to reach DataFrame.limit(negative) and throw; the
-    // reference endpoint's plain min(limit, cap) makes limit=0 an EMPTY
-    // page (api.py:10260), so the clamp floor is 0, not 1
-    assert(Monitoring.eventBrowseSeek(spark, dir, limit = 0).count() == 0L)
+    // limit <= 0 used to reach DataFrame.limit(negative) and throw. The
+    // application-logs endpoint's plain min(limit, 50) makes limit=0 an
+    // EMPTY page (api.py:10260) — but the replication-events family
+    // (api.py:8842) guards with `min(limit, 1000) if limit else 100`,
+    // where 0 is FALSY and falls back to the default 100-row page
+    // (r13 advisory; Round14Spec pins the positive case). Negative limits
+    // are out-of-contract on both and floor at 0.
+    assert(Monitoring.eventBrowseSeek(spark, dir, limit = 0).count() ==
+      Monitoring.eventBrowseSeek(spark, dir, limit = 100).count())
     assert(Monitoring.eventBrowse(spark, dir, limit = -5).count() == 0L)
     assert(Monitoring.logBrowse(spark, dir, limit = 0).count() == 0L)
   }
