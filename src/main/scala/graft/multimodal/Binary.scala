@@ -758,36 +758,55 @@ object Binary {
     * mass is what a threshold admits, the reject mass is verify cost
     * the banding let through.
     *
-    * Scale shape: reuses the [[phashes]] codec core; pairs are
-    * band-bounded (never all-pairs), distinct-deduped, then a ≤9-key
-    * histogram with a 1-row broadcast total. */
+    * Scale shape: reuses the [[phashes]] core, then HASH-CLASS algebra
+    * (the audioFingerprintDedup move): identical hashes collapse to one
+    * class row BEFORE the band self-join, so the join runs over
+    * |distinct hashes| and pair mass is recovered arithmetically —
+    * within-class pairs are n·(n−1)/2 at Hamming 0 (identical hashes
+    * always share every band), cross-class candidate pairs weigh
+    * sz_a·sz_b (band values derive from the hash alone, so a class
+    * collision IS each member pair's collision). Output is bit-identical
+    * to the per-doc pair join; the join never touches doc rows. */
   def phashHammingHist(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val h = phashes(spark, dir)
-    val banded = h.select(col("doc_id"), col("phash"),
+    val classes = phashes(spark, dir)
+      .groupBy("phash").agg(count(lit(1)).as("sz"))
+    val banded = classes.select(col("phash"), col("sz"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band_id"),
           shiftright(col("phash"), 14 * b).bitwiseAND(lit(16383L)).as("band_val"))): _*))
         .as("bnd"))
-      .select(col("doc_id"), col("phash"),
+      .select(col("phash"), col("sz"),
         col("bnd.band_id").as("band_id"), col("bnd.band_val").as("band_val"))
-    val pairs = banded.as("a").join(banded.as("b"),
+    val cross = banded.as("a").join(banded.as("b"),
       col("a.band_id") === col("b.band_id")
         && col("a.band_val") === col("b.band_val")
-        && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.phash").as("pa"), col("b.phash").as("pb"))
-      .distinct()
-    val hist = pairs
+        && col("a.phash") < col("b.phash"))
+      .select(col("a.phash").as("pa"), col("b.phash").as("pb"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .distinct() // one row per class pair, however many bands collide
       .withColumn("hamming", expr("graft_hamming64(pa, pb)").cast("long"))
       .select(
         when(col("hamming") <= 6, lpad(col("hamming").cast("string"), 2, "0"))
           .when(col("hamming") <= 15, lit("07_15"))
-          .otherwise(lit("16_plus")).as("bucket"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-    hist.crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("total"))))
+          .otherwise(lit("16_plus")).as("bucket"),
+        (col("sz_a") * col("sz_b")).as("w"))
+    val within = classes.where(col("sz") > 1)
+      .select(lit("00").as("bucket"),
+        (col("sz") * (col("sz") - 1) / 2).cast("long").as("w"))
+    val hist = cross.unionByName(within)
+      .groupBy("bucket").agg(sum(col("w")).as("n_pairs"))
+    // total share via an unpartitioned window over the ≤9-row histogram
+    // (the imageAspectHist pattern — bounded by the bucket ladder), NOT a
+    // crossJoin(broadcast(hist.agg)): the broadcast form re-executes the
+    // whole banded-pair subtree a second time for the total, which after
+    // the decode-once refactor doubled this query's stage/codegen count
+    // (16 in-memory scans) and its bench time
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist
       .select(col("bucket"), col("n_pairs"),
-        (col("n_pairs").cast("double") / col("total").cast("double")).as("share"))
+        (col("n_pairs").cast("double") /
+          sum(col("n_pairs")).over(tot).cast("double")).as("share"))
       .orderBy("bucket")
   }
 

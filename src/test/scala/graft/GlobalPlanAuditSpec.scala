@@ -81,6 +81,10 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "emb_pair_sim_hist",
       // share window over the <= 41-bucket decoded-aspect histogram
       "mm_image_aspect_hist",
+      // share window over the <= 9-bucket hamming histogram (replaced the
+      // crossJoin(broadcast(agg)) total, which re-executed the banded pair
+      // subtree twice)
+      "mm_phash_hamming_hist",
       // total/row/col windows over the <= 15-cell quality x length grid
       "pipe_quality_length_grid",
       // share/cumulative windows over the <= |max-orders|-row count-of-counts
