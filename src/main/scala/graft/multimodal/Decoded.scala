@@ -35,6 +35,10 @@ object Decoded {
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private val audCache =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val vidCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val sceneCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
 
   /** Same bounded-memo policy as Dedup: one dir's worth of executor
     * storage per cache, newest dir wins. */
@@ -55,7 +59,7 @@ object Decoded {
     * between layouts so the sweep re-decodes under each layout's confs
     * instead of re-reading blocks cached under the first. */
   private[graft] def clearMemos(spark: SparkSession): Unit =
-    Seq(imgCache, audCache).foreach { c =>
+    Seq(imgCache, audCache, vidCache, sceneCache).foreach { c =>
       c.keys.filter(_._1 eq spark)
         .foreach(k => c.remove(k).foreach(_.unpersist()))
     }
@@ -66,7 +70,9 @@ object Decoded {
     * [[graft.dedup.Dedup.sharedBuilds]]). */
   def sharedBuilds: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "decoded_images" -> ((s, d) => images(s, d)),
-    "decoded_audio" -> ((s, d) => audio(s, d)))
+    "decoded_audio" -> ((s, d) => audio(s, d)),
+    "decoded_video_frames" -> ((s, d) => videoFrames(s, d)),
+    "decoded_video_scenes" -> ((s, d) => videoScenes(s, d)))
 
   private val imageSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -336,5 +342,88 @@ object Decoded {
             mOut.toLong, rsSum, rsMn, rsMx, fp)
         }
       }(enc)
+    }
+
+  private val videoFrameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    // per-frame channel sums over the decoded bottom-up BGR rows
+    StructField("sum_red", LongType, nullable = false),
+    StructField("sum_green", LongType, nullable = false),
+    StructField("sum_blue", LongType, nullable = false),
+    // per-frame 2× box-filter downsample aggregates (videoResize)
+    StructField("rz_sum_red", LongType, nullable = false),
+    StructField("rz_sum_green", LongType, nullable = false),
+    StructField("rz_sum_blue", LongType, nullable = false)))
+
+  /** ONE plain-DIB AVI build+parse per document, per-FRAME aggregates for
+    * the whole video family's lossless leg (videoDecode / frameStats /
+    * frameDedup / videoLumaRange / videoResize — 5 of the 9 video queries
+    * used to rebuild and re-walk the same container each). The scene-cut
+    * container family has its own pixel function and is memoized
+    * separately ([[videoScenes]]); the MJPEG leg (frameSample) and the
+    * three-container header sniff (binaryMeta) stay standalone — their
+    * codec work IS the operator. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    memo(vidCache, spark, dir) {
+      val ids = Tables.spread(
+        Tables.load(spark, dir, "documents").select(col("doc_id")))
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoFrameSchema)
+      ids.mapPartitions { rows =>
+        rows.flatMap { row =>
+          val id = row.getLong(0)
+          val container = Video.buildAviDib(id)
+          val p = Video.parseAvi(container)
+          require(p.handler == "DIB " && p.biCompression == 0L,
+            s"clip $id: unexpected codec ${p.handler}/${p.biCompression}")
+          val w = p.width; val h = p.height
+          val st = Video.stride(w)
+          val ow = (w + 1) / 2; val oh = (h + 1) / 2
+          p.frames.zipWithIndex.map { case ((_, data), f) =>
+            val (sr, sg, sb) = Video.dibSums(w, h, data)
+            // per-frame 2× box filter (Video.videoResize's exact loop)
+            var rzR = 0L; var rzG = 0L; var rzB = 0L
+            var bx = 0
+            while (bx < ow) {
+              var by = 0
+              while (by < oh) {
+                var r = 0L; var g = 0L; var b = 0L; var n = 0L
+                var dx = 0
+                while (dx < 2 && 2 * bx + dx < w) {
+                  var dy = 0
+                  while (dy < 2 && 2 * by + dy < h) {
+                    val x = 2 * bx + dx; val y = 2 * by + dy
+                    val off = (h - 1 - y) * st + 3 * x // bottom-up BGR
+                    b += data(off) & 0xff
+                    g += data(off + 1) & 0xff
+                    r += data(off + 2) & 0xff
+                    n += 1; dy += 1
+                  }
+                  dx += 1
+                }
+                rzR += r / n; rzG += g / n; rzB += b / n
+                by += 1
+              }
+              bx += 1
+            }
+            Row(id, f, w, h, p.nFrames, container.length.toLong,
+              sr, sg, sb, rzR, rzG, rzB)
+          }
+        }
+      }(enc)
+    }
+
+  /** Memoized scene-cut panel over the SCENES container family — the
+    * shared core of sceneDetect (which serves it per clip) and
+    * videoMotion (which histograms its SAD magnitudes): one build+parse+
+    * frame-difference pass per corpus instead of one per query. */
+  def videoScenes(spark: SparkSession, dir: String): DataFrame =
+    memo(sceneCache, spark, dir) {
+      Video.sceneDetectOf(Tables.spread(
+        Tables.load(spark, dir, "documents").select(col("doc_id"))))
     }
 }

@@ -46,7 +46,7 @@ object Video {
   private[multimodal] def dims(id: Long): (Int, Int, Int, Int) =
     ((id % 8 + 5).toInt, (id % 5 + 6).toInt, (id % 6 + 2).toInt, (id % 40).toInt)
 
-  private def stride(w: Int): Int = ((3 * w + 3) / 4) * 4
+  private[multimodal] def stride(w: Int): Int = ((3 * w + 3) / 4) * 4
 
   /** Closed-form container size of the DIB variant (see layout above). */
   private[multimodal] def dibContainerBytes(id: Long): Long = {
@@ -297,7 +297,7 @@ object Video {
   }
 
   /** Decode one bottom-up BGR DIB payload to per-channel sums. */
-  private def dibSums(w: Int, h: Int, data: Array[Byte]): (Long, Long, Long) = {
+  private[multimodal] def dibSums(w: Int, h: Int, data: Array[Byte]): (Long, Long, Long) = {
     val st = stride(w)
     require(data.length == st * h, s"DIB payload ${data.length} != $st*$h")
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -334,10 +334,25 @@ object Video {
     * count are read from the PARSED headers, sums from the DECODED
     * bitmaps, the byte count from the actual container — the oracle
     * recomputes all of it (the byte count from the documented layout
-    * formula), so any writer/parser disagreement fails the hash. */
+    * formula), so any writer/parser disagreement fails the hash.
+    *
+    * Reads the shared [[Decoded.videoFrames]] pass (one container
+    * build+parse per corpus for the whole lossless video family);
+    * [[videoDecodeOf]] below remains the standalone codec core for
+    * arbitrary clip-id sets (scale smokes). */
   def videoDecode(spark: SparkSession, dir: String): DataFrame =
-    videoDecodeOf(Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id"))))
+    Decoded.videoFrames(spark, dir)
+      .groupBy("doc_id", "width", "height", "n_frames", "n_bytes")
+      .agg(sum(col("sum_red")).as("sum_red"),
+        sum(col("sum_green")).as("sum_green"),
+        sum(col("sum_blue")).as("sum_blue"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+        col("n_bytes"),
+        (col("width").cast("long") * col("height") * col("n_frames")).as("n_pixels"),
+        col("sum_red"), col("sum_green"), col("sum_blue"))
+      .withColumn("mean_red",
+        col("sum_red").cast("double") / col("n_pixels").cast("double"))
+      .orderBy("doc_id")
 
   /** [[videoDecode]]'s codec core over an arbitrary clip-id set — shared
     * with the ×N scale smoke so codec cost has a growth curve. */
@@ -467,10 +482,6 @@ object Video {
       |       CAST(sum(n_bytes) AS BIGINT) AS total_bytes
       |FROM f""".stripMargin
 
-  private val frameSigSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("frame_idx", IntegerType, nullable = false),
-    StructField("sig", StringType, nullable = false)))
 
   /** Cross-document frame dedup over DECODED pixels: fingerprint = md5 of
     * the decoded per-frame channel sums and dims, grouped across the
@@ -479,24 +490,15 @@ object Video {
     * congruent mod 40 render identical frames at shared indices. Same
     * one-shuffle hash-groupBy shape as exact text dedup. */
   def frameDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(frameSigSchema)
-    val sigs = ids.mapPartitions { rows =>
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      rows.flatMap { row =>
-        val id = row.getLong(0)
-        val p = parseAvi(buildAviDib(id))
-        p.frames.zipWithIndex.map { case ((_, data), f) =>
-          val (sr, sg, sb) = dibSums(p.width, p.height, data)
-          digest.reset()
-          val sig = digest.digest(
-            s"${p.width}:${p.height}:$sr:$sg:$sb".getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString
-          Row(id, f, sig)
-        }
-      }
-    }(enc)
+    // fingerprint = md5 over the decoded per-frame channel sums and dims,
+    // read from the shared decode-once pass; Spark's md5(concat_ws) is
+    // the same UTF-8 "w:h:sr:sg:sb" digest the codec loop computed
+    val sigs = Decoded.videoFrames(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":",
+          col("width").cast("string"), col("height").cast("string"),
+          col("sum_red").cast("string"), col("sum_green").cast("string"),
+          col("sum_blue").cast("string")).cast("binary")).as("sig"))
     sigs
       .groupBy("sig")
       .agg(
@@ -644,8 +646,7 @@ object Video {
     * (consecutive-frame state never crosses a row boundary), zero
     * shuffles before the output sort. */
   def sceneDetect(spark: SparkSession, dir: String): DataFrame =
-    sceneDetectOf(Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id"))))
+    Decoded.videoScenes(spark, dir).orderBy("doc_id")
 
   /** [[sceneDetect]]'s codec core over an arbitrary clip-id set — shared
     * with the ×N scale smoke. */
@@ -722,12 +723,6 @@ object Video {
       |       CAST(sum(sad) AS DOUBLE) / CAST((n - 1) * npx AS DOUBLE) AS mean_sad_per_px
       |FROM fs GROUP BY doc_id, n, sp, npx ORDER BY doc_id""".stripMargin
 
-  private val lumaRangeSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("n_pixels", LongType, nullable = false),
-    StructField("min_frame_sum", LongType, nullable = false),
-    StructField("max_frame_sum", LongType, nullable = false)))
 
   /** Static/dead-clip detector — per clip the envelope of per-frame
     * intensity sums over the DECODED frames: a near-zero range means a
@@ -741,25 +736,16 @@ object Video {
     * Scale shape: per-clip codec work in mapPartitions (spread-guarded),
     * zero shuffles before the output sort. */
   def videoLumaRange(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(lumaRangeSchema)
-    val decoded = ids.mapPartitions { rows =>
-      rows.map { row =>
-        val id = row.getLong(0)
-        val p = parseAvi(buildAviDib(id))
-        require(p.handler == "DIB " && p.biCompression == 0L,
-          s"clip $id: unexpected codec ${p.handler}/${p.biCompression}")
-        var minS = Long.MaxValue; var maxS = Long.MinValue
-        p.frames.foreach { case (_, data) =>
-          val (r, g, b) = dibSums(p.width, p.height, data)
-          val t = r + g + b
-          if (t < minS) minS = t
-          if (t > maxS) maxS = t
-        }
-        Row(id, p.nFrames, p.width.toLong * p.height, minS, maxS)
-      }
-    }(enc)
+    // per-frame intensity Σ(R+G+B) envelope off the shared decode-once
+    // pass — the exact integer sums the codec loop computed
+    val decoded = Decoded.videoFrames(spark, dir)
+      .select(col("doc_id"), col("n_frames"),
+        (col("width").cast("long") * col("height")).as("n_pixels"),
+        (col("sum_red") + col("sum_green") + col("sum_blue")).as("tsum"))
+      .groupBy("doc_id", "n_frames", "n_pixels")
+      .agg(min(col("tsum")).as("min_frame_sum"),
+        max(col("tsum")).as("max_frame_sum"))
+      .select("doc_id", "n_frames", "n_pixels", "min_frame_sum", "max_frame_sum")
     decoded
       .withColumn("range_per_px",
         (col("max_frame_sum") - col("min_frame_sum")).cast("double")
@@ -813,8 +799,7 @@ object Video {
     * 3-channel circular byte distance: mean SAD/px ≤ 384, so bucket ≤
     * 6144), share/cumulative windows over that bounded table. */
   def videoMotion(spark: SparkSession, dir: String): DataFrame = {
-    val per = sceneDetectOf(Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id"))))
+    val per = Decoded.videoScenes(spark, dir)
     val npx = ((col("doc_id") % 8 + 5) * (col("doc_id") % 5 + 6)).cast("long")
     val tot = org.apache.spark.sql.expressions.Window.partitionBy()
     val cum = org.apache.spark.sql.expressions.Window.partitionBy()
@@ -886,17 +871,6 @@ object Video {
       |       CAST(sad_total AS DOUBLE) / CAST(px_pairs AS DOUBLE) AS mean_sad_per_px
       |FROM h ORDER BY motion_bucket""".stripMargin
 
-  private val videoResizeSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("src_w", IntegerType, nullable = false),
-    StructField("src_h", IntegerType, nullable = false),
-    StructField("out_w", IntegerType, nullable = false),
-    StructField("out_h", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false),
-    StructField("n_out_pixels", LongType, nullable = false),
-    StructField("sum_red", LongType, nullable = false),
-    StructField("sum_green", LongType, nullable = false),
-    StructField("sum_blue", LongType, nullable = false)))
 
   /** REAL video resize — the thumbnail/preview-track stage over the
     * pixel-exact DIB leg, mirroring [[Binary.imageResize]] frame-wise:
@@ -911,46 +885,22 @@ object Video {
     * Scale shape: per-clip codec work in mapPartitions (spread-guarded),
     * zero shuffles before the output sort. */
   def videoResize(spark: SparkSession, dir: String): DataFrame = {
-    val ids = Tables.spread(
-      Tables.load(spark, dir, "documents").select(col("doc_id")))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(videoResizeSchema)
-    val resized = ids.mapPartitions { rows =>
-      rows.map { row =>
-        val id = row.getLong(0)
-        val p = parseAvi(buildAviDib(id))
-        val (w, h) = (p.width, p.height)
-        val st = stride(w)
-        val ow = (w + 1) / 2; val oh = (h + 1) / 2
-        var sr = 0L; var sg = 0L; var sb = 0L
-        p.frames.foreach { case (_, data) =>
-          var bx = 0
-          while (bx < ow) {
-            var by = 0
-            while (by < oh) {
-              var r = 0L; var g = 0L; var b = 0L; var n = 0L
-              var dx = 0
-              while (dx < 2 && 2 * bx + dx < w) {
-                var dy = 0
-                while (dy < 2 && 2 * by + dy < h) {
-                  val x = 2 * bx + dx; val y = 2 * by + dy
-                  val off = (h - 1 - y) * st + 3 * x // bottom-up BGR
-                  b += data(off) & 0xff
-                  g += data(off + 1) & 0xff
-                  r += data(off + 2) & 0xff
-                  n += 1; dy += 1
-                }
-                dx += 1
-              }
-              sr += r / n; sg += g / n; sb += b / n
-              by += 1
-            }
-            bx += 1
-          }
-        }
-        Row(id, w, h, ow, oh, p.nFrames,
-          ow.toLong * oh * p.nFrames, sr, sg, sb)
-      }
-    }(enc)
+    // per-frame box-filter aggregates come off the shared decode-once
+    // pass (the filter runs there, frame-wise, in the same exact integer
+    // arithmetic); this operator is a per-clip rollup
+    val resized = Decoded.videoFrames(spark, dir)
+      .groupBy(col("doc_id"),
+        col("width").as("src_w"), col("height").as("src_h"), col("n_frames"))
+      .agg(sum(col("rz_sum_red")).as("sum_red"),
+        sum(col("rz_sum_green")).as("sum_green"),
+        sum(col("rz_sum_blue")).as("sum_blue"))
+      .select(col("doc_id"), col("src_w"), col("src_h"),
+        expr("(src_w + 1) DIV 2").cast("int").as("out_w"),
+        expr("(src_h + 1) DIV 2").cast("int").as("out_h"),
+        col("n_frames"),
+        (expr("(src_w + 1) DIV 2") * expr("(src_h + 1) DIV 2")
+          * col("n_frames").cast("long")).as("n_out_pixels"),
+        col("sum_red"), col("sum_green"), col("sum_blue"))
     resized
       .withColumn("mean_red",
         col("sum_red").cast("double") / col("n_out_pixels").cast("double"))
