@@ -77,6 +77,15 @@ object Bench {
       val ok = timings.map(_(name)).filterNot(_.isNaN).sorted
       if (ok.isEmpty) None else Some(name -> ok(ok.length / 2))
     }.toMap
+    // Per-query min across passes: the load-robust statistic. A median is
+    // inflated by ambient load in 2 of 3 passes; the min is inflated only
+    // when EVERY pass was loaded — so in loaded windows the regression
+    // gate below evaluates on mins (r14: the driver's loaded run showed 30
+    // median-based false positives, all of them clean on min-of-passes).
+    val mins: Map[String, Double] = names.flatMap { name =>
+      val ok = timings.map(_(name)).filterNot(_.isNaN)
+      if (ok.isEmpty) None else Some(name -> ok.min)
+    }.toMap
     def r3(v: Double): String = if (v.isNaN) "null" else f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Ratio vs the FROZEN baseline (BASELINE.md / BASELINE_QUERIES.json,
@@ -84,25 +93,36 @@ object Bench {
     // query set divided by the frozen sum — the comparable-subset number,
     // immune to registry growth. Parsed with a flat-JSON regex (the file
     // is {"queries": {"name": num, ...}}); absent file → no ratio.
-    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json")
-    val baseline: Map[String, Double] =
+    // Scan ONLY the queries object: the file is flat ({"name": num, ...},
+    // no nested braces), so the first '}' after the opening brace closes
+    // it. Scanning to end-of-file would also capture sibling metadata
+    // fields like "total" — harmless only until a query is ever named
+    // like one of them.
+    def readBaseline(path: String): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(baselinePath)), java.nio.charset.StandardCharsets.UTF_8)
-        // Scan ONLY the queries object: the file is flat ({"name": num, ...},
-        // no nested braces), so the first '}' after the opening brace closes
-        // it. Scanning to end-of-file would also capture sibling metadata
-        // fields like "total" — harmless only until a query is ever named
-        // like one of them.
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
         val open = txt.indexOf('{', txt.indexOf("\"queries\""))
         val body = txt.substring(open, txt.indexOf('}', open) + 1)
         "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(body)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    val baseline: Map[String, Double] =
+      readBaseline(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
     val common = baseline.keySet.intersect(results.keySet)
     val baselineRatio: Option[Double] =
       if (common.isEmpty) None
       else Some(common.toSeq.map(results).sum / common.toSeq.map(baseline).sum)
+    // Supplementary frozen baseline for queries added AFTER the r12 freeze
+    // (BASELINE.md addendum, r14 clean-window medians): their creep is
+    // otherwise invisible to the gate. Kept in a separate file and a
+    // separate ratio so the r12 yardstick stays untouched.
+    val baselineNew: Map[String, Double] = readBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE_NEW", "BASELINE_QUERIES_R14.json"))
+    val commonNew = baselineNew.keySet.intersect(results.keySet)
+    val baselineRatioNew: Option[Double] =
+      if (commonNew.isEmpty) None
+      else Some(commonNew.toSeq.map(results).sum / commonNew.toSeq.map(baselineNew).sum)
     // Ambient-drift correction: this machine swings 1.1-1.2x between runs of
     // identical code (r13: untouched queries moved 1.09-1.23x), so the raw
     // ratio alone cannot distinguish a code regression from weather. The
@@ -124,11 +144,31 @@ object Bench {
     val correctedRatio: Option[Double] = for {
       b <- baselineRatio; s <- sentinelRatio if s > 0
     } yield b / s
+    // Per-query regression gate, evaluated HERE (not by hand): a query
+    // regresses when its statistic is ≥2× its frozen median AND ≥0.3 s
+    // absolute slower. The statistic is the median in clean windows and
+    // the min-of-passes in loaded ones (sentinel_ratio > 1.15) — the
+    // run-level sentinel division cannot gate per-query, but a min only
+    // stays inflated if every pass was loaded. Frozen values: r12 set ∪
+    // the r14 addendum for post-freeze queries.
+    val loadedWindow = sentinelRatio.exists(_ > 1.15)
+    val gateStat: Map[String, Double] = if (loadedWindow) mins else results
+    val frozen = baseline ++ baselineNew
+    val regressions = frozen.keysIterator.flatMap { n =>
+      gateStat.get(n).collect {
+        case t if t >= 2 * frozen(n) && t - frozen(n) >= 0.3 => n
+      }
+    }.toVector.sorted
     val baselineJson = baselineRatio
       .map(r => s""","baseline_ratio":${r3(r)},"baseline_common":${common.size}""")
       .getOrElse("") +
+      baselineRatioNew
+        .map(r => s""","baseline_ratio_new":${r3(r)},"baseline_new_common":${commonNew.size}""")
+        .getOrElse("") +
       sentinelRatio.map(r => s""","sentinel_ratio":${r3(r)}""").getOrElse("") +
-      correctedRatio.map(r => s""","baseline_ratio_drift_corrected":${r3(r)}""").getOrElse("")
+      correctedRatio.map(r => s""","baseline_ratio_drift_corrected":${r3(r)}""").getOrElse("") +
+      s""","regression_stat":"${if (loadedWindow) "min" else "median"}"""" +
+      s""","n_regressions":${regressions.size}"""
     // Full per-query record → file. Per-pass raws are kept alongside the
     // median so a cold-cache pass 1 (memoized corpus builds being paid by
     // whichever query touches them first) is distinguishable from a query
@@ -136,8 +176,13 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val fullQueries = names.sorted.map { name =>
       val raw = timings.map(_(name)).map(r3).mkString("[", ",", "]")
-      s"""    "$name": {"median": ${results.get(name).map(r3).getOrElse("null")}, "passes": $raw}"""
+      s"""    "$name": {"median": ${results.get(name).map(r3).getOrElse("null")}, "min": ${mins.get(name).map(r3).getOrElse("null")}, "passes": $raw}"""
     }.mkString(",\n")
+    // sentinel medians emitted verbatim so a judge can recompute the
+    // ambient factor without re-deriving the set from source
+    val sentinelLines = sentCommon.map(s =>
+      s"""    "$s": {"median": ${r3(results(s))}, "frozen": ${r3(baseline(s))}}""")
+      .mkString(",\n")
     val sharedLines = shared
       .map { case (n, t) => s"""    "$n": ${r3(t)}""" }.mkString(",\n")
     val fullJson =
@@ -146,6 +191,10 @@ object Bench {
          |  "sf": "$sfDir", "cpus": $cpus, "passes": $passes,
          |  "n_queries": ${results.size}, "n_failed": ${failed.length}$baselineJson,
          |  "failed": ${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |  "regressions": ${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |  "sentinels": {
+         |$sentinelLines
+         |  },
          |  "shared_total": ${r3(sharedTotal)},
          |  "shared": {
          |$sharedLines

@@ -1,0 +1,101 @@
+package graft
+
+/** Targeted profiling harness (not driver-facing): times a named subset of
+  * registered queries over N passes and prints median + min per query.
+  * Used to attribute clean-window creep to code vs ambient load without
+  * paying a full 356-query bench. Names come from args; defaults to the
+  * r14 watch list + sentinels.
+  */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "5").toInt
+    val spark = Tables.localSession("graft-profile", cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    val names =
+      if (args.nonEmpty) args.toVector
+      else Vector(
+        "dedup_exact", "text_tokens", "pipe_token_histogram", "q1_agg", // sentinels
+        "dedup_paragraph_rewrite", "dedup_paragraph", "dedup_pair_degree",
+        "dedup_winnowing", "dedup_cluster_lss", "text_tfidf",
+        "pipe_pack_sequences", "pipe_source_overlap", "emb_pca_power")
+    // pay the shared corpus builds up front, attributed
+    (graft.dedup.Dedup.sharedBuilds ++ graft.multimodal.Decoded.sharedBuilds)
+      .foreach { case (n, fn) =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"shared:$n%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    val timings = Vector.fill(passes) {
+      names.map { n =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        n -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    }
+    println(f"${"query"}%-28s median   min    passes")
+    names.foreach { n =>
+      val ts = timings.map(_(n)).sorted
+      println(f"$n%-28s ${ts(ts.length / 2)}%.3f  ${ts.head}%.3f  " +
+        ts.map(t => f"$t%.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}
+
+/** Guard-cost probe: attributes dedup_paragraph_rewrite's time between the
+  * plan itself and the collectAggGuard session-clone rebind. */
+object ProfileGuard {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.localSession("graft-profile-guard", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.dedup.Dedup.normCorpus(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    def time(label: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-22s median ${ts.sorted.apply(2)}%.3f  " +
+        ts.map(t => f"$t%.2f").mkString(" "))
+    }
+    time("raw (no guard)")(graft.dedup.Dedup.paragraphRewriteRaw(spark, sfDir))
+    time("guarded (registered)")(graft.dedup.Dedup.paragraphRewrite(spark, sfDir))
+    time("guard on trivial df")(
+      Tables.collectAggGuard(spark.range(1000).toDF("id")
+        .groupBy(org.apache.spark.sql.functions.col("id") % 10)
+        .agg(org.apache.spark.sql.functions.collect_list("id"))))
+    time("raw again")(graft.dedup.Dedup.paragraphRewriteRaw(spark, sfDir))
+    spark.stop()
+  }
+}
+
+/** Degradation probe: runs ONE query back-to-back N times in a fresh JVM
+  * and prints each pass — a monotone slope here means per-execution JVM
+  * degradation (the full bench's medians then depend on registry
+  * POSITION, which is what the r13→r14 "family creep" looked like). */
+object ProfileRepeat {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = if (args.nonEmpty) args(0) else "dedup_exact"
+    val reps = if (args.length > 1) args(1).toInt else 30
+    val spark = Tables.localSession("graft-profile-repeat", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    graft.dedup.Dedup.sharedBuilds.foreach { case (_, fn) =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    val rt = Runtime.getRuntime
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+      println(f"$name rep $i%2d  ${(System.nanoTime() - t0) / 1e9}%.3f s  heap ${heapMb}M")
+    }
+    spark.stop()
+  }
+}

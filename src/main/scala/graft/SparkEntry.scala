@@ -403,6 +403,13 @@ object SparkEntry {
       ((s, d) => Sketches.approxEventSizePercentiles(s, d)),
     "cdc_watermark_advise_approx" ->
       ((s, d) => Sketches.approxWatermarkAdvise(Cdc.changelog(s, d))),
+    // r15: the last two unwired sketches get their operators (CMS for the
+    // heavy-key/head-term tails, HLL union for the distinct-to-date curve)
+    // — same rows-only + SketchesSpec-contract pattern
+    "cdc_hot_key_share_approx" -> ((s, d) => Sketches.approxHotKeyShare(s, d)),
+    "text_doc_freq_approx" -> ((s, d) => Sketches.approxDocFreqHead(s, d)),
+    "q_cumulative_uniques_approx" ->
+      ((s, d) => Sketches.approxCumulativeUniques(s, d)),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),

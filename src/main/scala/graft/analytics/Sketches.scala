@@ -71,26 +71,110 @@ object Sketches {
   def approxHeavyHitters(spark: SparkSession, dir: String, topK: Int = 20,
                          depth: Int = 4, width: Int = 1024): DataFrame = {
     val tokens = Tables.load(spark, dir, "documents")
-      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
-      .where(length(col("token")) >= 3)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      .where(length(col("item")) >= 3)
+    cmsTopCounts(tokens, topK, depth, width)
+      .select(col("item").as("token"), col("exact_cnt"), col("cms_cnt"))
+  }
+
+  /** The shared Count-Min core behind [[approxHeavyHitters]],
+    * [[approxHotKeyShare]] and [[approxDocFreqHead]]: build the
+    * depth×width structure over `items` ("item" column, any hashable
+    * type), probe the exact top-k (so every caller's accuracy contract
+    * can compare), return (item, exact_cnt, cms_cnt) hottest-first. */
+  private def cmsTopCounts(items: DataFrame, topK: Int,
+                           depth: Int, width: Int): DataFrame = {
     def rowBuckets = array((0 until depth).map { i =>
-      struct(lit(i).as("row"), pmod(xxhash64(col("token"), lit(i)), lit(width)).as("bucket"))
+      struct(lit(i).as("row"), pmod(xxhash64(col("item"), lit(i)), lit(width)).as("bucket"))
     }: _*)
-    val cms = tokens
+    val cms = items
       .select(explode(rowBuckets).as("rb"))
       .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val exact = tokens.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token"))
+    val exact = items.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("item"))
       .limit(topK)
     exact
-      .select(col("token"), col("exact_cnt"), explode(rowBuckets).as("rb"))
-      .select(col("token"), col("exact_cnt"),
+      .select(col("item"), col("exact_cnt"), explode(rowBuckets).as("rb"))
+      .select(col("item"), col("exact_cnt"),
         col("rb.row").as("row"), col("rb.bucket").as("bucket"))
       .join(broadcast(cms), Seq("row", "bucket"))
-      .groupBy("token", "exact_cnt")
+      .groupBy("item", "exact_cnt")
       .agg(min(col("cnt")).as("cms_cnt"))
-      .orderBy(col("exact_cnt").desc, col("token"))
+      .orderBy(col("exact_cnt").desc, col("item"))
+  }
+
+  /** Sketch twin of `cdc_hot_key_share`'s top tail (r14 verdict item 7):
+    * the exact operator prices the top-1%-of-keys event share through a
+    * full per-key shuffle (|keys| grouping keys); the 100 TB drop-in
+    * estimates each hot key's count from the CMS — the sketch shuffle
+    * carries ≤ depth×width keys no matter how many users exist, and the
+    * share denominator is a broadcast 1-row total. The probe set is the
+    * exact top-k so SketchesSpec can pin the one-sided CMS error; a
+    * deployment probes its candidate stream (e.g. yesterday's hot list).
+    * Output: hottest keys with estimated counts and estimated share of
+    * all events. */
+  def approxHotKeyShare(spark: SparkSession, dir: String, topK: Int = 20,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keys = Tables.load(spark, dir, "events").select(col("user_id").as("item"))
+    val total = keys.agg(count(lit(1)).as("n_events"))
+    cmsTopCounts(keys, topK, depth, width)
+      .crossJoin(broadcast(total))
+      .select(col("item").as("user_id"), col("exact_cnt"), col("cms_cnt"),
+        (col("cms_cnt").cast("double") / col("n_events").cast("double"))
+          .as("est_share"))
+  }
+
+  /** Sketch twin of `text_doc_freq`'s head (r14 verdict item 7): document
+    * frequency is a per-doc-DISTINCT term count, so the CMS is fed the
+    * deduped (doc, term) stream — array_distinct runs per row before the
+    * explode, exactly like the exact operator — and estimates df without
+    * the |vocabulary|-key term shuffle. df_ratio_est uses the broadcast
+    * doc total, mirroring the exact column. */
+  def approxDocFreqHead(spark: SparkSession, dir: String, topK: Int = 20,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs
+      .select(explode(array_distinct(
+        split(graft.text.TextFunctions.normText(col("text")), " "))).as("item"))
+      .where(length(col("item")) >= 3)
+    cmsTopCounts(terms, topK, depth, width)
+      .crossJoin(broadcast(nDocs))
+      .select(col("item").as("term"), col("exact_cnt").as("df"),
+        col("cms_cnt").as("df_est"),
+        (col("cms_cnt").cast("double") / col("n_docs").cast("double"))
+          .as("df_ratio_est"))
+  }
+
+  /** Sketch twin of `q_cumulative_uniques` (r14 verdict item 7): the
+    * exact operator's scale cost is the per-user min (a |users|-key
+    * shuffle). The HLL form never shuffles users at all: one mergeable
+    * Datasketches HLL per day (each a few KB), then the cumulative
+    * distinct-to-date is a running UNION of the day sketches — a window
+    * over the ≤|days|-row daily rollup (the exact twin's allowlisted
+    * shape; at 100 TB the same union telescopes as streaming state).
+    * n_new is the difference of consecutive cumulative estimates (can be
+    * slightly negative under sketch error — reported as-is; the contract
+    * bounds it). */
+  def approxCumulativeUniques(spark: SparkSession, dir: String,
+                              lgConfigK: Int = 12): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .select(date_trunc("DAY", col("ts")).as("day"), col("user_id"))
+    val daySketches = ev.groupBy("day")
+      .agg(hll_sketch_agg(col("user_id"), lit(lgConfigK)).as("sk"),
+        approx_count_distinct(col("user_id")).as("n_active_approx"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    daySketches
+      .withColumn("cum_uniques_approx",
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))))
+      .withColumn("n_new_approx",
+        col("cum_uniques_approx") -
+          coalesce(lag(col("cum_uniques_approx"), 1).over(w), lit(0L)))
+      .select("day", "n_active_approx", "n_new_approx", "cum_uniques_approx")
+      .orderBy("day")
   }
 
   /** Bloom-filter membership in DataFrame algebra — the fourth canonical

@@ -798,6 +798,315 @@ object Discovery {
             }
         }
       }
+
+    /** Remove a pipeline's reference rows — the hard-delete side of the
+      * in-use guard ([[PipelineDirectory.deletePipeline]] calls this: the
+      * reference's hard delete removes the PipelineModel row the guard
+      * counts, while a SOFT-deleted pipeline still blocks connection
+      * deletion because the guard has no deleted_at filter). */
+    private[graft] def unregisterPipeline(pipelineId: String): Unit =
+      synchronized { pipelines.filterInPlace(_._1 != pipelineId) }
+  }
+
+  /** Pipeline-catalog lifecycle — the reference's pipeline CRUD family
+    * (api.py:2871 POST, :3762 PUT, :7362 DELETE) as catalog-shaped driver
+    * state, closing the last catalog family without a directory twin
+    * (r14 verdict item 3). Start/stop/pause/recover/config-generation
+    * live in [[graft.Pipeline]]/[[Recovery]]/[[ConnectorConfig]]; this is
+    * the registry the admin screen mutates.
+    *
+    * Faithful endpoint semantics, including the quirks:
+    * - PipelineCreate's Pydantic `extract_from_table_mappings` validator
+    *   (api.py:905) runs BEFORE the endpoint and fills
+    *   source/target_tables with the mapping names' schema prefixes KEPT
+    *   (`source_tables_list.append(source_table)` raw) — which makes the
+    *   endpoint's own strip-the-prefix extraction (api.py:2998) dead code
+    *   whenever mappings are present. Mirrored: both layers exist, the
+    *   validator wins, so tables arrive prefix-kept.
+    * - per-mapping schema precedence in the validator: a "schema.table"
+    *   prefix beats the mapping's explicit source_schema/target_schema
+    *   key (the `if '.' in name / elif tm.get(...)` ladder). The
+    *   reference then takes `list(set)[0]` — Python set order; mirrored
+    *   as first-encountered, the only deterministic reading.
+    * - schema defaults by database type: sqlserver/mssql → "dbo",
+    *   snowflake → "PUBLIC", else "public"; and the sqlserver
+    *   public→dbo override applies on EVERY target-schema branch
+    *   (connection schema, mapping schema, prefix, user-provided) but
+    *   never to source schemas.
+    * - mode mapping: cdc_enabled (when sent) wins — true maps
+    *   full_load_type=="overwrite" to full_load_and_cdc else cdc_only,
+    *   false to full_load_only; otherwise the deprecated enable_full_load
+    *   ladder; otherwise the mode field verbatim.
+    * - PUT refuses RUNNING/STARTING/STOPPING with the stop-first detail,
+    *   then field-if-provided partial update (no derivation re-run — the
+    *   reference PUT assigns raw values, quirks included).
+    * - DELETE defaults hard_delete=TRUE — the OPPOSITE of the connections
+    *   endpoint — and the hard lookup INCLUDES soft-deleted rows (so
+    *   hard-after-soft succeeds where soft-after-soft 404s); stop-first
+    *   continues on failure; per-connector teardown warns, never aborts;
+    *   the response carries the connector names and the Kafka topic list
+    *   regardless of teardown outcome. The reference's warning log lines
+    *   surface as `warnings` data so specs can pin each branch.
+    *
+    * Directory metadata (dozens of rows, not 100 TB): driver-side state
+    * is the right shape, as with [[UserDirectory]]/[[ConnectionDirectory]]. */
+  final class PipelineDirectory(connections: ConnectionDirectory) {
+    private val store =
+      scala.collection.mutable.LinkedHashMap.empty[String, PipelineRecord]
+    private var seq = 0L
+    private def nextSeq(): Long = { seq += 1; seq }
+
+    /** Failure injection for the delete ladder's warning branches (stands
+      * in for the reference's Kafka Connect REST errors). */
+    private[graft] var stopFails: Set[String] = Set.empty
+    private[graft] var connectorDeleteFails: Set[String] = Set.empty
+
+    private val validModes = Set("full_load_only", "cdc_only", "full_load_and_cdc")
+
+    private def truthy(tm: Map[String, String], keys: String*): Option[String] =
+      keys.iterator.flatMap(tm.get).find(_.nonEmpty)
+
+    /** The Pydantic validator (api.py:905): fills tables/schemas from
+      * table_mappings, names kept VERBATIM (prefixes and all). */
+    private def applyMappingsValidator(d: PipelineCreateRequest): PipelineCreateRequest = {
+      if (d.tableMappings.isEmpty) d
+      else {
+        val srcTables = scala.collection.mutable.ArrayBuffer.empty[String]
+        val srcSchemas = scala.collection.mutable.LinkedHashSet.empty[String]
+        val tgtTables = scala.collection.mutable.ArrayBuffer.empty[String]
+        val tgtSchemas = scala.collection.mutable.LinkedHashSet.empty[String]
+        d.tableMappings.foreach { tm =>
+          truthy(tm, "source_table", "sourceTable", "source").foreach { t =>
+            srcTables += t
+            if (t.contains('.')) srcSchemas += t.split("\\.", 2)(0)
+            else truthy(tm, "source_schema").foreach(srcSchemas += _)
+          }
+          truthy(tm, "target_table", "targetTable", "target").foreach { t =>
+            tgtTables += t
+            if (t.contains('.')) tgtSchemas += t.split("\\.", 2)(0)
+            else truthy(tm, "target_schema").foreach(tgtSchemas += _)
+          }
+        }
+        d.copy(
+          sourceTables = d.sourceTables.filter(_.nonEmpty)
+            .orElse(Option(srcTables.toSeq).filter(_.nonEmpty)),
+          sourceSchema = d.sourceSchema.filter(_.nonEmpty)
+            .orElse(srcSchemas.headOption),
+          targetTables = d.targetTables.filter(_.nonEmpty)
+            .orElse(Option(tgtTables.toSeq).filter(_.nonEmpty)),
+          targetSchema = d.targetSchema.filter(_.nonEmpty)
+            .orElse(tgtSchemas.headOption))
+      }
+    }
+
+    private def defaultSchema(dbType: String): String =
+      if (dbType == "sqlserver" || dbType == "mssql") "dbo"
+      else if (dbType == "snowflake") "PUBLIC"
+      else "public"
+
+    /** The sqlserver public→dbo override the target ladder applies on
+      * every branch (api.py:3040-3150). */
+    private def overrideForType(dbType: String, schema: String): String =
+      if ((dbType == "sqlserver" || dbType == "mssql") && schema.toLowerCase == "public") "dbo"
+      else schema
+
+    /** POST /pipelines (api.py:2871). */
+    def createPipeline(data0: PipelineCreateRequest): Either[String, PipelineRecord] =
+      synchronized {
+        val data = applyMappingsValidator(data0)
+        connections.getConnection(data.sourceConnectionId) match {
+          case None => Left(s"Source connection not found: ${data.sourceConnectionId}")
+          case Some(src) => connections.getConnection(data.targetConnectionId) match {
+            case None => Left(s"Target connection not found: ${data.targetConnectionId}")
+            case Some(tgt) =>
+              val srcType = src.databaseType.toLowerCase
+              val sourceDatabase = data.sourceDatabase.filter(_.nonEmpty)
+                .orElse(Option(src.database).filter(_.nonEmpty))
+              val sourceSchema = data.sourceSchema.filter(_.nonEmpty)
+                .orElse(src.schemaName.filter(_.nonEmpty))
+                // endpoint's first_tm branch (api.py:2975) — reachable only
+                // when the validator found no schema anywhere, i.e. never
+                // with well-formed mappings; kept for fidelity
+                .orElse(data.tableMappings.headOption.flatMap { tm =>
+                  truthy(tm, "source_schema").orElse(
+                    truthy(tm, "source_table").filter(_.contains('.'))
+                      .map(_.split("\\.", 2)(0)))
+                })
+                .orElse(Some(defaultSchema(srcType)))
+              // endpoint extraction strips prefixes — dead when the
+              // validator already filled the list (prefix-kept)
+              val sourceTables = data.sourceTables.filter(_.nonEmpty).getOrElse(
+                data.tableMappings.flatMap(tm =>
+                  truthy(tm, "source_table", "sourceTable", "source")
+                    .map(t => if (t.contains('.')) t.split("\\.", 2)(1) else t)))
+              if (sourceDatabase.isEmpty)
+                Left("source_database is required. Provide it directly or ensure connection has a database.")
+              else if (sourceSchema.exists(_.isEmpty))
+                Left("source_schema is required. Provide it directly, in table_mappings, or ensure connection has a schema.")
+              else if (sourceTables.isEmpty)
+                Left("source_tables is required. Provide it directly or in table_mappings.")
+              else {
+                val tgtType = tgt.databaseType.toLowerCase
+                val targetDatabase = data.targetDatabase.filter(_.nonEmpty)
+                  .getOrElse(tgt.database)
+                val targetSchema = data.targetSchema.filter(_.nonEmpty) match {
+                  case Some(provided) => overrideForType(tgtType, provided)
+                  case None =>
+                    tgt.schemaName.filter(_.nonEmpty)
+                      .map(overrideForType(tgtType, _))
+                      .orElse(data.tableMappings.headOption.flatMap { tm =>
+                        truthy(tm, "target_schema").orElse(
+                          truthy(tm, "target_table").filter(_.contains('.'))
+                            .map(_.split("\\.", 2)(0)))
+                          .map(overrideForType(tgtType, _))
+                      })
+                      .getOrElse(defaultSchema(tgtType))
+                }
+                val targetTables = data.targetTables.filter(_.nonEmpty).getOrElse(
+                  data.tableMappings.flatMap(tm =>
+                    truthy(tm, "target_table", "targetTable", "target")
+                      .map(t => if (t.contains('.')) t.split("\\.", 2)(1) else t)))
+                val mode = data.cdcEnabled match {
+                  case Some(true) =>
+                    if (data.fullLoadType.contains("overwrite")) "full_load_and_cdc"
+                    else "cdc_only"
+                  case Some(false) => "full_load_only"
+                  case None => data.enableFullLoad match {
+                    case Some(true) =>
+                      if (data.mode == "cdc_only") "full_load_and_cdc" else data.mode
+                    case Some(false) => "cdc_only"
+                    case None => data.mode
+                  }
+                }
+                val p = PipelineRecord(
+                  id = s"p-${nextSeq()}", name = data.name,
+                  sourceConnectionId = data.sourceConnectionId,
+                  targetConnectionId = data.targetConnectionId,
+                  sourceDatabase = sourceDatabase.get,
+                  sourceSchema = sourceSchema.get,
+                  sourceTables = sourceTables,
+                  targetDatabase = targetDatabase,
+                  targetSchema = targetSchema,
+                  targetTables = targetTables,
+                  mode = mode, enableFullLoad = data.enableFullLoad,
+                  autoCreateTarget = data.autoCreateTarget,
+                  targetTableMapping = data.targetTableMapping,
+                  tableFilter = data.tableFilter,
+                  status = "STOPPED", fullLoadStatus = "NOT_STARTED",
+                  cdcStatus = "NOT_STARTED",
+                  debeziumConnectorName = None, sinkConnectorName = None,
+                  kafkaTopics = Seq.empty,
+                  createdSeq = seq, updatedSeq = seq, deletedSeq = None)
+                store(p.id) = p
+                connections.registerPipeline(p.id,
+                  data.sourceConnectionId, data.targetConnectionId)
+                Right(p)
+              }
+          }
+        }
+      }
+
+    /** PUT /pipelines/{id} (api.py:3762) — 404 for unknown/soft-deleted,
+      * 400 while RUNNING/STARTING/STOPPING, then field-if-provided
+      * assignment (raw — the PUT re-runs none of POST's derivations). */
+    def updatePipeline(id: String, data: PipelineUpdateRequest): Either[String, PipelineRecord] =
+      synchronized {
+        store.get(id).filter(_.deletedSeq.isEmpty) match {
+          case None => Left(s"Pipeline not found: $id")
+          case Some(p0) if Set("RUNNING", "STARTING", "STOPPING")(p0.status) =>
+            Left(s"Cannot update a ${p0.status.toLowerCase} pipeline. Please stop it first.")
+          case Some(p0) =>
+            data.mode.filterNot(validModes) match {
+              case Some(bad) => Left(s"'$bad' is not a valid PipelineMode")
+              case None =>
+                val p = p0.copy(
+                  name = data.name.getOrElse(p0.name),
+                  sourceConnectionId =
+                    data.sourceConnectionId.getOrElse(p0.sourceConnectionId),
+                  targetConnectionId =
+                    data.targetConnectionId.getOrElse(p0.targetConnectionId),
+                  sourceDatabase = data.sourceDatabase.getOrElse(p0.sourceDatabase),
+                  sourceSchema = data.sourceSchema.getOrElse(p0.sourceSchema),
+                  sourceTables = data.sourceTables.getOrElse(p0.sourceTables),
+                  targetDatabase = data.targetDatabase.getOrElse(p0.targetDatabase),
+                  targetSchema = data.targetSchema.getOrElse(p0.targetSchema),
+                  targetTables = data.targetTables.getOrElse(p0.targetTables),
+                  mode = data.mode.getOrElse(p0.mode),
+                  enableFullLoad = data.enableFullLoad.orElse(p0.enableFullLoad),
+                  autoCreateTarget = data.autoCreateTarget.getOrElse(p0.autoCreateTarget),
+                  targetTableMapping =
+                    data.targetTableMapping.getOrElse(p0.targetTableMapping),
+                  tableFilter = data.tableFilter.orElse(p0.tableFilter),
+                  updatedSeq = nextSeq())
+                store(id) = p
+                Right(p)
+            }
+        }
+      }
+
+    /** DELETE /pipelines/{id} (api.py:7362) — hard_delete defaults TRUE
+      * (the connections endpoint's inverse); hard lookup includes
+      * soft-deleted rows; stop-first and connector teardown warn and
+      * continue; the response carries connector names + topics. */
+    def deletePipeline(id: String, hardDelete: Boolean = true): Either[String, PipelineDeleteResult] =
+      synchronized {
+        val found =
+          if (hardDelete) store.get(id) else store.get(id).filter(_.deletedSeq.isEmpty)
+        found match {
+          case None => Left(s"Pipeline not found: $id")
+          case Some(p) =>
+            val warnings = scala.collection.mutable.ArrayBuffer.empty[String]
+            if (stopFails(id))
+              warnings += s"Failed to stop pipeline before deletion: stop failed for $id"
+            else if (store.contains(id))
+              store(id) = store(id).copy(status = "STOPPED")
+            p.debeziumConnectorName.foreach { c =>
+              if (connectorDeleteFails(c))
+                warnings += s"Failed to delete Debezium connector $c: delete failed"
+            }
+            p.sinkConnectorName.foreach { c =>
+              if (connectorDeleteFails(c))
+                warnings += s"Failed to delete Sink connector $c: delete failed"
+            }
+            if (hardDelete) {
+              store.remove(id)
+              connections.unregisterPipeline(id)
+            } else {
+              store(id) = store(id).copy(deletedSeq = Some(nextSeq()))
+            }
+            Right(PipelineDeleteResult(
+              message = s"Pipeline $id ${if (hardDelete) "permanently deleted" else "soft deleted"}",
+              hardDelete = hardDelete,
+              deletedDebeziumConnector = p.debeziumConnectorName,
+              deletedSinkConnector = p.sinkConnectorName,
+              unregisteredTopics = p.kafkaTopics,
+              warnings = warnings.toSeq))
+        }
+      }
+
+    /** GET by id with the standard deleted_at filter (for specs). */
+    def getPipeline(id: String): Option[PipelineRecord] =
+      synchronized { store.get(id).filter(_.deletedSeq.isEmpty) }
+
+    def listPipelines(): Seq[PipelineRecord] =
+      synchronized { store.values.filter(_.deletedSeq.isEmpty).toSeq }
+
+    /** Raw row regardless of deleted_at — lets specs observe the
+      * soft-deleted state the hard lookup targets. */
+    private[graft] def getRaw(id: String): Option[PipelineRecord] =
+      synchronized { store.get(id) }
+
+    /** Test hooks: the runtime fields the start path populates in the
+      * reference (status transitions, connector names, topic registry). */
+    private[graft] def setStatus(id: String, status: String): Unit =
+      synchronized { store.get(id).foreach(p => store(id) = p.copy(status = status)) }
+    private[graft] def setConnectors(id: String, debezium: Option[String],
+        sink: Option[String], topics: Seq[String]): Unit =
+      synchronized {
+        store.get(id).foreach(p => store(id) = p.copy(
+          debeziumConnectorName = debezium, sinkConnectorName = sink,
+          kafkaTopics = topics))
+      }
   }
 }
 
@@ -879,3 +1188,72 @@ case class ConnectionRecord(id: String, name: String, connectionType: String,
 
 /** The DELETE endpoint's message/hard_delete response pair. */
 case class ConnectionDeleteResult(message: String, hardDelete: Boolean)
+
+/** Request shape of the reference's PipelineCreate model (api.py:879).
+  * Defaults mirror the Pydantic fields: mode defaults full_load_and_cdc,
+  * auto_create_target true, everything else optional. `tableMappings`
+  * carries the frontend's per-table dicts (string-valued keys are the
+  * only ones the extraction reads). */
+case class PipelineCreateRequest(
+    name: String,
+    sourceConnectionId: String,
+    targetConnectionId: String,
+    sourceDatabase: Option[String] = None,
+    sourceSchema: Option[String] = None,
+    sourceTables: Option[Seq[String]] = None,
+    targetDatabase: Option[String] = None,
+    targetSchema: Option[String] = None,
+    targetTables: Option[Seq[String]] = None,
+    mode: String = "full_load_and_cdc",
+    enableFullLoad: Option[Boolean] = None,
+    autoCreateTarget: Boolean = true,
+    targetTableMapping: Map[String, String] = Map.empty,
+    tableFilter: Option[String] = None,
+    tableMappings: Seq[Map[String, String]] = Seq.empty,
+    fullLoadType: Option[String] = None,
+    cdcEnabled: Option[Boolean] = None)
+
+/** Request shape of PipelineUpdate (api.py:1033) — every field optional,
+  * absent means keep. */
+case class PipelineUpdateRequest(
+    name: Option[String] = None,
+    sourceConnectionId: Option[String] = None,
+    targetConnectionId: Option[String] = None,
+    sourceDatabase: Option[String] = None,
+    sourceSchema: Option[String] = None,
+    sourceTables: Option[Seq[String]] = None,
+    targetDatabase: Option[String] = None,
+    targetSchema: Option[String] = None,
+    targetTables: Option[Seq[String]] = None,
+    mode: Option[String] = None,
+    enableFullLoad: Option[Boolean] = None,
+    autoCreateTarget: Option[Boolean] = None,
+    targetTableMapping: Option[Map[String, String]] = None,
+    tableFilter: Option[String] = None)
+
+/** Row shape of the pipeline CRUD responses (PipelineModel,
+  * models_db.py:93) with uuid4/utcnow replaced by the monotone sequence;
+  * `deletedSeq` non-empty marks a soft-deleted row. The connector names /
+  * topic list are the runtime fields the start path populates — carried
+  * here because the DELETE response reports them. */
+case class PipelineRecord(
+    id: String, name: String,
+    sourceConnectionId: String, targetConnectionId: String,
+    sourceDatabase: String, sourceSchema: String, sourceTables: Seq[String],
+    targetDatabase: String, targetSchema: String, targetTables: Seq[String],
+    mode: String, enableFullLoad: Option[Boolean], autoCreateTarget: Boolean,
+    targetTableMapping: Map[String, String], tableFilter: Option[String],
+    status: String, fullLoadStatus: String, cdcStatus: String,
+    debeziumConnectorName: Option[String], sinkConnectorName: Option[String],
+    kafkaTopics: Seq[String],
+    createdSeq: Long, updatedSeq: Long, deletedSeq: Option[Long])
+
+/** The pipeline DELETE endpoint's response: message / hard_delete /
+  * deleted_connectors {debezium, sink} / unregistered_topics, plus the
+  * reference's warning log lines surfaced as data so the
+  * continue-on-failure branches are observable in specs. */
+case class PipelineDeleteResult(message: String, hardDelete: Boolean,
+    deletedDebeziumConnector: Option[String],
+    deletedSinkConnector: Option[String],
+    unregisteredTopics: Seq[String],
+    warnings: Seq[String])

@@ -924,7 +924,17 @@ object Dedup {
     * an array_sort over per-doc collected (idx, para) structs — an
     * ObjectHashAggregate (collect shape), sorting only within one doc's
     * ≤~50 paragraphs, never a partition. */
-  def paragraphRewrite(spark: SparkSession, dir: String, wordsPerPara: Int = 12): DataFrame = {
+  def paragraphRewrite(spark: SparkSession, dir: String, wordsPerPara: Int = 12): DataFrame =
+    // collectAggGuard: the kept-paragraph lists are UNBOUNDED per-group
+    // buffers (a whole document each) — re-size the hash-agg spill
+    // threshold for this plan only; the session-wide raise is sized for
+    // fixed-size argmax buffers.
+    graft.Tables.collectAggGuard(paragraphRewriteRaw(spark, dir, wordsPerPara))
+
+  /** [[paragraphRewrite]]'s plan without the guard rebind — split out so
+    * the profile harness can attribute guard cost vs plan cost. */
+  private[graft] def paragraphRewriteRaw(spark: SparkSession, dir: String,
+      wordsPerPara: Int = 12): DataFrame = {
     val words = normCorpus(spark, dir).select(col("doc_id"), split(col("t"), " ").as("ws"))
     val chunks = words.select(col("doc_id"),
         posexplode(transform(
@@ -933,26 +943,29 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("para_idx"), col("col").as("para"))
     val digests = chunks.withColumn("sig", md5(col("para")))
     val packed = col("doc_id") * lit(1000000L) + col("para_idx")
-    val firsts = digests.groupBy("sig").agg(min(packed).as("first_packed"))
-    val flagged = digests.join(firsts, "sig")
+    // min-over-sig window, not groupBy(sig)+self-join: one exchange by sig
+    // marks every paragraph against its first occurrence. Then ONE per-doc
+    // aggregation produces the dup count AND the kept list together —
+    // collect_list skips the nulls the `when` leaves on duplicated rows,
+    // which is exactly the old affected-join's WHERE NOT is_dup, minus two
+    // exchanges and a join (3 exchanges total incl. the final sort, down
+    // from 5 — this plan's cost was dominated by per-stage latency, not
+    // data: ~25k paragraph rows at sf0.1). Same shape at 100 TB: both
+    // exchanges key on bounded buckets (sig posting, one document).
+    val flagged = digests.withColumn("first_packed",
+        min(packed).over(Window.partitionBy("sig")))
       .withColumn("is_dup", packed =!= col("first_packed"))
-    val affected = flagged.groupBy("doc_id")
-      .agg(sum(col("is_dup").cast("long")).as("n_dup"))
-      .where(col("n_dup") > 0).select("doc_id")
-    // collectAggGuard: the kept-paragraph lists are UNBOUNDED per-group
-    // buffers (a whole document each) — re-size the hash-agg spill
-    // threshold for this plan only; the session-wide raise is sized for
-    // fixed-size argmax buffers.
-    graft.Tables.collectAggGuard(
-      flagged.join(affected, "doc_id")
-        .where(!col("is_dup"))
-        .groupBy("doc_id")
-        .agg(collect_list(struct(col("para_idx"), col("para"))).as("kept"))
-        .select(col("doc_id"),
-          size(col("kept")).cast("long").as("n_kept"),
-          concat_ws(" ", transform(array_sort(col("kept")), k => k.getField("para"))).as("text_kept"))
-        .withColumn("n_chars_kept", length(col("text_kept")).cast("long"))
-        .orderBy("doc_id"))
+    flagged.groupBy("doc_id")
+      .agg(sum(col("is_dup").cast("long")).as("n_dup"),
+        collect_list(when(!col("is_dup"), struct(col("para_idx"), col("para")))).as("kept"))
+      // n_dup > 0 is the old `affected` semi-join; size(kept) > 0 mirrors
+      // the old inner join dropping docs whose every paragraph was a dup
+      .where(col("n_dup") > 0 && size(col("kept")) > 0)
+      .select(col("doc_id"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", transform(array_sort(col("kept")), k => k.getField("para"))).as("text_kept"))
+      .withColumn("n_chars_kept", length(col("text_kept")).cast("long"))
+      .orderBy("doc_id")
   }
 
   def paragraphRewriteSql: String =

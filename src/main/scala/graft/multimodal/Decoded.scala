@@ -26,8 +26,8 @@ import org.apache.spark.sql.types._
   * Scale shape: the decode is per-row mapPartitions work (no shuffle); the
   * memoized result is a narrow table (≤22 int64 columns) cached executor-
   * side. At 100 TB this is a persisted parquet table bucketed by doc_id,
-  * built once per corpus ingest — the memo stands in for that table within
-  * a session.
+  * built once per corpus ingest — [[writeDecodedTables]] is that writer
+  * (the memo stands in for the persisted table within a session).
   */
 object Decoded {
 
@@ -426,4 +426,40 @@ object Decoded {
       Video.sceneDetectOf(Tables.spread(
         Tables.load(spark, dir, "documents").select(col("doc_id"))))
     }
+
+  /** The EXECUTABLE 100 TB shape the memo stands in for (r14 verdict
+    * item 4): persist each decode-once table as parquet BUCKETED by
+    * doc_id (hash-bucketed files + sorted within buckets, registered in
+    * the session catalog — Spark's bucketing needs a table identity to
+    * carry the bucket spec). Built once per corpus ingest; every
+    * downstream per-document join or aggregation then reads its bucket
+    * co-partitioned — zero exchanges on the decoded side, which
+    * DecodedTablesSpec pins on the executed plan and the ScaleSmoke
+    * persisted-table rung demonstrates at the growth ladder.
+    *
+    * Bucket count: a real deployment sizes this at corpus ingest
+    * (rows/bucket ≈ tens of millions); the parameter is explicit so the
+    * smoke can exercise non-default counts. Returns the table names. */
+  def writeDecodedTables(spark: SparkSession, dir: String, buckets: Int = 32,
+      tablePrefix: String = "graft_decoded"): Seq[String] = {
+    val tables: Seq[(String, DataFrame, Seq[String])] = Seq(
+      (s"${tablePrefix}_images", images(spark, dir), Seq("doc_id")),
+      (s"${tablePrefix}_audio", audio(spark, dir), Seq("doc_id")),
+      (s"${tablePrefix}_video_frames", videoFrames(spark, dir),
+        Seq("doc_id", "frame_idx")),
+      // the scene panel is already one row per doc
+      (s"${tablePrefix}_video_scenes", videoScenes(spark, dir), Seq("doc_id")))
+    tables.map { case (name, df, sortCols) =>
+      df.write.mode("overwrite")
+        .bucketBy(buckets, "doc_id")
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .saveAsTable(name)
+      name
+    }
+  }
+
+  /** Read a persisted decode table back WITH its bucket spec (a plain
+    * parquet path read would lose it — the catalog carries it). */
+  def readDecodedTable(spark: SparkSession, name: String): DataFrame =
+    spark.table(name)
 }

@@ -25,9 +25,9 @@ import org.apache.spark.sql.types._
   *    `percentile(lag_ms, 0.95, n_events)` (the frequency-weighted form)
   *    against the current hwm at READ time. Exact percentile parity with
   *    the batch operator, state bounded by distinct (table, ts) pairs.
-  *    At 100 TB the rollup coarsens to minutes + a quantile sketch (the
-  *    registered `cdc_lag_percentiles_approx` path); the exact rollup is
-  *    the spec-parity form.
+  *    At 100 TB the rollup coarsens to minutes — [[monitorBatchCoarse]]/
+  *    [[boardCoarse]], registered with a spec'd ≤1-bin error contract;
+  *    the exact rollup is the spec-parity form.
   *
   * Parity contract ([[StreamLsnTrend]] precedent): replaying the same
   * events through any chunking yields the batch board bit-for-bit —
@@ -48,6 +48,7 @@ object StreamStatusBoard {
     StructField("event_type", StringType)))
 
   private def rollupPath(cfg: Config) = s"${cfg.statePath}/rollup"
+  private def rollupMinutePath(cfg: Config) = s"${cfg.statePath}/rollup_minute"
   private def keysPath(cfg: Config) = s"${cfg.statePath}/keys"
 
   private val rollupSchema = StructType(Seq(
@@ -84,15 +85,40 @@ object StreamStatusBoard {
     * into the N−1 snapshots, write the N snapshots. Exposed for direct
     * batch use (replay tests). */
   private[graft] def monitorBatch(
-      spark: SparkSession, cfg: Config, batch: DataFrame, batchId: Long): Unit = {
+      spark: SparkSession, cfg: Config, batch: DataFrame, batchId: Long): Unit =
+    foldBatch(spark, cfg, batch, batchId, coarse = false)
+
+  /** The 100 TB form the exact board's docstring names: the SAME fold,
+    * with the rollup key coarsened to the MINUTE. State is bounded by
+    * (table, active-minute) pairs — at any event rate, one row per table
+    * per minute — instead of distinct exact timestamps, and every
+    * read-time lag is off by at most one bin (both hwm and ts truncate
+    * down, so the error is two-sided: |coarse − exact| < 60 000 ms).
+    * Counters still telescope exactly (sums don't care about the key
+    * grain), so n_events / n_deletes / n_keys / delete_share are
+    * bit-identical to the exact board; lag_p95_ms carries the hard
+    * ≤1-bin bound — tighter than a quantile sketch's rank guarantee, with
+    * the same bounded-state shape (StreamStatusBoardSpec pins both).
+    * A sketch would add nothing here: after coarsening, the percentile
+    * input IS the bounded rollup, so the exact frequency-weighted
+    * percentile over it is already cheaper than sketch maintenance. */
+  private[graft] def monitorBatchCoarse(
+      spark: SparkSession, cfg: Config, batch: DataFrame, batchId: Long): Unit =
+    foldBatch(spark, cfg, batch, batchId, coarse = true)
+
+  private def foldBatch(spark: SparkSession, cfg: Config, batch: DataFrame,
+      batchId: Long, coarse: Boolean): Unit = {
+    val tsCol = if (coarse) date_trunc("minute", col("ts")) else col("ts")
     val ev = batch.select(
-      col("event_type").as("table_name"), col("user_id"), col("ts"),
+      col("event_type").as("table_name"), col("user_id"), tsCol.as("ts"),
       Cdc.opFromEventType(col("event_type")).as("op"))
-    // (table, ts) rollup: exact timestamp multiset, counters telescope
+    val rPath = if (coarse) rollupMinutePath(cfg) else rollupPath(cfg)
+    // (table, ts) rollup: timestamp multiset at the mode's grain,
+    // counters telescope
     val batchRollup = ev.groupBy("table_name", "ts")
       .agg(count(lit(1)).as("n_events"),
         sum(when(col("op") === "d", 1L).otherwise(0L)).as("n_deletes"))
-    val nextRollup = readSnapshot(spark, rollupPath(cfg), rollupSchema, batchId - 1)
+    val nextRollup = readSnapshot(spark, rPath, rollupSchema, batchId - 1)
       .unionByName(batchRollup)
       .groupBy("table_name", "ts")
       .agg(sum(col("n_events")).as("n_events"),
@@ -100,7 +126,7 @@ object StreamStatusBoard {
     nextRollup.withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(rollupPath(cfg))
+      .mode("overwrite").parquet(rPath)
     // distinct (table, user) set: monotone union
     val nextKeys = readSnapshot(spark, keysPath(cfg), keysSchema, batchId - 1)
       .unionByName(ev.select("table_name", "user_id"))
@@ -115,8 +141,18 @@ object StreamStatusBoard {
     * [[graft.cdc.Monitoring.statusBoard]] over the replayed events. Lag
     * math runs HERE, against the state's current high-water mark, with
     * the frequency-weighted exact percentile over the rollup. */
-  def board(spark: SparkSession, cfg: Config, batchId: Long): DataFrame = {
-    val rollup = readSnapshot(spark, rollupPath(cfg), rollupSchema, batchId)
+  def board(spark: SparkSession, cfg: Config, batchId: Long): DataFrame =
+    boardFrom(spark, cfg, batchId, coarse = false)
+
+  /** The board over the minute-coarsened state ([[monitorBatchCoarse]]):
+    * counters exact, lag columns within one bin of [[board]]. */
+  def boardCoarse(spark: SparkSession, cfg: Config, batchId: Long): DataFrame =
+    boardFrom(spark, cfg, batchId, coarse = true)
+
+  private def boardFrom(spark: SparkSession, cfg: Config, batchId: Long,
+      coarse: Boolean): DataFrame = {
+    val rollup = readSnapshot(spark,
+      if (coarse) rollupMinutePath(cfg) else rollupPath(cfg), rollupSchema, batchId)
     val keys = readSnapshot(spark, keysPath(cfg), keysSchema, batchId)
       .groupBy("table_name").agg(count(lit(1)).as("n_keys"))
     val hwm = rollup.agg(max(col("ts")).as("hwm"))

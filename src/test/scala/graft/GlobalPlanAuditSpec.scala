@@ -55,6 +55,9 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       "ann_ivf_occupancy", "pipe_lang_coverage", "cdc_lsn_latency_trend",
       "cdc_dml_mix_trend", "q_cumulative_uniques", "cdc_hot_key_share",
       "ann_lsh_occupancy",
+      // running HLL union + lag over the ≤|days|-row daily sketch rollup —
+      // the exact twin's (q_cumulative_uniques) justification verbatim
+      "q_cumulative_uniques_approx",
       // recall_curve ranks two <= k-row bounded takes; table_activity's
       // hwm window runs over the <= |topics|-row aggregate
       "ann_recall_curve", "cdc_table_activity",

@@ -550,7 +550,10 @@ class OperatorsSpec extends AnyFunSuite {
     // else carries a full DuckDB oracle
     val rowsOnly = Set("q_mad_approx", "cdc_lag_percentiles_approx",
       "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
-      "cdc_watermark_advise_approx")
+      "cdc_watermark_advise_approx",
+      // r15: the CMS/HLL twins (same rows-only + SketchesSpec pattern)
+      "cdc_hot_key_share_approx", "text_doc_freq_approx",
+      "q_cumulative_uniques_approx")
     assert(SparkEntry.queries.keySet -- rowsOnly === SparkEntry.oracleSql.keySet)
   }
 

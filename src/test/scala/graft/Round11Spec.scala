@@ -38,7 +38,10 @@ class Round11Spec extends AnyFunSuite {
     // live in SketchesSpec.
     val approxExempt = Set("q_mad_approx", "cdc_lag_percentiles_approx",
       "emb_dim_quantiles_approx", "cdc_event_size_pcts_approx",
-      "cdc_watermark_advise_approx")
+      "cdc_watermark_advise_approx",
+      // r15: the CMS/HLL twins (same rows-only + SketchesSpec pattern)
+      "cdc_hot_key_share_approx", "text_doc_freq_approx",
+      "q_cumulative_uniques_approx")
     val noOracle = registry -- SparkEntry.oracleSql.keySet -- approxExempt
     assert(noOracle.isEmpty, s"queries without oracleSql: ${noOracle.toSeq.sorted}")
   }

@@ -173,4 +173,57 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(aw - ew) <= 60000L,
       s"advised watermark $aw vs $ew — the ceil-to-minute grid may shift by at most one step")
   }
+
+  test("cdc_hot_key_share_approx: CMS never undercounts a hot key, share within the CMS ceiling") {
+    import org.apache.spark.sql.functions._
+    val rows = Sketches.approxHotKeyShare(spark, dir).collect()
+    val nKeys = graft.Tables.load(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.length === math.min(20L, nKeys).toInt,
+      "probe set is the exact top-k, capped by the key population")
+    val nTotal = graft.Tables.load(spark, dir, "events").count()
+    val bound = nTotal.toDouble * 4 / 1024 // same empirical N·depth/width ceiling
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_cnt"); val est = r.getAs[Long]("cms_cnt")
+      assert(est >= exact, s"user ${r.getAs[Long]("user_id")}: CMS must never undercount")
+      assert(est - exact <= bound, s"overcount ${est - exact} exceeds $bound")
+      val share = r.getAs[Double]("est_share")
+      assert(share >= exact.toDouble / nTotal && share <= (exact + bound) / nTotal,
+        "share is the estimate over the exact broadcast total")
+    }
+  }
+
+  test("text_doc_freq_approx: estimated df head matches the exact operator's head, one-sided error") {
+    val exact = graft.text.TextFunctions.termDocFreq(spark, dir).collect()
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val rows = Sketches.approxDocFreqHead(spark, dir).collect()
+    assert(rows.length === 20)
+    // identical probe semantics: the head terms and their exact df match
+    // the exact operator (both dedupe terms per doc before counting)
+    assert(rows.map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap === exact)
+    val nDocs = graft.Tables.load(spark, dir, "documents").count()
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df"); val est = r.getAs[Long]("df_est")
+      assert(est >= df, s"${r.getAs[String]("term")}: CMS must never undercount")
+      assert(r.getAs[Double]("df_ratio_est") === est.toDouble / nDocs)
+    }
+  }
+
+  test("q_cumulative_uniques_approx: per-day and cumulative HLL estimates within 5%, final day near-exact union") {
+    val exact = graft.analytics.Relational.cumulativeUniques(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("n_active"), r.getAs[Long]("cum_uniques")))
+    val approx = Sketches.approxCumulativeUniques(spark, dir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day"),
+        r.getAs[Long]("n_active_approx"), r.getAs[Long]("cum_uniques_approx")))
+    assert(approx.map(_._1).toSeq === exact.map(_._1).toSeq, "same day axis")
+    exact.zip(approx).foreach { case ((d, ea, ec), (_, aa, ac)) =>
+      assert(math.abs(aa.toDouble - ea) / ea < 0.05, s"$d: n_active $aa vs $ea")
+      assert(math.abs(ac.toDouble - ec) / ec < 0.05, s"$d: cum_uniques $ac vs $ec")
+    }
+    // the union telescopes: cumulative estimates never decrease
+    approx.map(_._3).toSeq.sliding(2).foreach { pair =>
+      if (pair.size == 2) assert(pair(1) >= pair(0), "HLL union is monotone")
+    }
+  }
 }

@@ -68,4 +68,38 @@ class StreamStatusBoardSpec extends AnyFunSuite {
     }
     assert(streamed(c1, 0L).toSeq == streamed(c5, 4L).toSeq)
   }
+
+  test("minute-coarsened board: counters exact, lag p95 within one bin, state bounded by active minutes") {
+    val c = cfg()
+    chunks(3).zipWithIndex.foreach { case (b, i) =>
+      StreamStatusBoard.monitorBatch(spark, c, b, i.toLong)
+      StreamStatusBoard.monitorBatchCoarse(spark, c, b, i.toLong)
+    }
+    val exact = StreamStatusBoard.board(spark, c, 2L)
+      .select("table_name", "n_events", "n_keys", "delete_share", "lag_p95_ms")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val coarse = StreamStatusBoard.boardCoarse(spark, c, 2L)
+      .select("table_name", "n_events", "n_keys", "delete_share", "lag_p95_ms")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(coarse.keySet == exact.keySet && exact.nonEmpty)
+    exact.foreach { case (t, (n, k, ds, p95)) =>
+      val (cn, ck, cds, cp95) = coarse(t)
+      assert(cn == n && ck == k && cds == ds,
+        s"$t: counters must be exact under coarsening (sums ignore key grain)")
+      assert(math.abs(cp95 - p95) < 60000.0,
+        s"$t: coarse p95 $cp95 must sit within one minute bin of exact $p95")
+    }
+    // the bounded-state claim: the coarse rollup holds one row per
+    // (table, active minute) — at most the exact rollup's row count and
+    // exactly the distinct (table, minute) population
+    val exactRows = spark.read.parquet(s"${c.statePath}/rollup")
+      .where(col("batch_id") === 2L)
+    val coarseRows = spark.read.parquet(s"${c.statePath}/rollup_minute")
+      .where(col("batch_id") === 2L)
+    val minutePop = exactRows
+      .select(col("table_name"), date_trunc("minute", col("ts"))).distinct().count()
+    assert(coarseRows.count() == minutePop && minutePop <= exactRows.count())
+  }
 }
