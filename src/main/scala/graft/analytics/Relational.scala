@@ -1516,9 +1516,12 @@ object Relational {
       .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
         .cast("long").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum(col("n")).cast("long").as("n_total"))
+    // total as a window over the 9-row digit panel (missing digits join
+    // as null and add 0) — the broadcast form re-planned the orders
+    // scan + aggregation twice
     expected.join(counts, Seq("digit"), "left")
-      .crossJoin(broadcast(tot))
+      .withColumn("n_total", sum(coalesce(col("n"), lit(0L)))
+        .over(Window.partitionBy(lit(1))).cast("long"))
       .select(col("digit"),
         coalesce(col("n"), lit(0L)).as("n_orders"),
         col("n_total"),
@@ -1754,8 +1757,11 @@ object Relational {
       .agg(count(lit(1)).as("n_lines"),
         (sum(col("rev")).cast("decimal(34,4)") * lit(10000))
           .cast("decimal(38,0)").as("rev_i"))
-    val tot = cells.agg(sum(col("rev_i")).cast("decimal(38,0)").as("tot_i"))
-    cells.crossJoin(broadcast(tot))
+    // total as a window over the ≤|nations|²-cell rollup — the broadcast
+    // form re-planned the three-way join + aggregation twice
+    cells
+      .withColumn("tot_i", sum(col("rev_i")).over(Window.partitionBy(lit(1)))
+        .cast("decimal(38,0)"))
       .select(col("supp_nation"), col("cust_nation"), col("n_lines"),
         (col("rev_i").cast("double") / lit(10000.0)).as("revenue"),
         (col("rev_i").cast("double") / col("tot_i").cast("double")).as("revenue_share"),
@@ -2503,23 +2509,27 @@ object Relational {
     val daily = Tables.load(spark, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n"))
-    val nDays = daily.agg(count(lit(1)).cast("long").as("n_days"))
-    val median = daily.crossJoin(broadcast(nDays))
+    // n_days / median as STACKED windows over the ≤|days| rollup — the
+    // three crossJoin(broadcast(...)) legs planned the orders rollup
+    // three times (n_days, the median pick, and the signed base)
+    val wAllR = Window.partitionBy(lit(1))
+    val signed = daily
+      .withColumn("n_days", count(lit(1)).over(wAllR))
       .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("day"))))
-      .where(col("rk") === ceil(col("n_days").cast("double") * 0.5).cast("long"))
-      .select(col("n").as("median"))
-      .limit(1) // rank filter yields exactly one row; limit makes the bound provable
-    val signed = daily.crossJoin(broadcast(median))
+      .withColumn("median", max(when(
+        col("rk") === ceil(col("n_days").cast("double") * 0.5).cast("long"),
+        col("n"))).over(wAllR))
       .where(col("n") =!= col("median"))
       .withColumn("above", (col("n") > col("median")).cast("long"))
     val folded = signed
       .withColumn("prev", lag(col("above"), 1).over(Window.orderBy("day")))
       .agg(
+        max(col("n_days")).as("n_days"),
         sum(when(col("prev").isNull || col("above") =!= col("prev"), 1L).otherwise(0L))
           .as("n_runs"),
         sum(col("above")).as("n_above"),
         sum(lit(1L) - col("above")).as("n_below"))
-    folded.crossJoin(broadcast(nDays))
+    folded
       .select(col("n_days"), col("n_above"), col("n_below"), col("n_runs"),
         (lit(2.0) * col("n_above") * col("n_below")
           / (col("n_above") + col("n_below")) + lit(1.0)).as("expected_runs"))
@@ -2838,8 +2848,12 @@ object Relational {
       .groupBy(col("l_suppkey"))
       .agg(sum(col("price_d") * (lit(1) - col("disc_d")))
         .cast(DecimalType(30, 4)).cast("double").as("total_revenue"))
-    val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
-    rev.crossJoin(broadcast(mx))
+    // max as a window over the |suppliers|-row aggregate: the broadcast
+    // form re-planned the whole lineitem aggregation — two full fact
+    // passes vs one pass + a dimension-bounded single-partition window
+    rev
+      .withColumn("max_revenue",
+        max(col("total_revenue")).over(Window.partitionBy(lit(1))))
       .where(col("total_revenue") === col("max_revenue"))
       .join(broadcast(Tables.load(spark, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))

@@ -924,11 +924,13 @@ object Monitoring {
     val perMin = changelog
       .groupBy(date_trunc("minute", col("ts")).as("minute"))
       .agg(count(lit(1)).as("n_events"))
-    val stats = perMin.agg(
-      count(lit(1)).as("n_buckets"),
-      sum(col("n_events")).as("s1"),
-      sum(col("n_events") * col("n_events")).as("s2"))
-    perMin.crossJoin(broadcast(stats))
+    // moments as windows over the ≤|minutes| rollup — the
+    // crossJoin(broadcast(perMin.agg)) form planned the event rollup twice
+    val wAllM = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perMin
+      .withColumn("n_buckets", count(lit(1)).over(wAllM))
+      .withColumn("s1", sum(col("n_events")).over(wAllM))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(wAllM))
       .withColumn("mean", col("s1").cast("double") / col("n_buckets").cast("double"))
       .withColumn("variance",
         col("s2").cast("double") / col("n_buckets").cast("double") - col("mean") * col("mean"))
@@ -1074,10 +1076,13 @@ object Monitoring {
     val perDay = changelog
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_events"))
-    val med = perDay.agg(expr("percentile(n_events, 0.5)").as("med"))
-    val withMed = perDay.crossJoin(broadcast(med))
-    val mad = withMed.agg(expr("percentile(abs(n_events - med), 0.5)").as("mad"))
-    withMed.crossJoin(broadcast(mad))
+    // median and MAD as STACKED windows over the ≤|days| rollup — the
+    // two crossJoin(broadcast(agg)) steps planned the per-day rollup
+    // three times
+    val wAllD = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perDay
+      .withColumn("med", expr("percentile(n_events, 0.5)").over(wAllD))
+      .withColumn("mad", expr("percentile(abs(n_events - med), 0.5)").over(wAllD))
       .where(col("mad") > 0 &&
         abs(col("n_events").cast("double") - col("med")) > lit(k) * col("mad"))
       .select(col("day"), col("n_events"), col("med"), col("mad"),

@@ -1017,8 +1017,15 @@ object Dedup {
       .select(length(col("df").cast("string")).cast("long").as("df_digits"), col("df"))
       .groupBy("df_digits")
       .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("posting_mass"))
-    hist.crossJoin(broadcast(hist.agg(
-        sum(col("n_shingles")).as("tot_sh"), sum(col("posting_mass")).as("tot_mass"))))
+    // totals as windows over the ≤~10-row digit rollup, NOT
+    // crossJoin(broadcast(hist.agg(...))) — the unshared `hist` fed both
+    // sides, planning the whole shingle fan-out twice (the
+    // mm_phash_hamming_hist fix, applied here; same global-window
+    // boundedness class, allowlisted)
+    val wAll = Window.partitionBy(lit(1))
+    hist
+      .withColumn("tot_sh", sum(col("n_shingles")).over(wAll))
+      .withColumn("tot_mass", sum(col("posting_mass")).over(wAll))
       .select(col("df_digits"), col("n_shingles"), col("posting_mass"),
         (col("n_shingles").cast("double") / col("tot_sh").cast("double")).as("shingle_share"),
         (col("posting_mass").cast("double") / col("tot_mass").cast("double")).as("mass_share"))
@@ -1613,7 +1620,11 @@ object Dedup {
           .when(col("hamming") <= 15, lit("07_15"))
           .otherwise(lit("16_plus")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-    hist.crossJoin(broadcast(hist.agg(sum(col("n_pairs")).as("total"))))
+    // total as a window over the ≤9-bucket hist — the
+    // crossJoin(broadcast(hist.agg)) form planned the candidate join +
+    // hamming subtree twice (the mm_phash_hamming_hist fix)
+    hist
+      .withColumn("total", sum(col("n_pairs")).over(Window.partitionBy(lit(1))))
       .select(col("bucket"), col("n_pairs"),
         (col("n_pairs").cast("double") / col("total").cast("double")).as("share"))
       .orderBy("bucket")

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline surface, over the
@@ -182,8 +183,12 @@ object TextFunctions {
       nChars.as("n_chars_d"),
       (nStop / nWords).as("stop_ratio"),
       md5(normText(col("text"))).as("sig"))
-    val canonical = scored.groupBy("sig").agg(min(col("doc_id")).as("keep_id"))
-    scored.join(canonical, "sig")
+    // min-over-sig window, not groupBy+self-join: the scored subtree
+    // (scan + stopword filter + md5) used to plan twice; one exchange by
+    // sig marks every doc against its canonical copy (bounded partitions:
+    // a sig group is one duplicate class)
+    scored
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("sig")))
       .select(col("source"),
         when(col("n_chars_d") < 50.0, "too_short")
           .when(col("n_chars_d") > 100000.0, "too_long")
@@ -353,13 +358,16 @@ object TextFunctions {
       .select(col("source"), size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-    val tot = perSource.agg(sum(col("n_tokens")).as("corpus_tokens"))
-    val weighted = perSource.crossJoin(broadcast(tot))
+    // totals as windows over the |sources|-row aggregate: the previous
+    // two crossJoin(broadcast(self.agg)) steps planned the scan+agg
+    // subtree three times
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perSource
+      .withColumn("corpus_tokens", sum(col("n_tokens")).over(wAll))
       .withColumn("natural_share",
         col("n_tokens").cast("double") / col("corpus_tokens").cast("double"))
       .withColumn("wq", floor(sqrt(col("natural_share")) * Q).cast("long"))
-    val wsum = weighted.agg(sum(col("wq")).as("wsum"))
-    weighted.crossJoin(broadcast(wsum))
+      .withColumn("wsum", sum(col("wq")).over(wAll))
       .withColumn("sampling_p", col("wq").cast("double") / col("wsum").cast("double"))
       .withColumn("boost", col("sampling_p") / col("natural_share"))
       .select("source", "n_docs", "n_tokens", "natural_share", "sampling_p", "boost")
@@ -438,13 +446,21 @@ object TextFunctions {
         i => struct(element_at(col("w"), i).as("w1"), element_at(col("w"), i + 1).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .where(col("w2").isNotNull)
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val bi = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    pairs
-      .join(bi, Seq("w1", "w2")).join(uni, Seq("w1"))
+    // ONE pass over the bigram fan-out: aggregate to per-(doc, bigram-type)
+    // counts first (map-side combined), then c12/c1 ride windows over
+    // those deduped type rows — the previous join form planned the explode
+    // THREE times (uni, bi, and the join base). Per-instance q telescopes
+    // to cdoc·q(type) because q is a pure function of the type (the floor
+    // lands identically). Hot-key caution: a window by w1 single-tasks the
+    // hottest unigram's TYPE rows — but so did the old w1 join; same skew
+    // class, one less subtree, two fewer shuffles.
+    val docTypes = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cdoc"))
+    docTypes
+      .withColumn("c12", sum(col("cdoc")).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum(col("cdoc")).over(Window.partitionBy("w1")))
       .withColumn("q", floor(col("c12").cast("double") / col("c1").cast("double") * Q).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sq"))
+      .agg(sum(col("cdoc")).as("n_bigrams"), sum(col("cdoc") * col("q")).as("sq"))
       .select(col("doc_id"), col("n_bigrams"),
         ((col("sq").cast("double") / Q) / col("n_bigrams").cast("double")).as("mean_bigram_p"))
       .orderBy("doc_id")
@@ -482,9 +498,11 @@ object TextFunctions {
     val docs = Tables.load(spark, dir, "documents")
     val terms = docs
       .select(col("doc_id"), explode(array_distinct(split(normText(col("text")), " "))).as("term"))
-    val df = terms.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a window over the single term fan-out (the groupBy+join form
+    // planned the explode twice); nDocs is a cheap pruned count scan
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    terms.join(df, "term")
+    terms
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .crossJoin(broadcast(nDocs))
       .groupBy("doc_id")
       .agg(
@@ -526,18 +544,30 @@ object TextFunctions {
     * for the quality-bucketing decision this feeds — and buys exactness
     * where a float Σln would depend on partitioning and libm.
     *
-    * Scale shape: one vocabulary shuffle for the counts (map-side
-    * combined), count table re-joined on the term key (AQE broadcasts
-    * it when it fits), the corpus total attached as a 1-row broadcast,
-    * and the per-doc rollup sums exact integers — order-independent. */
+    * Scale shape: one (doc, term) partial-agg shuffle over the single
+    * token fan-out, term totals as a window over those deduped type
+    * rows, the corpus total from a no-explode documents scan as a 1-row
+    * broadcast, and the per-doc rollup sums exact integers —
+    * order-independent. */
   def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
     val pows = array((0 to 40).map(k => lit(1L << k)): _*)
     val toks = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
       .where(length(col("term")) >= 1)
-    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    val n = toks.agg(count(lit(1)).as("n_total"))
-    toks.join(cnt, "term").crossJoin(broadcast(n))
+    // ONE pass over the token fan-out (was three: cnt, n, and the join
+    // base): per-(doc, term) counts first, the vocabulary count as a
+    // window over those deduped rows, and the corpus total from a
+    // separate NO-EXPLODE scan (per-row array size — the scan is cheap,
+    // the fan-out was the cost). Per-instance bits telescope to
+    // cdoc·bits(type) since bits is a pure function of (c, N).
+    val docTypes = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("cdoc"))
+    val n = Tables.load(spark, dir, "documents")
+      .select(size(filter(split(normText(col("text")), " "),
+        w => length(w) >= 1)).cast("long").as("k"))
+      .agg(sum(col("k")).as("n_total"))
+    docTypes
+      .withColumn("c", sum(col("cdoc")).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
       // overflow-free form of c·2ᵏ ≤ N: for positive integers it is
       // equivalent to 2ᵏ ≤ ⌊N/c⌋, and the division can never overflow
       // (c·p would once c reaches 2²³ at production corpus sizes —
@@ -547,7 +577,7 @@ object TextFunctions {
       .withColumn("bits",
         (size(filter(pows, p => p <= col("maxp"))) - 1).cast("long"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"),
+      .agg(sum(col("cdoc")).as("n_tokens"), sum(col("cdoc") * col("bits")).as("sum_bits"),
         max("bits").as("max_bits"))
       .select(col("doc_id"), col("n_tokens"), col("sum_bits"), col("max_bits"),
         (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"))
@@ -1079,10 +1109,15 @@ object TextFunctions {
     * is identical either way (log is monotone).
     *
     * Scale shape: one explode → (source, term) partial-aggregated
-    * shuffle; source totals ride a window on the already-aggregated
-    * rows (partitioned by source — never global); df is a second
-    * aggregation of those same rows keyed by term with a co-partitioned
-    * join back; ranking windows on the source key. */
+    * shuffle, then EVERY derived statistic rides windows on those
+    * already-aggregated rows — df as a count over the term partition,
+    * source totals and ranking over the source partition (the two
+    * source windows share one exchange; projections preserve the
+    * partitioning). The previous form re-aggregated tf by term and
+    * joined back, which planned the whole explode subtree TWICE (the
+    * unshared `tf` fed both sides) — measured ~1.7× the frozen median
+    * from exactly that duplication; windows on |sources×terms| rows
+    * never touch the token fan-out again. */
   def tfidf(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val tf = docs
@@ -1090,12 +1125,12 @@ object TextFunctions {
       .where(length(col("term")) >= 3 && !col("term").isInCollection(stopwords))
       .groupBy("source", "term").agg(count(lit(1)).as("tf"))
     val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val byTerm = org.apache.spark.sql.expressions.Window.partitionBy("term")
     val nSources = docs.agg(countDistinct(col("source")).as("n_sources"))
     val rk = org.apache.spark.sql.expressions.Window
       .partitionBy("source").orderBy(col("score").desc, col("term"))
-    tf.withColumn("source_terms", sum(col("tf")).over(bySource))
-      .join(df, "term")
+    tf.withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("source_terms", sum(col("tf")).over(bySource))
       .crossJoin(broadcast(nSources))
       .withColumn("score",
         (col("tf").cast("double") / col("source_terms").cast("double")) *
@@ -1233,10 +1268,11 @@ object TextFunctions {
       .agg(
         count(when(col("snap") === 0, 1)).as("n_t0"),
         count(when(col("snap") === 1, 1)).as("n_t1"))
-    val totals = docs.agg(
-      count(when(col("snap") === 0, 1)).as("tot0"),
-      count(when(col("snap") === 1, 1)).as("tot1"))
-    perBucket.crossJoin(broadcast(totals))
+    // totals as windows over the <=10-bucket rollup, not a second scan
+    val wAll = Window.partitionBy(lit(1))
+    perBucket
+      .withColumn("tot0", sum(col("n_t0")).over(wAll))
+      .withColumn("tot1", sum(col("n_t1")).over(wAll))
       .withColumn("share_t0", col("n_t0").cast("double") / col("tot0").cast("double"))
       .withColumn("share_t1", col("n_t1").cast("double") / col("tot1").cast("double"))
       .withColumn("abs_drift", abs(col("share_t0") - col("share_t1")))
@@ -1637,8 +1673,11 @@ object TextFunctions {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-    val nSources = perSource.select(count(lit(1)).as("n_sources"))
-    perSource.crossJoin(broadcast(nSources))
+    // source count as a window over the |sources|-row aggregate, not a
+    // re-planned crossJoin(broadcast(perSource.agg))
+    perSource
+      .withColumn("n_sources",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
       .withColumn("share", expr(s"${budget}L div n_sources"))
       .withColumn("keep_prob",
         least(lit(1.0), col("share").cast("double") / col("total_tokens").cast("double")))
@@ -1668,7 +1707,9 @@ object TextFunctions {
     * shares are then double divisions of exact longs.
     *
     * Scale shape: one scan, one partial-aggregated shuffle on the small
-    * source key, grand totals broadcast back as a 1-row scalar join. */
+    * source key, grand totals as windows over the |sources|-row
+    * aggregate (a crossJoin(broadcast(perSource.agg)) would plan the
+    * scan+aggregation twice — the unshared-subtree trap). */
   def domainMix(spark: SparkSession, dir: String): DataFrame = {
     val perSource = Tables.load(spark, dir, "documents")
       .select(col("source"),
@@ -1679,10 +1720,10 @@ object TextFunctions {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("good")).as("good_docs"))
-    val totals = perSource.agg(
-      sum(col("total_tokens")).as("corpus_tokens"),
-      sum(col("good_docs")).as("corpus_good"))
-    perSource.crossJoin(broadcast(totals))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    perSource
+      .withColumn("corpus_tokens", sum(col("total_tokens")).over(wAll))
+      .withColumn("corpus_good", sum(col("good_docs")).over(wAll))
       .withColumn("current_share",
         col("total_tokens").cast("double") / col("corpus_tokens").cast("double"))
       .withColumn("target_share",
@@ -2175,8 +2216,12 @@ object TextFunctions {
     * |sources|-row output with one broadcast totals row. */
   def mixAnneal(spark: SparkSession, dir: String): DataFrame = {
     val mix = domainMix(spark, dir).select(col("source"), col("total_tokens"), col("good_docs"))
-    val tot = mix.agg(sum(col("total_tokens")).as("ct"), sum(col("good_docs")).as("cg"))
-    mix.crossJoin(broadcast(tot))
+    // totals as windows over the |sources|-row mix, not a re-planned
+    // crossJoin(broadcast(mix.agg)) — mix embeds the corpus scan
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    mix
+      .withColumn("ct", sum(col("total_tokens")).over(wAll))
+      .withColumn("cg", sum(col("good_docs")).over(wAll))
       .withColumn("b1", expr("ct * 4 div 5"))
       .withColumn("b2", col("ct") - col("b1"))
       .withColumn("alloc_phase1",
@@ -2308,8 +2353,10 @@ object TextFunctions {
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(sum(col("n_tokens")).as("total_tokens"))
-    val nSources = perSource.select(count(lit(1)).as("n_sources"))
-    perSource.crossJoin(broadcast(nSources))
+    // source count as a window over the |sources|-row aggregate, not a
+    // re-planned crossJoin(broadcast(perSource.agg))
+    perSource
+      .withColumn("n_sources", count(lit(1)).over(Window.partitionBy(lit(1))))
       .withColumn("alloc_tokens", expr(s"${budget}L div n_sources"))
       .withColumn("epochs",
         expr("(alloc_tokens + total_tokens - 1L) div total_tokens"))
@@ -2416,12 +2463,14 @@ object TextFunctions {
       .withColumn("source_idx",
         (dense_rank().over(org.apache.spark.sql.expressions.Window.orderBy("source")) - 1)
           .cast("long"))
-    val nSources = srcIdx.select(count(lit(1)).as("n_sources"))
+    // carry n_sources inside the broadcast index (a window over its
+    // |sources| rows) instead of re-planning the distinct for a scalar
+    val srcIdxN = srcIdx.withColumn("n_sources",
+      count(lit(1)).over(Window.partitionBy(lit(1))))
     docs
       .select(col("doc_id"), col("source"),
         row_number().over(wSrc).cast("long").as("pos_in_source"))
-      .join(broadcast(srcIdx), "source")
-      .crossJoin(broadcast(nSources))
+      .join(broadcast(srcIdxN), "source")
       .withColumn("global_pos",
         (col("pos_in_source") - 1L) * col("n_sources") + col("source_idx"))
       .select("doc_id", "source", "pos_in_source", "global_pos")
@@ -2615,14 +2664,27 @@ object TextFunctions {
       .select(col("source"), explode(col("grams")).as("g"))
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
-      .distinct()
-    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val l = grams.select(col("gh"), col("source").as("source_a"))
-    val r = grams.select(col("gh"), col("source").as("source_b"))
-    l.join(r, "gh")
-      .where(col("source_a") < col("source_b"))
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_common"))
+    // ONE pass over the gram fan-out: per-gh source SETS (collect_set
+    // dedupes, so no separate distinct() exchange), then every output
+    // statistic — per-source distinct-gram sizes AND per-pair common
+    // counts — explodes out of that one bucketed table as (a, b=null)
+    // singletons and (a < b) in-bucket pairs and aggregates over the tiny
+    // ≤|sources|+|sources|² key space. The previous form planned the
+    // fan-out subtree THREE times (sizes + both sides of a gh self-join);
+    // this also replaces the self-join's per-gram postings² blowup with a
+    // set bounded by |sources| — strictly better at corpus scale.
+    val buckets = grams.groupBy("gh").agg(sort_array(collect_set(col("source"))).as("ss"))
+    val units = buckets.select(explode(concat(
+        transform(col("ss"), s => struct(s.as("a"), lit(null).cast("string").as("b"))),
+        flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            y => struct(x.as("a"), y.as("b"))))))).as("u"))
+      .select(col("u.a").as("a"), col("u.b").as("b"))
+    val counts = units.groupBy("a", "b").agg(count(lit(1)).as("n"))
+    val sizes = counts.where(col("b").isNull)
+      .select(col("a").as("source"), col("n").as("n_grams"))
+    counts.where(col("b").isNotNull)
+      .select(col("a").as("source_a"), col("b").as("source_b"), col("n").as("n_common"))
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n_grams").as("n_a"))), "source_a")
       .join(broadcast(sizes.select(col("source").as("source_b"), col("n_grams").as("n_b"))), "source_b")
       .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"), col("n_b"),

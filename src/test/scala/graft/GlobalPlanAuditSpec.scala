@@ -58,6 +58,25 @@ class GlobalPlanAuditSpec extends AnyFunSuite {
       // running HLL union + lag over the ≤|days|-row daily sketch rollup —
       // the exact twin's (q_cumulative_uniques) justification verbatim
       "q_cumulative_uniques_approx",
+      // r15 duplicate-subtree fixes: grand totals moved from
+      // crossJoin(broadcast(self.agg)) — which re-planned the corpus-
+      // sized subtree once per scalar — onto windows over the ALREADY
+      // AGGREGATED rollup each operator ends in. Every input below is
+      // bounded by construction:
+      // ≤|minutes| / ≤|days| event rollups
+      "cdc_burst_detect", "cdc_robust_anomaly",
+      // ≤~10-row df-digit / ≤9-bucket hamming histograms
+      "dedup_shingle_df_hist", "dedup_simhash_dist_hist",
+      // |sources|-row mix tables (domainMix and its consumers)
+      "pipe_domain_mix", "pipe_mix_drift", "pipe_mix_anneal",
+      "pipe_temperature_mix", "pipe_token_budget", "pipe_epochs_plan",
+      // ≤10-bucket drift histogram
+      "pipe_quality_drift",
+      // |suppliers|-row revenue aggregate (dimension-bounded; the
+      // broadcast form paid TWO full lineitem passes instead)
+      "q15_top_supplier",
+      // ≤|nations|²-cell trade matrix / 9-row digit panel
+      "q_trade_matrix", "q_benford_audit",
       // recall_curve ranks two <= k-row bounded takes; table_activity's
       // hwm window runs over the <= |topics|-row aggregate
       "ann_recall_curve", "cdc_table_activity",
