@@ -874,8 +874,11 @@ object Dedup {
     val digests = chunks.select(col("doc_id"), col("para_idx"),
       length(col("para")).cast("long").as("n_chars"), md5(col("para")).as("sig"))
     val packed = col("doc_id") * lit(1000000L) + col("para_idx")
-    val firsts = digests.groupBy("sig").agg(min(packed).as("first_packed"))
-    digests.join(firsts, "sig")
+    // min-over-sig window, not groupBy+self-join: one exchange by sig
+    // instead of a re-planned paragraph fan-out (same cut as the
+    // rewrite leg, paragraphRewriteRaw)
+    digests
+      .withColumn("first_packed", min(packed).over(Window.partitionBy("sig")))
       .withColumn("is_dup", packed =!= col("first_packed"))
       .groupBy("doc_id")
       .agg(
