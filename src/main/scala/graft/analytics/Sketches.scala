@@ -84,23 +84,27 @@ object Sketches {
     * can compare), return (item, exact_cnt, cms_cnt) hottest-first. */
   private def cmsTopCounts(items: DataFrame, topK: Int,
                            depth: Int, width: Int): DataFrame = {
-    def rowBuckets = array((0 until depth).map { i =>
-      struct(lit(i).as("row"), pmod(xxhash64(col("item"), lit(i)), lit(width)).as("bucket"))
-    }: _*)
-    val cms = items
-      .select(explode(rowBuckets).as("rb"))
-      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-    val exact = items.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+    // ONE pass over the item stream: exact per-item counts first
+    // (map-side combined), then each CMS bucket total rides a window over
+    // the depth-expanded |distinct items| rows — per-bucket sums of the
+    // counts that hash there are EXACTLY the CMS cell values, without the
+    // earlier build-then-join shape that planned the item fan-out twice
+    // (once for the sketch, once for the probe set). Window partitions
+    // are the depth×width cells; rows per cell ≈ |items|/width.
+    val counts = items.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+    counts
+      .select(col("item"), col("exact_cnt"),
+        explode(array((0 until depth).map { i =>
+          struct(lit(i).as("row"),
+            pmod(xxhash64(col("item"), lit(i)), lit(width)).as("bucket"))
+        }: _*)).as("rb"))
+      .withColumn("bucket_cnt", sum(col("exact_cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("rb.row"), col("rb.bucket"))))
+      .groupBy("item", "exact_cnt")
+      .agg(min(col("bucket_cnt")).as("cms_cnt"))
       .orderBy(col("exact_cnt").desc, col("item"))
       .limit(topK)
-    exact
-      .select(col("item"), col("exact_cnt"), explode(rowBuckets).as("rb"))
-      .select(col("item"), col("exact_cnt"),
-        col("rb.row").as("row"), col("rb.bucket").as("bucket"))
-      .join(broadcast(cms), Seq("row", "bucket"))
-      .groupBy("item", "exact_cnt")
-      .agg(min(col("cnt")).as("cms_cnt"))
       .orderBy(col("exact_cnt").desc, col("item"))
   }
 

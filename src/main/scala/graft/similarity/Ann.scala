@@ -2013,6 +2013,13 @@ object Ann {
       posexplode(col("embedding")).as(Seq("pos", "x")))
     def qSum(c: Column): Column =
       sum(floor(c * Q).cast("long").cast(DecimalType(38, 0))).cast("double") / Q
+    // NOTE (r15): tried windows-over-the-explode here to avoid planning
+    // the fan-out twice — measured flat at sf0.1 and strictly WORSE at
+    // scale: the (label, pos) window must shuffle+sort the entire
+    // |vecs|·d exploded table, while this groupBy map-side-combines it
+    // to ≤|labels|·d partials and broadcasts the tiny result back. The
+    // duplicate-subtree cut only pays when the re-planned subtree costs
+    // more than the extra shuffle it avoids.
     val centroids = long.groupBy("label", "pos")
       .agg((qSum(col("x").cast("double")) / count(lit(1))).as("c"))
     val dist = long

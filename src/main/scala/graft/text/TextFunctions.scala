@@ -1191,11 +1191,16 @@ object TextFunctions {
       .select(col("doc_id"), explode(array_distinct(split(normText(col("text")), " "))).as("term"))
       .where(length(col("term")) >= 3)
       .join(broadcast(top), "term")
-    val a = docTerms.select(col("doc_id"), col("term").as("term_a"))
-    val b = docTerms.select(col("doc_id"), col("term").as("term_b"))
-    a.join(b, Seq("doc_id"))
-      .where(col("term_a") < col("term_b"))
-      .groupBy("term_a", "term_b")
+    // per-doc SET of head terms (≤ vocab entries), pairs exploded from the
+    // sorted set in place — the doc_id self-join planned the filtered
+    // fan-out twice and shuffled it twice; this is one subtree and the
+    // per-doc pair fan-out stays ≤ vocab²/2 by the same cap
+    docTerms
+      .groupBy("doc_id").agg(sort_array(collect_set(col("term"))).as("ts"))
+      .select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+          y => struct(x.as("term_a"), y.as("term_b")))))).as("p"))
+      .groupBy(col("p.term_a").as("term_a"), col("p.term_b").as("term_b"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("n_docs").desc, col("term_a"), col("term_b"))
       .limit(topK)
@@ -2681,12 +2686,22 @@ object TextFunctions {
             y => struct(x.as("a"), y.as("b"))))))).as("u"))
       .select(col("u.a").as("a"), col("u.b").as("b"))
     val counts = units.groupBy("a", "b").agg(count(lit(1)).as("n"))
-    val sizes = counts.where(col("b").isNull)
-      .select(col("a").as("source"), col("n").as("n_grams"))
-    counts.where(col("b").isNotNull)
-      .select(col("a").as("source_a"), col("b").as("source_b"), col("n").as("n_common"))
-      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_grams").as("n_a"))), "source_a")
-      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_grams").as("n_b"))), "source_b")
+    // pack the whole ≤|sources|+|sources|² panel into ONE row (sizes as a
+    // map, pairs as an array) and explode pairs with the sizes map CARRIED
+    // ALONG — per-pair n_a/n_b are map lookups on the same row, so the
+    // fan-out subtree plans exactly once (the broadcast-join form planned
+    // it once per reference: pair leg + two size sides)
+    counts
+      .agg(collect_list(struct(col("a"), col("b"), col("n"))).as("rs"))
+      .select(
+        map_from_entries(expr("transform(filter(rs, r -> r.b is null), r -> struct(r.a, r.n))"))
+          .as("sizes"),
+        expr("filter(rs, r -> r.b is not null)").as("prs"))
+      .select(explode(col("prs")).as("p"), col("sizes"))
+      .select(col("p.a").as("source_a"), col("p.b").as("source_b"),
+        col("p.n").as("n_common"),
+        element_at(col("sizes"), col("p.a")).as("n_a"),
+        element_at(col("sizes"), col("p.b")).as("n_b"))
       .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"), col("n_b"),
         (col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double")).as("containment"),
         (col("n_common").cast("double") /
