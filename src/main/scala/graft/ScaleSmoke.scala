@@ -63,6 +63,39 @@ object ScaleSmoke {
       Materialize.latestSnapshot(skewed).count()
     }
 
+    // ── deployment CMS vs the exact per-key pass (r15 verdict item 1) ──
+    // The rung where the exact groupBy is the bottleneck by construction:
+    // the ×factor changelog has |keys| ≈ 150k × factor distinct pks, so
+    // the exact per-key count shuffles millions of grouping keys, while
+    // the deployment CMS build's ONLY shuffle carries ≤ 4×1024 cell keys
+    // at ANY cardinality — the prose claim of r12–r15, now timed.
+    {
+      import graft.analytics.Sketches
+      val keyed = bigChangelog.select(col("pk").as("item"))
+      val tE0 = System.nanoTime()
+      val exactRow = keyed.groupBy("item").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("hottest")).collect()(0)
+      val tExact = (System.nanoTime() - tE0) / 1e9
+      val tB0 = System.nanoTime()
+      val cells = Sketches.cmsCellCounts(keyed).cache()
+      val nCells = cells.count()
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      require(nCells <= 4L * 1024L,
+        s"deployment CMS must hold <= depth*width cells, saw $nCells")
+      // probe an EXTERNAL candidate list (the deployment contract): 100
+      // keys that never touch the raw stream again
+      val tP0 = System.nanoTime()
+      val probeMax = Sketches.cmsProbe(cells,
+          spark.range(100).select((col("id") * 1000003L).as("item")))
+        .agg(max(col("cms_cnt"))).collect()(0).getLong(0)
+      val tProbe = (System.nanoTime() - tP0) / 1e9
+      cells.unpersist()
+      println(f"== CMS deployment topology: exact per-key groupBy " +
+        f"${exactRow.getAs[Long]("n_keys")}%d keys in $tExact%.1f s vs " +
+        f"cell build ($nCells%d cells, one <=4096-key shuffle) $tBuild%.1f s " +
+        f"+ 100-candidate probe $tProbe%.2f s (probe max estimate $probeMax%d)")
+    }
+
     val docFactor = math.max(factor / 2, 2)
     // same stream-side-partitioning rationale as the events spread above
     val docs = Tables.spread(Tables.load(spark, dir, "documents"))

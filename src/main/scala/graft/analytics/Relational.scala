@@ -2505,28 +2505,45 @@ object Relational {
     * Scale shape: the daily rollup is a ≤|days|-key map-side-combined
     * aggregation; everything after runs over that bounded table (the
     * median pick, the lag window, the scalar fold — all ≤|days| rows). */
-  def runsTest(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.load(spark, dir, "orders")
+  def runsTest(spark: SparkSession, dir: String): DataFrame =
+    runsTestOfDaily(Tables.load(spark, dir, "orders")
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The fold behind [[runsTest]] over an explicit (day, n) rollup —
+    * exposed so the degenerate regimes (all days at the median, empty
+    * input) are spec-testable without a synthetic parquet dir. */
+  private[graft] def runsTestOfDaily(daily: DataFrame): DataFrame = {
     // n_days / median as STACKED windows over the ≤|days| rollup — the
     // three crossJoin(broadcast(...)) legs planned the orders rollup
     // three times (n_days, the median pick, and the signed base)
     val wAllR = Window.partitionBy(lit(1))
+    // Every day stays through the fold: equal-to-median days carry a NULL
+    // sign (excluded from the runs math by null-skipping aggregation, the
+    // standard treatment) instead of being filtered out, so n_days is the
+    // TRUE day count even when no day deviates from the median — the
+    // degenerate input where a post-filter max() came back NULL while the
+    // oracle's separate day-count CTE still reported it (ADVICE r15).
     val signed = daily
       .withColumn("n_days", count(lit(1)).over(wAllR))
       .withColumn("rk", row_number().over(Window.orderBy(col("n"), col("day"))))
       .withColumn("median", max(when(
         col("rk") === ceil(col("n_days").cast("double") * 0.5).cast("long"),
         col("n"))).over(wAllR))
-      .where(col("n") =!= col("median"))
-      .withColumn("above", (col("n") > col("median")).cast("long"))
+      .withColumn("above",
+        when(col("n") > col("median"), 1L).when(col("n") < col("median"), 0L))
     val folded = signed
-      .withColumn("prev", lag(col("above"), 1).over(Window.orderBy("day")))
+      // lag over the non-NULL signs only: prev = the previous DEVIATING
+      // day, exactly the oracle's lag over its filtered set
+      .withColumn("prev",
+        lag(col("above"), 1, null, ignoreNulls = true).over(Window.orderBy("day")))
       .agg(
-        max(col("n_days")).as("n_days"),
-        sum(when(col("prev").isNull || col("above") =!= col("prev"), 1L).otherwise(0L))
-          .as("n_runs"),
+        count(lit(1)).as("n_days"),
+        // when() without otherwise: non-deviating rows contribute NULL, so
+        // an all-equal-median input folds to NULL (the oracle's empty-set
+        // sum), not a fabricated 0
+        sum(when(col("above").isNotNull &&
+          (col("prev").isNull || col("above") =!= col("prev")), 1L)).as("n_runs"),
         sum(col("above")).as("n_above"),
         sum(lit(1L) - col("above")).as("n_below"))
     folded

@@ -49,7 +49,12 @@ object StreamStatusBoard {
 
   private def rollupPath(cfg: Config) = s"${cfg.statePath}/rollup"
   private def rollupMinutePath(cfg: Config) = s"${cfg.statePath}/rollup_minute"
-  private def keysPath(cfg: Config) = s"${cfg.statePath}/keys"
+  // each mode owns its keys snapshot chain end-to-end (like rollup vs
+  // rollup_minute): sharing one path meant boardCoarse at batch N read a
+  // keys snapshot that only existed if the OTHER mode had folded every
+  // batch on the same statePath (ADVICE r15)
+  private def keysPath(cfg: Config, coarse: Boolean) =
+    if (coarse) s"${cfg.statePath}/keys_minute" else s"${cfg.statePath}/keys"
 
   private val rollupSchema = StructType(Seq(
     StructField("table_name", StringType),
@@ -128,13 +133,13 @@ object StreamStatusBoard {
       .option("partitionOverwriteMode", "dynamic")
       .mode("overwrite").parquet(rPath)
     // distinct (table, user) set: monotone union
-    val nextKeys = readSnapshot(spark, keysPath(cfg), keysSchema, batchId - 1)
+    val nextKeys = readSnapshot(spark, keysPath(cfg, coarse), keysSchema, batchId - 1)
       .unionByName(ev.select("table_name", "user_id"))
       .dropDuplicates("table_name", "user_id")
     nextKeys.withColumn("batch_id", lit(batchId))
       .write.partitionBy("batch_id")
       .option("partitionOverwriteMode", "dynamic")
-      .mode("overwrite").parquet(keysPath(cfg))
+      .mode("overwrite").parquet(keysPath(cfg, coarse))
   }
 
   /** The board after `batchId` — bit-parity with
@@ -153,7 +158,7 @@ object StreamStatusBoard {
       coarse: Boolean): DataFrame = {
     val rollup = readSnapshot(spark,
       if (coarse) rollupMinutePath(cfg) else rollupPath(cfg), rollupSchema, batchId)
-    val keys = readSnapshot(spark, keysPath(cfg), keysSchema, batchId)
+    val keys = readSnapshot(spark, keysPath(cfg, coarse), keysSchema, batchId)
       .groupBy("table_name").agg(count(lit(1)).as("n_keys"))
     val hwm = rollup.agg(max(col("ts")).as("hwm"))
     rollup.crossJoin(broadcast(hwm))

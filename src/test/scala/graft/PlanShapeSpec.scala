@@ -250,6 +250,46 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("deployment CMS build: the ONLY exchange carries the <=depth*width cell keys") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB claim made executable (r15 verdict item 1): however many
+    // distinct keys the stream has, the build plan's single shuffle
+    // groups by (row, bucket) — at most 4*1024 keys — map-side combined.
+    // A per-item groupBy sneaking back in would add a second hash
+    // exchange (on `item`) and fail here.
+    val items = Tables.load(TestSpark.spark, TestSpark.dir, "events")
+      .select(col("user_id").as("item"))
+    val p = graft.analytics.Sketches.cmsCellCounts(items)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"build must shuffle exactly once, saw $exchanges:\n$p")
+    assert("hashpartitioning\\(row#\\d+L?, bucket#\\d+".r.findFirstIn(p).isDefined,
+      s"the one exchange must partition by the CMS cell key, not the item:\n$p")
+    assert(!"hashpartitioning\\(item".r.findFirstIn(p).isDefined,
+      "no per-item shuffle may exist in the deployment build")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "cell counts must combine map-side before the exchange")
+  }
+
+  test("deployment CMS probe: cells broadcast, the raw stream is never re-grouped") {
+    import org.apache.spark.sql.functions._
+    val items = Tables.load(TestSpark.spark, TestSpark.dir, "events")
+      .select(col("user_id").as("item"))
+    val cells = graft.analytics.Sketches.cmsCellCounts(items)
+    val candidates = TestSpark.spark.range(20).select(col("id").as("item"))
+    val p = graft.analytics.Sketches.cmsProbe(cells, candidates)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=4096-row cell table must broadcast to the candidates")
+    assert(!p.contains("SortMergeJoin"),
+      "probing must never shuffle-join candidates against cells")
+    // the only hash exchanges allowed: the build's (row,bucket) one and
+    // the per-CANDIDATE min fold — both bounded; never one on the raw
+    // stream's item column upstream of the join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"probe plan over-shuffles ($exchanges exchanges):\n$p")
+  }
+
   test("IVF-PQ: the probe prunes via a broadcast equi-join, scan spine shuffle-free") {
     val p = planOf("ann_ivfpq_topk")
     // cell pruning must be a broadcast hash join on the label (2-row

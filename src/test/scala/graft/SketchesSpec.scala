@@ -226,4 +226,39 @@ class SketchesSpec extends AnyFunSuite {
       if (pair.size == 2) assert(pair(1) >= pair(0), "HLL union is monotone")
     }
   }
+
+  test("deployment CMS: raw-stream cell build + external-candidate probe " +
+       "reproduce the contract form's estimates exactly") {
+    import org.apache.spark.sql.functions._
+    // the same token stream approxHeavyHitters feeds its contract core
+    val tokens = graft.Tables.load(spark, dir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("item"))
+      .where(length(col("item")) >= 3)
+    val cells = Sketches.cmsCellCounts(tokens).cache()
+    // structure: at most depth*width cells, and mass conservation — every
+    // raw item lands in exactly `depth` cells, so cell totals sum to
+    // depth * |stream| regardless of how the counts were accumulated
+    assert(cells.count() <= 4L * 1024L)
+    val mass = cells.agg(sum("cnt")).collect()(0).getLong(0)
+    assert(mass === 4L * tokens.count(), "each item increments depth cells")
+    // identity: probing the contract form's own probe set (the exact
+    // top-20) through the deployment cells gives the SAME estimates the
+    // window-derived contract plan reports — same cells, same min-read
+    val contract = Sketches.approxHeavyHitters(spark, dir).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("cms_cnt")).toMap
+    val candidates = tokens.sparkSession.createDataFrame(
+      contract.keys.toSeq.map(Tuple1(_))).toDF("item")
+    val probed = Sketches.cmsProbe(cells, candidates).collect()
+      .map(r => r.getAs[String]("item") -> r.getAs[Long]("cms_cnt")).toMap
+    assert(probed === contract,
+      "deployment cells must be cell-identical to the contract topology")
+    // an absent candidate still reads one-sided: estimate >= 0, and a key
+    // hashing only to unhit cells coalesces to 0 rather than NULL
+    val absent = Sketches.cmsProbe(cells,
+      tokens.sparkSession.createDataFrame(
+        Seq(Tuple1("__graft_absent_key_that_never_occurs__"))).toDF("item"))
+      .collect()
+    assert(absent.length === 1 && absent(0).getAs[Long]("cms_cnt") >= 0L)
+    cells.unpersist()
+  }
 }
