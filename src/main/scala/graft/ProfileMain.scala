@@ -45,6 +45,38 @@ object ProfileMain {
   }
 }
 
+/** Same-window A/B adjudicator (r15 verdict item 2's method, made a
+  * fixture): times competing forms of one operator INTERLEAVED in a
+  * single JVM/window, so ambient drift hits both sides equally and the
+  * winner is code-attributable. Passes alternate A,B,A,B,… per rep. */
+object ProfileAB {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PROFILE_PASSES", "7").toInt
+    val spark = Tables.localSession("graft-profile-ab", 32)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val forms: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "cooc_set_explode" -> (() => graft.text.TextFunctions.cooccurrenceSetExplode(spark, sfDir)),
+      "cooc_self_join" -> (() => graft.text.TextFunctions.cooccurrenceSelfJoin(spark, sfDir)))
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to passes).foreach { _ =>
+      forms.foreach { case (n, mk) =>
+        val t0 = System.nanoTime()
+        mk().write.format("noop").mode("overwrite").save()
+        times(n) = times(n) :+ (System.nanoTime() - t0) / 1e9
+      }
+    }
+    forms.foreach { case (n, _) =>
+      val ts = times(n).sorted
+      println(f"$n%-20s median ${ts(ts.length / 2)}%.3f  min ${ts.head}%.3f  " +
+        ts.map(t => f"$t%.2f").mkString(" "))
+    }
+    spark.stop()
+  }
+}
+
 /** Guard-cost probe: attributes dedup_paragraph_rewrite's time between the
   * plan itself and the collectAggGuard session-clone rebind. */
 object ProfileGuard {
