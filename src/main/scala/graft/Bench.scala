@@ -52,26 +52,87 @@ object Bench {
       }
     val sharedTotal = shared.map(_._2).filterNot(_.isNaN).sum
     val names = SparkEntry.queries.keys.toVector
+    // Frozen baselines, read BEFORE the passes: the clean-window probe
+    // below needs the sentinel medians. Parsed with a flat-JSON regex
+    // (the files are {"queries": {"name": num, ...}}); absent → empty.
+    def readBaseline(path: String): Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+        val open = txt.indexOf('{', txt.indexOf("\"queries\""))
+        val body = txt.substring(open, txt.indexOf('}', open) + 1)
+        "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val baseline: Map[String, Double] =
+      readBaseline(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
+    val baselineNew: Map[String, Double] = readBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE_NEW", "BASELINE_QUERIES_R14.json"))
+    val baselineMulti: Map[String, Double] = readBaseline(
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE_SENT_MULTI", "BASELINE_SENTINELS_MULTI.json"))
+    val sentinels = Vector(
+      "q1_agg", "q3_topk", "q_window_rank", "cdc_unwrap", "cdc_event_counts",
+      "dedup_exact", "ann_bruteforce_topk", "emb_exact_dup", "text_tokens",
+      "pipe_token_histogram")
+    val sentCommon = sentinels.filter(s => baseline.contains(s) && names.contains(s))
+    // ── Clean-window probe with ONE bounded retry (r15 verdict item 6) ──
+    // Three of the last four driver benches landed in loaded windows
+    // (sentinel 1.24–1.84), turning the headline raw ratio into weather.
+    // Before the full pass: time the 10 frozen sentinels (each twice,
+    // min-of-two, so first-run codegen doesn't read as load) and if the
+    // window looks loaded (probe ratio > 1.15) sleep once and re-probe.
+    // Both attempts land in the artifact; the full pass then proceeds
+    // regardless — the probe buys a better window when one is a minute
+    // away and otherwise documents that it wasn't.
+    def probeOnce(): Double = {
+      val ts = sentCommon.map { n =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once(), once())
+      }
+      ts.sum / sentCommon.map(baseline).sum
+    }
+    val probeAttempts: Vector[Double] =
+      if (sentCommon.size < sentinels.size / 2) Vector.empty
+      else {
+        val first = probeOnce()
+        if (first > 1.15) {
+          Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_PROBE_SLEEP_MS", "60000").toLong)
+          Vector(first, probeOnce())
+        } else Vector(first)
+      }
     // a crashed query must NOT masquerade as a fast one: failures record
     // NaN (excluded from medians) and are reported, never silently timed
-    val timings: Vector[Map[String, Double]] = Vector.fill(passes) {
-      names.map { name =>
-        val t0 = System.nanoTime()
-        try {
-          // noop-format sink, not count(): under a count Catalyst prunes
-          // the final projection expressions, under-measuring per-row
-          // compute; the noop write evaluates every output column and
-          // discards the rows executor-side (no driver collect)
-          SparkEntry.queries(name)(spark, sfDir)
-            .write.format("noop").mode("overwrite").save()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            name -> Double.NaN
-        }
-      }.toMap
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      try {
+        // noop-format sink, not count(): under a count Catalyst prunes
+        // the final projection expressions, under-measuring per-row
+        // compute; the noop write evaluates every output column and
+        // discards the rows executor-side (no driver collect)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          name -> Double.NaN
+      }
     }
+    // every pass times the registry AND the frozen multi-stage sentinels
+    // (SentinelsMulti) in the same window, so both sentinel classes
+    // sample the same timeline the measured queries lived through
+    val passResults: Vector[(Map[String, Double], Map[String, Double])] =
+      Vector.fill(passes) {
+        val reg = names.map(n => timeOne(n, SparkEntry.queries(n))).toMap
+        val multi = SentinelsMulti.queries.map { case (n, fn) => timeOne(n, fn) }.toMap
+        (reg, multi)
+      }
+    val timings: Vector[Map[String, Double]] = passResults.map(_._1)
+    val multiTimings: Vector[Map[String, Double]] = passResults.map(_._2)
     val failed = names.filter(n => timings.forall(t => t(n).isNaN))
     val results: Map[String, Double] = names.flatMap { name =>
       val ok = timings.map(_(name)).filterNot(_.isNaN).sorted
@@ -91,24 +152,7 @@ object Bench {
     // Ratio vs the FROZEN baseline (BASELINE.md / BASELINE_QUERIES.json,
     // set end of r12): sum of this run's medians over the baseline's
     // query set divided by the frozen sum — the comparable-subset number,
-    // immune to registry growth. Parsed with a flat-JSON regex (the file
-    // is {"queries": {"name": num, ...}}); absent file → no ratio.
-    // Scan ONLY the queries object: the file is flat ({"name": num, ...},
-    // no nested braces), so the first '}' after the opening brace closes
-    // it. Scanning to end-of-file would also capture sibling metadata
-    // fields like "total" — harmless only until a query is ever named
-    // like one of them.
-    def readBaseline(path: String): Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        val open = txt.indexOf('{', txt.indexOf("\"queries\""))
-        val body = txt.substring(open, txt.indexOf('}', open) + 1)
-        "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
-    val baseline: Map[String, Double] =
-      readBaseline(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
+    // immune to registry growth.
     val common = baseline.keySet.intersect(results.keySet)
     val baselineRatio: Option[Double] =
       if (common.isEmpty) None
@@ -117,8 +161,6 @@ object Bench {
     // (BASELINE.md addendum, r14 clean-window medians): their creep is
     // otherwise invisible to the gate. Kept in a separate file and a
     // separate ratio so the r12 yardstick stays untouched.
-    val baselineNew: Map[String, Double] = readBaseline(
-      sys.env.getOrElse("SPARK_GRAFT_BASELINE_NEW", "BASELINE_QUERIES_R14.json"))
     val commonNew = baselineNew.keySet.intersect(results.keySet)
     val baselineRatioNew: Option[Double] =
       if (commonNew.isEmpty) None
@@ -133,14 +175,26 @@ object Bench {
     // factor; dividing it out yields the code-attributable ratio. Both
     // numbers are emitted — the raw ratio stays the honest artifact, the
     // corrected one is the regression signal.
-    val sentinels = Vector(
-      "q1_agg", "q3_topk", "q_window_rank", "cdc_unwrap", "cdc_event_counts",
-      "dedup_exact", "ann_bruteforce_topk", "emb_exact_dup", "text_tokens",
-      "pipe_token_histogram")
-    val sentCommon = sentinels.filter(s => baseline.contains(s) && results.contains(s))
     val sentinelRatio: Option[Double] =
       if (sentCommon.size < sentinels.size / 2) None
       else Some(sentCommon.map(results).sum / sentCommon.map(baseline).sum)
+    // The multi-stage sentinel class (SentinelsMulti, frozen r16): their
+    // ratio prices ambient drift in the multi-stage regime — watch-band
+    // queries (3+ exchanges) are adjudicated against THIS ratio, cheap
+    // single-stage queries against the one above.
+    val multiMedians: Map[String, Double] = SentinelsMulti.queries.map(_._1).flatMap { n =>
+      val ok = multiTimings.map(_(n)).filterNot(_.isNaN).sorted
+      if (ok.isEmpty) None else Some(n -> ok(ok.length / 2))
+    }.toMap
+    val multiMins: Map[String, Double] = SentinelsMulti.queries.map(_._1).flatMap { n =>
+      val ok = multiTimings.map(_(n)).filterNot(_.isNaN)
+      if (ok.isEmpty) None else Some(n -> ok.min)
+    }.toMap
+    val multiCommon = SentinelsMulti.queries.map(_._1)
+      .filter(n => baselineMulti.contains(n) && multiMedians.contains(n))
+    val sentinelRatioMulti: Option[Double] =
+      if (multiCommon.isEmpty) None
+      else Some(multiCommon.map(multiMedians).sum / multiCommon.map(baselineMulti).sum)
     val correctedRatio: Option[Double] = for {
       b <- baselineRatio; s <- sentinelRatio if s > 0
     } yield b / s
@@ -166,7 +220,9 @@ object Bench {
         .map(r => s""","baseline_ratio_new":${r3(r)},"baseline_new_common":${commonNew.size}""")
         .getOrElse("") +
       sentinelRatio.map(r => s""","sentinel_ratio":${r3(r)}""").getOrElse("") +
+      sentinelRatioMulti.map(r => s""","sentinel_ratio_multi":${r3(r)}""").getOrElse("") +
       correctedRatio.map(r => s""","baseline_ratio_drift_corrected":${r3(r)}""").getOrElse("") +
+      s""","probe_attempts":${probeAttempts.map(r3).mkString("[", ",", "]")}""" +
       s""","regression_stat":"${if (loadedWindow) "min" else "median"}"""" +
       s""","n_regressions":${regressions.size}"""
     // Full per-query record → file. Per-pass raws are kept alongside the
@@ -183,6 +239,14 @@ object Bench {
     val sentinelLines = sentCommon.map(s =>
       s"""    "$s": {"median": ${r3(results(s))}, "frozen": ${r3(baseline(s))}}""")
       .mkString(",\n")
+    // multi-stage sentinel medians verbatim (frozen value beside each
+    // when BASELINE_SENTINELS_MULTI.json is present), same recompute
+    // courtesy as the single-stage block
+    val sentinelMultiLines = SentinelsMulti.queries.map(_._1)
+      .filter(multiMedians.contains).map { s =>
+        val frozen = baselineMulti.get(s).map(v => s""", "frozen": ${r3(v)}""").getOrElse("")
+        s"""    "$s": {"median": ${r3(multiMedians(s))}, "min": ${r3(multiMins(s))}$frozen}"""
+      }.mkString(",\n")
     val sharedLines = shared
       .map { case (n, t) => s"""    "$n": ${r3(t)}""" }.mkString(",\n")
     val fullJson =
@@ -194,6 +258,9 @@ object Bench {
          |  "regressions": ${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |  "sentinels": {
          |$sentinelLines
+         |  },
+         |  "sentinels_multi": {
+         |$sentinelMultiLines
          |  },
          |  "shared_total": ${r3(sharedTotal)},
          |  "shared": {
