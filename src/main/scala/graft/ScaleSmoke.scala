@@ -65,13 +65,16 @@ object ScaleSmoke {
 
     // ── deployment CMS vs the exact per-key pass (r15 verdict item 1) ──
     // The rung where the exact groupBy is the bottleneck by construction:
-    // the ×factor changelog has |keys| ≈ 150k × factor distinct pks, so
-    // the exact per-key count shuffles millions of grouping keys, while
-    // the deployment CMS build's ONLY shuffle carries ≤ 4×1024 cell keys
-    // at ANY cardinality — the prose claim of r12–r15, now timed.
+    // a hot-key + heavy-tail key stream (10% of events on the ~1.5k hot
+    // pks, 90% on per-event-unique keys — the shape a real event log has)
+    // gives the exact per-key count MILLIONS of grouping keys to shuffle,
+    // while the deployment CMS build's ONLY shuffle carries ≤ 4×1024 cell
+    // keys at ANY cardinality — the prose claim of r12–r15, now timed.
     {
       import graft.analytics.Sketches
-      val keyed = bigChangelog.select(col("pk").as("item"))
+      val keyed = bigChangelog.select(
+        when(col("seq") % 10 === 0, col("pk"))
+          .otherwise(col("seq") + 1000000000L).as("item"))
       val tE0 = System.nanoTime()
       val exactRow = keyed.groupBy("item").agg(count(lit(1)).as("cnt"))
         .agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("hottest")).collect()(0)
@@ -82,11 +85,12 @@ object ScaleSmoke {
       val tBuild = (System.nanoTime() - tB0) / 1e9
       require(nCells <= 4L * 1024L,
         s"deployment CMS must hold <= depth*width cells, saw $nCells")
-      // probe an EXTERNAL candidate list (the deployment contract): 100
-      // keys that never touch the raw stream again
+      // probe an EXTERNAL candidate list (the deployment contract):
+      // "yesterday's hot list" — 100 of the hot pks, supplied from
+      // outside; the raw stream is never touched again
       val tP0 = System.nanoTime()
       val probeMax = Sketches.cmsProbe(cells,
-          spark.range(100).select((col("id") * 1000003L).as("item")))
+          spark.range(100).select((col("id") + 1L).as("item")))
         .agg(max(col("cms_cnt"))).collect()(0).getLong(0)
       val tProbe = (System.nanoTime() - tP0) / 1e9
       cells.unpersist()
