@@ -213,6 +213,29 @@ object Bench {
         case t if t >= 2 * frozen(n) && t - frozen(n) >= 0.3 => n
       }
     }.toVector.sorted
+    // Per-query exchange counts (planner-only, AFTER the timed passes so
+    // the planning pass cannot warm pass 1): the r15 verdict's rule —
+    // judge a query's drift against the sentinel class matching its own
+    // stage count — made executable. 3+ exchanges → the multi-stage
+    // class; fewer → the single-stage class. The artifact carries the
+    // count per query and a self-adjudicated watch list: queries whose
+    // median, DIVIDED by their matching class ratio, still reads
+    // ≥1.45× frozen — i.e. drift the matching weather class cannot
+    // explain. (The hard regression gate above is unchanged.)
+    val exchangeCounts: Map[String, Int] = names.map { n =>
+      n -> (try "Exchange".r.findAllIn(SparkEntry.queries(n)(spark, sfDir)
+        .queryExecution.executedPlan.toString).length
+      catch { case _: Throwable => -1 })
+    }.toMap
+    def classRatioFor(n: String): Option[Double] =
+      if (exchangeCounts.getOrElse(n, 0) >= 3) sentinelRatioMulti.orElse(sentinelRatio)
+      else sentinelRatio
+    val watchCorrected: Vector[String] = frozen.keysIterator.flatMap { n =>
+      for {
+        t <- results.get(n)
+        r <- classRatioFor(n) if r > 0 && t / r >= 1.45 * frozen(n) && t - frozen(n) >= 0.2
+      } yield n
+    }.toVector.sorted
     val baselineJson = baselineRatio
       .map(r => s""","baseline_ratio":${r3(r)},"baseline_common":${common.size}""")
       .getOrElse("") +
@@ -224,7 +247,8 @@ object Bench {
       correctedRatio.map(r => s""","baseline_ratio_drift_corrected":${r3(r)}""").getOrElse("") +
       s""","probe_attempts":${probeAttempts.map(r3).mkString("[", ",", "]")}""" +
       s""","regression_stat":"${if (loadedWindow) "min" else "median"}"""" +
-      s""","n_regressions":${regressions.size}"""
+      s""","n_regressions":${regressions.size}""" +
+      s""","n_watch_corrected":${watchCorrected.size}"""
     // Full per-query record → file. Per-pass raws are kept alongside the
     // median so a cold-cache pass 1 (memoized corpus builds being paid by
     // whichever query touches them first) is distinguishable from a query
@@ -232,7 +256,7 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json")
     val fullQueries = names.sorted.map { name =>
       val raw = timings.map(_(name)).map(r3).mkString("[", ",", "]")
-      s"""    "$name": {"median": ${results.get(name).map(r3).getOrElse("null")}, "min": ${mins.get(name).map(r3).getOrElse("null")}, "passes": $raw}"""
+      s"""    "$name": {"median": ${results.get(name).map(r3).getOrElse("null")}, "min": ${mins.get(name).map(r3).getOrElse("null")}, "exchanges": ${exchangeCounts.getOrElse(name, -1)}, "passes": $raw}"""
     }.mkString(",\n")
     // sentinel medians emitted verbatim so a judge can recompute the
     // ambient factor without re-deriving the set from source
@@ -256,6 +280,7 @@ object Bench {
          |  "n_queries": ${results.size}, "n_failed": ${failed.length}$baselineJson,
          |  "failed": ${failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |  "regressions": ${regressions.map("\"" + _ + "\"").mkString("[", ",", "]")},
+         |  "watch_corrected": ${watchCorrected.map("\"" + _ + "\"").mkString("[", ",", "]")},
          |  "sentinels": {
          |$sentinelLines
          |  },
