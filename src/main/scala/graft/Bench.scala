@@ -227,8 +227,21 @@ object Bench {
         .queryExecution.executedPlan.toString).length
       catch { case _: Throwable => -1 })
     }.toMap
+    // Epoch anchor: the single-stage sentinel ratio measures drift since
+    // ITS freeze epoch (r12) — the same epoch as the r12-frozen queries
+    // it corrects. The multi-stage class was frozen in r16, so for an
+    // r12-frozen query its ratio misses the r12→r16 environment drift
+    // that multi-stage plans already absorbed. That drift is MEASURED:
+    // the same-window r12-binary burn-down (SURVEY §8m table) read the
+    // unchanged r12 binary at 1.14–1.65× its own frozen medians across
+    // the ten multi-stage watch queries, geometric mean ≈ 1.38. Queries
+    // frozen post-r12 (the r14/r15 addenda) were frozen in the drifted
+    // regime already, so their anchor is 1.
+    val MultiEpochAnchorR12 = 1.38
     def classRatioFor(n: String): Option[Double] =
-      if (exchangeCounts.getOrElse(n, 0) >= 3) sentinelRatioMulti.orElse(sentinelRatio)
+      if (exchangeCounts.getOrElse(n, 0) >= 3)
+        sentinelRatioMulti.orElse(sentinelRatio)
+          .map(_ * (if (baseline.contains(n)) MultiEpochAnchorR12 else 1.0))
       else sentinelRatio
     val watchCorrected: Vector[String] = frozen.keysIterator.flatMap { n =>
       for {
