@@ -243,9 +243,12 @@ object Bench {
         sentinelRatioMulti.orElse(sentinelRatio)
           .map(_ * (if (baseline.contains(n)) MultiEpochAnchorR12 else 1.0))
       else sentinelRatio
+    // same statistic discipline as the regression gate: medians in clean
+    // windows, min-of-passes in loaded ones (a loaded window inflates
+    // every median; the min only stays inflated if every pass was loaded)
     val watchCorrected: Vector[String] = frozen.keysIterator.flatMap { n =>
       for {
-        t <- results.get(n)
+        t <- gateStat.get(n)
         r <- classRatioFor(n) if r > 0 && t / r >= 1.45 * frozen(n) && t - frozen(n) >= 0.2
       } yield n
     }.toVector.sorted
