@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.cdc.{Cdc, Discovery, Materialize, Monitoring, Quality}
-import graft.analytics.{Relational, Sketches}
+import graft.analytics.{Relational, SketchGates, Sketches}
 import graft.text.TextFunctions
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -410,6 +410,25 @@ object SparkEntry {
     "text_doc_freq_approx" -> ((s, d) => Sketches.approxDocFreqHead(s, d)),
     "q_cumulative_uniques_approx" ->
       ((s, d) => Sketches.approxCumulativeUniques(s, d)),
+    // r17: in-query contract gates for the 8 rows-only sketch twins —
+    // each runs its sketch twin against its exact twin in ONE plan and
+    // outputs exact-side values + BIGINT contract verdicts whose DuckDB
+    // oracle pins the verdicts to 1, putting the SketchesSpec accuracy
+    // contracts under the driver's independent hash gate
+    "q_mad_approx_gate" -> ((s, d) => SketchGates.madGate(s, d)),
+    "cdc_lag_percentiles_approx_gate" ->
+      ((s, d) => SketchGates.lagPercentilesGate(Cdc.changelog(s, d))),
+    "cdc_event_size_pcts_approx_gate" -> ((s, d) => SketchGates.eventSizeGate(s, d)),
+    "cdc_watermark_advise_approx_gate" ->
+      ((s, d) => SketchGates.watermarkAdviseGate(Cdc.changelog(s, d))),
+    "emb_dim_quantiles_approx_gate" -> ((s, d) => SketchGates.dimQuantilesGate(s, d)),
+    "cdc_hot_key_share_approx_gate" -> ((s, d) => SketchGates.hotKeyShareGate(s, d)),
+    "text_doc_freq_approx_gate" -> ((s, d) => SketchGates.docFreqGate(s, d)),
+    "q_cumulative_uniques_approx_gate" ->
+      ((s, d) => SketchGates.cumulativeUniquesGate(s, d)),
+    // r17: the deployment CMS topology under the driver's gate — the
+    // ≤ depth×width cell build + broadcast probe, verdict-gated
+    "cdc_hot_key_share_cms" -> ((s, d) => SketchGates.hotKeyShareCms(s, d)),
     "ann_pq_topk" -> ((s, d) => Ann.pqTopK(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incremental(s, d)),
     "pipe_cross_source_dup" -> ((s, d) => Dedup.crossSourceDup(s, d)),
@@ -1306,6 +1325,17 @@ object SparkEntry {
       "mm_frame_stats" -> Video.frameStatsSql,
       "q_corr_ols" -> Relational.corrOlsSql,
       "q_mad" -> Relational.madByFlagSql,
+      // r17 sketch-contract gates: the oracle recomputes the exact-side
+      // columns and pins every contract verdict column to literal 1
+      "q_mad_approx_gate" -> SketchGates.madGateSql,
+      "cdc_lag_percentiles_approx_gate" -> SketchGates.lagPercentilesGateSql(cl),
+      "cdc_event_size_pcts_approx_gate" -> SketchGates.eventSizeGateSql(),
+      "cdc_watermark_advise_approx_gate" -> SketchGates.watermarkAdviseGateSql(cl),
+      "emb_dim_quantiles_approx_gate" -> SketchGates.dimQuantilesGateSql,
+      "cdc_hot_key_share_approx_gate" -> SketchGates.hotKeyShareGateSql,
+      "text_doc_freq_approx_gate" -> SketchGates.docFreqGateSql,
+      "q_cumulative_uniques_approx_gate" -> SketchGates.cumulativeUniquesGateSql,
+      "cdc_hot_key_share_cms" -> SketchGates.hotKeyShareCmsSql,
       "ann_pq_topk" -> Ann.pqTopKSql(),
       "dedup_incremental" -> Dedup.incrementalSql(),
       "pipe_cross_source_dup" -> Dedup.crossSourceDupSql,
