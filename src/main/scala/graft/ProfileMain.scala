@@ -56,9 +56,19 @@ object ProfileAB {
     val spark = Tables.localSession("graft-profile-ab", 32)
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val forms: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      "cooc_set_explode" -> (() => graft.text.TextFunctions.cooccurrenceSetExplode(spark, sfDir)),
-      "cooc_self_join" -> (() => graft.text.TextFunctions.cooccurrenceSelfJoin(spark, sfDir)))
+    // named pair-sets; pick one with the first arg (default: cooc — the
+    // r16 adjudication). "pq_rerank" is the r17 adjudication: fetch-join
+    // rerank (registered) vs carrying the raw vector through the ADC
+    // shortlist so no second corpus scan exists.
+    val forms: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      args.headOption.getOrElse("cooc") match {
+        case "pq_rerank" => Seq(
+          "rerank_fetch_join" -> (() => graft.similarity.Ann.pqRerank(spark, sfDir)),
+          "rerank_fused_carry" -> (() => graft.similarity.Ann.pqRerankFused(spark, sfDir)))
+        case _ => Seq(
+          "cooc_set_explode" -> (() => graft.text.TextFunctions.cooccurrenceSetExplode(spark, sfDir)),
+          "cooc_self_join" -> (() => graft.text.TextFunctions.cooccurrenceSelfJoin(spark, sfDir)))
+      }
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (1 to passes).foreach { _ =>

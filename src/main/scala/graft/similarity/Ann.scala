@@ -1428,7 +1428,22 @@ object Ann {
     * 100 TB the raw vectors live in cold storage keyed by vec_id; this
     * join IS the fetch. Output is exact distances — downstream consumers
     * never see quantization error, only quantization RECALL loss (priced
-    * by [[pqRecall]]). */
+    * by [[pqRecall]]).
+    *
+    * r17 ProfileAB adjudication (r16 verdict item 8) vs
+    * [[pqRerankFused]], which carries the raw vector through the ADC
+    * shortlist so no second corpus scan exists: same-window interleaved,
+    * 7 passes, sf0.1 — fused median 0.584 s / min 0.515 vs this form's
+    * 0.690 / 0.586 (~15% faster at driver scale, where re-scanning a
+    * resident 10 MB corpus costs more than padding a small shuffle).
+    * KEPT UNREGISTERED as the measured counter-example: carrying the
+    * 256-byte vector through the |corpus|·m-row ADC exchange multiplies
+    * the plan's dominant shuffle ~9× in bytes, and at 100 TB it requires
+    * the raw floats to be resident in the compressed-domain scan at all
+    * — exactly the memory/IO budget PQ exists to avoid. Round17Spec pins
+    * output identity and that no ADC exchange of THIS form ships the
+    * vector. The 1.50× clean-window watch flag on this query is
+    * environment drift (§8m r12-binary burn-down), not a wrong shape. */
   def pqRerank(spark: SparkSession, dir: String, k: Int = 10, shortlist: Int = 50): DataFrame = {
     GraftFunctions.register(spark)
     val emb = Tables.load(spark, dir, "embeddings")
@@ -1495,8 +1510,16 @@ object Ann {
   /** PQ asymmetric scan with a separate codebook/query source and scan
     * corpus — the shared core of [[pqTopKOf]] (corpus = everything) and
     * [[ivfpqTopK]] (corpus = the probed IVF cells). */
+  /** `carryEmbedding` is the [[pqRerankFused]] A/B variant: the raw
+    * vector rides the ADC pipeline as a first()-aggregate through BOTH
+    * shuffles, so the shortlist emerges with vectors attached and the
+    * rerank needs no second corpus scan — at the price of a 256-byte
+    * payload per row in the |corpus|·m-row exchange that the
+    * compressed-domain scan exists to avoid. Default off (the
+    * registered form). */
   private def pqTopKOver(
-      spark: SparkSession, cbSource: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+      spark: SparkSession, cbSource: DataFrame, corpus: DataFrame, k: Int,
+      carryEmbedding: Boolean = false): DataFrame = {
     val m = 4; val subDim = 16; val nCodes = 16
     GraftFunctions.register(spark)
     // The encode loop is the index-build hot path: 256·(d/m) float ops per
@@ -1533,27 +1556,50 @@ object Ann {
     // but runs as a map-side-combined HashAggregate where the struct min
     // falls back to SortAggregate and SORTS the full scored pair set.
     // bits(d)·16 exceeds a long, so the key is DECIMAL(38,0).
+    val carryIn: Seq[org.apache.spark.sql.Column] =
+      if (carryEmbedding) Seq(col("embedding")) else Seq.empty
+    def carryAgg: Seq[org.apache.spark.sql.Column] =
+      if (carryEmbedding) Seq(first(col("embedding")).as("embedding")) else Seq.empty
     val coded = corpus.where(col("vec_id") =!= 0)
-      .select(col("vec_id"), col("label"),
-        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding"))
-      .select(col("vec_id"), col("label"), col("s"),
-        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sv"))
+      .select(Seq(col("vec_id"), col("label"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"), col("embedding")): _*)
+      .select(Seq(col("vec_id"), col("label"), col("s"),
+        slice(col("embedding"), col("s") * subDim + 1, lit(subDim)).as("sv")) ++ carryIn: _*)
       .join(broadcast(cb), "s")
-      .select(col("vec_id"), col("label"), col("s"),
+      .select(Seq(col("vec_id"), col("label"), col("s"),
         (expr("graft_dbits(graft_l2sq(sv, v))").cast(DecimalType(38, 0))
-          * nCodes + col("c")).as("key"))
+          * nCodes + col("c")).as("key")) ++ carryIn: _*)
       .groupBy("vec_id", "label", "s")
-      .agg(min(col("key")).as("mk"))
-      .select(col("vec_id"), col("label"), col("s"),
-        (col("mk") % nCodes).cast("long").as("c"))
+      .agg(min(col("key")).as("mk"), carryAgg: _*)
+      .select(Seq(col("vec_id"), col("label"), col("s"),
+        (col("mk") % nCodes).cast("long").as("c")) ++ carryIn: _*)
     coded.join(broadcast(qdist), Seq("s", "c"))
       .groupBy("vec_id", "label")
-      .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("qds"))
-      .select(col("vec_id"), col("label"),
+      .agg(sort_array(collect_list(struct(col("s"), col("qd")))).as("qds"), carryAgg: _*)
+      .select(Seq(col("vec_id"), col("label"),
         aggregate(transform(col("qds"), e => e.getField("qd")),
-          lit(0.0), (acc, x) => acc + x).as("adc_dist"))
+          lit(0.0), (acc, x) => acc + x).as("adc_dist")) ++ carryIn: _*)
       .orderBy(col("adc_dist").asc, col("vec_id"))
       .limit(k)
+  }
+
+  /** The r17 ProfileAB variant of [[pqRerank]] (r16 verdict item 8):
+    * fuse the exact rerank into the ADC scan by carrying the raw vector
+    * through the shortlist TakeOrderedAndProject, so no second corpus
+    * scan or fetch-join exists. Same output contract as pqRerank. Not
+    * registered: see the A/B verdict in pqRerank's docstring — carrying
+    * a 256-byte payload through the |corpus|·m-row exchange prices worse
+    * than re-fetching `shortlist` rows, and at 100 TB it defeats the
+    * compressed-domain memory budget outright. */
+  private[graft] def pqRerankFused(spark: SparkSession, dir: String,
+                                   k: Int = 10, shortlist: Int = 50): DataFrame = {
+    GraftFunctions.register(spark)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    pqTopKOver(spark, emb, emb, shortlist, carryEmbedding = true)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id")).limit(k)
   }
 
   def ivfpqTopKSql(k: Int = 10): String =
