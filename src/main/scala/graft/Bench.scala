@@ -53,17 +53,11 @@ object Bench {
     val sharedTotal = shared.map(_._2).filterNot(_.isNaN).sum
     val names = SparkEntry.queries.keys.toVector
     // Frozen baselines, read BEFORE the passes: the clean-window probe
-    // below needs the sentinel medians. Parsed with a flat-JSON regex
-    // (the files are {"queries": {"name": num, ...}}); absent → empty.
-    def readBaseline(path: String): Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
-        val open = txt.indexOf('{', txt.indexOf("\"queries\""))
-        val body = txt.substring(open, txt.indexOf('}', open) + 1)
-        "\"([A-Za-z0-9_]+)\":\\s*([0-9]+\\.?[0-9]*)".r.findAllMatchIn(body)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty }
+    // below needs the sentinel medians. Parsed with BenchMath's flat-JSON
+    // regex (the files are {"queries": {"name": num, ...}}); absent →
+    // empty. Parsing/statistic logic lives in BenchMath under unit
+    // coverage (BenchMathSpec).
+    def readBaseline(path: String): Map[String, Double] = BenchMath.readBaseline(path)
     val baseline: Map[String, Double] =
       readBaseline(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE_QUERIES.json"))
     val baselineNew: Map[String, Double] = readBaseline(
@@ -160,22 +154,14 @@ object Bench {
     // cleaner (lower). Bounded: at most one extra pass per flagged query,
     // recorded verbatim in the artifact as `retimes`.
     val retimes: Map[String, Double] = names.flatMap { name =>
-      val ok = timings.map(_(name)).filterNot(_.isNaN)
-      if (ok.size >= 2 && ok.max / math.max(ok.min, 1e-9) > 3.0 && ok.max - ok.min > 0.3) {
+      if (BenchMath.retimeWorthy(timings.map(_(name)))) {
         val (_, t) = timeOne(name, SparkEntry.queries(name))
         if (t.isNaN) None else Some(name -> t)
       } else None
     }.toMap
     val results: Map[String, Double] = names.flatMap { name =>
-      val ok = timings.map(_(name)).filterNot(_.isNaN).sorted
-      if (ok.isEmpty) None
-      else {
-        val med = ok(ok.length / 2)
-        val withRetime = retimes.get(name).map { r =>
-          val v = (ok :+ r).sorted; v(v.length / 2)
-        }
-        Some(name -> withRetime.filter(_ < med).getOrElse(med))
-      }
+      BenchMath.medianWithRetime(timings.map(_(name)), retimes.get(name))
+        .map(name -> _)
     }.toMap
     // Per-query min across passes: the load-robust statistic. A median is
     // inflated by ambient load in 2 of 3 passes; the min is inflated only
@@ -273,13 +259,11 @@ object Bench {
     // times (dedup_pair_degree read 67; it executes 7 distinct shuffles,
     // most inside build-once cached plans). Node ids dedupe the prints;
     // the (?<![A-Za-z]) guard drops Broadcast/Reused.
-    val exchangeRe = "(?<![A-Za-z])Exchange \\((\\d+)\\)".r
     val exchangeCounts: Map[String, Int] = names.map { n =>
-      n -> (try {
-        val txt = SparkEntry.queries(n)(spark, sfDir).queryExecution
-          .explainString(org.apache.spark.sql.execution.FormattedMode)
-        exchangeRe.findAllMatchIn(txt).map(_.group(1)).toSet.size
-      } catch { case _: Throwable => -1 })
+      n -> (try BenchMath.distinctShuffleExchanges(
+        SparkEntry.queries(n)(spark, sfDir).queryExecution
+          .explainString(org.apache.spark.sql.execution.FormattedMode))
+      catch { case _: Throwable => -1 })
     }.toMap
     // Watch adjudication, class-matched and SAME-EPOCH on both sides
     // (r16 verdict item 1): a multi-stage query is compared against its

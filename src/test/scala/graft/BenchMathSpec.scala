@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the bench instrument's pure logic — the pieces the
+  * per-round grading artifacts depend on. No SparkSession needed. */
+class BenchMathSpec extends AnyFunSuite {
+
+  test("parseBaseline reads the queries object, not metadata look-alikes") {
+    // the r17 multi addendum shape: a comment mentioning queries, an
+    // n_queries count, THEN the real object — the literal-"queries" key
+    // match must skip both traps
+    val txt =
+      """{
+        | "comment": "frozen queries: medians from a clean window",
+        | "n_queries": 2,
+        | "queries": {
+        |  "q1_agg": 0.912,
+        |  "cdc_unwrap": 1.26
+        | }
+        |}""".stripMargin
+    assert(BenchMath.parseBaseline(txt) ===
+      Map("q1_agg" -> 0.912, "cdc_unwrap" -> 1.26))
+  }
+
+  test("parseBaseline on garbage or missing structure is empty, never throws") {
+    assert(BenchMath.parseBaseline("") === Map.empty)
+    assert(BenchMath.parseBaseline("not json at all") === Map.empty)
+    assert(BenchMath.parseBaseline("""{"querie": {"a": 1}}""") === Map.empty)
+    assert(BenchMath.readBaseline("/nonexistent/path.json") === Map.empty)
+  }
+
+  test("median: upper-median convention, NaN passes excluded, all-NaN is None") {
+    assert(BenchMath.median(Seq(3.0, 1.0, 2.0)) === Some(2.0))
+    assert(BenchMath.median(Seq(1.0, 2.0)) === Some(2.0))
+    assert(BenchMath.median(Seq(Double.NaN, 5.0, Double.NaN)) === Some(5.0))
+    assert(BenchMath.median(Seq(Double.NaN)) === None)
+    assert(BenchMath.median(Nil) === None)
+  }
+
+  test("medianWithRetime repairs a load-inflated median but never worsens a clean one") {
+    // loaded window: passes [1.49, 3.94, 47.5] (the r16 driver artifact's
+    // dedup_band_config_sweep), retime 1.6 → median over 4 drops to 3.94;
+    // upper-median of even count keeps the statistic conservative
+    assert(BenchMath.medianWithRetime(Seq(1.49, 3.94, 47.5), Some(1.6)) === Some(3.94))
+    // clean window: a SLOWER retime must not move the median up
+    assert(BenchMath.medianWithRetime(Seq(1.0, 1.1, 1.2), Some(9.0)) === Some(1.1))
+    // NaN retime is ignored
+    assert(BenchMath.medianWithRetime(Seq(1.0, 1.1, 1.2), Some(Double.NaN)) === Some(1.1))
+    assert(BenchMath.medianWithRetime(Seq(1.0, 1.1, 1.2), None) === Some(1.1))
+    assert(BenchMath.medianWithRetime(Seq(Double.NaN), Some(1.0)) === None)
+  }
+
+  test("retimeWorthy: ratio AND absolute spread, needs two successful passes") {
+    assert(BenchMath.retimeWorthy(Seq(1.49, 3.94, 47.5)))
+    assert(!BenchMath.retimeWorthy(Seq(1.0, 1.1, 1.2)), "clean spread")
+    assert(!BenchMath.retimeWorthy(Seq(0.05, 0.2)), "ratio 4x but only 0.15s absolute")
+    assert(!BenchMath.retimeWorthy(Seq(5.0, 6.0)), "1s absolute but ratio 1.2")
+    assert(!BenchMath.retimeWorthy(Seq(4.0, Double.NaN, Double.NaN)), "one pass, no spread")
+    assert(BenchMath.retimeWorthy(Seq(0.4, Double.NaN, 4.0)), "NaNs excluded, spread judged on the rest")
+  }
+
+  test("distinctShuffleExchanges dedupes cached-subtree re-prints and ignores broadcast/reused") {
+    val plan =
+      """AdaptiveSparkPlan (20)
+        |+- Exchange (14) hashpartitioning(k, 32)
+        |   +- BroadcastExchange (12) HashedRelationBroadcastMode
+        |      +- InMemoryTableScan (1)
+        |            +- Exchange (5) hashpartitioning(j, 32)
+        |   +- InMemoryTableScan (2)
+        |            +- Exchange (5) hashpartitioning(j, 32)
+        |   +- ReusedExchange (14)
+        |""".stripMargin
+    // Exchange (14) once, Exchange (5) printed twice under two scans of
+    // the same cached relation = one node; Broadcast/Reused don't count
+    assert(BenchMath.distinctShuffleExchanges(plan) === 2)
+    assert(BenchMath.distinctShuffleExchanges("no exchanges here") === 0)
+  }
+}
