@@ -41,8 +41,11 @@ object SketchGates {
 
   /** `q_mad_approx_gate` — per return flag: exact row count (oracle
     * recomputes) plus 2%-relative verdicts on the sketched median and
-    * MAD vs [[Relational.madByFlag]]. */
-  def madGate(spark: SparkSession, dir: String): DataFrame = {
+    * MAD vs [[Relational.madByFlag]]. `tol` exists for SketchGatesSpec's
+    * non-vacuity proof: at an impossible tolerance the flags flip to 0
+    * through the real wiring — the verdicts are computed comparisons,
+    * not constants that happen to match the oracle's literal 1s. */
+  def madGate(spark: SparkSession, dir: String, tol: Double = 0.02): DataFrame = {
     val e = Relational.madByFlag(spark, dir)
       .select(col("l_returnflag"), col("n_rows"),
         col("median_price").as("e_med"), col("mad").as("e_mad"))
@@ -52,8 +55,8 @@ object SketchGates {
     e.join(a, "l_returnflag")
       .select(col("l_returnflag"), col("n_rows"),
         (col("a_n") === col("n_rows")).cast("long").as("n_equal"),
-        within(col("a_med"), col("e_med"), 0.02, 1e-9).as("median_within_2pct"),
-        within(col("a_mad"), col("e_mad"), 0.02, 1e-9).as("mad_within_2pct"))
+        within(col("a_med"), col("e_med"), tol, 1e-9).as("median_within_2pct"),
+        within(col("a_mad"), col("e_mad"), tol, 1e-9).as("mad_within_2pct"))
       .orderBy("l_returnflag")
   }
 

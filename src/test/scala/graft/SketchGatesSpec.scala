@@ -50,6 +50,22 @@ class SketchGatesSpec extends AnyFunSuite {
     }
   }
 
+  test("the gates are non-vacuous: an impossible tolerance flips flags to 0") {
+    // the verdicts are computed comparisons flowing through the real
+    // twin-vs-twin wiring, not constants that happen to match the
+    // oracle's literal 1s: demand bit-exactness (tol 1e-12) of a GK
+    // sketch and the within-tolerance flags must flip
+    val rows = graft.analytics.SketchGates.madGate(spark, dir, tol = 1e-12).collect()
+    val flipped = rows.count(r =>
+      r.getAs[Long]("median_within_2pct") == 0L || r.getAs[Long]("mad_within_2pct") == 0L)
+    assert(flipped > 0,
+      "a 1e-12 tolerance on a rank-picking sketch vs an interpolating exact " +
+        "percentile must flip at least one verdict — if it doesn't, the gate " +
+        "is comparing something vacuous")
+    // and the exact-side columns stay correct even when verdicts flip
+    rows.foreach(r => assert(r.getAs[Long]("n_equal") === 1L))
+  }
+
   test("cdc_hot_key_share_cms keeps the deployment topology in ONE plan") {
     val p = SparkEntry.queries("cdc_hot_key_share_cms")(spark, dir)
       .queryExecution.executedPlan.toString
