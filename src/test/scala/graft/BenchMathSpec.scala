@@ -60,6 +60,44 @@ class BenchMathSpec extends AnyFunSuite {
     assert(BenchMath.retimeWorthy(Seq(0.4, Double.NaN, 4.0)), "NaNs excluded, spread judged on the rest")
   }
 
+  test("property: medianWithRetime is repair-only and bounded by the pass extremes") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val passGen: Gen[List[Double]] =
+      Gen.chooseNum(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0.01, 60.0)))
+    val retimeGen: Gen[Double] = Gen.chooseNum(0.01, 60.0)
+    (1 to 300).foreach { i =>
+      val passes = passGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val retime = retimeGen.pureApply(Gen.Parameters.default, Seed((i + 10000).toLong))
+      val plain = BenchMath.median(passes).get
+      val withR = BenchMath.medianWithRetime(passes, Some(retime)).get
+      // repair-only: a retime can only lower the reported median
+      assert(withR <= plain, s"retime worsened the median: $passes + $retime")
+      // and never below the best pass or retime actually observed
+      assert(withR >= math.min(passes.min, retime) - 1e-12,
+        s"median fell below every observation: $passes + $retime -> $withR")
+      // no-retime path is the plain median
+      assert(BenchMath.medianWithRetime(passes, None).get === plain)
+    }
+  }
+
+  test("property: retimeWorthy is scale-threshold consistent") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val passGen: Gen[List[Double]] =
+      Gen.chooseNum(2, 5).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0.01, 60.0)))
+    (1 to 300).foreach { i =>
+      val passes = passGen.pureApply(Gen.Parameters.default, Seed(i.toLong))
+      val worthy = BenchMath.retimeWorthy(passes)
+      val expected =
+        passes.max / math.max(passes.min, 1e-9) > 3.0 && passes.max - passes.min > 0.3
+      assert(worthy === expected, s"predicate disagrees on $passes")
+      // permutation invariance: spread is a set property
+      assert(BenchMath.retimeWorthy(passes.reverse) === worthy)
+    }
+  }
+
   test("distinctShuffleExchanges dedupes cached-subtree re-prints and ignores broadcast/reused") {
     val plan =
       """AdaptiveSparkPlan (20)
