@@ -275,21 +275,28 @@ object Bench {
     // multiplier, which pushed the effective multi threshold to ~2× —
     // vacuous exactly at the hard-gate boundary. The hard regression gate
     // above still runs on the r12 ∪ r14 freeze, untouched.
+    // Pair selection lives in BenchMath.watchPair (unit-covered): a multi
+    // query with no same-epoch freeze is adjudicated single-stage rather
+    // than dividing an r12/r14 median by the r16 multi ratio (ADVICE r17).
     def isMulti(n: String): Boolean = exchangeCounts.getOrElse(n, 0) >= 3
-    def watchFrozenFor(n: String): Option[Double] =
-      if (isMulti(n)) baselineMultiQ.get(n).orElse(frozen.get(n)) else frozen.get(n)
-    def classRatioFor(n: String): Option[Double] =
-      if (isMulti(n)) sentinelRatioMulti.orElse(sentinelRatio) else sentinelRatio
     // same statistic discipline as the regression gate: medians in clean
     // windows, min-of-passes in loaded ones (a loaded window inflates
     // every median; the min only stays inflated if every pass was loaded)
     val watchCorrected: Vector[String] = frozen.keysIterator.flatMap { n =>
       for {
         t <- gateStat.get(n)
-        f <- watchFrozenFor(n)
-        r <- classRatioFor(n) if r > 0 && t / r >= 1.45 * f && t - f >= 0.2
+        (f, r) <- BenchMath.watchPair(isMulti(n), baselineMultiQ.get(n),
+          frozen.get(n), sentinelRatio, sentinelRatioMulti)
+        if r > 0 && t / r >= 1.45 * f && t - f >= 0.2
       } yield n
     }.toVector.sorted
+    // Per-family common-subset ratios vs the r12 freeze (r17 verdict item
+    // 3): the diffuse-creep telemetry. Computed in BenchMath under unit
+    // coverage; emitted in BOTH the full record (with subset sizes) and
+    // the stdout headline (ratios only) so the driver artifact carries
+    // the time series.
+    val familyRatios: Map[String, (Double, Int)] =
+      BenchMath.familyRatios(results, baseline)
     val baselineJson = baselineRatio
       .map(r => s""","baseline_ratio":${r3(r)},"baseline_common":${common.size}""")
       .getOrElse("") +
@@ -303,7 +310,9 @@ object Bench {
       s""","regression_stat":"${if (loadedWindow) "min" else "median"}"""" +
       s""","n_regressions":${regressions.size}""" +
       s""","n_watch_corrected":${watchCorrected.size}""" +
-      s""","n_retimes":${retimes.size}"""
+      s""","n_retimes":${retimes.size}""" +
+      s""","families":${familyRatios.toSeq.sortBy(_._1)
+        .map { case (f, (r, _)) => s""""$f":${r3(r)}""" }.mkString("{", ",", "}")}"""
     // Full per-query record → file. Per-pass raws are kept alongside the
     // median so a cold-cache pass 1 (memoized corpus builds being paid by
     // whichever query touches them first) is distinguishable from a query
@@ -329,6 +338,9 @@ object Bench {
       }.mkString(",\n")
     val sharedLines = shared
       .map { case (n, t) => s"""    "$n": ${r3(t)}""" }.mkString(",\n")
+    val familyLines = familyRatios.toSeq.sortBy(_._1).map { case (f, (r, n)) =>
+      s"""    "$f": {"ratio": ${r3(r)}, "n": $n}"""
+    }.mkString(",\n")
     val fullJson =
       s"""{
          |  "metric": "total", "value": ${r3(total)}, "unit": "sec",
@@ -342,6 +354,9 @@ object Bench {
          |  },
          |  "sentinels_multi": {
          |$sentinelMultiLines
+         |  },
+         |  "families": {
+         |$familyLines
          |  },
          |  "shared_total": ${r3(sharedTotal)},
          |  "shared": {

@@ -98,6 +98,63 @@ class BenchMathSpec extends AnyFunSuite {
     }
   }
 
+  test("familyOf folds relational variants into q, keeps the other prefixes") {
+    assert(BenchMath.familyOf("q1_agg") === "q")
+    assert(BenchMath.familyOf("q10_returns") === "q")
+    assert(BenchMath.familyOf("q_mad_approx_gate") === "q")
+    assert(BenchMath.familyOf("cdc_unwrap") === "cdc")
+    assert(BenchMath.familyOf("dedup_minhash_lsh") === "dedup")
+    assert(BenchMath.familyOf("ann_pq_rerank") === "ann")
+    assert(BenchMath.familyOf("emb_norm_stats") === "emb")
+    assert(BenchMath.familyOf("text_tokens") === "text")
+    assert(BenchMath.familyOf("pipe_interleave") === "pipe")
+    assert(BenchMath.familyOf("mm_image_phash") === "mm")
+  }
+
+  test("familyRatios: per-family sums over the frozen common subset only") {
+    val frozen = Map(
+      "q1_agg" -> 1.0, "q_mad" -> 1.0,       // q frozen sum 2.0
+      "cdc_unwrap" -> 2.0,                   // cdc frozen sum 2.0
+      "text_tokens" -> 1.0, "text_hapax" -> 1.0, // text frozen sum 2.0
+      "mm_only_frozen" -> 5.0)               // no run median -> excluded
+    val results = Map(
+      "q1_agg" -> 1.5, "q_mad" -> 0.5,       // q ratio 1.0
+      "cdc_unwrap" -> 3.0,                   // cdc ratio 1.5
+      "text_tokens" -> 1.16, "text_hapax" -> 1.16, // text ratio 1.16
+      "ann_new_query" -> 9.9)                // not frozen -> excluded
+    val fams = BenchMath.familyRatios(results, frozen)
+    assert(fams("q") === ((1.0, 2)))
+    assert(fams("cdc") === ((1.5, 1)))
+    assert(math.abs(fams("text")._1 - 1.16) < 1e-9)
+    assert(!fams.contains("mm"), "family with no common queries is absent")
+    assert(!fams.contains("ann"), "unfrozen query contributes to no family")
+  }
+
+  test("watchPair is epoch-matched: multi pair only when BOTH same-epoch pieces exist") {
+    // full multi pair -> r16 freeze with the multi ratio
+    assert(BenchMath.watchPair(isMulti = true, multiFreeze = Some(0.4),
+      frozen = Some(0.3), singleRatio = Some(1.1), multiRatio = Some(0.9))
+      === Some((0.4, 0.9)))
+    // multi query with NO same-epoch freeze (the r17-ADVICE mm_image_*
+    // case): adjudicate single-stage, never r12-median / r16-ratio
+    assert(BenchMath.watchPair(isMulti = true, multiFreeze = None,
+      frozen = Some(0.3), singleRatio = Some(1.1), multiRatio = Some(0.9))
+      === Some((0.3, 1.1)))
+    // multi ratio absent -> same single-stage fallback
+    assert(BenchMath.watchPair(isMulti = true, multiFreeze = Some(0.4),
+      frozen = Some(0.3), singleRatio = Some(1.1), multiRatio = None)
+      === Some((0.3, 1.1)))
+    // single-stage query: its own freeze with the single ratio
+    assert(BenchMath.watchPair(isMulti = false, multiFreeze = Some(0.4),
+      frozen = Some(0.3), singleRatio = Some(1.1), multiRatio = Some(0.9))
+      === Some((0.3, 1.1)))
+    // nothing to adjudicate against -> None
+    assert(BenchMath.watchPair(isMulti = false, multiFreeze = None,
+      frozen = None, singleRatio = Some(1.1), multiRatio = None) === None)
+    assert(BenchMath.watchPair(isMulti = true, multiFreeze = None,
+      frozen = Some(0.3), singleRatio = None, multiRatio = None) === None)
+  }
+
   test("distinctShuffleExchanges dedupes cached-subtree re-prints and ignores broadcast/reused") {
     val plan =
       """AdaptiveSparkPlan (20)

@@ -24,21 +24,39 @@ class Round17Spec extends AnyFunSuite {
     // Input attribute list; `embedding` appearing there means the
     // 256-byte payload rode the shuffle.
     val inputRe = "\\(\\d+\\) Exchange\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
-    def exchangeInputs(df: org.apache.spark.sql.DataFrame): List[String] =
-      inputRe.findAllMatchIn(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)).map(_.group(1)).toList
-    // the carried vector crosses the exchange as the partial-first
-    // aggregation buffer (`first#NN`), not under its column name
-    def carriesVector(in: String): Boolean =
-      in.contains("embedding") || "first#\\d+".r.findFirstIn(in).isDefined
-    val fused = exchangeInputs(graft.similarity.Ann.pqRerankFused(spark, dir))
-    assert(fused.exists(carriesVector),
+    // The carried vector crosses the exchange either under its column
+    // name or as an aggregation buffer attribute whose Input-list name is
+    // the bare `first#NN` — the embedding linkage is only visible on the
+    // upstream HashAggregate's Functions line (`partial_first(embedding#…`).
+    // Anchored to THOSE buffer ids, not any first#NN (ADVICE r17): a
+    // legitimate future first() over a scalar column must not trip the pin.
+    def exchangeInputsAndVectorBufs(
+        df: org.apache.spark.sql.DataFrame): (List[String], Set[String]) = {
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val inputs = inputRe.findAllMatchIn(txt).map(_.group(1)).toList
+      val bufRe = ("Functions \\[\\d+\\]: \\[[^\\n]*first\\(embedding#[^\\n]*\\n" +
+        "Aggregate Attributes \\[\\d+\\]: \\[([^\\]]*)\\]").r
+      val bufs = bufRe.findAllMatchIn(txt)
+        .flatMap(m => "[A-Za-z_]+#\\d+".r.findAllIn(m.group(1))).toSet
+      (inputs, bufs)
+    }
+    def carriesVector(in: String, vectorBufs: Set[String]): Boolean =
+      in.contains("embedding") || vectorBufs.exists(b =>
+        (java.util.regex.Pattern.quote(b) + "(?![0-9])").r.findFirstIn(in).isDefined)
+    val (fused, fusedBufs) =
+      exchangeInputsAndVectorBufs(graft.similarity.Ann.pqRerankFused(spark, dir))
+    assert(fusedBufs.nonEmpty,
+      "detector sanity: the fused plan must show a first(embedding) buffer")
+    assert(fused.exists(carriesVector(_, fusedBufs)),
       "detector sanity: the fused-carry variant by construction ships " +
         "embeddings through an exchange")
-    val registered = exchangeInputs(graft.similarity.Ann.pqRerank(spark, dir))
+    val (registered, regBufs) =
+      exchangeInputsAndVectorBufs(graft.similarity.Ann.pqRerank(spark, dir))
     assert(registered.nonEmpty, "expected the ADC aggregation exchanges")
     registered.foreach { in =>
-      assert(!carriesVector(in), s"raw vectors must not ride an ADC exchange: $in")
+      assert(!carriesVector(in, regBufs),
+        s"raw vectors must not ride an ADC exchange: $in")
     }
   }
 }
