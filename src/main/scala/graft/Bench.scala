@@ -374,7 +374,13 @@ object Bench {
     // BOTH the pre-run probe and the end-of-run sentinel classes read
     // clean (≤ 1.15), also write the record to a stable side file, so the
     // repo root always carries the most recent clean-window full record.
-    val cleanWindow = probeAttempts.lastOption.exists(p => !p.isNaN && p <= 1.15) &&
+    // Scale guard: the frozen medians are sf0.1 numbers, so a "clean"
+    // probe at any OTHER scale says nothing about them — without this an
+    // sf0.01 smoke run whose tiny-input ratios happen to read <=1.15
+    // overwrites the preserved sf0.1 record (observed r18).
+    val freezeSfDir = sys.env.getOrElse("SPARK_GRAFT_FREEZE_SF_DIR", "/root/testdata/sf0.1")
+    val cleanWindow = sfDir == freezeSfDir &&
+      probeAttempts.lastOption.exists(p => !p.isNaN && p <= 1.15) &&
       sentinelRatio.exists(_ <= 1.15) && sentinelRatioMulti.forall(_ <= 1.15)
     if (cleanWindow)
       java.nio.file.Files.write(

@@ -70,8 +70,11 @@ object SketchGates {
   /** `cdc_lag_percentiles_approx_gate` — per cohort: the exact max lag
     * (identical on both paths by contract, oracle recomputes it from the
     * changelog) plus 2% verdicts on the sketched p50/p90/p99 vs
-    * [[graft.cdc.Monitoring.lagPercentiles]]. */
-  def lagPercentilesGate(changelog: DataFrame): DataFrame = {
+    * [[graft.cdc.Monitoring.lagPercentiles]]. `tol` exists for the
+    * non-vacuity flip proof (SketchGatesSpec): tol=0 makes `within`'s
+    * strict `<` unsatisfiable, so every within-verdict must flip to 0
+    * through the registered wiring. */
+  def lagPercentilesGate(changelog: DataFrame, tol: Double = 0.02): DataFrame = {
     val e = graft.cdc.Monitoring.lagPercentiles(changelog)
       .select(col("cohort"), col("max_ms"),
         col("p50_ms").as("e50"), col("p90_ms").as("e90"), col("p99_ms").as("e99"))
@@ -81,9 +84,9 @@ object SketchGates {
     e.join(a, "cohort")
       .select(col("cohort"), col("max_ms"),
         (col("a_max") === col("max_ms")).cast("long").as("max_equal"),
-        within(col("a50"), col("e50"), 0.02).as("p50_within_2pct"),
-        within(col("a90"), col("e90"), 0.02).as("p90_within_2pct"),
-        within(col("a99"), col("e99"), 0.02).as("p99_within_2pct"))
+        within(col("a50"), col("e50"), tol).as("p50_within_2pct"),
+        within(col("a90"), col("e90"), tol).as("p90_within_2pct"),
+        within(col("a99"), col("e99"), tol).as("p99_within_2pct"))
       .orderBy("cohort")
   }
 
@@ -100,8 +103,10 @@ object SketchGates {
   /** `cdc_event_size_pcts_approx_gate` — per topic: exact count/min/max
     * (identical on both paths, oracle recomputes) plus 2% verdicts on
     * the sketched byte quantiles vs
-    * [[graft.cdc.Monitoring.eventSizePercentiles]]. */
-  def eventSizeGate(spark: SparkSession, dir: String): DataFrame = {
+    * [[graft.cdc.Monitoring.eventSizePercentiles]]. `tol` is the
+    * non-vacuity knob: tol=0 is unsatisfiable under `within`'s strict
+    * `<`, flipping every within-verdict (SketchGatesSpec). */
+  def eventSizeGate(spark: SparkSession, dir: String, tol: Double = 0.02): DataFrame = {
     val e = graft.cdc.Monitoring.eventSizePercentiles(spark, dir)
       .select(col("topic"), col("n_messages"), col("min_bytes"), col("max_bytes"),
         col("p50_bytes").as("e50"), col("p90_bytes").as("e90"), col("p99_bytes").as("e99"))
@@ -113,9 +118,9 @@ object SketchGates {
       .select(col("topic"), col("n_messages"), col("min_bytes"), col("max_bytes"),
         (col("a_n") === col("n_messages") && col("a_min") === col("min_bytes") &&
           col("a_max") === col("max_bytes")).cast("long").as("exact_fields_equal"),
-        within(col("a50"), col("e50"), 0.02).as("p50_within_2pct"),
-        within(col("a90"), col("e90"), 0.02).as("p90_within_2pct"),
-        within(col("a99"), col("e99"), 0.02).as("p99_within_2pct"))
+        within(col("a50"), col("e50"), tol).as("p50_within_2pct"),
+        within(col("a90"), col("e90"), tol).as("p90_within_2pct"),
+        within(col("a99"), col("e99"), tol).as("p99_within_2pct"))
       .orderBy("topic")
   }
 
@@ -134,10 +139,25 @@ object SketchGates {
 
   /** `cdc_watermark_advise_approx_gate` — one row: exact event/late
     * counts (the lateness derivation is shared; oracle recomputes) plus
-    * 2% verdicts on the sketched lateness quantiles and the
-    * one-rounding-step verdict on the advised watermark vs
-    * [[graft.cdc.Monitoring.watermarkAdvise]]. */
-  def watermarkAdviseGate(changelog: DataFrame): DataFrame = {
+    * 2% verdicts on the sketched lateness quantiles and a SCALE-DERIVED
+    * step verdict on the advised watermark vs
+    * [[graft.cdc.Monitoring.watermarkAdvise]].
+    *
+    * The advised watermark is ceil(p99/60000)·60000 on both paths, so a
+    * p99 within tol of exact implies the advised values differ by at
+    * most tol·p99 plus one rounding step. The r17 verdict allowed
+    * exactly ONE 60 s step, which a contract-respecting 2% p99 error
+    * exceeds once p99 > 3,000,000 ms — a scale-sensitive flip with no
+    * code defect (ADVICE r17). The bound is now derived from the exact
+    * p99 magnitude in-plan: (1 + ceil(tol·e99/60000))·60000, which
+    * degrades to the old one-step bound at the current fixture scales
+    * (tol·e99 < 60 s) and stays valid at every scale.
+    *
+    * Non-vacuity knobs (SketchGatesSpec): tol=0 flips every
+    * within-verdict; stepMs=-1 makes the step bound negative, which an
+    * absolute difference can never satisfy, flipping the step verdict. */
+  def watermarkAdviseGate(changelog: DataFrame, tol: Double = 0.02,
+                          stepMs: Long = 60000L): DataFrame = {
     val e = graft.cdc.Monitoring.watermarkAdvise(changelog)
       .select(col("n_events"), col("n_late"), col("p50_ms").as("e50"),
         col("p95_ms").as("e95"), col("p99_ms").as("e99"),
@@ -150,11 +170,12 @@ object SketchGates {
       .select(col("n_events"), col("n_late"),
         (col("a_n") === col("n_events") && col("a_late") === col("n_late"))
           .cast("long").as("counts_equal"),
-        within(col("a50"), col("e50"), 0.02).as("p50_within_2pct"),
-        within(col("a95"), col("e95"), 0.02).as("p95_within_2pct"),
-        within(col("a99"), col("e99"), 0.02).as("p99_within_2pct"),
-        (abs(col("a_adv") - col("e_adv")) <= 60000L)
-          .cast("long").as("advised_within_one_step"))
+        within(col("a50"), col("e50"), tol).as("p50_within_2pct"),
+        within(col("a95"), col("e95"), tol).as("p95_within_2pct"),
+        within(col("a99"), col("e99"), tol).as("p99_within_2pct"),
+        (abs(col("a_adv") - col("e_adv")) <=
+          (lit(1L) + ceil(col("e99") * tol / 60000.0).cast("long")) * stepMs)
+          .cast("long").as("advised_within_tol_steps"))
   }
 
   def watermarkAdviseGateSql(cl: String): String =
@@ -169,21 +190,38 @@ object SketchGates {
        |       CAST(1 AS BIGINT) AS p50_within_2pct,
        |       CAST(1 AS BIGINT) AS p95_within_2pct,
        |       CAST(1 AS BIGINT) AS p99_within_2pct,
-       |       CAST(1 AS BIGINT) AS advised_within_one_step
+       |       CAST(1 AS BIGINT) AS advised_within_tol_steps
        |FROM lat""".stripMargin
 
   /** `emb_dim_quantiles_approx_gate` — per dimension: exact value count
     * (oracle recomputes) plus rank-envelope verdicts: each sketched
     * quantile must lie inside the exact [p−0.005, p+0.005] value
     * envelope (SketchesSpec's contract — the right bound for a
-    * value-PICKING sketch vs an INTERPOLATING exact percentile). */
-  def dimQuantilesGate(spark: SparkSession, dir: String): DataFrame = {
+    * value-PICKING sketch vs an INTERPOLATING exact percentile).
+    *
+    * `envScale` scales the rank half-widths (±0.005 around p01/p99,
+    * ±0.05 around p50) and exists for the non-vacuity flip proof: a
+    * NEGATIVE scale inverts every envelope (lo rank above hi rank), so
+    * an interval-membership verdict over a non-constant dimension must
+    * flip to 0 through the registered wiring. The default keeps the
+    * registered expression literally identical. */
+  def dimQuantilesGate(spark: SparkSession, dir: String,
+                       envScale: Double = 1.0): DataFrame = {
+    val ranks =
+      if (envScale == 1.0) "0.005, 0.015, 0.45, 0.55, 0.985, 0.995"
+      else {
+        def clamp(r: Double) = math.max(0.0, math.min(1.0, r))
+        Seq(0.01 - 0.005 * envScale, 0.01 + 0.005 * envScale,
+          0.5 - 0.05 * envScale, 0.5 + 0.05 * envScale,
+          0.99 - 0.005 * envScale, 0.99 + 0.005 * envScale)
+          .map(clamp).mkString(", ")
+      }
     val env = Tables.load(spark, dir, "embeddings")
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
       .groupBy("dim")
       .agg(count(lit(1)).as("n"),
-        expr("percentile(x, array(0.005, 0.015, 0.45, 0.55, 0.985, 0.995))").as("e"))
+        expr(s"percentile(x, array($ranks))").as("e"))
     val a = Sketches.approxDimQuantiles(spark, dir)
       .select(col("dim"), col("n").as("a_n"),
         col("p01").as("a01"), col("p50").as("a50"), col("p99").as("a99"))
@@ -212,16 +250,25 @@ object SketchGates {
   /** `cdc_hot_key_share_approx_gate` — per hot key (exact top-20): the
     * exact count (oracle recomputes the same top-k with the same
     * tie-break) plus the CMS one-sidedness verdict (estimate ≥ exact,
-    * structural) and the N·depth/width overcount ceiling verdict. */
+    * structural) and the N·depth/width overcount ceiling verdict.
+    *
+    * `boundScale` multiplies the ceiling and exists for the non-vacuity
+    * flip proof: a NEGATIVE scale makes the ceiling negative, which the
+    * CMS overcount (structurally ≥ 0) can never satisfy — the ceiling
+    * verdict must flip to 0 on every row through the registered wiring.
+    * The default keeps the registered expression literally identical. */
   def hotKeyShareGate(spark: SparkSession, dir: String,
-                      depth: Int = 4, width: Int = 1024): DataFrame = {
+                      depth: Int = 4, width: Int = 1024,
+                      boundScale: Double = 1.0): DataFrame = {
     val total = Tables.load(spark, dir, "events").agg(count(lit(1)).as("n_events"))
+    val ceilingExpr =
+      if (boundScale == 1.0) col("n_events").cast("double") * depth / width
+      else col("n_events").cast("double") * depth / width * boundScale
     Sketches.approxHotKeyShare(spark, dir)
       .crossJoin(broadcast(total))
       .select(col("user_id"), col("exact_cnt"),
         (col("cms_cnt") >= col("exact_cnt")).cast("long").as("one_sided_ok"),
-        ((col("cms_cnt") - col("exact_cnt")).cast("double")
-          <= col("n_events").cast("double") * depth / width)
+        ((col("cms_cnt") - col("exact_cnt")).cast("double") <= ceilingExpr)
           .cast("long").as("overcount_within_bound"),
         (col("est_share") === col("cms_cnt").cast("double") / col("n_events").cast("double"))
           .cast("long").as("share_consistent"))
@@ -240,13 +287,24 @@ object SketchGates {
   /** `text_doc_freq_approx_gate` — per head term (exact top-20 df): the
     * exact document frequency (oracle recomputes with the same
     * normalization and tie-break) plus the CMS one-sidedness verdict and
-    * the estimated-ratio consistency verdict. */
-  def docFreqGate(spark: SparkSession, dir: String): DataFrame = {
+    * the estimated-ratio consistency verdict.
+    *
+    * `oneSidedSlack` shifts the one-sidedness threshold and exists for
+    * the non-vacuity flip proof: demanding df_est ≥ df + 10^15 is
+    * unsatisfiable at any corpus size this engine will ever see, so the
+    * one-sided verdict must flip to 0 on every row through the
+    * registered wiring. The default keeps the registered expression
+    * literally identical. */
+  def docFreqGate(spark: SparkSession, dir: String,
+                  oneSidedSlack: Double = 0.0): DataFrame = {
     val nDocs = Tables.load(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val oneSided =
+      if (oneSidedSlack == 0.0) col("df_est") >= col("df")
+      else col("df_est").cast("double") >= col("df").cast("double") + oneSidedSlack
     Sketches.approxDocFreqHead(spark, dir)
       .crossJoin(broadcast(nDocs))
       .select(col("term"), col("df"),
-        (col("df_est") >= col("df")).cast("long").as("one_sided_ok"),
+        oneSided.cast("long").as("one_sided_ok"),
         (col("df_ratio_est") === col("df_est").cast("double") / col("n_docs").cast("double"))
           .cast("long").as("ratio_consistent"))
       .orderBy(col("df").desc, col("term"))
@@ -275,20 +333,41 @@ object SketchGates {
     * deterministic bound is 3×rsd = 15% (a 5% flag on a 5%-rsd
     * estimator flips on ~1 day in 3 by construction — SketchesSpec's
     * 5% assertion holds at its fixed sf0.001 fixture, but a hash gate
-    * must hold at every driver scale). */
-  def cumulativeUniquesGate(spark: SparkSession, dir: String): DataFrame = {
+    * must hold at every driver scale).
+    *
+    * Scale envelope of the fixed-percentage verdicts (ADVICE r17): both
+    * bounds are deterministic MULTIPLES of each estimator's rsd (3×rsd
+    * for the per-day 5%-rsd estimator, ≥3×rsd for the 1.6%-rsd
+    * cumulative union), so they stay valid as cardinalities GROW — HLL
+    * relative error shrinks or holds with n. The regime they do not
+    * cover is tiny per-day cardinalities (≲ 100 actives/day), where an
+    * HLL's discrete register states make relative error lumpy; the
+    * driver fixtures are well above that floor at every sf.
+    *
+    * Non-vacuity knobs (SketchGatesSpec): tolActive=0 / tolCum=0 make
+    * `within`'s strict `<` unsatisfiable; monotoneSlack demands each
+    * day's cumulative estimate EXCEED its predecessor by the slack,
+    * which 10^15 makes impossible — each flips its verdict through the
+    * registered wiring. Defaults keep the registered expressions
+    * literally identical. */
+  def cumulativeUniquesGate(spark: SparkSession, dir: String,
+                            tolActive: Double = 0.15, tolCum: Double = 0.05,
+                            monotoneSlack: Long = 0L): DataFrame = {
     val e = Relational.cumulativeUniques(spark, dir)
       .select(col("day"), col("n_active"), col("cum_uniques").as("e_cum"))
     val a = Sketches.approxCumulativeUniques(spark, dir)
       .select(col("day"), col("n_active_approx").as("a_act"),
         col("cum_uniques_approx").as("a_cum"))
     val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+    val prev = coalesce(lag(col("a_cum"), 1).over(w), lit(0L))
+    val monotone =
+      if (monotoneSlack == 0L) col("a_cum") >= prev
+      else col("a_cum") >= prev + monotoneSlack
     e.join(a, "day")
       .select(col("day"), col("n_active"),
-        within(col("a_act"), col("n_active"), 0.15).as("active_within_3rsd"),
-        within(col("a_cum"), col("e_cum"), 0.05).as("cum_within_5pct"),
-        (col("a_cum") >= coalesce(lag(col("a_cum"), 1).over(w), lit(0L)))
-          .cast("long").as("monotone_ok"))
+        within(col("a_act"), col("n_active"), tolActive).as("active_within_3rsd"),
+        within(col("a_cum"), col("e_cum"), tolCum).as("cum_within_5pct"),
+        monotone.cast("long").as("monotone_ok"))
       .orderBy("day")
   }
 
@@ -314,19 +393,26 @@ object SketchGates {
     * table. Output: per-candidate exact count (oracle recomputes) plus
     * the one-sidedness and overcount-ceiling verdicts. */
   def hotKeyShareCms(spark: SparkSession, dir: String, topK: Int = 20,
-                     depth: Int = 4, width: Int = 1024): DataFrame = {
+                     depth: Int = 4, width: Int = 1024,
+                     boundScale: Double = 1.0): DataFrame = {
     val keys = Tables.load(spark, dir, "events").select(col("user_id").as("item"))
     val cells = Sketches.cmsCellCounts(keys, depth, width)
     val candidates = keys.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("item")).limit(topK)
     val total = keys.agg(count(lit(1)).as("n_events"))
+    // boundScale: non-vacuity knob, same design as [[hotKeyShareGate]] —
+    // a negative scale makes the ceiling unsatisfiable for a
+    // structurally non-negative overcount; default keeps the registered
+    // expression literally identical
+    val ceilingExpr =
+      if (boundScale == 1.0) col("n_events").cast("double") * depth / width
+      else col("n_events").cast("double") * depth / width * boundScale
     Sketches.cmsProbe(cells, candidates.select("item"), depth, width)
       .join(candidates, "item")
       .crossJoin(broadcast(total))
       .select(col("item").as("user_id"), col("exact_cnt"),
         (col("cms_cnt") >= col("exact_cnt")).cast("long").as("one_sided_ok"),
-        ((col("cms_cnt") - col("exact_cnt")).cast("double")
-          <= col("n_events").cast("double") * depth / width)
+        ((col("cms_cnt") - col("exact_cnt")).cast("double") <= ceilingExpr)
           .cast("long").as("overcount_within_bound"))
       .orderBy(col("exact_cnt").desc, col("user_id"))
   }

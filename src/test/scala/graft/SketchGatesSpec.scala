@@ -66,6 +66,98 @@ class SketchGatesSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getAs[Long]("n_equal") === 1L))
   }
 
+  // r17 verdict item 2: the flip proof must cover EVERY verdict family,
+  // not just madGate's 2%-relative flags — a refactor that rewrote any
+  // other verdict to lit(1) would otherwise pass every test and every
+  // driver hash forever. Each knob below is an IMPOSSIBLE parameter
+  // (unsatisfiable comparison), so the flip is deterministic and flows
+  // through the registered wiring; exact-side columns must stay intact.
+
+  private def assertAllFlip(rows: Array[org.apache.spark.sql.Row],
+                            flag: String, gate: String): Unit = {
+    assert(rows.nonEmpty, s"$gate returned no rows")
+    rows.foreach(r => assert(r.getAs[Long](flag) === 0L,
+      s"$gate: $flag must flip to 0 under the impossible parameter"))
+  }
+
+  test("within-tolerance family: tol=0 flips the quantile gates' verdicts") {
+    import graft.analytics.SketchGates
+    // |a-e|/max(...) < 0 is unsatisfiable even at a==e
+    val lag = SketchGates.lagPercentilesGate(
+      graft.cdc.Cdc.changelog(spark, dir), tol = 0.0).collect()
+    Seq("p50_within_2pct", "p90_within_2pct", "p99_within_2pct")
+      .foreach(assertAllFlip(lag, _, "lagPercentilesGate"))
+    lag.foreach(r => assert(r.getAs[Long]("max_equal") === 1L,
+      "exact-side verdicts stay intact while tolerance verdicts flip"))
+    val sizes = SketchGates.eventSizeGate(spark, dir, tol = 0.0).collect()
+    Seq("p50_within_2pct", "p90_within_2pct", "p99_within_2pct")
+      .foreach(assertAllFlip(sizes, _, "eventSizeGate"))
+    sizes.foreach(r => assert(r.getAs[Long]("exact_fields_equal") === 1L))
+  }
+
+  test("step + within family: the watermark gate's verdicts each flip") {
+    import graft.analytics.SketchGates
+    val cl = graft.cdc.Cdc.changelog(spark, dir)
+    val tol0 = SketchGates.watermarkAdviseGate(cl, tol = 0.0).collect()
+    Seq("p50_within_2pct", "p95_within_2pct", "p99_within_2pct")
+      .foreach(assertAllFlip(tol0, _, "watermarkAdviseGate"))
+    tol0.foreach(r => assert(r.getAs[Long]("counts_equal") === 1L))
+    // a negative step quantum makes the advised-watermark bound negative
+    // — an absolute difference can never satisfy it
+    val step = SketchGates.watermarkAdviseGate(cl, stepMs = -1L).collect()
+    assertAllFlip(step, "advised_within_tol_steps", "watermarkAdviseGate")
+  }
+
+  test("rank-envelope family: an inverted envelope flips the dim-quantile verdicts") {
+    import graft.analytics.SketchGates
+    // envScale=-1 swaps each envelope's lo/hi ranks; membership in an
+    // inverted interval is impossible for any non-constant dimension
+    val rows = SketchGates.dimQuantilesGate(spark, dir, envScale = -1.0).collect()
+    assert(rows.nonEmpty)
+    val anyFlip = Seq("p01_in_envelope", "p50_in_envelope", "p99_in_envelope")
+      .exists(f => rows.forall(_.getAs[Long](f) === 0L))
+    assert(anyFlip,
+      "at least one envelope verdict must flip to 0 on every dimension " +
+        "under the inverted envelope")
+    rows.foreach(r => assert(r.getAs[Long]("n_equal") === 1L))
+  }
+
+  test("CMS ceiling family: a negative ceiling flips the overcount verdicts") {
+    import graft.analytics.SketchGates
+    // the CMS overcount is structurally >= 0, so a negative ceiling is
+    // unsatisfiable on every row of both CMS gates
+    val hot = SketchGates.hotKeyShareGate(spark, dir, boundScale = -1.0).collect()
+    assertAllFlip(hot, "overcount_within_bound", "hotKeyShareGate")
+    hot.foreach(r => assert(r.getAs[Long]("one_sided_ok") === 1L,
+      "the structural one-sided verdict stays 1 while the ceiling flips"))
+    val cms = SketchGates.hotKeyShareCms(spark, dir, boundScale = -1.0).collect()
+    assertAllFlip(cms, "overcount_within_bound", "hotKeyShareCms")
+    cms.foreach(r => assert(r.getAs[Long]("one_sided_ok") === 1L))
+  }
+
+  test("CMS one-sided family: an impossible slack flips the docFreq verdict") {
+    import graft.analytics.SketchGates
+    // df_est >= df + 1e15 cannot hold at any corpus size this engine
+    // will ever see — proves the one-sided verdict compares real columns
+    val rows = SketchGates.docFreqGate(spark, dir, oneSidedSlack = 1e15).collect()
+    assertAllFlip(rows, "one_sided_ok", "docFreqGate")
+    rows.foreach(r => assert(r.getAs[Long]("ratio_consistent") === 1L))
+  }
+
+  test("monotone + HLL family: the cumulative-uniques verdicts each flip") {
+    import graft.analytics.SketchGates
+    val tol0 = SketchGates.cumulativeUniquesGate(spark, dir,
+      tolActive = 0.0, tolCum = 0.0).collect()
+    Seq("active_within_3rsd", "cum_within_5pct")
+      .foreach(assertAllFlip(tol0, _, "cumulativeUniquesGate"))
+    tol0.foreach(r => assert(r.getAs[Long]("monotone_ok") === 1L))
+    // demanding each day's cumulative estimate exceed its predecessor by
+    // 1e15 is impossible -> the monotone verdict is a computed comparison
+    val mono = SketchGates.cumulativeUniquesGate(spark, dir,
+      monotoneSlack = 1000000000000000L).collect()
+    assertAllFlip(mono, "monotone_ok", "cumulativeUniquesGate")
+  }
+
   test("cdc_hot_key_share_cms keeps the deployment topology in ONE plan") {
     val p = SparkEntry.queries("cdc_hot_key_share_cms")(spark, dir)
       .queryExecution.executedPlan.toString
