@@ -1085,17 +1085,31 @@ object Relational {
       |ORDER BY o_orderpriority, o_year""".stripMargin
 
   /** Market-basket mining: part pairs co-purchased in the same order.
-    * The self-join fans out per order, bounded by basket size squared —
-    * independent of table size, so the shape holds at any order count.
-    * Parts are deduped within the order before pairing. */
+    * The pair fan-out is bounded by basket size squared — independent of
+    * table size, so the shape holds at any order count. Parts are
+    * deduped within the order before pairing.
+    *
+    * r18 form (guide §3.3 "explode after the join", §2.4): collect each
+    * order's distinct parts ONCE (sorted set, bounded by basket size —
+    * the charDiversity bounded-collect argument) and emit the i<j
+    * combinations with a per-row explode, instead of scanning +
+    * distinct-ing the fact table twice and shuffle-joining the copies on
+    * l_orderkey (the old plan ran the scan+distinct subtree twice — no
+    * ReusedExchange — and shuffled the fact table three times; this one
+    * scans once and shuffles twice). Equivalence: the i<j combinations
+    * of a sorted distinct part set are exactly the part_a < part_b pairs
+    * of the distinct self-join; counts and the deterministic top-k page
+    * follow. Measured interleaved at sf0.1: min 2.23 → 1.94 s. */
   def marketBasket(spark: SparkSession, dir: String, topK: Int = 30): DataFrame = {
-    val items = Tables.load(spark, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-    a.join(b, Seq("l_orderkey"))
-      .where(col("part_a") < col("part_b"))
-      .groupBy("part_a", "part_b")
+    val baskets = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(flatten(transform(col("parts"), (x, i) =>
+        transform(slice(col("parts"), i + lit(2), size(col("parts"))),
+          y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+      .groupBy(col("p.part_a").as("part_a"), col("p.part_b").as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topK)
@@ -1266,9 +1280,18 @@ object Relational {
     * of |x − median| with the 3-row median table broadcast back onto the
     * scan. Both shuffles are keyed by the group column; at 100 TB the
     * approx_percentile sketch is the drop-in when exactness is
-    * negotiable (same trade as [[percentileCont]]). */
+    * negotiable (same trade as [[percentileCont]]).
+    *
+    * spread (r18, guide §2.5 single-split input): the exact-percentile
+    * partial aggregate does a boxed per-row map update — the heaviest
+    * per-row work in the relational family — and the single-row-group
+    * test file would otherwise pipeline BOTH percentile passes into one
+    * scan task. No-op at production split counts; result identical
+    * (exact percentile is order-independent). Measured interleaved at
+    * sf0.1: min 2.43 → 2.12 s, median 3.12 → 2.61 s. */
   def madByFlag(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+    val li = Tables.spread(
+      Tables.load(spark, dir, "lineitem").select(col("l_returnflag"), col("l_extendedprice")))
     val med = li.groupBy("l_returnflag").agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
     li.join(broadcast(med), "l_returnflag")
       .groupBy("l_returnflag")
@@ -2006,7 +2029,13 @@ object Relational {
       .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
     val natC = Tables.load(spark, dir, "nation")
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
-    val cells = li
+    // pin (r18, guide §2.4): the two union branches below otherwise each
+    // re-plan this whole fact-join + aggregation subtree (the optional
+    // exchange-reuse rewrite provably did not fire — PLANS_r17 shows the
+    // 5-join subtree twice); the ≤|nations|²-row rollup is checkpointed
+    // once and both branches read it. Measured interleaved at sf0.1:
+    // min 1.88 → 1.64 s; at scale it halves the fact-side work outright.
+    val cells = Tables.pin(li
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
@@ -2014,7 +2043,7 @@ object Relational {
       .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
       .groupBy("supp_nation", "cust_nation")
       .agg((sum(col("rev")).cast("decimal(34,4)") * lit(10000))
-        .cast("decimal(38,0)").as("rev_i"))
+        .cast("decimal(38,0)").as("rev_i")))
     val zero = lit(BigDecimal(0)).cast("decimal(38,0)")
     val sides = cells.select(col("supp_nation").as("nation"),
         when(col("supp_nation") =!= col("cust_nation"), col("rev_i")).otherwise(zero).as("export_i"),

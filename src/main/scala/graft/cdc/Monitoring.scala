@@ -1,7 +1,7 @@
 package graft.cdc
 
 import graft.dec
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, LongType}
 
@@ -2763,15 +2763,25 @@ object Monitoring {
     * totals broadcast back. */
   def payloadProfile(spark: SparkSession, dir: String): DataFrame = {
     val wire = Cdc.toWire(spark, dir)
-    val keyed = wire.select(col("topic"), col("value"),
-      explode(expr("json_object_keys(value)")).as("key"), lit("root").as("level"))
-      .select(col("topic"), col("level"), col("key"))
-      .unionAll(wire.select(col("topic"), col("value"),
-        explode(expr("json_object_keys(get_json_object(value, '$.after'))")).as("key"))
-        .select(col("topic"), lit("after").as("level"), col("key")))
-      .unionAll(wire.select(col("topic"), col("value"),
-        explode(expr("json_object_keys(get_json_object(value, '$.before'))")).as("key"))
-        .select(col("topic"), lit("before").as("level"), col("key")))
+    // ONE pass over the wire serialization (r18, guide §2.3/§2.4): the
+    // three per-level key explodes were three independent scan + spread +
+    // to_json + json_object_keys branches under a union — the per-row
+    // JSON work, this query's dominant cost, evaluated three times. One
+    // explode of the concatenated (level, key) arrays evaluates it once.
+    // Equivalence: union-of-explodes and explode-of-concat produce the
+    // same (topic, level, key) multiset — a null key array contributes
+    // zero rows in both forms (explode skips null/empty; coalesce keeps
+    // concat null-safe). Measured interleaved at sf0.1: median
+    // 1.46 → 1.24 s; at scale it is 3 serialization passes → 1.
+    val empty = array().cast("array<struct<level:string,key:string>>")
+    def lk(level: String, arr: Column): Column =
+      coalesce(transform(arr, k => struct(lit(level).as("level"), k.as("key"))), empty)
+    val keyed = wire.select(col("topic"), explode(concat(
+        lk("root", expr("json_object_keys(value)")),
+        lk("after", expr("json_object_keys(get_json_object(value, '$.after'))")),
+        lk("before", expr("json_object_keys(get_json_object(value, '$.before'))"))))
+        .as("lk"))
+      .select(col("topic"), col("lk.level").as("level"), col("lk.key").as("key"))
     val totals = wire.groupBy("topic").agg(count(lit(1)).as("n_msgs"))
     keyed.groupBy("topic", "level", "key")
       .agg(count(lit(1)).as("n_present"))
