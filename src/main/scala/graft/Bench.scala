@@ -38,7 +38,8 @@ object Bench {
     // pipe_dedup_waterfall 38.9 s cold pass).
     val shared: Vector[(String, Double)] =
       (graft.dedup.Dedup.sharedBuilds ++
-        graft.multimodal.Decoded.sharedBuilds).toVector.map { case (n, fn) =>
+        graft.multimodal.Decoded.sharedBuilds ++
+        graft.analytics.SketchGates.sharedBuilds).toVector.map { case (n, fn) =>
         val t0 = System.nanoTime()
         val t = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -368,6 +369,14 @@ object Bench {
          |}""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // Per-cpu-count snapshot of the same record: the driver runs the bench
+    // at BOTH 32 and 8 cpus into the same BENCH_FULL.json path, so the
+    // second (scaling) run clobbers the 32-cpu full record (observed r18 —
+    // only the stdout headline survived). A cpu-suffixed copy means each
+    // core count keeps its own latest record.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(fullPath.stripSuffix(".json") + s"_c$cpus.json"),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // Clean-window record preservation (r16 verdict item 6): the driver's
     // per-round re-run overwrites BENCH_FULL.json, and when its window is
     // loaded the round's best evidence survives only in git history. When
@@ -378,8 +387,14 @@ object Bench {
     // probe at any OTHER scale says nothing about them — without this an
     // sf0.01 smoke run whose tiny-input ratios happen to read <=1.15
     // overwrites the preserved sf0.1 record (observed r18).
+    // Cpu guard (r18 verdict item 2): the frozen medians are also
+    // local[32] numbers — the driver's 8-cpu scaling run read "clean" and
+    // overwrote the preserved record with 8-cpu timings plus an 8-entry
+    // cpu-mismatch watch list. A clean probe at any other core count says
+    // nothing about the freeze.
     val freezeSfDir = sys.env.getOrElse("SPARK_GRAFT_FREEZE_SF_DIR", "/root/testdata/sf0.1")
-    val cleanWindow = sfDir == freezeSfDir &&
+    val freezeCpus = sys.env.getOrElse("SPARK_GRAFT_FREEZE_CPUS", "32").toInt
+    val cleanWindow = sfDir == freezeSfDir && cpus == freezeCpus &&
       probeAttempts.lastOption.exists(p => !p.isNaN && p <= 1.15) &&
       sentinelRatio.exists(_ <= 1.15) && sentinelRatioMulti.forall(_ <= 1.15)
     if (cleanWindow)

@@ -39,6 +39,7 @@ object InvarianceSweep {
       // under this layout's confs.
       graft.dedup.Dedup.clearMemos(spark)
       graft.multimodal.Decoded.clearMemos(spark)
+      graft.analytics.SketchGates.clearMemos(spark)
       spark.catalog.clearCache()
       names.map(n => n -> fingerprint(n)).toMap
     }

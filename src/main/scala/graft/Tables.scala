@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -167,6 +167,21 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Keyed variant of [[spread]]: redistribute an under-parallel input by
+    * HASH of `keys` instead of round-robin, so the heavy per-row compute
+    * downstream parallelizes AND every later aggregation/join clustered on
+    * a superset of `keys` is satisfied without its own exchange (hash
+    * partitioning on a subset of the grouping keys satisfies the
+    * ClusteredDistribution). Same guard as [[spread]]: fires only when the
+    * scan has fewer splits than cores (the single-row-group test corpus),
+    * a no-op at production split counts. Callers must key on a column that
+    * is unique or near-uniform per row (vec_id here) so the hash cannot
+    * skew. */
+  def spreadBy(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, keys: _*) else df
   }
 
   /** Materialize a multiply-referenced intermediate ONCE and truncate its

@@ -39,6 +39,41 @@ object SketchGates {
   private def within(a: Column, e: Column, tol: Double, floor: Double = 1.0): Column =
     (abs(a - e) / greatest(abs(e), lit(floor)) < tol).cast("long")
 
+  /** [[Relational.madByFlag]]'s ≤|flags|-row result, memoized per
+    * (session, dir) — the gate's exact side (r18 verdict item 3: the gate
+    * deliberately runs BOTH twins, so the registry paid the two exact
+    * percentile passes — the heaviest per-row aggregate in the family —
+    * twice per sweep, once in q_mad and again inside this gate). Same
+    * bounded-memo + attributed `shared:` accounting as the dedup corpus
+    * builds (Bench forces it before timing, so the gate's median measures
+    * its marginal cost: the sketch side plus a 3-row join). q_mad itself
+    * stays un-memoized — its bench line keeps measuring the exact
+    * computation. Within-session only; every fresh run recomputes from
+    * the parquet inputs. */
+  private val madExactCache =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private[graft] def madExact(spark: SparkSession, dir: String): DataFrame =
+    madExactCache.getOrElse((spark, dir), {
+      madExactCache.keys.filter(k => k._1 eq spark).filter(_._2 != dir)
+        .foreach(k => madExactCache.remove(k).foreach(_.unpersist()))
+      val df = Relational.madByFlag(spark, dir).cache()
+      madExactCache.putIfAbsent((spark, dir), df) match {
+        case Some(existing) => df.unpersist(); existing
+        case None => df
+      }
+    })
+
+  /** Evict for `spark` — InvarianceSweep calls this between layouts (same
+    * contract as Dedup/Decoded.clearMemos). */
+  private[graft] def clearMemos(spark: SparkSession): Unit =
+    madExactCache.keys.filter(_._1 eq spark)
+      .foreach(k => madExactCache.remove(k).foreach(_.unpersist()))
+
+  /** Bench forces these under attributed `shared:` lines BEFORE timing the
+    * registry (same contract as [[graft.dedup.Dedup.sharedBuilds]]). */
+  def sharedBuilds: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "mad_exact" -> ((s, d) => madExact(s, d)))
+
   /** `q_mad_approx_gate` — per return flag: exact row count (oracle
     * recomputes) plus 2%-relative verdicts on the sketched median and
     * MAD vs [[Relational.madByFlag]]. `tol` exists for SketchGatesSpec's
@@ -46,7 +81,7 @@ object SketchGates {
     * through the real wiring — the verdicts are computed comparisons,
     * not constants that happen to match the oracle's literal 1s. */
   def madGate(spark: SparkSession, dir: String, tol: Double = 0.02): DataFrame = {
-    val e = Relational.madByFlag(spark, dir)
+    val e = madExact(spark, dir)
       .select(col("l_returnflag"), col("n_rows"),
         col("median_price").as("e_med"), col("mad").as("e_mad"))
     val a = Sketches.approxMad(spark, dir)

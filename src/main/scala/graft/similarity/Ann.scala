@@ -522,9 +522,18 @@ object Ann {
     * followed by one (vec, cand) aggregation; every floating sum is
     * per-term 2⁴⁰-quantized then exactly summed (the ivf_build pattern),
     * so both engines agree bit-for-bit regardless of partition order. */
-  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame =
+    // examined r19, left UN-spread deliberately: the one-round assignment
+    // partial-aggregates map-side before any exchange, and the interleaved
+    // A/B read raw 1.74 s vs spreadBy(vec_id) 2.18 s median — the extra
+    // exchange costs more than the single-task scan it parallelizes here
+    // (three separate references to `long` each re-pay the repartition).
+    kmeansRefineOf(spark,
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding")))
+
+  def kmeansRefineOf(spark: SparkSession, embSrc: DataFrame): DataFrame = {
+    val emb = embSrc.select(col("vec_id"), col("label"), col("embedding"))
     val long = emb.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("pos", "x")))
     def qMean(c: Column): Column =
@@ -629,9 +638,19 @@ object Ann {
     * broadcast centroid table as [[kmeansRefine]], then two bounded
     * aggregations; all floating sums 2⁴⁰-quantized-exact, so the
     * trajectory is partition-order independent bit-for-bit. */
-  def kmeansConverge(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"), col("embedding"))
+  def kmeansConverge(spark: SparkSession, dir: String, rounds: Int = 3): DataFrame =
+    // examined r19: spreadBy(vec_id) on the source was FLAT interleaved
+    // (3.67 raw vs 3.71 s spread median) — the per-round partial
+    // aggregations combine map-side before any exchange and AQE resolves
+    // the checkpoint-table joins at runtime, so the single-split scan is
+    // not the binding cost here (the 7 eager pin jobs are). Left raw.
+    kmeansConvergeOf(spark,
+      Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding")),
+      rounds)
+
+  def kmeansConvergeOf(spark: SparkSession, embSrc: DataFrame, rounds: Int = 3): DataFrame = {
+    val emb = embSrc.select(col("vec_id"), col("label"), col("embedding"))
     val long = pin(emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("vec_id"), col("pos"), col("x").cast("double").as("x")))
@@ -2679,7 +2698,17 @@ object Ann {
     * struct-min that would sort-aggregate, and the winning distance is
     * the plain `min(d2q)` of the same group. Rollups are ≤Σk keys. */
   def nlistElbow(spark: SparkSession, dir: String): DataFrame =
-    nlistElbowOf(spark, Tables.load(spark, dir, "embeddings"))
+    // spreadBy (r19, guide §2.5 single-split input): the |data|·Σk·d
+    // distance arithmetic below pipelines into the scan stage, and the
+    // single-row-group test file scans as ONE task; hash-redistributing
+    // the narrow (vec_id, embedding) rows by vec_id parallelizes it AND
+    // lets the (kk, vec_id, cand) / (kk, vec_id) aggregations reuse the
+    // partitioning (subset rule) instead of exchanging the fan-out.
+    // No-op at production split counts; result identical (the quantized
+    // sums are order-independent).
+    nlistElbowOf(spark,
+      Tables.spreadBy(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")), col("vec_id")))
 
   def nlistElbowOf(spark: SparkSession, embSrc: DataFrame): DataFrame = {
     val ks = Seq(4, 8, 16, 32)
@@ -2768,6 +2797,10 @@ object Ann {
     * aggregable; no struct min), distortions 2⁴⁰-quantized then
     * exactly summed into a ≤|m-grid|-row result. */
   def pqMSweep(spark: SparkSession, dir: String): DataFrame =
+    // examined r19, left UN-spread deliberately: the (m, vec_id, s) argmin
+    // partial-aggregates map-side before the exchange, and the interleaved
+    // A/B read raw 1.01 s vs spreadBy(vec_id) 1.37 s median — the guard
+    // exchange is pure cost for this shape.
     pqMSweepOf(spark, Tables.load(spark, dir, "embeddings"))
 
   def pqMSweepOf(spark: SparkSession, embSrc: DataFrame): DataFrame = {
