@@ -143,6 +143,201 @@ object R19Variants {
   }
 }
 
+object R19Variants2 {
+  import graft.dedup.Dedup
+  import graft.text.TextFunctions.normText
+  import org.apache.spark.sql.expressions.Window
+
+  /** q_repeat_purchase_rate with ONE data exchange (guide §2.4 "two
+    * operations keyed the same way can share one exchange"): an explicit
+    * hash repartition on l_partkey before the 3-column distinct — the
+    * distinct, the (part, cust) rollup and the per-part rollup are all
+    * clustered on supersets of {l_partkey}, so hash(l_partkey) satisfies
+    * every one of them and the r18 plan's three exchanges collapse to
+    * one. l_partkey is near-uniform (|parts| ≈ |lineitem|/30).
+    * Equivalence: repartition changes row placement only; distinct and
+    * the counts are set/multiset functions of the same input. */
+  def repeatPurchaseOneEx(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val li = Tables.load(s, d, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val perBuyer = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), col("o_custkey"), col("o_orderkey"))
+      .repartition(col("l_partkey"))
+      .distinct()
+      .groupBy("l_partkey", "o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    perBuyer.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_buyers"),
+        sum(when(col("n_orders") > 1L, 1L).otherwise(0L)).as("n_repeat_buyers"),
+        sum(col("n_orders")).as("n_orders"))
+      .where(col("n_buyers") >= 5L)
+      .select(col("l_partkey"), col("n_buyers"), col("n_repeat_buyers"),
+        (col("n_repeat_buyers").cast("double") / col("n_buyers").cast("double"))
+          .as("repeat_rate"),
+        (col("n_orders").cast("double") / col("n_buyers").cast("double"))
+          .as("orders_per_buyer"))
+      .orderBy(col("repeat_rate").desc, col("l_partkey"))
+      .limit(k)
+  }
+
+  /** text_unigram_surprisal with the token fan-out repartitioned on TERM
+    * before the (doc, term) rollup: hash(term) satisfies the (doc_id,
+    * term) aggregation (subset rule) AND the per-term window, so the
+    * plan's separate (doc,term)-exchange and term-exchange collapse into
+    * one. */
+  def surprisalTermPart(s: SparkSession, d: String): DataFrame = {
+    val pows = array((0 to 40).map(kk => lit(1L << kk)): _*)
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+    val docTypes = toks.repartition(col("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cdoc"))
+    val n = Tables.load(s, d, "documents")
+      .select(size(filter(split(normText(col("text")), " "),
+        w => length(w) >= 1)).cast("long").as("k"))
+      .agg(sum(col("k")).as("n_total"))
+    docTypes
+      .withColumn("c", sum(col("cdoc")).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
+      .withColumn("maxp", expr("n_total DIV c"))
+      .withColumn("bits",
+        (size(filter(pows, p => p <= col("maxp"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("cdoc")).as("n_tokens"), sum(col("cdoc") * col("bits")).as("sum_bits"),
+        max("bits").as("max_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_bits"), col("max_bits"),
+        (col("sum_bits").cast("double") / col("n_tokens").cast("double")).as("mean_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** ann_nndescent_round r18 shape (g0 NOT pinned) for A/B. */
+  def nndRoundRaw(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    import graft.similarity.Ann
+    val emb = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    val coded = emb.withColumn("bucket", Ann.signCode(col("embedding")))
+    val nv = emb.agg(count(lit(1)).as("nv"))
+    val peers = coded.select(col("vec_id").as("nbr"), col("bucket"))
+      .withColumn("rnb", row_number().over(
+        Window.partitionBy("bucket").orderBy("nbr")))
+      .where(col("rnb") <= 32).drop("rnb")
+    val bucketEdges = coded.select(col("vec_id"), col("bucket"))
+      .join(peers, "bucket")
+      .where(col("vec_id") =!= col("nbr"))
+      .select(col("vec_id"), col("nbr"))
+    val ringEdges = emb.select(col("vec_id"))
+      .crossJoin(broadcast(nv))
+      .select(col("vec_id"), explode(array(lit(1), lit(2))).as("j"), col("nv"))
+      .select(col("vec_id"), ((col("vec_id") + col("j") * 97L) % col("nv")).as("nbr"))
+      .where(col("vec_id") =!= col("nbr"))
+    graft.functions.GraftFunctions.register(s)
+    def cosine(a: String, b: String) = expr(s"graft_cosine($a, $b)")
+    val p0 = bucketEdges.union(ringEdges).distinct()
+      .join(emb, "vec_id")
+      .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")), "nbr")
+      .select(col("vec_id"), col("nbr"), cosine("embedding", "ne").as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
+    val g0 = p0.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    val nn2 = g0.select(col("vec_id"), col("nbr").as("mid"))
+      .join(g0.select(col("vec_id").as("mid"), col("nbr").as("cand")), "mid")
+      .where(col("cand") =!= col("vec_id"))
+      .select(col("vec_id"), col("cand"))
+    val cands = g0.select(col("vec_id"), col("nbr").as("cand"))
+      .union(nn2).distinct()
+    val scored = cands
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(emb.select(col("vec_id").as("cand"), col("embedding").as("ce")), "cand")
+      .select(col("vec_id"), col("cand"), cosine("embedding", "ce").as("cos"))
+    val b0 = g0.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_init"), max(col("cos")).as("best_cos_0"))
+    val b1 = scored.groupBy("vec_id")
+      .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("best_cos_1"))
+    b0.join(b1, "vec_id")
+      .select(col("vec_id"), col("n_init"), col("n_cand"),
+        col("best_cos_0"), col("best_cos_1"),
+        when(col("best_cos_1") > col("best_cos_0"), 1L).otherwise(0L).as("improved"))
+      .orderBy("vec_id")
+  }
+
+  /** text_bigram_coherence r18 shape (no w1 repartition) for A/B. */
+  def bigramRaw(s: SparkSession, d: String): DataFrame = {
+    val Q = 1099511627776.0
+    val toks = Tables.load(s, d, "documents")
+      .select(col("doc_id"), split(normText(col("text")), " ").as("w"))
+    val pairs = toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("w")) - 1, lit(1))),
+        i => struct(element_at(col("w"), i).as("w1"), element_at(col("w"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .where(col("w2").isNotNull)
+    val docTypes = pairs.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cdoc"))
+    docTypes
+      .withColumn("c12", sum(col("cdoc")).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum(col("cdoc")).over(Window.partitionBy("w1")))
+      .withColumn("q", floor(col("c12").cast("double") / col("c1").cast("double") * lit(Q)).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("cdoc")).as("n_bigrams"), sum(col("cdoc") * col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("sq").cast("double") / Q) / col("n_bigrams").cast("double")).as("mean_bigram_p"))
+      .orderBy("doc_id")
+  }
+
+  /** text_cooccurrence with the head-term sliver PINNED (the lake-scale
+    * shape the r16 adjudication note itself proposes): the self-join's two
+    * sides and the df cap currently re-plan the corpus explode; pinning
+    * the ≤vocab-per-doc docTerms table runs it once. */
+  def cooccurrencePinned(s: SparkSession, d: String,
+      vocab: Int = 20, topK: Int = 30): DataFrame = {
+    val top = graft.text.TextFunctions.termDocFreq(s, d, vocab).select(col("term"))
+    val docTerms = Tables.pin(Tables.load(s, d, "documents")
+      .select(col("doc_id"), explode(array_distinct(split(normText(col("text")), " "))).as("term"))
+      .where(length(col("term")) >= 3)
+      .join(broadcast(top), "term"))
+    val a = docTerms.select(col("doc_id"), col("term").as("term_a"))
+    val b = docTerms.select(col("doc_id"), col("term").as("term_b"))
+    a.join(b, Seq("doc_id"))
+      .where(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
+  // r18 shapes of the wave-2 dedup changes, for interleaved A/B
+  def blockingHealthRaw(s: SparkSession, d: String): DataFrame =
+    Dedup.blockingHealthImpl(s, d, pinDigests = false)
+  def clusterLssRaw(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.verifiedPairs(s, d)
+      .where(col("jaccard") >= 0.6).select(col("id_a"), col("id_b"))
+    Dedup.clusterEdgesLargeStarImpl(pairs, 20, lean = false)
+  }
+  def substringRaw(s: SparkSession, d: String): DataFrame =
+    Dedup.substringDupImpl(s, d, 32, narrowDigest = false)
+}
+
+/** Formatted-plan dump for UNREGISTERED A/B variants (PlanDump covers only
+  * registered queries): runMain graft.VariantPlan <sfDir> <outPath> <name>. */
+object VariantPlan {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outPath, name) = args.take(3)
+    val spark = Tables.localSession("graft-variant-plan",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "bigram_raw" -> (R19Variants2.bigramRaw _),
+      "nndr_raw" -> ((s, d) => R19Variants2.nndRoundRaw(s, d)),
+      "blocking_raw" -> (R19Variants2.blockingHealthRaw _),
+      "substring_raw" -> (R19Variants2.substringRaw _),
+      "repeat_raw" -> ((s, d) => graft.analytics.Relational.repeatPurchaseRate(s, d)))
+    val plan = fns(name)(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"[variantplan] wrote $name -> $outPath")
+    spark.stop()
+  }
+}
+
 /** Attribution probe for kmeans_converge: where do its ~3.6 s go — the
   * eager per-round pins (construction-time jobs) or the final stats
   * query? */
@@ -153,13 +348,20 @@ object KmeansAttrib {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val builders: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "kmeans" -> ((s, d) => Ann.kmeansConverge(s, d)),
+      "nndr" -> ((s, d) => Ann.nnDescentRound(s, d)),
+      "nndc" -> ((s, d) => Ann.nnDescentConverge(s, d)))
+    val chosen = if (args.nonEmpty) args.toSeq else Seq("kmeans")
     (1 to 4).foreach { p =>
-      val t0 = System.nanoTime()
-      val df = Ann.kmeansConverge(spark, sfDir)
-      val t1 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t2 = System.nanoTime()
-      println(f"pass $p construct(pins) ${(t1 - t0) / 1e9}%.3f  stats ${(t2 - t1) / 1e9}%.3f")
+      chosen.foreach { name =>
+        val t0 = System.nanoTime()
+        val df = builders(name)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        println(f"$name pass $p construct(pins) ${(t1 - t0) / 1e9}%.3f  final ${(t2 - t1) / 1e9}%.3f")
+      }
     }
     spark.stop()
   }
@@ -190,7 +392,23 @@ object ProfileR19 {
       "composite_projected" -> (R19Variants.compositeProjected _),
       "composite_serial" -> (R19Variants.compositeSerial _),
       "mad_gate_unshared" -> ((s, d) => R19Variants.madGateUnshared(s, d)),
-      "mad_gate_shared" -> ((s, d) => graft.analytics.SketchGates.madGate(s, d)))
+      "mad_gate_shared" -> ((s, d) => graft.analytics.SketchGates.madGate(s, d)),
+      "repeat_raw" -> ((s, d) => graft.analytics.Relational.repeatPurchaseRate(s, d)),
+      "repeat_onex" -> ((s, d) => R19Variants2.repeatPurchaseOneEx(s, d)),
+      "surprisal_raw" -> ((s, d) => graft.text.TextFunctions.unigramSurprisal(s, d)),
+      "surprisal_termpart" -> ((s, d) => R19Variants2.surprisalTermPart(s, d)),
+      "blocking_raw" -> (R19Variants2.blockingHealthRaw _),
+      "blocking_pinned" -> ((s, d) => graft.dedup.Dedup.blockingHealth(s, d)),
+      "cluster_lss_raw" -> (R19Variants2.clusterLssRaw _),
+      "cluster_lss_lean" -> ((s, d) => graft.dedup.Dedup.clusterLargeStar(s, d)),
+      "substring_raw" -> (R19Variants2.substringRaw _),
+      "substring_narrow" -> ((s, d) => graft.dedup.Dedup.substringDup(s, d)),
+      "nndr_raw" -> ((s, d) => R19Variants2.nndRoundRaw(s, d)),
+      "nndr_pinned" -> ((s, d) => Ann.nnDescentRound(s, d)),
+      "bigram_raw" -> (R19Variants2.bigramRaw _),
+      "bigram_w1part" -> ((s, d) => graft.text.TextFunctions.bigramCoherence(s, d)),
+      "cooc_selfjoin" -> ((s, d) => graft.text.TextFunctions.cooccurrence(s, d)),
+      "cooc_pinned" -> ((s, d) => R19Variants2.cooccurrencePinned(s, d)))
     val chosen = if (args.nonEmpty) pairs.filter(p => args.contains(p._1)) else pairs
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

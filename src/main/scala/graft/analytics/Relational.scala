@@ -1829,8 +1829,18 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"))
     val o = Tables.load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
+    // ONE data exchange (r19, guide §2.4 "two operations keyed the same
+    // way share one exchange"): the explicit hash repartition on
+    // l_partkey satisfies the 3-column distinct, the (part, cust) rollup
+    // AND the per-part rollup (each clusters on a superset of
+    // {l_partkey}), collapsing the r18 plan's three exchanges into one.
+    // l_partkey is near-uniform (|parts| ≈ |lineitem|/30 — no skew), and
+    // repartitioning moves rows only, so distinct/counts are unchanged.
+    // Interleaved A/B at sf0.1: 1.97 → 1.37 s median.
     val perBuyer = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .select(col("l_partkey"), col("o_custkey"), col("o_orderkey")).distinct()
+      .select(col("l_partkey"), col("o_custkey"), col("o_orderkey"))
+      .repartition(col("l_partkey"))
+      .distinct()
       .groupBy("l_partkey", "o_custkey")
       .agg(count(lit(1)).as("n_orders"))
     perBuyer.groupBy("l_partkey")

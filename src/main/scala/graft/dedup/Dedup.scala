@@ -1063,10 +1063,22 @@ object Dedup {
     *
     * Scale shape: three linear explodes over memoized builds, each
     * collapsed by a map-side-combined aggregation; 3-row output. */
-  def blockingHealth(spark: SparkSession, dir: String): DataFrame = {
-    val digests = normCorpus(spark, dir).select(col("doc_id"),
+  def blockingHealth(spark: SparkSession, dir: String): DataFrame =
+    // pinDigests (r19, guide §2.4): `toks` below is referenced TWICE (the
+    // dfreq rollup and the join's probe side), and Catalyst re-derives the
+    // shingle + md5-digest fan-out — the branch's dominant per-row cost —
+    // once per reference. Pinning the ≤|docs|-row digest-array table
+    // materializes that work once; the explode re-runs per reference but
+    // is cheap. Order-independence: every consumer aggregates or windows
+    // on explicit keys.
+    blockingHealthImpl(spark, dir, pinDigests = true)
+
+  private[graft] def blockingHealthImpl(
+      spark: SparkSession, dir: String, pinDigests: Boolean): DataFrame = {
+    val rawDigests = normCorpus(spark, dir).select(col("doc_id"),
       array_distinct(transform(shingleCol(col("t")),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))).as("sh"))
+    val digests = if (pinDigests) graft.Tables.pin(rawDigests) else rawDigests
     val toks = digests.select(col("doc_id"), size(col("sh")).as("n"),
       explode(col("sh")).as("tok"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
@@ -2135,7 +2147,13 @@ object Dedup {
 
   /** The algorithm itself over an arbitrary (id_a, id_b) edge list —
     * exposed so specs can feed adversarial shapes (long chains). */
-  private[graft] def clusterEdgesLargeStar(pairs: DataFrame, maxRounds: Int): DataFrame = {
+  private[graft] def clusterEdgesLargeStar(pairs: DataFrame, maxRounds: Int): DataFrame =
+    // lean = the r19 round shape (flags documented below); the un-lean
+    // body stays addressable for the interleaved A/B that justified it.
+    clusterEdgesLargeStarImpl(pairs, maxRounds, lean = true)
+
+  private[graft] def clusterEdgesLargeStarImpl(
+      pairs: DataFrame, maxRounds: Int, lean: Boolean): DataFrame = {
     // parent pointers as an edge relation (u, p); start from the raw
     // symmetric edges. Convergence: every node points at its component min.
     var edges = pairs
@@ -2147,10 +2165,15 @@ object Dedup {
     var converged = false
     while (round < maxRounds && !converged) {
       // both stars read the SYMMETRIC neighborhood (the paper's map step
-      // re-emits each edge in both directions every round)
-      val sym = edges
-        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-        .distinct()
+      // re-emits each edge in both directions every round).
+      // lean (r19, guide §2.4): NO distinct on sym — it is referenced
+      // three times per round and each reference re-paid the dedup
+      // shuffle. Duplicate (u, v) rows cannot change any consumer: minNbr
+      // and minSmall are min-aggregations, and the large/small outputs
+      // are distinct-ed in `next`. The per-node self-row distinct (1
+      // column, |V| rows) stays.
+      val symRaw = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val sym = if (lean) symRaw else symRaw.distinct()
       // large-star: for each u, attach every neighbor v > u to
       // min(neighbors(u) ∪ {u})
       val minNbr = sym.groupBy("u")
@@ -2168,10 +2191,18 @@ object Dedup {
         .select(col("v").as("u"), col("m").as("v"))
       val next = large.unionAll(small).where(col("u") =!= col("v")).distinct()
         .localCheckpoint(eager = true) // truncate the exponential lineage
-      // fixed point = the edge SET stopped changing (exact check is fine
-      // on the collapsed star set; at lake scale swap for a monotone
-      // metric like count + Σ parent-id, avoiding the except join)
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // fixed point = the edge SET stopped changing. lean (r19): ONE
+      // action instead of two — both sides are distinct sets, so they are
+      // equal iff every (u, v) of their unionAll appears exactly twice
+      // (a row only in one side counts 1, and within one side each row is
+      // unique); the un-lean form paid a count job AND an except+isEmpty
+      // job per round. Exact either way (at lake scale swap for a
+      // monotone metric like count + Σ parent-id, avoiding the compare).
+      converged =
+        if (lean)
+          next.unionAll(edges).groupBy("u", "v").count()
+            .where(col("count") =!= 2L).isEmpty
+        else next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
       round += 1
     }
@@ -2626,16 +2657,29 @@ object Dedup {
     * linearization text_dup_gram_share uses), then the span merge as a
     * per-document ordered window. Both keys are high-cardinality and
     * skew-free by construction. */
-  def substringDup(spark: SparkSession, dir: String, gram: Int = 32): DataFrame = {
+  def substringDup(spark: SparkSession, dir: String, gram: Int = 32): DataFrame =
+    substringDupImpl(spark, dir, gram, narrowDigest = true)
+
+  private[graft] def substringDupImpl(
+      spark: SparkSession, dir: String, gram: Int, narrowDigest: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val base = normCorpus(spark, dir)
       .select(col("doc_id"), col("t"), length(col("t")).as("len"))
       .where(col("len") >= gram)
+    // narrowDigest (r19, guide §2.3 "narrower types"): the occurrence
+    // window shuffles one row per character position, and the 32-char md5
+    // hex string was ~2/3 of every shuffled row; the 60-bit prefix (the
+    // same digest the novelty/shingle pipelines shuffle, same on the
+    // DuckDB side by construction, so collisions — none at any fixture
+    // scale — are shared) is 8 bytes and hashes/sorts as a long.
+    def ghOf(s: Column): Column =
+      if (narrowDigest) conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+      else md5(s)
     val occ = base
       .select(col("doc_id"), col("len"),
         explode(sequence(lit(1), col("len") - (gram - 1))).as("p"), col("t"))
       .select(col("doc_id"), col("len"), col("p"),
-        md5(col("t").substr(col("p"), lit(gram))).as("gh"))
+        ghOf(col("t").substr(col("p"), lit(gram))).as("gh"))
     val dup = occ
       .withColumn("occ_n", count(lit(1)).over(w.partitionBy("gh")))
       .where(col("occ_n") > 1)
@@ -2667,7 +2711,9 @@ object Dedup {
        |  SELECT doc_id, t, length(t) AS len FROM norm WHERE length(t) >= $gram),
        |occ AS (
        |  SELECT doc_id, len, unnest(generate_series(1, len - ${gram - 1})) AS p, t FROM base),
-       |gh AS (SELECT doc_id, len, p, md5(substr(t, CAST(p AS INTEGER), $gram)) AS gh FROM occ),
+       |gh AS (SELECT doc_id, len, p,
+       |       CAST('0x' || substr(md5(substr(t, CAST(p AS INTEGER), $gram)), 1, 15) AS BIGINT) AS gh
+       |       FROM occ),
        |dup AS (
        |  SELECT doc_id, len, p FROM (
        |    SELECT doc_id, len, p, count(*) OVER (PARTITION BY gh) AS occ_n FROM gh)

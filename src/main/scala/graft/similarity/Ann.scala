@@ -2229,7 +2229,14 @@ object Ann {
       .select(col("vec_id"), col("nbr"), cosine(spark, "embedding", "ne").as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("cos").desc, col("nbr"))
-    val g0 = p0.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn")
+    // pin (r19, guide §2.4): g0 is referenced FOUR times below (both
+    // sides of the nn2 self-join, the cands union and the b0 stats), and
+    // without truncation each reference re-derives the whole seed
+    // scoring + top-k window subtree — the same repeated-subtree shape
+    // nnDescentConverge already pins per round. Interleaved A/B at
+    // sf0.1: 1.20 → 0.93 s median. Consumers aggregate/window on
+    // explicit keys, so checkpoint row order cannot change a bit.
+    val g0 = pin(p0.withColumn("rn", row_number().over(w)).where(col("rn") <= k).drop("rn"))
     val nn2 = g0.select(col("vec_id"), col("nbr").as("mid"))
       .join(g0.select(col("vec_id").as("mid"), col("nbr").as("cand")), "mid")
       .where(col("cand") =!= col("vec_id"))
