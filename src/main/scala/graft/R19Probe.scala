@@ -210,6 +210,108 @@ object R19Variants2 {
       .orderBy("doc_id")
   }
 
+  /** q_rfm r18 shape (perCust NOT pinned) for A/B. */
+  def rfmRaw(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.dec
+    val orders = Tables.load(s, d, "orders")
+    val horizon = orders.agg(max(col("o_orderdate")).as("max_date"))
+    val perCust = orders
+      .groupBy("o_custkey")
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(28, 2)).as("monetary_d"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        col("o_custkey"),
+        datediff(col("max_date").cast("date"), col("last_order").cast("date"))
+          .cast("long").as("recency"),
+        col("frequency"),
+        col("monetary_d"),
+        col("monetary_d").cast("double").as("monetary"))
+    val qs = perCust.agg(
+      expr("percentile(recency, 0.25)").as("r1"),
+      expr("percentile(recency, 0.5)").as("r2"),
+      expr("percentile(recency, 0.75)").as("r3"),
+      expr("percentile(frequency, 0.25)").as("f1"),
+      expr("percentile(frequency, 0.5)").as("f2"),
+      expr("percentile(frequency, 0.75)").as("f3"),
+      expr("percentile(monetary, 0.25)").as("m1"),
+      expr("percentile(monetary, 0.5)").as("m2"),
+      expr("percentile(monetary, 0.75)").as("m3"))
+    def score(x: org.apache.spark.sql.Column, q1: String, q2: String, q3: String) =
+      when(x <= col(q1), 1L).when(x <= col(q2), 2L).when(x <= col(q3), 3L).otherwise(4L)
+    perCust.crossJoin(broadcast(qs))
+      .select(
+        score(col("recency").cast("double"), "r1", "r2", "r3").as("r_score"),
+        score(col("frequency").cast("double"), "f1", "f2", "f3").as("f_score"),
+        score(col("monetary"), "m1", "m2", "m3").as("m_score"),
+        col("monetary_d"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("monetary_d")).cast(DecimalType(28, 2)).cast("double").as("segment_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** text_source_divergence r18 shape (cf NOT pinned) for A/B. */
+  def sourceDivergenceRaw(s: SparkSession, d: String): DataFrame = {
+    val Q = 1099511627776.0
+    val cf = Tables.load(s, d, "documents")
+      .select(col("source"), explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("cf"))
+    val totals = cf.groupBy("source").agg(sum(col("cf")).cast("long").as("n"))
+    val p = cf.join(broadcast(totals), "source")
+      .select(col("source"), col("term"),
+        (col("cf").cast("double") / col("n").cast("double")).as("p"))
+    val a = p.select(col("source").as("source_a"), col("term"), col("p").as("pa"))
+    val b = p.select(col("source").as("source_b"), col("term"), col("p").as("pb"))
+    a.join(b, "term")
+      .where(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        floor((abs(col("pa") - col("pb")) - col("pa") - col("pb")) * Q)
+          .cast("long").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("dq"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_common_terms"), sum(col("dq")).as("sq"))
+      .select(col("source_a"), col("source_b"), col("n_common_terms"),
+        ((col("sq").cast("double") / Q + 2.0) * 0.5).as("tv_distance"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** ann_index_menu r18 shape (exact top-k NOT pinned) for A/B. */
+  def indexMenuRaw(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import graft.similarity.Ann
+    graft.functions.GraftFunctions.register(s)
+    val emb = Tables.load(s, d, "embeddings")
+    val nRow = emb.agg(count(lit(1)).as("n_vectors"))
+    val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
+    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
+      .orderBy(col("d").asc, col("vec_id")).limit(k).select("vec_id")
+    def recallOf(topk: DataFrame, name: String) =
+      topk.select("vec_id").join(exact, "vec_id")
+        .agg((count(lit(1)).cast("double") / lit(k.toDouble)).as(name))
+    nRow
+      .crossJoin(broadcast(recallOf(Ann.pqTopK(s, d, k), "r_pq")))
+      .crossJoin(broadcast(recallOf(Ann.sq8TopK(s, d, k), "r_sq8")))
+      .crossJoin(broadcast(recallOf(Ann.ivfpqTopK(s, d, k), "r_ivfpq")))
+      .select(explode(array(
+        struct(lit("1_raw_float32").as("format"), lit(256L).as("bytes_per_vector"),
+          (col("n_vectors") * 256L).as("total_bytes"), lit(1.0).as("recall_at_k")),
+        struct(lit("2_sq8").as("format"), lit(64L).as("bytes_per_vector"),
+          (col("n_vectors") * 64L).as("total_bytes"), col("r_sq8").as("recall_at_k")),
+        struct(lit("3_pq").as("format"), lit(4L).as("bytes_per_vector"),
+          (col("n_vectors") * 4L).as("total_bytes"), col("r_pq").as("recall_at_k")),
+        struct(lit("4_ivfpq").as("format"), lit(4L).as("bytes_per_vector"),
+          (col("n_vectors") * 4L).as("total_bytes"), col("r_ivfpq").as("recall_at_k")))).as("m"))
+      .select(col("m.format").as("format"), col("m.bytes_per_vector").as("bytes_per_vector"),
+        col("m.total_bytes").as("total_bytes"), col("m.recall_at_k").as("recall_at_k"))
+      .orderBy("format")
+  }
+
   /** ann_nndescent_round r18 shape (g0 NOT pinned) for A/B. */
   def nndRoundRaw(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     import graft.similarity.Ann
@@ -326,6 +428,7 @@ object VariantPlan {
     val fns: Map[String, (SparkSession, String) => DataFrame] = Map(
       "bigram_raw" -> (R19Variants2.bigramRaw _),
       "nndr_raw" -> ((s, d) => R19Variants2.nndRoundRaw(s, d)),
+      "divergence_raw" -> (R19Variants2.sourceDivergenceRaw _),
       "blocking_raw" -> (R19Variants2.blockingHealthRaw _),
       "substring_raw" -> (R19Variants2.substringRaw _),
       "repeat_raw" -> ((s, d) => graft.analytics.Relational.repeatPurchaseRate(s, d)))
@@ -408,7 +511,13 @@ object ProfileR19 {
       "bigram_raw" -> (R19Variants2.bigramRaw _),
       "bigram_w1part" -> ((s, d) => graft.text.TextFunctions.bigramCoherence(s, d)),
       "cooc_selfjoin" -> ((s, d) => graft.text.TextFunctions.cooccurrence(s, d)),
-      "cooc_pinned" -> ((s, d) => R19Variants2.cooccurrencePinned(s, d)))
+      "cooc_pinned" -> ((s, d) => R19Variants2.cooccurrencePinned(s, d)),
+      "divergence_raw" -> (R19Variants2.sourceDivergenceRaw _),
+      "divergence_pinned" -> ((s, d) => graft.text.TextFunctions.sourceDivergence(s, d)),
+      "index_menu_raw" -> ((s, d) => R19Variants2.indexMenuRaw(s, d)),
+      "index_menu_pinned" -> ((s, d) => Ann.indexMenu(s, d)),
+      "rfm_raw" -> (R19Variants2.rfmRaw _),
+      "rfm_pinned" -> ((s, d) => graft.analytics.Relational.rfm(s, d)))
     val chosen = if (args.nonEmpty) pairs.filter(p => args.contains(p._1)) else pairs
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

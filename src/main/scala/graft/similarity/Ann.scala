@@ -1685,9 +1685,12 @@ object Ann {
     val emb = Tables.load(spark, dir, "embeddings")
     val nRow = emb.agg(count(lit(1)).as("n_vectors"))
     val q = emb.where(col("vec_id") === 0).limit(1).select(col("embedding").as("qe"))
-    val exact = emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    // pin (r19, guide §2.4): the exact top-k is joined by ALL THREE
+    // recall cells, and each reference re-planned the corpus scan +
+    // L2 TakeOrdered subtree. k rows, materialized once.
+    val exact = pin(emb.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id"), expr("graft_l2sq(embedding, qe)").as("d"))
-      .orderBy(col("d").asc, col("vec_id")).limit(k).select("vec_id")
+      .orderBy(col("d").asc, col("vec_id")).limit(k).select("vec_id"))
     def recallOf(topk: DataFrame, name: String) =
       topk.select("vec_id").join(exact, "vec_id")
         .agg((count(lit(1)).cast("double") / lit(k.toDouble)).as(name))

@@ -3017,11 +3017,14 @@ object TextFunctions {
     * per term; the rollup is ≤|sources|²-key; totals broadcast. */
   def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     val Q = 1099511627776.0 // 2^40
-    val cf = Tables.load(spark, dir, "documents")
+    // pin (r19, guide §2.4): cf is read by the totals branch AND both
+    // sides of the per-term self-join — three plans of the token explode
+    // + (source, term) rollup without it. ≤|sources|·|vocab| rows.
+    val cf = graft.Tables.pin(Tables.load(spark, dir, "documents")
       .select(col("source"), explode(split(normText(col("text")), " ")).as("term"))
       .where(length(col("term")) >= 1)
       .groupBy("source", "term")
-      .agg(count(lit(1)).as("cf"))
+      .agg(count(lit(1)).as("cf")))
     val totals = cf.groupBy("source").agg(sum(col("cf")).cast("long").as("n"))
     val p = cf.join(broadcast(totals), "source")
       .select(col("source"), col("term"),
