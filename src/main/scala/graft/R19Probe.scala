@@ -210,6 +210,27 @@ object R19Variants2 {
       .orderBy("doc_id")
   }
 
+  /** text_hapax r18 shape (instance-level join) for A/B. */
+  def hapaxRaw(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.load(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        explode(split(normText(col("text")), " ")).as("term"))
+      .where(length(col("term")) >= 1)
+    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    toks.join(cnt, "term")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+        (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
+          .as("hapax_token_share"),
+        (col("n_hapax").cast("double") / col("n_vocab").cast("double"))
+          .as("hapax_vocab_share"))
+      .orderBy("source")
+  }
+
   /** q_rfm r18 shape (perCust NOT pinned) for A/B. */
   def rfmRaw(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -429,6 +450,7 @@ object VariantPlan {
       "bigram_raw" -> (R19Variants2.bigramRaw _),
       "nndr_raw" -> ((s, d) => R19Variants2.nndRoundRaw(s, d)),
       "divergence_raw" -> (R19Variants2.sourceDivergenceRaw _),
+      "hapax_raw" -> (R19Variants2.hapaxRaw _),
       "blocking_raw" -> (R19Variants2.blockingHealthRaw _),
       "substring_raw" -> (R19Variants2.substringRaw _),
       "repeat_raw" -> ((s, d) => graft.analytics.Relational.repeatPurchaseRate(s, d)))
@@ -517,7 +539,9 @@ object ProfileR19 {
       "index_menu_raw" -> ((s, d) => R19Variants2.indexMenuRaw(s, d)),
       "index_menu_pinned" -> ((s, d) => Ann.indexMenu(s, d)),
       "rfm_raw" -> (R19Variants2.rfmRaw _),
-      "rfm_pinned" -> ((s, d) => graft.analytics.Relational.rfm(s, d)))
+      "rfm_pinned" -> ((s, d) => graft.analytics.Relational.rfm(s, d)),
+      "hapax_raw" -> (R19Variants2.hapaxRaw _),
+      "hapax_onepass" -> ((s, d) => graft.text.TextFunctions.hapax(s, d)))
     val chosen = if (args.nonEmpty) pairs.filter(p => args.contains(p._1)) else pairs
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

@@ -2925,12 +2925,22 @@ object TextFunctions {
       .select(col("source"), col("doc_id"),
         explode(split(normText(col("text")), " ")).as("term"))
       .where(length(col("term")) >= 1)
-    val cnt = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    toks.join(cnt, "term")
+    // ONE pass over the token fan-out (r19, guide §2.4): the previous
+    // form exploded twice (the corpus count and the join probe side) and
+    // shuffled every token instance through the join. Per-(source, term)
+    // counts first; the corpus count rides a window over those deduped
+    // type rows (hash(term) from the repartition satisfies the rollup AND
+    // the window); a corpus-hapax term (c = 1) occurs exactly once, so it
+    // contributes its one token to exactly one source — the per-source
+    // aggregates below are the same integers as the instance-level join.
+    // Interleaved A/B at sf0.1: 0.79 → 0.64 s median.
+    val st = toks.select(col("source"), col("term")).repartition(col("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cs"))
+    st.withColumn("c", sum(col("cs")).over(Window.partitionBy("term")))
       .groupBy("source")
       .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("term")).as("n_vocab"),
+        sum(col("cs")).as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
         sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
       .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
         (col("n_hapax").cast("double") / col("n_tokens").cast("double"))
